@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with the noop sink (full execution, no driver
+collect overhead). First a warmup pass triggers JVM/codegen warm paths for
+the session; timings are per-query wall clock of a single run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BENCH_QUERIES = [
+    # vector search surface
+    "q_knn_topk",
+    "q_knn_batch",
+    "q_sim_self_join",
+    "q_knn_lsh",
+    # text pipeline
+    "q_vocab_build",
+    "q_encode_lookup",
+    "q_pad_frame",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_text_stats",
+    # relational / events
+    "q_join_enrich",
+    "q_pricing_summary",
+    "q_topk_global",
+    "q_event_window",
+    "q_json_extract",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from vector_database_spark.queries import QUERIES
+    from vector_database_spark.session import get_spark
+
+    spark = get_spark("bench")
+
+    # warmup: exercise scan + codegen once so per-query numbers measure the
+    # operators, not JVM startup
+    QUERIES["q_knn_topk"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

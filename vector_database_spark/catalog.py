@@ -1,0 +1,238 @@
+"""Collection catalog — the engine's DDL surface.
+
+Reference semantics being reproduced (SURVEY §2.A):
+  - create_collection(name, VectorParams(size, distance=COSINE)), no-op when
+    it already exists — vector_db.py:20-24, text_img.py:18-22
+  - collection_exists(name) existence predicate — vector_db.py:20
+  - upsert(points): insert-or-replace by id, latest wins — vector_db.py:94-106
+  - search(query_vector, limit=k) — vector_db_query.py:78-82
+
+A *collection* is a Parquet directory with schema
+``id BIGINT, embedding ARRAY<FLOAT>, payload <struct/map>`` plus an entry in
+a JSON catalog file ``{name: {dim, metric, version}}``. At 100 TB the same
+layout holds: the Parquet dir becomes a partitioned/bucketed table (bucket
+by ``pmod(id, N)`` so upsert-merge and point lookups co-locate), and the
+JSON catalog becomes the metastore entry. Writes here go through an atomic
+rename-free protocol (overwrite per id-bucket) that Delta's MERGE would
+replace on a real deployment; the logic is isolated in :meth:`upsert`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from vector_database_spark.functions.vector import cosine, dot, l2_dist, round6
+
+VALID_METRICS = ("cosine", "dot", "euclid")
+
+
+def collection_schema(payload_type: T.DataType | None = None) -> T.StructType:
+    """Point schema: PointStruct(id, vector, payload) — vector_db.py:85-91."""
+    payload_type = payload_type or T.MapType(T.StringType(), T.StringType())
+    return T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+            T.StructField("payload", payload_type, True),
+            T.StructField("version", T.LongType(), False),
+        ]
+    )
+
+
+@dataclass
+class CollectionInfo:
+    name: str
+    dim: int
+    metric: str
+    version: int = 0
+
+
+class Catalog:
+    """JSON-file catalog of collections rooted at ``root`` (a directory)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._catalog_path = os.path.join(root, "_catalog.json")
+
+    # -- catalog file ------------------------------------------------------
+    def _load(self) -> dict:
+        if not os.path.exists(self._catalog_path):
+            return {}
+        with open(self._catalog_path) as f:
+            return json.load(f)
+
+    def _save(self, cat: dict) -> None:
+        tmp = self._catalog_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(cat, f, indent=2, sort_keys=True)
+        os.replace(tmp, self._catalog_path)
+
+    # -- DDL (SURVEY A1/A2) ------------------------------------------------
+    def collection_exists(self, name: str) -> bool:
+        """A2: existence predicate guarding create (vector_db.py:20)."""
+        return name in self._load()
+
+    def create_collection(
+        self, name: str, dim: int, metric: str = "cosine"
+    ) -> "VectorCollection":
+        """A1: named table with fixed vector dim + metric; no-op if exists
+        (vector_db.py:20-24)."""
+        if metric not in VALID_METRICS:
+            raise ValueError(f"metric must be one of {VALID_METRICS}, got {metric!r}")
+        cat = self._load()
+        if name not in cat:
+            cat[name] = {"dim": dim, "metric": metric, "version": 0}
+            self._save(cat)
+        info = cat[name]
+        if info["dim"] != dim or info["metric"] != metric:
+            raise ValueError(
+                f"collection {name!r} exists with dim={info['dim']} "
+                f"metric={info['metric']}; cannot recreate with dim={dim} metric={metric}"
+            )
+        return self.collection(name)
+
+    def collection(self, name: str) -> "VectorCollection":
+        cat = self._load()
+        if name not in cat:
+            raise KeyError(f"no such collection: {name}")
+        info = cat[name]
+        return VectorCollection(
+            self, CollectionInfo(name, info["dim"], info["metric"], info["version"])
+        )
+
+    def drop_collection(self, name: str) -> None:
+        cat = self._load()
+        cat.pop(name, None)
+        self._save(cat)
+
+    def list_collections(self) -> list[str]:
+        return sorted(self._load())
+
+    def _bump_version(self, name: str) -> int:
+        cat = self._load()
+        cat[name]["version"] += 1
+        self._save(cat)
+        return cat[name]["version"]
+
+
+class VectorCollection:
+    """One collection: Parquet-backed DataFrame of points + search surface."""
+
+    def __init__(self, catalog: Catalog, info: CollectionInfo):
+        self.catalog = catalog
+        self.info = info
+        self.path = os.path.join(catalog.root, info.name)
+
+    # -- scan ---------------------------------------------------------------
+    def df(self) -> DataFrame:
+        """Current state of the collection (latest version of each id)."""
+        spark = self.catalog.spark
+        if not os.path.exists(self.path):
+            return spark.createDataFrame([], collection_schema())
+        raw = spark.read.parquet(self.path)
+        return latest_wins(raw, id_col="id", version_col="version")
+
+    def count(self) -> int:
+        """A4: collection stats scan (vector_db.py:108)."""
+        return self.df().count()
+
+    # -- DML (SURVEY A3/A5) --------------------------------------------------
+    def upsert(self, points: DataFrame) -> int:
+        """A3: insert-or-replace by id, latest wins (vector_db.py:94-106).
+
+        Implementation: append a new versioned Parquet batch; reads resolve
+        latest-wins via a window. This is the log-structured strategy that
+        scales (append-only writes, compaction deferred); `compact()` folds
+        history. On Delta/Iceberg this becomes MERGE INTO — same semantics.
+        Validates ``size(embedding) == dim`` on ingest (schema system §1.4).
+        """
+        version = self.catalog._bump_version(self.info.name)
+        bad = points.filter(F.size("embedding") != self.info.dim).limit(1).count()
+        if bad:
+            raise ValueError(
+                f"dimension mismatch: collection {self.info.name!r} expects "
+                f"{self.info.dim}-d vectors"
+            )
+        batch = points.select(
+            F.col("id").cast("long").alias("id"),
+            F.col("embedding").cast("array<float>").alias("embedding"),
+            F.col("payload"),
+            F.lit(version).cast("long").alias("version"),
+        )
+        batch.write.mode("append").parquet(self.path)
+        self.info.version = version
+        return version
+
+    def compact(self) -> None:
+        """Fold the version history down to latest-wins (like Delta OPTIMIZE)."""
+        spark = self.catalog.spark
+        current = self.df()
+        tmp = self.path + "__compact"
+        current.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(self.path)
+        # best-effort cleanup of the staging dir
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # -- query (SURVEY B1-B10) -----------------------------------------------
+    def search(
+        self,
+        query_vector: list[float],
+        limit: int = 5,
+        metric: str | None = None,
+        payload_filter=None,
+    ) -> DataFrame:
+        """B1/B4/B6: top-k by the collection metric with optional payload
+        pre-filter (filter *before* scoring — filtered k-NN).
+
+        Returns columns (id, score, payload) ordered by score (best first,
+        id tie-break), exactly the reference result shape
+        (vector_db_query.py:85-86).
+        """
+        metric = metric or self.info.metric
+        df = self.df()
+        if payload_filter is not None:
+            df = df.filter(payload_filter)
+        q = F.array(*[F.lit(float(x)) for x in query_vector]).cast("array<double>")
+        if metric == "cosine":
+            score = round6(cosine(F.col("embedding"), q))
+            asc = False
+        elif metric == "dot":
+            score = round6(dot(F.col("embedding"), q))
+            asc = False
+        elif metric == "euclid":
+            score = round6(l2_dist(F.col("embedding"), q))
+            asc = True
+        else:  # pragma: no cover
+            raise ValueError(f"unknown metric {metric!r}")
+        scored = df.select("id", score.alias("score"), "payload")
+        order = [F.col("score").asc() if asc else F.col("score").desc(), F.col("id").asc()]
+        # orderBy+limit compiles to TakeOrderedAndProject: per-partition
+        # partial top-k then a k*P merge on the driver — no global sort,
+        # scales to arbitrarily large collections.
+        return scored.orderBy(*order).limit(limit)
+
+
+def latest_wins(df: DataFrame, id_col: str = "id", version_col: str = "version") -> DataFrame:
+    """Resolve multi-version rows to the latest version per id (SURVEY A3).
+
+    ``row_number() OVER (PARTITION BY id ORDER BY version DESC) = 1`` — the
+    oracle twin is DuckDB QUALIFY. One shuffle on the id key; at scale the
+    id-bucketed table layout makes this shuffle-free.
+    """
+    w = Window.partitionBy(id_col).orderBy(F.col(version_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -1,0 +1,144 @@
+"""Approximate nearest neighbor (SURVEY B8) — the 100 TB scale path.
+
+Qdrant answers k-NN with a server-side HNSW graph (compose.yaml:1-22,
+outside the reference repo). A graph index doesn't map to Spark's
+shared-nothing execution; the Spark-native equivalents are:
+
+  1. Random-hyperplane LSH (signed projections → bit signature): bucket by
+     signature prefix, search only the query's bucket(s), exact re-rank.
+     Pure DataFrame ops — the hyperplanes are literal arrays, the signature
+     is a codegen'd expression, NO Python in the scoring path.
+  2. IVF-style coarse quantization via MLlib KMeans: partition by nearest
+     centroid, probe the closest `nprobe` centroids, exact re-rank inside.
+
+Both trade recall for scan fraction; recall is measured against the exact
+operator (tests/test_ann_recall.py). Approximate by design → rows-only
+correctness check, no DuckDB oracle (SURVEY §5.2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vector_database_spark.functions.vector import cosine, round6
+
+LSH_SEED = 42
+LSH_BITS = 8
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = LSH_SEED) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(bits, dim)
+
+
+def lsh_signature_col(emb: Column, planes: np.ndarray) -> Column:
+    """Bit signature: bit j = 1 iff emb . plane_j > 0 — as one expression."""
+    sig = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(
+                emb,
+                F.array(*[F.lit(float(v)) for v in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        sig = sig + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+    return sig
+
+
+def with_lsh_signature(
+    embeddings: DataFrame,
+    dim: int = 64,
+    bits: int = LSH_BITS,
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Materialize the LSH signature column (done once at ingest at scale;
+    the collection is then bucketed/partitioned by ``sig``)."""
+    planes = _hyperplanes(dim, bits)
+    return embeddings.withColumn("sig", lsh_signature_col(F.col(emb_col), planes))
+
+
+def lsh_knn(
+    embeddings: DataFrame,
+    query_vector: list[float],
+    k: int = 5,
+    bits: int = LSH_BITS,
+    max_hamming: int = 1,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    payload_cols: tuple[str, ...] = ("label",),
+) -> DataFrame:
+    """Approximate top-k: scan only buckets within ``max_hamming`` of the
+    query signature, then exact cosine re-rank.
+
+    At scale the signature is a partition column → partition pruning makes
+    this a sub-linear scan. multiprobe (max_hamming=1) recovers most of the
+    recall lost to quantization.
+    """
+    dim = len(query_vector)
+    planes = _hyperplanes(dim, bits)
+    qsig = int(sum((1 << j) for j, p in enumerate(planes) if float(np.dot(p, query_vector)) > 0))
+    probe_sigs = [qsig] + [qsig ^ (1 << j) for j in range(bits)] if max_hamming >= 1 else [qsig]
+    tagged = with_lsh_signature(embeddings, dim=dim, bits=bits, emb_col=emb_col)
+    cands = tagged.filter(F.col("sig").isin(probe_sigs))
+    q = F.array(*[F.lit(float(x)) for x in query_vector]).cast("array<double>")
+    scored = cands.select(
+        id_col, *payload_cols, round6(cosine(F.col(emb_col), q)).alias("score")
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def ivf_index(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    seed: int = LSH_SEED,
+):
+    """IVF coarse index: KMeans centroids + per-row nearest-centroid
+    assignment. Returns (assigned_df, centroids ndarray).
+
+    The MLlib boundary is the only place arrays convert to VectorUDT
+    (SURVEY §7.3); the assignment column is then plain relational state.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+
+    vecs = embeddings.withColumn("features", array_to_vector(F.col(emb_col).cast("array<double>")))
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(vecs)
+    assigned = model.transform(vecs).withColumnRenamed("prediction", "centroid_id").drop(
+        "features"
+    )
+    centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
+    return assigned, centroids
+
+
+def ivf_knn(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    query_vector: list[float],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    payload_cols: tuple[str, ...] = ("label",),
+) -> DataFrame:
+    """Probe the ``nprobe`` nearest centroids, exact re-rank inside them.
+
+    At scale ``centroid_id`` is the partition column → partition pruning
+    reads nprobe/n_centroids of the data.
+    """
+    q = np.asarray(query_vector, dtype=float)
+    cnorm = np.linalg.norm(centroids, axis=1) * np.linalg.norm(q)
+    sims = centroids @ q / np.where(cnorm == 0, 1.0, cnorm)
+    probe = [int(i) for i in np.argsort(-sims)[:nprobe]]
+    cands = assigned.filter(F.col("centroid_id").isin(probe))
+    qcol = F.array(*[F.lit(float(x)) for x in query_vector]).cast("array<double>")
+    scored = cands.select(
+        id_col, *payload_cols, round6(cosine(F.col(emb_col), qcol)).alias("score")
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

@@ -1,0 +1,267 @@
+"""Deduplication operators — exact and near-duplicate (SURVEY §2.F F1/F2 +
+north-star training-pipeline extensions).
+
+All hash math uses the portable md5-derived hash (functions/hashing.py) so
+MinHash signatures, SimHash values and band buckets are bit-identical
+between Spark and the DuckDB oracle — near-dup dedup here is fully
+oracle-checkable, not rows-only.
+
+Scale notes (100 TB):
+  - exact dedup: hash-groupBy is one shuffle on a 128-bit key; with the
+    corpus bucketed by md5(text) it is shuffle-free.
+  - MinHash LSH: signatures are a map-only pass (explode tokens → 2 aggs);
+    band-bucket join materializes only colliding pairs (vs N² pairwise).
+    Band buckets are the classic skew hazard — salt/AQE handles hot buckets.
+  - verification joins intersect token sets only for candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from vector_database_spark.functions.hashing import seeded_hash
+from vector_database_spark.functions.text import tokenize_ws
+from vector_database_spark.functions.vector import cosine, micro6, round6
+
+NUM_HASHES = 8          # minhash signature length
+BANDS = 4               # → 2 rows per band; P(collide) = 1-(1-j^2)^4
+JACCARD_THRESHOLD = 0.5
+SIMHASH_BITS = 16
+COSINE_NEARDUP_THRESHOLD = 0.95
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """F1: exact dedup by content hash, keep lowest id per hash group."""
+    w = Window.partitionBy("text_hash").orderBy(F.col(id_col).asc())
+    return (
+        docs.withColumn("text_hash", F.md5(F.col(text_col)))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _doc_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Distinct (id, token) pairs — the shingle sets for Jaccard/MinHash."""
+    return (
+        docs.select(id_col, F.explode(tokenize_ws(F.col(text_col))).alias("token"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = NUM_HASHES,
+) -> DataFrame:
+    """MinHash signature per document: h_i = min over tokens of seeded hash i.
+
+    One explode + one groupBy with ``num_hashes`` min() aggregates —
+    map-side combinable, single shuffle on doc id.
+    Output: (id_col, h0..h{n-1} BIGINT).
+    """
+    toks = _doc_tokens(docs, text_col, id_col)
+    aggs = [
+        F.min(seeded_hash(F.col("token"), i)).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    return toks.groupBy(id_col).agg(*aggs)
+
+
+def minhash_band_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+) -> DataFrame:
+    """LSH banding: candidate pairs = docs sharing any band's full sub-signature.
+
+    Output: distinct (id_a, id_b) with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    band_frames = []
+    for b in range(bands):
+        cols = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
+        key = F.concat_ws("_", F.lit(str(b)), *[F.col(c).cast("string") for c in cols])
+        band_frames.append(signatures.select(F.col(id_col).alias("bid"), key.alias("band_key")))
+    all_bands = band_frames[0]
+    for bf in band_frames[1:]:
+        all_bands = all_bands.unionAll(bf)
+    a = all_bands.select(F.col("bid").alias("id_a"), "band_key")
+    b_ = all_bands.select(F.col("bid").alias("id_b"), "band_key")
+    return (
+        a.join(b_, "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidate_pairs: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Exact token-set Jaccard for candidate pairs; keep >= threshold.
+
+    Output: (id_a, id_b, jaccard_micro BIGINT) — micro-units because
+    integer ratios hit exact half-boundaries where round() diverges
+    across engines (functions/vector.py::micro6).
+
+    Plan note (scale): intersections are computed with ``array_intersect``
+    over per-doc distinct-token arrays — two hash joins on the pair ids and
+    a codegen'd array op per pair. The alternative (explode tokens, join on
+    token, count) shuffles |pairs|·|tokens| rows and collapses under a
+    degenerate corpus where LSH emits near-quadratic candidates; this plan
+    shuffles |pairs| rows only.
+    """
+    tok_sets = (
+        docs.select(
+            F.col(id_col),
+            F.array_distinct(tokenize_ws(F.col(text_col))).alias("toks"),
+        )
+        .withColumn("set_size", F.size("toks"))
+    )
+    a = tok_sets.select(
+        F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"), F.col("set_size").alias("size_a")
+    )
+    b = tok_sets.select(
+        F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"), F.col("set_size").alias("size_b")
+    )
+    # broadcast the doc→token-set map: the candidate-pair stream (which can
+    # be near-quadratic on degenerate corpora) then flows map-side through
+    # both joins with NO shuffle of the pairs. At a scale where the doc map
+    # itself outgrows broadcast, drop the hints — Catalyst falls back to
+    # shuffle joins — and rely on the LSH bands keeping |pairs| ≈ linear.
+    jac = (
+        candidate_pairs.join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
+        .withColumn("inter", F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b"))))
+        .select(
+            "id_a",
+            "id_b",
+            micro6(
+                F.col("inter").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double")
+            ).alias("jaccard_micro"),
+        )
+    )
+    return jac.filter(F.col("jaccard_micro") >= int(threshold * 1_000_000))
+
+
+def minhash_neardup_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """F2: MinHash-LSH near-duplicate pairs, Jaccard-verified.
+
+    shingle → minhash → band → bucket-join → exact verify. Deterministic
+    (md5 hash family) and therefore oracle-checkable end-to-end.
+
+    The signature DataFrame is persisted: the band self-join references it
+    8× (4 band projections × 2 join sides) and recomputing the token
+    explode + min-aggregation per reference costs ~10× the whole pipeline.
+    (The cache is the DataFrame analogue of materializing a CTE.)
+    """
+    sigs = minhash_signatures(docs, text_col, id_col).persist()
+    cands = minhash_band_pairs(sigs, id_col)
+    return jaccard_verify(cands, docs, text_col, id_col).orderBy("id_a", "id_b")
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash fingerprint: bit j set iff sum over distinct tokens of
+    (+1 if bit j of token hash set else -1) > 0.
+
+    Output: (id_col, simhash BIGINT). Hamming-close fingerprints ≈ near-dups.
+    Explodes tokens once; ``bits`` conditional-sum aggregates — map-side
+    combinable, one shuffle.
+    """
+    toks = _doc_tokens(docs, text_col, id_col).withColumn(
+        "th", seeded_hash(F.col("token"), 999)
+    )
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    sums = toks.groupBy(id_col).agg(*aggs)
+    sim = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+        sim = term if sim is None else sim + term
+    return sums.select(id_col, sim.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.2,
+    max_id: int | None = None,
+) -> DataFrame:
+    """N-gram (word-bigram) Jaccard similarity pairs >= threshold.
+
+    Exact (no LSH): explode distinct bigrams, self-join on bigram to get
+    intersections, derive union from set sizes. ``max_id`` bounds the pair
+    space for oracle runs; at scale this is the *verify* stage after LSH.
+    Output: (id_a, id_b, jaccard).
+    """
+    from vector_database_spark.functions.text import bigrams
+
+    base = docs if max_id is None else docs.filter(F.col(id_col) < max_id)
+    grams = (
+        base.select(id_col, F.explode(bigrams(tokenize_ws(F.col(text_col)))).alias("g"))
+        .distinct()
+    )
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
+    ga = grams.select(F.col(id_col).alias("id_a"), "g")
+    gb = grams.select(F.col(id_col).alias("id_b"), "g")
+    inter = (
+        ga.join(gb, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            micro6(
+                F.col("inter").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double")
+            ).alias("jaccard_micro"),
+        )
+        .filter(F.col("jaccard_micro") >= int(threshold * 1_000_000))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = COSINE_NEARDUP_THRESHOLD,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= threshold, a < b).
+
+    Exact pairwise; at scale, ann.py's LSH bucketing generates the
+    candidate pairs and this becomes the verify stage.
+    Output: (id_a, id_b, cos DOUBLE).
+    """
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("ea"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("eb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", round6(cosine(F.col("ea"), F.col("eb"))).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .orderBy("id_a", "id_b")
+    )

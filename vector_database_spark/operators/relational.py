@@ -1,0 +1,156 @@
+"""Relational operators over the TPC-H-ish fixtures (SURVEY §2.E/§2.F):
+enrichment joins, global top-k, time-window aggregation, JSON extraction.
+
+These carry the sf0.1 bench: they exercise broadcast-vs-shuffle join
+selection, map-side-combined aggregation, TakeOrderedAndProject, and
+predicate pushdown — the physical plans a 100 TB deployment lives on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_database_spark.functions.vector import micro6, round6
+
+
+def _dec_sum(col: str) -> F.Column:
+    """Order-independent double sum: exact DECIMAL(38,6) addition, then a
+    single cast back to DOUBLE — bit-identical across engines regardless of
+    partial-aggregation order."""
+    return F.sum(F.col(col).cast("decimal(38,6)")).cast("double")
+
+
+def join_enrich(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """F4: orders ⋈ customer ⋈ nation ⋈ region → revenue per region/nation.
+
+    nation/region are tiny dims → broadcast (no shuffle of the fact side
+    for those hops); customer is broadcast here too (150 rows per sf unit)
+    but would be a shuffle join at real scale — Catalyst/AQE decides from
+    stats, we only *hint* the always-tiny dims.
+    Output: (r_name, n_name, n_orders, revenue, avg_price).
+    """
+    joined = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            round6(_dec_sum("o_totalprice")).alias("revenue"),
+        )
+        .withColumn(
+            "avg_price_micro", micro6(F.col("revenue") / F.col("n_orders").cast("double"))
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def topk_global(lineitem: DataFrame, k: int = 10) -> DataFrame:
+    """F7: global top-k lineitems by extendedprice (order stability via
+    full tie-break on the composite key). Compiles to TakeOrderedAndProject.
+    Output: (l_orderkey, l_linenumber, l_extendedprice).
+    """
+    return (
+        lineitem.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .limit(k)
+    )
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1-style pricing summary — the canonical agg bench query.
+
+    Map-side partial aggregation on 2 low-cardinality keys; DECIMAL sums
+    for cross-engine determinism.
+    """
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_dp")
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).alias("_ch")
+    base = lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02")).select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", disc_price, charge,
+    )
+    return (
+        base.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            round6(_dec_sum("l_quantity")).alias("sum_qty"),
+            round6(_dec_sum("l_extendedprice")).alias("sum_base_price"),
+            round6(_dec_sum("_dp")).alias("sum_disc_price"),
+            round6(_dec_sum("_ch")).alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+        .withColumn(
+            "avg_qty_micro", micro6(F.col("sum_qty") / F.col("count_order").cast("double"))
+        )
+        .withColumn(
+            "avg_price_micro",
+            micro6(F.col("sum_base_price") / F.col("count_order").cast("double")),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def event_window(events: DataFrame) -> DataFrame:
+    """F5: hourly tumbling-window aggregation per event_type — the batch
+    twin of the streaming query (streaming/events.py). Hour emitted as a
+    string so Spark/DuckDB timestamp representations compare equal.
+    Output: (hour, event_type, n, sum_value, avg_value).
+    """
+    hour = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
+    return (
+        events.select(hour.alias("hour"), "event_type", "value")
+        .groupBy("hour", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            round6(_dec_sum("value")).alias("sum_value"),
+        )
+        .withColumn("avg_value_micro", micro6(F.col("sum_value") / F.col("n").cast("double")))
+        .orderBy("hour", "event_type")
+    )
+
+
+def json_extract(events: DataFrame) -> DataFrame:
+    """F6: JSON payload extraction from the events ``props`` column
+    (the reference's schemaless payload analogue, vector_db.py:89).
+    Output: (event_id, k_str, k_int, k_bucket).
+    """
+    k = F.get_json_object(F.col("props"), "$.k")
+    return events.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("long").alias("k_int"),
+        (k.cast("long") % 10).alias("k_bucket"),
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization: per-user session ids from inactivity gaps — the
+    classic lag + cumulative-sum window pattern (no UDF, two windows over
+    the same (user_id, ts) partitioning → one shuffle).
+    Output: (event_id, user_id, ts, session_id).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long"), 1).over(w)
+    new_sess = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    return (
+        events.withColumn("__new", new_sess)
+        .withColumn("session_seq", F.sum("__new").over(w).cast("long"))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.concat_ws("_", F.col("user_id"), F.col("session_seq")).alias("session_id"),
+        )
+    )

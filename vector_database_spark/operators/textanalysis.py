@@ -1,0 +1,165 @@
+"""Text analysis operators — the north-star training-data-pipeline set:
+language ID, quality scoring, token counting, document fingerprinting.
+
+Everything is a built-in-function projection/aggregation (no UDFs), each
+deterministic and DuckDB-oracle-checkable. The per-document operators are
+embarrassingly parallel map-only plans; only the corpus-level stats
+aggregate (one map-side-combined shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vector_database_spark.functions.text import tokenize_ws
+from vector_database_spark.functions.vector import micro6
+
+# Marker tokens per language for the n-gram/keyword language-ID heuristic.
+# The fixture corpus is synthetic, so markers are drawn from its vocabulary;
+# with real text these would be stopword lists per language.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("table", "row", "column"),
+    "en": ("the", "a", "data"),
+    "es": ("join", "merge", "group"),
+    "fr": ("fast", "slow", "big"),
+    "zh": ("vector", "spark", "query"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+FINGERPRINT_MOD = 1_000_000_007
+FINGERPRINT_MULT = 31
+
+# BPE-ish token pattern: runs of letters, runs of digits, or single
+# non-alphanumeric non-space characters (subword-style segmentation).
+BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def _count_in(tokens: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(tokens, lambda t: t.isin(*words))).cast("long")
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Language-ID heuristic: argmax over per-language marker-token counts,
+    ties broken by language name order, 'en' when all scores are 0.
+
+    Output: (id_col, pred_lang, best_score).
+    """
+    toks = tokenize_ws(F.col(text_col))
+    langs = sorted(LANG_MARKERS)
+    scored = docs.select(
+        id_col,
+        *[_count_in(toks, LANG_MARKERS[lg]).alias(f"s_{lg}") for lg in langs],
+    )
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in langs])
+    pred = F.lit("en")
+    # first language (alphabetical) achieving the max wins — same CASE
+    # ordering as the oracle SQL
+    for lg in reversed(langs):
+        pred = F.when(F.col(f"s_{lg}") == best, F.lit(lg)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("en")).otherwise(pred)
+    return scored.select(
+        id_col, pred.alias("pred_lang"), best.cast("long").alias("best_score")
+    )
+
+
+def quality_score(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Quality scoring: length/stopword/avg-token-length features + a
+    composite score. Mirrors the heuristics a pretraining-data filter uses.
+
+    Ratio outputs are BIGINT micro-units (micro6): integer ratios hit exact
+    decimal half-boundaries where round() diverges across engines.
+    Output: (id_col, n_tokens, n_stopwords, stop_ratio_micro,
+    avg_token_len_micro, quality_micro).
+    """
+    toks = tokenize_ws(F.col(text_col))
+    n_tok = F.size(toks).cast("long")
+    n_stop = _count_in(toks, STOPWORDS)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    stop_ratio = n_stop.cast("double") / n_tok.cast("double")
+    avg_len = sum_len.cast("double") / n_tok.cast("double")
+    quality = (
+        F.least(n_tok.cast("double") / F.lit(50.0), F.lit(1.0)) * F.lit(0.5)
+        + stop_ratio * F.lit(0.25)
+        + F.least(avg_len / F.lit(8.0), F.lit(1.0)) * F.lit(0.25)
+    )
+    return docs.select(
+        id_col,
+        n_tok.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        micro6(stop_ratio).alias("stop_ratio_micro"),
+        micro6(avg_len).alias("avg_token_len_micro"),
+        micro6(quality).alias("quality_micro"),
+    )
+
+
+def token_count(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting: whitespace words + BPE-ish regex pieces.
+
+    Output: (id_col, n_ws_tokens, n_bpe_tokens).
+    """
+    ws = F.size(tokenize_ws(F.col(text_col))).cast("long")
+    bpe = F.size(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_PATTERN), F.lit(0))
+    ).cast("long")
+    return docs.select(id_col, ws.alias("n_ws_tokens"), bpe.alias("n_bpe_tokens"))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprinting: md5 of whitespace-normalized text plus a
+    rolling polynomial hash over tokens
+    (h := (h*31 + len(t)*17 + ascii(t[0])) mod 1e9+7).
+
+    Output: (id_col, fp_md5, fp_roll).
+    """
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    toks = tokenize_ws(F.col(text_col))
+    contrib = F.transform(
+        toks,
+        lambda t: (F.length(t).cast("long") * 17 + F.ascii(F.substring(t, 1, 1)).cast("long")),
+    )
+    roll = F.aggregate(
+        contrib,
+        F.lit(0).cast("long"),
+        lambda a, x: (a * FINGERPRINT_MULT + x) % FINGERPRINT_MOD,
+    )
+    return docs.select(
+        id_col, F.md5(norm).alias("fp_md5"), roll.alias("fp_roll")
+    )
+
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """F3: corpus stats per language — doc counts, char/token averages.
+
+    Integer sums are exact; the derived averages are emitted as BIGINT
+    micro-units (micro6) for cross-engine bit-equality.
+    Output: (lang, n_docs, avg_chars_micro, avg_tokens_micro).
+    """
+    n_tok = F.size(tokenize_ws(F.col(text_col))).cast("long")
+    base = docs.select("lang", F.col("n_chars"), n_tok.alias("n_tok"))
+    return (
+        base.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum("n_tok").alias("sum_toks"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            micro6(F.col("sum_chars").cast("double") / F.col("n_docs")).alias(
+                "avg_chars_micro"
+            ),
+            micro6(F.col("sum_toks").cast("double") / F.col("n_docs")).alias(
+                "avg_tokens_micro"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -1,0 +1,174 @@
+"""Tokenizer dataflow operators (SURVEY §2.D) — the reference's transformer
+data pipeline re-expressed as relational plans.
+
+Reference pipeline (transformer_sample.py): corpus → Whitespace tokenizer →
+WordLevel vocabulary with min_frequency=2 and specials [UNK]=0 [PAD]=1
+[SOS]=2 [EOS]=3 (transformer_sample.py:398-409) → encode to id sequences
+(:498-499) → SOS/EOS/PAD framing to seq_len (:503-541) → too-long guard
+(:510-511) → 90/10 split (:431-433).
+
+Engine-declared determinism (FIXTURES.md rules 3-4): vocabulary ids are
+``row_number() OVER (ORDER BY count DESC, token ASC) + 3``; splits are
+hash-based on the id, never randomSplit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from vector_database_spark.functions.text import tokenize_ws
+
+UNK, PAD, SOS, EOS = 0, 1, 2, 3
+MIN_FREQUENCY = 2
+SEQ_LEN = 128  # engine default; reference uses 350 (transformer_sample.py:651)
+
+# Knuth multiplicative hash — portable across Spark and DuckDB in BIGINT.
+SPLIT_MULT = 2654435761
+SPLIT_MOD = 1 << 32
+
+
+def tokenized(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """D1: docs + a ``tokens`` array column."""
+    return docs.withColumn("tokens", tokenize_ws(F.col(text_col)))
+
+
+def build_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """D2: WordLevel vocabulary build (transformer_sample.py:398-409).
+
+    count tokens → drop freq < MIN_FREQUENCY → dense ids after the 4
+    reserved specials, ordered by (count DESC, token ASC) — a group-by plus
+    a rank. The global rank is a single-partition window over the (small)
+    distinct-token set; token counting itself is a map-side-combined
+    groupBy that scales with the corpus.
+    """
+    counts = (
+        tokenized(docs, text_col)
+        .select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .count()
+        .filter(F.col("count") >= MIN_FREQUENCY)
+    )
+    w = Window.orderBy(F.col("count").desc(), F.col("token").asc())
+    return counts.select(
+        "token",
+        F.col("count").alias("cnt"),
+        (F.row_number().over(w) + 3).cast("long").alias("token_id"),
+    )
+
+
+def encode(
+    docs: DataFrame, vocab: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """D3: token → id lookup; unknown → [UNK]=0 (transformer_sample.py:498-499).
+
+    posexplode keeps positions → broadcast-join the vocab (it is small by
+    construction: distinct frequent tokens) → reassemble in position order.
+    Output: (id_col, ids ARRAY<BIGINT>).
+    """
+    toks = tokenized(docs, text_col).select(
+        id_col, F.posexplode("tokens").alias("pos", "token")
+    )
+    joined = toks.join(F.broadcast(vocab.select("token", "token_id")), "token", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token_id"))),
+                lambda s: F.coalesce(s["token_id"], F.lit(0)).cast("long"),
+            ).alias("ids")
+        )
+    )
+
+
+def decode(
+    encoded: DataFrame, vocab: DataFrame, id_col: str = "doc_id", ids_col: str = "ids"
+) -> DataFrame:
+    """D4: id → token lookup; unknown id → '[UNK]' (transformer_sample.py:623-624).
+
+    Output: (id_col, decoded STRING — tokens joined by ' ').
+    """
+    toks = encoded.select(id_col, F.posexplode(ids_col).alias("pos", "tid"))
+    joined = toks.join(
+        F.broadcast(vocab.select(F.col("token_id").alias("tid"), "token")), "tid", "left"
+    )
+    return joined.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                lambda s: F.coalesce(s["token"], F.lit("[UNK]")),
+            ),
+            " ",
+        ).alias("decoded")
+    )
+
+
+def pad_frame(
+    encoded: DataFrame,
+    seq_len: int = SEQ_LEN,
+    id_col: str = "doc_id",
+    ids_col: str = "ids",
+) -> DataFrame:
+    """D5+D6: SOS/EOS/PAD framing to fixed length with the too-long guard
+    as a *filter* (engine policy; reference raises,
+    transformer_sample.py:503-541,510-511).
+
+    Output: (id_col, framed ARRAY<BIGINT> of exactly seq_len).
+    """
+    n = F.size(ids_col)
+    framed = F.concat(
+        F.array(F.lit(SOS).cast("long")),
+        F.col(ids_col),
+        F.array(F.lit(EOS).cast("long")),
+        F.array_repeat(F.lit(PAD).cast("long"), F.lit(seq_len) - n - 2),
+    )
+    return encoded.filter(n <= seq_len - 2).select(id_col, framed.alias("framed"))
+
+
+def pad_mask(framed: DataFrame, framed_col: str = "framed") -> DataFrame:
+    """D12: elementwise padding mask, 1 where token != [PAD]
+    (transformer_sample.py:551)."""
+    return framed.withColumn(
+        "mask",
+        F.transform(
+            F.col(framed_col),
+            lambda x: F.when(x != PAD, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+        ),
+    )
+
+
+def hash_split(
+    df: DataFrame, id_col: str = "doc_id", train_pct: int = 9
+) -> DataFrame:
+    """D8: deterministic 90/10 split (engine twin of randomSplit,
+    transformer_sample.py:431-433). ``(id * 2654435761) % 2^32 % 10 < 9``
+    is reproducible in any engine — FIXTURES.md rule 3.
+    """
+    h = (F.col(id_col) * F.lit(SPLIT_MULT)) % F.lit(SPLIT_MOD) % 10
+    return df.withColumn(
+        "split", F.when(h < train_pct, F.lit("train")).otherwise(F.lit("val"))
+    )
+
+
+def parse_instruction(df: DataFrame, text_col: str = "inst_text") -> DataFrame:
+    """D9: '[INST] x [/INST] y' → (instruction, response)
+    (transformer_training.py:300-301)."""
+    return df.select(
+        "*",
+        F.trim(
+            F.regexp_extract(F.col(text_col), r"\[INST\](.*?)\[/INST\]", 1)
+        ).alias("instruction"),
+        F.trim(F.element_at(F.split(F.col(text_col), r"\[/INST\]"), 2)).alias(
+            "response"
+        ),
+    )
+
+
+def max_len_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """D7: max token length per language (transformer_sample.py:442-451)."""
+    return (
+        tokenized(docs, text_col)
+        .groupBy("lang")
+        .agg(F.max(F.size("tokens")).cast("long").alias("max_tokens"))
+    )

@@ -1,0 +1,1281 @@
+"""Driver-facing query registry: one entry per implemented operator from
+SURVEY.md §2, each with a Spark callable ``(spark, sf_dir) -> DataFrame``
+and (where SQL-expressible) a DuckDB oracle returning the identical result.
+
+Cross-engine determinism rules (FIXTURES.md):
+  * similarity math in DOUBLE, user-facing floats round(…, 6)
+  * sums of doubles go through DECIMAL(38,6) (order-independent)
+  * every top-k / row_number has a total order (id tie-break)
+  * hashes are md5-derived (functions/hashing.py) — identical both engines
+  * timestamps compared as formatted strings
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_database_spark.catalog import latest_wins
+from vector_database_spark.functions.hashing import seeded_hash_sql
+from vector_database_spark.functions.text import bigrams, tokenize_ws
+from vector_database_spark.functions.vector import (
+    cosine,
+    dot,
+    l2_dist,
+    l2_norm,
+    micro6,
+    round6,
+)
+from vector_database_spark.operators import ann, dedup, knn, relational, textanalysis, textops
+from vector_database_spark.sources import multimodal
+from vector_database_spark.streaming import events as streaming_events
+
+# ---------------------------------------------------------------------------
+# shared constants (single source of truth for Spark AND oracle SQL)
+# ---------------------------------------------------------------------------
+
+SEQ_LEN = textops.SEQ_LEN  # 128
+TOO_LONG_LIMIT = SEQ_LEN - 2
+RAW_QUERY_VEC = [round(((i * 37) % 19) / 10.0 - 0.9, 1) for i in range(64)]
+_RAW_VEC_SQL = "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in RAW_QUERY_VEC) + "]"
+
+_TOKS_SQL = "string_split_regex(lower(text), '\\s+')"
+
+
+def _micro_sql(expr: str) -> str:
+    """DuckDB twin of functions/vector.py::micro6 (bit-exact ratio output)."""
+    return f"CAST(floor(({expr}) * 1000000.0 + 0.5) AS BIGINT)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from vector_database_spark.sources.tables import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"round(list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])), 6)"
+
+
+# ---------------------------------------------------------------------------
+# §2.B similarity search
+# ---------------------------------------------------------------------------
+
+def q_knn_topk(spark, sf_dir):
+    """B1: exact cosine top-5, query = the vec_id=0 vector (vector_db_query.py:78-82)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = emb.crossJoin(F.broadcast(q))
+    return knn.knn(
+        scored.select("vec_id", "label", "embedding", "qv"),
+        F.col("qv"),
+        k=5,
+    )
+
+
+_SQL_KNN_TOPK = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT c.vec_id, c.label, {_cos_sql('c.embedding', 'q.qv')} AS score
+FROM embeddings c, q
+ORDER BY score DESC, c.vec_id
+LIMIT 5
+"""
+
+
+def q_knn_top1(spark, sf_dir):
+    """B2: top-1 (text→image cross-modal query shape, text_img.py:74-78)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("qv"))
+    return knn.knn(
+        emb.crossJoin(F.broadcast(q)).select("vec_id", "label", "embedding", "qv"),
+        F.col("qv"),
+        k=1,
+    )
+
+
+_SQL_KNN_TOP1 = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7)
+SELECT c.vec_id, c.label, {_cos_sql('c.embedding', 'q.qv')} AS score
+FROM embeddings c, q
+ORDER BY score DESC, c.vec_id
+LIMIT 1
+"""
+
+
+def q_knn_score_payload(spark, sf_dir):
+    """B3: result exposes id + score + payload projection (vector_db_query.py:85-86)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 3).select(F.col("embedding").alias("qv"))
+    top = knn.knn(
+        emb.crossJoin(F.broadcast(q)).select("vec_id", "label", "embedding", "qv"),
+        F.col("qv"),
+        k=5,
+    )
+    return top.select(
+        F.col("vec_id").alias("id"),
+        "score",
+        F.to_json(F.struct(F.col("label"))).alias("payload_json"),
+    )
+
+
+_SQL_KNN_SCORE_PAYLOAD = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 3),
+top AS (
+  SELECT c.vec_id AS id, c.label, {_cos_sql('c.embedding', 'q.qv')} AS score
+  FROM embeddings c, q
+  ORDER BY score DESC, c.vec_id
+  LIMIT 5
+)
+SELECT id, score, CAST(to_json(struct_pack(label := label)) AS VARCHAR) AS payload_json
+FROM top
+"""
+
+
+def q_knn_raw_vector(spark, sf_dir):
+    """B4: query by raw literal vector (vector_db_query.py:93-171)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn.knn(emb, RAW_QUERY_VEC, k=5)
+
+
+_SQL_KNN_RAW_VECTOR = f"""
+SELECT c.vec_id, c.label, {_cos_sql('c.embedding', _RAW_VEC_SQL)} AS score
+FROM embeddings c
+ORDER BY score DESC, c.vec_id
+LIMIT 5
+"""
+
+
+def q_knn_batch(spark, sf_dir):
+    """B5: batch k-NN — top-3 per query for query set vec_id < 10."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return knn.knn_batch(queries, emb, k=3)
+
+
+_SQL_KNN_BATCH = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.qid, c.vec_id, c.label, {_cos_sql('c.embedding', 'q.qv')} AS score
+  FROM embeddings c, q
+  WHERE c.vec_id != q.qid
+)
+SELECT qid, vec_id, label, score
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) <= 3
+"""
+
+
+def q_knn_filtered(spark, sf_dir):
+    """B6: payload predicate *before* vector ranking (filtered k-NN)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 1).select(F.col("embedding").alias("qv"))
+    return knn.knn(
+        emb.crossJoin(F.broadcast(q)).select("vec_id", "label", "embedding", "qv"),
+        F.col("qv"),
+        k=5,
+        pre_filter=F.col("label") == 3,
+    )
+
+
+_SQL_KNN_FILTERED = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
+SELECT c.vec_id, c.label, {_cos_sql('c.embedding', 'q.qv')} AS score
+FROM embeddings c, q
+WHERE c.label = 3
+ORDER BY score DESC, c.vec_id
+LIMIT 5
+"""
+
+
+def q_sim_self_join(spark, sf_dir):
+    """B7: nearest other point per point (left side vec_id < 100)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn.similarity_self_join(
+        emb, k=1, payload_cols=("label",), left_filter=F.col("qid") < 100
+    )
+
+
+_SQL_SIM_SELF_JOIN = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 100),
+scored AS (
+  SELECT q.qid, c.vec_id, c.label, {_cos_sql('c.embedding', 'q.qv')} AS score
+  FROM embeddings c, q
+  WHERE c.vec_id != q.qid
+)
+SELECT qid, vec_id, label, score
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) <= 1
+"""
+
+
+def q_cosine_normalize(spark, sf_dir):
+    """B9: cosine metric support — norms and normalized first component."""
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = l2_norm(F.col("embedding"))
+    e0 = F.element_at(F.col("embedding"), 1).cast("double")
+    return emb.select(
+        "vec_id", round6(norm).alias("norm"), round6(e0 / norm).alias("unit0")
+    )
+
+
+_SQL_COSINE_NORMALIZE = """
+SELECT vec_id,
+       round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS norm,
+       round(CAST(embedding[1] AS DOUBLE)
+             / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS unit0
+FROM embeddings
+"""
+
+
+def q_dot_euclid(spark, sf_dir):
+    """B10: dot-product and euclidean metrics (Distance enum, vector_db.py:2)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    j = emb.crossJoin(F.broadcast(q))
+    return (
+        j.select(
+            "vec_id",
+            round6(dot(F.col("embedding"), F.col("qv"))).alias("dot"),
+            round6(l2_dist(F.col("embedding"), F.col("qv"))).alias("l2"),
+        )
+        .orderBy(F.col("l2").asc(), F.col("vec_id").asc())
+        .limit(5)
+    )
+
+
+_SQL_DOT_EUCLID = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT c.vec_id,
+       round(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) AS dot,
+       round(list_distance(CAST(c.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) AS l2
+FROM embeddings c, q
+ORDER BY l2 ASC, c.vec_id
+LIMIT 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.A DDL/DML
+# ---------------------------------------------------------------------------
+
+def q_upsert_latest_wins(spark, sf_dir):
+    """A3: insert-or-replace by id (vector_db.py:94-106). Updates = every
+    vec_id % 7 == 0 point re-ingested with label+100 at version 1."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "label", F.lit(0).cast("long").alias("version"))
+    upd = emb.filter(F.col("vec_id") % 7 == 0).select(
+        "vec_id", (F.col("label") + 100).alias("label"), F.lit(1).cast("long").alias("version")
+    )
+    return latest_wins(base.unionAll(upd), id_col="vec_id").select(
+        "vec_id", "label", "version"
+    )
+
+
+_SQL_UPSERT = """
+WITH base AS (SELECT vec_id, label, CAST(0 AS BIGINT) AS version FROM embeddings),
+upd AS (SELECT vec_id, label + 100 AS label, CAST(1 AS BIGINT) AS version
+        FROM embeddings WHERE vec_id % 7 = 0),
+u AS (SELECT * FROM base UNION ALL SELECT * FROM upd)
+SELECT vec_id, label, version FROM u
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY version DESC) = 1
+"""
+
+
+def q_collection_stats(spark, sf_dir):
+    """A4: collection scan/stats + dimension integrity (vector_db.py:108)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.size("embedding")).cast("long").alias("dim_min"),
+            F.max(F.size("embedding")).cast("long").alias("dim_max"),
+        )
+        .orderBy("label")
+    )
+
+
+_SQL_COLLECTION_STATS = """
+SELECT label, count(*) AS n,
+       CAST(min(len(embedding)) AS BIGINT) AS dim_min,
+       CAST(max(len(embedding)) AS BIGINT) AS dim_max
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.C scalar/array/ingest transforms
+# ---------------------------------------------------------------------------
+
+def q_normalize_scale(spark, sf_dir):
+    """C1: numeric rescale (÷255 normalize, vector_db.py:31-36)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        micro6(F.col("l_extendedprice") / F.lit(255.0)).alias("scaled_micro"),
+    )
+
+
+_SQL_NORMALIZE_SCALE = f"""
+SELECT l_orderkey, l_linenumber,
+       {_micro_sql('l_extendedprice / 255.0')} AS scaled_micro
+FROM lineitem
+"""
+
+
+def q_flatten(spark, sf_dir):
+    """C5: flatten nested arrays (vector_db.py:62 `.flatten()`)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    flat = F.flatten(
+        F.array(F.slice(F.col("embedding"), 1, 32), F.slice(F.col("embedding"), 33, 32))
+    )
+    return emb.select(
+        "vec_id",
+        F.size(flat).cast("long").alias("flat_len"),
+        round6(F.element_at(flat, 1).cast("double")).alias("first_val"),
+    )
+
+
+_SQL_FLATTEN = """
+SELECT vec_id,
+       CAST(len(flatten([embedding[1:32], embedding[33:64]])) AS BIGINT) AS flat_len,
+       round(CAST(flatten([embedding[1:32], embedding[33:64]])[1] AS DOUBLE), 6) AS first_val
+FROM embeddings
+"""
+
+
+def q_base64_encode(spark, sf_dir):
+    """C7: binary → base64 payload encoding (vector_db.py:67-72)."""
+    docs = _t(spark, sf_dir, "documents")
+    b64 = F.regexp_replace(F.base64(F.col("text").cast("binary")), "[\\r\\n]", "")
+    return docs.select("doc_id", b64.alias("b64"))
+
+
+_SQL_BASE64_ENCODE = """
+SELECT doc_id, to_base64(encode(text)) AS b64 FROM documents
+"""
+
+
+def q_base64_decode(spark, sf_dir):
+    """C8: base64 → binary round-trip (vector_db_query.py:87-88)."""
+    docs = _t(spark, sf_dir, "documents")
+    b64 = F.regexp_replace(F.base64(F.col("text").cast("binary")), "[\\r\\n]", "")
+    rt = F.decode(F.unbase64(b64), "UTF-8")
+    return docs.select("doc_id", rt.alias("rt"))
+
+
+_SQL_BASE64_DECODE = """
+SELECT doc_id, decode(from_base64(to_base64(encode(text)))) AS rt FROM documents
+"""
+
+
+def q_cast_list(spark, sf_dir):
+    """C9: type conversions for serialization (vector_db.py:88-89)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label_l"),
+        round6(F.element_at(F.col("embedding"), 1).cast("double")).alias("e0"),
+    )
+
+
+_SQL_CAST_LIST = """
+SELECT vec_id, CAST(label AS BIGINT) AS label_l,
+       round(CAST(embedding[1] AS DOUBLE), 6) AS e0
+FROM embeddings
+"""
+
+
+def q_softmax_argmax(spark, sf_dir):
+    """softmax + argmax over the embedding array (transformer_sample.py:153,587)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    arr = F.col("embedding")
+    mx = F.array_max(arr)
+    exps = F.transform(arr, lambda x: F.exp(x.cast("double")))
+    denom = F.aggregate(exps, F.lit(0.0), lambda a, x: a + x)
+    return emb.select(
+        "vec_id",
+        F.array_position(arr, mx).cast("long").alias("amax_idx"),
+        round6(F.exp(mx.cast("double")) / denom).alias("smax"),
+    )
+
+
+_SQL_SOFTMAX_ARGMAX = """
+SELECT vec_id,
+       CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS amax_idx,
+       round(exp(CAST(list_max(embedding) AS DOUBLE))
+             / list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> exp(x))), 6) AS smax
+FROM embeddings
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.D text / tokenizer dataflow
+# ---------------------------------------------------------------------------
+
+def q_tokenize_ws(spark, sf_dir):
+    """D1: whitespace tokenization (transformer_sample.py:399)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokenize_ws(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_token"),
+    )
+
+
+_SQL_TOKENIZE_WS = f"""
+SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+       {_TOKS_SQL}[1] AS first_token
+FROM documents
+"""
+
+
+def q_vocab_build(spark, sf_dir):
+    """D2: WordLevel vocab build (transformer_sample.py:398-409)."""
+    return textops.build_vocab(_t(spark, sf_dir, "documents"))
+
+
+_SQL_VOCAB = f"""
+WITH tok AS (SELECT unnest({_TOKS_SQL}) AS token FROM documents),
+counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token HAVING count(*) >= 2)
+SELECT token, cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) + 3 AS BIGINT) AS token_id
+FROM counts
+"""
+
+_SQL_VOCAB_CTE = f"""
+tok AS (SELECT unnest({_TOKS_SQL}) AS token FROM documents),
+counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token HAVING count(*) >= 2),
+vocab AS (
+  SELECT token, cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) + 3 AS BIGINT) AS token_id
+  FROM counts
+),
+vmap AS (SELECT map(list(token), list(token_id)) AS m FROM vocab),
+rmap AS (SELECT map(list(token_id), list(token)) AS rm FROM vocab),
+enc AS (
+  SELECT d.doc_id,
+         list_transform({_TOKS_SQL}, t -> coalesce(m[t][1], CAST(0 AS BIGINT))) AS ids
+  FROM documents d, vmap
+)
+"""
+
+
+def q_encode_lookup(spark, sf_dir):
+    """D3: encode tokens → ids, unknown → 0 (transformer_sample.py:498-499)."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = textops.build_vocab(docs)
+    enc = textops.encode(docs, vocab)
+    return enc.select(
+        "doc_id",
+        F.array_join(F.transform("ids", lambda x: x.cast("string")), " ").alias("ids_str"),
+    )
+
+
+_SQL_ENCODE = f"""
+WITH {_SQL_VOCAB_CTE}
+SELECT doc_id, array_to_string(ids, ' ') AS ids_str FROM enc
+"""
+
+
+def q_decode_lookup(spark, sf_dir):
+    """D4: decode ids → tokens round-trip (transformer_sample.py:623-624)."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = textops.build_vocab(docs)
+    enc = textops.encode(docs, vocab)
+    return textops.decode(enc, vocab)
+
+
+_SQL_DECODE = f"""
+WITH {_SQL_VOCAB_CTE}
+SELECT e.doc_id,
+       array_to_string(list_transform(e.ids, i -> coalesce(rm[i][1], '[UNK]')), ' ') AS decoded
+FROM enc e, rmap
+"""
+
+
+def q_pad_frame(spark, sf_dir):
+    """D5: SOS/EOS/PAD framing to seq_len (transformer_sample.py:503-541)."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = textops.build_vocab(docs)
+    enc = textops.encode(docs, vocab)
+    framed = textops.pad_frame(enc, seq_len=SEQ_LEN)
+    return framed.select(
+        "doc_id",
+        F.array_join(F.transform("framed", lambda x: x.cast("string")), " ").alias("framed_str"),
+        F.size("framed").cast("long").alias("frame_len"),
+    )
+
+
+_SQL_PAD_FRAME = f"""
+WITH {_SQL_VOCAB_CTE}
+SELECT doc_id,
+       array_to_string(
+         flatten([[CAST(2 AS BIGINT)], ids, [CAST(3 AS BIGINT)],
+                  list_transform(range({SEQ_LEN} - 2 - len(ids)), x -> CAST(1 AS BIGINT))]),
+         ' ') AS framed_str,
+       CAST({SEQ_LEN} AS BIGINT) AS frame_len
+FROM enc
+WHERE len(ids) <= {TOO_LONG_LIMIT}
+"""
+
+
+def q_too_long_filter(spark, sf_dir):
+    """D6: length guard as filter (transformer_sample.py:510-511)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokenize_ws(F.col("text"))
+    return docs.select("doc_id", F.size(toks).cast("long").alias("n_tok")).filter(
+        F.col("n_tok") <= TOO_LONG_LIMIT
+    )
+
+
+_SQL_TOO_LONG = f"""
+SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tok
+FROM documents
+WHERE len({_TOKS_SQL}) <= {TOO_LONG_LIMIT}
+"""
+
+
+def q_max_len_scan(spark, sf_dir):
+    """D7: max encoded length per language (transformer_sample.py:442-451)."""
+    return textops.max_len_scan(_t(spark, sf_dir, "documents"))
+
+
+_SQL_MAX_LEN = f"""
+SELECT lang, CAST(max(len({_TOKS_SQL})) AS BIGINT) AS max_tokens
+FROM documents GROUP BY lang
+"""
+
+
+def q_split_train_val(spark, sf_dir):
+    """D8: deterministic 90/10 split (transformer_sample.py:431-433)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.hash_split(docs).select("doc_id", "split")
+
+
+_SQL_SPLIT = f"""
+SELECT doc_id,
+       CASE WHEN (doc_id * {textops.SPLIT_MULT}) % {textops.SPLIT_MOD} % 10 < 9
+            THEN 'train' ELSE 'val' END AS split
+FROM documents
+"""
+
+
+def q_inst_parse(spark, sf_dir):
+    """D9: '[INST] x [/INST] y' parsing (transformer_training.py:300-301)."""
+    docs = _t(spark, sf_dir, "documents")
+    inst = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("[INST] "), F.substring("text", 1, 40), F.lit(" [/INST] "), F.col("lang")
+        ).alias("inst_text"),
+    )
+    return textops.parse_instruction(inst).select("doc_id", "instruction", "response")
+
+
+_SQL_INST_PARSE = """
+WITH inst AS (
+  SELECT doc_id, '[INST] ' || substr(text, 1, 40) || ' [/INST] ' || lang AS inst_text
+  FROM documents
+)
+SELECT doc_id,
+       trim(regexp_extract(inst_text, '\\[INST\\](.*?)\\[/INST\\]', 1)) AS instruction,
+       trim(string_split(inst_text, '[/INST]')[2]) AS response
+FROM inst
+"""
+
+
+def q_mask_pad(spark, sf_dir):
+    """D12: padding mask over the framed sequence (transformer_sample.py:551)."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = textops.build_vocab(docs)
+    framed = textops.pad_frame(textops.encode(docs, vocab), seq_len=SEQ_LEN)
+    masked = textops.pad_mask(framed)
+    return masked.select(
+        "doc_id",
+        F.array_join(F.transform("mask", lambda x: x.cast("string")), " ").alias("mask_str"),
+    )
+
+
+_SQL_MASK_PAD = f"""
+WITH {_SQL_VOCAB_CTE},
+framed AS (
+  SELECT doc_id,
+         flatten([[CAST(2 AS BIGINT)], ids, [CAST(3 AS BIGINT)],
+                  list_transform(range({SEQ_LEN} - 2 - len(ids)), x -> CAST(1 AS BIGINT))]) AS f
+  FROM enc WHERE len(ids) <= {TOO_LONG_LIMIT}
+)
+SELECT doc_id,
+       array_to_string(list_transform(f, x -> CASE WHEN x != 1 THEN '1' ELSE '0' END), ' ') AS mask_str
+FROM framed
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup family (F1/F2 + north-star)
+# ---------------------------------------------------------------------------
+
+def _docs_with_exact_dups(spark, sf_dir):
+    """documents ∪ exact copies (doc_id+20000 for doc_id<100) — guarantees
+    duplicate groups exist so the dedup operators have real work."""
+    docs = _t(spark, sf_dir, "documents")
+    copies = docs.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 20000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    return docs.unionByName(copies)
+
+
+_SQL_DOCS_EXACT_DUPS = """
+aug AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 20000, text, lang, source, n_chars FROM documents WHERE doc_id < 100
+)
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    """F1: exact dedup by md5(text), keep lowest doc_id."""
+    kept = dedup.exact_dedup(_docs_with_exact_dups(spark, sf_dir))
+    return kept.select("doc_id", "text_hash")
+
+
+_SQL_DEDUP_EXACT = f"""
+WITH {_SQL_DOCS_EXACT_DUPS}
+SELECT doc_id, md5(text) AS text_hash
+FROM aug
+QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+"""
+
+
+def _docs_with_near_dups(spark, sf_dir):
+    """documents ∪ perturbed copies (doc_id+10000, one token appended for
+    doc_id<100) — guarantees near-duplicate pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    copies = docs.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return docs.unionByName(copies)
+
+
+_SQL_DOCS_NEAR_DUPS = """
+aug AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, text || ' zz', lang, source, n_chars
+  FROM documents WHERE doc_id < 100
+)
+"""
+
+
+def _minhash_sql_parts() -> tuple[str, str]:
+    """(signature CTE SQL, band-key exprs) mirroring dedup.minhash_*."""
+    mins = ",\n         ".join(
+        f"min({seeded_hash_sql('token', i)}) AS h{i}" for i in range(dedup.NUM_HASHES)
+    )
+    sig_cte = f"""
+tok AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token FROM aug),
+sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM tok GROUP BY doc_id
+)"""
+    rows_per_band = dedup.NUM_HASHES // dedup.BANDS
+    band_selects = []
+    for b in range(dedup.BANDS):
+        cols = ", ".join(
+            f"CAST(h{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT doc_id AS bid, concat_ws('_', '{b}', {cols}) AS band_key FROM sigs"
+        )
+    bands_cte = "bands AS (" + " UNION ALL ".join(band_selects) + ")"
+    return sig_cte, bands_cte
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (md5 hash family — deterministic cross-engine)."""
+    return dedup.minhash_signatures(_docs_with_near_dups(spark, sf_dir)).orderBy("doc_id")
+
+
+_sig_cte, _bands_cte = _minhash_sql_parts()
+
+_SQL_MINHASH_SIGS = f"""
+WITH {_SQL_DOCS_NEAR_DUPS},
+{_sig_cte}
+SELECT * FROM sigs ORDER BY doc_id
+"""
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """F2: MinHash+LSH near-dup pairs, Jaccard-verified (fully oracle-checked
+    thanks to the portable md5 hash family)."""
+    return dedup.minhash_neardup_pairs(_docs_with_near_dups(spark, sf_dir))
+
+
+_SQL_DEDUP_MINHASH = f"""
+WITH {_SQL_DOCS_NEAR_DUPS},
+{_sig_cte},
+{_bands_cte},
+cands AS (
+  SELECT DISTINCT a.bid AS id_a, b.bid AS id_b
+  FROM bands a JOIN bands b USING (band_key)
+  WHERE a.bid < b.bid
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cands c
+  JOIN tok ta ON ta.doc_id = c.id_a
+  JOIN tok tb ON tb.doc_id = c.id_b AND tb.token = ta.token
+  GROUP BY c.id_a, c.id_b
+),
+jac AS (
+  SELECT i.id_a, i.id_b,
+         {_micro_sql('CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE)')} AS jaccard_micro
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+)
+SELECT id_a, id_b, jaccard_micro FROM jac
+WHERE jaccard_micro >= {int(dedup.JACCARD_THRESHOLD * 1_000_000)}
+ORDER BY id_a, id_b
+"""
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash fingerprints (16-bit, portable hash family)."""
+    return dedup.simhash(_docs_with_near_dups(spark, sf_dir)).orderBy("doc_id")
+
+
+def _simhash_sql() -> str:
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(dedup.SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for j in range(dedup.SIMHASH_BITS)
+    )
+    return f"""
+WITH {_SQL_DOCS_NEAR_DUPS},
+tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token FROM aug
+),
+th AS (SELECT doc_id, {seeded_hash_sql('token', 999)} AS th FROM tok),
+sums AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM th GROUP BY doc_id
+)
+SELECT doc_id, {combine} AS simhash
+FROM sums ORDER BY doc_id
+"""
+
+
+_SQL_SIMHASH = _simhash_sql()
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Word-bigram Jaccard near-dup pairs (exact, bounded id space)."""
+    docs = _t(spark, sf_dir, "documents")
+    copies = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 200).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    aug = docs.unionByName(copies)
+    return dedup.ngram_jaccard_pairs(aug, threshold=0.2, max_id=400)
+
+
+_SQL_NGRAM_JACCARD = f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200, text || ' zz' FROM documents WHERE doc_id < 50
+),
+base AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM aug WHERE doc_id < 400),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(toks) < 2 THEN [] ELSE
+                list_transform(range(len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2]) END) AS g
+  FROM base
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+jac AS (
+  SELECT i.id_a, i.id_b,
+         {_micro_sql('CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE)')} AS jaccard_micro
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+)
+SELECT id_a, id_b, jaccard_micro FROM jac WHERE jaccard_micro >= 200000 ORDER BY id_a, id_b
+"""
+
+
+def q_neardup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (cos >= 0.95; exact copies injected)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    copies = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    return dedup.embedding_neardup_pairs(emb.unionByName(copies))
+
+
+_SQL_NEARDUP_EMBEDDING = f"""
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 50
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_cos_sql('a.embedding', 'b.embedding')} AS cos
+FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {dedup.COSINE_NEARDUP_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis (north-star)
+# ---------------------------------------------------------------------------
+
+def q_text_stats(spark, sf_dir):
+    """F3: per-language corpus stats."""
+    return textanalysis.text_stats(_t(spark, sf_dir, "documents"))
+
+
+_SQL_TEXT_STATS = f"""
+SELECT lang, count(*) AS n_docs,
+       {_micro_sql('CAST(sum(n_chars) AS DOUBLE) / count(*)')} AS avg_chars_micro,
+       {_micro_sql(f'CAST(sum(len({_TOKS_SQL})) AS DOUBLE) / count(*)')} AS avg_tokens_micro
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Language-ID heuristic over marker tokens."""
+    return textanalysis.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def _lang_id_sql() -> str:
+    langs = sorted(textanalysis.LANG_MARKERS)
+    score_exprs = ",\n         ".join(
+        "CAST(len(list_filter({toks}, t -> t IN ({words}))) AS BIGINT) AS s_{lg}".format(
+            toks=_TOKS_SQL,
+            words=", ".join(f"'{w}'" for w in textanalysis.LANG_MARKERS[lg]),
+            lg=lg,
+        )
+        for lg in langs
+    )
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    case_arms = " ".join(f"WHEN s_{lg} = {best} THEN '{lg}'" for lg in langs)
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+         {score_exprs}
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN {best} = 0 THEN 'en' {case_arms} ELSE 'en' END AS pred_lang,
+       {best} AS best_score
+FROM scored
+"""
+
+
+_SQL_LANG_ID = _lang_id_sql()
+
+
+def q_quality_score(spark, sf_dir):
+    """Quality-score features per document."""
+    return textanalysis.quality_score(_t(spark, sf_dir, "documents"))
+
+
+_SQL_QUALITY = f"""
+WITH feats AS (
+  SELECT doc_id,
+         CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter({_TOKS_SQL},
+              t -> t IN ({", ".join(f"'{w}'" for w in textanalysis.STOPWORDS)}))) AS BIGINT) AS n_stopwords,
+         CAST(list_sum(list_transform({_TOKS_SQL}, t -> length(t))) AS DOUBLE) AS sum_len
+  FROM documents
+),
+ratios AS (
+  SELECT doc_id, n_tokens, n_stopwords,
+         CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+         sum_len / CAST(n_tokens AS DOUBLE) AS avg_token_len
+  FROM feats
+)
+SELECT doc_id, n_tokens, n_stopwords,
+       {_micro_sql('stop_ratio')} AS stop_ratio_micro,
+       {_micro_sql('avg_token_len')} AS avg_token_len_micro,
+       {_micro_sql('least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.5 + stop_ratio * 0.25 + least(avg_token_len / 8.0, 1.0) * 0.25')} AS quality_micro
+FROM ratios
+"""
+
+
+def q_token_count(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex."""
+    return textanalysis.token_count(_t(spark, sf_dir, "documents"))
+
+
+_SQL_TOKEN_COUNT = f"""
+SELECT doc_id,
+       CAST(len({_TOKS_SQL}) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{textanalysis.BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 of normalized text + rolling polynomial hash."""
+    return textanalysis.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+_SQL_FINGERPRINT = f"""
+SELECT doc_id,
+       md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp_md5,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform({_TOKS_SQL},
+             t -> CAST(length(t) * 17 + ascii(substr(t, 1, 1)) AS BIGINT))),
+         (a, x) -> (a * {textanalysis.FINGERPRINT_MULT} + x) % {textanalysis.FINGERPRINT_MOD}
+       ) AS fp_roll
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational / events (F4-F7 + bench carriers)
+# ---------------------------------------------------------------------------
+
+def q_join_enrich(spark, sf_dir):
+    """F4: orders ⋈ customer ⋈ nation ⋈ region revenue rollup."""
+    return relational.join_enrich(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+_SQL_JOIN_ENRICH = f"""
+WITH agg AS (
+  SELECT r.r_name, n.n_name, count(*) AS n_orders,
+         round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS revenue
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name
+)
+SELECT r_name, n_name, n_orders, revenue,
+       {_micro_sql('revenue / CAST(n_orders AS DOUBLE)')} AS avg_price_micro
+FROM agg ORDER BY r_name, n_name
+"""
+
+
+def q_topk_global(spark, sf_dir):
+    """F7: global top-10 by extendedprice with stable tie-break."""
+    return relational.topk_global(_t(spark, sf_dir, "lineitem"), k=10)
+
+
+_SQL_TOPK_GLOBAL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 10
+"""
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary (bench headliner)."""
+    return relational.pricing_summary(_t(spark, sf_dir, "lineitem"))
+
+
+_SQL_PRICING = f"""
+WITH agg AS (
+  SELECT l_returnflag, l_linestatus,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_qty,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_base_price,
+         round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_disc_price,
+         round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_charge,
+         count(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price, sum_charge,
+       count_order,
+       {_micro_sql('sum_qty / CAST(count_order AS DOUBLE)')} AS avg_qty_micro,
+       {_micro_sql('sum_base_price / CAST(count_order AS DOUBLE)')} AS avg_price_micro
+FROM agg ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_event_window(spark, sf_dir):
+    """F5: hourly window aggregation (batch twin of the streaming query)."""
+    return relational.event_window(_t(spark, sf_dir, "events"))
+
+
+_SQL_EVENT_WINDOW = f"""
+WITH agg AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+         count(*) AS n,
+         round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_value
+  FROM events GROUP BY 1, 2
+)
+SELECT hour, event_type, n, sum_value,
+       {_micro_sql('sum_value / CAST(n AS DOUBLE)')} AS avg_value_micro
+FROM agg ORDER BY hour, event_type
+"""
+
+
+def q_json_extract(spark, sf_dir):
+    """F6: JSON payload extraction (schemaless payload analogue)."""
+    return relational.json_extract(_t(spark, sf_dir, "events"))
+
+
+_SQL_JSON_EXTRACT = """
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket
+FROM events
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization: 30-minute inactivity gap sessions per user."""
+    return relational.sessionize(_t(spark, sf_dir, "events")).select(
+        "event_id", "user_id", "session_id"
+    )
+
+
+_SQL_SESSIONIZE = """
+WITH e AS (
+  SELECT event_id, user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+),
+g AS (
+  SELECT event_id, user_id, ts, sec,
+         CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT event_id, user_id,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM g
+)
+SELECT event_id, user_id, user_id || '_' || session_seq AS session_id FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (north-star; fake decoder, real Spark plumbing)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_meta(spark, sf_dir):
+    """Binary-column decode/metadata pass via mapInPandas (deterministic
+    fake decoder; the oracle recomputes the same metadata in SQL)."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.extract_image_meta(multimodal.binary_from_text(docs))
+
+
+_SQL_MULTIMODAL_META = f"""
+WITH b AS (
+  SELECT doc_id, octet_length(encode(text)) AS n, ascii(substr(text, 1, 1)) AS first,
+         text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_bytes,
+       CASE WHEN first % 2 = 0 THEN 'png' ELSE 'jpg' END AS fmt,
+       CAST((first % 64) + 1 AS BIGINT) AS width,
+       CAST((n % 64) + 1 AS BIGINT) AS height,
+       {_micro_sql('CAST(list_sum(list_transform(range(n), i -> ascii(substr(text, i + 1, 1)))) AS DOUBLE) / CAST(n AS DOUBLE)')} AS mean_byte_micro
+FROM b
+"""
+
+
+def q_frame_sample(spark, sf_dir):
+    """Frame-sampling stub: one row per 32-byte 'frame' offset."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.sample_frames(multimodal.binary_from_text(docs), every_n_bytes=32)
+
+
+_SQL_FRAME_SAMPLE = """
+SELECT d.doc_id,
+       CAST(p.pos * 32 AS BIGINT) AS frame_off,
+       CAST(ascii(substr(d.text, p.pos * 32 + 1, 1)) AS BIGINT) AS frame_val
+FROM documents d, (SELECT unnest(range(0, 100)) AS pos) p
+WHERE p.pos * 32 < octet_length(encode(d.text))
+"""
+
+
+# ---------------------------------------------------------------------------
+# streaming & approximate (rows-only or stream-backed)
+# ---------------------------------------------------------------------------
+
+def q_stream_event_window(spark, sf_dir):
+    """Streaming hourly window agg driven to completion (memory sink);
+    result equals the batch twin, so it still gets an oracle."""
+    return streaming_events.run_stream_to_batch(spark, sf_dir)
+
+
+_SQL_STREAM_EVENT_WINDOW = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+       count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_knn_lsh(spark, sf_dir):
+    """B8: approximate top-k via random-hyperplane LSH (rows-only; recall
+    vs exact is asserted in tests/test_ann.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann.lsh_knn(emb, RAW_QUERY_VEC, k=5)
+
+
+def q_knn_ivf(spark, sf_dir):
+    """B8: approximate top-k via IVF (KMeans coarse quantization; rows-only)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, centroids = ann.ivf_index(emb, n_centroids=8)
+    return ann.ivf_knn(assigned, centroids, RAW_QUERY_VEC, k=5, nprobe=3)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # §2.A
+    "q_upsert_latest_wins": q_upsert_latest_wins,
+    "q_collection_stats": q_collection_stats,
+    # §2.B
+    "q_knn_topk": q_knn_topk,
+    "q_knn_top1": q_knn_top1,
+    "q_knn_score_payload": q_knn_score_payload,
+    "q_knn_raw_vector": q_knn_raw_vector,
+    "q_knn_batch": q_knn_batch,
+    "q_knn_filtered": q_knn_filtered,
+    "q_sim_self_join": q_sim_self_join,
+    "q_cosine_normalize": q_cosine_normalize,
+    "q_dot_euclid": q_dot_euclid,
+    "q_knn_lsh": q_knn_lsh,
+    "q_knn_ivf": q_knn_ivf,
+    # §2.C
+    "q_normalize_scale": q_normalize_scale,
+    "q_flatten": q_flatten,
+    "q_base64_encode": q_base64_encode,
+    "q_base64_decode": q_base64_decode,
+    "q_cast_list": q_cast_list,
+    "q_softmax_argmax": q_softmax_argmax,
+    # §2.D
+    "q_tokenize_ws": q_tokenize_ws,
+    "q_vocab_build": q_vocab_build,
+    "q_encode_lookup": q_encode_lookup,
+    "q_decode_lookup": q_decode_lookup,
+    "q_pad_frame": q_pad_frame,
+    "q_too_long_filter": q_too_long_filter,
+    "q_max_len_scan": q_max_len_scan,
+    "q_split_train_val": q_split_train_val,
+    "q_inst_parse": q_inst_parse,
+    "q_mask_pad": q_mask_pad,
+    # dedup family
+    "q_dedup_exact": q_dedup_exact,
+    "q_minhash_signatures": q_minhash_signatures,
+    "q_dedup_minhash": q_dedup_minhash,
+    "q_simhash": q_simhash,
+    "q_ngram_jaccard": q_ngram_jaccard,
+    "q_neardup_embedding": q_neardup_embedding,
+    # text analysis
+    "q_text_stats": q_text_stats,
+    "q_lang_id": q_lang_id,
+    "q_quality_score": q_quality_score,
+    "q_token_count": q_token_count,
+    "q_doc_fingerprint": q_doc_fingerprint,
+    # relational / events
+    "q_join_enrich": q_join_enrich,
+    "q_topk_global": q_topk_global,
+    "q_pricing_summary": q_pricing_summary,
+    "q_event_window": q_event_window,
+    "q_json_extract": q_json_extract,
+    "q_sessionize": q_sessionize,
+    # multimodal
+    "q_multimodal_meta": q_multimodal_meta,
+    "q_frame_sample": q_frame_sample,
+    # streaming
+    "q_stream_event_window": q_stream_event_window,
+}
+
+ORACLES: dict[str, str] = {
+    "q_upsert_latest_wins": _SQL_UPSERT,
+    "q_collection_stats": _SQL_COLLECTION_STATS,
+    "q_knn_topk": _SQL_KNN_TOPK,
+    "q_knn_top1": _SQL_KNN_TOP1,
+    "q_knn_score_payload": _SQL_KNN_SCORE_PAYLOAD,
+    "q_knn_raw_vector": _SQL_KNN_RAW_VECTOR,
+    "q_knn_batch": _SQL_KNN_BATCH,
+    "q_knn_filtered": _SQL_KNN_FILTERED,
+    "q_sim_self_join": _SQL_SIM_SELF_JOIN,
+    "q_cosine_normalize": _SQL_COSINE_NORMALIZE,
+    "q_dot_euclid": _SQL_DOT_EUCLID,
+    # q_knn_lsh / q_knn_ivf: approximate → rows-only (SURVEY §5.2)
+    "q_normalize_scale": _SQL_NORMALIZE_SCALE,
+    "q_flatten": _SQL_FLATTEN,
+    "q_base64_encode": _SQL_BASE64_ENCODE,
+    "q_base64_decode": _SQL_BASE64_DECODE,
+    "q_cast_list": _SQL_CAST_LIST,
+    "q_softmax_argmax": _SQL_SOFTMAX_ARGMAX,
+    "q_tokenize_ws": _SQL_TOKENIZE_WS,
+    "q_vocab_build": _SQL_VOCAB,
+    "q_encode_lookup": _SQL_ENCODE,
+    "q_decode_lookup": _SQL_DECODE,
+    "q_pad_frame": _SQL_PAD_FRAME,
+    "q_too_long_filter": _SQL_TOO_LONG,
+    "q_max_len_scan": _SQL_MAX_LEN,
+    "q_split_train_val": _SQL_SPLIT,
+    "q_inst_parse": _SQL_INST_PARSE,
+    "q_mask_pad": _SQL_MASK_PAD,
+    "q_dedup_exact": _SQL_DEDUP_EXACT,
+    "q_minhash_signatures": _SQL_MINHASH_SIGS,
+    "q_dedup_minhash": _SQL_DEDUP_MINHASH,
+    "q_simhash": _SQL_SIMHASH,
+    "q_ngram_jaccard": _SQL_NGRAM_JACCARD,
+    "q_neardup_embedding": _SQL_NEARDUP_EMBEDDING,
+    "q_text_stats": _SQL_TEXT_STATS,
+    "q_lang_id": _SQL_LANG_ID,
+    "q_quality_score": _SQL_QUALITY,
+    "q_token_count": _SQL_TOKEN_COUNT,
+    "q_doc_fingerprint": _SQL_FINGERPRINT,
+    "q_join_enrich": _SQL_JOIN_ENRICH,
+    "q_topk_global": _SQL_TOPK_GLOBAL,
+    "q_pricing_summary": _SQL_PRICING,
+    "q_event_window": _SQL_EVENT_WINDOW,
+    "q_json_extract": _SQL_JSON_EXTRACT,
+    "q_sessionize": _SQL_SESSIONIZE,
+    "q_multimodal_meta": _SQL_MULTIMODAL_META,
+    "q_frame_sample": _SQL_FRAME_SAMPLE,
+    "q_stream_event_window": _SQL_STREAM_EVENT_WINDOW,
+}

@@ -1,0 +1,138 @@
+"""Multimodal binary-column plumbing (north-star extension).
+
+The reference stores raw images as base64 payload strings
+(vector_db.py:67-72) and decodes them on read (vector_db_query.py:87-88).
+Here image/audio/video are opaque BINARY columns with typed metadata
+structs; decode / feature-extract / resize / frame-sample run as
+Arrow-batched pandas functions over ``mapInPandas`` — the Spark-side
+plumbing (schema, batching, partition parallelism) is real and tested,
+while the actual codec calls are STUBBED (image/audio libraries are not in
+this container): ``decode_image_real`` raises NotImplementedError and the
+default path uses a deterministic fake decoder so plans and tests execute.
+
+At scale: `spark.read.format("binaryFile")` ingests the raw blobs; blobs
+stay columnar Parquet BINARY; metadata extraction is a map-only pass.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+IMAGE_META_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, fmt string, width bigint, height bigint, "
+    "mean_byte_micro bigint"
+)
+
+
+def decode_image_real(blob: bytes) -> dict:  # pragma: no cover - stub
+    """Real image decode (PIL / torchvision path, vector_db.py:55-63).
+
+    STUB: pillow/torch are not installed in this environment. On a real
+    cluster, install the codec on executors and swap this in for
+    ``decode_image_fake`` — the mapInPandas plumbing is identical.
+    """
+    raise NotImplementedError(
+        "image codec not available in this environment; use decode_image_fake"
+    )
+
+
+def decode_image_fake(blob: bytes) -> dict:
+    """Deterministic fake decoder: derives metadata purely from the bytes,
+    so tests and oracles are reproducible without a codec library."""
+    import math
+
+    n = len(blob)
+    first = blob[0] if n else 0
+    # mean as integer micro-units: floor(x*1e6+0.5) is bit-identical across
+    # Python / Spark / DuckDB (see functions/vector.py::micro6)
+    mean_micro = math.floor(sum(blob) / n * 1_000_000.0 + 0.5) if n else 0
+    return {
+        "n_bytes": n,
+        "fmt": "png" if first % 2 == 0 else "jpg",
+        "width": (first % 64) + 1,
+        "height": (n % 64) + 1,
+        "mean_byte_micro": mean_micro,
+    }
+
+
+def binary_from_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Fixture adapter: treat the utf-8 bytes of ``text`` as an opaque blob
+    column (the container has no real image files)."""
+    return docs.withColumn("blob", F.col(text_col).cast("binary"))
+
+
+def extract_image_meta(
+    blobs: DataFrame, id_col: str = "doc_id", blob_col: str = "blob", decoder=None
+) -> DataFrame:
+    """Decode/metadata pass over binary columns via mapInPandas.
+
+    Arrow-batched: each pandas batch decodes vectorized-per-row inside the
+    executor Python worker; no row-at-a-time JVM↔Python chatter.
+
+    The default (fake) decoder is redefined inside the closure so the
+    pickled UDF is self-contained — executors need no import of this
+    package even when the driver runs from an arbitrary cwd.
+    """
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        def _fake(blob: bytes) -> dict:
+            n = len(blob)
+            first = blob[0] if n else 0
+            return {
+                "n_bytes": n,
+                "fmt": "png" if first % 2 == 0 else "jpg",
+                "width": (first % 64) + 1,
+                "height": (n % 64) + 1,
+                "mean_byte_micro": math.floor(sum(blob) / n * 1_000_000.0 + 0.5)
+                if n
+                else 0,
+            }
+
+        dec = decoder or _fake
+        for pdf in batches:
+            metas = [dec(bytes(b)) for b in pdf[blob_col]]
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": [m["n_bytes"] for m in metas],
+                    "fmt": [m["fmt"] for m in metas],
+                    "width": [m["width"] for m in metas],
+                    "height": [m["height"] for m in metas],
+                    "mean_byte_micro": [m["mean_byte_micro"] for m in metas],
+                }
+            )
+            yield out
+
+    return blobs.select(id_col, blob_col).mapInPandas(_decode, IMAGE_META_SCHEMA)
+
+
+def sample_frames(
+    blobs: DataFrame,
+    every_n_bytes: int = 32,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+) -> DataFrame:
+    """Frame-sampling stub for video-shaped blobs: emit one row per sampled
+    'frame' offset (byte stride stands in for frame stride). Demonstrates
+    the 1→N mapInPandas expansion shape real frame sampling uses."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, offs, vals = [], [], []
+            for i, b in zip(pdf[id_col], pdf[blob_col]):
+                bb = bytes(b)
+                for off in range(0, len(bb), every_n_bytes):
+                    ids.append(int(i))
+                    offs.append(off)
+                    vals.append(bb[off])
+            yield pd.DataFrame({"doc_id": ids, "frame_off": offs, "frame_val": vals})
+
+    return blobs.select(id_col, blob_col).mapInPandas(
+        _sample, "doc_id bigint, frame_off bigint, frame_val bigint"
+    )

@@ -1,0 +1,22 @@
+"""Fixture table loaders.
+
+``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark's
+vectorized reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong`` the
+column arrives as BIGINT nanoseconds and is converted here to a micros
+timestamp with integer arithmetic (``div`` — a double division would lose
+precision above 2^53). DuckDB truncates nanos→micros the same way, so the
+engines agree to the microsecond.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df

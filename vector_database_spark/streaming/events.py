@@ -1,0 +1,122 @@
+"""Structured Streaming ingest over the events table (north-star extension;
+the reference is wholly batch — SURVEY §2.E streaming row).
+
+Patterns implemented:
+  - windowed aggregation with watermark (late-data policy)
+  - streaming dedup on the event_id key within the watermark
+  - foreachBatch upsert into a collection (the streaming twin of
+    vector_db.py:94-106 batched upserts)
+
+For tests, the parquet fixture dir drives a file-source stream to
+completion synchronously (memory sink + processAllAvailable). ``complete``
+output mode is used for the windowed agg so the final state matches the
+batch twin (operators/relational.py::event_window) exactly; in production
+(append mode + downstream sink) the watermark bounds state size.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ts arrives as BIGINT nanos (fixture parquet is TIMESTAMP(NANOS); see
+# sources/tables.py) and is converted to a micros timestamp below.
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet fixture."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file source wants a directory; select just the events file by glob
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+
+
+def windowed_agg(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Hourly tumbling window x event_type with a watermark for late data."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 6).alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def dedup_stream(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup on the event key within the watermark horizon
+    (the streaming twin of F1 exact dedup)."""
+    return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def run_stream_to_batch(
+    spark: SparkSession, sf_dir: str, mode: str = "complete"
+) -> DataFrame:
+    """Drive the windowed aggregation stream to completion and return the
+    result as a batch DataFrame (memory sink). Used by the driver-facing
+    ``q_stream_event_window`` entry; rows match the batch twin."""
+    name = "stream_out_" + uuid.uuid4().hex[:8]
+    q = (
+        windowed_agg(read_events_stream(spark, sf_dir))
+        .writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def stream_upsert_collection(spark: SparkSession, sf_dir: str, collection) -> int:
+    """foreachBatch upsert: each micro-batch becomes a versioned upsert into
+    a VectorCollection (streaming twin of the reference's batched ingest,
+    vector_db.py:94-106). Returns number of micro-batches processed."""
+    batches = {"n": 0}
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        pts = batch_df.select(
+            F.col("event_id").alias("id"),
+            F.array(F.col("value").cast("float")).alias("embedding"),
+            F.create_map(F.lit("event_type"), F.col("event_type")).alias("payload"),
+        )
+        if pts.take(1):
+            collection.upsert(pts)
+            batches["n"] += 1
+
+    q = (
+        read_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(_sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return batches["n"]
