@@ -1,0 +1,75 @@
+"""ANN recall harness (SURVEY §5.2 item 2): approximate operators are
+graded by recall@k against the exact operator, not by an oracle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from vector_database_spark.operators import ann, knn
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from vector_database_spark.sources.tables import read_table
+
+    return read_table(spark, SF_SMALL, "embeddings").cache()
+
+
+def _exact_ids(emb, qvec, k):
+    return [r["vec_id"] for r in knn.knn(emb, qvec, k=k).collect()]
+
+
+def _query_vecs(emb, n=10):
+    return [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < n).collect()
+    ]
+
+
+def test_lsh_recall_at_5(emb):
+    k, hits, total = 5, 0, 0
+    for _, qv in _query_vecs(emb):
+        exact = set(_exact_ids(emb, qv, k))
+        approx = {r["vec_id"] for r in ann.lsh_knn(emb, qv, k=k).collect()}
+        hits += len(exact & approx)
+        total += k
+    recall = hits / total
+    assert recall >= 0.5, f"LSH recall@5 = {recall}"
+
+
+def test_lsh_multiprobe_beats_single_bucket(emb):
+    qv = _query_vecs(emb, n=1)[0][1]
+    single = ann.lsh_knn(emb, qv, k=5, max_hamming=0).count()
+    multi = ann.lsh_knn(emb, qv, k=5, max_hamming=1).count()
+    assert multi >= single
+
+
+def test_ivf_recall_at_5(emb):
+    assigned, centroids = ann.ivf_index(emb, n_centroids=8)
+    assigned = assigned.cache()
+    k, hits, total = 5, 0, 0
+    for _, qv in _query_vecs(emb):
+        exact = set(_exact_ids(emb, qv, k))
+        approx = {
+            r["vec_id"] for r in ann.ivf_knn(assigned, centroids, qv, k=k, nprobe=3).collect()
+        }
+        hits += len(exact & approx)
+        total += k
+    recall = hits / total
+    assert recall >= 0.5, f"IVF recall@5 = {recall}"
+
+
+def test_twophase_matches_exact_batch(emb):
+    queries = _query_vecs(emb)
+    exact = knn.knn_batch(
+        emb.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")),
+        emb,
+        k=3,
+    )
+    two = knn.knn_batch_local_topk(queries, emb, k=3)
+    e = {(r["qid"], r["vec_id"]) for r in exact.collect()}
+    t = {(r["qid"], r["vec_id"]) for r in two.collect()}
+    assert e == t

@@ -1,0 +1,88 @@
+"""Engine API tests: catalog DDL + upsert/search lifecycle (SURVEY §2.A/§2.B).
+
+Known-answer tests mirroring the reference semantics:
+  - create is idempotent, recreate with different dim errors (vector_db.py:20-24)
+  - upsert replaces by id, latest wins (vector_db.py:94-106)
+  - search returns ordered (id, score, payload), respects metric + filter
+    (vector_db_query.py:78-89)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_database_spark.catalog import Catalog
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return Catalog(spark, str(tmp_path / "collections"))
+
+
+def _points(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], {"label": str(lbl)}) for i, v, lbl in rows],
+        "id long, embedding array<float>, payload map<string,string>",
+    )
+
+
+def test_create_exists_idempotent(catalog):
+    assert not catalog.collection_exists("c1")
+    catalog.create_collection("c1", dim=4)
+    assert catalog.collection_exists("c1")
+    catalog.create_collection("c1", dim=4)  # no-op like vector_db.py:20
+    assert catalog.list_collections() == ["c1"]
+    with pytest.raises(ValueError, match="cannot recreate"):
+        catalog.create_collection("c1", dim=8)
+
+
+def test_dim_validation_on_upsert(catalog, spark):
+    col = catalog.create_collection("c2", dim=4)
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        col.upsert(_points(spark, [(1, [1, 2, 3], 0)]))
+
+
+def test_upsert_latest_wins_and_compact(catalog, spark):
+    col = catalog.create_collection("c3", dim=2)
+    col.upsert(_points(spark, [(1, [1, 0], 0), (2, [0, 1], 1)]))
+    col.upsert(_points(spark, [(2, [1, 1], 9)]))  # replaces id=2
+    state = {r["id"]: r["payload"]["label"] for r in col.df().collect()}
+    assert state == {1: "0", 2: "9"}
+    assert col.count() == 2
+    col.compact()
+    assert {r["id"]: r["payload"]["label"] for r in col.df().collect()} == state
+
+
+def test_search_cosine_known_answers(catalog, spark):
+    col = catalog.create_collection("c4", dim=2)
+    col.upsert(
+        _points(spark, [(1, [1, 0], 0), (2, [0, 1], 1), (3, [-1, 0], 2), (4, [1, 0.001], 3)])
+    )
+    res = col.search([1.0, 0.0], limit=4).collect()
+    assert [r["id"] for r in res] == [1, 4, 2, 3]
+    assert res[0]["score"] == 1.0       # parallel → cosine 1
+    assert res[2]["score"] == 0.0       # orthogonal → cosine 0
+    assert res[3]["score"] == -1.0      # opposite → cosine -1
+
+
+def test_search_metrics_and_filter(catalog, spark):
+    col = catalog.create_collection("c5", dim=2, metric="euclid")
+    col.upsert(_points(spark, [(1, [0, 0], 0), (2, [3, 4], 1), (3, [1, 1], 0)]))
+    res = col.search([0.0, 0.0], limit=3).collect()
+    assert [r["id"] for r in res] == [1, 3, 2]
+    assert res[2]["score"] == 5.0  # 3-4-5 triangle
+    # filtered k-NN: payload predicate applied BEFORE ranking (B6)
+    res = col.search(
+        [0.0, 0.0], limit=3, payload_filter=F.col("payload")["label"] == "0"
+    ).collect()
+    assert [r["id"] for r in res] == [1, 3]
+    # dot metric on the same collection
+    res = col.search([1.0, 1.0], limit=1, metric="dot").collect()
+    assert res[0]["id"] == 2 and res[0]["score"] == 7.0
+
+
+def test_drop(catalog):
+    catalog.create_collection("c6", dim=2)
+    catalog.drop_collection("c6")
+    assert not catalog.collection_exists("c6")

@@ -1,0 +1,89 @@
+"""Column-function unit + property tests (SURVEY §5.2 items 3-4)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from vector_database_spark.functions.embed import embed_query_text, hash_embed_one
+from vector_database_spark.functions.hashing import portable_hash, portable_hash_sql
+from vector_database_spark.functions.text import bigrams, char_shingles, tokenize_ws
+from vector_database_spark.functions.vector import cosine, dot, l2_dist, l2_norm, micro6
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+def _arr(vals):
+    return F.array(*[F.lit(float(v)) for v in vals])
+
+
+def test_vector_known_answers(spark):
+    a, b = _arr([1, 0, 0]), _arr([0, 1, 0])
+    assert _one(spark, dot(a, b)) == 0.0
+    assert _one(spark, cosine(a, a)) == 1.0
+    assert _one(spark, l2_norm(_arr([3, 4, 0]))) == 5.0
+    assert _one(spark, l2_dist(a, b)) == pytest.approx(2**0.5)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(st.floats(-10, 10).filter(lambda x: abs(x) > 1e-3), min_size=3, max_size=3),
+    st.lists(st.floats(-10, 10).filter(lambda x: abs(x) > 1e-3), min_size=3, max_size=3),
+)
+def test_cosine_properties(spark, va, vb):
+    """cosine symmetry and [-1, 1] bounds (SURVEY §5.2 item 4)."""
+    ab = _one(spark, cosine(_arr(va), _arr(vb)))
+    ba = _one(spark, cosine(_arr(vb), _arr(va)))
+    assert ab == pytest.approx(ba, abs=1e-12)
+    assert -1.0 - 1e-9 <= ab <= 1.0 + 1e-9
+
+
+def test_portable_hash_matches_duckdb(spark):
+    """The md5-derived hash family is bit-identical across engines — the
+    foundation of every oracle-checkable dedup operator."""
+    samples = ["", "a", "hello world", "zz", "0:tok", "x" * 100]
+    sdf = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = {
+        r["s"]: r["h"]
+        for r in sdf.select("s", portable_hash(F.col("s")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for s in samples:
+        expect = con.execute(f"SELECT {portable_hash_sql('$1')}", [s]).fetchone()[0]
+        assert got[s] == expect, s
+
+
+def test_micro6_matches_duckdb_floor(spark):
+    vals = [0.6620065, 0.25, 1.0, 0.3390625, 0.0000005, 123.4567894999]
+    sdf = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {r["v"]: r["m"] for r in sdf.select("v", micro6(F.col("v")).alias("m")).collect()}
+    con = duckdb.connect()
+    for v in vals:
+        expect = con.execute(
+            "SELECT CAST(floor($1 * 1000000.0 + 0.5) AS BIGINT)", [v]
+        ).fetchone()[0]
+        assert got[v] == expect, v
+
+
+def test_bigrams_and_shingles_edges(spark):
+    df = spark.createDataFrame([("a b c",), ("single",)], "text string")
+    rows = df.select(bigrams(tokenize_ws(F.col("text"))).alias("g")).collect()
+    assert rows[0]["g"] == ["a b", "b c"]
+    assert rows[1]["g"] == []
+    rows = df.select(char_shingles(F.col("text"), 5).alias("s")).collect()
+    assert rows[0]["s"] == ["a b c"]
+    assert rows[1]["s"] == ["singl", "ingle"]
+
+
+def test_hash_embedder_deterministic_and_normalized():
+    v1 = hash_embed_one("hello", 64)
+    v2 = embed_query_text("hello", 64)
+    assert v1 == v2
+    assert len(v1) == 64
+    assert sum(x * x for x in v1) == pytest.approx(1.0, abs=1e-9)
+    assert hash_embed_one("other", 64) != v1

@@ -1,0 +1,55 @@
+"""Multimodal binary-column plumbing tests: mapInPandas schema/batching is
+real; codecs are stubbed (container has no image/audio libs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from vector_database_spark.sources import multimodal as mm
+from vector_database_spark.sources.tables import read_table
+
+
+def test_real_decoder_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image_real(b"\x89PNG")
+
+
+def test_extract_image_meta_shapes(spark):
+    docs = read_table(spark, SF_SMALL, "documents").limit(20)
+    meta = mm.extract_image_meta(mm.binary_from_text(docs))
+    rows = meta.collect()
+    assert len(rows) == 20
+    assert set(meta.columns) == {
+        "doc_id", "n_bytes", "fmt", "width", "height", "mean_byte_micro"
+    }
+    for r in rows:
+        assert r["fmt"] in ("png", "jpg")
+        assert 1 <= r["width"] <= 64 and 1 <= r["height"] <= 64
+        assert r["n_bytes"] > 0
+
+
+def test_custom_decoder_injection(spark):
+    docs = read_table(spark, SF_SMALL, "documents").limit(3)
+
+    def decoder(blob: bytes) -> dict:
+        return {
+            "n_bytes": len(blob), "fmt": "custom", "width": 1, "height": 1,
+            "mean_byte_micro": 0,
+        }
+
+    rows = mm.extract_image_meta(mm.binary_from_text(docs), decoder=decoder).collect()
+    assert all(r["fmt"] == "custom" for r in rows)
+
+
+def test_sample_frames_stride(spark):
+    docs = read_table(spark, SF_SMALL, "documents").limit(5)
+    frames = mm.sample_frames(mm.binary_from_text(docs), every_n_bytes=32)
+    per_doc = {
+        r["doc_id"]: r["n"] for r in frames.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    lens = {r["doc_id"]: r["n"] for r in docs.select("doc_id", F.length("text").alias("n")).collect()}
+    for did, n_frames in per_doc.items():
+        expect = (lens[did] + 31) // 32
+        assert n_frames == expect

@@ -1,0 +1,86 @@
+"""Physical-plan assertions — the scale contract (SURVEY §4.2).
+
+These tests pin the plan shapes the 100 TB story depends on:
+  * top-k compiles to TakeOrderedAndProject (partial per-partition heaps,
+    never a global sort)
+  * small sides broadcast (no shuffle of the big side)
+  * payload predicates and column pruning reach the Parquet scan
+  * aggregations are map-side partial (two-phase HashAggregate)
+If a refactor regresses one of these, correctness tests stay green but the
+plan silently becomes unshippable at scale — this file is the tripwire.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def sf(spark):
+    return SF_SMALL
+
+
+def test_topk_is_take_ordered(spark, sf):
+    from vector_database_spark.queries import q_knn_topk, q_topk_global
+
+    assert "TakeOrderedAndProject" in plan_of(q_knn_topk(spark, sf))
+    assert "TakeOrderedAndProject" in plan_of(q_topk_global(spark, sf))
+
+
+def test_knn_batch_broadcasts_queries(spark, sf):
+    from vector_database_spark.queries import q_knn_batch
+
+    p = plan_of(q_knn_batch(spark, sf))
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_filtered_knn_pushes_predicate_to_scan(spark, sf):
+    from vector_database_spark.queries import q_knn_filtered
+
+    p = plan_of(q_knn_filtered(spark, sf))
+    assert "PushedFilters: [" in p
+    assert "label" in p.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning_reaches_scan(spark, sf):
+    from vector_database_spark.queries import q_tokenize_ws
+
+    p = plan_of(q_tokenize_ws(spark, sf))
+    scan = p[p.index("ReadSchema"):]
+    assert "text" in scan and "doc_id" in scan
+    assert "n_chars" not in scan and "source" not in scan  # pruned
+
+
+def test_vocab_encode_uses_broadcast_join(spark, sf):
+    from vector_database_spark.queries import q_encode_lookup
+
+    assert "BroadcastHashJoin" in plan_of(q_encode_lookup(spark, sf))
+
+
+def test_join_enrich_broadcasts_dims(spark, sf):
+    from vector_database_spark.queries import q_join_enrich
+
+    assert "BroadcastHashJoin" in plan_of(q_join_enrich(spark, sf))
+
+
+def test_aggregations_are_partial(spark, sf):
+    from vector_database_spark.queries import q_pricing_summary
+
+    p = plan_of(q_pricing_summary(spark, sf))
+    # two-phase agg: partial_ functions before the exchange (map-side
+    # combine), i.e. HashAggregate appears on both sides of the shuffle
+    assert "partial_" in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_dedup_verify_broadcasts_token_map(spark, sf):
+    from vector_database_spark.queries import q_dedup_minhash
+
+    assert "BroadcastHashJoin" in plan_of(q_dedup_minhash(spark, sf))

@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 from vector_database_spark.functions.vector import cosine, round6
 
 LSH_SEED = 42
-LSH_BITS = 8
+LSH_BITS = 6
+LSH_TABLES = 4
 
 
 def _hyperplanes(dim: int, bits: int, seed: int = LSH_SEED) -> np.ndarray:
@@ -54,12 +55,19 @@ def with_lsh_signature(
     embeddings: DataFrame,
     dim: int = 64,
     bits: int = LSH_BITS,
+    tables: int = LSH_TABLES,
     emb_col: str = "embedding",
 ) -> DataFrame:
-    """Materialize the LSH signature column (done once at ingest at scale;
-    the collection is then bucketed/partitioned by ``sig``)."""
-    planes = _hyperplanes(dim, bits)
-    return embeddings.withColumn("sig", lsh_signature_col(F.col(emb_col), planes))
+    """Materialize one signature column per LSH table (``sig_0..sig_{L-1}``).
+
+    Done once at ingest at scale; the collection is then partitioned by
+    ``sig_0`` (primary table) with the others as pruning columns.
+    """
+    out = embeddings
+    for t in range(tables):
+        planes = _hyperplanes(dim, bits, seed=LSH_SEED + t)
+        out = out.withColumn(f"sig_{t}", lsh_signature_col(F.col(emb_col), planes))
+    return out
 
 
 def lsh_knn(
@@ -67,24 +75,35 @@ def lsh_knn(
     query_vector: list[float],
     k: int = 5,
     bits: int = LSH_BITS,
+    tables: int = LSH_TABLES,
     max_hamming: int = 1,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     payload_cols: tuple[str, ...] = ("label",),
 ) -> DataFrame:
-    """Approximate top-k: scan only buckets within ``max_hamming`` of the
-    query signature, then exact cosine re-rank.
+    """Approximate top-k: candidate = row matching ANY table's query bucket
+    (within ``max_hamming``), then exact cosine re-rank of candidates.
 
-    At scale the signature is a partition column → partition pruning makes
-    this a sub-linear scan. multiprobe (max_hamming=1) recovers most of the
-    recall lost to quantization.
+    Multi-table OR is the classic recall lever for random-hyperplane LSH
+    (P[miss] = Π_t P[miss table t]); multiprobe (hamming-1 neighbors of the
+    query bucket) recovers quantization-boundary losses cheaply. The whole
+    candidate predicate is one codegen'd filter — a single scan, no joins;
+    with signatures materialized at ingest it becomes partition pruning.
     """
     dim = len(query_vector)
-    planes = _hyperplanes(dim, bits)
-    qsig = int(sum((1 << j) for j, p in enumerate(planes) if float(np.dot(p, query_vector)) > 0))
-    probe_sigs = [qsig] + [qsig ^ (1 << j) for j in range(bits)] if max_hamming >= 1 else [qsig]
-    tagged = with_lsh_signature(embeddings, dim=dim, bits=bits, emb_col=emb_col)
-    cands = tagged.filter(F.col("sig").isin(probe_sigs))
+    tagged = with_lsh_signature(embeddings, dim=dim, bits=bits, tables=tables, emb_col=emb_col)
+    pred = None
+    for t in range(tables):
+        planes = _hyperplanes(dim, bits, seed=LSH_SEED + t)
+        qsig = int(
+            sum((1 << j) for j, p in enumerate(planes) if float(np.dot(p, query_vector)) > 0)
+        )
+        probes = [qsig] + (
+            [qsig ^ (1 << j) for j in range(bits)] if max_hamming >= 1 else []
+        )
+        term = F.col(f"sig_{t}").isin(probes)
+        pred = term if pred is None else (pred | term)
+    cands = tagged.filter(pred)
     q = F.array(*[F.lit(float(x)) for x in query_vector]).cast("array<double>")
     scored = cands.select(
         id_col, *payload_cols, round6(cosine(F.col(emb_col), q)).alias("score")

@@ -97,6 +97,83 @@ def knn_batch(
     )
 
 
+def knn_batch_local_topk(
+    queries: list[tuple[int, list[float]]],
+    collection: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """B5 at scale: two-phase batch k-NN (SURVEY §4.3).
+
+    Phase 1 (map-only, mapInPandas): each partition keeps a k-heap per
+    query, scoring with one BLAS matmul per Arrow batch — nothing but
+    k·P·|queries| candidate rows ever leave the executors. Phase 2: global
+    top-k per query over those candidates (a tiny window).
+
+    Compare with :func:`knn_batch`, which shuffles every scored row: at
+    100 TB that shuffle is the bottleneck; here the shuffle is O(k·P).
+    Scores are numpy float64 (summation order differs from the exact
+    fold-based operator by ~1e-15; ids agree — see tests/test_knn.py).
+    """
+    import pandas as pd
+
+    q_ids = [int(q[0]) for q in queries]
+    q_vecs = [[float(x) for x in q[1]] for q in queries]
+
+    def local_topk(batches):
+        import heapq
+
+        import numpy as np
+
+        Q = np.asarray(q_vecs, dtype=np.float64)  # (nq, dim)
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        heaps: list[list] = [[] for _ in q_ids]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.asarray([list(e) for e in pdf[emb_col]], dtype=np.float64)
+            En = E / np.linalg.norm(E, axis=1, keepdims=True)
+            S = En @ Qn.T  # (batch, nq) cosine in one matmul
+            ids = pdf[id_col].to_numpy()
+            for qi, qid in enumerate(q_ids):
+                col = S[:, qi]
+                for rid, s in zip(ids, col):
+                    if exclude_self and int(rid) == qid:
+                        continue
+                    # heap key: (score, -id) so ties prefer the LOWER id
+                    item = (float(s), -int(rid))
+                    if len(heaps[qi]) < k:
+                        heapq.heappush(heaps[qi], item)
+                    elif item > heaps[qi][0]:
+                        heapq.heapreplace(heaps[qi], item)
+        rows = {
+            "qid": [], id_col: [], "score": []
+        }
+        for qi, qid in enumerate(q_ids):
+            for s, negid in heaps[qi]:
+                rows["qid"].append(qid)
+                rows[id_col].append(-negid)
+                rows["score"].append(s)
+        yield pd.DataFrame(rows).astype(
+            {"qid": "int64", id_col: "int64", "score": "float64"}
+        )
+
+    cands = collection.select(id_col, emb_col).mapInPandas(
+        local_topk, f"qid bigint, {id_col} bigint, score double"
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        cands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+        .withColumn("score", round6(F.col("score")))
+    )
+
+
 def similarity_self_join(
     collection: DataFrame,
     k: int = 1,

@@ -1150,6 +1150,40 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_knn_twophase(spark, sf_dir):
+    """B5 at scale: two-phase batch k-NN (map-side local top-k heaps via a
+    BLAS matmul, then a k·P-row global window). Rows-only: numpy float64
+    summation order differs from the fold-based exact operator at ~1e-15;
+    tests assert id-level agreement with q_knn_batch."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < 10)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [(r.vec_id, list(r.embedding)) for r in qrows]
+    return knn.knn_batch_local_topk(queries, emb, k=3)
+
+
+def q_text_search(spark, sf_dir):
+    """Cross-modal lifecycle (§3.3, text_img.py:64-89): embed the corpus
+    with the deterministic hash encoder (pandas UDF boundary), embed a
+    query text driver-side, run plain cosine top-5. Rows-only (the
+    embedding UDF has no SQL twin)."""
+    from vector_database_spark.functions import embed as embed_mod
+
+    docs = _t(spark, sf_dir, "documents")
+    with_vecs = embed_mod.embed_texts(docs)
+    qv = embed_mod.embed_query_text("spark join table scan")
+    return knn.knn(
+        with_vecs,
+        qv,
+        k=5,
+        id_col="doc_id",
+        payload_cols=("lang",),
+    )
+
+
 def q_knn_lsh(spark, sf_dir):
     """B8: approximate top-k via random-hyperplane LSH (rows-only; recall
     vs exact is asserted in tests/test_ann.py)."""
@@ -1184,6 +1218,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dot_euclid": q_dot_euclid,
     "q_knn_lsh": q_knn_lsh,
     "q_knn_ivf": q_knn_ivf,
+    "q_knn_twophase": q_knn_twophase,
+    "q_text_search": q_text_search,
     # §2.C
     "q_normalize_scale": q_normalize_scale,
     "q_flatten": q_flatten,
