@@ -24,7 +24,9 @@ def _norm_cell(v):
 
 def _rows(rows, cols):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm_cell(r[i]) for i in idx) for r in rows)
+    # key=repr: NULLs and mixed types aren't order-comparable in Python,
+    # but any deterministic key sorts equal multisets identically
+    return sorted((tuple(_norm_cell(r[i]) for i in idx) for r in rows), key=repr)
 
 
 def _registry():

@@ -133,6 +133,108 @@ def json_extract(events: DataFrame) -> DataFrame:
     )
 
 
+def salted_agg(lineitem: DataFrame, salts: int = 8) -> DataFrame:
+    """Skew-resistant two-stage aggregation (SURVEY §4.3 skew row).
+
+    Stage 1 groups by (key, salt) — a hot key's rows spread over ``salts``
+    reducers — stage 2 folds the partials by key. Semantically identical to
+    a plain groupBy (the oracle IS the plain group-by); at scale this is
+    the manual fallback when AQE skew handling can't split a single
+    monster group. The salt is deterministic (orderkey % salts) so results
+    are reproducible.
+    Output: (l_returnflag, n, sum_qty).
+    """
+    stage1 = (
+        lineitem.withColumn("__salt", (F.col("l_orderkey") % salts).cast("int"))
+        .groupBy("l_returnflag", "__salt")
+        .agg(
+            F.count("*").alias("pn"),
+            F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("pq"),
+        )
+    )
+    return (
+        stage1.groupBy("l_returnflag")
+        .agg(
+            F.sum("pn").alias("n"),
+            round6(F.sum("pq").cast("double")).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def asof_last_click(events: DataFrame) -> DataFrame:
+    """As-of join expressed as a running window: for every purchase event,
+    the epoch-second of the same user's most recent click at-or-before it.
+
+    The classic pattern for Spark's missing native as-of join: one window
+    over the unified stream with last(..., ignorenulls) — a single shuffle
+    on user_id, no per-row probes.
+    Output: (event_id, user_id, last_click_sec NULLABLE).
+    """
+    from pyspark.sql.window import Window
+
+    sec = F.col("ts").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tagged = events.withColumn(
+        "click_sec", F.when(F.col("event_type") == "click", sec)
+    ).withColumn("last_click_sec", F.last("click_sec", ignorenulls=True).over(w))
+    return tagged.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "last_click_sec"
+    )
+
+
+def downsample_events(events: DataFrame, bucket_seconds: int = 900) -> DataFrame:
+    """Hypertable-style downsampling: fixed-width time buckets per series
+    (event_type), the batch form of a continuous aggregate / rollup.
+    Output: (bucket_sec, event_type, n, sum_value).
+    """
+    bucket = (
+        (F.col("ts").cast("long") / bucket_seconds).cast("long") * bucket_seconds
+    ).alias("bucket_sec")
+    return (
+        events.select(bucket, "event_type", "value")
+        .groupBy("bucket_sec", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            round6(_dec_sum("value")).alias("sum_value"),
+        )
+        .orderBy("bucket_sec", "event_type")
+    )
+
+
+def window_funcs(lineitem: DataFrame) -> DataFrame:
+    """Ranking/offset/frame window functions per supplier (SURVEY §2.E
+    window row): row_number, rank over price, lag, and a running DECIMAL
+    sum — all on one (suppkey, shipdate) partitioning → a single shuffle.
+    Output: (l_suppkey, l_orderkey, l_linenumber, rn, price_rank, prev_qty,
+    running_qty).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    wp = Window.partitionBy("l_suppkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return lineitem.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(wp).cast("long").alias("price_rank"),
+        F.lag(F.col("l_quantity"), 1).over(w).alias("prev_qty"),
+        round6(F.sum(F.col("l_quantity").cast("decimal(38,6)")).over(run).cast("double")).alias(
+            "running_qty"
+        ),
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Sessionization: per-user session ids from inactivity gaps — the
     classic lag + cumulative-sum window pattern (no UDF, two windows over

@@ -1090,6 +1090,339 @@ SELECT event_id, user_id, user_id || '_' || session_seq AS session_id FROM s
 """
 
 
+def q_salted_agg(spark, sf_dir):
+    """Skew-resistant two-stage (salted) aggregation; oracle is the plain
+    group-by it must equal."""
+    return relational.salted_agg(_t(spark, sf_dir, "lineitem"))
+
+
+_SQL_SALTED_AGG = """
+SELECT l_returnflag, count(*) AS n,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join via running window: last click at-or-before each purchase."""
+    return relational.asof_last_click(_t(spark, sf_dir, "events"))
+
+
+_SQL_ASOF_JOIN = """
+WITH e AS (
+  SELECT event_id, user_id, ts, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+),
+tagged AS (
+  SELECT event_id, user_id, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN sec END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS last_click_sec
+  FROM e
+)
+SELECT event_id, user_id, last_click_sec FROM tagged WHERE event_type = 'purchase'
+"""
+
+
+def q_downsample(spark, sf_dir):
+    """Hypertable-style 15-minute downsampling rollup per event_type."""
+    return relational.downsample_events(_t(spark, sf_dir, "events"))
+
+
+_SQL_DOWNSAMPLE = """
+SELECT CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 AS bucket_sec, event_type,
+       count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_window_funcs(spark, sf_dir):
+    """Ranking/offset/frame window functions per supplier."""
+    return relational.window_funcs(_t(spark, sf_dir, "lineitem"))
+
+
+_SQL_WINDOW_FUNCS = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       CAST(rank() OVER (PARTITION BY l_suppkey
+            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS BIGINT) AS price_rank,
+       lag(l_quantity, 1) OVER w AS prev_qty,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6)))
+             OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6) AS running_qty
+FROM lineitem
+WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+"""
+
+
+def q_pivot_events(spark, sf_dir):
+    """Pivot: daily event counts, one column per event type (§2.E pivot)."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.select(day, "event_type")
+        .groupBy("day")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+        .orderBy("day")
+    )
+
+
+_SQL_PIVOT_EVENTS = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*) FILTER (WHERE event_type = 'click') AS click,
+       count(*) FILTER (WHERE event_type = 'error') AS error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+       count(*) FILTER (WHERE event_type = 'view') AS view
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_rollup_orders(spark, sf_dir):
+    """ROLLUP aggregation with subtotal rows (§2.E grouping sets)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            round6(F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double")).alias(
+                "revenue"
+            ),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n",
+            "revenue",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+_SQL_ROLLUP_ORDERS = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS revenue
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+
+
+def q_set_ops(spark, sf_dir):
+    """UNION / INTERSECT / EXCEPT over doc-id sets (§2.E set operations)."""
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.filter(F.col("lang") == "es").select("doc_id")
+    b = docs.filter(F.col("doc_id") < 100).select("doc_id")
+    parts = [
+        a.union(b).distinct().agg(F.count("*").alias("cnt")).select(F.lit("union").alias("op"), "cnt"),
+        a.intersect(b).agg(F.count("*").alias("cnt")).select(F.lit("intersect").alias("op"), "cnt"),
+        a.exceptAll(b).distinct().agg(F.count("*").alias("cnt")).select(F.lit("except").alias("op"), "cnt"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+_SQL_SET_OPS = """
+WITH a AS (SELECT doc_id FROM documents WHERE lang = 'es'),
+b AS (SELECT doc_id FROM documents WHERE doc_id < 100)
+SELECT 'union' AS op, count(*) AS cnt FROM (SELECT doc_id FROM a UNION SELECT doc_id FROM b)
+UNION ALL
+SELECT 'intersect', count(*) FROM (SELECT doc_id FROM a INTERSECT SELECT doc_id FROM b)
+UNION ALL
+SELECT 'except', count(*) FROM (SELECT doc_id FROM a EXCEPT SELECT doc_id FROM b)
+"""
+
+
+def q_distinct_counts(spark, sf_dir):
+    """Exact distinct aggregation per group (§2.E aggregation row)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.countDistinct("source").alias("n_sources"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+_SQL_DISTINCT_COUNTS = """
+SELECT lang, count(DISTINCT source) AS n_sources, count(*) AS n_docs
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_date_parts(spark, sf_dir):
+    """Date/time extraction functions (§2.E date row). Day-of-week is
+    normalized to Spark's 1=Sunday convention on both engines."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").cast("long").alias("y"),
+            F.month("o_orderdate").cast("long").alias("m"),
+            F.dayofweek("o_orderdate").cast("long").alias("dow"),
+        )
+        .groupBy("y", "m", "dow")
+        .agg(F.count("*").alias("n"))
+        .orderBy("y", "m", "dow")
+    )
+
+
+_SQL_DATE_PARTS = """
+SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS y,
+       CAST(extract(month FROM o_orderdate) AS BIGINT) AS m,
+       CAST(extract(dow FROM o_orderdate) + 1 AS BIGINT) AS dow,
+       count(*) AS n
+FROM orders GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q_string_funcs(spark, sf_dir):
+    """String function coverage: case, pad, replace, substring, edit
+    distance (§2.E string row)."""
+    docs = _t(spark, sf_dir, "documents")
+    first_tok = F.element_at(tokenize_ws(F.col("text")), 1)
+    return docs.select(
+        "doc_id",
+        F.upper(first_tok).alias("first_upper"),
+        F.lpad(F.col("lang"), 5, "_").alias("lang_pad"),
+        F.replace(F.substring("text", 1, 20), F.lit(" "), F.lit("-")).alias("head_dashed"),
+        F.levenshtein(F.col("lang"), F.col("source")).cast("long").alias("lev"),
+    )
+
+
+_SQL_STRING_FUNCS = f"""
+SELECT doc_id,
+       upper({_TOKS_SQL}[1]) AS first_upper,
+       lpad(lang, 5, '_') AS lang_pad,
+       replace(substr(text, 1, 20), ' ', '-') AS head_dashed,
+       CAST(levenshtein(lang, source) AS BIGINT) AS lev
+FROM documents
+"""
+
+
+def q_sql_pricing(spark, sf_dir):
+    """The same pricing summary expressed through the SQL API (temp view +
+    spark.sql) — Catalyst produces the same plan either way (§2.E SQL)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        WITH agg AS (
+          SELECT l_returnflag, l_linestatus,
+                 round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_qty,
+                 count(*) AS count_order
+          FROM lineitem_v
+          WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          GROUP BY l_returnflag, l_linestatus
+        )
+        SELECT l_returnflag, l_linestatus, sum_qty, count_order,
+               CAST(floor(sum_qty / CAST(count_order AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                 AS avg_qty_micro
+        FROM agg ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+_SQL_SQL_PRICING = f"""
+WITH agg AS (
+  SELECT l_returnflag, l_linestatus,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_qty,
+         count(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus, sum_qty, count_order,
+       {_micro_sql('sum_qty / CAST(count_order AS DOUBLE)')} AS avg_qty_micro
+FROM agg ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_channel_repeat(spark, sf_dir):
+    """C2: dimension-expand / channel-repeat shape op (np.repeat(img, 3)
+    gray→RGB analogue, vector_db.py:57)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    # values stringified as micro-ints: float→string formatting (scientific
+    # notation thresholds) differs between engines, integers don't
+    rgb = F.flatten(
+        F.transform(
+            F.slice(F.col("embedding"), 1, 4),
+            lambda x: F.array_repeat(micro6(x.cast("double")), 3),
+        )
+    )
+    return emb.select(
+        "vec_id",
+        F.size(rgb).cast("long").alias("rgb_len"),
+        F.array_join(F.transform(rgb, lambda v: v.cast("string")), ",").alias("rgb_str"),
+    )
+
+
+_SQL_CHANNEL_REPEAT = f"""
+WITH r AS (
+  SELECT vec_id,
+         flatten(list_transform(embedding[1:4],
+                 x -> [{_micro_sql('CAST(x AS DOUBLE)')},
+                       {_micro_sql('CAST(x AS DOUBLE)')},
+                       {_micro_sql('CAST(x AS DOUBLE)')}])) AS rgb
+  FROM embeddings
+)
+SELECT vec_id, CAST(len(rgb) AS BIGINT) AS rgb_len,
+       array_to_string(rgb, ',') AS rgb_str
+FROM r
+"""
+
+
+def q_truncate_ids(spark, sf_dir):
+    """D10: max-length truncation of encoded sequences
+    (text_vector_db.py:25-30 pad+truncate semantics, truncate side)."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = textops.build_vocab(docs)
+    enc = textops.encode(docs, vocab)
+    trunc = F.slice(F.col("ids"), 1, 16)
+    return enc.select(
+        "doc_id",
+        F.array_join(F.transform(trunc, lambda x: x.cast("string")), " ").alias("trunc_str"),
+        F.size(trunc).cast("long").alias("trunc_len"),
+    )
+
+
+_SQL_TRUNCATE_IDS = f"""
+WITH {_SQL_VOCAB_CTE}
+SELECT doc_id,
+       array_to_string(ids[1:16], ' ') AS trunc_str,
+       CAST(len(ids[1:16]) AS BIGINT) AS trunc_len
+FROM enc
+"""
+
+
+def q_batch_ids(spark, sf_dir):
+    """D11: deterministic fixed-size batching (DataLoader batch_size=8,
+    transformer_sample.py:455-457; hash-ordered instead of shuffled)."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("doc_id")
+    return docs.select(
+        "doc_id",
+        (((F.row_number().over(w) - 1) / 8).cast("long")).alias("batch_id"),
+    )
+
+
+_SQL_BATCH_IDS = """
+SELECT doc_id,
+       CAST(floor((row_number() OVER (ORDER BY doc_id) - 1) / 8) AS BIGINT) AS batch_id
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (north-star; fake decoder, real Spark plumbing)
 # ---------------------------------------------------------------------------
@@ -1258,6 +1591,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_event_window": q_event_window,
     "q_json_extract": q_json_extract,
     "q_sessionize": q_sessionize,
+    "q_salted_agg": q_salted_agg,
+    "q_asof_join": q_asof_join,
+    "q_downsample": q_downsample,
+    "q_window_funcs": q_window_funcs,
+    "q_pivot_events": q_pivot_events,
+    "q_rollup_orders": q_rollup_orders,
+    "q_set_ops": q_set_ops,
+    "q_distinct_counts": q_distinct_counts,
+    "q_date_parts": q_date_parts,
+    "q_string_funcs": q_string_funcs,
+    "q_sql_pricing": q_sql_pricing,
+    "q_channel_repeat": q_channel_repeat,
+    "q_truncate_ids": q_truncate_ids,
+    "q_batch_ids": q_batch_ids,
     # multimodal
     "q_multimodal_meta": q_multimodal_meta,
     "q_frame_sample": q_frame_sample,
@@ -1311,6 +1658,20 @@ ORACLES: dict[str, str] = {
     "q_event_window": _SQL_EVENT_WINDOW,
     "q_json_extract": _SQL_JSON_EXTRACT,
     "q_sessionize": _SQL_SESSIONIZE,
+    "q_salted_agg": _SQL_SALTED_AGG,
+    "q_asof_join": _SQL_ASOF_JOIN,
+    "q_downsample": _SQL_DOWNSAMPLE,
+    "q_window_funcs": _SQL_WINDOW_FUNCS,
+    "q_pivot_events": _SQL_PIVOT_EVENTS,
+    "q_rollup_orders": _SQL_ROLLUP_ORDERS,
+    "q_set_ops": _SQL_SET_OPS,
+    "q_distinct_counts": _SQL_DISTINCT_COUNTS,
+    "q_date_parts": _SQL_DATE_PARTS,
+    "q_string_funcs": _SQL_STRING_FUNCS,
+    "q_sql_pricing": _SQL_SQL_PRICING,
+    "q_channel_repeat": _SQL_CHANNEL_REPEAT,
+    "q_truncate_ids": _SQL_TRUNCATE_IDS,
+    "q_batch_ids": _SQL_BATCH_IDS,
     "q_multimodal_meta": _SQL_MULTIMODAL_META,
     "q_frame_sample": _SQL_FRAME_SAMPLE,
     "q_stream_event_window": _SQL_STREAM_EVENT_WINDOW,
