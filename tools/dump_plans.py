@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Regenerate plans/PLANS.md — formatted physical plans for the headline
+operators with a note on what each plan must exhibit to scale (SURVEY §4).
+
+Run after any plan-affecting change:  python tools/dump_plans.py
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+NOTES = {
+    "q_knn_topk": (
+        "Single-query exact k-NN. Wants: pruned scan (vec_id, label, embedding "
+        "only), broadcast of the 1-row query side, TakeOrderedAndProject "
+        "(per-partition heaps; no global sort)."
+    ),
+    "q_knn_batch": (
+        "Batch k-NN. Wants: queries broadcast (collection scanned once, no "
+        "big-side shuffle); the only exchange is the scored candidates on qid "
+        "for the ranking window."
+    ),
+    "q_encode_lookup": (
+        "Tokenizer encode. Wants: column-pruned documents scan, map-side "
+        "partial count for the vocab, BroadcastHashJoin for the token->id "
+        "lookup, one shuffle to reassemble sequences."
+    ),
+    "q_join_enrich": (
+        "Star-schema enrichment. Wants: BroadcastHashJoin for every dim "
+        "table, partial aggregation before the final exchange."
+    ),
+    "q_pricing_summary": (
+        "TPC-H Q1 shape. Wants: predicate pushed to the parquet scan, "
+        "two-phase HashAggregate (partial_ before the exchange)."
+    ),
+    "q_dedup_minhash": (
+        "MinHash LSH dedup. Wants: signature aggregation computed once "
+        "(persisted), band self-join, verify stage as BroadcastHashJoins "
+        "against the doc->token-set map (candidate pairs never shuffle)."
+    ),
+    "q_event_window": (
+        "Tumbling-window agg. Wants: pruned scan, partial agg, single "
+        "exchange on the (hour, event_type) keys."
+    ),
+}
+
+
+def main() -> None:
+    from vector_database_spark.queries import QUERIES
+    from vector_database_spark.session import get_spark
+
+    spark = get_spark("plans", cpus=8)
+    sf = "/root/testdata/sf0.001"
+    out = [
+        '# Physical plans — key operators (`df.explain("formatted")` @ sf0.001)',
+        "",
+        "Captured by `tools/dump_plans.py`; regenerate after plan-affecting changes.",
+        "`tests/test_physical_plans.py` asserts the load-bearing properties; this file",
+        "is the human-readable record of WHY each plan scales (SURVEY §4).",
+        "",
+    ]
+    for name, note in NOTES.items():
+        df = QUERIES[name](spark, sf)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        out.append(f"## {name}\n\n{note}\n\n```\n{buf.getvalue().strip()}\n```\n")
+    dest = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "PLANS.md")
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    with open(dest, "w") as f:
+        f.write("\n".join(out))
+    print(f"wrote {dest}")
+
+
+if __name__ == "__main__":
+    main()
