@@ -82,6 +82,27 @@ def test_search_metrics_and_filter(catalog, spark):
     assert res[0]["id"] == 2 and res[0]["score"] == 7.0
 
 
+def test_point_lookup_uses_partition_pruning(catalog, spark):
+    col = catalog.create_collection("c7", dim=2)
+    col.upsert(_points(spark, [(i, [i, i + 1], i % 3) for i in range(40)]))
+    row = col.get(17)
+    assert row is not None and row["id"] == 17
+    assert col.get(999) is None
+    # the bucket predicate must reach the scan as a partition filter
+    from pyspark.sql import functions as F2
+
+    pruned = col._raw_df().filter(F2.col("bucket") == 17 % col.N_BUCKETS)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_norm_materialized_at_ingest(catalog, spark):
+    col = catalog.create_collection("c8", dim=2)
+    col.upsert(_points(spark, [(1, [3, 4], 0)]))
+    raw = col._raw_df().collect()[0]
+    assert raw["norm"] == 5.0
+
+
 def test_drop(catalog):
     catalog.create_collection("c6", dim=2)
     catalog.drop_collection("c6")

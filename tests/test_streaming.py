@@ -41,6 +41,24 @@ def test_stream_dedup(spark):
     assert sum(out) == n_distinct
 
 
+def test_stateful_running_totals(spark):
+    got = {
+        r["event_type"]: (r["n"], r["total"])
+        for r in se.stateful_running_totals(spark, SF_SMALL).collect()
+    }
+    expect = {
+        r["event_type"]: (r["n"], round(r["s"], 6))
+        for r in read_table(spark, SF_SMALL, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k][0] == expect[k][0]
+        assert abs(got[k][1] - expect[k][1]) < 1e-3
+
+
 def test_foreachbatch_upsert_into_collection(spark, tmp_path):
     cat = Catalog(spark, str(tmp_path / "cols"))
     col = cat.create_collection("events_vec", dim=1)

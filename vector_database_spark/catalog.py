@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from vector_database_spark.functions.vector import cosine, dot, l2_dist, round6
+from vector_database_spark.functions.vector import cosine, dot, l2_dist, l2_norm, round6
 
 VALID_METRICS = ("cosine", "dot", "euclid")
 
@@ -125,7 +125,18 @@ class Catalog:
 
 
 class VectorCollection:
-    """One collection: Parquet-backed DataFrame of points + search surface."""
+    """One collection: Parquet-backed DataFrame of points + search surface.
+
+    Physical layout (SURVEY §4.3 scale items):
+      * ``bucket = pmod(id, N_BUCKETS)`` partition column — point lookups
+        and id-equijoins prune to one directory; the latest-wins window
+        shuffles within buckets only.
+      * ``norm`` (L2) materialized at ingest — cosine at query time is one
+        dot product + one divide; the per-row self-dot+sqrt is paid once,
+        not per query (Qdrant normalizes internally the same way).
+    """
+
+    N_BUCKETS = 16
 
     def __init__(self, catalog: Catalog, info: CollectionInfo):
         self.catalog = catalog
@@ -133,13 +144,37 @@ class VectorCollection:
         self.path = os.path.join(catalog.root, info.name)
 
     # -- scan ---------------------------------------------------------------
-    def df(self) -> DataFrame:
-        """Current state of the collection (latest version of each id)."""
+    def _raw_df(self) -> DataFrame:
         spark = self.catalog.spark
         if not os.path.exists(self.path):
-            return spark.createDataFrame([], collection_schema())
-        raw = spark.read.parquet(self.path)
-        return latest_wins(raw, id_col="id", version_col="version")
+            empty = spark.createDataFrame([], collection_schema())
+            return empty.withColumn("norm", F.lit(0.0)).withColumn(
+                "bucket", F.lit(0)
+            )
+        return spark.read.parquet(self.path)
+
+    def df(self) -> DataFrame:
+        """Current state of the collection (latest version of each id)."""
+        return latest_wins(self._raw_df(), id_col="id", version_col="version").drop(
+            "norm", "bucket"
+        )
+
+    def get(self, point_id: int):
+        """Point lookup by id. The bucket predicate prunes the scan to one
+        partition directory (verify with .explain: PartitionFilters)."""
+        rows = (
+            latest_wins(
+                self._raw_df().filter(
+                    (F.col("bucket") == point_id % self.N_BUCKETS)
+                    & (F.col("id") == point_id)
+                ),
+                id_col="id",
+                version_col="version",
+            )
+            .drop("norm", "bucket")
+            .collect()
+        )
+        return rows[0] if rows else None
 
     def count(self) -> int:
         """A4: collection stats scan (vector_db.py:108)."""
@@ -167,18 +202,28 @@ class VectorCollection:
             F.col("embedding").cast("array<float>").alias("embedding"),
             F.col("payload"),
             F.lit(version).cast("long").alias("version"),
+        ).withColumns(
+            {
+                # materialized at ingest (§4.3): norm for cosine-as-dot,
+                # bucket as the partition column for id locality
+                "norm": l2_norm(F.col("embedding")),
+                "bucket": F.pmod(F.col("id"), F.lit(self.N_BUCKETS)).cast("int"),
+            }
         )
-        batch.write.mode("append").parquet(self.path)
+        batch.write.mode("append").partitionBy("bucket").parquet(self.path)
         self.info.version = version
         return version
 
     def compact(self) -> None:
-        """Fold the version history down to latest-wins (like Delta OPTIMIZE)."""
+        """Fold the version history down to latest-wins (like Delta OPTIMIZE),
+        preserving the bucketed layout and materialized norms."""
         spark = self.catalog.spark
-        current = self.df()
+        current = latest_wins(self._raw_df(), id_col="id", version_col="version")
         tmp = self.path + "__compact"
-        current.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(self.path)
+        current.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").partitionBy("bucket").parquet(
+            self.path
+        )
         # best-effort cleanup of the staging dir
         import shutil
 
@@ -200,12 +245,18 @@ class VectorCollection:
         (vector_db_query.py:85-86).
         """
         metric = metric or self.info.metric
-        df = self.df()
+        df = latest_wins(self._raw_df(), id_col="id", version_col="version").drop(
+            "bucket"
+        )
         if payload_filter is not None:
             df = df.filter(payload_filter)
         q = F.array(*[F.lit(float(x)) for x in query_vector]).cast("array<double>")
         if metric == "cosine":
-            score = round6(cosine(F.col("embedding"), q))
+            # stored norm → cosine is one dot + one divide per row
+            qnorm = sum(float(x) * float(x) for x in query_vector) ** 0.5 or 1.0
+            score = round6(
+                dot(F.col("embedding"), q) / (F.col("norm") * F.lit(qnorm))
+            )
             asc = False
         elif metric == "dot":
             score = round6(dot(F.col("embedding"), q))

@@ -1483,6 +1483,20 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_stateful_totals(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState): running
+    per-event_type totals maintained in explicit state across micro-batches,
+    driven to completion. With one input file the final state equals the
+    batch group-by, so the oracle is the plain aggregation."""
+    return streaming_events.stateful_running_totals(spark, sf_dir)
+
+
+_SQL_STATEFUL_TOTALS = """
+SELECT event_type, count(*) AS n, round(sum(value), 6) AS total
+FROM events GROUP BY event_type
+"""
+
+
 def q_knn_twophase(spark, sf_dir):
     """B5 at scale: two-phase batch k-NN (map-side local top-k heaps via a
     BLAS matmul, then a k·P-row global window). Rows-only: numpy float64
@@ -1610,6 +1624,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_frame_sample": q_frame_sample,
     # streaming
     "q_stream_event_window": q_stream_event_window,
+    "q_stateful_totals": q_stateful_totals,
 }
 
 ORACLES: dict[str, str] = {
@@ -1675,4 +1690,5 @@ ORACLES: dict[str, str] = {
     "q_multimodal_meta": _SQL_MULTIMODAL_META,
     "q_frame_sample": _SQL_FRAME_SAMPLE,
     "q_stream_event_window": _SQL_STREAM_EVENT_WINDOW,
+    "q_stateful_totals": _SQL_STATEFUL_TOTALS,
 }

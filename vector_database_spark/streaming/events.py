@@ -96,6 +96,65 @@ def run_stream_to_batch(
     return spark.table(name)
 
 
+def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState: a
+    running (count, sum(value)) per event_type maintained in explicit state
+    across micro-batches — the pattern for operators Structured Streaming
+    lacks natively (SURVEY §2.E streaming row; north-star custom state).
+
+    Returns the final per-key totals as a batch DataFrame (memory sink,
+    update mode, stream driven to completion). With a single input file the
+    totals equal the batch groupBy — asserted in tests/test_streaming.py.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, round(total, 6)))
+        yield pd.DataFrame({"event_type": [key[0]], "n": [n], "total": [round(total, 6)]})
+
+    name = "stateful_out_" + uuid.uuid4().hex[:8]
+    q = (
+        read_events_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", "NoTimeout"
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # update mode appends one row per key per batch; keep the last per key
+    from pyspark.sql.window import Window
+
+    snap = spark.table(name).withColumn("__ord", F.monotonically_increasing_id())
+    w = Window.partitionBy("event_type").orderBy(F.col("__ord").desc())
+    return (
+        snap.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("event_type", "n", "total")
+    )
+
+
 def stream_upsert_collection(spark: SparkSession, sf_dir: str, collection) -> int:
     """foreachBatch upsert: each micro-batch becomes a versioned upsert into
     a VectorCollection (streaming twin of the reference's batched ingest,
