@@ -30,12 +30,21 @@ BENCH_QUERIES = [
     "q_dedup_exact",
     "q_dedup_minhash",
     "q_text_stats",
+    # text analysis
+    "q_quality_score",
+    "q_lang_id",
+    "q_token_count",
+    # embedding UDF path (Arrow-batched pandas UDF throughput)
+    "q_text_search",
     # relational / events
     "q_join_enrich",
     "q_pricing_summary",
     "q_topk_global",
     "q_event_window",
     "q_json_extract",
+    "q_window_funcs",
+    "q_downsample",
+    "q_sessionize",
 ]
 
 

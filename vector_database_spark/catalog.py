@@ -230,6 +230,29 @@ class VectorCollection:
         shutil.rmtree(tmp, ignore_errors=True)
 
     # -- query (SURVEY B1-B10) -----------------------------------------------
+    def search_batch(
+        self, queries: list[tuple[int, list[float]]], limit: int = 5
+    ) -> DataFrame:
+        """B5 on the collection API: top-k per query vector in one pass
+        (broadcast queries; one collection scan — see operators/knn.py)."""
+        from vector_database_spark.operators.knn import knn_batch
+
+        spark = self.catalog.spark
+        qdf = spark.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in queries],
+            "qid long, qv array<float>",
+        )
+        df = self.df()
+        return knn_batch(
+            qdf,
+            df,
+            k=limit,
+            metric=self.info.metric,
+            id_col="id",
+            payload_cols=("payload",),
+            exclude_self=False,
+        )
+
     def search(
         self,
         query_vector: list[float],

@@ -111,6 +111,47 @@ def lsh_knn(
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
+def lsh_similarity_join(
+    embeddings: DataFrame,
+    threshold_l2: float = 0.5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 3,
+    seed: int = LSH_SEED,
+) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH approxSimilarityJoin (SURVEY B8's
+    MLlib path): all pairs within an L2 distance threshold, found via
+    hash-bucket co-location instead of the N² cross join.
+
+    ARRAY<FLOAT> ↔ VectorUDT conversion happens only at this boundary
+    (SURVEY §7.3). Output: (id_a, id_b, dist) with id_a < id_b.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = embeddings.select(
+        id_col, array_to_vector(F.col(emb_col).cast("array<double>")).alias("features")
+    )
+    model = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    ).fit(vecs)
+    joined = model.approxSimilarityJoin(vecs, vecs, threshold_l2, distCol="dist")
+    return (
+        joined.select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            round6(F.col("dist")).alias("dist"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 def ivf_index(
     embeddings: DataFrame,
     n_centroids: int = 16,

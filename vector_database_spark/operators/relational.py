@@ -235,6 +235,23 @@ def window_funcs(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based sessions via the built-in ``session_window`` (the native
+    twin of :func:`sessionize`; also valid in Structured Streaming).
+    Output: (user_id, session_start_sec, n_events).
+    """
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start_sec"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start_sec")
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Sessionization: per-user session ids from inactivity gaps — the
     classic lag + cumulative-sum window pattern (no UDF, two windows over

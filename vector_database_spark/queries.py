@@ -1090,6 +1090,37 @@ SELECT event_id, user_id, user_id || '_' || session_seq AS session_id FROM s
 """
 
 
+def q_session_window(spark, sf_dir):
+    """Gap-based sessions via the built-in session_window; the oracle
+    rebuilds sessions with an exact-microsecond lag/cumsum (new session
+    iff gap >= 30min, matching session_window's half-open interval)."""
+    return relational.session_window_agg(_t(spark, sf_dir, "events"))
+
+
+_SQL_SESSION_WINDOW = """
+WITH e AS (
+  SELECT user_id, ts, epoch_us(ts) AS us FROM events
+),
+g AS (
+  SELECT user_id, ts, us,
+         CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+),
+s AS (
+  SELECT user_id, ts, us,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM g
+)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_sec,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sess
+ORDER BY user_id, session_start_sec
+"""
+
+
 def q_salted_agg(spark, sf_dir):
     """Skew-resistant two-stage (salted) aggregation; oracle is the plain
     group-by it must equal."""
@@ -1605,6 +1636,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_event_window": q_event_window,
     "q_json_extract": q_json_extract,
     "q_sessionize": q_sessionize,
+    "q_session_window": q_session_window,
     "q_salted_agg": q_salted_agg,
     "q_asof_join": q_asof_join,
     "q_downsample": q_downsample,
@@ -1673,6 +1705,7 @@ ORACLES: dict[str, str] = {
     "q_event_window": _SQL_EVENT_WINDOW,
     "q_json_extract": _SQL_JSON_EXTRACT,
     "q_sessionize": _SQL_SESSIONIZE,
+    "q_session_window": _SQL_SESSION_WINDOW,
     "q_salted_agg": _SQL_SALTED_AGG,
     "q_asof_join": _SQL_ASOF_JOIN,
     "q_downsample": _SQL_DOWNSAMPLE,
