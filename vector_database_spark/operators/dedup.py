@@ -99,6 +99,46 @@ def minhash_band_pairs(
     )
 
 
+MAX_BITMASK_VOCAB = 4096  # 64 longs per set; beyond this use array_intersect
+
+
+def _token_bitmasks(docs: DataFrame, text_col: str, id_col: str):
+    """(masks_df, n_words) — per-doc token set as packed 64-bit words, or
+    None when the corpus vocabulary exceeds MAX_BITMASK_VOCAB.
+
+    Intersection of two packed sets is W ANDs + popcounts — orders of
+    magnitude cheaper than hashing string arrays when millions of candidate
+    pairs need verification. The global vocabulary cardinality decides the
+    representation at plan-build time (one countDistinct scan).
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(tokenize_ws(F.col(text_col)))).alias("token")
+    )
+    vocab = toks.select("token").distinct()
+    n_vocab = vocab.count()
+    if n_vocab > MAX_BITMASK_VOCAB:
+        return None, 0
+    n_words = max(1, (n_vocab + 63) // 64)
+    vocab_ids = vocab.select(
+        "token",
+        (F.row_number().over(Window.orderBy("token")) - 1).alias("tid"),
+    )
+    tagged = toks.join(F.broadcast(vocab_ids), "token")
+    word = (F.col("tid") / 64).cast("int")
+    # pyspark's shiftleft() only takes a literal shift; the SQL form takes a column
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(tid % 64 AS INT))")
+    masks = tagged.groupBy(id_col).agg(
+        *[
+            F.bit_or(F.when(word == w, bit).otherwise(F.lit(0).cast("long"))).alias(f"w{w}")
+            for w in range(n_words)
+        ],
+        F.count("*").alias("set_size"),
+    )
+    return masks, n_words
+
+
 def jaccard_verify(
     candidate_pairs: DataFrame,
     docs: DataFrame,
@@ -112,45 +152,68 @@ def jaccard_verify(
     integer ratios hit exact half-boundaries where round() diverges
     across engines (functions/vector.py::micro6).
 
-    Plan note (scale): intersections are computed with ``array_intersect``
-    over per-doc distinct-token arrays — two hash joins on the pair ids and
-    a codegen'd array op per pair. The alternative (explode tokens, join on
-    token, count) shuffles |pairs|·|tokens| rows and collapses under a
-    degenerate corpus where LSH emits near-quadratic candidates; this plan
-    shuffles |pairs| rows only.
+    Plan note (scale): the doc→set map is broadcast, so the candidate-pair
+    stream (near-quadratic on degenerate corpora) flows map-side through
+    both joins with NO shuffle of the pairs. The set representation is
+    adaptive: packed 64-bit bitmask words when the corpus vocabulary is
+    small (intersection = W ANDs + popcounts), distinct-token arrays with
+    ``array_intersect`` otherwise. At a scale where the doc map itself
+    outgrows broadcast, drop the hints — Catalyst falls back to shuffle
+    joins — and rely on the LSH bands keeping |pairs| ≈ linear.
     """
-    tok_sets = (
-        docs.select(
+    masks, n_words = _token_bitmasks(docs, text_col, id_col)
+    if masks is not None:
+        cols = [f"w{w}" for w in range(n_words)]
+        a = masks.select(
+            F.col(id_col).alias("id_a"),
+            *[F.col(c).alias(f"a_{c}") for c in cols],
+            F.col("set_size").alias("size_a"),
+        )
+        b = masks.select(
+            F.col(id_col).alias("id_b"),
+            *[F.col(c).alias(f"b_{c}") for c in cols],
+            F.col("set_size").alias("size_b"),
+        )
+        inter = None
+        for c in cols:
+            term = F.bit_count(F.col(f"a_{c}").bitwiseAND(F.col(f"b_{c}")))
+            inter = term if inter is None else inter + term
+        jac = (
+            candidate_pairs.join(F.broadcast(a), "id_a")
+            .join(F.broadcast(b), "id_b")
+            .withColumn("inter", inter.cast("long"))
+        )
+    else:
+        tok_sets = docs.select(
             F.col(id_col),
             F.array_distinct(tokenize_ws(F.col(text_col))).alias("toks"),
+        ).withColumn("set_size", F.size("toks"))
+        a = tok_sets.select(
+            F.col(id_col).alias("id_a"),
+            F.col("toks").alias("toks_a"),
+            F.col("set_size").alias("size_a"),
         )
-        .withColumn("set_size", F.size("toks"))
-    )
-    a = tok_sets.select(
-        F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"), F.col("set_size").alias("size_a")
-    )
-    b = tok_sets.select(
-        F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"), F.col("set_size").alias("size_b")
-    )
-    # broadcast the doc→token-set map: the candidate-pair stream (which can
-    # be near-quadratic on degenerate corpora) then flows map-side through
-    # both joins with NO shuffle of the pairs. At a scale where the doc map
-    # itself outgrows broadcast, drop the hints — Catalyst falls back to
-    # shuffle joins — and rely on the LSH bands keeping |pairs| ≈ linear.
-    jac = (
-        candidate_pairs.join(F.broadcast(a), "id_a")
-        .join(F.broadcast(b), "id_b")
-        .withColumn("inter", F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b"))))
-        .select(
-            "id_a",
-            "id_b",
-            micro6(
-                F.col("inter").cast("double")
-                / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double")
-            ).alias("jaccard_micro"),
+        b = tok_sets.select(
+            F.col(id_col).alias("id_b"),
+            F.col("toks").alias("toks_b"),
+            F.col("set_size").alias("size_b"),
         )
+        jac = (
+            candidate_pairs.join(F.broadcast(a), "id_a")
+            .join(F.broadcast(b), "id_b")
+            .withColumn(
+                "inter", F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b"))).cast("long")
+            )
+        )
+    out = jac.select(
+        "id_a",
+        "id_b",
+        micro6(
+            F.col("inter").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double")
+        ).alias("jaccard_micro"),
     )
-    return jac.filter(F.col("jaccard_micro") >= int(threshold * 1_000_000))
+    return out.filter(F.col("jaccard_micro") >= int(threshold * 1_000_000))
 
 
 def minhash_neardup_pairs(
