@@ -59,6 +59,135 @@ def test_stateful_running_totals(spark):
         assert abs(got[k][1] - expect[k][1]) < 1e-3
 
 
+def _write_event_files(spark, tmp_path, batches):
+    """Write each batch (list of event tuples) as its own parquet file with
+    increasing mtimes so the file stream source picks them up as separate
+    micro-batches (maxFilesPerTrigger=1)."""
+    import os
+    import time as _t
+
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        part = str(tmp_path / f"part{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(part)
+        import glob
+        import shutil
+
+        f = glob.glob(part + "/part-*.parquet")[0]
+        dest = os.path.join(src, f"batch{i}.parquet")
+        shutil.copy(f, dest)
+        os.utime(dest, (_t.time() + i, _t.time() + i))
+    return src
+
+
+def test_stateful_totals_across_micro_batches(spark, tmp_path):
+    """Explicit state must accumulate across micro-batches, not per batch."""
+    from datetime import datetime
+
+    b0 = [(1, datetime(2024, 1, 1, 0, 0), 1, "click", 1.0, "{}"),
+          (2, datetime(2024, 1, 1, 0, 1), 1, "click", 2.0, "{}")]
+    b1 = [(3, datetime(2024, 1, 1, 0, 2), 1, "click", 3.0, "{}"),
+          (4, datetime(2024, 1, 1, 0, 3), 1, "view", 5.0, "{}")]
+    src = _write_event_files(spark, tmp_path, [b0, b1])
+
+    import uuid
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [T.StructField("event_type", T.StringType()), T.StructField("n", T.LongType()),
+         T.StructField("total", T.DoubleType())]
+    )
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"event_type": [key[0]], "n": [n], "total": [total]})
+
+    name = "mb_" + uuid.uuid4().hex[:8]
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.groupBy("event_type")
+        .applyInPandasWithState(update, out_schema, state_schema, "update", "NoTimeout")
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.table(name).collect()
+    # click was emitted in ≥2 batches; the LAST emission must be the
+    # accumulated total (3 events, 6.0), proving state carried over
+    click_rows = [(r["n"], r["total"]) for r in rows if r["event_type"] == "click"]
+    assert click_rows[-1] == (3, 6.0)
+    assert (1, 5.0) in [(r["n"], r["total"]) for r in rows if r["event_type"] == "view"]
+
+
+def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
+    """Append-mode windowed agg with a watermark must drop events that
+    arrive after the watermark passed their window."""
+    from datetime import datetime
+
+    # Spark's drop guarantee applies only once the window's state has been
+    # EVICTED (watermark passed it at a batch boundary), so the late row is
+    # delivered two batches after its window:
+    #   b0 advances event time to 03:00 (watermark → 02:50)
+    #   b1 (05:00) closes+emits the 00:00 window with n=1 (watermark → 04:50)
+    #   b2 delivers the 3h-late event for 00:00 — state is gone → dropped
+    b0 = [(1, datetime(2024, 1, 1, 0, 5), 1, "click", 1.0, "{}"),
+          (2, datetime(2024, 1, 1, 3, 0), 1, "click", 1.0, "{}")]
+    b1 = [(3, datetime(2024, 1, 1, 5, 0), 1, "click", 1.0, "{}")]
+    b2 = [(4, datetime(2024, 1, 1, 0, 10), 1, "click", 1.0, "{}"),
+          (5, datetime(2024, 1, 1, 7, 0), 1, "click", 1.0, "{}")]
+    src = _write_event_files(spark, tmp_path, [b0, b1, b2])
+
+    import uuid
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour"), "n")
+    )
+    name = "wm_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = [(r["hour"], r["n"]) for r in spark.table(name).collect()]
+    # the 00:00 window was emitted exactly once, with only the on-time row —
+    # the late event_id=4 was dropped, not re-emitted
+    assert rows.count(("2024-01-01 00:00:00", 1)) == 1
+    assert ("2024-01-01 00:00:00", 2) not in rows
+
+
 def test_foreachbatch_upsert_into_collection(spark, tmp_path):
     cat = Catalog(spark, str(tmp_path / "cols"))
     col = cat.create_collection("events_vec", dim=1)
