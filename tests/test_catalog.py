@@ -41,6 +41,17 @@ def test_dim_validation_on_upsert(catalog, spark):
     col = catalog.create_collection("c2", dim=4)
     with pytest.raises(ValueError, match="dimension mismatch"):
         col.upsert(_points(spark, [(1, [1, 2, 3], 0)]))
+    # a failed upsert must not burn a catalog version
+    assert catalog.collection("c2").info.version == 0
+
+
+def test_zero_norm_vector_rejected(catalog, spark):
+    col = catalog.create_collection("c2z", dim=2)
+    with pytest.raises(ValueError, match="zero-norm"):
+        col.upsert(_points(spark, [(1, [0, 0], 0)]))
+    # valid vectors still ingest afterwards, at version 1
+    col.upsert(_points(spark, [(2, [1, 0], 0)]))
+    assert col.count() == 1 and col.info.version == 1
 
 
 def test_upsert_latest_wins_and_compact(catalog, spark):

@@ -117,11 +117,10 @@ class Catalog:
     def list_collections(self) -> list[str]:
         return sorted(self._load())
 
-    def _bump_version(self, name: str) -> int:
+    def _set_version(self, name: str, version: int) -> None:
         cat = self._load()
-        cat[name]["version"] += 1
+        cat[name]["version"] = version
         self._save(cat)
-        return cat[name]["version"]
 
 
 class VectorCollection:
@@ -188,15 +187,34 @@ class VectorCollection:
         latest-wins via a window. This is the log-structured strategy that
         scales (append-only writes, compaction deferred); `compact()` folds
         history. On Delta/Iceberg this becomes MERGE INTO — same semantics.
-        Validates ``size(embedding) == dim`` on ingest (schema system §1.4).
+
+        Validation (dimension + nonzero norm, schema system §1.4) happens
+        IN-FLIGHT via raise_error folded into the materialized norm column:
+        one pass over the points, no separate count job, and the catalog
+        version is persisted only after the write succeeds (a failed upsert
+        leaves the catalog untouched).
         """
-        version = self.catalog._bump_version(self.info.name)
-        bad = points.filter(F.size("embedding") != self.info.dim).limit(1).count()
-        if bad:
-            raise ValueError(
-                f"dimension mismatch: collection {self.info.name!r} expects "
-                f"{self.info.dim}-d vectors"
+        version = self.info.version + 1
+        dim_msg = (
+            f"dimension mismatch: collection {self.info.name!r} expects "
+            f"{self.info.dim}-d vectors"
+        )
+        zero_msg = (
+            f"zero-norm vector: collection {self.info.name!r} is cosine-searchable; "
+            "the zero vector has no direction"
+        )
+        raw_norm = l2_norm(F.col("embedding"))
+        checked_norm = F.when(
+            F.size("embedding") != self.info.dim,
+            F.raise_error(F.lit(dim_msg)).cast("double"),
+        )
+        if self.info.metric == "cosine":
+            # the zero vector has no direction — only a cosine problem;
+            # euclid/dot collections may legitimately store it
+            checked_norm = checked_norm.when(
+                raw_norm == 0.0, F.raise_error(F.lit(zero_msg)).cast("double")
             )
+        checked_norm = checked_norm.otherwise(raw_norm)
         batch = points.select(
             F.col("id").cast("long").alias("id"),
             F.col("embedding").cast("array<float>").alias("embedding"),
@@ -206,11 +224,20 @@ class VectorCollection:
             {
                 # materialized at ingest (§4.3): norm for cosine-as-dot,
                 # bucket as the partition column for id locality
-                "norm": l2_norm(F.col("embedding")),
+                "norm": checked_norm,
                 "bucket": F.pmod(F.col("id"), F.lit(self.N_BUCKETS)).cast("int"),
             }
         )
-        batch.write.mode("append").partitionBy("bucket").parquet(self.path)
+        try:
+            batch.write.mode("append").partitionBy("bucket").parquet(self.path)
+        except Exception as ex:  # surface validation failures as ValueError
+            msg = str(ex)
+            if "dimension mismatch" in msg:
+                raise ValueError(dim_msg) from ex
+            if "zero-norm vector" in msg:
+                raise ValueError(zero_msg) from ex
+            raise
+        self.catalog._set_version(self.info.name, version)
         self.info.version = version
         return version
 
@@ -275,10 +302,15 @@ class VectorCollection:
             df = df.filter(payload_filter)
         q = F.array(*[F.lit(float(x)) for x in query_vector]).cast("array<double>")
         if metric == "cosine":
-            # stored norm → cosine is one dot + one divide per row
+            # stored norm → cosine is one dot + one divide per row. Rows
+            # with a non-positive norm (legacy data written before ingest
+            # validation) score NULL and sort last instead of NaN-first.
             qnorm = sum(float(x) * float(x) for x in query_vector) ** 0.5 or 1.0
             score = round6(
-                dot(F.col("embedding"), q) / (F.col("norm") * F.lit(qnorm))
+                F.when(
+                    F.col("norm") > 0.0,
+                    dot(F.col("embedding"), q) / (F.col("norm") * F.lit(qnorm)),
+                )
             )
             asc = False
         elif metric == "dot":

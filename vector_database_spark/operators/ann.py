@@ -36,17 +36,11 @@ def _hyperplanes(dim: int, bits: int, seed: int = LSH_SEED) -> np.ndarray:
 
 def lsh_signature_col(emb: Column, planes: np.ndarray) -> Column:
     """Bit signature: bit j = 1 iff emb . plane_j > 0 — as one expression."""
+    from vector_database_spark.functions.vector import dot
+
     sig = F.lit(0).cast("long")
     for j, plane in enumerate(planes):
-        d = F.aggregate(
-            F.zip_with(
-                emb,
-                F.array(*[F.lit(float(v)) for v in plane]),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
+        d = dot(emb, F.array(*[F.lit(float(v)) for v in plane]))
         sig = sig + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
     return sig
 

@@ -111,7 +111,7 @@ def _token_bitmasks(docs: DataFrame, text_col: str, id_col: str):
     pairs need verification. The global vocabulary cardinality decides the
     representation at plan-build time (one countDistinct scan).
     """
-    from pyspark.sql.window import Window
+    from pyspark.sql.window import Window  # noqa: F811 (local for clarity)
 
     toks = docs.select(
         F.col(id_col), F.explode(F.array_distinct(tokenize_ws(F.col(text_col)))).alias("token")
@@ -216,6 +216,9 @@ def jaccard_verify(
     return out.filter(F.col("jaccard_micro") >= int(threshold * 1_000_000))
 
 
+_live_sigs = None
+
+
 def minhash_neardup_pairs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -227,9 +230,15 @@ def minhash_neardup_pairs(
     The signature DataFrame is persisted: the band self-join references it
     8× (4 band projections × 2 join sides) and recomputing the token
     explode + min-aggregation per reference costs ~10× the whole pipeline.
-    (The cache is the DataFrame analogue of materializing a CTE.)
+    (The cache is the DataFrame analogue of materializing a CTE.) The
+    previous call's cache is released on the next call — one signature
+    cache is live at a time per session.
     """
+    global _live_sigs
+    if _live_sigs is not None:
+        _live_sigs.unpersist()
     sigs = minhash_signatures(docs, text_col, id_col).persist()
+    _live_sigs = sigs
     cands = minhash_band_pairs(sigs, id_col)
     return jaccard_verify(cands, docs, text_col, id_col).orderBy("id_a", "id_b")
 

@@ -142,8 +142,10 @@ def knn_batch_local_topk(
                 for rid, s in zip(ids, col):
                     if exclude_self and int(rid) == qid:
                         continue
-                    # heap key: (score, -id) so ties prefer the LOWER id
-                    item = (float(s), -int(rid))
+                    # heap key: (6dp score, -id) — ranking at the declared
+                    # rounding precision with lower-id ties, matching the
+                    # exact operator's (round6(score) DESC, id ASC) order
+                    item = (round(float(s), 6), -int(rid))
                     if len(heaps[qi]) < k:
                         heapq.heappush(heaps[qi], item)
                     elif item > heaps[qi][0]:
@@ -163,6 +165,9 @@ def knn_batch_local_topk(
     cands = collection.select(id_col, emb_col).mapInPandas(
         local_topk, f"qid bigint, {id_col} bigint, score double"
     )
+    # global rank at the SAME precision the exact operator uses (round6
+    # before ordering) so tie-breaks at the k boundary agree
+    cands = cands.withColumn("score", round6(F.col("score")))
     w = Window.partitionBy("qid").orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     )
@@ -170,7 +175,6 @@ def knn_batch_local_topk(
         cands.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .drop("rn")
-        .withColumn("score", round6(F.col("score")))
     )
 
 

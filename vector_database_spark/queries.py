@@ -19,9 +19,8 @@ from pyspark.sql import functions as F
 
 from vector_database_spark.catalog import latest_wins
 from vector_database_spark.functions.hashing import seeded_hash_sql
-from vector_database_spark.functions.text import bigrams, tokenize_ws
+from vector_database_spark.functions.text import tokenize_ws
 from vector_database_spark.functions.vector import (
-    cosine,
     dot,
     l2_dist,
     l2_norm,
@@ -787,26 +786,31 @@ _SQL_SIMHASH = _simhash_sql()
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """Word-bigram Jaccard near-dup pairs (exact, bounded id space)."""
+    """Word-bigram Jaccard near-dup pairs (exact, bounded id space).
+
+    Copies live at doc_id+10000 — outside every fixture id range — so they
+    can never collide with (and dilute the bigram sets of) real documents.
+    """
     docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") < 400)
     copies = docs.filter(F.col("doc_id") < 50).select(
-        (F.col("doc_id") + 200).alias("doc_id"),
+        (F.col("doc_id") + 10000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zz")).alias("text"),
         "lang",
         "source",
         "n_chars",
     )
-    aug = docs.unionByName(copies)
-    return dedup.ngram_jaccard_pairs(aug, threshold=0.2, max_id=400)
+    aug = base.unionByName(copies)
+    return dedup.ngram_jaccard_pairs(aug, threshold=0.2)
 
 
 _SQL_NGRAM_JACCARD = f"""
 WITH aug AS (
-  SELECT doc_id, text FROM documents
+  SELECT doc_id, text FROM documents WHERE doc_id < 400
   UNION ALL
-  SELECT doc_id + 200, text || ' zz' FROM documents WHERE doc_id < 50
+  SELECT doc_id + 10000, text || ' zz' FROM documents WHERE doc_id < 50
 ),
-base AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM aug WHERE doc_id < 400),
+base AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM aug),
 grams AS (
   SELECT DISTINCT doc_id,
          unnest(CASE WHEN len(toks) < 2 THEN [] ELSE
@@ -1487,12 +1491,20 @@ def q_frame_sample(spark, sf_dir):
     return multimodal.sample_frames(multimodal.binary_from_text(docs), every_n_bytes=32)
 
 
+# NOTE: character-indexed oracle (substr) vs byte-offset Spark side — valid
+# because the fixture corpus is pure ASCII (verified); the frame bound is
+# derived from each doc's byte length rather than a fixed cap.
 _SQL_FRAME_SAMPLE = """
-SELECT d.doc_id,
-       CAST(p.pos * 32 AS BIGINT) AS frame_off,
-       CAST(ascii(substr(d.text, p.pos * 32 + 1, 1)) AS BIGINT) AS frame_val
-FROM documents d, (SELECT unnest(range(0, 100)) AS pos) p
-WHERE p.pos * 32 < octet_length(encode(d.text))
+WITH b AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+)
+SELECT doc_id,
+       CAST(pos * 32 AS BIGINT) AS frame_off,
+       CAST(ascii(substr(text, pos * 32 + 1, 1)) AS BIGINT) AS frame_val
+FROM (
+  SELECT doc_id, text, n, unnest(range(0, CAST(ceil(n / 32.0) AS BIGINT))) AS pos
+  FROM b
+)
 """
 
 

@@ -71,8 +71,15 @@ def windowed_agg(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
 
 def dedup_stream(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Streaming exact dedup on the event key within the watermark horizon
-    (the streaming twin of F1 exact dedup)."""
-    return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    (the streaming twin of F1 exact dedup).
+
+    dropDuplicatesWithinWatermark is required for bounded state: a plain
+    dropDuplicates(["event_id"]) would ignore the watermark (the event-time
+    column isn't in the key subset) and grow state forever.
+    """
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 def run_stream_to_batch(
@@ -124,7 +131,9 @@ def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].sum())
-        state.update((n, round(total, 6)))
+        # state keeps the RAW running sum — rounding belongs only on emission,
+        # otherwise the error compounds across micro-batches
+        state.update((n, total))
         yield pd.DataFrame({"event_type": [key[0]], "n": [n], "total": [round(total, 6)]})
 
     name = "stateful_out_" + uuid.uuid4().hex[:8]
