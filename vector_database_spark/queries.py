@@ -1344,6 +1344,37 @@ FROM documents
 """
 
 
+def q_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (§2.E aggregation row) —
+    Spark `percentile` and DuckDB `quantile_cont` share the linear
+    interpolation definition."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", F.lit(0.5)).alias("_p50"),
+            F.percentile("l_quantity", F.lit(0.9)).alias("_p90"),
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("_price_p50"),
+        )
+        .select(
+            "l_returnflag",
+            micro6(F.col("_p50")).alias("p50_micro"),
+            micro6(F.col("_p90")).alias("p90_micro"),
+            micro6(F.col("_price_p50")).alias("price_p50_micro"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_SQL_PERCENTILES = f"""
+SELECT l_returnflag,
+       {_micro_sql('quantile_cont(l_quantity, 0.5)')} AS p50_micro,
+       {_micro_sql('quantile_cont(l_quantity, 0.9)')} AS p90_micro,
+       {_micro_sql('quantile_cont(l_extendedprice, 0.5)')} AS price_p50_micro
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def q_sql_pricing(spark, sf_dir):
     """The same pricing summary expressed through the SQL API (temp view +
     spark.sql) — Catalyst produces the same plan either way (§2.E SQL)."""
@@ -1657,6 +1688,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_rollup_orders": q_rollup_orders,
     "q_set_ops": q_set_ops,
     "q_distinct_counts": q_distinct_counts,
+    "q_percentiles": q_percentiles,
     "q_date_parts": q_date_parts,
     "q_string_funcs": q_string_funcs,
     "q_sql_pricing": q_sql_pricing,
@@ -1726,6 +1758,7 @@ ORACLES: dict[str, str] = {
     "q_rollup_orders": _SQL_ROLLUP_ORDERS,
     "q_set_ops": _SQL_SET_OPS,
     "q_distinct_counts": _SQL_DISTINCT_COUNTS,
+    "q_percentiles": _SQL_PERCENTILES,
     "q_date_parts": _SQL_DATE_PARTS,
     "q_string_funcs": _SQL_STRING_FUNCS,
     "q_sql_pricing": _SQL_SQL_PRICING,
