@@ -75,6 +75,18 @@ def test_mllib_lsh_similarity_join_finds_identical_pairs(spark, emb):
         assert b - a == 5000 or True  # other sub-threshold pairs may exist
 
 
+def test_ivf_partitioned_layout_prunes(spark, emb, tmp_path):
+    assigned, centroids = ann.ivf_index(emb, n_centroids=8)
+    path = str(tmp_path / "ivf")
+    ann.ivf_write_partitioned(assigned, path)
+    qv = _query_vecs(emb, n=1)[0][1]
+    res = ann.ivf_knn_pruned(spark, path, centroids, qv, k=5, nprobe=3)
+    assert res.count() == 5
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "centroid_id" in plan.split("PartitionFilters")[1][:200]
+
+
 def test_twophase_matches_exact_batch(emb):
     queries = _query_vecs(emb)
     exact = knn.knn_batch(

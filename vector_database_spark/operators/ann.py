@@ -171,6 +171,33 @@ def ivf_index(
     return assigned, centroids
 
 
+def ivf_write_partitioned(assigned: DataFrame, path: str) -> None:
+    """Materialize the IVF index as a centroid-partitioned Parquet layout —
+    the physical form that turns nprobe into partition pruning (only
+    nprobe/n_centroids of the files are even listed at query time)."""
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+
+def ivf_knn_pruned(
+    spark,
+    path: str,
+    centroids: np.ndarray,
+    query_vector: list[float],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    payload_cols: tuple[str, ...] = ("label",),
+) -> DataFrame:
+    """ivf_knn against the partitioned layout: the centroid filter is a
+    partition predicate (verify: PartitionFilters in .explain)."""
+    assigned = spark.read.parquet(path)
+    return ivf_knn(
+        assigned, centroids, query_vector, k=k, nprobe=nprobe,
+        id_col=id_col, emb_col=emb_col, payload_cols=payload_cols,
+    )
+
+
 def ivf_knn(
     assigned: DataFrame,
     centroids: np.ndarray,
