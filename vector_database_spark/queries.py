@@ -1249,6 +1249,55 @@ ORDER BY status, priority
 """
 
 
+def q_semi_anti_join(spark, sf_dir):
+    """left_semi / left_anti joins (EXISTS / NOT EXISTS) — which customers
+    have orders. Semi/anti never widen rows, so the big side streams
+    through a broadcast hash join probe with no shuffle."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    on = cust.c_custkey == orders.o_custkey
+    semi = cust.join(orders, on, "left_semi").select(
+        "c_custkey", F.lit(1).cast("long").alias("has_orders")
+    )
+    anti = cust.join(orders, on, "left_anti").select(
+        "c_custkey", F.lit(0).cast("long").alias("has_orders")
+    )
+    return semi.unionAll(anti).orderBy("c_custkey")
+
+
+_SQL_SEMI_ANTI_JOIN = """
+SELECT c_custkey,
+       CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS has_orders
+FROM customer c ORDER BY c_custkey
+"""
+
+
+def q_cube_orders(spark, sf_dir):
+    """CUBE aggregation — every subtotal combination (§2.E grouping sets,
+    complementing q_rollup_orders)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+_SQL_CUBE_ORDERS = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+
+
 def q_set_ops(spark, sf_dir):
     """UNION / INTERSECT / EXCEPT over doc-id sets (§2.E set operations)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1687,6 +1736,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pivot_events": q_pivot_events,
     "q_rollup_orders": q_rollup_orders,
     "q_set_ops": q_set_ops,
+    "q_semi_anti_join": q_semi_anti_join,
+    "q_cube_orders": q_cube_orders,
     "q_distinct_counts": q_distinct_counts,
     "q_percentiles": q_percentiles,
     "q_date_parts": q_date_parts,
@@ -1757,6 +1808,8 @@ ORACLES: dict[str, str] = {
     "q_pivot_events": _SQL_PIVOT_EVENTS,
     "q_rollup_orders": _SQL_ROLLUP_ORDERS,
     "q_set_ops": _SQL_SET_OPS,
+    "q_semi_anti_join": _SQL_SEMI_ANTI_JOIN,
+    "q_cube_orders": _SQL_CUBE_ORDERS,
     "q_distinct_counts": _SQL_DISTINCT_COUNTS,
     "q_percentiles": _SQL_PERCENTILES,
     "q_date_parts": _SQL_DATE_PARTS,
