@@ -53,6 +53,39 @@ def test_encode_decode_roundtrip_on_corpus(spark):
         assert dec[r["doc_id"]] == expect
 
 
+def test_jaccard_verify_wide_vocab_fallback(spark):
+    """A corpus with >4096 distinct tokens must take the array_intersect
+    fallback (bitmask packing refuses) and still produce exact Jaccard."""
+    import itertools
+
+    # 40 docs × 250 tokens, odd docs share 150 with their predecessor:
+    # distinct vocabulary = 20·250 + 20·100 = 7000 > MAX_BITMASK_VOCAB
+    rows = []
+    for d in range(40):
+        toks = [f"tok{d}_{i}" for i in range(250)]
+        if d % 2 == 1:
+            toks[:150] = [f"tok{d-1}_{i}" for i in range(150)]
+        rows.append((d, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    masks, _ = dedup._token_bitmasks(docs, "text", "doc_id")
+    assert masks is None  # fallback path engaged
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in itertools.combinations(range(40), 2)], "id_a long, id_b long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard_micro"]
+        for r in dedup.jaccard_verify(pairs, docs, threshold=0.3).collect()
+    }
+    # exact expectation: 150 shared of 250+250-150=350 union → 0.428571…
+    # micro6 = floor(150/350*1e6 + 0.5) = 428571
+    for d in range(1, 40, 2):
+        assert got[(d - 1, d)] == 428571
+    # non-adjacent pairs share nothing → absent
+    assert (0, 2) not in got
+
+
 def test_minhash_contains_all_exact_dup_pairs(spark):
     """LSH candidates must never miss identical documents (J=1 collides in
     every band), so exact-dup pairs are a strict subset of minhash output."""
