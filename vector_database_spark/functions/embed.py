@@ -42,16 +42,20 @@ DEFAULT_DIM = 64
 
 
 def hash_embed_one(text: str, dim: int = DEFAULT_DIM) -> list[float]:
-    """Deterministic stand-in embedding: dim j from md5(f"{j}:{text}").
+    """Deterministic stand-in embedding: ONE md5 of the text seeds a
+    MT19937 stream that draws all ``dim`` gaussian components (L2
+    normalized, cosine-ready like CLIP output).
 
-    Values in [-1, 1), then L2-normalized (cosine-ready, like CLIP output).
+    One digest + a vectorized RNG per document — ~dim× cheaper than
+    hashing per-dimension, which matters because this stub sits where a
+    real model's GPU batch would (the UDF hot path).
     """
-    vals = []
-    for j in range(dim):
-        h = int(hashlib.md5(f"{j}:{text}".encode()).hexdigest()[:15], 16)
-        vals.append((h / float(1 << 60)) * 2.0 - 1.0)
-    norm = math.sqrt(sum(v * v for v in vals)) or 1.0
-    return [v / norm for v in vals]
+    import numpy as np
+
+    seed = int(hashlib.md5(text.encode()).hexdigest()[:8], 16)
+    vals = np.random.RandomState(seed).standard_normal(dim)
+    norm = float(np.linalg.norm(vals)) or 1.0
+    return [float(v) / norm for v in vals]
 
 
 def make_hash_encoder(dim: int = DEFAULT_DIM) -> Callable[[pd.Series], list[list[float]]]:
@@ -74,20 +78,20 @@ def make_embed_udf(
     """
     if make_encoder is None:
         def make_encoder():  # self-contained: executors need no package import
+            # keep in sync with hash_embed_one — same seed, same stream
             import hashlib as _hl
-            import math as _m
+
+            import numpy as _np
 
             d = dim
 
             def encode(series: pd.Series) -> list[list[float]]:
                 out = []
                 for t in series:
-                    vals = []
-                    for j in range(d):
-                        h = int(_hl.md5(f"{j}:{t}".encode()).hexdigest()[:15], 16)
-                        vals.append((h / float(1 << 60)) * 2.0 - 1.0)
-                    n = _m.sqrt(sum(v * v for v in vals)) or 1.0
-                    out.append([v / n for v in vals])
+                    seed = int(_hl.md5(str(t).encode()).hexdigest()[:8], 16)
+                    vals = _np.random.RandomState(seed).standard_normal(d)
+                    n = float(_np.linalg.norm(vals)) or 1.0
+                    out.append([float(v) / n for v in vals])
                 return out
 
             return encode
