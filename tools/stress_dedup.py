@@ -53,9 +53,6 @@ def synth_docs(spark, n_docs: int, out: str):
 def main() -> None:
     spark = get_spark("stress-dedup")
     lines = [
-        "",
-        "## MinHash dedup on a healthy (wide-vocab) corpus",
-        "",
         f"{TOKENS_PER_DOC} tokens/doc from a {VOCAB:,}-token vocabulary (hash-",
         "synthesized), 1% planted near-duplicates. Candidates stay ~linear in",
         "corpus size — the quadratic blowup in the bench numbers is a property",
@@ -85,12 +82,10 @@ def main() -> None:
         print(lines[-1])
         sigs.unpersist(); cands.unpersist(); verified.unpersist()
 
-    with open(
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "STRESS.md"),
-        "a",
-    ) as f:
-        f.write("\n".join(lines) + "\n")
-    print("appended to STRESS.md")
+    from tools.stress_common import update_section
+
+    update_section("MinHash dedup on a healthy (wide-vocab) corpus", "\n".join(lines))
+    print("updated STRESS.md section: MinHash dedup")
 
 
 if __name__ == "__main__":

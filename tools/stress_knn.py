@@ -65,8 +65,6 @@ def main() -> None:
     spark = get_spark("stress")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     lines = [
-        "# STRESS — batch k-NN scaling probe (generated by tools/stress_knn.py)",
-        "",
         f"{N_QUERIES} query vectors × top-{K}, 64-d synthetic collection grown",
         "from the sf0.1 fixture (deterministic hash perturbation). local[32].",
         "",
@@ -105,9 +103,10 @@ def main() -> None:
         "linearly with collection size — at cluster scale the window plan's",
         "shuffle is the bottleneck, the two-phase plan's shuffle is constant.",
     ]
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "STRESS.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
-    print("wrote STRESS.md")
+    from tools.stress_common import update_section
+
+    update_section("Batch k-NN scaling", "\n".join(lines))
+    print("updated STRESS.md section: Batch k-NN scaling")
 
 
 if __name__ == "__main__":

@@ -194,7 +194,10 @@ class VectorCollection:
         version is persisted only after the write succeeds (a failed upsert
         leaves the catalog untouched).
         """
-        version = self.info.version + 1
+        # next version comes from the catalog FILE, not this handle — two
+        # handles to the same collection must never mint the same version
+        # (duplicate versions would make latest-wins nondeterministic)
+        version = self.catalog._load()[self.info.name]["version"] + 1
         dim_msg = (
             f"dimension mismatch: collection {self.info.name!r} expects "
             f"{self.info.dim}-d vectors"

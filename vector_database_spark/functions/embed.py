@@ -8,8 +8,9 @@ The reference embeds with torch models loaded once per process:
 
 Torch isn't available in this environment, so the default encoder is a
 *deterministic hash embedder* (same signature, 64-d to match the fixture
-collection): dim j of text t = scaled int of md5(f"{j}:{t}") — reproducible
-anywhere, including in tests. Swapping in a real model is a drop-in:
+collection): the md5 of the text (full 128-bit digest) seeds an MT19937
+stream that draws the gaussian components — reproducible anywhere,
+including in tests. Swapping in a real model is a drop-in:
 
     def make_resnet_encoder():
         import torch
@@ -30,7 +31,6 @@ vector_db.py:43-51), not once per row or batch.
 from __future__ import annotations
 
 import hashlib
-import math
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -52,7 +52,11 @@ def hash_embed_one(text: str, dim: int = DEFAULT_DIM) -> list[float]:
     """
     import numpy as np
 
-    seed = int(hashlib.md5(text.encode()).hexdigest()[:8], 16)
+    # full 128-bit digest as a 4×uint32 seed array — a 32-bit seed would
+    # give ~50% odds of two identical embeddings in a ~77k-doc corpus
+    # (birthday bound), which the stress probes exceed
+    digest = hashlib.md5(text.encode()).hexdigest()
+    seed = [int(digest[i : i + 8], 16) for i in range(0, 32, 8)]
     vals = np.random.RandomState(seed).standard_normal(dim)
     norm = float(np.linalg.norm(vals)) or 1.0
     return [float(v) / norm for v in vals]
@@ -88,7 +92,8 @@ def make_embed_udf(
             def encode(series: pd.Series) -> list[list[float]]:
                 out = []
                 for t in series:
-                    seed = int(_hl.md5(str(t).encode()).hexdigest()[:8], 16)
+                    digest = _hl.md5(str(t).encode()).hexdigest()
+                    seed = [int(digest[i : i + 8], 16) for i in range(0, 32, 8)]
                     vals = _np.random.RandomState(seed).standard_normal(d)
                     n = float(_np.linalg.norm(vals)) or 1.0
                     out.append([float(v) / n for v in vals])

@@ -111,8 +111,6 @@ def _token_bitmasks(docs: DataFrame, text_col: str, id_col: str):
     pairs need verification. The global vocabulary cardinality decides the
     representation at plan-build time (one countDistinct scan).
     """
-    from pyspark.sql.window import Window  # noqa: F811 (local for clarity)
-
     toks = docs.select(
         F.col(id_col), F.explode(F.array_distinct(tokenize_ws(F.col(text_col)))).alias("token")
     )
@@ -236,7 +234,10 @@ def minhash_neardup_pairs(
     """
     global _live_sigs
     if _live_sigs is not None:
-        _live_sigs.unpersist()
+        try:
+            _live_sigs.unpersist()
+        except Exception:
+            pass  # previous cache belonged to a stopped SparkSession
     sigs = minhash_signatures(docs, text_col, id_col).persist()
     _live_sigs = sigs
     cands = minhash_band_pairs(sigs, id_col)
