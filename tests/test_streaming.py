@@ -190,7 +190,9 @@ def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
 
 def test_foreachbatch_upsert_into_collection(spark, tmp_path):
     cat = Catalog(spark, str(tmp_path / "cols"))
-    col = cat.create_collection("events_vec", dim=1)
+    # dot metric: event values are magnitudes, 0.0 is legal (a cosine
+    # collection would kill the stream on zero-norm ingest validation)
+    col = cat.create_collection("events_vec", dim=1, metric="dot")
     n_batches = se.stream_upsert_collection(spark, SF_SMALL, col)
     assert n_batches >= 1
     n_events = read_table(spark, SF_SMALL, "events").count()

@@ -19,6 +19,7 @@ replace on a real deployment; the logic is isolated in :meth:`upsert`.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 from dataclasses import dataclass
@@ -62,6 +63,28 @@ class Catalog:
         self.root = root
         os.makedirs(root, exist_ok=True)
         self._catalog_path = os.path.join(root, "_catalog.json")
+        self._lock_path = os.path.join(root, "_catalog.lock")
+
+    @contextlib.contextmanager
+    def _lock(self):
+        """Exclusive advisory lock serializing catalog read-modify-write.
+
+        Every mutation (create/drop/upsert version mint) is a load→save on
+        the JSON file; without this, two handles/processes could both read
+        version N and mint N+1, making latest-wins nondeterministic. flock
+        is inter-process on one host — the single-writer-per-host model this
+        file-backed catalog supports; a real deployment swaps the JSON file
+        for a metastore/Delta log with its own transaction protocol.
+        """
+        import fcntl
+
+        fd = os.open(self._lock_path, os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
 
     # -- catalog file ------------------------------------------------------
     def _load(self) -> dict:
@@ -88,11 +111,12 @@ class Catalog:
         (vector_db.py:20-24)."""
         if metric not in VALID_METRICS:
             raise ValueError(f"metric must be one of {VALID_METRICS}, got {metric!r}")
-        cat = self._load()
-        if name not in cat:
-            cat[name] = {"dim": dim, "metric": metric, "version": 0}
-            self._save(cat)
-        info = cat[name]
+        with self._lock():
+            cat = self._load()
+            if name not in cat:
+                cat[name] = {"dim": dim, "metric": metric, "version": 0}
+                self._save(cat)
+            info = cat[name]
         if info["dim"] != dim or info["metric"] != metric:
             raise ValueError(
                 f"collection {name!r} exists with dim={info['dim']} "
@@ -110,9 +134,10 @@ class Catalog:
         )
 
     def drop_collection(self, name: str) -> None:
-        cat = self._load()
-        cat.pop(name, None)
-        self._save(cat)
+        with self._lock():
+            cat = self._load()
+            cat.pop(name, None)
+            self._save(cat)
 
     def list_collections(self) -> list[str]:
         return sorted(self._load())
@@ -194,10 +219,6 @@ class VectorCollection:
         version is persisted only after the write succeeds (a failed upsert
         leaves the catalog untouched).
         """
-        # next version comes from the catalog FILE, not this handle — two
-        # handles to the same collection must never mint the same version
-        # (duplicate versions would make latest-wins nondeterministic)
-        version = self.catalog._load()[self.info.name]["version"] + 1
         dim_msg = (
             f"dimension mismatch: collection {self.info.name!r} expects "
             f"{self.info.dim}-d vectors"
@@ -218,29 +239,36 @@ class VectorCollection:
                 raw_norm == 0.0, F.raise_error(F.lit(zero_msg)).cast("double")
             )
         checked_norm = checked_norm.otherwise(raw_norm)
-        batch = points.select(
-            F.col("id").cast("long").alias("id"),
-            F.col("embedding").cast("array<float>").alias("embedding"),
-            F.col("payload"),
-            F.lit(version).cast("long").alias("version"),
-        ).withColumns(
-            {
-                # materialized at ingest (§4.3): norm for cosine-as-dot,
-                # bucket as the partition column for id locality
-                "norm": checked_norm,
-                "bucket": F.pmod(F.col("id"), F.lit(self.N_BUCKETS)).cast("int"),
-            }
-        )
-        try:
-            batch.write.mode("append").partitionBy("bucket").parquet(self.path)
-        except Exception as ex:  # surface validation failures as ValueError
-            msg = str(ex)
-            if "dimension mismatch" in msg:
-                raise ValueError(dim_msg) from ex
-            if "zero-norm vector" in msg:
-                raise ValueError(zero_msg) from ex
-            raise
-        self.catalog._set_version(self.info.name, version)
+        # version mint → parquet append → catalog bump is ONE critical
+        # section under the catalog file lock: without it, two handles
+        # (threads or processes) can both read version N and append batches
+        # stamped N+1, making latest-wins nondeterministic. flock serializes
+        # writers on this host; a metastore/Delta log replaces it at scale.
+        with self.catalog._lock():
+            version = self.catalog._load()[self.info.name]["version"] + 1
+            batch = points.select(
+                F.col("id").cast("long").alias("id"),
+                F.col("embedding").cast("array<float>").alias("embedding"),
+                F.col("payload"),
+                F.lit(version).cast("long").alias("version"),
+            ).withColumns(
+                {
+                    # materialized at ingest (§4.3): norm for cosine-as-dot,
+                    # bucket as the partition column for id locality
+                    "norm": checked_norm,
+                    "bucket": F.pmod(F.col("id"), F.lit(self.N_BUCKETS)).cast("int"),
+                }
+            )
+            try:
+                batch.write.mode("append").partitionBy("bucket").parquet(self.path)
+            except Exception as ex:  # surface validation failures as ValueError
+                msg = str(ex)
+                if "dimension mismatch" in msg:
+                    raise ValueError(dim_msg) from ex
+                if "zero-norm vector" in msg:
+                    raise ValueError(zero_msg) from ex
+                raise
+            self.catalog._set_version(self.info.name, version)
         self.info.version = version
         return version
 

@@ -124,6 +124,7 @@ def knn_batch_local_topk(
 
     def local_topk(batches):
         import heapq
+        import math
 
         import numpy as np
 
@@ -134,27 +135,37 @@ def knn_batch_local_topk(
             if not len(pdf):
                 continue
             E = np.asarray([list(e) for e in pdf[emb_col]], dtype=np.float64)
-            En = E / np.linalg.norm(E, axis=1, keepdims=True)
+            norms = np.linalg.norm(E, axis=1, keepdims=True)
+            # zero-norm rows have no direction: score them -inf so they sort
+            # behind every real candidate (the exact operator's null-score
+            # rows sort last the same way) instead of emitting NaN, which
+            # heap comparisons would silently drop.
+            En = E / np.where(norms == 0.0, 1.0, norms)
             S = En @ Qn.T  # (batch, nq) cosine in one matmul
+            S[norms[:, 0] == 0.0, :] = -np.inf
             ids = pdf[id_col].to_numpy()
             for qi, qid in enumerate(q_ids):
                 col = S[:, qi]
                 for rid, s in zip(ids, col):
                     if exclude_self and int(rid) == qid:
                         continue
-                    # heap key: (6dp score, -id) — ranking at the declared
-                    # rounding precision with lower-id ties, matching the
-                    # exact operator's (round6(score) DESC, id ASC) order
-                    item = (round(float(s), 6), -int(rid))
+                    # heap key: (micro6 score, -id) — micro6 =
+                    # floor(x*1e6+0.5), the SAME half-up micro-unit rule the
+                    # global phase ranks by, so phase 1 never prunes a
+                    # candidate the global round would keep. Python round()
+                    # (half-even) disagrees with round6 exactly on the
+                    # .xxxxxx5 boundaries that decide ties.
+                    micro = math.floor(float(s) * 1e6 + 0.5) if math.isfinite(s) else -(10**18)
+                    item = (micro, -int(rid), float(s))
                     if len(heaps[qi]) < k:
                         heapq.heappush(heaps[qi], item)
-                    elif item > heaps[qi][0]:
+                    elif item[:2] > heaps[qi][0][:2]:
                         heapq.heapreplace(heaps[qi], item)
         rows = {
             "qid": [], id_col: [], "score": []
         }
         for qi, qid in enumerate(q_ids):
-            for s, negid in heaps[qi]:
+            for _micro, negid, s in heaps[qi]:
                 rows["qid"].append(qid)
                 rows[id_col].append(-negid)
                 rows["score"].append(s)

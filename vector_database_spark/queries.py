@@ -1615,7 +1615,8 @@ def q_stateful_totals(spark, sf_dir):
 
 
 _SQL_STATEFUL_TOTALS = """
-SELECT event_type, count(*) AS n, round(sum(value), 6) AS total
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
 FROM events GROUP BY event_type
 """
 

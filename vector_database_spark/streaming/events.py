@@ -121,20 +121,30 @@ def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     state_schema = T.StructType(
-        [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+        [T.StructField("n", T.LongType()), T.StructField("micros", T.LongType())]
     )
 
     def update(key, pdfs, state):
+        import math
+
         import pandas as pd
 
-        n, total = state.get if state.exists else (0, 0.0)
+        # State accumulates INTEGER micro-units (floor(v*1e6+0.5), the
+        # repo-wide micro6 convention): the running sum is order-independent
+        # across micro-batches and bit-identical to the DuckDB oracle's
+        # sum(CAST(value AS DECIMAL(38,6))) — a raw float64 accumulation
+        # would be an order-dependent IEEE sum that round(·, 6) can land on
+        # either side of a boundary.
+        n, micros = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        # state keeps the RAW running sum — rounding belongs only on emission,
-        # otherwise the error compounds across micro-batches
-        state.update((n, total))
-        yield pd.DataFrame({"event_type": [key[0]], "n": [n], "total": [round(total, 6)]})
+            micros += int(
+                sum(math.floor(float(v) * 1e6 + 0.5) for v in pdf["value"])
+            )
+        state.update((n, micros))
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "n": [n], "total": [micros / 1e6]}
+        )
 
     name = "stateful_out_" + uuid.uuid4().hex[:8]
     q = (
@@ -152,13 +162,17 @@ def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    # update mode appends one row per key per batch; keep the last per key
+    # update mode appends one row per key per batch; the latest emission per
+    # key is the one with the largest running count n (strictly increasing —
+    # the update fn only fires for a key when the batch has rows for it).
+    # Physical row order of the memory sink is NOT a documented contract, so
+    # we deliberately don't order by it.
     from pyspark.sql.window import Window
 
-    snap = spark.table(name).withColumn("__ord", F.monotonically_increasing_id())
-    w = Window.partitionBy("event_type").orderBy(F.col("__ord").desc())
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc())
     return (
-        snap.withColumn("__rn", F.row_number().over(w))
+        spark.table(name)
+        .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select("event_type", "n", "total")
     )
@@ -167,7 +181,20 @@ def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_upsert_collection(spark: SparkSession, sf_dir: str, collection) -> int:
     """foreachBatch upsert: each micro-batch becomes a versioned upsert into
     a VectorCollection (streaming twin of the reference's batched ingest,
-    vector_db.py:94-106). Returns number of micro-batches processed."""
+    vector_db.py:94-106). Returns number of micro-batches processed.
+
+    The 1-d "embedding" is the raw event value — a magnitude, not a
+    direction — so the target collection must use a metric whose ingest
+    accepts zero ("dot" or "euclid"). A cosine collection would abort the
+    whole stream on the first value == 0.0 event (zero-norm validation),
+    which is the wrong invariant for this data; rejected up front.
+    """
+    if getattr(collection, "info", None) is not None and collection.info.metric == "cosine":
+        raise ValueError(
+            "stream_upsert_collection requires a non-cosine collection "
+            "(metric='dot' or 'euclid'): event values are magnitudes and may "
+            "legitimately be 0.0, which cosine ingest rejects as zero-norm"
+        )
     batches = {"n": 0}
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
