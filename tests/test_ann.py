@@ -99,3 +99,35 @@ def test_twophase_matches_exact_batch(emb):
     e = {(r["qid"], r["vec_id"]) for r in exact.collect()}
     t = {(r["qid"], r["vec_id"]) for r in two.collect()}
     assert e == t
+
+
+def test_mmr_rerank_prefers_diversity(spark):
+    # a is the exact query direction; b is a near-duplicate of a; c is a
+    # diverse direction. With lam=0.3 the redundancy penalty dominates, so
+    # the second pick must be c, not the near-dup b.
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),          # a
+            (2, [0.9999, 0.0141]),    # b ~ near-dup of a
+            (3, [0.8, 0.6]),          # c diverse
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    res = knn.mmr_rerank(df, [1.0, 0.0], k=3, pool=3, lam=0.3)
+    rows = res.orderBy("rank").collect()
+    assert [r["vec_id"] for r in rows] == [1, 3, 2]
+    assert rows[0]["score"] == 1.0
+    # with lam=1.0 MMR degenerates to plain relevance order
+    rel = knn.mmr_rerank(df, [1.0, 0.0], k=3, pool=3, lam=1.0)
+    assert [r["vec_id"] for r in rel.orderBy("rank").collect()] == [1, 2, 3]
+
+
+def test_mmr_rerank_deterministic(emb):
+    from vector_database_spark.queries import RAW_QUERY_VEC
+
+    a = [tuple(r) for r in knn.mmr_rerank(emb, RAW_QUERY_VEC, k=5, pool=20).collect()]
+    b = [tuple(r) for r in knn.mmr_rerank(emb, RAW_QUERY_VEC, k=5, pool=20).collect()]
+    assert a == b and len(a) == 5
+    # every MMR pick comes from the exact top-pool candidate set
+    pool_ids = {r["vec_id"] for r in knn.knn(emb, RAW_QUERY_VEC, k=20).collect()}
+    assert {t[1] for t in a} <= pool_ids

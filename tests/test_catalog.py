@@ -129,3 +129,85 @@ def test_drop(catalog):
     catalog.create_collection("c6", dim=2)
     catalog.drop_collection("c6")
     assert not catalog.collection_exists("c6")
+
+def test_delete_by_ids_and_resurrect(catalog, spark):
+    col = catalog.create_collection("d1", dim=2)
+    col.upsert(_points(spark, [(1, [1, 0], 0), (2, [0, 1], 1), (3, [1, 1], 2)]))
+    col.delete(point_ids=[2])
+    assert col.count() == 2
+    assert col.get(2) is None
+    assert {r["id"] for r in col.df().collect()} == {1, 3}
+    # deleted points never appear in search results
+    assert 2 not in {r["id"] for r in col.search([0.0, 1.0], limit=3).collect()}
+    # a LATER upsert resurrects the id (write version > tombstone version)
+    col.upsert(_points(spark, [(2, [0, 2], 9)]))
+    assert col.get(2)["payload"]["label"] == "9"
+    assert col.count() == 3
+
+
+def test_delete_by_filter_and_compact(catalog, spark):
+    col = catalog.create_collection("d2", dim=2)
+    col.upsert(_points(spark, [(i, [1, i], i % 2) for i in range(10)]))
+    col.delete(payload_filter=F.col("payload")["label"] == "1")
+    assert col.count() == 5
+    col.compact()  # folds tombstones away
+    import os
+
+    assert not os.path.exists(col._tombstone_path)
+    assert col.count() == 5
+    assert {r["id"] % 2 for r in col.df().collect()} == {0}
+    with pytest.raises(ValueError, match="exactly one"):
+        col.delete()
+
+
+def test_set_payload_merges(catalog, spark):
+    col = catalog.create_collection("p1", dim=2)
+    col.upsert(_points(spark, [(1, [1, 0], 0), (2, [0, 1], 1)]))
+    col.set_payload([2], {"flag": "reviewed"})
+    rows = {r["id"]: r["payload"] for r in col.df().collect()}
+    assert rows[2]["label"] == "1" and rows[2]["flag"] == "reviewed"
+    assert "flag" not in rows[1]
+    # merge overwrites existing keys, keeps the rest
+    col.set_payload([2], {"label": "X"})
+    rows = {r["id"]: r["payload"] for r in col.df().collect()}
+    assert rows[2]["label"] == "X" and rows[2]["flag"] == "reviewed"
+
+
+def test_scroll_keyset_pagination(catalog, spark):
+    col = catalog.create_collection("s1", dim=2)
+    col.upsert(_points(spark, [(i, [1, i], i % 3) for i in range(25)]))
+    page1 = [r["id"] for r in col.scroll(limit=10).collect()]
+    assert page1 == list(range(10))
+    page2 = [r["id"] for r in col.scroll(limit=10, offset_id=page1[-1]).collect()]
+    assert page2 == list(range(10, 20))
+    page3 = [r["id"] for r in col.scroll(limit=10, offset_id=page2[-1]).collect()]
+    assert page3 == list(range(20, 25))
+    flt = [
+        r["id"]
+        for r in col.scroll(limit=5, payload_filter=F.col("payload")["label"] == "0").collect()
+    ]
+    assert flt == [0, 3, 6, 9, 12]
+
+
+def test_recommend_average_vector(catalog, spark):
+    col = catalog.create_collection("r1", dim=2)
+    col.upsert(
+        _points(
+            spark,
+            [
+                (1, [1, 0], 0),     # positive example
+                (2, [0.9, 0.1], 0),
+                (3, [0, 1], 1),     # negative example
+                (4, [0.8, -0.2], 0),
+                (5, [-1, 0], 1),
+            ],
+        )
+    )
+    # query = avg({e1}) - avg({e3}) = (1,-1): nearest should be id=4
+    res = col.recommend(positive=[1], negative=[3], limit=3).collect()
+    ids = [r["id"] for r in res]
+    assert ids[0] == 4
+    # example points are excluded
+    assert 1 not in ids and 3 not in ids
+    with pytest.raises(KeyError, match="not found"):
+        col.recommend(positive=[99])

@@ -177,32 +177,72 @@ class VectorCollection:
             )
         return spark.read.parquet(self.path)
 
+    @property
+    def _tombstone_path(self) -> str:
+        return self.path + "__tombstones"
+
+    def _resolved_df(self) -> DataFrame:
+        """Latest-wins rows minus deleted points, with norm/bucket intact.
+
+        Deletes are log-structured tombstones (id, version) in a side
+        Parquet — the same append-only strategy as upsert, so a delete is
+        one small write, never a rewrite of the collection. Resolution: a
+        point is live iff its latest write version is greater than its
+        latest tombstone version (a later upsert resurrects the id). The
+        tombstone side is tiny relative to the collection, so the anti-join
+        broadcasts.
+        """
+        rows = latest_wins(self._raw_df(), id_col="id", version_col="version")
+        if not os.path.exists(self._tombstone_path):
+            return rows
+        spark = self.catalog.spark
+        tombs = (
+            spark.read.parquet(self._tombstone_path)
+            .groupBy("id")
+            .agg(F.max("version").alias("__del_v"))
+        )
+        return (
+            rows.join(F.broadcast(tombs), "id", "left")
+            .filter(F.col("__del_v").isNull() | (F.col("version") > F.col("__del_v")))
+            .drop("__del_v")
+        )
+
     def df(self) -> DataFrame:
         """Current state of the collection (latest version of each id)."""
-        return latest_wins(self._raw_df(), id_col="id", version_col="version").drop(
-            "norm", "bucket"
-        )
+        return self._resolved_df().drop("norm", "bucket")
 
     def get(self, point_id: int):
         """Point lookup by id. The bucket predicate prunes the scan to one
         partition directory (verify with .explain: PartitionFilters)."""
-        rows = (
-            latest_wins(
-                self._raw_df().filter(
-                    (F.col("bucket") == point_id % self.N_BUCKETS)
-                    & (F.col("id") == point_id)
-                ),
-                id_col="id",
-                version_col="version",
+        row = latest_wins(
+            self._raw_df().filter(
+                (F.col("bucket") == point_id % self.N_BUCKETS)
+                & (F.col("id") == point_id)
+            ),
+            id_col="id",
+            version_col="version",
+        ).drop("norm", "bucket").collect()
+        if not row:
+            return None
+        if os.path.exists(self._tombstone_path):
+            del_v = (
+                self.catalog.spark.read.parquet(self._tombstone_path)
+                .filter(F.col("id") == point_id)
+                .agg(F.max("version"))
+                .collect()[0][0]
             )
-            .drop("norm", "bucket")
-            .collect()
-        )
-        return rows[0] if rows else None
+            if del_v is not None and row[0]["version"] <= del_v:
+                return None
+        return row[0]
 
-    def count(self) -> int:
-        """A4: collection stats scan (vector_db.py:108)."""
-        return self.df().count()
+    def count(self, payload_filter=None) -> int:
+        """A4 collection stats scan (vector_db.py:108), generalized to the
+        Qdrant count API: count of live points matching an optional payload
+        predicate (client.count(collection, count_filter=...))."""
+        df = self.df()
+        if payload_filter is not None:
+            df = df.filter(payload_filter)
+        return df.count()
 
     # -- DML (SURVEY A3/A5) --------------------------------------------------
     def upsert(self, points: DataFrame) -> int:
@@ -272,20 +312,138 @@ class VectorCollection:
         self.info.version = version
         return version
 
-    def compact(self) -> None:
-        """Fold the version history down to latest-wins (like Delta OPTIMIZE),
-        preserving the bucketed layout and materialized norms."""
+    def delete(self, point_ids=None, payload_filter=None) -> int:
+        """Delete points by explicit ids or by payload predicate (Qdrant
+        delete API: client.delete(collection, points_selector=...)).
+
+        Log-structured like upsert: appends (id, version) tombstones — one
+        small write, no collection rewrite. A later upsert of the same id
+        resurrects it (write version > tombstone version). Returns the
+        minted version.
+        """
+        if (point_ids is None) == (payload_filter is None):
+            raise ValueError("exactly one of point_ids / payload_filter required")
         spark = self.catalog.spark
-        current = latest_wins(self._raw_df(), id_col="id", version_col="version")
+        with self.catalog._lock():
+            version = self.catalog._load()[self.info.name]["version"] + 1
+            if point_ids is not None:
+                doomed = spark.createDataFrame(
+                    [(int(i),) for i in point_ids], "id long"
+                )
+            else:
+                doomed = (
+                    latest_wins(self._raw_df(), id_col="id", version_col="version")
+                    .filter(payload_filter)
+                    .select("id")
+                )
+            doomed.withColumn("version", F.lit(version).cast("long")).write.mode(
+                "append"
+            ).parquet(self._tombstone_path)
+            self.catalog._set_version(self.info.name, version)
+        self.info.version = version
+        return version
+
+    def set_payload(self, point_ids, payload: dict) -> int:
+        """Merge keys into the payload of the given points (Qdrant
+        set_payload API). Implemented as an upsert of the affected rows with
+        map_concat-merged payload — the affected set is re-written at a new
+        version, everything else untouched (at scale this is exactly a
+        MERGE touching only matching id-buckets). Returns the new version.
+        """
+        ids = [int(i) for i in point_ids]
+        new_keys = F.array(*[F.lit(str(k)) for k in payload])
+        # drop keys being overwritten before concat — map_concat raises on
+        # duplicate keys under the default EXCEPTION dedup policy
+        merged = F.map_concat(
+            F.map_filter(
+                F.coalesce(
+                    F.col("payload"), F.create_map().cast("map<string,string>")
+                ),
+                lambda k, _v: ~F.array_contains(new_keys, k),
+            ),
+            F.create_map(
+                *[F.lit(x) for kv in payload.items() for x in (str(kv[0]), str(kv[1]))]
+            ),
+        )
+        updated = (
+            self.df()
+            .filter(F.col("id").isin(ids))
+            .select("id", "embedding", merged.alias("payload"))
+        )
+        return self.upsert(updated)
+
+    def scroll(
+        self, limit: int = 100, offset_id: int | None = None, payload_filter=None
+    ) -> DataFrame:
+        """Qdrant scroll API: stable id-ordered pagination with an optional
+        payload filter. Pass the last id of the previous page as
+        ``offset_id`` for the next page. Keyset pagination (id > offset)
+        rather than OFFSET: the scan prunes to id > offset instead of
+        skipping rows, so page N costs the same as page 1 at any scale.
+        """
+        df = self.df()
+        if payload_filter is not None:
+            df = df.filter(payload_filter)
+        if offset_id is not None:
+            df = df.filter(F.col("id") > int(offset_id))
+        return df.orderBy(F.col("id").asc()).limit(limit)
+
+    def recommend(
+        self,
+        positive: list[int],
+        negative: list[int] | None = None,
+        limit: int = 5,
+        payload_filter=None,
+    ) -> DataFrame:
+        """Qdrant recommend API (average_vector strategy): the query vector
+        is mean(positive embeddings) − mean(negative embeddings); the
+        example points are excluded from results.
+
+        The example vectors are point lookups (bounded by the number of
+        examples, not collection size) — collecting them to the driver is
+        the same data movement Qdrant's server does internally.
+        """
+        negative = negative or []
+        ex_ids = [int(i) for i in positive] + [int(i) for i in negative]
+        rows = {
+            r["id"]: r["embedding"]
+            for r in self.df()
+            .filter(F.col("id").isin(ex_ids))
+            .select("id", "embedding")
+            .collect()
+        }
+        missing = [i for i in ex_ids if i not in rows]
+        if missing:
+            raise KeyError(f"recommend example points not found: {missing}")
+        dim = self.info.dim
+        qv = [0.0] * dim
+        for i in positive:
+            for j, x in enumerate(rows[i]):
+                qv[j] += float(x) / len(positive)
+        for i in negative:
+            for j, x in enumerate(rows[i]):
+                qv[j] -= float(x) / len(negative)
+        flt = ~F.col("id").isin(ex_ids)
+        if payload_filter is not None:
+            flt = flt & payload_filter
+        return self.search(qv, limit=limit, payload_filter=flt)
+
+    def compact(self) -> None:
+        """Fold the version history down to latest-wins minus tombstones
+        (like Delta OPTIMIZE), preserving the bucketed layout and
+        materialized norms; clears the tombstone log."""
+        spark = self.catalog.spark
+        current = self._resolved_df()
         tmp = self.path + "__compact"
         current.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
         spark.read.parquet(tmp).write.mode("overwrite").partitionBy("bucket").parquet(
             self.path
         )
-        # best-effort cleanup of the staging dir
+        # best-effort cleanup of the staging dir + now-folded tombstones
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(self._tombstone_path, ignore_errors=True)
 
     # -- query (SURVEY B1-B10) -----------------------------------------------
     def search_batch(
@@ -326,9 +484,7 @@ class VectorCollection:
         (vector_db_query.py:85-86).
         """
         metric = metric or self.info.metric
-        df = latest_wins(self._raw_df(), id_col="id", version_col="version").drop(
-            "bucket"
-        )
+        df = self._resolved_df().drop("bucket")
         if payload_filter is not None:
             df = df.filter(payload_filter)
         q = F.array(*[F.lit(float(x)) for x in query_vector]).cast("array<double>")

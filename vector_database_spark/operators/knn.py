@@ -189,6 +189,73 @@ def knn_batch_local_topk(
     )
 
 
+def mmr_rerank(
+    collection: DataFrame,
+    query: list[float],
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: diversify the top-k by
+    greedily picking argmax of ``lam*sim(q,d) - (1-lam)*max_{s∈S} sim(d,s)``
+    (Carbonell & Goldstein 1998) from an exact top-``pool`` candidate set.
+
+    Vector-DB result diversification: near-duplicate hits crowd out
+    genuinely distinct neighbors; MMR trades relevance against novelty.
+
+    Scale shape: phase 1 is the distributed exact top-``pool`` (a
+    TakeOrderedAndProject scan, same as :func:`knn`); phase 2 is the greedy
+    chain over ``pool`` rows on the driver — O(pool²·dim) work bounded by a
+    parameter, not by data size, and inherently sequential (each pick
+    depends on the previous). Determinism: micro6 keys, lower-id ties.
+    """
+    import math
+
+    import numpy as np
+
+    top = knn(
+        collection,
+        query,
+        k=pool,
+        metric="cosine",
+        id_col=id_col,
+        emb_col=emb_col,
+        payload_cols=(emb_col,),
+    )
+    rows = top.collect()
+    ids = [int(r[id_col]) for r in rows]
+    rel = [float(r["score"]) for r in rows]  # round6 cosine from phase 1
+    E = np.asarray([[float(x) for x in r[emb_col]] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(E, axis=1, keepdims=True)
+    En = E / np.where(norms == 0.0, 1.0, norms)
+    S = En @ En.T  # candidate-candidate cosine
+    remaining = list(range(len(ids)))
+    picked: list[tuple[int, float]] = []  # (row index, mmr value at pick)
+    while remaining and len(picked) < k:
+        best = None
+        for i in remaining:
+            if picked:
+                max_sim = max(S[i][j] for j, _ in picked)
+            else:
+                max_sim = 0.0
+            mmr = lam * rel[i] - (1.0 - lam) * max_sim
+            key = (math.floor(mmr * 1e6 + 0.5), -ids[i])
+            if best is None or key > best[0]:
+                best = (key, i, mmr)
+        picked.append((best[1], best[2]))
+        remaining.remove(best[1])
+    spark = collection.sparkSession
+    return spark.createDataFrame(
+        [
+            (rank + 1, ids[i], rel[i], int(math.floor(mmr * 1e6 + 0.5)))
+            for rank, (i, mmr) in enumerate(picked)
+        ],
+        f"rank int, {id_col} long, score double, mmr_micro long",
+    )
+
+
 def similarity_self_join(
     collection: DataFrame,
     k: int = 1,

@@ -1670,6 +1670,313 @@ def q_knn_ivf(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Qdrant client API parity beyond search (recommend/scroll/count/delete) +
+# round-2 scale operators (range join, sliding windows, quantization,
+# centroids). The reference talks to Qdrant through qdrant_client
+# (vector_db.py:13, requirements.txt); these cover the rest of that client's
+# query surface so a reference user can switch engines without losing APIs.
+# ---------------------------------------------------------------------------
+
+_REC_POS = [1, 2, 3]
+_REC_NEG = [4, 5]
+
+
+def q_recommend(spark, sf_dir):
+    """Recommend API (average_vector strategy): query vector =
+    mean(positive embeddings) − mean(negative embeddings), cosine top-5,
+    example points excluded (Qdrant client.recommend; the engine-API twin
+    is VectorCollection.recommend). Component sums go through DECIMAL(38,6)
+    so the derived query vector is bit-identical cross-engine."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.filter(F.col("vec_id").isin(_REC_POS + _REC_NEG)).select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    )
+    dv = F.col("v").cast("decimal(38,6)")
+    comp = ex.groupBy("pos").agg(
+        (
+            F.sum(F.when(F.col("vec_id").isin(_REC_POS), dv)).cast("double")
+            / len(_REC_POS)
+            - F.sum(F.when(F.col("vec_id").isin(_REC_NEG), dv)).cast("double")
+            / len(_REC_NEG)
+        ).alias("qc")
+    )
+    qrow = comp.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "qc"))).alias("s")
+    ).select(F.transform("s", lambda x: x["qc"]).alias("qv"))
+    cand = emb.filter(~F.col("vec_id").isin(_REC_POS + _REC_NEG))
+    return knn.knn(
+        cand.crossJoin(F.broadcast(qrow)).select("vec_id", "label", "embedding", "qv"),
+        F.col("qv"),
+        k=5,
+    )
+
+
+_SQL_RECOMMEND = f"""
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(38,6)) AS dv
+  FROM embeddings WHERE vec_id IN (1, 2, 3, 4, 5)
+),
+comp AS (
+  SELECT pos,
+         CAST(sum(dv) FILTER (WHERE vec_id IN (1, 2, 3)) AS DOUBLE) / 3
+       - CAST(sum(dv) FILTER (WHERE vec_id IN (4, 5)) AS DOUBLE) / 2 AS qc
+  FROM ex GROUP BY pos
+),
+qv AS (SELECT list(qc ORDER BY pos) AS v FROM comp)
+SELECT c.vec_id, c.label,
+       round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), qv.v), 6) AS score
+FROM embeddings c, qv
+WHERE c.vec_id NOT IN (1, 2, 3, 4, 5)
+ORDER BY score DESC, c.vec_id
+LIMIT 5
+"""
+
+
+def q_scroll(spark, sf_dir):
+    """Scroll API: keyset pagination (id > offset, ORDER BY id LIMIT n) with
+    a payload filter — page N costs the same scan as page 1 at any scale,
+    unlike OFFSET which reads and discards. Engine twin:
+    VectorCollection.scroll."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.filter((F.col("label") == 4) & (F.col("vec_id") > 57))
+        .select(
+            "vec_id",
+            "label",
+            round6(l2_norm(F.col("embedding").cast("array<double>"))).alias("norm"),
+        )
+        .orderBy("vec_id")
+        .limit(10)
+    )
+
+
+_SQL_SCROLL = """
+SELECT vec_id, label,
+       round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))), 6) AS norm
+FROM embeddings
+WHERE label = 4 AND vec_id > 57
+ORDER BY vec_id
+LIMIT 10
+"""
+
+
+def q_count_filtered(spark, sf_dir):
+    """Count API with filters (client.count(collection, count_filter=...)):
+    conditional counts in one scan via FILTER-style aggregates."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(F.col("label") == 3, 1)).alias("n_label3"),
+        F.count(F.when(F.col("label") % 2 == 0, 1)).alias("n_even_label"),
+        F.count(F.when(F.size("embedding") == 64, 1)).alias("n_dim_ok"),
+    )
+
+
+_SQL_COUNT_FILTERED = """
+SELECT count(*) AS n_total,
+       count(*) FILTER (WHERE label = 3) AS n_label3,
+       count(*) FILTER (WHERE label % 2 = 0) AS n_even_label,
+       count(*) FILTER (WHERE len(embedding) = 64) AS n_dim_ok
+FROM embeddings
+"""
+
+
+def q_delete_points(spark, sf_dir):
+    """Delete API resolution semantics (tombstone log): per id the latest
+    operation wins across writes AND deletes; a later write resurrects a
+    deleted id. Relational form of VectorCollection.delete — version 0
+    inserts all, version 1 tombstones vec_id%11==0, version 2 re-inserts
+    vec_id%33==0."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        F.lit(0).cast("long").alias("version"),
+        F.lit("u").alias("op"),
+    )
+    dels = emb.filter(F.col("vec_id") % 11 == 0).select(
+        "vec_id",
+        F.lit(None).cast("int").alias("label"),
+        F.lit(1).cast("long").alias("version"),
+        F.lit("d").alias("op"),
+    )
+    reins = emb.filter(F.col("vec_id") % 33 == 0).select(
+        "vec_id",
+        (F.col("label") + 200).cast("int").alias("label"),
+        F.lit(2).cast("long").alias("version"),
+        F.lit("u").alias("op"),
+    )
+    log = base.unionAll(dels).unionAll(reins)
+    return (
+        latest_wins(log, id_col="vec_id")
+        .filter(F.col("op") == "u")
+        .select("vec_id", "label", "version")
+    )
+
+
+_SQL_DELETE_POINTS = """
+WITH log AS (
+  SELECT vec_id, CAST(label AS INT) AS label, CAST(0 AS BIGINT) AS version, 'u' AS op
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id, NULL, CAST(1 AS BIGINT), 'd' FROM embeddings WHERE vec_id % 11 = 0
+  UNION ALL
+  SELECT vec_id, CAST(label + 200 AS INT), CAST(2 AS BIGINT), 'u'
+  FROM embeddings WHERE vec_id % 33 = 0
+),
+resolved AS (
+  SELECT * FROM log
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY version DESC) = 1
+)
+SELECT vec_id, label, version FROM resolved WHERE op = 'u'
+"""
+
+
+def q_range_join(spark, sf_dir):
+    """Non-equi (range) join: parts classified into literal price bands via
+    lo <= price < hi. The band side is broadcast, so the physical plan is a
+    BroadcastNestedLoopJoin over 3 rows — the scale-safe shape for
+    interval/banding joins (never a shuffle of the big side)."""
+    part = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 930.0), ("mid", 930.0, 970.0), ("premium", 970.0, 1e18)],
+        "band string, lo double, hi double",
+    )
+    return (
+        part.join(
+            F.broadcast(bands),
+            (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("p_retailprice").cast("decimal(38,6)")).cast("double"), 6
+            ).alias("sum_price"),
+        )
+        .orderBy("band")
+    )
+
+
+_SQL_RANGE_JOIN = """
+SELECT b.band, count(*) AS n,
+       round(CAST(sum(CAST(p.p_retailprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_price
+FROM part p
+JOIN (VALUES ('budget', 0.0, 930.0), ('mid', 930.0, 970.0),
+             ('premium', 970.0, 1e18)) b(band, lo, hi)
+  ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+GROUP BY b.band ORDER BY b.band
+"""
+
+
+def q_sliding_window(spark, sf_dir):
+    """Sliding event-time windows (1 hour window, 30 minute slide): each
+    event lands in exactly two overlapping windows — the streaming-native
+    window shape (F.window with slideDuration); oracle enumerates the two
+    30-minute-aligned starts per event."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+_SQL_SLIDING_WINDOW = """
+SELECT strftime(time_bucket(INTERVAL '30 minutes', ts) - k.k * INTERVAL '30 minutes',
+                '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type, count(*) AS n
+FROM events, (VALUES (0), (1)) k(k)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_quantize_int8(spark, sf_dir):
+    """Scalar int8 quantization of embeddings (Qdrant's quantization_config
+    / ScalarQuantization int8): per-vector symmetric scale 127/max|x|,
+    components rounded half-away-from-zero. 4x memory cut for ANN candidate
+    scoring; both engines compute the identical pure-double expression."""
+    emb = _t(spark, sf_dir, "embeddings")
+    embd = F.col("embedding").cast("array<double>")
+    mx = F.array_max(F.transform(embd, lambda x: F.abs(x)))
+    scale = F.when(mx > 0, F.lit(127.0) / mx).otherwise(F.lit(0.0))
+    q8 = F.transform(
+        embd,
+        lambda x: (
+            F.floor(F.abs(x) * scale + F.lit(0.5))
+            * F.when(x < 0, -1).otherwise(1)
+        ).cast("int"),
+    )
+    return emb.select("vec_id", micro6(scale).alias("scale_micro"), q8.alias("q8"))
+
+
+_SQL_QUANTIZE_INT8 = f"""
+WITH s AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS mx
+  FROM embeddings
+)
+SELECT vec_id,
+       {_micro_sql("CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END")} AS scale_micro,
+       list_transform(e, x -> CAST(
+           floor(abs(x) * (CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END) + 0.5)
+           * (CASE WHEN x < 0 THEN -1 ELSE 1 END) AS INT)) AS q8
+FROM s
+"""
+
+
+def q_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids (class prototypes — the aggregation
+    under IVF coarse quantizers and per-class ANN routing). Positional mean
+    with DECIMAL(38,6) sums; micro6 output (ratio of decimal-exact sum to a
+    count — the raw double would flake on .5 boundaries)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    )
+    return (
+        ex.groupBy("label", (F.col("pos") + 1).cast("long").alias("pos"))
+        .agg(
+            micro6(
+                F.sum(F.col("v").cast("decimal(38,6)")).cast("double") / F.count("*")
+            ).alias("c_micro")
+        )
+        .orderBy("label", "pos")
+    )
+
+
+_SQL_LABEL_CENTROIDS = f"""
+SELECT label, CAST(pos AS BIGINT) AS pos,
+       {_micro_sql("CAST(sum(dv) AS DOUBLE) / count(*)")} AS c_micro
+FROM (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(38,6)) AS dv
+  FROM embeddings
+)
+GROUP BY label, pos ORDER BY label, pos
+"""
+
+
+def q_mmr_rerank(spark, sf_dir):
+    """MMR diversity re-ranking over the top-20 cosine pool (rows-only: the
+    greedy argmax chain has no closed SQL form; known-answer + determinism
+    tests in tests/test_ann.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn.mmr_rerank(emb, RAW_QUERY_VEC, k=5, pool=20, lam=0.5)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1691,6 +1998,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_knn_ivf": q_knn_ivf,
     "q_knn_twophase": q_knn_twophase,
     "q_text_search": q_text_search,
+    # Qdrant client API parity beyond search
+    "q_recommend": q_recommend,
+    "q_scroll": q_scroll,
+    "q_count_filtered": q_count_filtered,
+    "q_delete_points": q_delete_points,
+    "q_mmr_rerank": q_mmr_rerank,
+    "q_quantize_int8": q_quantize_int8,
+    "q_label_centroids": q_label_centroids,
     # §2.C
     "q_normalize_scale": q_normalize_scale,
     "q_flatten": q_flatten,
@@ -1732,6 +2047,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_session_window": q_session_window,
     "q_salted_agg": q_salted_agg,
     "q_asof_join": q_asof_join,
+    "q_range_join": q_range_join,
+    "q_sliding_window": q_sliding_window,
     "q_downsample": q_downsample,
     "q_window_funcs": q_window_funcs,
     "q_pivot_events": q_pivot_events,
@@ -1804,7 +2121,15 @@ ORACLES: dict[str, str] = {
     "q_session_window": _SQL_SESSION_WINDOW,
     "q_salted_agg": _SQL_SALTED_AGG,
     "q_asof_join": _SQL_ASOF_JOIN,
+    "q_range_join": _SQL_RANGE_JOIN,
+    "q_sliding_window": _SQL_SLIDING_WINDOW,
     "q_downsample": _SQL_DOWNSAMPLE,
+    "q_recommend": _SQL_RECOMMEND,
+    "q_scroll": _SQL_SCROLL,
+    "q_count_filtered": _SQL_COUNT_FILTERED,
+    "q_delete_points": _SQL_DELETE_POINTS,
+    "q_quantize_int8": _SQL_QUANTIZE_INT8,
+    "q_label_centroids": _SQL_LABEL_CENTROIDS,
     "q_window_funcs": _SQL_WINDOW_FUNCS,
     "q_pivot_events": _SQL_PIVOT_EVENTS,
     "q_rollup_orders": _SQL_ROLLUP_ORDERS,
