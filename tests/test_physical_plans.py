@@ -84,3 +84,52 @@ def test_dedup_verify_broadcasts_token_map(spark, sf):
     from vector_database_spark.queries import q_dedup_minhash
 
     assert "BroadcastHashJoin" in plan_of(q_dedup_minhash(spark, sf))
+
+
+def test_range_join_broadcasts_band_side(spark, sf):
+    from vector_database_spark.queries import q_range_join
+
+    # the 3-row band side must broadcast: a nested-loop join that never
+    # shuffles the big (part) side
+    p = plan_of(q_range_join(spark, sf))
+    assert "BroadcastNestedLoopJoin" in p
+
+
+def test_chunk_text_is_map_only(spark, sf):
+    from vector_database_spark.queries import q_chunk_text
+
+    # chunking must stay a scan-speed generate/project pass — the only
+    # exchange allowed is the final presentation orderBy
+    from vector_database_spark.operators.textops import chunk_text
+    from vector_database_spark.sources.tables import read_table
+
+    p = plan_of(chunk_text(read_table(spark, sf, "documents")))
+    assert "Exchange" not in p
+    assert "Generate" in p  # posexplode
+    # and the doc_id<100 filter of the driver query reaches the scan
+    p2 = plan_of(q_chunk_text(spark, sf))
+    assert "PushedFilters: [" in p2
+    assert "doc_id" in p2.split("PushedFilters")[1][:120]
+
+
+def test_bm25_broadcasts_stats_sides(spark, sf):
+    from vector_database_spark.queries import q_bm25
+
+    p = plan_of(q_bm25(spark, sf))
+    # df + corpus-stats sides broadcast; top-k is TakeOrderedAndProject
+    assert "BroadcastExchange" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_quantize_int8_is_map_only(spark, sf):
+    from vector_database_spark.queries import q_quantize_int8
+
+    assert "Exchange" not in plan_of(q_quantize_int8(spark, sf))
+
+
+def test_recommend_broadcasts_query_vector(spark, sf):
+    from vector_database_spark.queries import q_recommend
+
+    p = plan_of(q_recommend(spark, sf))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "TakeOrderedAndProject" in p

@@ -83,3 +83,71 @@ def test_parse_instruction(spark):
     r = textops.parse_instruction(df).collect()[0]
     assert r["instruction"] == "translate this"
     assert r["response"] == "la traduzione"
+
+
+def test_chunk_text_overlap(spark):
+    from vector_database_spark.operators.textops import chunk_text
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(35))), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = chunk_text(docs, size=20, stride=15).orderBy("doc_id", "chunk_id").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 35 tokens → starts 0, 15, 30 → chunks of 20, 20, 5
+    assert [r["n_chunk_tokens"] for r in by_doc[1]] == [20, 20, 5]
+    # overlap: chunk 1 starts at token 15, so its first 5 tokens repeat
+    c0 = by_doc[1][0]["chunk_text"].split()
+    c1 = by_doc[1][1]["chunk_text"].split()
+    assert c0[15:] == c1[:5]
+    # short doc → one chunk; empty text → split('') yields [''] → one chunk
+    assert [r["n_chunk_tokens"] for r in by_doc[2]] == [2]
+    assert len(by_doc[3]) == 1
+
+
+def test_pack_sequences_bins(spark):
+    from vector_database_spark.operators.textops import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["t"] * 50)) for i in range(10)],  # 10 docs x 50 tokens
+        "doc_id long, text string",
+    )
+    rows = pack_sequences(docs, seq_len=128).collect()
+    # offsets 0,50,...,450; bin = floor(offset/128) → bins 0(3),1(3),2(2),3(2)
+    assert [(r["bin_id"], r["n_docs"], r["sum_tokens"]) for r in rows] == [
+        (0, 3, 150), (1, 3, 150), (2, 2, 100), (3, 2, 100),
+    ]
+
+
+def test_tfidf_known_answer(spark):
+    import math
+
+    from vector_database_spark.operators.textanalysis import tfidf
+
+    docs = spark.createDataFrame(
+        [(1, "x x y"), (2, "x z")], "doc_id long, text string"
+    )
+    got = {(r["doc_id"], r["token"]): (r["tf"], r["tfidf"]) for r in tfidf(docs).collect()}
+    # x appears in both docs → idf = ln(2/2) = 0
+    assert got[(1, "x")] == (2, 0.0) and got[(2, "x")] == (1, 0.0)
+    assert got[(1, "y")] == (1, round(math.log(2.0), 6))
+    assert got[(2, "z")] == (1, round(math.log(2.0), 6))
+
+
+def test_bm25_ranks_tf_and_rarity(spark):
+    from vector_database_spark.operators.textanalysis import bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark pad pad pad pad pad"),
+            (2, "spark pad pad pad pad pad pad pad"),
+            (3, "pad pad pad pad pad pad pad pad"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_search(docs, ["spark"], k=3).collect()
+    # only docs containing the term score; higher tf ranks first
+    assert [r["doc_id"] for r in rows] == [1, 2]
+    assert rows[0]["score"] > rows[1]["score"] > 0

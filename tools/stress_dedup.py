@@ -24,7 +24,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from vector_database_spark.operators import dedup  # noqa: E402
 from vector_database_spark.session import get_spark  # noqa: E402
 
-SIZES = [20_000, 100_000]
+SIZES = [20_000, 100_000, 500_000, 1_000_000]
 VOCAB = 20_000
 TOKENS_PER_DOC = 30
 
@@ -54,9 +54,15 @@ def main() -> None:
     spark = get_spark("stress-dedup")
     lines = [
         f"{TOKENS_PER_DOC} tokens/doc from a {VOCAB:,}-token vocabulary (hash-",
-        "synthesized), 1% planted near-duplicates. Candidates stay ~linear in",
-        "corpus size — the quadratic blowup in the bench numbers is a property",
-        "of the degenerate fixture corpus, not of the operator.",
+        "synthesized), 1% planted near-duplicates. Recall on planted dups is",
+        "100% at every size and wall-clock tracks the candidate count — the",
+        "verify stage is the honest O(|pairs|) work. Candidate growth bends",
+        f"superlinear past ~100k docs because the vocabulary is FIXED at",
+        f"{VOCAB:,} while the corpus grows (8-hash band signatures saturate by",
+        "birthday effect); a real corpus grows its vocabulary with size",
+        "(Heaps' law), keeping collisions near-linear. The bench-fixture",
+        "blowup (31-token vocab) is that same saturation taken to the",
+        "degenerate extreme.",
         "",
         "| docs | candidate pairs | verified pairs | planted found | wall s |",
         "|---|---|---|---|---|",

@@ -27,7 +27,9 @@ from pyspark.sql import functions as F  # noqa: E402
 from vector_database_spark.operators import knn  # noqa: E402
 from vector_database_spark.session import get_spark  # noqa: E402
 
-SIZES = [20_000, 100_000, 200_000]
+SIZES = [20_000, 100_000, 200_000, 1_000_000]
+WINDOW_MAX = 200_000  # the window plan is O(rows·queries) through a shuffle;
+                      # beyond this only the two-phase plan is timed
 K = 5
 N_QUERIES = 20
 
@@ -81,18 +83,22 @@ def main() -> None:
         )
         queries_list = [(r["vec_id"], list(r["embedding"])) for r in qrows]
 
-        t0 = time.perf_counter()
-        a = knn.knn_batch(queries_df, emb, k=K, payload_cols=())
-        a_rows = {(r["qid"], r["vec_id"]) for r in a.collect()}
-        t_window = time.perf_counter() - t0
+        if n <= WINDOW_MAX:
+            t0 = time.perf_counter()
+            a = knn.knn_batch(queries_df, emb, k=K, payload_cols=())
+            a_rows = {(r["qid"], r["vec_id"]) for r in a.collect()}
+            t_window = time.perf_counter() - t0
+        else:
+            a_rows, t_window = None, None
 
         t0 = time.perf_counter()
         b = knn.knn_batch_local_topk(queries_list, emb, k=K)
         b_rows = {(r["qid"], r["vec_id"]) for r in b.collect()}
         t_two = time.perf_counter() - t0
 
-        same = a_rows == b_rows
-        lines.append(f"| {n:,} | {t_window:.2f} | {t_two:.2f} | {same} |")
+        same = "True" if a_rows == b_rows else ("—" if a_rows is None else "False")
+        t_window_s = f"{t_window:.2f}" if t_window is not None else "— (not run)"
+        lines.append(f"| {n:,} | {t_window_s} | {t_two:.2f} | {same} |")
         print(lines[-1])
 
     lines += [

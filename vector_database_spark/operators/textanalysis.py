@@ -13,7 +13,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from vector_database_spark.functions.text import tokenize_ws
-from vector_database_spark.functions.vector import micro6
+from vector_database_spark.functions.vector import micro6, round6
 
 # Marker tokens per language for the n-gram/keyword language-ID heuristic.
 # The fixture corpus is synthetic, so markers are drawn from its vocabulary;
@@ -162,4 +162,95 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         )
         .orderBy("lang")
+    )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def tfidf(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_id: int | None = None,
+) -> DataFrame:
+    """TF-IDF per (doc, token): tf * ln(N / df), df computed over the FULL
+    corpus (``max_doc_id`` only bounds which docs are emitted, so the
+    statistics stay corpus-wide while the result set stays small).
+
+    Plan: one tokenize+explode scan → two aggregations (tf by (doc,token),
+    df by token) → broadcast join of the (vocabulary-sized) df side. The
+    heavy side shuffles once on (doc, token) — map-side combinable.
+    ln-derived score → round6 is cross-engine safe (FIXTURES rule 1).
+    """
+    toks = docs.select(id_col, F.explode(tokenize_ws(F.col(text_col))).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    df_ = toks.select(id_col, "token").distinct().groupBy("token").agg(
+        F.count("*").alias("df")
+    )
+    n_docs = docs.select(id_col).distinct().count()
+    out = tf.join(F.broadcast(df_), "token").select(
+        id_col,
+        "token",
+        "tf",
+        round6(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
+    )
+    if max_doc_id is not None:
+        out = out.filter(F.col(id_col) < max_doc_id)
+    return out.orderBy(id_col, "token")
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 keyword search (Robertson/Sparck Jones): top-k docs for a term
+    list — the lexical retrieval twin of the embedding k-NN surface (hybrid
+    search = this + knn.knn, fused by score or rank).
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf = ln(1 + (N − df + ½)/(df + ½)).
+
+    Determinism: per-term partial scores go through DECIMAL(38,6) before
+    the per-doc sum (order-free); avgdl = Σdl/N is exact-integer division
+    identical in both engines. Plan: explode once, tf agg, broadcast the
+    |terms|-row df side, top-k via TakeOrderedAndProject.
+    """
+    toks = docs.select(
+        id_col,
+        F.size(tokenize_ws(F.col(text_col))).cast("long").alias("dl"),
+        F.explode(tokenize_ws(F.col(text_col))).alias("token"),
+    ).filter(F.col("token").isin(list(query_terms)))
+    stats = docs.agg(
+        F.count("*").alias("n"),
+        F.sum(F.size(tokenize_ws(F.col(text_col))).cast("long")).alias("total_dl"),
+    )
+    tf = toks.groupBy(id_col, "token", "dl").agg(F.count("*").alias("tf"))
+    df_ = toks.select(id_col, "token").distinct().groupBy("token").agg(
+        F.count("*").alias("df")
+    )
+    joined = tf.join(F.broadcast(df_), "token").crossJoin(F.broadcast(stats))
+    avgdl = F.col("total_dl").cast("double") / F.col("n").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    term_score = (
+        idf
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl))
+    )
+    return (
+        joined.select(id_col, term_score.cast("decimal(38,6)").alias("ts"))
+        .groupBy(id_col)
+        .agg(F.round(F.sum("ts").cast("double"), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
     )

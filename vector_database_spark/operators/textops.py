@@ -172,3 +172,74 @@ def max_len_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("lang")
         .agg(F.max(F.size("tokens")).cast("long").alias("max_tokens"))
     )
+
+
+CHUNK_SIZE = 20
+CHUNK_STRIDE = 15  # 5-token overlap between consecutive chunks
+
+
+def chunk_text(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = CHUNK_SIZE,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Split each document into overlapping fixed-size token chunks — the
+    context-window chunking step of an LLM training/RAG pipeline (each chunk
+    becomes one training sample / one embedded retrieval unit).
+
+    Chunks start at token offsets 0, stride, 2*stride, … < n_tokens; each
+    takes ``size`` tokens (the last may be shorter). Pure array expressions
+    (sequence → posexplode → slice): map-only, no shuffle, whole-stage
+    codegen'd — at 100 TB this is a scan-speed pass.
+    """
+    toks = tokenize_ws(F.col(text_col))
+    n = F.size(toks)
+    # sequence() counts DOWN when start > stop — guard the empty-doc case
+    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    with_chunks = docs.select(
+        id_col, toks.alias("__toks"), F.posexplode(starts).alias("chunk_id", "start")
+    )
+    piece = F.slice(F.col("__toks"), F.col("start") + 1, size)
+    return with_chunks.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = SEQ_LEN,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Contiguous sequence packing: documents in id order are laid into
+    ``seq_len``-token bins by cumulative offset (bin = floor(start/seq_len))
+    — the packing step that turns ragged documents into fixed training
+    rows without padding waste.
+
+    Declared deterministic semantics: id-ordered offset packing (vs
+    first-fit, which is inherently sequential). The global running sum is a
+    single-partition window here; at scale pack per shard (hash(id) %
+    n_shards as a partition column) and offset each shard independently —
+    same bin quality, embarrassingly parallel.
+
+    Output: one row per bin: n_docs, sum_tokens (≈ bin utilization).
+    """
+    from pyspark.sql.window import Window
+
+    n_tok = F.size(tokenize_ws(F.col(text_col))).cast("long")
+    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
+    binned = docs.select(id_col, n_tok.alias("n_tok")).withColumn(
+        "bin_id", F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / seq_len)
+    )
+    return (
+        binned.groupBy("bin_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("sum_tokens"))
+        .orderBy("bin_id")
+    )

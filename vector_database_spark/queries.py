@@ -1968,6 +1968,117 @@ GROUP BY label, pos ORDER BY label, pos
 """
 
 
+def q_chunk_text(spark, sf_dir):
+    """Context-window chunking: overlapping fixed-size token chunks
+    (size 20, stride 15) per document — the unit-of-training-sample /
+    unit-of-retrieval splitter of an LLM data pipeline. Map-only sequence →
+    posexplode → slice; doc_id < 100 bounds the emitted set."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return textops.chunk_text(docs).orderBy("doc_id", "chunk_id")
+
+
+_SQL_CHUNK_TEXT = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk
+  FROM documents WHERE doc_id < 100
+),
+c AS (
+  SELECT doc_id, tk, unnest(range(0, len(tk), 15)) AS start FROM t
+)
+SELECT doc_id, CAST(start // 15 AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(tk, start + 1, start + 20)) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(list_slice(tk, start + 1, start + 20), ' ') AS chunk_text
+FROM c ORDER BY doc_id, chunk_id
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing: id-ordered documents laid into 128-token bins by
+    cumulative offset — fixed training rows without padding waste. Exact
+    integer window sum; per-bin utilization output."""
+    return textops.pack_sequences(_t(spark, sf_dir, "documents"))
+
+
+_SQL_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tok
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_tok,
+         CAST(floor((sum(n_tok) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tok) / {textops.SEQ_LEN}.0) AS BIGINT) AS bin_id
+  FROM t
+)
+SELECT bin_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+FROM b GROUP BY bin_id ORDER BY bin_id
+"""
+
+
+def q_tfidf(spark, sf_dir):
+    """TF-IDF per (doc, token), corpus-wide statistics, emitted for
+    doc_id < 50 (tf * ln(N/df); round6 — ln-derived)."""
+    return textanalysis.tfidf(_t(spark, sf_dir, "documents"), max_doc_id=50)
+
+
+_SQL_TFIDF = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM tok)
+SELECT t.doc_id, t.token, t.tf,
+       round(t.tf * ln(CAST(n.n AS DOUBLE) / d.df), 6) AS tfidf
+FROM tf t JOIN df d USING (token), n
+WHERE t.doc_id < 50
+ORDER BY t.doc_id, t.token
+"""
+
+_BM25_TERMS = ["spark", "join", "vector"]
+
+
+def q_bm25(spark, sf_dir):
+    """BM25 keyword search for ['spark','join','vector'], top-10 — the
+    lexical retrieval twin of the k-NN surface (hybrid search = both)."""
+    return textanalysis.bm25_search(_t(spark, sf_dir, "documents"), _BM25_TERMS)
+
+
+_SQL_BM25 = f"""
+WITH tok AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS dl,
+         unnest(string_split_regex(lower(text), '\\s+')) AS token
+  FROM documents
+),
+qt AS (SELECT * FROM tok WHERE token IN ('spark', 'join', 'vector')),
+tf AS (SELECT doc_id, token, dl, count(*) AS tf FROM qt GROUP BY doc_id, token, dl),
+df AS (SELECT token, count(DISTINCT doc_id) AS df FROM qt GROUP BY token),
+st AS (SELECT count(*) AS n,
+              CAST(sum(CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT)) AS BIGINT) AS total_dl
+       FROM documents),
+term AS (
+  SELECT t.doc_id,
+         CAST(
+           (ln(1.0 + (CAST(st.n AS DOUBLE) - d.df + 0.5) / (d.df + 0.5))
+            * (t.tf * {textanalysis.BM25_K1 + 1.0!r}))
+           / (t.tf + {textanalysis.BM25_K1!r}
+              * ({1.0 - textanalysis.BM25_B!r}
+                 + ({textanalysis.BM25_B!r} * CAST(t.dl AS DOUBLE))
+                   / (CAST(st.total_dl AS DOUBLE) / CAST(st.n AS DOUBLE))))
+         AS DECIMAL(38,6)) AS ts
+  FROM tf t JOIN df d USING (token), st
+)
+SELECT doc_id, round(CAST(sum(ts) AS DOUBLE), 6) AS score
+FROM term GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+
 def q_mmr_rerank(spark, sf_dir):
     """MMR diversity re-ranking over the top-20 cosine pool (rows-only: the
     greedy argmax chain has no closed SQL form; known-answer + determinism
@@ -2006,6 +2117,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_mmr_rerank": q_mmr_rerank,
     "q_quantize_int8": q_quantize_int8,
     "q_label_centroids": q_label_centroids,
+    # training-pipeline text ops (round 2)
+    "q_chunk_text": q_chunk_text,
+    "q_pack_sequences": q_pack_sequences,
+    "q_tfidf": q_tfidf,
+    "q_bm25": q_bm25,
     # §2.C
     "q_normalize_scale": q_normalize_scale,
     "q_flatten": q_flatten,
@@ -2130,6 +2246,10 @@ ORACLES: dict[str, str] = {
     "q_delete_points": _SQL_DELETE_POINTS,
     "q_quantize_int8": _SQL_QUANTIZE_INT8,
     "q_label_centroids": _SQL_LABEL_CENTROIDS,
+    "q_chunk_text": _SQL_CHUNK_TEXT,
+    "q_pack_sequences": _SQL_PACK_SEQUENCES,
+    "q_tfidf": _SQL_TFIDF,
+    "q_bm25": _SQL_BM25,
     "q_window_funcs": _SQL_WINDOW_FUNCS,
     "q_pivot_events": _SQL_PIVOT_EVENTS,
     "q_rollup_orders": _SQL_ROLLUP_ORDERS,
