@@ -45,6 +45,11 @@ BENCH_QUERIES = [
     "q_window_funcs",
     "q_downsample",
     "q_sessionize",
+    # round 2: retrieval + training-pipeline additions
+    "q_bm25",
+    "q_hybrid_rrf",
+    "q_chunk_text",
+    "q_hamming_knn",
 ]
 
 

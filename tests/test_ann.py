@@ -131,3 +131,52 @@ def test_mmr_rerank_deterministic(emb):
     # every MMR pick comes from the exact top-pool candidate set
     pool_ids = {r["vec_id"] for r in knn.knn(emb, RAW_QUERY_VEC, k=20).collect()}
     assert {t[1] for t in a} <= pool_ids
+
+
+def test_binary_code_words_known_answer():
+    from vector_database_spark.queries import _binary_code_words
+
+    vec = [0.0] * 64
+    vec[0] = 0.5    # bit 0 of w0
+    vec[31] = 0.1   # bit 31 of w0
+    vec[32] = 1.0   # bit 0 of w1
+    vec[63] = -1.0  # negative → not set
+    w0, w1 = _binary_code_words(vec)
+    assert w0 == (1 << 0) | (1 << 31)
+    assert w1 == 1
+
+
+def test_hamming_knn_self_distance_zero(spark, emb):
+    from vector_database_spark.queries import _binary_code_cols, _binary_code_words
+
+    w0c, w1c = _binary_code_cols()
+    codes = {r["vec_id"]: (r["w0"], r["w1"]) for r in
+             emb.select("vec_id", w0c.alias("w0"), w1c.alias("w1")).collect()}
+    # Spark-side codes agree with the Python twin used for the query literal
+    row = emb.filter(F.col("vec_id") == 0).collect()[0]
+    assert codes[0] == _binary_code_words([float(x) for x in row["embedding"]])
+
+
+def test_hybrid_rrf_fuses_both_legs(spark):
+    from vector_database_spark.operators.hybrid import hybrid_rrf
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark spark spark pad pad"),   # strong lexical
+            (1, "spark pad pad pad pad"),        # weak lexical, strong vector
+            (2, "spark pad pad pad pad pad"),    # weak both
+        ],
+        "doc_id long, text string",
+    )
+    embs = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [1.0, 0.0]), (2, [-1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    res = hybrid_rrf(docs, embs, ["spark"], [1.0, 0.0], k=3).collect()
+    by_id = {r["doc_id"]: r for r in res}
+    # doc 0: rank_lex 1, rank_vec 2 → rrf = 1/61 + 1/62
+    # doc 1: rank_lex 2, rank_vec 1 → same rrf, tie broken by id → doc 0 first
+    assert res[0]["doc_id"] == 0 and res[1]["doc_id"] == 1
+    assert by_id[0]["rrf"] == by_id[1]["rrf"]
+    assert by_id[2]["rank_lex"] == 3 and by_id[2]["rank_vec"] == 3
+    assert res[2]["doc_id"] == 2

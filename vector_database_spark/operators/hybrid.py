@@ -1,0 +1,74 @@
+"""Hybrid search: lexical (BM25) + vector (cosine) fused by Reciprocal
+Rank Fusion (Cormack et al. 2009: score = Σ 1/(rrf_k + rank_i)).
+
+Modern vector databases (Qdrant included, via its Query API prefetch +
+fusion) expose exactly this shape: a keyword leg and an embedding leg,
+fused on rank rather than on incomparable raw scores. The reference's
+search surface is the vector leg (vector_db_query.py:78-82); BM25
+(operators/textanalysis.py) is the lexical leg; this module is the fusion.
+
+Scale shape: the candidate set is the BM25-scored docs (docs containing at
+least one query term — explode + filter prunes everything else at the
+scan), joined 1:1 to their embeddings. Both rank windows run over that
+candidate set, which is query-bounded, not corpus-bounded; the join to
+embeddings shuffles only candidates. Determinism: round6 scores, id
+tie-breaks, ranks as BIGINT, RRF terms added in fixed expression order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from vector_database_spark.functions.vector import cosine, round6
+from vector_database_spark.operators.textanalysis import bm25_search
+
+RRF_K = 60
+
+
+def hybrid_rrf(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec: list[float] | Column,
+    k: int = 10,
+    doc_id_col: str = "doc_id",
+    emb_id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """Top-k docs by RRF over (BM25 rank, cosine rank).
+
+    Output: (doc_id, rank_lex, rank_vec, rrf) ordered by rrf desc, id.
+    Both ranks are computed over the same candidate set (BM25-scored docs
+    that have an embedding) so every candidate appears in both lists.
+    """
+    if isinstance(query_vec, (list, tuple)):
+        query_vec = F.array(*[F.lit(float(x)) for x in query_vec]).cast(
+            "array<double>"
+        )
+    lex = bm25_search(docs, query_terms, k=None, id_col=doc_id_col)
+    cand = lex.join(
+        embeddings.select(
+            F.col(emb_id_col).alias(doc_id_col),
+            round6(cosine(F.col(emb_col), query_vec)).alias("cos"),
+        ),
+        doc_id_col,
+    )
+    w_lex = Window.orderBy(F.col("score").desc(), F.col(doc_id_col).asc())
+    w_vec = Window.orderBy(F.col("cos").desc(), F.col(doc_id_col).asc())
+    ranked = cand.select(
+        doc_id_col,
+        F.row_number().over(w_lex).cast("long").alias("rank_lex"),
+        F.row_number().over(w_vec).cast("long").alias("rank_vec"),
+    )
+    rrf = round6(
+        F.lit(1.0) / (F.lit(rrf_k) + F.col("rank_lex"))
+        + F.lit(1.0) / (F.lit(rrf_k) + F.col("rank_vec"))
+    )
+    return (
+        ranked.select(doc_id_col, "rank_lex", "rank_vec", rrf.alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col(doc_id_col).asc())
+        .limit(k)
+    )

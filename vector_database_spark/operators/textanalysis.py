@@ -204,7 +204,7 @@ def tfidf(
 def bm25_search(
     docs: DataFrame,
     query_terms: list[str],
-    k: int = 10,
+    k: int | None = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
     k1: float = BM25_K1,
@@ -247,10 +247,11 @@ def bm25_search(
         * (F.col("tf") * (k1 + 1.0))
         / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl))
     )
-    return (
+    out = (
         joined.select(id_col, term_score.cast("decimal(38,6)").alias("ts"))
         .groupBy(id_col)
         .agg(F.round(F.sum("ts").cast("double"), 6).alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
-        .limit(k)
     )
+    # k=None returns every scored doc (the candidate set for hybrid fusion)
+    return out if k is None else out.limit(k)

@@ -2047,8 +2047,8 @@ def q_bm25(spark, sf_dir):
     return textanalysis.bm25_search(_t(spark, sf_dir, "documents"), _BM25_TERMS)
 
 
-_SQL_BM25 = f"""
-WITH tok AS (
+# shared BM25 CTE chain (used by q_bm25 and q_hybrid_rrf oracles)
+_BM25_CTES = f"""tok AS (
   SELECT doc_id,
          CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS dl,
          unnest(string_split_regex(lower(text), '\\s+')) AS token
@@ -2071,11 +2071,161 @@ term AS (
                    / (CAST(st.total_dl AS DOUBLE) / CAST(st.n AS DOUBLE))))
          AS DECIMAL(38,6)) AS ts
   FROM tf t JOIN df d USING (token), st
-)
-SELECT doc_id, round(CAST(sum(ts) AS DOUBLE), 6) AS score
-FROM term GROUP BY doc_id
+),
+bm25 AS (
+  SELECT doc_id, round(CAST(sum(ts) AS DOUBLE), 6) AS score
+  FROM term GROUP BY doc_id
+)"""
+
+_SQL_BM25 = f"""
+WITH {_BM25_CTES}
+SELECT doc_id, score FROM bm25
 ORDER BY score DESC, doc_id
 LIMIT 10
+"""
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid search: BM25 leg + cosine leg fused by Reciprocal Rank Fusion
+    (Qdrant Query-API prefetch+fusion shape). Candidate set = BM25-scored
+    docs joined 1:1 to embeddings on id."""
+    from vector_database_spark.operators.hybrid import hybrid_rrf
+
+    return hybrid_rrf(
+        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "embeddings"),
+        _BM25_TERMS,
+        RAW_QUERY_VEC,
+        k=10,
+    )
+
+
+_SQL_HYBRID_RRF = f"""
+WITH {_BM25_CTES},
+j AS (
+  SELECT b.doc_id, b.score,
+         {_cos_sql('e.embedding', _RAW_VEC_SQL)} AS cos
+  FROM bm25 b JOIN embeddings e ON e.vec_id = b.doc_id
+),
+r AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_lex,
+         CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS rank_vec
+  FROM j
+)
+SELECT doc_id, rank_lex, rank_vec,
+       round(1.0 / (60 + rank_lex) + 1.0 / (60 + rank_vec), 6) AS rrf
+FROM r
+ORDER BY rrf DESC, doc_id
+LIMIT 10
+"""
+
+
+def _binary_code_words(vec: list[float]) -> tuple[int, int]:
+    """Python twin of the binary quantizer: bit j of word k set iff
+    component 32k+j > 0 (used to inline the query code as literals)."""
+    words = []
+    for wk in range(2):
+        w = 0
+        for j in range(32):
+            if vec[wk * 32 + j] > 0.0:
+                w |= 1 << j
+        words.append(w)
+    return words[0], words[1]
+
+
+def _binary_code_cols():
+    """(w0, w1) columns: 64-d embedding → two 32-bit sign-bit words.
+    Σ 2^j·[v>0] in exact-integer double arithmetic (order-free)."""
+    embd = F.col("embedding").cast("array<double>")
+
+    def word(k: int):
+        bits = F.zip_with(
+            F.slice(embd, k * 32 + 1, 32),
+            F.sequence(F.lit(0), F.lit(31)),
+            lambda v, j: F.when(v > 0.0, F.pow(F.lit(2.0), j.cast("double"))).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        return F.aggregate(bits, F.lit(0.0), lambda a, x: a + x).cast("long")
+
+    return word(0), word(1)
+
+
+def q_quantize_binary(spark, sf_dir):
+    """Binary quantization (Qdrant BinaryQuantization twin): 64-d float
+    embedding → 64 sign bits packed into two BIGINT words — 32x smaller,
+    Hamming-comparable. Map-only expression pass."""
+    emb = _t(spark, sf_dir, "embeddings")
+    w0, w1 = _binary_code_cols()
+    return emb.select("vec_id", w0.alias("w0"), w1.alias("w1"))
+
+
+_SQL_QUANTIZE_BINARY = """
+WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT vec_id,
+       CAST(list_sum(list_transform(range(0, 32),
+            j -> CASE WHEN e[j + 1] > 0.0 THEN 2.0 ** j ELSE 0.0 END)) AS BIGINT) AS w0,
+       CAST(list_sum(list_transform(range(0, 32),
+            j -> CASE WHEN e[j + 33] > 0.0 THEN 2.0 ** j ELSE 0.0 END)) AS BIGINT) AS w1
+FROM s
+"""
+
+
+def q_hamming_knn(spark, sf_dir):
+    """ANN over binary codes: top-5 by Hamming distance to the query's
+    sign-bit code (XOR + popcount on two words — the candidate-generation
+    stage of binary-quantized search; exact re-rank follows on the
+    shortlist). TakeOrderedAndProject over a map-only projection."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q0, q1 = _binary_code_words(RAW_QUERY_VEC)
+    w0, w1 = _binary_code_cols()
+    ham = (
+        F.bit_count(w0.bitwiseXOR(F.lit(q0))) + F.bit_count(w1.bitwiseXOR(F.lit(q1)))
+    ).cast("long")
+    return (
+        emb.select("vec_id", "label", ham.alias("hamming"))
+        .orderBy(F.col("hamming").asc(), F.col("vec_id").asc())
+        .limit(5)
+    )
+
+
+def _sql_hamming_knn() -> str:
+    q0, q1 = _binary_code_words(RAW_QUERY_VEC)
+    return f"""
+WITH s AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+c AS (
+  SELECT vec_id, label,
+         CAST(list_sum(list_transform(range(0, 32),
+              j -> CASE WHEN e[j + 1] > 0.0 THEN 2.0 ** j ELSE 0.0 END)) AS BIGINT) AS w0,
+         CAST(list_sum(list_transform(range(0, 32),
+              j -> CASE WHEN e[j + 33] > 0.0 THEN 2.0 ** j ELSE 0.0 END)) AS BIGINT) AS w1
+  FROM s
+)
+SELECT vec_id, label,
+       CAST(bit_count(xor(w0, {q0})) + bit_count(xor(w1, {q1})) AS BIGINT) AS hamming
+FROM c
+ORDER BY hamming ASC, vec_id ASC
+LIMIT 5
+"""
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic ~20% corpus sample via the portable hash family
+    (hash(id) % 5 == 0): reproducible cross-engine subsampling for
+    training-data curation — the same mechanism as the 90/10 split (D8),
+    parameterized by modulus. Uniform per label, so strata keep their
+    proportions."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from vector_database_spark.functions.hashing import seeded_hash
+
+    keep = F.pmod(seeded_hash(F.col("vec_id").cast("string"), 77), F.lit(5)) == 0
+    return emb.filter(keep).select("vec_id", "label")
+
+
+_SQL_SAMPLE_STRATIFIED = f"""
+SELECT vec_id, label FROM embeddings
+WHERE {seeded_hash_sql("CAST(vec_id AS VARCHAR)", 77)} % 5 = 0
 """
 
 
@@ -2122,6 +2272,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pack_sequences": q_pack_sequences,
     "q_tfidf": q_tfidf,
     "q_bm25": q_bm25,
+    "q_hybrid_rrf": q_hybrid_rrf,
+    "q_quantize_binary": q_quantize_binary,
+    "q_hamming_knn": q_hamming_knn,
+    "q_sample_stratified": q_sample_stratified,
     # §2.C
     "q_normalize_scale": q_normalize_scale,
     "q_flatten": q_flatten,
@@ -2250,6 +2404,10 @@ ORACLES: dict[str, str] = {
     "q_pack_sequences": _SQL_PACK_SEQUENCES,
     "q_tfidf": _SQL_TFIDF,
     "q_bm25": _SQL_BM25,
+    "q_hybrid_rrf": _SQL_HYBRID_RRF,
+    "q_quantize_binary": _SQL_QUANTIZE_BINARY,
+    "q_hamming_knn": _sql_hamming_knn(),
+    "q_sample_stratified": _SQL_SAMPLE_STRATIFIED,
     "q_window_funcs": _SQL_WINDOW_FUNCS,
     "q_pivot_events": _SQL_PIVOT_EVENTS,
     "q_rollup_orders": _SQL_ROLLUP_ORDERS,
