@@ -211,3 +211,23 @@ def test_recommend_average_vector(catalog, spark):
     assert 1 not in ids and 3 not in ids
     with pytest.raises(KeyError, match="not found"):
         col.recommend(positive=[99])
+
+
+def test_time_travel_versions(catalog, spark):
+    col = catalog.create_collection("tt1", dim=2)
+    v1 = col.upsert(_points(spark, [(1, [1, 0], 0), (2, [0, 1], 1)]))
+    v2 = col.upsert(_points(spark, [(2, [1, 1], 9)]))       # replace id=2
+    v3 = col.delete(point_ids=[1])
+    assert (v1, v2, v3) == (1, 2, 3)
+    # current: id=1 deleted, id=2 at label 9
+    assert {r["id"]: r["payload"]["label"] for r in col.df().collect()} == {2: "9"}
+    # as of v2: both live, id=2 already replaced
+    assert {r["id"]: r["payload"]["label"] for r in col.df(as_of_version=2).collect()} == {
+        1: "0", 2: "9",
+    }
+    # as of v1: the original two rows
+    assert {r["id"]: r["payload"]["label"] for r in col.df(as_of_version=1).collect()} == {
+        1: "0", 2: "1",
+    }
+    # as of v0: empty collection
+    assert col.df(as_of_version=0).count() == 0

@@ -200,3 +200,26 @@ def test_foreachbatch_upsert_into_collection(spark, tmp_path):
     # payload carried through
     row = col.df().filter(F.col("id") == 0).collect()[0]
     assert "event_type" in row["payload"]
+
+
+def test_stateful_topk_matches_batch_window(spark):
+    from pyspark.sql.window import Window
+
+    got = {
+        r["event_type"]: (list(r["top_ids"]), list(r["top_values_micro"]))
+        for r in se.stateful_topk(spark, SF_SMALL).collect()
+    }
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    batch = (
+        read_table(spark, SF_SMALL, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+    expect: dict = {}
+    for r in batch.orderBy("event_type", "rn").collect():
+        ids, micros = expect.setdefault(r["event_type"], ([], []))
+        ids.append(r["event_id"])
+        micros.append(int(r["value"] * 1e6 + 0.5))
+    assert got == expect

@@ -43,6 +43,25 @@ NOTES = {
         "(persisted), band self-join, verify stage as BroadcastHashJoins "
         "against the doc->token-set map (candidate pairs never shuffle)."
     ),
+    "q_range_join": (
+        "Non-equi band join. Wants: BroadcastNestedLoopJoin with the 3-row "
+        "band side broadcast — the big (part) side is never shuffled; "
+        "map-side partial aggregation after."
+    ),
+    "q_hybrid_rrf": (
+        "Hybrid RRF fusion. Wants: term-pruned BM25 candidate set, broadcast "
+        "df/stats sides, embeddings joined only for candidates; rank windows "
+        "run over the query-bounded candidate set, not the corpus."
+    ),
+    "q_hamming_knn": (
+        "Binary-quantized ANN candidate stage. Wants: map-only code "
+        "projection (no Exchange before the top-k) and TakeOrderedAndProject "
+        "for the global top-5 — XOR+popcount per row, no index."
+    ),
+    "q_chunk_text": (
+        "Context-window chunking. Wants: pushed doc_id filter, Generate "
+        "(posexplode) with NO Exchange — a scan-speed map-only pass."
+    ),
     "q_event_window": (
         "Tumbling-window agg. Wants: pruned scan, partial agg, single "
         "exchange on the (hour, event_type) keys."

@@ -181,7 +181,7 @@ class VectorCollection:
     def _tombstone_path(self) -> str:
         return self.path + "__tombstones"
 
-    def _resolved_df(self) -> DataFrame:
+    def _resolved_df(self, as_of_version: int | None = None) -> DataFrame:
         """Latest-wins rows minus deleted points, with norm/bucket intact.
 
         Deletes are log-structured tombstones (id, version) in a side
@@ -191,25 +191,33 @@ class VectorCollection:
         latest tombstone version (a later upsert resurrects the id). The
         tombstone side is tiny relative to the collection, so the anti-join
         broadcasts.
+
+        ``as_of_version`` gives time travel for free from the same log
+        (Delta-style VERSION AS OF): resolve considering only operations
+        with version <= as_of_version. Note ``compact()`` folds history and
+        forfeits older versions — the usual retention trade-off.
         """
-        rows = latest_wins(self._raw_df(), id_col="id", version_col="version")
+        raw = self._raw_df()
+        if as_of_version is not None:
+            raw = raw.filter(F.col("version") <= as_of_version)
+        rows = latest_wins(raw, id_col="id", version_col="version")
         if not os.path.exists(self._tombstone_path):
             return rows
         spark = self.catalog.spark
-        tombs = (
-            spark.read.parquet(self._tombstone_path)
-            .groupBy("id")
-            .agg(F.max("version").alias("__del_v"))
-        )
+        tombs = spark.read.parquet(self._tombstone_path)
+        if as_of_version is not None:
+            tombs = tombs.filter(F.col("version") <= as_of_version)
+        tombs = tombs.groupBy("id").agg(F.max("version").alias("__del_v"))
         return (
             rows.join(F.broadcast(tombs), "id", "left")
             .filter(F.col("__del_v").isNull() | (F.col("version") > F.col("__del_v")))
             .drop("__del_v")
         )
 
-    def df(self) -> DataFrame:
-        """Current state of the collection (latest version of each id)."""
-        return self._resolved_df().drop("norm", "bucket")
+    def df(self, as_of_version: int | None = None) -> DataFrame:
+        """State of the collection: latest version of each live id, or the
+        state as of an earlier version (time travel over the write log)."""
+        return self._resolved_df(as_of_version).drop("norm", "bucket")
 
     def get(self, point_id: int):
         """Point lookup by id. The bucket predicate prunes the scan to one

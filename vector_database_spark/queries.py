@@ -1621,6 +1621,28 @@ FROM events GROUP BY event_type
 """
 
 
+def q_stateful_topk(spark, sf_dir):
+    """Custom stateful streaming op (explicit per-key state): running
+    top-3 (value, event_id) per event_type. The top-k merge is
+    order-independent, so the stream's final state matches the batch
+    window twin exactly — fully oracle-checked."""
+    return streaming_events.stateful_topk(spark, sf_dir)
+
+
+_SQL_STATEFUL_TOPK = f"""
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events
+)
+SELECT event_type,
+       list(event_id ORDER BY rn) AS top_ids,
+       list({_micro_sql('value')} ORDER BY rn) AS top_values_micro
+FROM ranked WHERE rn <= 3 GROUP BY event_type
+"""
+
+
 def q_knn_twophase(spark, sf_dir):
     """B5 at scale: two-phase batch k-NN (map-side local top-k heaps via a
     BLAS matmul, then a k·P-row global window). Rows-only: numpy float64
@@ -2340,6 +2362,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # streaming
     "q_stream_event_window": q_stream_event_window,
     "q_stateful_totals": q_stateful_totals,
+    "q_stateful_topk": q_stateful_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -2426,4 +2449,5 @@ ORACLES: dict[str, str] = {
     "q_frame_sample": _SQL_FRAME_SAMPLE,
     "q_stream_event_window": _SQL_STREAM_EVENT_WINDOW,
     "q_stateful_totals": _SQL_STATEFUL_TOTALS,
+    "q_stateful_topk": _SQL_STATEFUL_TOPK,
 }

@@ -178,6 +178,100 @@ def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stateful_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Custom stateful streaming operator: a running top-k (value, event_id)
+    per event_type maintained in explicit state across micro-batches — a
+    per-key leaderboard no built-in streaming aggregate expresses.
+
+    The merge is order-independent (top-k under (value DESC, event_id ASC)
+    is a semilattice join), so the final state equals the batch window twin
+    exactly and the operator is fully oracle-checkable. Values are emitted
+    in micro6 units; the latest emission per key is selected by the largest
+    processed-row count, never physical sink order.
+
+    Implementation note: written against applyInPandasWithState. The Spark
+    4 successor API (transformWithStateInPandas) exists in this PySpark but
+    its driver worker hard-imports google.protobuf, which this container
+    ships broken (`cannot import name 'descriptor'`) — and installs are
+    out of scope — so the v1 API is the portable choice here; the operator
+    body would be identical in a StatefulProcessor.handleInputRows.
+    """
+    import math
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("n_seen", T.LongType()),
+            T.StructField("top_ids", T.ArrayType(T.LongType())),
+            T.StructField("top_values_micro", T.ArrayType(T.LongType())),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ids", T.ArrayType(T.LongType())),
+            T.StructField("micros", T.ArrayType(T.LongType())),
+            T.StructField("vals", T.ArrayType(T.DoubleType())),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            ids, micros, vals, n = state.get
+            ids, micros, vals = list(ids), list(micros), list(vals)
+        else:
+            ids, micros, vals, n = [], [], [], 0
+        best = list(zip(vals, ids, micros))
+        for pdf in pdfs:
+            n += len(pdf)
+            for v, i in zip(pdf["value"], pdf["event_id"]):
+                v = float(v)
+                best.append((v, int(i), math.floor(v * 1e6 + 0.5)))
+        # (-value, id) ascending == (value DESC, id ASC) — the exact order
+        # the batch window twin uses
+        best.sort(key=lambda t: (-t[0], t[1]))
+        best = best[:k]
+        state.update(
+            ([b[1] for b in best], [b[2] for b in best], [b[0] for b in best], n)
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_seen": [n],
+                "top_ids": [[b[1] for b in best]],
+                "top_values_micro": [[b[2] for b in best]],
+            }
+        )
+
+    name = "topk_out_" + uuid.uuid4().hex[:8]
+    q = (
+        read_events_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", "NoTimeout"
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.col("n_seen").desc())
+    return (
+        spark.table(name)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("event_type", "top_ids", "top_values_micro")
+    )
+
+
 def stream_upsert_collection(spark: SparkSession, sf_dir: str, collection) -> int:
     """foreachBatch upsert: each micro-batch becomes a versioned upsert into
     a VectorCollection (streaming twin of the reference's batched ingest,
