@@ -180,3 +180,31 @@ def test_hybrid_rrf_fuses_both_legs(spark):
     assert by_id[0]["rrf"] == by_id[1]["rrf"]
     assert by_id[2]["rank_lex"] == 3 and by_id[2]["rank_vec"] == 3
     assert res[2]["doc_id"] == 2
+
+
+def test_pq_rerank_recall_at_5(spark, emb):
+    books = ann.pq_train(emb)
+    codes = ann.pq_encode(emb, books).persist()
+    codes.count()
+    hits = total = 0
+    for qid, qv in _query_vecs(emb, n=10):
+        exact = {r["vec_id"] for r in knn.knn(emb, qv, k=5, metric="euclid").collect()}
+        approx = {
+            r["vec_id"]
+            for r in ann.pq_knn_rerank(codes, books, emb, qv, k=5).collect()
+        }
+        hits += len(exact & approx)
+        total += 5
+    codes.unpersist()
+    recall = hits / total
+    assert recall >= 0.6, f"PQ+rerank recall@5 = {recall}"
+
+
+def test_pq_codes_shape_and_determinism(spark, emb):
+    books = ann.pq_train(emb)
+    assert books.shape == (8, 16, 8)
+    books2 = ann.pq_train(emb)
+    assert (books == books2).all()  # seeded training is bit-reproducible
+    codes = ann.pq_encode(emb, books)
+    row = codes.first()
+    assert len(row["code"]) == 8 and all(0 <= c < 16 for c in row["code"])

@@ -1691,6 +1691,17 @@ def q_knn_ivf(spark, sf_dir):
     return ann.ivf_knn(assigned, centroids, RAW_QUERY_VEC, k=5, nprobe=3)
 
 
+def q_knn_pq(spark, sf_dir):
+    """B8: approximate top-k via product quantization, two-stage: ADC over
+    8-byte codes (literal lookup-table expression, no float vectors read)
+    shortlists 50, then exact L2 re-rank on the shortlist only. Rows-only;
+    recall gate in tests/test_ann.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = ann.pq_train(emb)
+    codes = ann.pq_encode(emb, books)
+    return ann.pq_knn_rerank(codes, books, emb, RAW_QUERY_VEC, k=5)
+
+
 # ---------------------------------------------------------------------------
 # Qdrant client API parity beyond search (recommend/scroll/count/delete) +
 # round-2 scale operators (range join, sliding windows, quantization,
@@ -2251,6 +2262,56 @@ WHERE {seeded_hash_sql("CAST(vec_id AS VARCHAR)", 77)} % 5 = 0
 """
 
 
+_MIX_HIGH = tuple(f"src{i}" for i in range(5))   # keep 4/4
+_MIX_MID = tuple(f"src{i}" for i in range(5, 10))  # keep 2/4
+
+
+def q_interleave_sources(spark, sf_dir):
+    """Training-data mixture weighting: per-source downsampling rates
+    (src0-4 keep 100%, src5-9 keep 50%, rest keep 25%) applied with the
+    portable hash so the mixture is reproducible cross-engine — the source
+    interleaving/reweighting stage of corpus assembly. Output: per-source
+    kept/total counts."""
+    from vector_database_spark.functions.hashing import seeded_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    h = F.pmod(
+        seeded_hash(
+            F.concat(F.col("source"), F.lit(":"), F.col("doc_id").cast("string")), 88
+        ),
+        F.lit(4),
+    )
+    tier = (
+        F.when(F.col("source").isin(*_MIX_HIGH), 4)
+        .when(F.col("source").isin(*_MIX_MID), 2)
+        .otherwise(1)
+    )
+    return (
+        docs.withColumn("keep", h < tier)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_INTERLEAVE_SOURCES = f"""
+WITH t AS (
+  SELECT source,
+         {seeded_hash_sql("source || ':' || CAST(doc_id AS VARCHAR)", 88)} % 4 AS h,
+         CASE WHEN source IN {tuple(_MIX_HIGH)} THEN 4
+              WHEN source IN {tuple(_MIX_MID)} THEN 2
+              ELSE 1 END AS tier
+  FROM documents
+)
+SELECT source, count(*) AS n_total,
+       count(*) FILTER (WHERE h < tier) AS n_kept
+FROM t GROUP BY source ORDER BY source
+"""
+
+
 def q_mmr_rerank(spark, sf_dir):
     """MMR diversity re-ranking over the top-20 cosine pool (rows-only: the
     greedy argmax chain has no closed SQL form; known-answer + determinism
@@ -2279,6 +2340,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dot_euclid": q_dot_euclid,
     "q_knn_lsh": q_knn_lsh,
     "q_knn_ivf": q_knn_ivf,
+    "q_knn_pq": q_knn_pq,
     "q_knn_twophase": q_knn_twophase,
     "q_text_search": q_text_search,
     # Qdrant client API parity beyond search
@@ -2298,6 +2360,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_quantize_binary": q_quantize_binary,
     "q_hamming_knn": q_hamming_knn,
     "q_sample_stratified": q_sample_stratified,
+    "q_interleave_sources": q_interleave_sources,
     # §2.C
     "q_normalize_scale": q_normalize_scale,
     "q_flatten": q_flatten,
@@ -2431,6 +2494,7 @@ ORACLES: dict[str, str] = {
     "q_quantize_binary": _SQL_QUANTIZE_BINARY,
     "q_hamming_knn": _sql_hamming_knn(),
     "q_sample_stratified": _SQL_SAMPLE_STRATIFIED,
+    "q_interleave_sources": _SQL_INTERLEAVE_SOURCES,
     "q_window_funcs": _SQL_WINDOW_FUNCS,
     "q_pivot_events": _SQL_PIVOT_EVENTS,
     "q_rollup_orders": _SQL_ROLLUP_ORDERS,
