@@ -223,3 +223,51 @@ def test_stateful_topk_matches_batch_window(spark):
         ids.append(r["event_id"])
         micros.append(int(r["value"] * 1e6 + 0.5))
     assert got == expect
+
+
+def test_stream_stream_join_within_watermark(spark, tmp_path):
+    """Stream-stream inner join: click events join view events of the same
+    user within a time bound — both sides watermarked so Spark can evict
+    join state (the last streaming primitive the presence map lists)."""
+    from datetime import datetime
+
+    b0 = [(1, datetime(2024, 1, 1, 0, 0), 10, "view", 1.0, "{}"),
+          (2, datetime(2024, 1, 1, 0, 2), 10, "click", 1.0, "{}"),
+          (3, datetime(2024, 1, 1, 0, 5), 20, "view", 1.0, "{}")]
+    b1 = [(4, datetime(2024, 1, 1, 0, 30), 20, "click", 1.0, "{}"),  # 25 min after view: outside bound
+          (5, datetime(2024, 1, 1, 0, 6), 20, "click", 1.0, "{}")]   # 1 min after: inside
+    src = _write_event_files(spark, tmp_path, [b0, b1])
+
+    import uuid
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    views = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        .filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"),
+                F.col("event_id").alias("v_id"))
+        .withWatermark("v_ts", "1 hour")
+    )
+    clicks = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+                F.col("event_id").alias("c_id"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            "v_user = c_user AND c_ts >= v_ts AND c_ts <= v_ts + interval 10 minutes"
+        ),
+    )
+    name = "ssj_" + uuid.uuid4().hex[:8]
+    q = (
+        joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    pairs = {(r["v_id"], r["c_id"]) for r in spark.table(name).collect()}
+    # view 1 → click 2 (2 min later, same user); view 3 → click 5 (1 min);
+    # click 4 is 25 min after view 3 — outside the 10-minute bound
+    assert pairs == {(1, 2), (3, 5)}
