@@ -231,3 +231,29 @@ def test_time_travel_versions(catalog, spark):
     }
     # as of v0: empty collection
     assert col.df(as_of_version=0).count() == 0
+
+
+def test_concurrent_upserts_mint_distinct_versions(catalog, spark):
+    """Two handles upserting concurrently must never mint the same version
+    (the flock critical section around mint→write→bump)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    catalog.create_collection("cc1", dim=2)
+    h1 = catalog.collection("cc1")
+    h2 = catalog.collection("cc1")
+
+    def work(handle, base):
+        return [
+            handle.upsert(_points(spark, [(base + i, [1, float(i + 1)], 0)]))
+            for i in range(3)
+        ]
+
+    with ThreadPoolExecutor(2) as ex:
+        f1 = ex.submit(work, h1, 100)
+        f2 = ex.submit(work, h2, 200)
+        v1, v2 = f1.result(), f2.result()
+    versions = v1 + v2
+    assert len(set(versions)) == 6, f"duplicate versions minted: {versions}"
+    assert sorted(versions) == [1, 2, 3, 4, 5, 6]
+    # every point ingested exactly once, all visible
+    assert catalog.collection("cc1").count() == 6

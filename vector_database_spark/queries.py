@@ -2262,6 +2262,84 @@ WHERE {seeded_hash_sql("CAST(vec_id AS VARCHAR)", 77)} % 5 = 0
 """
 
 
+def q_pipeline_e2e(spark, sf_dir):
+    """End-to-end training-data assembly, one composed plan: quality filter
+    (quality_micro >= 0.5) → exact dedup (md5, keep lowest id) → context-
+    window chunking → offset packing of the chunks into 128-token bins →
+    per-bin utilization. Every stage is an already-oracle-proven operator;
+    this query proves they COMPOSE (the pipeline a 100 TB corpus build
+    actually runs, end to end, in a single Catalyst plan)."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    kept_ids = (
+        textanalysis.quality_score(docs)
+        .filter(F.col("quality_micro") >= 500_000)
+        .select("doc_id")
+    )
+    kept = docs.join(kept_ids, "doc_id")
+    deduped = dedup.exact_dedup(kept).select("doc_id", "text")
+    chunks = textops.chunk_text(deduped)
+    w = Window.orderBy("doc_id", "chunk_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    binned = chunks.withColumn(
+        "bin_id",
+        F.floor(
+            (F.sum("n_chunk_tokens").over(w) - F.col("n_chunk_tokens")) / textops.SEQ_LEN
+        ),
+    )
+    return (
+        binned.groupBy("bin_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_chunk_tokens").alias("sum_tokens"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+_SQL_PIPELINE_E2E = f"""
+WITH feats AS (
+  SELECT doc_id, text,
+         CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter({_TOKS_SQL},
+              t -> t IN ({", ".join(f"'{w}'" for w in textanalysis.STOPWORDS)}))) AS BIGINT) AS n_stopwords,
+         CAST(list_sum(list_transform({_TOKS_SQL}, t -> length(t))) AS DOUBLE) AS sum_len
+  FROM documents
+),
+ratios AS (
+  SELECT doc_id, text, n_tokens,
+         CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+         sum_len / CAST(n_tokens AS DOUBLE) AS avg_token_len
+  FROM feats
+),
+kept AS (
+  SELECT doc_id, text FROM ratios
+  WHERE {_micro_sql('least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.5 + stop_ratio * 0.25 + least(avg_token_len / 8.0, 1.0) * 0.25')} >= 500000
+),
+deduped AS (
+  SELECT doc_id, text FROM kept
+  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+),
+tk AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM deduped),
+chunks AS (
+  SELECT doc_id, CAST(start // 15 AS BIGINT) AS chunk_id,
+         CAST(len(list_slice(tk, start + 1, start + 20)) AS BIGINT) AS n
+  FROM (SELECT doc_id, tk, unnest(range(0, len(tk), 15)) AS start FROM tk)
+),
+binned AS (
+  SELECT doc_id, chunk_id, n,
+         CAST(floor((sum(n) OVER (ORDER BY doc_id, chunk_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n)
+                    / {textops.SEQ_LEN}.0) AS BIGINT) AS bin_id
+  FROM chunks
+)
+SELECT bin_id, count(*) AS n_chunks, CAST(sum(n) AS BIGINT) AS sum_tokens
+FROM binned GROUP BY bin_id ORDER BY bin_id
+"""
+
+
 _MIX_HIGH = tuple(f"src{i}" for i in range(5))   # keep 4/4
 _MIX_MID = tuple(f"src{i}" for i in range(5, 10))  # keep 2/4
 
@@ -2361,6 +2439,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_hamming_knn": q_hamming_knn,
     "q_sample_stratified": q_sample_stratified,
     "q_interleave_sources": q_interleave_sources,
+    "q_pipeline_e2e": q_pipeline_e2e,
     # §2.C
     "q_normalize_scale": q_normalize_scale,
     "q_flatten": q_flatten,
@@ -2495,6 +2574,7 @@ ORACLES: dict[str, str] = {
     "q_hamming_knn": _sql_hamming_knn(),
     "q_sample_stratified": _SQL_SAMPLE_STRATIFIED,
     "q_interleave_sources": _SQL_INTERLEAVE_SOURCES,
+    "q_pipeline_e2e": _SQL_PIPELINE_E2E,
     "q_window_funcs": _SQL_WINDOW_FUNCS,
     "q_pivot_events": _SQL_PIVOT_EVENTS,
     "q_rollup_orders": _SQL_ROLLUP_ORDERS,
