@@ -2262,6 +2262,63 @@ WHERE {seeded_hash_sql("CAST(vec_id AS VARCHAR)", 77)} % 5 = 0
 """
 
 
+_SPARSE_Q = {"spark": 2.0, "join": 1.0, "vector": 1.5}
+
+
+def q_sparse_dot(spark, sf_dir):
+    """Sparse-vector search (Qdrant sparse vectors / SPLADE shape): docs as
+    sparse TF-IDF term-weight vectors, query as a weighted term list,
+    score = sparse dot product — computed as a join on the (tiny) query
+    term set, never materializing dense vectors. Term contributions summed
+    through DECIMAL(38,6); top-10 by (score, id)."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = list(_SPARSE_Q)
+    toks = docs.select(
+        "doc_id", F.explode(tokenize_ws(F.col("text"))).alias("token")
+    ).filter(F.col("token").isin(terms))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = toks.select("doc_id", "token").distinct().groupBy("token").agg(
+        F.count("*").alias("df")
+    )
+    n_docs = docs.select("doc_id").distinct().count()
+    qw = None
+    for t, w in _SPARSE_Q.items():
+        qw = (F if qw is None else qw).when(F.col("token") == t, F.lit(float(w)))
+    term_score = qw * (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+    return (
+        tf.join(F.broadcast(df_), "token")
+        .select("doc_id", term_score.cast("decimal(38,6)").alias("ts"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("ts").cast("double"), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+def _sql_sparse_dot() -> str:
+    terms = ", ".join(f"'{t}'" for t in _SPARSE_Q)
+    case = " ".join(f"WHEN token = '{t}' THEN {w!r}" for t, w in _SPARSE_Q.items())
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents
+),
+qt AS (SELECT * FROM tok WHERE token IN ({terms})),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM qt GROUP BY doc_id, token),
+df AS (SELECT token, count(DISTINCT doc_id) AS df FROM qt GROUP BY token),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+term AS (
+  SELECT t.doc_id,
+         CAST((CASE {case} END)
+              * (t.tf * ln(CAST(n.n AS DOUBLE) / d.df)) AS DECIMAL(38,6)) AS ts
+  FROM tf t JOIN df d USING (token), n
+)
+SELECT doc_id, round(CAST(sum(ts) AS DOUBLE), 6) AS score
+FROM term GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+
 def q_pipeline_e2e(spark, sf_dir):
     """End-to-end training-data assembly, one composed plan: quality filter
     (quality_micro >= 0.5) → exact dedup (md5, keep lowest id) → context-
@@ -2439,6 +2496,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_hamming_knn": q_hamming_knn,
     "q_sample_stratified": q_sample_stratified,
     "q_interleave_sources": q_interleave_sources,
+    "q_sparse_dot": q_sparse_dot,
     "q_pipeline_e2e": q_pipeline_e2e,
     # §2.C
     "q_normalize_scale": q_normalize_scale,
@@ -2574,6 +2632,7 @@ ORACLES: dict[str, str] = {
     "q_hamming_knn": _sql_hamming_knn(),
     "q_sample_stratified": _SQL_SAMPLE_STRATIFIED,
     "q_interleave_sources": _SQL_INTERLEAVE_SOURCES,
+    "q_sparse_dot": _sql_sparse_dot(),
     "q_pipeline_e2e": _SQL_PIPELINE_E2E,
     "q_window_funcs": _SQL_WINDOW_FUNCS,
     "q_pivot_events": _SQL_PIVOT_EVENTS,
