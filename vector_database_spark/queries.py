@@ -2262,6 +2262,74 @@ WHERE {seeded_hash_sql("CAST(vec_id AS VARCHAR)", 77)} % 5 = 0
 """
 
 
+def q_geo_radius(spark, sf_dir):
+    """Geo payload filter (Qdrant geo_radius): customers assigned
+    deterministic hash-derived coordinates, top-10 nearest to (0°,0°)
+    within 5,000 km by haversine — the geo predicate + ranked result shape
+    of Qdrant's geo filters. Trig-derived distance → round6 is safe
+    (FIXTURES rule 1); identical expression structure both engines."""
+    from vector_database_spark.functions.hashing import seeded_hash
+
+    cust = _t(spark, sf_dir, "customer")
+    key = F.col("c_custkey").cast("string")
+    lat = (F.pmod(seeded_hash(key, 55), F.lit(180000)) / 1000.0 - 90.0)
+    lon = (F.pmod(seeded_hash(key, 56), F.lit(360000)) / 1000.0 - 180.0)
+    s1 = F.sin(F.radians(lat) / 2.0)
+    s2 = F.sin(F.radians(lon) / 2.0)
+    d = 12742.0 * F.asin(
+        F.sqrt(s1 * s1 + F.cos(F.radians(lat)) * (s2 * s2))
+    )
+    return (
+        cust.select("c_custkey", round6(d).alias("dist_km"))
+        .filter(F.col("dist_km") <= 5000.0)
+        .orderBy(F.col("dist_km").asc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+_SQL_GEO_RADIUS = f"""
+WITH pts AS (
+  SELECT c_custkey,
+         {seeded_hash_sql("CAST(c_custkey AS VARCHAR)", 55)} % 180000 / 1000.0 - 90.0 AS lat,
+         {seeded_hash_sql("CAST(c_custkey AS VARCHAR)", 56)} % 360000 / 1000.0 - 180.0 AS lon
+  FROM customer
+),
+d AS (
+  SELECT c_custkey,
+         round(12742.0 * asin(sqrt(
+             sin(radians(lat) / 2.0) * sin(radians(lat) / 2.0)
+             + cos(radians(lat)) * (sin(radians(lon) / 2.0) * sin(radians(lon) / 2.0))
+         )), 6) AS dist_km
+  FROM pts
+)
+SELECT c_custkey, dist_km FROM d
+WHERE dist_km <= 5000.0
+ORDER BY dist_km ASC, c_custkey ASC
+LIMIT 10
+"""
+
+
+def q_match_text(spark, sf_dir):
+    """Full-text match filter (Qdrant MatchText): documents whose text
+    contains a token, counted per source — the payload text-predicate
+    shape, pushed to the scan as a LIKE filter."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.lower(F.col("text")).like("%spark%") & (F.col("lang") == "en"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .orderBy("source")
+    )
+
+
+_SQL_MATCH_TEXT = """
+SELECT source, count(*) AS n
+FROM documents
+WHERE lower(text) LIKE '%spark%' AND lang = 'en'
+GROUP BY source ORDER BY source
+"""
+
+
 _SPARSE_Q = {"spark": 2.0, "join": 1.0, "vector": 1.5}
 
 
@@ -2497,6 +2565,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sample_stratified": q_sample_stratified,
     "q_interleave_sources": q_interleave_sources,
     "q_sparse_dot": q_sparse_dot,
+    "q_geo_radius": q_geo_radius,
+    "q_match_text": q_match_text,
     "q_pipeline_e2e": q_pipeline_e2e,
     # §2.C
     "q_normalize_scale": q_normalize_scale,
@@ -2633,6 +2703,8 @@ ORACLES: dict[str, str] = {
     "q_sample_stratified": _SQL_SAMPLE_STRATIFIED,
     "q_interleave_sources": _SQL_INTERLEAVE_SOURCES,
     "q_sparse_dot": _sql_sparse_dot(),
+    "q_geo_radius": _SQL_GEO_RADIUS,
+    "q_match_text": _SQL_MATCH_TEXT,
     "q_pipeline_e2e": _SQL_PIPELINE_E2E,
     "q_window_funcs": _SQL_WINDOW_FUNCS,
     "q_pivot_events": _SQL_PIVOT_EVENTS,
