@@ -50,6 +50,10 @@ BENCH_QUERIES = [
     "q_hybrid_rrf",
     "q_chunk_text",
     "q_hamming_knn",
+    "q_sparse_dot",
+    "q_quantize_int8",
+    "q_recommend",
+    "q_pipeline_e2e",
 ]
 
 
