@@ -177,7 +177,7 @@ def test_hybrid_rrf_fuses_both_legs(spark):
     # doc 0: rank_lex 1, rank_vec 2 → rrf = 1/61 + 1/62
     # doc 1: rank_lex 2, rank_vec 1 → same rrf, tie broken by id → doc 0 first
     assert res[0]["doc_id"] == 0 and res[1]["doc_id"] == 1
-    assert by_id[0]["rrf"] == by_id[1]["rrf"]
+    assert by_id[0]["rrf_micro"] == by_id[1]["rrf_micro"]
     assert by_id[2]["rank_lex"] == 3 and by_id[2]["rank_vec"] == 3
     assert res[2]["doc_id"] == 2
 
@@ -208,3 +208,30 @@ def test_pq_codes_shape_and_determinism(spark, emb):
     codes = ann.pq_encode(emb, books)
     row = codes.first()
     assert len(row["code"]) == 8 and all(0 <= c < 16 for c in row["code"])
+
+
+def test_zero_norm_rows_rank_last_in_both_batch_operators(spark):
+    # zero vector must never outrank real candidates (cosine 0/0 = NaN
+    # would sort FIRST under Spark desc without the nanvl guard), and the
+    # exact and two-phase operators must agree on the resulting ids
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.5, 0.5]), (3, [0.0, 0.0]), (4, [0.9, 0.1])],
+        "vec_id long, embedding array<float>",
+    )
+    queries_df = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "qid long, qv array<float>"
+    )
+    exact = knn.knn_batch(queries_df, df, k=3, payload_cols=(), exclude_self=False)
+    two = knn.knn_batch_local_topk(
+        [(100, [1.0, 0.0])], df, k=3, exclude_self=False
+    )
+    e_ids = [r["vec_id"] for r in exact.collect()]
+    t_ids = sorted(
+        (r["vec_id"] for r in two.collect()),
+        key=lambda i: e_ids.index(i) if i in e_ids else 99,
+    )
+    assert e_ids == [1, 4, 2]  # zero vector excluded from top-3, not first
+    assert set(t_ids) == set(e_ids)
+    # single-query exact operator too
+    single = knn.knn(df, [1.0, 0.0], k=4, payload_cols=())
+    assert [r["vec_id"] for r in single.collect()][-1] == 3  # ranks last

@@ -221,7 +221,9 @@ def test_stateful_topk_matches_batch_window(spark):
     for r in batch.orderBy("event_type", "rn").collect():
         ids, micros = expect.setdefault(r["event_type"], ([], []))
         ids.append(r["event_id"])
-        micros.append(int(r["value"] * 1e6 + 0.5))
+        from vector_database_spark.functions.vector import py_micro6
+
+        micros.append(py_micro6(r["value"]))
     assert got == expect
 
 

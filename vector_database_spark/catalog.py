@@ -439,19 +439,25 @@ class VectorCollection:
     def compact(self) -> None:
         """Fold the version history down to latest-wins minus tombstones
         (like Delta OPTIMIZE), preserving the bucketed layout and
-        materialized norms; clears the tombstone log."""
-        spark = self.catalog.spark
-        current = self._resolved_df()
-        tmp = self.path + "__compact"
-        current.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").partitionBy("bucket").parquet(
-            self.path
-        )
-        # best-effort cleanup of the staging dir + now-folded tombstones
-        import shutil
+        materialized norms; clears the tombstone log.
 
-        shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(self._tombstone_path, ignore_errors=True)
+        Runs under the catalog lock: a concurrent upsert/delete committed
+        between the snapshot read and the overwrite (or tombstone rmtree)
+        would otherwise be silently lost / resurrect deleted ids.
+        """
+        spark = self.catalog.spark
+        with self.catalog._lock():
+            current = self._resolved_df()
+            tmp = self.path + "__compact"
+            current.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+            spark.read.parquet(tmp).write.mode("overwrite").partitionBy(
+                "bucket"
+            ).parquet(self.path)
+            # best-effort cleanup of the staging dir + now-folded tombstones
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(self._tombstone_path, ignore_errors=True)
 
     # -- query (SURVEY B1-B10) -----------------------------------------------
     def search_batch(

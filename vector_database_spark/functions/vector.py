@@ -43,6 +43,17 @@ def micro6(col: Column) -> Column:
     return F.floor(col * F.lit(1000000.0) + F.lit(0.5)).cast("long")
 
 
+def py_micro6(x: float) -> int:
+    """Python twin of :func:`micro6` for driver/UDF-side code (heap keys,
+    streaming state, literals inlined into oracle SQL). Keep every
+    Python-side micro conversion on this ONE helper — a drifted copy
+    (e.g. ``int(x*1e6+0.5)``, which truncates instead of floors) differs
+    for negative values."""
+    import math
+
+    return int(math.floor(float(x) * 1e6 + 0.5))
+
+
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two ARRAY<numeric> columns, accumulated in DOUBLE.
 
@@ -78,5 +89,15 @@ def l2_dist(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity in DOUBLE (Distance.COSINE, vector_db.py:23)."""
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity in DOUBLE (Distance.COSINE, vector_db.py:23).
+
+    A zero-norm side has no direction: the score is NULL (try_divide), so
+    zero vectors sort LAST under desc ordering in every exact operator —
+    consistent with VectorCollection.search's null handling and the
+    two-phase operator's -inf ranking. Under ANSI mode (Spark 4 default)
+    a plain division would instead abort the whole query with
+    DIVIDE_BY_ZERO. Cosine collections reject zero vectors at ingest, so
+    on managed data this branch never fires; raw-DataFrame callers get the
+    sane ordering instead of a crash.
+    """
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))

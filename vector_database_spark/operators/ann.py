@@ -252,13 +252,15 @@ def pq_train(
     from vector_database_spark.functions.hashing import seeded_hash
 
     n = embeddings.count()
-    stride = max(1, n // sample_cap)
+    stride = max(1, -(-n // sample_cap))  # ceil: keeps at most ~sample_cap rows
     sample = embeddings.filter(
         F.pmod(seeded_hash(F.col(id_col).cast("string"), seed), F.lit(stride)) == 0
     )
     X = np.asarray(
         [list(r[emb_col]) for r in sample.select(emb_col).collect()], dtype=np.float64
     )
+    if X.size == 0:
+        raise ValueError("pq_train: no vectors to train on (empty input/sample)")
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")

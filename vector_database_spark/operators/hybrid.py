@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from vector_database_spark.functions.vector import cosine, round6
+from vector_database_spark.functions.vector import cosine, micro6, round6
 from vector_database_spark.operators.textanalysis import bm25_search
 
 RRF_K = 60
@@ -63,12 +63,16 @@ def hybrid_rrf(
         F.row_number().over(w_lex).cast("long").alias("rank_lex"),
         F.row_number().over(w_vec).cast("long").alias("rank_vec"),
     )
-    rrf = round6(
+    # micro6, not round6: RRF is a sum of integer reciprocals, which CAN
+    # land exactly on .5e-6 boundaries (e.g. 1/128 = 7812.5 micro) where
+    # Spark's and DuckDB's round() disagree — micro6 is the repo rule for
+    # integer-ratio outputs
+    rrf = micro6(
         F.lit(1.0) / (F.lit(rrf_k) + F.col("rank_lex"))
         + F.lit(1.0) / (F.lit(rrf_k) + F.col("rank_vec"))
     )
     return (
-        ranked.select(doc_id_col, "rank_lex", "rank_vec", rrf.alias("rrf"))
-        .orderBy(F.col("rrf").desc(), F.col(doc_id_col).asc())
+        ranked.select(doc_id_col, "rank_lex", "rank_vec", rrf.alias("rrf_micro"))
+        .orderBy(F.col("rrf_micro").desc(), F.col(doc_id_col).asc())
         .limit(k)
     )

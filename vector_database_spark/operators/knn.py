@@ -29,9 +29,19 @@ _METRICS = {
 
 
 def score_col(metric: str, emb: Column, query: Column) -> tuple[Column, bool]:
-    """(rounded score column, ascending?) for a metric name."""
+    """(rounded score column, ascending?) for a metric name.
+
+    Zero-norm cosine is NULL (functions/vector.py::cosine, try_divide) and
+    desc ordering is nulls-last, so zero vectors never outrank real
+    candidates. The nanvl is belt-and-braces for any residual NaN (e.g.
+    inf components): Spark sorts NaN FIRST under desc, which would rank
+    garbage rows #1.
+    """
     fn, asc = _METRICS[metric]
-    return round6(fn(emb, query)), asc
+    score = round6(fn(emb, query))
+    if metric == "cosine":
+        score = F.nanvl(score, F.lit(None).cast("double"))
+    return score, asc
 
 
 def knn(
@@ -128,6 +138,8 @@ def knn_batch_local_topk(
 
         import numpy as np
 
+        from vector_database_spark.functions.vector import py_micro6
+
         Q = np.asarray(q_vecs, dtype=np.float64)  # (nq, dim)
         Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
         heaps: list[list] = [[] for _ in q_ids]
@@ -149,13 +161,12 @@ def knn_batch_local_topk(
                 for rid, s in zip(ids, col):
                     if exclude_self and int(rid) == qid:
                         continue
-                    # heap key: (micro6 score, -id) — micro6 =
-                    # floor(x*1e6+0.5), the SAME half-up micro-unit rule the
-                    # global phase ranks by, so phase 1 never prunes a
-                    # candidate the global round would keep. Python round()
-                    # (half-even) disagrees with round6 exactly on the
-                    # .xxxxxx5 boundaries that decide ties.
-                    micro = math.floor(float(s) * 1e6 + 0.5) if math.isfinite(s) else -(10**18)
+                    # heap key: (py_micro6 score, -id) — the SAME half-up
+                    # micro-unit rule the global phase ranks by, so phase 1
+                    # never prunes a candidate the global round would keep.
+                    # Python round() (half-even) disagrees with round6
+                    # exactly on the .xxxxxx5 boundaries that decide ties.
+                    micro = py_micro6(s) if math.isfinite(s) else -(10**18)
                     item = (micro, -int(rid), float(s))
                     if len(heaps[qi]) < k:
                         heapq.heappush(heaps[qi], item)
@@ -211,9 +222,9 @@ def mmr_rerank(
     parameter, not by data size, and inherently sequential (each pick
     depends on the previous). Determinism: micro6 keys, lower-id ties.
     """
-    import math
-
     import numpy as np
+
+    from vector_database_spark.functions.vector import py_micro6
 
     top = knn(
         collection,
@@ -241,7 +252,7 @@ def mmr_rerank(
             else:
                 max_sim = 0.0
             mmr = lam * rel[i] - (1.0 - lam) * max_sim
-            key = (math.floor(mmr * 1e6 + 0.5), -ids[i])
+            key = (py_micro6(mmr), -ids[i])
             if best is None or key > best[0]:
                 best = (key, i, mmr)
         picked.append((best[1], best[2]))
@@ -249,7 +260,7 @@ def mmr_rerank(
     spark = collection.sparkSession
     return spark.createDataFrame(
         [
-            (rank + 1, ids[i], rel[i], int(math.floor(mmr * 1e6 + 0.5)))
+            (rank + 1, ids[i], rel[i], py_micro6(mmr))
             for rank, (i, mmr) in enumerate(picked)
         ],
         f"rank int, {id_col} long, score double, mmr_micro long",

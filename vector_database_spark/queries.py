@@ -2147,9 +2147,9 @@ r AS (
   FROM j
 )
 SELECT doc_id, rank_lex, rank_vec,
-       round(1.0 / (60 + rank_lex) + 1.0 / (60 + rank_vec), 6) AS rrf
+       {_micro_sql('1.0 / (60 + rank_lex) + 1.0 / (60 + rank_vec)')} AS rrf_micro
 FROM r
-ORDER BY rrf DESC, doc_id
+ORDER BY rrf_micro DESC, doc_id
 LIMIT 10
 """
 

@@ -125,12 +125,12 @@ def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def update(key, pdfs, state):
-        import math
-
         import pandas as pd
 
-        # State accumulates INTEGER micro-units (floor(v*1e6+0.5), the
-        # repo-wide micro6 convention): the running sum is order-independent
+        from vector_database_spark.functions.vector import py_micro6
+
+        # State accumulates INTEGER micro-units (py_micro6, the repo-wide
+        # micro6 convention): the running sum is order-independent
         # across micro-batches and bit-identical to the DuckDB oracle's
         # sum(CAST(value AS DECIMAL(38,6))) — a raw float64 accumulation
         # would be an order-dependent IEEE sum that round(·, 6) can land on
@@ -138,9 +138,7 @@ def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         n, micros = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            micros += int(
-                sum(math.floor(float(v) * 1e6 + 0.5) for v in pdf["value"])
-            )
+            micros += sum(py_micro6(v) for v in pdf["value"])
         state.update((n, micros))
         yield pd.DataFrame(
             {"event_type": [key[0]], "n": [n], "total": [micros / 1e6]}
@@ -196,8 +194,6 @@ def stateful_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     out of scope — so the v1 API is the portable choice here; the operator
     body would be identical in a StatefulProcessor.handleInputRows.
     """
-    import math
-
     out_schema = T.StructType(
         [
             T.StructField("event_type", T.StringType()),
@@ -218,6 +214,8 @@ def stateful_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     def update(key, pdfs, state):
         import pandas as pd
 
+        from vector_database_spark.functions.vector import py_micro6
+
         if state.exists:
             ids, micros, vals, n = state.get
             ids, micros, vals = list(ids), list(micros), list(vals)
@@ -228,7 +226,7 @@ def stateful_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
             n += len(pdf)
             for v, i in zip(pdf["value"], pdf["event_id"]):
                 v = float(v)
-                best.append((v, int(i), math.floor(v * 1e6 + 0.5)))
+                best.append((v, int(i), py_micro6(v)))
         # (-value, id) ascending == (value DESC, id ASC) — the exact order
         # the batch window twin uses
         best.sort(key=lambda t: (-t[0], t[1]))
