@@ -257,3 +257,68 @@ def test_concurrent_upserts_mint_distinct_versions(catalog, spark):
     assert sorted(versions) == [1, 2, 3, 4, 5, 6]
     # every point ingested exactly once, all visible
     assert catalog.collection("cc1").count() == 6
+
+
+def test_scroll_order_by_keyset(catalog, spark):
+    col = catalog.create_collection("s2", dim=2)
+    # rank payload value descends as id ascends -> order_by must invert id order
+    col.upsert(
+        _points(spark, [(i, [1, i], (24 - i) % 5) for i in range(25)])
+    )
+    page1 = col.scroll(limit=10, order_by="payload.label").collect()
+    labels = [r["payload"]["label"] for r in page1]
+    assert labels == sorted(labels)
+    # composite keyset cursor resumes exactly after the last row (ties on
+    # the order field are id-broken)
+    last = page1[-1]
+    page2 = col.scroll(
+        limit=10,
+        order_by="payload.label",
+        offset_value=last["payload"]["label"],
+        offset_id=last["id"],
+    ).collect()
+    all_keys = [(r["payload"]["label"], r["id"]) for r in page1 + page2]
+    assert all_keys == sorted(all_keys)
+    assert len({k for k in all_keys}) == 20  # no overlap between pages
+
+
+def test_facet_counts_and_filter(catalog, spark):
+    col = catalog.create_collection("f1", dim=2)
+    col.upsert(_points(spark, [(i, [1, i], i % 3) for i in range(12)]))
+    rows = col.facet("payload.label").collect()
+    assert [(r["value"], r["count"]) for r in rows] == [
+        ("0", 4), ("1", 4), ("2", 4),
+    ]
+    rows = col.facet("payload.label", payload_filter=F.col("id") < 4, limit=2).collect()
+    assert [(r["value"], r["count"]) for r in rows] == [("0", 2), ("1", 1)]
+
+
+def test_discover_context_pairs(catalog, spark):
+    col = catalog.create_collection("d1", dim=2)
+    col.upsert(
+        _points(
+            spark,
+            [
+                (0, [1, 0], 0),      # target
+                (1, [1, 0.2], 0),    # positive example
+                (2, [0, 1], 1),      # negative example
+                (10, [0.9, 0.1], 0),   # x-axis candidate: wins the pair
+                (11, [0.1, 0.9], 1),   # y-axis candidate: loses the pair
+                (12, [0.7, 0.7], 2),   # diagonal: closer to pos than neg
+            ],
+        )
+    )
+    res = col.discover(target=0, context=[(1, 2)], limit=5).collect()
+    ids = [r["id"] for r in res]
+    # examples + target excluded; x-axis candidate ranks first
+    assert set(ids) == {10, 11, 12}
+    assert ids[0] == 10
+    by_id = {r["id"]: r for r in res}
+    assert by_id[10]["ctx_score"] == 1 and by_id[12]["ctx_score"] == 1
+    assert by_id[11]["ctx_score"] == 0
+    # raw-vector target: only context examples are excluded, so point 0
+    # ([1,0], exactly the target direction) is a candidate and ranks first
+    res2 = col.discover(target=[1.0, 0.0], context=[(1, 2)], limit=5).collect()
+    assert [r["id"] for r in res2][:2] == [0, 10]
+    with pytest.raises(KeyError, match="not found"):
+        col.discover(target=0, context=[(1, 99)])

@@ -381,20 +381,110 @@ class VectorCollection:
         return self.upsert(updated)
 
     def scroll(
-        self, limit: int = 100, offset_id: int | None = None, payload_filter=None
+        self,
+        limit: int = 100,
+        offset_id: int | None = None,
+        payload_filter=None,
+        order_by: str | None = None,
+        offset_value=None,
     ) -> DataFrame:
-        """Qdrant scroll API: stable id-ordered pagination with an optional
+        """Qdrant scroll API: stable ordered pagination with an optional
         payload filter. Pass the last id of the previous page as
         ``offset_id`` for the next page. Keyset pagination (id > offset)
         rather than OFFSET: the scan prunes to id > offset instead of
         skipping rows, so page N costs the same as page 1 at any scale.
+
+        ``order_by`` (Qdrant scroll order_by): paginate ordered by a
+        payload field instead of id. The keyset cursor is then the
+        composite (order_value, id) of the last row of the previous page —
+        pass both ``offset_value`` and ``offset_id``; ties on the order
+        field are broken by id so the total order (and thus the page
+        boundary) is deterministic.
         """
         df = self.df()
         if payload_filter is not None:
             df = df.filter(payload_filter)
-        if offset_id is not None:
-            df = df.filter(F.col("id") > int(offset_id))
-        return df.orderBy(F.col("id").asc()).limit(limit)
+        if order_by is None:
+            if offset_id is not None:
+                df = df.filter(F.col("id") > int(offset_id))
+            return df.orderBy(F.col("id").asc()).limit(limit)
+        key = F.col(order_by)
+        if offset_value is not None:
+            after = key > F.lit(offset_value)
+            if offset_id is not None:
+                after = after | (
+                    (key == F.lit(offset_value)) & (F.col("id") > int(offset_id))
+                )
+            df = df.filter(after)
+        return df.orderBy(key.asc(), F.col("id").asc()).limit(limit)
+
+    def facet(
+        self, key, payload_filter=None, limit: int = 10
+    ) -> DataFrame:
+        """Qdrant facet API (client.facet): distinct values of a payload
+        field with their counts, most frequent first (value ASC tie-break),
+        under an optional filter. ``key`` is a column name or Column
+        expression into the payload struct. One partial-aggregated
+        group-by — the shuffle is |distinct values|, not |points|.
+        """
+        df = self.df()
+        if payload_filter is not None:
+            df = df.filter(payload_filter)
+        key_col = F.col(key) if isinstance(key, str) else key
+        return (
+            df.groupBy(key_col.alias("value"))
+            .agg(F.count("*").alias("count"))
+            .orderBy(F.col("count").desc(), F.col("value").asc())
+            .limit(limit)
+        )
+
+    def discover(
+        self,
+        target,
+        context: list[tuple[int, int]],
+        limit: int = 5,
+        payload_filter=None,
+    ) -> DataFrame:
+        """Qdrant discovery API (client.discover): ``target`` is a point id
+        or a raw vector; ``context`` is (positive_id, negative_id) pairs.
+        Candidates are ranked by how many pairs place them closer to the
+        positive than the negative example (6dp-rounded cosine), tie-broken
+        by similarity to the target; example/target points are excluded.
+        Scoring is a literal-folded projection over ONE collection scan
+        (operators/knn.py::discover).
+        """
+        from vector_database_spark.operators.knn import discover as _discover
+
+        ex_ids = sorted({int(i) for pair in context for i in pair})
+        lookup_ids = list(ex_ids)
+        target_is_id = isinstance(target, int)
+        if target_is_id and int(target) not in lookup_ids:
+            lookup_ids.append(int(target))
+        rows = {
+            r["id"]: [float(x) for x in r["embedding"]]
+            for r in self.df()
+            .filter(F.col("id").isin(lookup_ids))
+            .select("id", "embedding")
+            .collect()
+        }
+        missing = [i for i in lookup_ids if i not in rows]
+        if missing:
+            raise KeyError(f"discover example points not found: {missing}")
+        tv = rows[int(target)] if target_is_id else [float(x) for x in target]
+        pairs = [(rows[int(p)], rows[int(n)]) for p, n in context]
+        excluded = ex_ids + ([int(target)] if target_is_id else [])
+        flt = ~F.col("id").isin(excluded)
+        if payload_filter is not None:
+            flt = flt & payload_filter
+        return _discover(
+            self.df().drop("norm", "version"),
+            tv,
+            pairs,
+            k=limit,
+            id_col="id",
+            payload_cols=("payload",),
+            pre_filter=flt,
+        )
 
     def recommend(
         self,

@@ -298,3 +298,48 @@ def similarity_self_join(
         payload_cols=payload_cols,
         exclude_self=True,
     )
+
+
+def discover(
+    collection: DataFrame,
+    target: list[float],
+    context: list[tuple[list[float], list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    payload_cols: tuple[str, ...] = ("label",),
+    pre_filter: Column | None = None,
+) -> DataFrame:
+    """Qdrant discovery search (client.discover): rank candidates by how
+    many (positive, negative) context pairs place them on the positive
+    side, tie-broken by cosine similarity to the target vector.
+
+    Semantics (engine-declared, cross-engine deterministic): for each
+    candidate c, ``ctx_score = Σ_pairs [cos6(c, pos) > cos6(c, neg)]``
+    where cos6 is 6dp-rounded cosine (equal-after-rounding counts as NOT
+    closer in both engines); order by (ctx_score DESC, target cosine DESC,
+    id ASC). The context pairs and target are tiny literals folded into
+    the plan — one collection scan, no shuffle before the final top-k
+    (TakeOrderedAndProject), so the operator scales like exact k-NN.
+    """
+    df = collection if pre_filter is None else collection.filter(pre_filter)
+    e = F.col(emb_col)
+
+    def lit_vec(v):
+        return F.array(*[F.lit(float(x)) for x in v]).cast("array<double>")
+
+    ctx_score = F.lit(0)
+    for pos, neg in context:
+        closer = round6(cosine(e, lit_vec(pos))) > round6(cosine(e, lit_vec(neg)))
+        ctx_score = ctx_score + F.when(closer, 1).otherwise(0)
+    scored = df.select(
+        id_col,
+        *payload_cols,
+        ctx_score.cast("int").alias("ctx_score"),
+        round6(cosine(e, lit_vec(target))).alias("target_score"),
+    )
+    return scored.orderBy(
+        F.col("ctx_score").desc(),
+        F.col("target_score").desc(),
+        F.col(id_col).asc(),
+    ).limit(k)

@@ -19,8 +19,9 @@ from pyspark.sql import functions as F
 
 from vector_database_spark.catalog import latest_wins
 from vector_database_spark.functions.hashing import seeded_hash_sql
-from vector_database_spark.functions.text import tokenize_ws
+from vector_database_spark.functions.text import bigrams, tokenize_ws
 from vector_database_spark.functions.vector import (
+    cosine,
     dot,
     l2_dist,
     l2_norm,
@@ -2524,6 +2525,305 @@ def q_mmr_rerank(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-2b: remaining Qdrant API parity + corpus-hygiene operators
+# ---------------------------------------------------------------------------
+
+_DISC_TARGET = 0
+_DISC_PAIRS = [(1, 2), (3, 4)]
+_DISC_IDS = [_DISC_TARGET] + [i for p in _DISC_PAIRS for i in p]
+
+
+def q_discovery_search(spark, sf_dir):
+    """Qdrant discovery API (client.discover): target vector + (positive,
+    negative) context pairs; candidates ranked by pairs-won (6dp cosine
+    compare) then target cosine (operators/knn.py::discover). The five
+    example vectors are point lookups collected driver-side and folded
+    into the plan as literals — one scan, top-k via TakeOrderedAndProject."""
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(_DISC_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    return knn.discover(
+        emb,
+        rows[_DISC_TARGET],
+        [(rows[p], rows[n]) for p, n in _DISC_PAIRS],
+        k=10,
+        pre_filter=~F.col("vec_id").isin(_DISC_IDS),
+    )
+
+
+def _sql_discovery() -> str:
+    cos = "round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), {side}.v), 6)"
+    arms = " + ".join(
+        f"CASE WHEN {cos.format(side=f'p{i}')} > {cos.format(side=f'n{i}')} "
+        "THEN 1 ELSE 0 END"
+        for i in range(1, len(_DISC_PAIRS) + 1)
+    )
+    ctes = ",\n".join(
+        f"{tag} AS (SELECT CAST(embedding AS DOUBLE[]) AS v "
+        f"FROM embeddings WHERE vec_id = {vid})"
+        for tag, vid in [("t", _DISC_TARGET)]
+        + [
+            (f"{side}{i + 1}", vid)
+            for i, pair in enumerate(_DISC_PAIRS)
+            for side, vid in zip(("p", "n"), pair)
+        ]
+    )
+    froms = ", ".join(
+        ["t"] + [f"{s}{i + 1}" for i in range(len(_DISC_PAIRS)) for s in ("p", "n")]
+    )
+    ids = ", ".join(str(i) for i in _DISC_IDS)
+    return f"""
+WITH {ctes}
+SELECT c.vec_id, c.label,
+       {arms} AS ctx_score,
+       {cos.format(side="t")} AS target_score
+FROM embeddings c, {froms}
+WHERE c.vec_id NOT IN ({ids})
+ORDER BY ctx_score DESC, target_score DESC, c.vec_id
+LIMIT 10
+"""
+
+
+_SQL_DISCOVERY = _sql_discovery()
+
+
+def q_facet_counts(spark, sf_dir):
+    """Qdrant facet API (client.facet): distinct payload-field values with
+    counts under a filter, most frequent first. Partial-aggregated
+    group-by: the shuffle is |distinct values| rows, not |points| —
+    identical shape at 100 TB. Engine twin: VectorCollection.facet."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("value") >= 50.0)
+        .groupBy(F.col("event_type").alias("facet_value"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("facet_value").asc())
+        .limit(5)
+    )
+
+
+_SQL_FACET_COUNTS = """
+SELECT event_type AS facet_value, count(*) AS n
+FROM events
+WHERE value >= 50.0
+GROUP BY event_type
+ORDER BY n DESC, facet_value ASC
+LIMIT 5
+"""
+
+
+def q_distance_matrix(spark, sf_dir):
+    """Qdrant distance-matrix API (client.search_matrix_pairs): pairwise
+    similarity among a sampled subset, top-3 neighbors per point as
+    (id_a, id_b, score) pairs. The sample is broadcast against itself, so
+    the cost is |sample|², independent of collection size — exactly the
+    API's sampling contract at scale."""
+    from pyspark.sql.window import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sample = emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding")
+    a = sample.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = sample.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    scored = a.join(F.broadcast(b), F.col("id_a") != F.col("id_b")).select(
+        "id_a", "id_b", round6(cosine(F.col("ea"), F.col("eb"))).alias("score")
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("score").desc(), F.col("id_b").asc())
+    return scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 3
+    ).drop("rn")
+
+
+_SQL_DISTANCE_MATRIX = """
+WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 16),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(a.v, b.v), 6) AS score
+  FROM s a, s b WHERE a.vec_id <> b.vec_id
+)
+SELECT id_a, id_b, score FROM p
+QUALIFY row_number() OVER (PARTITION BY id_a ORDER BY score DESC, id_b) <= 3
+"""
+
+
+def q_named_vectors(spark, sf_dir):
+    """Qdrant named vectors: each point carries multiple vectors under
+    names (here ``dense`` = full 64-d, ``lead16`` = a 16-d head model);
+    search selects which named vector to rank by (`using=` in
+    client.query_points). Stored as one struct column — Parquet pushes the
+    projection down, so a lead16 search never reads the dense bytes."""
+    emb = _t(spark, sf_dir, "embeddings")
+    named = emb.select(
+        "vec_id",
+        "label",
+        F.struct(
+            F.col("embedding").alias("dense"),
+            F.slice("embedding", 1, 16).alias("lead16"),
+        ).alias("vectors"),
+    )
+    q = named.filter(F.col("vec_id") == 5).select(F.col("vectors.lead16").alias("qv"))
+    return (
+        named.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            round6(cosine(F.col("vectors.lead16"), F.col("qv"))).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(5)
+    )
+
+
+_SQL_NAMED_VECTORS = """
+WITH q AS (SELECT CAST(embedding[1:16] AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 5)
+SELECT c.vec_id, c.label,
+       round(list_cosine_similarity(CAST(c.embedding[1:16] AS DOUBLE[]), q.qv), 6) AS score
+FROM embeddings c, q
+ORDER BY score DESC, c.vec_id
+LIMIT 5
+"""
+
+
+def q_scroll_ordered(spark, sf_dir):
+    """Qdrant scroll with order_by: keyset pagination ordered by a payload
+    field, cursor = composite (order_value, id) of the previous page's last
+    row — page N costs one pruned scan, never an OFFSET skip. Engine twin:
+    VectorCollection.scroll(order_by=...)."""
+    docs = _t(spark, sf_dir, "documents")
+    after_chars, after_id = 157, 0
+    return (
+        docs.filter(
+            (F.col("n_chars") > after_chars)
+            | ((F.col("n_chars") == after_chars) & (F.col("doc_id") > after_id))
+        )
+        .select("doc_id", "n_chars", "lang")
+        .orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+        .limit(15)
+    )
+
+
+_SQL_SCROLL_ORDERED = """
+SELECT doc_id, n_chars, lang
+FROM documents
+WHERE n_chars > 157 OR (n_chars = 157 AND doc_id > 0)
+ORDER BY n_chars ASC, doc_id ASC
+LIMIT 15
+"""
+
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_URL_RE = "https?://[^ ]+"
+
+
+def q_scrub_pii(spark, sf_dir):
+    """PII scrubbing for training corpora: count and redact emails/URLs
+    (regex chosen to behave identically under Java regex and RE2). The
+    fixture corpus contains no PII, so each doc is augmented with a
+    deterministic synthetic email + URL derived from doc_id — both engines
+    build the identical string, then the scrub itself is what's compared
+    (counts, scrubbed length, md5 of the scrubbed text). Pure string
+    expressions — codegen'd, no UDF, embarrassingly parallel at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or https://host.example/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>"), _URL_RE, "<URL>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(aug, F.lit(_URL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_urls"),
+        F.length(scrubbed).cast("long").alias("scrub_len"),
+        F.md5(scrubbed).alias("scrub_md5"),
+    )
+
+
+_SQL_SCRUB_PII = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com or https://host.example/p/'
+              || CAST(doc_id AS VARCHAR) AS a
+  FROM documents
+),
+s AS (
+  SELECT doc_id, a,
+         regexp_replace(
+           regexp_replace(a, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{_URL_RE}', '<URL>', 'g') AS scrubbed
+  FROM aug
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(a, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(a, '{_URL_RE}')) AS BIGINT) AS n_urls,
+       CAST(length(scrubbed) AS BIGINT) AS scrub_len,
+       md5(scrubbed) AS scrub_md5
+FROM s
+"""
+
+
+def q_repetition_ratio(spark, sf_dir):
+    """Gopher-style repetition quality signal: per-doc duplicate-token and
+    duplicate-bigram fractions (1 − distinct/total, micro-units), plus the
+    keep/drop verdict used by corpus filtering. Array expressions only —
+    no shuffle, no UDF; the same projection runs per-file at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokenize_ws(F.col("text"))
+    d = docs.select("doc_id", toks.alias("toks"), bigrams(toks).alias("bg"))
+    n = F.size("toks").cast("double")
+    nd = F.size(F.array_distinct("toks")).cast("double")
+    n2 = F.size("bg").cast("double")
+    nd2 = F.size(F.array_distinct("bg")).cast("double")
+    dup = micro6(F.lit(1.0) - nd / n)
+    dup2 = F.when(F.size("bg") < 1, F.lit(0).cast("long")).otherwise(
+        micro6(F.lit(1.0) - nd2 / n2)
+    )
+    return d.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+        dup.alias("dup_ratio_micro"),
+        dup2.alias("dup_bigram_micro"),
+        (dup < F.lit(500000)).alias("keep"),
+    )
+
+
+_DUP_MICRO = "1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)"
+_DUP2_MICRO = "1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE)"
+
+_SQL_REPETITION = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+),
+b AS (
+  SELECT doc_id, toks,
+         list_transform(range(len(toks) - 1), i -> toks[i + 1] || ' ' || toks[i + 2]) AS bg
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       {_micro_sql(_DUP_MICRO)} AS dup_ratio_micro,
+       CASE WHEN len(bg) < 1 THEN CAST(0 AS BIGINT)
+            ELSE {_micro_sql(_DUP2_MICRO)} END AS dup_bigram_micro,
+       {_micro_sql(_DUP_MICRO)} < 500000 AS keep
+FROM b
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2568,6 +2868,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_geo_radius": q_geo_radius,
     "q_match_text": q_match_text,
     "q_pipeline_e2e": q_pipeline_e2e,
+    "q_discovery_search": q_discovery_search,
+    "q_facet_counts": q_facet_counts,
+    "q_distance_matrix": q_distance_matrix,
+    "q_named_vectors": q_named_vectors,
+    "q_scroll_ordered": q_scroll_ordered,
+    "q_scrub_pii": q_scrub_pii,
+    "q_repetition_ratio": q_repetition_ratio,
     # §2.C
     "q_normalize_scale": q_normalize_scale,
     "q_flatten": q_flatten,
@@ -2706,6 +3013,13 @@ ORACLES: dict[str, str] = {
     "q_geo_radius": _SQL_GEO_RADIUS,
     "q_match_text": _SQL_MATCH_TEXT,
     "q_pipeline_e2e": _SQL_PIPELINE_E2E,
+    "q_discovery_search": _SQL_DISCOVERY,
+    "q_facet_counts": _SQL_FACET_COUNTS,
+    "q_distance_matrix": _SQL_DISTANCE_MATRIX,
+    "q_named_vectors": _SQL_NAMED_VECTORS,
+    "q_scroll_ordered": _SQL_SCROLL_ORDERED,
+    "q_scrub_pii": _SQL_SCRUB_PII,
+    "q_repetition_ratio": _SQL_REPETITION,
     "q_window_funcs": _SQL_WINDOW_FUNCS,
     "q_pivot_events": _SQL_PIVOT_EVENTS,
     "q_rollup_orders": _SQL_ROLLUP_ORDERS,
