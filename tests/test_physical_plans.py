@@ -133,3 +133,39 @@ def test_recommend_broadcasts_query_vector(spark, sf):
     p = plan_of(q_recommend(spark, sf))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_recommend_best_score_is_one_scan_topk(spark, sf):
+    # literal-folded example vectors: no join at all, straight to a
+    # TakeOrderedAndProject over a single scan
+    from vector_database_spark.queries import q_recommend_best_score
+
+    p = plan_of(q_recommend_best_score(spark, sf))
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, sf):
+    # the benchmark gram set must be the broadcast side — the corpus side
+    # must never shuffle for the membership check
+    from vector_database_spark.queries import q_decontaminate
+
+    p = plan_of(q_decontaminate(spark, sf))
+    assert "BroadcastHashJoin" in p
+
+
+def test_knn_groups_partitions_by_group_field(spark, sf):
+    # per-group ranking shuffles on the group key (hashpartitioning by
+    # label), never a corpus-wide single-partition window
+    from vector_database_spark.queries import q_knn_groups
+
+    p = plan_of(q_knn_groups(spark, sf))
+    assert "hashpartitioning(label" in p
+
+
+def test_unigram_lm_is_broadcast_to_tokens(spark, sf):
+    # the |vocab|-row LM joins map-side; the token explode never shuffles
+    from vector_database_spark.queries import q_unigram_logprob
+
+    p = plan_of(q_unigram_logprob(spark, sf))
+    assert "BroadcastHashJoin" in p

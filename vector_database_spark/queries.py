@@ -2824,6 +2824,506 @@ FROM b
 
 
 # ---------------------------------------------------------------------------
+# round-2c: grouped search, recommend strategies, score fusion
+# ---------------------------------------------------------------------------
+
+
+def q_knn_groups(spark, sf_dir):
+    """Qdrant grouped search (client.query_points_groups): top-3 groups
+    ranked by their best hit, top-2 hits per group, grouped on the payload
+    ``label`` field. Per-group ranking is a label-partitioned window (the
+    shuffle key is the group field, never a global sort of the corpus);
+    group ranking then runs over |groups| rows only — at 100 TB the
+    second window sees one row per group, not per point."""
+    from pyspark.sql.window import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = F.array(*[F.lit(float(x)) for x in RAW_QUERY_VEC]).cast("array<double>")
+    scored = emb.select(
+        "vec_id", "label", round6(cosine(F.col("embedding"), qv)).alias("score")
+    )
+    w_hit = Window.partitionBy("label").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    hits = scored.withColumn(
+        "hit_rank", F.row_number().over(w_hit).cast("long")
+    ).filter(F.col("hit_rank") <= 2)
+    grp_best = F.max("score").over(Window.partitionBy("label"))
+    g = hits.withColumn("group_best", grp_best)
+    w_grp = Window.orderBy(F.col("group_best").desc(), F.col("label").asc())
+    return (
+        g.withColumn("group_rank", F.dense_rank().over(w_grp).cast("long"))
+        .filter(F.col("group_rank") <= 3)
+        .select("label", "group_rank", "hit_rank", "vec_id", "score")
+    )
+
+
+_SQL_KNN_GROUPS = f"""
+WITH scored AS (
+  SELECT vec_id, label,
+         {_cos_sql('embedding', _RAW_VEC_SQL)} AS score
+  FROM embeddings
+),
+hits AS (
+  SELECT *,
+         CAST(row_number() OVER (PARTITION BY label
+                                 ORDER BY score DESC, vec_id) AS BIGINT) AS hit_rank
+  FROM scored
+  QUALIFY hit_rank <= 2
+),
+g AS (SELECT *, max(score) OVER (PARTITION BY label) AS group_best FROM hits)
+SELECT label,
+       CAST(dense_rank() OVER (ORDER BY group_best DESC, label) AS BIGINT) AS group_rank,
+       hit_rank, vec_id, score
+FROM g
+QUALIFY group_rank <= 3
+"""
+
+
+def q_recommend_best_score(spark, sf_dir):
+    """Qdrant recommend with strategy=best_score: per candidate,
+    bp = max cosine to any positive example, bn = max to any negative;
+    score = bp if bp > bn else −bn² (Qdrant's published BestScore
+    formula, computed on 6dp-rounded cosines so the branch decides
+    identically in both engines). The five example vectors are literals —
+    one scan, TakeOrderedAndProject, no shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = _REC_POS + _REC_NEG
+    rows = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(ex))
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    e = F.col("embedding")
+
+    def lv(v):
+        return F.array(*[F.lit(float(x)) for x in v]).cast("array<double>")
+
+    bp = F.greatest(*[round6(cosine(e, lv(rows[i]))) for i in _REC_POS])
+    bn = F.greatest(*[round6(cosine(e, lv(rows[i]))) for i in _REC_NEG])
+    score = F.when(bp > bn, bp).otherwise(round6(-(bn * bn)))
+    return (
+        emb.filter(~F.col("vec_id").isin(ex))
+        .select("vec_id", "label", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(5)
+    )
+
+
+def _sql_recommend_best_score() -> str:
+    ctes = ",\n".join(
+        f"e{vid} AS (SELECT CAST(embedding AS DOUBLE[]) AS v "
+        f"FROM embeddings WHERE vec_id = {vid})"
+        for vid in _REC_POS + _REC_NEG
+    )
+    froms = ", ".join(f"e{vid}" for vid in _REC_POS + _REC_NEG)
+    bp = "greatest(" + ", ".join(
+        _cos_sql("c.embedding", f"e{vid}.v") for vid in _REC_POS
+    ) + ")"
+    bn = "greatest(" + ", ".join(
+        _cos_sql("c.embedding", f"e{vid}.v") for vid in _REC_NEG
+    ) + ")"
+    ids = ", ".join(str(i) for i in _REC_POS + _REC_NEG)
+    return f"""
+WITH {ctes},
+s AS (
+  SELECT c.vec_id, c.label, {bp} AS bp, {bn} AS bn
+  FROM embeddings c, {froms}
+  WHERE c.vec_id NOT IN ({ids})
+)
+SELECT vec_id, label,
+       CASE WHEN bp > bn THEN bp ELSE round(-(bn * bn), 6) END AS score
+FROM s
+ORDER BY score DESC, vec_id
+LIMIT 5
+"""
+
+
+_SQL_RECOMMEND_BEST_SCORE = _sql_recommend_best_score()
+
+
+def q_dbsf_fusion(spark, sf_dir):
+    """Hybrid fusion, DBSF variant (Qdrant Fusion.DBSF — distribution-based
+    score fusion): each leg's scores are normalized to the leg's own
+    distribution, x ↦ (x − (μ−3σ)) / (6σ), then summed — unlike RRF this
+    keeps score *magnitudes*, not just ranks. μ and σ are computed from
+    DECIMAL(38,6) sums of the 6dp leg scores and their 6dp squares
+    (order-independent, so both engines derive bit-identical moments);
+    a zero-variance leg contributes the neutral 0.5. Leg stats are a
+    partial-aggregated scalar (broadcast back), so the fusion adds no
+    extra shuffle over the candidate set."""
+    lex = textanalysis.bm25_search(
+        _t(spark, sf_dir, "documents"), _BM25_TERMS, k=None
+    )
+    qv = F.array(*[F.lit(float(x)) for x in RAW_QUERY_VEC]).cast("array<double>")
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        round6(cosine(F.col("embedding"), qv)).alias("cos"),
+    )
+    cand = lex.join(emb, "doc_id")
+
+    def dec_sum(c):
+        return F.sum(c.cast("decimal(38,6)")).cast("double")
+
+    stats = cand.agg(
+        F.count("*").cast("double").alias("n"),
+        dec_sum(F.col("score")).alias("ls1"),
+        dec_sum(round6(F.col("score") * F.col("score"))).alias("ls2"),
+        dec_sum(F.col("cos")).alias("vs1"),
+        dec_sum(round6(F.col("cos") * F.col("cos"))).alias("vs2"),
+    )
+
+    def norm(x, s1, s2):
+        mu = F.col(s1) / F.col("n")
+        sig = F.sqrt(F.greatest(F.col(s2) / F.col("n") - mu * mu, F.lit(0.0)))
+        return F.when(sig == 0.0, F.lit(0.5)).otherwise(
+            (x - (mu - 3 * sig)) / (6 * sig)
+        )
+
+    fused = cand.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        micro6(norm(F.col("score"), "ls1", "ls2")).alias("norm_lex_micro"),
+        micro6(norm(F.col("cos"), "vs1", "vs2")).alias("norm_vec_micro"),
+        micro6(
+            norm(F.col("score"), "ls1", "ls2") + norm(F.col("cos"), "vs1", "vs2")
+        ).alias("dbsf_micro"),
+    )
+    return fused.orderBy(F.col("dbsf_micro").desc(), F.col("doc_id").asc()).limit(10)
+
+
+_SQL_DBSF_FUSION = f"""
+WITH {_BM25_CTES},
+j AS (
+  SELECT b.doc_id, b.score,
+         {_cos_sql('e.embedding', _RAW_VEC_SQL)} AS cos
+  FROM bm25 b JOIN embeddings e ON e.vec_id = b.doc_id
+),
+fs AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(score AS DECIMAL(38,6))) AS DOUBLE) AS ls1,
+         CAST(sum(CAST(round(score * score, 6) AS DECIMAL(38,6))) AS DOUBLE) AS ls2,
+         CAST(sum(CAST(cos AS DECIMAL(38,6))) AS DOUBLE) AS vs1,
+         CAST(sum(CAST(round(cos * cos, 6) AS DECIMAL(38,6))) AS DOUBLE) AS vs2
+  FROM j
+),
+nm AS (
+  SELECT j.doc_id,
+         CASE WHEN sqrt(greatest(ls2 / n - (ls1 / n) * (ls1 / n), 0.0)) = 0.0 THEN 0.5
+              ELSE (score - (ls1 / n - 3 * sqrt(greatest(ls2 / n - (ls1 / n) * (ls1 / n), 0.0))))
+                   / (6 * sqrt(greatest(ls2 / n - (ls1 / n) * (ls1 / n), 0.0))) END AS nl,
+         CASE WHEN sqrt(greatest(vs2 / n - (vs1 / n) * (vs1 / n), 0.0)) = 0.0 THEN 0.5
+              ELSE (cos - (vs1 / n - 3 * sqrt(greatest(vs2 / n - (vs1 / n) * (vs1 / n), 0.0))))
+                   / (6 * sqrt(greatest(vs2 / n - (vs1 / n) * (vs1 / n), 0.0))) END AS nv
+  FROM j, fs
+)
+SELECT doc_id,
+       {_micro_sql('nl')} AS norm_lex_micro,
+       {_micro_sql('nv')} AS norm_vec_micro,
+       {_micro_sql('nl + nv')} AS dbsf_micro
+FROM nm
+ORDER BY dbsf_micro DESC, doc_id
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# round-2c: corpus-hygiene operators (decontamination, LM quality,
+# winnowing fingerprints, embedding outliers)
+# ---------------------------------------------------------------------------
+
+_BENCH_SET_MAX_ID = 20  # doc_id < 20 plays the role of the eval benchmark
+_DECON_N = 8  # n-gram size for contamination matching (13 in the lit.; 8 fits fixture docs)
+_DECON_SEED = 131
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3/PaLM style): flag training docs
+    that share any 8-gram with the held-out benchmark set (here docs
+    doc_id < 20). Grams are 60-bit portable hashes, deduped per doc; the
+    benchmark gram set is tiny and broadcast, so the check is a map-side
+    semi-join over the corpus — no corpus-sized shuffle at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokenize_ws(F.col("text"))
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - _DECON_N),
+                lambda i: F.array_join(F.slice(toks, i + 1, _DECON_N), " "),
+            )
+        ).alias("gram"),
+    ).filter(F.size(toks) >= _DECON_N)
+    from vector_database_spark.functions.hashing import seeded_hash
+
+    gh = grams.select(
+        "doc_id", seeded_hash(F.col("gram"), _DECON_SEED).alias("g")
+    ).distinct()
+    bench = (
+        gh.filter(F.col("doc_id") < _BENCH_SET_MAX_ID).select("g").distinct()
+    )
+    corp = gh.filter(F.col("doc_id") >= _BENCH_SET_MAX_ID)
+    hits = (
+        corp.join(F.broadcast(bench.withColumn("hit", F.lit(1))), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+        )
+    )
+    base = docs.filter(F.col("doc_id") >= _BENCH_SET_MAX_ID).select("doc_id")
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+_SQL_DECONTAMINATE = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(toks) - {_DECON_N} + 1),
+                i -> list_aggregate(toks[i + 1 : i + {_DECON_N}], 'string_agg', ' '))) AS gram
+  FROM t WHERE len(toks) >= {_DECON_N}
+),
+gh AS (SELECT DISTINCT doc_id, {seeded_hash_sql("gram", _DECON_SEED)} AS g FROM g),
+bench AS (SELECT DISTINCT g FROM gh WHERE doc_id < {_BENCH_SET_MAX_ID}),
+agg AS (
+  SELECT doc_id, count(*) AS n_grams,
+         sum(CASE WHEN g IN (SELECT g FROM bench) THEN 1 ELSE 0 END) AS n_hits
+  FROM gh WHERE doc_id >= {_BENCH_SET_MAX_ID} GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(a.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(a.n_hits, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id >= {_BENCH_SET_MAX_ID}) d
+LEFT JOIN agg a USING (doc_id)
+"""
+
+
+_LM_KEEP_MICRO = -3500000  # keep if avg ln p(token) > -3.5
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """CCNet-style LM quality filter, unigram edition: score each doc by
+    the mean token log-probability under the corpus's own unigram LM,
+    keep docs above a threshold. The LM is |vocab| rows (broadcast);
+    per-doc scoring is one token-explode + map-side join + partial agg.
+    Determinism: ln p rounded to 6dp per token, summed via DECIMAL(38,6)
+    (order-free), mean emitted in micro-units."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokenize_ws(F.col("text"))).alias("token"))
+    counts = tok.groupBy("token").agg(F.count("*").alias("c"))
+    tot = counts.agg(F.sum("c").alias("tot"))
+    lm = counts.crossJoin(F.broadcast(tot)).select(
+        "token",
+        round6(F.log(F.col("c").cast("double") / F.col("tot").cast("double"))).alias(
+            "lp"
+        ),
+    )
+    per_doc = (
+        tok.join(F.broadcast(lm), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.col("lp").cast("decimal(38,6)")).cast("double").alias("slp"),
+        )
+    )
+    avg_micro = micro6(F.col("slp") / F.col("n_tokens").cast("double"))
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        avg_micro.alias("avg_logprob_micro"),
+        (avg_micro > F.lit(_LM_KEEP_MICRO)).alias("keep"),
+    )
+
+
+_SQL_UNIGRAM_LOGPROB = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents),
+c AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+t AS (SELECT sum(c) AS tot FROM c),
+lm AS (SELECT token, round(ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)), 6) AS lp
+       FROM c, t),
+d AS (
+  SELECT doc_id, count(*) AS n,
+         CAST(sum(CAST(lp AS DECIMAL(38,6))) AS DOUBLE) AS slp
+  FROM tok JOIN lm USING (token) GROUP BY doc_id
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       {_micro_sql('slp / CAST(n AS DOUBLE)')} AS avg_logprob_micro,
+       {_micro_sql('slp / CAST(n AS DOUBLE)')} > {_LM_KEEP_MICRO} AS keep
+FROM d
+"""
+
+
+_WINNOW_K = 4  # k-gram size
+_WINNOW_W = 5  # winnowing window
+_WINNOW_SEED = 97
+
+
+def q_winnow_fingerprint(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): hash every 4-gram, take the min hash of each sliding
+    window of 5 consecutive grams, dedup — the guaranteed-coverage local
+    fingerprint set used for plagiarism/overlap detection. Per doc:
+    n_fps + min/max fingerprint (stable set digest). The window is
+    doc-partitioned (shuffle key = doc_id); everything else is map-side."""
+    from pyspark.sql.window import Window
+
+    from vector_database_spark.functions.hashing import seeded_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokenize_ws(F.col("text"))
+    grams = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - _WINNOW_K),
+                lambda i: F.array_join(F.slice(toks, i + 1, _WINNOW_K), " "),
+            )
+        ).alias("pos", "gram"),
+    ).filter(F.col("n_toks") >= _WINNOW_K)
+    hashed = grams.select(
+        "doc_id", "pos", seeded_hash(F.col("gram"), _WINNOW_SEED).alias("h")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.col("pos").asc())
+        .rowsBetween(0, _WINNOW_W - 1)
+    )
+    n_grams = F.count("*").over(Window.partitionBy("doc_id"))
+    fps = (
+        hashed.withColumn("fp", F.min("h").over(w))
+        .withColumn("ng", n_grams)
+        .filter(F.col("pos") <= F.col("ng") - _WINNOW_W)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    return fps.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_fps"),
+        F.min("fp").alias("fp_min"),
+        F.max("fp").alias("fp_max"),
+    )
+
+
+_SQL_WINNOW = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(range(len(toks) - {_WINNOW_K} + 1)) AS pos,
+         unnest(list_transform(range(len(toks) - {_WINNOW_K} + 1),
+                i -> list_aggregate(toks[i + 1 : i + {_WINNOW_K}], 'string_agg', ' '))) AS gram
+  FROM t WHERE len(toks) >= {_WINNOW_K}
+),
+h AS (SELECT doc_id, pos, {seeded_hash_sql("gram", _WINNOW_SEED)} AS h FROM g),
+wmin AS (
+  SELECT doc_id, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS fp,
+         count(*) OVER (PARTITION BY doc_id) AS ng
+  FROM h
+),
+fps AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE pos <= ng - {_WINNOW_W})
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps,
+       min(fp) AS fp_min, max(fp) AS fp_max
+FROM fps GROUP BY doc_id
+"""
+
+
+def q_embedding_outliers(spark, sf_dir):
+    """Embedding outlier detection for curation (mislabeled/anomalous
+    points): distance of each vector to its own label centroid, z-scored
+    within the label; outlier ⇔ z > 2. Centroids are DECIMAL positional
+    means (order-free); squared-residual and distance sums go through the
+    same DECIMAL contract, so both engines derive identical z-scores.
+    Two label-keyed aggregations — shuffle volume is |labels|·dim and
+    |labels|, never corpus-sized."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    )
+    dv = F.col("v").cast("decimal(38,6)")
+    cent = ex.groupBy("label", "pos").agg(
+        (F.sum(dv).cast("double") / F.count("*")).alias("c")
+    )
+    dist = (
+        ex.join(cent, ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            round6(
+                F.sqrt(
+                    F.sum(
+                        round6((F.col("v") - F.col("c")) * (F.col("v") - F.col("c")))
+                        .cast("decimal(38,6)")
+                    ).cast("double")
+                )
+            ).alias("dist")
+        )
+    )
+    stats = dist.groupBy("label").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("dist").cast("decimal(38,6)")).cast("double").alias("s1"),
+        F.sum(round6(F.col("dist") * F.col("dist")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    mu = F.col("s1") / F.col("n")
+    sig = F.sqrt(F.greatest(F.col("s2") / F.col("n") - mu * mu, F.lit(0.0)))
+    z = micro6(
+        F.when(sig == 0.0, F.lit(0.0)).otherwise((F.col("dist") - mu) / sig)
+    )
+    return dist.join(F.broadcast(stats), "label").select(
+        "vec_id",
+        "label",
+        "dist",
+        z.alias("z_micro"),
+        (z > F.lit(2000000)).alias("outlier"),
+    )
+
+
+_SQL_EMBEDDING_OUTLIERS = """
+WITH ex AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT label, pos,
+         CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS c
+  FROM ex GROUP BY label, pos
+),
+dist AS (
+  SELECT vec_id, e.label,
+         round(sqrt(CAST(sum(CAST(round((v - c) * (v - c), 6) AS DECIMAL(38,6))) AS DOUBLE)), 6) AS dist
+  FROM ex e JOIN cent USING (label, pos)
+  GROUP BY vec_id, e.label
+),
+st AS (
+  SELECT label, CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(dist AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(round(dist * dist, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s2
+  FROM dist GROUP BY label
+),
+z AS (
+  SELECT vec_id, d.label, dist,
+         CASE WHEN sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) = 0.0 THEN 0.0
+              ELSE (dist - s1 / n) / sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0)) END AS zv
+  FROM dist d JOIN st USING (label)
+)
+SELECT vec_id, label, dist,
+       CAST(floor(zv * 1000000.0 + 0.5) AS BIGINT) AS z_micro,
+       CAST(floor(zv * 1000000.0 + 0.5) AS BIGINT) > 2000000 AS outlier
+FROM z
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2875,6 +3375,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_scroll_ordered": q_scroll_ordered,
     "q_scrub_pii": q_scrub_pii,
     "q_repetition_ratio": q_repetition_ratio,
+    "q_knn_groups": q_knn_groups,
+    "q_recommend_best_score": q_recommend_best_score,
+    "q_dbsf_fusion": q_dbsf_fusion,
+    "q_decontaminate": q_decontaminate,
+    "q_unigram_logprob": q_unigram_logprob,
+    "q_winnow_fingerprint": q_winnow_fingerprint,
+    "q_embedding_outliers": q_embedding_outliers,
     # §2.C
     "q_normalize_scale": q_normalize_scale,
     "q_flatten": q_flatten,
@@ -3020,6 +3527,13 @@ ORACLES: dict[str, str] = {
     "q_scroll_ordered": _SQL_SCROLL_ORDERED,
     "q_scrub_pii": _SQL_SCRUB_PII,
     "q_repetition_ratio": _SQL_REPETITION,
+    "q_knn_groups": _SQL_KNN_GROUPS,
+    "q_recommend_best_score": _SQL_RECOMMEND_BEST_SCORE,
+    "q_dbsf_fusion": _SQL_DBSF_FUSION,
+    "q_decontaminate": _SQL_DECONTAMINATE,
+    "q_unigram_logprob": _SQL_UNIGRAM_LOGPROB,
+    "q_winnow_fingerprint": _SQL_WINNOW,
+    "q_embedding_outliers": _SQL_EMBEDDING_OUTLIERS,
     "q_window_funcs": _SQL_WINDOW_FUNCS,
     "q_pivot_events": _SQL_PIVOT_EVENTS,
     "q_rollup_orders": _SQL_ROLLUP_ORDERS,
