@@ -322,3 +322,35 @@ def test_discover_context_pairs(catalog, spark):
     assert [r["id"] for r in res2][:2] == [0, 10]
     with pytest.raises(KeyError, match="not found"):
         col.discover(target=0, context=[(1, 99)])
+
+
+def test_delete_and_clear_payload(catalog, spark):
+    col = catalog.create_collection("p2", dim=2)
+    col.upsert(_points(spark, [(1, [1, 0], 0), (2, [0, 1], 1)]))
+    col.set_payload([1, 2], {"flag": "x", "src": "web"})
+    col.delete_payload([2], ["flag", "nope"])
+    rows = {r["id"]: r["payload"] for r in col.df().collect()}
+    assert "flag" not in rows[2] and rows[2]["src"] == "web"
+    assert rows[1]["flag"] == "x"  # untouched point keeps its keys
+    col.clear_payload([1])
+    rows = {r["id"]: r["payload"] for r in col.df().collect()}
+    assert rows[1] == {} and rows[2]["label"] == "1"
+
+
+def test_update_vectors_keeps_payload(catalog, spark):
+    col = catalog.create_collection("uv1", dim=2)
+    col.upsert(_points(spark, [(1, [1, 0], 0), (2, [0, 1], 1)]))
+    col.set_payload([1], {"flag": "keep"})
+    upd = spark.createDataFrame(
+        [(1, [0.5, 0.5])], "id long, embedding array<float>"
+    )
+    v = col.update_vectors(upd)
+    assert v == col.info.version
+    rows = {r["id"]: r for r in col.df().collect()}
+    assert [round(x, 3) for x in rows[1]["embedding"]] == [0.5, 0.5]
+    assert rows[1]["payload"]["flag"] == "keep"  # payload survives
+    assert [round(x) for x in rows[2]["embedding"]] == [0, 1]
+    with pytest.raises(KeyError, match="not found"):
+        col.update_vectors(
+            spark.createDataFrame([(99, [1.0, 1.0])], "id long, embedding array<float>")
+        )

@@ -380,6 +380,57 @@ class VectorCollection:
         )
         return self.upsert(updated)
 
+    def delete_payload(self, point_ids, keys) -> int:
+        """Remove the given payload keys from the given points (Qdrant
+        delete_payload API). Same MERGE shape as set_payload: only the
+        affected rows are re-written at a new version."""
+        ids = [int(i) for i in point_ids]
+        drop = F.array(*[F.lit(str(k)) for k in keys])
+        pruned = F.map_filter(
+            F.coalesce(F.col("payload"), F.create_map().cast("map<string,string>")),
+            lambda k, _v: ~F.array_contains(drop, k),
+        )
+        updated = (
+            self.df()
+            .filter(F.col("id").isin(ids))
+            .select("id", "embedding", pruned.alias("payload"))
+        )
+        return self.upsert(updated)
+
+    def clear_payload(self, point_ids) -> int:
+        """Reset the payload of the given points to empty (Qdrant
+        clear_payload API)."""
+        ids = [int(i) for i in point_ids]
+        updated = (
+            self.df()
+            .filter(F.col("id").isin(ids))
+            .select(
+                "id",
+                "embedding",
+                F.create_map().cast("map<string,string>").alias("payload"),
+            )
+        )
+        return self.upsert(updated)
+
+    def update_vectors(self, points: DataFrame) -> int:
+        """Replace the vectors of existing points, keeping their payload
+        (Qdrant update_vectors API). ``points`` carries (id, embedding);
+        the current payload is joined on id (broadcast — the update set is
+        the small side) and the rows re-upserted at a new version. Unknown
+        ids raise, matching Qdrant's point-not-found error."""
+        cur = self.df().select("id", F.col("payload").alias("_old_payload"))
+        upd = points.select("id", "embedding")
+        n_req = upd.count()
+        joined = upd.join(cur, "id")
+        if joined.count() != n_req:
+            missing = [
+                r["id"] for r in upd.join(cur, "id", "left_anti").collect()
+            ]
+            raise KeyError(f"update_vectors: points not found: {sorted(missing)}")
+        return self.upsert(
+            joined.select("id", "embedding", F.col("_old_payload").alias("payload"))
+        )
+
     def scroll(
         self,
         limit: int = 100,
