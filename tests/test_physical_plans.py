@@ -169,3 +169,43 @@ def test_unigram_lm_is_broadcast_to_tokens(spark, sf):
 
     p = plan_of(q_unigram_logprob(spark, sf))
     assert "BroadcastHashJoin" in p
+
+
+def test_maxsim_query_tokens_broadcast_and_partial_aggs(spark, sf):
+    # pairwise token cos is map-side (4-row query side broadcast); both
+    # reductions show partial HashAggregates; final top-k is TakeOrdered
+    from vector_database_spark.queries import q_maxsim_multivector
+
+    p = plan_of(q_maxsim_multivector(spark, sf))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert p.count("partial_max") >= 1 and p.count("partial_sum") >= 1
+    assert "TakeOrderedAndProject" in p
+
+
+def test_formula_boost_payload_join_is_broadcast(spark, sf):
+    # similarity is map-side; the payload enrich join must not shuffle the
+    # scored side at dim-table sizes
+    from vector_database_spark.queries import q_formula_boost
+
+    p = plan_of(q_formula_boost(spark, sf))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_random_sample_is_take_ordered(spark, sf):
+    # seeded draw = hash + TakeOrdered heaps, never a global sort
+    from vector_database_spark.queries import q_random_sample
+
+    p = plan_of(q_random_sample(spark, sf))
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p
+
+
+def test_rescore_oversample_two_takeordered_phases(spark, sf):
+    # both the quantized candidate phase and the exact rescore phase are
+    # TakeOrdered tops; no sort-merge join anywhere
+    from vector_database_spark.queries import q_rescore_oversample
+
+    p = plan_of(q_rescore_oversample(spark, sf))
+    assert p.count("TakeOrderedAndProject") >= 2
+    assert "SortMergeJoin" not in p

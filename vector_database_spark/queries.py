@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vector_database_spark.catalog import latest_wins
-from vector_database_spark.functions.hashing import seeded_hash_sql
+from vector_database_spark.functions.hashing import seeded_hash, seeded_hash_sql
 from vector_database_spark.functions.text import bigrams, tokenize_ws
 from vector_database_spark.functions.vector import (
     cosine,
@@ -3323,6 +3323,217 @@ FROM z
 """
 
 
+def q_maxsim_multivector(spark, sf_dir):
+    """ColBERT-style late-interaction search over MULTIVECTORS (Qdrant
+    multivector config with MaxSim comparator — the modern twin of the
+    reference's single-vector cosine search, vector_db_query.py:78-82).
+    Each point stores several token vectors; score(doc) = Σ_q max_d
+    cos(q_token, d_token). Here the 64-d fixture embedding is viewed as
+    4 × 16-d token vectors (deterministic slicing, no new fixture needed).
+
+    Scale shape: the pairwise cos stage is |docs|·Tq·Td rows but stays
+    map-side (query tokens broadcast); both reductions (max over doc
+    tokens, sum over query tokens) are partial-aggregatable, so the only
+    shuffle is the final top-k. Sum runs over integer micro-units —
+    order-independent, so the oracle agrees bit-for-bit.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    tok = lambda c: F.array(*[F.slice(c, i * 16 + 1, 16) for i in range(4)])  # noqa: E731
+    docs = emb.select(
+        "vec_id", "label", F.posexplode(tok(F.col("embedding"))).alias("dpos", "dvec")
+    )
+    q = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.posexplode(tok(F.col("embedding"))).alias("qpos", "qvec"))
+    )
+    pair = docs.join(F.broadcast(q)).select(
+        "vec_id", "label", "qpos", micro6(cosine(F.col("dvec"), F.col("qvec"))).alias("c")
+    )
+    per_qtok = pair.groupBy("vec_id", "label", "qpos").agg(F.max("c").alias("m"))
+    return (
+        per_qtok.groupBy("vec_id", "label")
+        .agg(F.sum("m").alias("maxsim_micro"))
+        .orderBy(F.col("maxsim_micro").desc(), F.col("vec_id").asc())
+        .limit(5)
+    )
+
+
+_SQL_MAXSIM = f"""
+WITH tok AS (
+  SELECT vec_id, label, g.p AS pos,
+         CAST(embedding[(g.p - 1) * 16 + 1 : g.p * 16] AS DOUBLE[]) AS tv
+  FROM embeddings CROSS JOIN generate_series(1, 4) AS g(p)
+),
+pair AS (
+  SELECT d.vec_id, d.label, q.pos AS qpos,
+         {_micro_sql("list_cosine_similarity(d.tv, q.tv)")} AS c
+  FROM tok d CROSS JOIN (SELECT pos, tv FROM tok WHERE vec_id = 0) q
+),
+mx AS (
+  SELECT vec_id, label, qpos, max(c) AS m FROM pair GROUP BY vec_id, label, qpos
+)
+SELECT vec_id, label, CAST(sum(m) AS BIGINT) AS maxsim_micro
+FROM mx
+GROUP BY vec_id, label
+ORDER BY maxsim_micro DESC, vec_id
+LIMIT 5
+"""
+
+
+def q_formula_boost(spark, sf_dir):
+    """Qdrant Query-API formula rescoring (FormulaQuery): the final rank
+    blends vector similarity with payload-derived boosts — here
+    +0.10 for source='web' and +0.05 for lang='en', the canonical
+    'boost fresh/trusted sources' example from Qdrant's hybrid-queries
+    docs. All terms in integer micro-units, so the blend is exact.
+
+    Scale shape: similarity is map-side (broadcast query vector), the
+    payload join is id-equi (doc_id = vec_id — co-partitionable or
+    broadcast at any dim-table size), final top-k is TakeOrdered."""
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    qv = emb.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("qv"))
+    scored = emb.crossJoin(F.broadcast(qv)).select(
+        "vec_id", micro6(cosine(F.col("embedding"), F.col("qv"))).alias("cos_micro")
+    )
+    boosted = scored.join(docs, scored.vec_id == docs.doc_id).select(
+        "vec_id",
+        "source",
+        "lang",
+        "cos_micro",
+        (
+            F.col("cos_micro")
+            + F.when(F.col("source") == "web", 100000).otherwise(0)
+            + F.when(F.col("lang") == "en", 50000).otherwise(0)
+        ).alias("score_micro"),
+    )
+    return boosted.orderBy(F.col("score_micro").desc(), F.col("vec_id").asc()).limit(10)
+
+
+_SQL_FORMULA_BOOST = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+scored AS (
+  SELECT e.vec_id,
+         {_micro_sql("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))")} AS cos_micro
+  FROM embeddings e, q
+)
+SELECT s.vec_id, d.source, d.lang, s.cos_micro,
+       s.cos_micro
+         + (CASE WHEN d.source = 'web' THEN 100000 ELSE 0 END)
+         + (CASE WHEN d.lang = 'en' THEN 50000 ELSE 0 END) AS score_micro
+FROM scored s JOIN documents d ON s.vec_id = d.doc_id
+ORDER BY score_micro DESC, s.vec_id
+LIMIT 10
+"""
+
+
+def q_random_sample(spark, sf_dir):
+    """Qdrant random sampling (query=SampleQuery(Sample.RANDOM)): return N
+    points drawn uniformly — made reproducible as a seeded hash-ordered
+    take-N (ORDER BY h(seed, id) LIMIT n), the engine's documented
+    semantics (SURVEY §7.3: randomSplit is not oracle-reproducible, the
+    portable hash family is). Distinct from q_sample_stratified: that is
+    a RATE (hash-mod keep), this is an exact-COUNT draw.
+
+    Scale shape: hash is map-side; the global order-limit compiles to
+    TakeOrderedAndProject (per-partition heaps, no full sort)."""
+    docs = _t(spark, sf_dir, "documents")
+    h = seeded_hash(F.col("doc_id").cast("string"), 404).alias("sample_key")
+    return (
+        docs.select("doc_id", "source", "lang", h)
+        .orderBy(F.col("sample_key").asc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+_SQL_RANDOM_SAMPLE = f"""
+SELECT doc_id, source, lang,
+       {seeded_hash_sql("CAST(doc_id AS VARCHAR)", 404)} AS sample_key
+FROM documents
+ORDER BY sample_key, doc_id
+LIMIT 20
+"""
+
+
+def q_rescore_oversample(spark, sf_dir):
+    """Qdrant quantization rescoring with oversampling: phase 1 ranks by
+    the cheap INT8-quantized dot product and keeps k×oversampling=20
+    candidates; phase 2 rescores just those with the exact full-precision
+    cosine and returns top-5 (quantization_config + SearchParams(
+    quantization=QuantizationSearchParams(rescore=True, oversampling=4))).
+    The int8 dot is integer-exact in DOUBLE (|x|≤127, 64 dims), so the
+    candidate order — unlike a float ANN — is itself oracle-checkable:
+    this is the rare approximate-pipeline query with a FULL oracle.
+
+    Scale shape: phase 1 touches 1/4 the bytes of the full vector (the
+    point of quantization), both phases are broadcast-query map-side
+    scans with TakeOrdered tops; phase 2 rescans only 20 rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    embd = F.col("embedding").cast("array<double>")
+    mx = F.array_max(F.transform(embd, lambda x: F.abs(x)))
+    scale = F.when(mx > 0, F.lit(127.0) / mx).otherwise(F.lit(0.0))
+    q8 = F.transform(
+        embd,
+        lambda x: (
+            F.floor(F.abs(x) * scale + F.lit(0.5)) * F.when(x < 0, -1).otherwise(1)
+        ).cast("double"),
+    )
+    quant = emb.select("vec_id", "label", "embedding", q8.alias("q8"))
+    qside = quant.filter(F.col("vec_id") == 3).select(
+        F.col("q8").alias("qq8"), F.col("embedding").alias("qv")
+    )
+    phase1 = (
+        quant.crossJoin(F.broadcast(qside))
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            "qv",
+            dot(F.col("q8"), F.col("qq8")).cast("long").alias("q_dot"),
+        )
+        .orderBy(F.col("q_dot").desc(), F.col("vec_id").asc())
+        .limit(20)
+    )
+    return (
+        phase1.select(
+            "vec_id",
+            "label",
+            "q_dot",
+            micro6(cosine(F.col("embedding"), F.col("qv"))).alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), F.col("vec_id").asc())
+        .limit(5)
+    )
+
+
+_SQL_RESCORE_OVERSAMPLE = f"""
+WITH s AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS mx
+  FROM embeddings
+),
+quant AS (
+  SELECT vec_id, label, e,
+         list_transform(e, x ->
+           floor(abs(x) * (CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END) + 0.5)
+           * (CASE WHEN x < 0 THEN -1 ELSE 1 END)) AS q8
+  FROM s
+),
+phase1 AS (
+  SELECT c.vec_id, c.label, c.e, q.e AS qv,
+         CAST(list_dot_product(c.q8, q.q8) AS BIGINT) AS q_dot
+  FROM quant c CROSS JOIN (SELECT e, q8 FROM quant WHERE vec_id = 3) q
+  ORDER BY q_dot DESC, c.vec_id
+  LIMIT 20
+)
+SELECT vec_id, label, q_dot,
+       {_micro_sql("list_cosine_similarity(e, qv)")} AS score_micro
+FROM phase1
+ORDER BY score_micro DESC, vec_id
+LIMIT 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3382,6 +3593,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_unigram_logprob": q_unigram_logprob,
     "q_winnow_fingerprint": q_winnow_fingerprint,
     "q_embedding_outliers": q_embedding_outliers,
+    "q_maxsim_multivector": q_maxsim_multivector,
+    "q_formula_boost": q_formula_boost,
+    "q_random_sample": q_random_sample,
+    "q_rescore_oversample": q_rescore_oversample,
     # §2.C
     "q_normalize_scale": q_normalize_scale,
     "q_flatten": q_flatten,
@@ -3534,6 +3749,10 @@ ORACLES: dict[str, str] = {
     "q_unigram_logprob": _SQL_UNIGRAM_LOGPROB,
     "q_winnow_fingerprint": _SQL_WINNOW,
     "q_embedding_outliers": _SQL_EMBEDDING_OUTLIERS,
+    "q_maxsim_multivector": _SQL_MAXSIM,
+    "q_formula_boost": _SQL_FORMULA_BOOST,
+    "q_random_sample": _SQL_RANDOM_SAMPLE,
+    "q_rescore_oversample": _SQL_RESCORE_OVERSAMPLE,
     "q_window_funcs": _SQL_WINDOW_FUNCS,
     "q_pivot_events": _SQL_PIVOT_EVENTS,
     "q_rollup_orders": _SQL_ROLLUP_ORDERS,
