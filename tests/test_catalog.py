@@ -354,3 +354,65 @@ def test_update_vectors_keeps_payload(catalog, spark):
         col.update_vectors(
             spark.createDataFrame([(99, [1.0, 1.0])], "id long, embedding array<float>")
         )
+
+
+def test_aliases_atomic_swap(catalog, spark):
+    c1 = catalog.create_collection("docs_v1", dim=2)
+    c1.upsert(_points(spark, [(1, [1, 0], 0)]))
+    catalog.update_aliases(create={"docs": "docs_v1"})
+    assert catalog.list_aliases() == {"docs": "docs_v1"}
+    assert catalog.collection("docs").count() == 1
+    # aliases are not collections
+    assert not catalog.collection_exists("docs")
+    assert catalog.list_collections() == ["docs_v1"]
+    # zero-downtime reindex: build v2, repoint the alias in one commit
+    c2 = catalog.create_collection("docs_v2", dim=2)
+    c2.upsert(_points(spark, [(1, [0, 1], 0), (2, [1, 1], 1)]))
+    catalog.update_aliases(create={"docs": "docs_v2"})
+    assert catalog.collection("docs").count() == 2
+    assert catalog.collection_aliases("docs_v2") == ["docs"]
+    assert catalog.collection_aliases("docs_v1") == []
+    # deleting the target drops its aliases (no dangling names)
+    catalog.drop_collection("docs_v2")
+    assert catalog.list_aliases() == {}
+
+
+def test_alias_validation(catalog):
+    catalog.create_collection("real", dim=2)
+    with pytest.raises(KeyError, match="target does not exist"):
+        catalog.update_aliases(create={"a": "ghost"})
+    with pytest.raises(ValueError, match="is a collection name"):
+        catalog.update_aliases(create={"real": "real"})
+    with pytest.raises(KeyError, match="no such alias"):
+        catalog.update_aliases(delete=["missing"])
+    catalog.update_aliases(create={"a": "real"})
+    with pytest.raises(ValueError, match="is an alias"):
+        catalog.create_collection("a", dim=2)
+
+
+def test_snapshot_restore_roundtrip(catalog, spark):
+    col = catalog.create_collection("snappy", dim=2, metric="dot")
+    col.upsert(_points(spark, [(1, [1, 0], 0), (2, [0, 1], 1)]))
+    snap = col.create_snapshot()
+    assert col.list_snapshots() == {snap: 1}
+    # diverge: overwrite id=2, add id=3, delete id=1
+    col.upsert(_points(spark, [(2, [9, 9], 9), (3, [1, 1], 3)]))
+    col.delete(point_ids=[1])
+    assert {r["id"] for r in col.df().collect()} == {2, 3}
+    col.restore_snapshot(snap)
+    state = {r["id"]: [round(x) for x in r["embedding"]] for r in col.df().collect()}
+    assert state == {1: [1, 0], 2: [0, 1]}
+    # the restore is itself versioned: time travel still sees the divergence
+    assert {r["id"] for r in col.df(as_of_version=2).collect()} == {1, 2, 3}
+
+
+def test_snapshot_invalidated_by_compact(catalog, spark):
+    col = catalog.create_collection("snapc", dim=2, metric="dot")
+    col.upsert(_points(spark, [(1, [1, 0], 0)]))
+    snap = col.create_snapshot()
+    col.upsert(_points(spark, [(2, [0, 1], 1)]))
+    col.compact()
+    with pytest.raises(ValueError, match="predates compact"):
+        col.restore_snapshot(snap)
+    with pytest.raises(KeyError, match="no such snapshot"):
+        col.restore_snapshot("ghost")

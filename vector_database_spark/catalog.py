@@ -33,6 +33,10 @@ from vector_database_spark.functions.vector import cosine, dot, l2_dist, l2_norm
 
 VALID_METRICS = ("cosine", "dot", "euclid")
 
+# reserved key in the catalog JSON holding {alias: collection}; never a
+# valid collection name (create_collection would collide with it otherwise)
+ALIASES_KEY = "__aliases__"
+
 
 def collection_schema(payload_type: T.DataType | None = None) -> T.StructType:
     """Point schema: PointStruct(id, vector, payload) — vector_db.py:85-91."""
@@ -101,8 +105,9 @@ class Catalog:
 
     # -- DDL (SURVEY A1/A2) ------------------------------------------------
     def collection_exists(self, name: str) -> bool:
-        """A2: existence predicate guarding create (vector_db.py:20)."""
-        return name in self._load()
+        """A2: existence predicate guarding create (vector_db.py:20).
+        Aliases are not collections: exists(alias) is False, like Qdrant."""
+        return name in self._collections(self._load())
 
     def create_collection(
         self, name: str, dim: int, metric: str = "cosine"
@@ -113,6 +118,8 @@ class Catalog:
             raise ValueError(f"metric must be one of {VALID_METRICS}, got {metric!r}")
         with self._lock():
             cat = self._load()
+            if name in cat.get(ALIASES_KEY, {}):
+                raise ValueError(f"{name!r} is an alias; pick another name")
             if name not in cat:
                 cat[name] = {"dim": dim, "metric": metric, "version": 0}
                 self._save(cat)
@@ -125,8 +132,11 @@ class Catalog:
         return self.collection(name)
 
     def collection(self, name: str) -> "VectorCollection":
+        """Open a collection by name OR alias (aliases resolve at open time,
+        so repointing an alias atomically redirects new readers)."""
         cat = self._load()
-        if name not in cat:
+        name = cat.get(ALIASES_KEY, {}).get(name, name)
+        if name not in self._collections(cat):
             raise KeyError(f"no such collection: {name}")
         info = cat[name]
         return VectorCollection(
@@ -137,10 +147,52 @@ class Catalog:
         with self._lock():
             cat = self._load()
             cat.pop(name, None)
+            aliases = cat.get(ALIASES_KEY, {})
+            for a in [a for a, tgt in aliases.items() if tgt == name]:
+                del aliases[a]  # no dangling aliases (Qdrant drops them too)
             self._save(cat)
 
     def list_collections(self) -> list[str]:
-        return sorted(self._load())
+        return sorted(self._collections(self._load()))
+
+    @staticmethod
+    def _collections(cat: dict) -> dict:
+        return {k: v for k, v in cat.items() if k != ALIASES_KEY}
+
+    # -- aliases (Qdrant update_collection_aliases / get_aliases) ----------
+    def update_aliases(
+        self, create: dict[str, str] | None = None, delete: list[str] | None = None
+    ) -> None:
+        """Atomically apply alias changes (Qdrant update_collection_aliases:
+        one request carrying create/delete ops, applied as a unit). The
+        canonical zero-downtime reindex: build `docs_v2`, then
+        ``update_aliases(create={'docs': 'docs_v2'})`` repoints readers in
+        one catalog commit. Creating an alias that exists repoints it.
+        """
+        with self._lock():
+            cat = self._load()
+            aliases = cat.setdefault(ALIASES_KEY, {})
+            for a in delete or []:
+                if a not in aliases:
+                    raise KeyError(f"no such alias: {a}")
+                del aliases[a]
+            for alias, target in (create or {}).items():
+                if alias in self._collections(cat):
+                    raise ValueError(f"{alias!r} is a collection name; cannot alias")
+                if target not in self._collections(cat):
+                    raise KeyError(f"alias target does not exist: {target}")
+                aliases[alias] = target
+            self._save(cat)
+
+    def list_aliases(self) -> dict[str, str]:
+        """All aliases as {alias: collection} (Qdrant get_aliases)."""
+        return dict(self._load().get(ALIASES_KEY, {}))
+
+    def collection_aliases(self, name: str) -> list[str]:
+        """Aliases pointing at one collection (Qdrant get_collection_aliases)."""
+        return sorted(
+            a for a, tgt in self._load().get(ALIASES_KEY, {}).items() if tgt == name
+        )
 
     def _set_version(self, name: str, version: int) -> None:
         cat = self._load()
@@ -577,10 +629,65 @@ class VectorCollection:
             flt = flt & payload_filter
         return self.search(qv, limit=limit, payload_filter=flt)
 
+    # -- snapshots (Qdrant create_snapshot / list_snapshots / recover) -----
+    def create_snapshot(self, name: str | None = None) -> str:
+        """Record a named restore point (Qdrant create_snapshot). With the
+        log-structured layout a snapshot is just a version pin — zero data
+        copied, because ``df(as_of_version=...)`` already reconstructs any
+        past state from the write/tombstone log. Valid until ``compact()``
+        folds the history it points into.
+        """
+        with self.catalog._lock():
+            cat = self.catalog._load()
+            info = cat[self.info.name]
+            name = name or f"snap-v{info['version']}"
+            snaps = info.setdefault("snapshots", {})
+            if name in snaps:
+                raise ValueError(f"snapshot {name!r} already exists")
+            snaps[name] = info["version"]
+            self.catalog._save(cat)
+        return name
+
+    def list_snapshots(self) -> dict[str, int]:
+        """{snapshot_name: pinned_version} (Qdrant list_snapshots)."""
+        return dict(self.catalog._load()[self.info.name].get("snapshots", {}))
+
+    def restore_snapshot(self, name: str) -> int:
+        """Roll the collection back to a snapshot's state (Qdrant
+        recover_snapshot). The restore is itself just more log: ids live now
+        but absent at the snapshot get tombstoned, and the snapshot rows are
+        re-upserted at a fresh version — so a restore is versioned, visible
+        in time travel, and undoable like any other write. Not atomic
+        against concurrent writers (two catalog commits); Qdrant's recover
+        likewise replaces state out-of-band. Returns the final version.
+        """
+        info = self.catalog._load()[self.info.name]
+        snaps = info.get("snapshots", {})
+        if name not in snaps:
+            raise KeyError(f"no such snapshot: {name}")
+        pinned = snaps[name]
+        if pinned < info.get("compacted_at", 0):
+            raise ValueError(
+                f"snapshot {name!r} (v{pinned}) predates compact() at "
+                f"v{info['compacted_at']}; its history is folded away"
+            )
+        snap = self.df(as_of_version=pinned).select("id", "embedding", "payload")
+        doomed = [
+            r["id"]
+            for r in self.df().select("id").join(snap.select("id"), "id", "left_anti").collect()
+        ]
+        if doomed:
+            self.delete(point_ids=doomed)
+        if not snap.isEmpty():
+            self.upsert(snap)
+        return self.info.version
+
     def compact(self) -> None:
         """Fold the version history down to latest-wins minus tombstones
         (like Delta OPTIMIZE), preserving the bucketed layout and
-        materialized norms; clears the tombstone log.
+        materialized norms; clears the tombstone log. Stamps
+        ``compacted_at`` so restores of snapshots older than the fold fail
+        loudly instead of reconstructing a partial state.
 
         Runs under the catalog lock: a concurrent upsert/delete committed
         between the snapshot read and the overwrite (or tombstone rmtree)
@@ -599,6 +706,9 @@ class VectorCollection:
 
             shutil.rmtree(tmp, ignore_errors=True)
             shutil.rmtree(self._tombstone_path, ignore_errors=True)
+            cat = self.catalog._load()
+            cat[self.info.name]["compacted_at"] = cat[self.info.name]["version"]
+            self.catalog._save(cat)
 
     # -- query (SURVEY B1-B10) -----------------------------------------------
     def search_batch(
