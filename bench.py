@@ -54,6 +54,11 @@ BENCH_QUERIES = [
     "q_quantize_int8",
     "q_recommend",
     "q_pipeline_e2e",
+    # round 2b: late interaction, quantized rescore, curation passes
+    "q_maxsim_multivector",
+    "q_rescore_oversample",
+    "q_line_dedup",
+    "q_perplexity_buckets",
 ]
 
 

@@ -416,3 +416,52 @@ def test_snapshot_invalidated_by_compact(catalog, spark):
         col.restore_snapshot(snap)
     with pytest.raises(KeyError, match="no such snapshot"):
         col.restore_snapshot("ghost")
+
+
+def test_multitenant_search_and_pruning(catalog, spark):
+    col = catalog.create_collection("mt", dim=2, metric="dot", tenant_key="org")
+    pts = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], {"org": "acme", "label": "a"}),
+            (2, [0.0, 1.0], {"org": "acme", "label": "b"}),
+            (3, [1.0, 1.0], {"org": "globex", "label": "c"}),
+        ],
+        "id long, embedding array<float>, payload map<string,string>",
+    )
+    col.upsert(pts)
+    hits = col.search([1.0, 1.0], limit=10, tenant="acme")
+    assert [r["id"] for r in hits.collect()] == [1, 2] or {
+        r["id"] for r in hits.collect()
+    } == {1, 2}
+    # the tenant predicate must reach the scan as a partition filter
+    # (pruning directories), not a post-scan Filter
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    part = plan[plan.index("PartitionFilters") :][:300]
+    assert "tenant" in part
+    # df() hides the physical routing column
+    assert "tenant" not in col.df().columns
+    # cross-tenant state is intact
+    assert col.count() == 3
+    with pytest.raises(ValueError, match="not multitenant"):
+        catalog.create_collection("st", dim=2, metric="dot").search(
+            [1.0, 0.0], tenant="acme"
+        )
+
+
+def test_multitenant_missing_tenant_rejected(catalog, spark):
+    col = catalog.create_collection("mt2", dim=2, metric="dot", tenant_key="org")
+    with pytest.raises(ValueError, match="missing tenant"):
+        col.upsert(_points(spark, [(1, [1, 0], 0)]))  # payload lacks 'org'
+    assert col.info.version == 0  # failed upsert burns no version
+    with pytest.raises(ValueError, match="cannot recreate"):
+        catalog.create_collection("mt2", dim=2, metric="dot")  # tenant_key differs
+
+
+def test_manhattan_metric_search(catalog, spark):
+    col = catalog.create_collection("l1", dim=2, metric="manhattan")
+    col.upsert(
+        _points(spark, [(1, [0, 0], 0), (2, [3, 3], 0), (3, [1, 0], 0)])
+    )
+    hits = col.search([0.0, 0.0], limit=3).collect()
+    assert [r["id"] for r in hits] == [1, 3, 2]  # ascending L1 distance
+    assert [round(r["score"], 6) for r in hits] == [0.0, 1.0, 6.0]

@@ -209,3 +209,12 @@ def test_rescore_oversample_two_takeordered_phases(spark, sf):
     p = plan_of(q_rescore_oversample(spark, sf))
     assert p.count("TakeOrderedAndProject") >= 2
     assert "SortMergeJoin" not in p
+
+
+def test_line_dedup_boilerplate_anti_join_broadcasts(spark, sf):
+    # the boilerplate line set broadcasts; the corpus side must not
+    # shuffle for the strip (anti-join is map-side)
+    from vector_database_spark.queries import q_line_dedup
+
+    p = plan_of(q_line_dedup(spark, sf))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p

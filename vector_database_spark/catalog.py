@@ -29,9 +29,16 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from vector_database_spark.functions.vector import cosine, dot, l2_dist, l2_norm, round6
+from vector_database_spark.functions.vector import (
+    cosine,
+    dot,
+    l1_dist,
+    l2_dist,
+    l2_norm,
+    round6,
+)
 
-VALID_METRICS = ("cosine", "dot", "euclid")
+VALID_METRICS = ("cosine", "dot", "euclid", "manhattan")
 
 # reserved key in the catalog JSON holding {alias: collection}; never a
 # valid collection name (create_collection would collide with it otherwise)
@@ -57,6 +64,7 @@ class CollectionInfo:
     dim: int
     metric: str
     version: int = 0
+    tenant_key: str | None = None  # multitenancy: payload key partitioning the layout
 
 
 class Catalog:
@@ -110,10 +118,18 @@ class Catalog:
         return name in self._collections(self._load())
 
     def create_collection(
-        self, name: str, dim: int, metric: str = "cosine"
+        self, name: str, dim: int, metric: str = "cosine", tenant_key: str | None = None
     ) -> "VectorCollection":
         """A1: named table with fixed vector dim + metric; no-op if exists
-        (vector_db.py:20-24)."""
+        (vector_db.py:20-24).
+
+        ``tenant_key`` makes the collection MULTITENANT (Qdrant
+        multitenancy: one collection, payload-partitioned tenants): every
+        point must carry ``payload[tenant_key]``, the physical layout gains
+        a leading ``tenant=...`` partition directory, and a tenant-scoped
+        search prunes to that tenant's files only — at 100 TB a tenant
+        query reads the tenant, not the collection.
+        """
         if metric not in VALID_METRICS:
             raise ValueError(f"metric must be one of {VALID_METRICS}, got {metric!r}")
         with self._lock():
@@ -122,12 +138,19 @@ class Catalog:
                 raise ValueError(f"{name!r} is an alias; pick another name")
             if name not in cat:
                 cat[name] = {"dim": dim, "metric": metric, "version": 0}
+                if tenant_key is not None:
+                    cat[name]["tenant_key"] = tenant_key
                 self._save(cat)
             info = cat[name]
-        if info["dim"] != dim or info["metric"] != metric:
+        if (
+            info["dim"] != dim
+            or info["metric"] != metric
+            or info.get("tenant_key") != tenant_key
+        ):
             raise ValueError(
                 f"collection {name!r} exists with dim={info['dim']} "
-                f"metric={info['metric']}; cannot recreate with dim={dim} metric={metric}"
+                f"metric={info['metric']} tenant_key={info.get('tenant_key')}; "
+                f"cannot recreate with dim={dim} metric={metric} tenant_key={tenant_key}"
             )
         return self.collection(name)
 
@@ -140,7 +163,14 @@ class Catalog:
             raise KeyError(f"no such collection: {name}")
         info = cat[name]
         return VectorCollection(
-            self, CollectionInfo(name, info["dim"], info["metric"], info["version"])
+            self,
+            CollectionInfo(
+                name,
+                info["dim"],
+                info["metric"],
+                info["version"],
+                info.get("tenant_key"),
+            ),
         )
 
     def drop_collection(self, name: str) -> None:
@@ -220,20 +250,31 @@ class VectorCollection:
         self.path = os.path.join(catalog.root, info.name)
 
     # -- scan ---------------------------------------------------------------
+    @property
+    def _partition_cols(self) -> tuple[str, ...]:
+        # tenant first: a tenant-scoped query prunes at the top directory
+        # level before bucket pruning even enters the picture
+        if self.info.tenant_key is not None:
+            return ("tenant", "bucket")
+        return ("bucket",)
+
     def _raw_df(self) -> DataFrame:
         spark = self.catalog.spark
         if not os.path.exists(self.path):
             empty = spark.createDataFrame([], collection_schema())
-            return empty.withColumn("norm", F.lit(0.0)).withColumn(
-                "bucket", F.lit(0)
-            )
+            empty = empty.withColumn("norm", F.lit(0.0)).withColumn("bucket", F.lit(0))
+            if self.info.tenant_key is not None:
+                empty = empty.withColumn("tenant", F.lit("").cast("string"))
+            return empty
         return spark.read.parquet(self.path)
 
     @property
     def _tombstone_path(self) -> str:
         return self.path + "__tombstones"
 
-    def _resolved_df(self, as_of_version: int | None = None) -> DataFrame:
+    def _resolved_df(
+        self, as_of_version: int | None = None, tenant: str | None = None
+    ) -> DataFrame:
         """Latest-wins rows minus deleted points, with norm/bucket intact.
 
         Deletes are log-structured tombstones (id, version) in a side
@@ -250,6 +291,14 @@ class VectorCollection:
         forfeits older versions — the usual retention trade-off.
         """
         raw = self._raw_df()
+        if tenant is not None:
+            # BEFORE latest-wins: the predicate sits directly on the scan's
+            # partition column, pruning to one tenant directory — a filter
+            # above the window could not be pushed below it (the window
+            # partitions by id, not tenant). Sound because tenant values
+            # are immutable routing keys (like Qdrant shard keys): a
+            # set_payload that moved a point across tenants is unsupported.
+            raw = raw.filter(F.col("tenant") == tenant)
         if as_of_version is not None:
             raw = raw.filter(F.col("version") <= as_of_version)
         rows = latest_wins(raw, id_col="id", version_col="version")
@@ -269,7 +318,7 @@ class VectorCollection:
     def df(self, as_of_version: int | None = None) -> DataFrame:
         """State of the collection: latest version of each live id, or the
         state as of an earlier version (time travel over the write log)."""
-        return self._resolved_df(as_of_version).drop("norm", "bucket")
+        return self._resolved_df(as_of_version).drop("norm", "bucket", "tenant")
 
     def get(self, point_id: int):
         """Point lookup by id. The bucket predicate prunes the scan to one
@@ -359,14 +408,30 @@ class VectorCollection:
                     "bucket": F.pmod(F.col("id"), F.lit(self.N_BUCKETS)).cast("int"),
                 }
             )
+            if self.info.tenant_key is not None:
+                tenant_msg = (
+                    f"missing tenant: collection {self.info.name!r} is multitenant; "
+                    f"every point needs payload[{self.info.tenant_key!r}]"
+                )
+                batch = batch.withColumn(
+                    "tenant",
+                    F.when(
+                        F.col("payload").getItem(self.info.tenant_key).isNull(),
+                        F.raise_error(F.lit(tenant_msg)).cast("string"),
+                    ).otherwise(F.col("payload").getItem(self.info.tenant_key)),
+                )
             try:
-                batch.write.mode("append").partitionBy("bucket").parquet(self.path)
+                batch.write.mode("append").partitionBy(*self._partition_cols).parquet(
+                    self.path
+                )
             except Exception as ex:  # surface validation failures as ValueError
                 msg = str(ex)
                 if "dimension mismatch" in msg:
                     raise ValueError(dim_msg) from ex
                 if "zero-norm vector" in msg:
                     raise ValueError(zero_msg) from ex
+                if "missing tenant" in msg:
+                    raise ValueError(msg[msg.index("missing tenant") :]) from ex
                 raise
             self.catalog._set_version(self.info.name, version)
         self.info.version = version
@@ -697,9 +762,11 @@ class VectorCollection:
         with self.catalog._lock():
             current = self._resolved_df()
             tmp = self.path + "__compact"
-            current.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+            current.write.mode("overwrite").partitionBy(*self._partition_cols).parquet(
+                tmp
+            )
             spark.read.parquet(tmp).write.mode("overwrite").partitionBy(
-                "bucket"
+                *self._partition_cols
             ).parquet(self.path)
             # best-effort cleanup of the staging dir + now-folded tombstones
             import shutil
@@ -740,16 +807,27 @@ class VectorCollection:
         limit: int = 5,
         metric: str | None = None,
         payload_filter=None,
+        tenant: str | None = None,
     ) -> DataFrame:
         """B1/B4/B6: top-k by the collection metric with optional payload
         pre-filter (filter *before* scoring — filtered k-NN).
+
+        ``tenant`` scopes the search to one tenant of a multitenant
+        collection; the predicate lands on the partition column, so the
+        scan prunes to that tenant's directories (PartitionFilters in the
+        plan — asserted in tests/test_catalog.py).
 
         Returns columns (id, score, payload) ordered by score (best first,
         id tie-break), exactly the reference result shape
         (vector_db_query.py:85-86).
         """
         metric = metric or self.info.metric
-        df = self._resolved_df().drop("bucket")
+        if tenant is not None and self.info.tenant_key is None:
+            raise ValueError(
+                f"collection {self.info.name!r} is not multitenant; "
+                "create it with tenant_key= to scope searches by tenant"
+            )
+        df = self._resolved_df(tenant=tenant).drop("bucket", "tenant")
         if payload_filter is not None:
             df = df.filter(payload_filter)
         q = F.array(*[F.lit(float(x)) for x in query_vector]).cast("array<double>")
@@ -770,6 +848,9 @@ class VectorCollection:
             asc = False
         elif metric == "euclid":
             score = round6(l2_dist(F.col("embedding"), q))
+            asc = True
+        elif metric == "manhattan":
+            score = round6(l1_dist(F.col("embedding"), q))
             asc = True
         else:  # pragma: no cover
             raise ValueError(f"unknown metric {metric!r}")

@@ -88,6 +88,19 @@ def l2_dist(a: Column, b: Column) -> Column:
     )
 
 
+def l1_dist(a: Column, b: Column) -> Column:
+    """Manhattan (L1) distance in DOUBLE (Qdrant Distance.MANHATTAN)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: F.abs(x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity in DOUBLE (Distance.COSINE, vector_db.py:23).
 

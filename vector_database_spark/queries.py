@@ -16,6 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from vector_database_spark.catalog import latest_wins
 from vector_database_spark.functions.hashing import seeded_hash, seeded_hash_sql
@@ -23,6 +24,7 @@ from vector_database_spark.functions.text import bigrams, tokenize_ws
 from vector_database_spark.functions.vector import (
     cosine,
     dot,
+    l1_dist,
     l2_dist,
     l2_norm,
     micro6,
@@ -3114,7 +3116,19 @@ def q_unigram_logprob(spark, sf_dir):
     per-doc scoring is one token-explode + map-side join + partial agg.
     Determinism: ln p rounded to 6dp per token, summed via DECIMAL(38,6)
     (order-free), mean emitted in micro-units."""
-    docs = _t(spark, sf_dir, "documents")
+    per_doc = _doc_unigram_logprob(_t(spark, sf_dir, "documents"))
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "avg_logprob_micro",
+        (F.col("avg_logprob_micro") > F.lit(_LM_KEEP_MICRO)).alias("keep"),
+    )
+
+
+def _doc_unigram_logprob(docs: DataFrame) -> DataFrame:
+    """Per-doc mean token log-prob under the corpus unigram LM —
+    (doc_id, n_tokens, avg_logprob_micro). Shared by the keep-filter and
+    the CCNet tercile-bucket queries."""
     tok = docs.select("doc_id", F.explode(tokenize_ws(F.col("text"))).alias("token"))
     counts = tok.groupBy("token").agg(F.count("*").alias("c"))
     tot = counts.agg(F.sum("c").alias("tot"))
@@ -3132,12 +3146,12 @@ def q_unigram_logprob(spark, sf_dir):
             F.sum(F.col("lp").cast("decimal(38,6)")).cast("double").alias("slp"),
         )
     )
-    avg_micro = micro6(F.col("slp") / F.col("n_tokens").cast("double"))
     return per_doc.select(
         "doc_id",
         "n_tokens",
-        avg_micro.alias("avg_logprob_micro"),
-        (avg_micro > F.lit(_LM_KEEP_MICRO)).alias("keep"),
+        micro6(F.col("slp") / F.col("n_tokens").cast("double")).alias(
+            "avg_logprob_micro"
+        ),
     )
 
 
@@ -3534,6 +3548,165 @@ LIMIT 5
 """
 
 
+_LINE_W = 8  # tokens per "line" (deterministic segmenter for the flat fixture)
+_LINE_DF = 2  # a line in >= this many distinct docs is boilerplate
+
+
+def q_line_dedup(spark, sf_dir):
+    """RefinedWeb/CCNet-style boilerplate LINE removal: segment each doc
+    into lines, count each line's document frequency corpus-wide, strip
+    lines that recur across >= 2 distinct docs (nav bars, cookie banners,
+    license headers), and re-emit the cleaned doc. The fixture corpus has
+    no newlines, so the segmenter is fixed 8-token windows — the relational
+    shape (segment → global DF count → anti-join → ordered reassembly) is
+    exactly the newline version's.
+
+    Scale shape: one shuffle to count line DF, one to reassemble docs; the
+    boilerplate set is tiny on real corpora (broadcast anti-join).
+    Output hashes the cleaned text (md5) so result rows stay narrow."""
+    docs = _t(spark, sf_dir, "documents")
+    tk = tokenize_ws(F.col("text"))
+    starts = F.when(
+        F.size(tk) > 0, F.sequence(F.lit(0), F.size(tk) - 1, F.lit(_LINE_W))
+    ).otherwise(F.array().cast("array<int>"))
+    lines = docs.select(
+        "doc_id", tk.alias("__tk"), F.posexplode(starts).alias("line_no", "start")
+    ).select(
+        "doc_id",
+        F.col("line_no").cast("long").alias("line_no"),
+        F.concat_ws(" ", F.slice(F.col("__tk"), F.col("start") + 1, _LINE_W)).alias(
+            "line"
+        ),
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= _LINE_DF)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(boiler), "line", "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                    lambda s: s["line"],
+                ),
+            )
+        ).alias("clean_hash"),
+    )
+    totals = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    return totals.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
+        F.coalesce(F.col("clean_hash"), F.md5(F.lit(""))).alias("clean_hash"),
+    )
+
+
+_SQL_LINE_DEDUP = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+l AS (
+  SELECT doc_id, CAST(start // {_LINE_W} AS BIGINT) AS line_no,
+         array_to_string(list_slice(tk, start + 1, start + {_LINE_W}), ' ') AS line
+  FROM (SELECT doc_id, tk, unnest(range(0, len(tk), {_LINE_W})) AS start FROM t)
+),
+b AS (SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= {_LINE_DF}),
+k AS (SELECT l.* FROM l ANTI JOIN b USING (line)),
+a AS (
+  SELECT doc_id, count(*) AS n_kept,
+         md5(string_agg(line, ' ' ORDER BY line_no)) AS clean_hash
+  FROM k GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id)
+SELECT tot.doc_id, CAST(tot.n_lines AS BIGINT) AS n_lines,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(tot.n_lines - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(a.clean_hash, md5('')) AS clean_hash
+FROM tot LEFT JOIN a USING (doc_id)
+"""
+
+
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet perplexity bucketing: rank every doc by LM quality (here the
+    unigram mean log-prob of q_unigram_logprob) and cut the corpus into
+    head / middle / tail terciles — the standard curation split where
+    'head' feeds training and 'tail' gets dropped or down-weighted.
+
+    ntile over a global (score, id) order — single-partition window, fine
+    to ~10^8 docs of 16-byte rows; the 100 TB path replaces rank-terciles
+    with threshold-terciles (two approx-quantile cutoffs, map-side CASE),
+    trading exact thirds for a scan-speed pass."""
+    per = _doc_unigram_logprob(_t(spark, sf_dir, "documents"))
+    w = Window.orderBy(F.col("avg_logprob_micro").desc(), F.col("doc_id").asc())
+    tercile = F.ntile(3).over(w)
+    return per.select(
+        "doc_id",
+        "avg_logprob_micro",
+        tercile.alias("tercile"),
+        F.element_at(F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), tercile)
+        .alias("bucket"),
+    )
+
+
+def q_knn_manhattan(spark, sf_dir):
+    """Manhattan-metric k-NN (Qdrant Distance.MANHATTAN, the 4th metric of
+    the enum alongside cosine/dot/euclid): 5 nearest by L1 distance to the
+    vec_id=0 vector. Same broadcast-scan + TakeOrdered shape as every
+    exact k-NN; engine twin = VectorCollection.search(metric='manhattan')."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            round6(l1_dist(F.col("embedding"), F.col("qv"))).alias("l1"),
+        )
+        .orderBy(F.col("l1").asc(), F.col("vec_id").asc())
+        .limit(5)
+    )
+
+
+_SQL_KNN_MANHATTAN = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT c.vec_id, c.label,
+       round(list_sum(list_transform(range(1, len(qv) + 1),
+                      i -> abs(CAST(c.embedding[i] AS DOUBLE) - qv[i]))), 6) AS l1
+FROM embeddings c, q
+ORDER BY l1 ASC, c.vec_id
+LIMIT 5
+"""
+
+
+_SQL_PERPLEXITY_BUCKETS = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents),
+c AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+t AS (SELECT sum(c) AS tot FROM c),
+lm AS (SELECT token, round(ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)), 6) AS lp
+       FROM c, t),
+d AS (
+  SELECT doc_id, count(*) AS n,
+         CAST(sum(CAST(lp AS DECIMAL(38,6))) AS DOUBLE) AS slp
+  FROM tok JOIN lm USING (token) GROUP BY doc_id
+),
+s AS (
+  SELECT doc_id, {_micro_sql('slp / CAST(n AS DOUBLE)')} AS avg_logprob_micro FROM d
+),
+r AS (
+  SELECT doc_id, avg_logprob_micro,
+         ntile(3) OVER (ORDER BY avg_logprob_micro DESC, doc_id) AS tercile
+  FROM s
+)
+SELECT doc_id, avg_logprob_micro, tercile,
+       CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM r
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3597,6 +3770,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_formula_boost": q_formula_boost,
     "q_random_sample": q_random_sample,
     "q_rescore_oversample": q_rescore_oversample,
+    "q_line_dedup": q_line_dedup,
+    "q_perplexity_buckets": q_perplexity_buckets,
+    "q_knn_manhattan": q_knn_manhattan,
     # §2.C
     "q_normalize_scale": q_normalize_scale,
     "q_flatten": q_flatten,
@@ -3753,6 +3929,9 @@ ORACLES: dict[str, str] = {
     "q_formula_boost": _SQL_FORMULA_BOOST,
     "q_random_sample": _SQL_RANDOM_SAMPLE,
     "q_rescore_oversample": _SQL_RESCORE_OVERSAMPLE,
+    "q_line_dedup": _SQL_LINE_DEDUP,
+    "q_perplexity_buckets": _SQL_PERPLEXITY_BUCKETS,
+    "q_knn_manhattan": _SQL_KNN_MANHATTAN,
     "q_window_funcs": _SQL_WINDOW_FUNCS,
     "q_pivot_events": _SQL_PIVOT_EVENTS,
     "q_rollup_orders": _SQL_ROLLUP_ORDERS,
