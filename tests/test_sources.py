@@ -50,3 +50,23 @@ def test_binaryfile_source_reads_blobs(spark):
     assert len(rows) == 10  # one per fixture table
     for r in rows:
         assert r["length"] > 0 and bytes(r["content"][:4]) == b"PAR1"
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    # ORC is the second columnar format Spark ships natively; a collection
+    # (or export sink) can swap parquet for ORC with no engine change
+    docs = read_table(spark, SF_SMALL, "documents")
+    p = str(tmp_path / "docs_orc")
+    docs.write.mode("overwrite").orc(p)
+    back = spark.read.orc(p)
+    assert back.count() == docs.count()
+    assert dict(back.dtypes) == dict(docs.dtypes)
+    # pushdown survives the format swap
+    plan = (
+        back.filter(back.lang == "en")
+        .select("doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "lang" in plan.split("PushedFilters")[1][:120]

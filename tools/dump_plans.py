@@ -66,6 +66,22 @@ NOTES = {
         "Tumbling-window agg. Wants: pruned scan, partial agg, single "
         "exchange on the (hour, event_type) keys."
     ),
+    "q_maxsim_multivector": (
+        "ColBERT MaxSim over multivectors. Wants: query token side broadcast "
+        "(pairwise cos map-side), partial_max then partial_sum HashAggregates "
+        "(both reductions combine before their exchange), final top-k "
+        "TakeOrderedAndProject."
+    ),
+    "q_rescore_oversample": (
+        "Quantized rescore with oversampling. Wants: two TakeOrderedAndProject "
+        "phases (int8-dot candidates, exact rescore of k×4 rows), broadcast "
+        "query side, no sort-merge join anywhere."
+    ),
+    "q_line_dedup": (
+        "Boilerplate line removal. Wants: one exchange for the line-DF count, "
+        "BroadcastHashJoin LeftAnti for the strip (corpus side never shuffles "
+        "for membership), one exchange to reassemble docs."
+    ),
 }
 
 

@@ -341,3 +341,60 @@ def embedding_neardup_pairs(
         .filter(F.col("cos") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_w: int = 8,
+    df_threshold: int = 2,
+) -> DataFrame:
+    """RefinedWeb/CCNet boilerplate line removal (see queries.q_line_dedup):
+    segment each doc into fixed ``line_w``-token lines, strip lines whose
+    corpus document-frequency reaches ``df_threshold``, return per-doc
+    (n_lines, n_kept, n_removed, clean_hash). One shuffle for the DF
+    count, a broadcast anti-join for the strip, one shuffle to reassemble.
+    """
+    from vector_database_spark.functions.text import tokenize_ws
+
+    tk = tokenize_ws(F.col(text_col))
+    starts = F.when(
+        F.size(tk) > 0, F.sequence(F.lit(0), F.size(tk) - 1, F.lit(line_w))
+    ).otherwise(F.array().cast("array<int>"))
+    lines = docs.select(
+        id_col, tk.alias("__tk"), F.posexplode(starts).alias("line_no", "start")
+    ).select(
+        id_col,
+        F.col("line_no").cast("long").alias("line_no"),
+        F.concat_ws(" ", F.slice(F.col("__tk"), F.col("start") + 1, line_w)).alias(
+            "line"
+        ),
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .filter(F.col("df") >= df_threshold)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(boiler), "line", "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                    lambda s: s["line"],
+                ),
+            )
+        ).alias("clean_hash"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
+    return totals.join(agg, id_col, "left").select(
+        id_col,
+        "n_lines",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
+        F.coalesce(F.col("clean_hash"), F.md5(F.lit(""))).alias("clean_hash"),
+    )

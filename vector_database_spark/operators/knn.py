@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from vector_database_spark.functions.vector import cosine, dot, l2_dist, round6
+from vector_database_spark.functions.vector import cosine, dot, l2_dist, micro6, round6
 
 _METRICS = {
     "cosine": (cosine, False),
@@ -343,3 +343,37 @@ def discover(
         F.col("target_score").desc(),
         F.col(id_col).asc(),
     ).limit(k)
+
+
+def context_search(
+    collection: DataFrame,
+    context: list[tuple[list[float], list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    payload_cols: tuple[str, ...] = ("label",),
+    pre_filter: Column | None = None,
+) -> DataFrame:
+    """Qdrant CONTEXT search (ContextQuery — discovery's targetless
+    sibling): rank candidates by how little they violate the context,
+    ``score = Σ_pairs min(0, sim(c,pos) − sim(c,neg))`` (Qdrant's
+    published context formula). A candidate inside every pair's positive
+    zone scores the maximum 0; each pair whose negative is closer
+    subtracts the margin. Similarities in integer micro-units, so the
+    per-pair margins and their sum are exact in both engines.
+
+    Same physical shape as :func:`discover`: pairs folded in as literals,
+    one scan, TakeOrderedAndProject top-k.
+    """
+    df = collection if pre_filter is None else collection.filter(pre_filter)
+    e = F.col(emb_col)
+
+    def lit_vec(v):
+        return F.array(*[F.lit(float(x)) for x in v]).cast("array<double>")
+
+    score = F.lit(0).cast("long")
+    for pos, neg in context:
+        margin = micro6(cosine(e, lit_vec(pos))) - micro6(cosine(e, lit_vec(neg)))
+        score = score + F.least(F.lit(0).cast("long"), margin)
+    scored = df.select(id_col, *payload_cols, score.alias("ctx_micro"))
+    return scored.orderBy(F.col("ctx_micro").desc(), F.col(id_col).asc()).limit(k)

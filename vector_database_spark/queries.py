@@ -3563,47 +3563,10 @@ def q_line_dedup(spark, sf_dir):
 
     Scale shape: one shuffle to count line DF, one to reassemble docs; the
     boilerplate set is tiny on real corpora (broadcast anti-join).
-    Output hashes the cleaned text (md5) so result rows stay narrow."""
-    docs = _t(spark, sf_dir, "documents")
-    tk = tokenize_ws(F.col("text"))
-    starts = F.when(
-        F.size(tk) > 0, F.sequence(F.lit(0), F.size(tk) - 1, F.lit(_LINE_W))
-    ).otherwise(F.array().cast("array<int>"))
-    lines = docs.select(
-        "doc_id", tk.alias("__tk"), F.posexplode(starts).alias("line_no", "start")
-    ).select(
-        "doc_id",
-        F.col("line_no").cast("long").alias("line_no"),
-        F.concat_ws(" ", F.slice(F.col("__tk"), F.col("start") + 1, _LINE_W)).alias(
-            "line"
-        ),
-    )
-    boiler = (
-        lines.groupBy("line")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") >= _LINE_DF)
-        .select("line")
-    )
-    kept = lines.join(F.broadcast(boiler), "line", "left_anti")
-    agg = kept.groupBy("doc_id").agg(
-        F.count("*").alias("n_kept"),
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("line_no", "line"))),
-                    lambda s: s["line"],
-                ),
-            )
-        ).alias("clean_hash"),
-    )
-    totals = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
-    return totals.join(agg, "doc_id", "left").select(
-        "doc_id",
-        "n_lines",
-        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
-        (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
-        F.coalesce(F.col("clean_hash"), F.md5(F.lit(""))).alias("clean_hash"),
+    Output hashes the cleaned text (md5) so result rows stay narrow.
+    Implementation shared with the 1M-doc probe: operators/dedup.py."""
+    return dedup.line_dedup(
+        _t(spark, sf_dir, "documents"), line_w=_LINE_W, df_threshold=_LINE_DF
     )
 
 
@@ -3707,6 +3670,183 @@ FROM r
 """
 
 
+_FILTER_SPEC = {
+    "must": [
+        {"key": "lang", "match": {"any": ["en", "de"]}},
+        {"key": "n_chars", "range": {"gte": 100, "lt": 400}},
+    ],
+    "must_not": [{"key": "source", "match": {"value": "src7"}}],
+    "should": [
+        {"key": "lang", "match": {"value": "en"}},
+        {"key": "source", "match": {"text": "1"}},
+    ],
+}
+
+
+def q_filter_dsl(spark, sf_dir):
+    """Qdrant Filter-DSL compatibility: the reference's filter dicts
+    (must / should / must_not with match.any, range, match.value,
+    match.text conditions) run UNCHANGED through filters.qdrant_filter,
+    which compiles them to one Catalyst predicate — so pushdown, pruning
+    and codegen all apply. Oracle = the hand-written WHERE twin."""
+    from vector_database_spark.filters import qdrant_filter
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.create_map(
+            F.lit("lang"), F.col("lang"),
+            F.lit("source"), F.col("source"),
+            F.lit("n_chars"), F.col("n_chars").cast("string"),
+        ).alias("payload"),
+    )
+    return docs.filter(qdrant_filter(_FILTER_SPEC, id_col="doc_id")).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+_SQL_FILTER_DSL = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE lang IN ('en', 'de')
+  AND CAST(n_chars AS DOUBLE) >= 100 AND CAST(n_chars AS DOUBLE) < 400
+  AND NOT (source = 'src7')
+  AND (lang = 'en' OR contains(source, '1'))
+"""
+
+
+def q_context_search(spark, sf_dir):
+    """Qdrant context search (ContextQuery — discovery without a target):
+    candidates ranked by Σ_pairs min(0, sim(pos) − sim(neg)); anything
+    inside every pair's positive zone scores the max 0. Integer micro-unit
+    margins (operators/knn.py::context_search)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(_DISC_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    return knn.context_search(
+        emb,
+        [(rows[p], rows[n]) for p, n in _DISC_PAIRS],
+        k=10,
+        pre_filter=~F.col("vec_id").isin(_DISC_IDS),
+    )
+
+
+def _sql_context_search() -> str:
+    mic = (
+        "CAST(floor(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), {side}.v)"
+        " * 1000000.0 + 0.5) AS BIGINT)"
+    )
+    arms = " + ".join(
+        f"least(CAST(0 AS BIGINT), {mic.format(side=f'p{i}')} - {mic.format(side=f'n{i}')})"
+        for i in range(1, len(_DISC_PAIRS) + 1)
+    )
+    ctes = ",\n".join(
+        f"{tag}{i} AS (SELECT CAST(embedding AS DOUBLE[]) AS v "
+        f"FROM embeddings WHERE vec_id = {vid})"
+        for i, pair in enumerate(_DISC_PAIRS, start=1)
+        for tag, vid in (("p", pair[0]), ("n", pair[1]))
+    )
+    froms = ", ".join(
+        f"{tag}{i}" for i in range(1, len(_DISC_PAIRS) + 1) for tag in ("p", "n")
+    )
+    ids = ", ".join(str(i) for i in _DISC_IDS if i != _DISC_TARGET)
+    return f"""
+WITH {ctes}
+SELECT c.vec_id, c.label, {arms} AS ctx_micro
+FROM embeddings c, {froms}
+WHERE c.vec_id NOT IN ({ids}) AND c.vec_id <> {_DISC_TARGET}
+ORDER BY ctx_micro DESC, c.vec_id
+LIMIT 10
+"""
+
+
+def q_geo_bbox(spark, sf_dir):
+    """Qdrant geo_bounding_box payload filter (the box sibling of
+    q_geo_radius): same deterministic hash-derived coordinates, box
+    lat ∈ [10, 50], lon ∈ [−30, 40]. Both the coordinates and the box
+    test live entirely in integer micro-degrees — bit-exact, no trig."""
+    from vector_database_spark.functions.hashing import seeded_hash
+
+    cust = _t(spark, sf_dir, "customer")
+    key = F.col("c_custkey").cast("string")
+    lat_micro = (
+        F.pmod(seeded_hash(key, 55), F.lit(180000)) * 1000 - F.lit(90000000)
+    ).cast("long")
+    lon_micro = (
+        F.pmod(seeded_hash(key, 56), F.lit(360000)) * 1000 - F.lit(180000000)
+    ).cast("long")
+    return (
+        cust.select(
+            "c_custkey", lat_micro.alias("lat_micro"), lon_micro.alias("lon_micro")
+        )
+        .filter(
+            F.col("lat_micro").between(10000000, 50000000)
+            & F.col("lon_micro").between(-30000000, 40000000)
+        )
+        .orderBy(F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+_SQL_GEO_BBOX = f"""
+WITH pts AS (
+  SELECT c_custkey,
+         CAST({seeded_hash_sql("CAST(c_custkey AS VARCHAR)", 55)} % 180000 * 1000
+              - 90000000 AS BIGINT) AS lat_micro,
+         CAST({seeded_hash_sql("CAST(c_custkey AS VARCHAR)", 56)} % 360000 * 1000
+              - 180000000 AS BIGINT) AS lon_micro
+  FROM customer
+)
+SELECT c_custkey, lat_micro, lon_micro
+FROM pts
+WHERE lat_micro BETWEEN 10000000 AND 50000000
+  AND lon_micro BETWEEN -30000000 AND 40000000
+ORDER BY c_custkey
+LIMIT 20
+"""
+
+
+_N_SHARDS = 8
+
+
+def q_shard_export(spark, sf_dir):
+    """Training-data shard export: deterministic global shuffle (seeded
+    portable hash) then assignment into {_N_SHARDS} shards with a stable
+    within-shard position — the 'write N shuffled .jsonl/parquet shards'
+    step that feeds a data loader. Window partitions by shard (parallel
+    across shards); at scale this is repartition(shard) + sortWithinPartitions
+    and one file per shard."""
+    docs = _t(spark, sf_dir, "documents")
+    h = seeded_hash(F.col("doc_id").cast("string"), 777)
+    assigned = docs.select(
+        "doc_id", h.alias("h"), F.pmod(h, F.lit(_N_SHARDS)).alias("shard")
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    return assigned.select(
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+_SQL_SHARD_EXPORT = f"""
+WITH a AS (
+  SELECT doc_id, {seeded_hash_sql("CAST(doc_id AS VARCHAR)", 777)} AS h
+  FROM documents
+)
+SELECT doc_id, CAST(h % {_N_SHARDS} AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY h % {_N_SHARDS}
+                               ORDER BY h, doc_id) AS BIGINT) AS pos
+FROM a
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3773,6 +3913,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_line_dedup": q_line_dedup,
     "q_perplexity_buckets": q_perplexity_buckets,
     "q_knn_manhattan": q_knn_manhattan,
+    "q_filter_dsl": q_filter_dsl,
+    "q_context_search": q_context_search,
+    "q_geo_bbox": q_geo_bbox,
+    "q_shard_export": q_shard_export,
     # §2.C
     "q_normalize_scale": q_normalize_scale,
     "q_flatten": q_flatten,
@@ -3932,6 +4076,10 @@ ORACLES: dict[str, str] = {
     "q_line_dedup": _SQL_LINE_DEDUP,
     "q_perplexity_buckets": _SQL_PERPLEXITY_BUCKETS,
     "q_knn_manhattan": _SQL_KNN_MANHATTAN,
+    "q_filter_dsl": _SQL_FILTER_DSL,
+    "q_context_search": _sql_context_search(),
+    "q_geo_bbox": _SQL_GEO_BBOX,
+    "q_shard_export": _SQL_SHARD_EXPORT,
     "q_window_funcs": _SQL_WINDOW_FUNCS,
     "q_pivot_events": _SQL_PIVOT_EVENTS,
     "q_rollup_orders": _SQL_ROLLUP_ORDERS,
