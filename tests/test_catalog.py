@@ -465,3 +465,20 @@ def test_manhattan_metric_search(catalog, spark):
     hits = col.search([0.0, 0.0], limit=3).collect()
     assert [r["id"] for r in hits] == [1, 3, 2]  # ascending L1 distance
     assert [round(r["score"], 6) for r in hits] == [0.0, 1.0, 6.0]
+
+
+def test_batch_update_applies_in_order(catalog, spark):
+    col = catalog.create_collection("batch", dim=2, metric="dot")
+    v = col.batch_update(
+        [
+            ("upsert", _points(spark, [(1, [1, 0], 0), (2, [0, 1], 1)])),
+            ("set_payload", [1], {"tag": "x"}),
+            ("delete", [2]),
+        ]
+    )
+    assert v == 3  # three ops, three versions, in order
+    rows = {r["id"]: r for r in col.df().collect()}
+    assert set(rows) == {1}
+    assert rows[1]["payload"]["tag"] == "x"
+    with pytest.raises(ValueError, match="unknown batch op"):
+        col.batch_update([("upsert_all", None)])

@@ -87,3 +87,19 @@ def test_hash_embedder_deterministic_and_normalized():
     assert len(v1) == 64
     assert sum(x * x for x in v1) == pytest.approx(1.0, abs=1e-9)
     assert hash_embed_one("other", 64) != v1
+
+
+def test_connected_components_known_graph(spark):
+    # chain 1-2-3-4 (diameter 3), triangle 10-11-12, singleton 99
+    from vector_database_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+        "id_a long, id_b long",
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 12, 99]], "id long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, nodes=nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}

@@ -694,6 +694,34 @@ class VectorCollection:
             flt = flt & payload_filter
         return self.search(qv, limit=limit, payload_filter=flt)
 
+    def batch_update(self, ops: list[tuple]) -> int:
+        """Qdrant batch_update_points: one request carrying a SEQUENCE of
+        mixed operations (upserts / deletes / payload ops), applied in
+        order. Each op is one versioned log append here, so the sequence
+        is visible op-by-op in time travel and a failed op stops the batch
+        with every prior op durable (Qdrant applies batches in order with
+        per-op acknowledgement, not as one transaction).
+
+        Ops: ("upsert", points_df) | ("delete", ids_list)
+           | ("set_payload", ids_list, payload_dict)
+           | ("delete_payload", ids_list, keys_list)
+           | ("clear_payload", ids_list)
+        Returns the final version.
+        """
+        dispatch = {
+            "upsert": lambda a: self.upsert(a[0]),
+            "delete": lambda a: self.delete(point_ids=a[0]),
+            "set_payload": lambda a: self.set_payload(a[0], a[1]),
+            "delete_payload": lambda a: self.delete_payload(a[0], a[1]),
+            "clear_payload": lambda a: self.clear_payload(a[0]),
+        }
+        for op in ops:
+            kind, *args = op
+            if kind not in dispatch:
+                raise ValueError(f"unknown batch op {kind!r}")
+            dispatch[kind](args)
+        return self.info.version
+
     # -- snapshots (Qdrant create_snapshot / list_snapshots / recover) -----
     def create_snapshot(self, name: str | None = None) -> str:
         """Record a named restore point (Qdrant create_snapshot). With the

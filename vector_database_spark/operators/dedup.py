@@ -398,3 +398,69 @@ def line_dedup(
         (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
         F.coalesce(F.col("clean_hash"), F.md5(F.lit(""))).alias("clean_hash"),
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    nodes: DataFrame | None = None,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into duplicate CLUSTERS: connected
+    components by iterative min-label propagation with pointer jumping —
+    the cluster-resolution step after MinHash/SimHash/Jaccard pair
+    generation (each doc keeps its component's min id as the canonical
+    representative, the standard fuzzy-dedup endgame).
+
+    Each round does (1) a neighbor-min exchange (label := min over adjacent
+    labels) and (2) a pointer jump (label := label(label)), which is the
+    path-halving that turns O(diameter) rounds into O(log diameter) — the
+    same idea as the MapReduce large-star/small-star algorithm. Rounds are
+    driver-iterated Catalyst jobs with localCheckpoint() between them
+    (iterative lineage would otherwise grow unboundedly). Converged when a
+    round changes no label, so the result is iteration-order independent
+    and exactly the true components: (id, component=min reachable id).
+
+    ``nodes`` optionally supplies the full id universe (single-column
+    DataFrame) so isolated docs appear as their own singleton component.
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = edges.select(F.col("src").alias("id")).distinct()
+    if nodes is not None:
+        ids = nodes.toDF("id")
+        labels = labels.unionAll(ids).distinct()
+    labels = labels.select("id", F.col("id").alias("comp")).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(F.col("id").alias("src"), F.col("comp").alias("c")),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.min("c").alias("nbr_comp"))
+            .select(F.col("dst").alias("id"), "nbr_comp")
+        )
+        stepped = labels.join(nbr, "id", "left").select(
+            "id", F.least("comp", F.coalesce("nbr_comp", F.col("comp"))).alias("comp")
+        )
+        jumped = stepped.join(
+            stepped.select(F.col("id").alias("comp"), F.col("comp").alias("comp2")),
+            "comp",
+            "left",
+        ).select("id", F.least("comp", F.coalesce("comp2", F.col("comp"))).alias("comp"))
+        new_labels = jumped.localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("comp").alias("component"))

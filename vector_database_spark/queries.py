@@ -3847,6 +3847,101 @@ FROM a
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate-CLUSTER resolution (the step after pair generation in
+    every fuzzy-dedup pipeline): resolve a near-dup pair graph into
+    connected components and mark each component's min id as the canonical
+    survivor. Pair graph: consecutive doc_ids within a source — long
+    chains, the worst case for propagation depth, which the operator's
+    pointer jumping collapses in O(log d) rounds
+    (operators/dedup.py::connected_components). Oracle: DuckDB recursive
+    CTE computing min-reachable-id — the ground-truth closure."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    chained = docs.select(
+        "doc_id", F.lag("doc_id").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    pairs = chained.select(
+        F.col("prev").alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+    comp = dedup.connected_components(
+        pairs, nodes=docs.select("doc_id"), max_iter=30
+    )
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        "component",
+        (F.col("component") == F.col("id")).alias("is_canonical"),
+    )
+
+
+_MIX_TARGET = 1000  # total docs the mixed corpus should contain
+
+
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-flattened source mixing (PaLM/LLaMA data mixtures):
+    per-source sampling quota ∝ n_s^α with α=0.5, so small sources are
+    up-weighted relative to proportional sampling; each source then
+    contributes its quota as an exact-count seeded draw (rank by portable
+    hash within source). Quota arithmetic is integer end-to-end:
+    w_s = micro6(sqrt(n_s)), quota = (TARGET·w_s) div Σw — cross-engine
+    exact. One agg for the shares (broadcast back), one per-source window
+    for the draw: both scale-clean."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n"))
+    w = counts.select(
+        "source", micro6(F.sqrt(F.col("n").cast("double"))).alias("wm")
+    )
+    tot = w.agg(F.sum("wm").alias("W"))
+    quota = w.crossJoin(F.broadcast(tot)).select(
+        "source", F.expr(f"({_MIX_TARGET} * wm) div W").alias("quota")
+    )
+    h = seeded_hash(F.col("doc_id").cast("string"), 888)
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    )
+    ranked = docs.select("doc_id", "source", rk.alias("rk"))
+    return (
+        ranked.join(F.broadcast(quota), "source")
+        .filter(F.col("rk") <= F.col("quota"))
+        .select("doc_id", "source")
+    )
+
+
+_SQL_TEMPERATURE_MIX = f"""
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+w AS (SELECT source, {_micro_sql("sqrt(CAST(n AS DOUBLE))")} AS wm FROM c),
+tot AS (SELECT sum(wm) AS W FROM w),
+q AS (SELECT source, CAST(({_MIX_TARGET} * wm) // W AS BIGINT) AS quota FROM w, tot),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+             ORDER BY {seeded_hash_sql("CAST(doc_id AS VARCHAR)", 888)}, doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, source
+FROM r JOIN q USING (source)
+WHERE rk <= quota
+"""
+
+
+_SQL_DEDUP_CLUSTERS = """
+WITH RECURSIVE e0 AS (
+  SELECT lag(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS a,
+         doc_id AS b
+  FROM documents
+  QUALIFY a IS NOT NULL
+),
+edges AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
+walk(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.r
+)
+SELECT id AS doc_id, min(r) AS component, min(r) = id AS is_canonical
+FROM walk GROUP BY id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3917,6 +4012,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_context_search": q_context_search,
     "q_geo_bbox": q_geo_bbox,
     "q_shard_export": q_shard_export,
+    "q_dedup_clusters": q_dedup_clusters,
+    "q_temperature_mix": q_temperature_mix,
     # §2.C
     "q_normalize_scale": q_normalize_scale,
     "q_flatten": q_flatten,
@@ -4080,6 +4177,8 @@ ORACLES: dict[str, str] = {
     "q_context_search": _sql_context_search(),
     "q_geo_bbox": _SQL_GEO_BBOX,
     "q_shard_export": _SQL_SHARD_EXPORT,
+    "q_dedup_clusters": _SQL_DEDUP_CLUSTERS,
+    "q_temperature_mix": _SQL_TEMPERATURE_MIX,
     "q_window_funcs": _SQL_WINDOW_FUNCS,
     "q_pivot_events": _SQL_PIVOT_EVENTS,
     "q_rollup_orders": _SQL_ROLLUP_ORDERS,
