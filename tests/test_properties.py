@@ -100,3 +100,88 @@ def test_minhash_contains_all_exact_dup_pairs(spark):
     }
     for i in range(30):
         assert (i, i + 5000) in pairs
+
+
+def test_filter_dsl_agrees_with_python_reference(spark):
+    """Property check: random Qdrant filter specs evaluated by the Catalyst
+    translator must agree row-for-row with a direct Python evaluator
+    implementing Qdrant's documented semantics (all must, no must_not,
+    >=1 should; missing keys never match)."""
+    import random
+
+    from vector_database_spark.filters import qdrant_filter
+
+    rnd = random.Random(42)
+    rows = [
+        (i, {k: v for k, v in [("lang", rnd.choice(["en", "de", "fr", None])),
+                               ("stars", rnd.choice(["1", "3", "5", None])),
+                               ("src", rnd.choice(["a", "b", None]))] if v is not None})
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "id long, payload map<string,string>")
+
+    def gen_cond():
+        kind = rnd.choice(["value", "any", "text", "range", "is_empty", "has_id"])
+        key = rnd.choice(["lang", "stars", "src", "ghost"])
+        if kind == "value":
+            return {"key": key, "match": {"value": rnd.choice(["en", "de", "5", "a", "zz"])}}
+        if kind == "any":
+            return {"key": key, "match": {"any": rnd.sample(["en", "de", "1", "3", "b"], 2)}}
+        if kind == "text":
+            return {"key": key, "match": {"text": rnd.choice(["e", "5", "q"])}}
+        if kind == "range":
+            return {"key": "stars", "range": {"gte": rnd.choice([1, 2, 4])}}
+        if kind == "is_empty":
+            return {"is_empty": {"key": key}}
+        return {"has_id": rnd.sample(range(60), 5)}
+
+    def py_cond(c, rid, p):
+        if "has_id" in c:
+            return rid in c["has_id"]
+        if "is_empty" in c:
+            return c["is_empty"]["key"] not in p
+        v = p.get(c["key"])
+        if "match" in c:
+            m = c["match"]
+            if v is None:
+                return False
+            if "value" in m:
+                return v == str(m["value"])
+            if "any" in m:
+                return v in [str(x) for x in m["any"]]
+            if "text" in m:
+                return m["text"] in v
+        if "range" in c:
+            if v is None:
+                return False
+            try:
+                x = float(v)
+            except ValueError:
+                return False
+            ok = True
+            r = c["range"]
+            if "gte" in r:
+                ok &= x >= r["gte"]
+            return ok
+        raise AssertionError(c)
+
+    for _ in range(12):
+        spec = {}
+        if rnd.random() < 0.8:
+            spec["must"] = [gen_cond() for _ in range(rnd.randint(1, 2))]
+        if rnd.random() < 0.5:
+            spec["must_not"] = [gen_cond()]
+        if rnd.random() < 0.5:
+            spec["should"] = [gen_cond() for _ in range(rnd.randint(1, 2))]
+
+        def py_match(rid, p):
+            if not all(py_cond(c, rid, p) for c in spec.get("must", [])):
+                return False
+            if any(py_cond(c, rid, p) for c in spec.get("must_not", [])):
+                return False
+            sh = spec.get("should", [])
+            return (not sh) or any(py_cond(c, rid, p) for c in sh)
+
+        want = sorted(rid for rid, p in rows if py_match(rid, p))
+        got = sorted(r["id"] for r in df.filter(qdrant_filter(spec)).collect())
+        assert got == want, f"spec={spec}"

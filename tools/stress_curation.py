@@ -122,6 +122,22 @@ def main() -> None:
         rows_ms.append((n, len(got), dt))
         print("maxsim", rows_ms[-1], flush=True)
 
+    rows_cc = []
+    for n in SIZES:
+        # worst-case-depth graph: 1000 chains of n/1000 nodes each
+        # (component = chain head; diameter n/1000, pointer jumping must
+        # collapse it in ~log2(diameter) rounds)
+        chain_len = n // 1000
+        pairs = spark.range(n).filter(F.col("id") % chain_len != 0).select(
+            (F.col("id") - 1).alias("id_a"), F.col("id").alias("id_b")
+        )
+        t0 = time.time()
+        comp = dedup.connected_components(pairs, nodes=spark.range(n).toDF("id"))
+        n_comp = comp.select("component").distinct().count()
+        dt = time.time() - t0
+        rows_cc.append((n, chain_len, n_comp, dt))
+        print("connected_components", rows_cc[-1], flush=True)
+
     body = [
         "Planted-boilerplate line dedup (1% of docs carry one shared",
         "8-token banner): every planted line stripped, zero false strips",
@@ -144,6 +160,18 @@ def main() -> None:
     ]
     for n, k, dt in rows_ms:
         body.append(f"| {n:,} | {dt:.1f} |")
+    body += [
+        "",
+        "Connected components on 1000 parallel chains (diameter = n/1000 —",
+        "deep-path worst case; pointer jumping collapses it in ~log2(d)",
+        "rounds, each a bounded set of shuffles with localCheckpoint):",
+        "",
+        "| nodes | chain length | components found | wall s |",
+        "|---|---|---|---|",
+    ]
+    for n, cl, nc, dt in rows_cc:
+        ok = "✓" if nc == 1000 else "✗ MISMATCH"
+        body.append(f"| {n:,} | {cl:,} | {nc:,} {ok} | {dt:.1f} |")
     update_section("Curation + MaxSim at 1M rows", "\n".join(body))
     print("STRESS.md updated")
 
