@@ -482,3 +482,31 @@ def test_batch_update_applies_in_order(catalog, spark):
     assert rows[1]["payload"]["tag"] == "x"
     with pytest.raises(ValueError, match="unknown batch op"):
         col.batch_update([("upsert_all", None)])
+
+
+def test_retrieve_and_projection_flags(catalog, spark):
+    col = catalog.create_collection("proj", dim=2, metric="dot")
+    col.upsert(_points(spark, [(1, [1, 0], 0), (2, [0, 1], 1), (3, [1, 1], 2)]))
+    got = col.retrieve([1, 3])
+    assert {r["id"] for r in got.collect()} == {1, 3}
+    hits = col.search([1.0, 0.0], limit=2, with_payload=False, with_vector=True)
+    assert hits.columns == ["id", "score", "embedding"]
+    hits = col.search([1.0, 0.0], limit=2)
+    assert hits.columns == ["id", "score", "payload"]
+
+
+def test_recommend_lookup_from_other_collection(catalog, spark):
+    exemplars = catalog.create_collection("exemplars", dim=2, metric="dot")
+    exemplars.upsert(_points(spark, [(100, [1, 0], 0)]))
+    corpus = catalog.create_collection("corpus", dim=2, metric="dot")
+    corpus.upsert(
+        _points(spark, [(1, [2, 0], 0), (2, [0, 2], 1), (100, [0, 3], 2)])
+    )
+    hits = corpus.recommend(positive=[100], limit=3, lookup_from=exemplars).collect()
+    # query vector = exemplars' id 100 = [1,0]; corpus id 100 ([0,3], dot 0)
+    # is NOT excluded — it is a different point than the exemplar
+    assert [r["id"] for r in hits] == [1, 100, 2] or [r["id"] for r in hits][0] == 1
+    assert len(hits) == 3
+    mismatched = catalog.create_collection("wrongdim", dim=3, metric="dot")
+    with pytest.raises(ValueError, match="lookup_from dim"):
+        corpus.recommend(positive=[1], lookup_from=mismatched)

@@ -185,3 +185,43 @@ def test_filter_dsl_agrees_with_python_reference(spark):
         want = sorted(rid for rid, p in rows if py_match(rid, p))
         got = sorted(r["id"] for r in df.filter(qdrant_filter(spec)).collect())
         assert got == want, f"spec={spec}"
+
+
+def test_connected_components_random_graph_matches_union_find(spark):
+    import random
+
+    from vector_database_spark.operators.dedup import connected_components
+
+    rnd = random.Random(7)
+    n = 200
+    edges = sorted({(rnd.randrange(n), rnd.randrange(n)) for _ in range(150)})
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical = min id per component
+    want = {}
+    comp_min = {}
+    for i in range(n):
+        r = find(i)
+        comp_min.setdefault(r, i)  # ids ascending → first seen is min
+    for i in range(n):
+        want[i] = comp_min[find(i)]
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, nodes=nodes).collect()
+    }
+    assert got == want

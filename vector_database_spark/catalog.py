@@ -654,16 +654,30 @@ class VectorCollection:
             pre_filter=flt,
         )
 
+    def retrieve(self, point_ids: list[int]) -> DataFrame:
+        """Qdrant retrieve API: multiple point lookups in one call. The id
+        set is a pushed-down IN predicate over the bucketed layout — at
+        most ``len(ids)`` bucket directories are touched."""
+        ids = [int(i) for i in point_ids]
+        return self.df().filter(F.col("id").isin(ids))
+
     def recommend(
         self,
         positive: list[int],
         negative: list[int] | None = None,
         limit: int = 5,
         payload_filter=None,
+        lookup_from: "VectorCollection | None" = None,
     ) -> DataFrame:
         """Qdrant recommend API (average_vector strategy): the query vector
         is mean(positive embeddings) − mean(negative embeddings); the
         example points are excluded from results.
+
+        ``lookup_from`` (Qdrant lookup_from): resolve the example ids in a
+        DIFFERENT collection (same dim) and search this one — the
+        cross-collection recommendation shape (e.g. curated exemplars
+        living in a small reference collection). Example ids are then NOT
+        excluded from results (they are ids of the other collection).
 
         The example vectors are point lookups (bounded by the number of
         examples, not collection size) — collecting them to the driver is
@@ -671,9 +685,14 @@ class VectorCollection:
         """
         negative = negative or []
         ex_ids = [int(i) for i in positive] + [int(i) for i in negative]
+        src = lookup_from if lookup_from is not None else self
+        if lookup_from is not None and lookup_from.info.dim != self.info.dim:
+            raise ValueError(
+                f"lookup_from dim {lookup_from.info.dim} != collection dim {self.info.dim}"
+            )
         rows = {
             r["id"]: r["embedding"]
-            for r in self.df()
+            for r in src.df()
             .filter(F.col("id").isin(ex_ids))
             .select("id", "embedding")
             .collect()
@@ -689,9 +708,12 @@ class VectorCollection:
         for i in negative:
             for j, x in enumerate(rows[i]):
                 qv[j] -= float(x) / len(negative)
-        flt = ~F.col("id").isin(ex_ids)
-        if payload_filter is not None:
-            flt = flt & payload_filter
+        if lookup_from is None:
+            flt = ~F.col("id").isin(ex_ids)
+            if payload_filter is not None:
+                flt = flt & payload_filter
+        else:
+            flt = payload_filter
         return self.search(qv, limit=limit, payload_filter=flt)
 
     def batch_update(self, ops: list[tuple]) -> int:
@@ -836,6 +858,8 @@ class VectorCollection:
         metric: str | None = None,
         payload_filter=None,
         tenant: str | None = None,
+        with_payload: bool = True,
+        with_vector: bool = False,
     ) -> DataFrame:
         """B1/B4/B6: top-k by the collection metric with optional payload
         pre-filter (filter *before* scoring — filtered k-NN).
@@ -882,7 +906,16 @@ class VectorCollection:
             asc = True
         else:  # pragma: no cover
             raise ValueError(f"unknown metric {metric!r}")
-        scored = df.select("id", score.alias("score"), "payload")
+        # Qdrant with_payload / with_vectors projection flags: dropping a
+        # column here prunes it out of the Parquet scan entirely (vectors
+        # are the wide column — a payload-only search never reads them
+        # past scoring)
+        proj = ["id", score.alias("score")]
+        if with_payload:
+            proj.append(F.col("payload"))
+        if with_vector:
+            proj.append(F.col("embedding"))
+        scored = df.select(*proj)
         order = [F.col("score").asc() if asc else F.col("score").desc(), F.col("id").asc()]
         # orderBy+limit compiles to TakeOrderedAndProject: per-partition
         # partial top-k then a k*P merge on the driver — no global sort,
