@@ -211,6 +211,17 @@ def test_rescore_oversample_two_takeordered_phases(spark, sf):
     assert "SortMergeJoin" not in p
 
 
+def test_sim_self_join_top1_is_partial_agg_not_window(spark, sf):
+    # nearest-other-point (k=1) must be a two-phase max_by aggregation:
+    # map-side combine reduces each partition to one row per query before
+    # the shuffle. A Window plan here shuffles ALL |q|·N scored rows.
+    from vector_database_spark.queries import q_sim_self_join
+
+    p = plan_of(q_sim_self_join(spark, sf))
+    assert "Window" not in p
+    assert "partial_max_by" in p or "partial_min_by" in p
+
+
 def test_line_dedup_boilerplate_anti_join_broadcasts(spark, sf):
     # the boilerplate line set broadcasts; the corpus side must not
     # shuffle for the strip (anti-join is map-side)

@@ -28,6 +28,21 @@ _METRICS = {
 }
 
 
+def with_min_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin split a narrow input so per-row vector math engages
+    every core. Higher-order-function folds (cosine/dot over arrays) are
+    interpreted, not codegen'd — on a single-row-group file the whole
+    scoring pass would otherwise run on one task. Only applies when the
+    scan yields fewer partitions than ``defaultParallelism``; at cluster
+    scale inputs already exceed that and no shuffle is added.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def score_col(metric: str, emb: Column, query: Column) -> tuple[Column, bool]:
     """(rounded score column, ascending?) for a metric name.
 
@@ -93,7 +108,7 @@ def knn_batch(
     window input is k·P per query, not the whole collection.
     """
     q = F.broadcast(queries)
-    joined = collection.crossJoin(q)
+    joined = with_min_parallelism(collection).crossJoin(q)
     if exclude_self:
         joined = joined.filter(F.col(id_col) != F.col(q_id_col))
     score, asc = score_col(metric, F.col(emb_col), F.col(q_emb_col))
@@ -282,12 +297,40 @@ def similarity_self_join(
     right side is always the full collection). The left side is broadcast
     when small; for the full N×N case at scale use ann.py's LSH
     approxSimilarityJoin instead — this operator is the exact engine.
+
+    k=1 (the common "nearest other point" case) compiles to a
+    ``max_by``/``min_by`` aggregation instead of a window: the partial
+    (map-side) aggregate reduces every partition to one row per query
+    BEFORE the shuffle, so only |queries|·P rows move — the window plan
+    shuffles all |queries|·N scored rows to sort them. Tie-break is
+    identical: ordering key (round6 score, −id) vs the window's
+    (score DESC, id ASC); null scores (zero-norm cosine) lose in both
+    (struct comparison puts null fields first, i.e. smallest under max).
     """
     left = collection.select(
         F.col(id_col).alias("qid"), F.col(emb_col).alias("qv")
     )
     if left_filter is not None:
         left = left.filter(left_filter)
+    if k == 1:
+        joined = with_min_parallelism(collection).crossJoin(F.broadcast(left)).filter(
+            F.col(id_col) != F.col("qid")
+        )
+        score, asc = score_col(metric, F.col(emb_col), F.col("qv"))
+        val = F.struct(
+            F.col(id_col), *[F.col(c) for c in payload_cols], score.alias("score")
+        )
+        if asc:  # min score wins, tie → min id
+            best = F.min_by(val, F.struct(score, F.col(id_col)))
+        else:  # max score wins, tie → min id (max of −id)
+            best = F.max_by(val, F.struct(score, (-F.col(id_col))))
+        agg = joined.groupBy("qid").agg(best.alias("best"))
+        return agg.select(
+            "qid",
+            f"best.{id_col}",
+            *[f"best.{c}" for c in payload_cols],
+            "best.score",
+        )
     return knn_batch(
         left,
         collection,
