@@ -59,6 +59,11 @@ BENCH_QUERIES = [
     "q_rescore_oversample",
     "q_line_dedup",
     "q_perplexity_buckets",
+    # round 2c: substring dedup, Gopher rules, event analytics
+    "q_substring_dedup",
+    "q_gopher_rules",
+    "q_funnel_steps",
+    "q_scd2_intervals",
 ]
 
 

@@ -229,3 +229,48 @@ def test_line_dedup_boilerplate_anti_join_broadcasts(spark, sf):
 
     p = plan_of(q_line_dedup(spark, sf))
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_gopher_rules_is_map_only(spark, sf):
+    # the full rule vector is one projection over the scan — no exchange
+    from vector_database_spark.queries import q_gopher_rules
+
+    p = plan_of(q_gopher_rules(spark, sf))
+    assert "Exchange" not in p
+
+
+def test_substring_dedup_aggs_are_partial(spark, sf):
+    # both shuffles (window-hash attribution, per-doc verdict) must have
+    # map-side partial aggregation; nothing in the plan is quadratic
+    from vector_database_spark.queries import q_substring_dedup
+
+    p = plan_of(q_substring_dedup(spark, sf))
+    assert "partial_min" in p or "PartialAggregate" in p or "partial" in p.lower()
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_prefetch_rerank_legs_are_takeordered(spark, sf):
+    # both prefetch legs and the final rerank end in TakeOrdered heaps;
+    # no sort-merge join in a 40-row rerank
+    from vector_database_spark.queries import q_prefetch_rerank
+
+    p = plan_of(q_prefetch_rerank(spark, sf))
+    assert p.count("TakeOrderedAndProject") >= 3
+    assert "SortMergeJoin" not in p
+
+
+def test_funnel_aggs_are_partial(spark, sf):
+    # every stage min-agg is two-phase (partial_min before the exchange)
+    from vector_database_spark.queries import q_funnel_steps
+
+    p = plan_of(q_funnel_steps(spark, sf))
+    assert "partial_min" in p
+
+
+def test_scd2_single_sort_for_both_windows(spark, sf):
+    # lag-filter and lead share one (user_id, ts, event_id) sort: exactly
+    # one exchange on user_id in the whole plan
+    from vector_database_spark.queries import q_scd2_intervals
+
+    p = plan_of(q_scd2_intervals(spark, sf))
+    assert p.count("Exchange hashpartitioning(user_id") == 1

@@ -225,3 +225,81 @@ def test_connected_components_random_graph_matches_union_find(spark):
         for r in connected_components(pairs, nodes=nodes).collect()
     }
     assert got == want
+
+
+def test_funnel_stage_counts_monotone_nonincreasing(spark):
+    """A funnel can only narrow: each stage's user count <= the previous."""
+    from vector_database_spark.queries import q_funnel_steps
+
+    rows = {r["stage"]: r["n_users"] for r in q_funnel_steps(spark, SF_SMALL).collect()}
+    assert rows["1_view"] >= rows["2_click"] >= rows["3_purchase"]
+    assert rows["1_view"] > 0
+
+
+def test_substring_dedup_flags_planted_copy(spark):
+    """A verbatim copy of an earlier doc must be flagged with ALL its
+    windows duplicated; the original must stay clean."""
+    from vector_database_spark.queries import _SUBSTR_W  # noqa: F401
+    import vector_database_spark.queries as q
+
+    base = read_table(spark, SF_SMALL, "documents").filter(
+        F.size(F.split(F.lower(F.col("text")), r"\s+")) >= 12
+    ).limit(1).collect()[0]
+    docs = spark.createDataFrame(
+        [(1, base["text"]), (2, base["text"]), (3, "one two three")],
+        "doc_id long, text string",
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r["doc_id"]: r for r in q.q_substring_dedup(spark, d).collect()}
+    assert not out[1]["is_dup"]
+    assert out[2]["is_dup"] and out[2]["n_dup_windows"] == out[2]["n_windows"] > 0
+    assert not out[3]["is_dup"] and out[3]["n_windows"] == 0  # too short
+
+
+def test_scd2_intervals_tile_each_user_timeline(spark):
+    """Per user: exactly one current row, intervals are disjoint and
+    chained (each valid_to equals the next valid_from)."""
+    from vector_database_spark.queries import q_scd2_intervals
+    from collections import defaultdict
+
+    rows = q_scd2_intervals(spark, SF_SMALL).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    assert by_user
+    for user, ivs in by_user.items():
+        ivs.sort(key=lambda r: r["valid_from_us"])
+        assert sum(1 for r in ivs if r["is_current"]) == 1
+        assert ivs[-1]["valid_to_us"] is None and ivs[-1]["is_current"]
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"]
+        # consecutive intervals represent a state CHANGE
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["event_type"] != b["event_type"]
+
+
+def test_gopher_rules_known_answers(spark):
+    """Crafted docs hit each rule: a good doc keeps, a symbol-heavy doc
+    and a stopword-free doc fail."""
+    import vector_database_spark.queries as q
+    import tempfile, os
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat of the mat and went to sleep"),      # keep
+            (2, "# # # # # the of"),                               # symbols > 10%
+            (3, "zebra xylophone quartz jumps vex"),               # no stopwords
+            (4, "the of"),                                         # too few tokens
+        ],
+        "doc_id long, text string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r["doc_id"]: r for r in q.q_gopher_rules(spark, d).collect()}
+    assert out[1]["keep"]
+    assert not out[2]["keep"] and out[2]["symbol_micro"] > 100_000
+    assert not out[3]["keep"] and out[3]["n_stopwords"] == 0
+    assert not out[4]["keep"] and out[4]["n_tokens"] < 5

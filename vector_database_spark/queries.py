@@ -3943,6 +3943,429 @@ FROM walk GROUP BY id
 
 
 # ---------------------------------------------------------------------------
+# round-2 (third session): Gopher rule vector, substring dedup, multi-stage
+# prefetch rerank, event analytics (funnel / cohort / SCD2)
+# ---------------------------------------------------------------------------
+
+_GOPHER_MIN_TOKENS = 5
+_GOPHER_MAX_TOKENS = 10_000
+_GOPHER_MIN_MEAN_LEN_MICRO = 2_000_000   # mean token length in [2, 10]
+_GOPHER_MAX_MEAN_LEN_MICRO = 10_000_000
+_GOPHER_MIN_ALPHA_MICRO = 800_000        # >= 80% tokens contain a letter
+_GOPHER_MIN_STOPWORDS = 2                # distinct stopwords present
+_GOPHER_MAX_SYMBOL_MICRO = 100_000       # <= 10% '#'/'...' symbol tokens
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Gopher-style quality rule VECTOR (Rae et al. 2021 §A1.1): the full
+    per-document feature set behind the classic curation rules — token
+    count bounds, mean word length window, alphabetic-word fraction,
+    distinct-stopword floor, symbol-token ceiling — plus the combined
+    keep verdict. Complements q_quality_score (blended score) and
+    q_repetition_ratio (Gopher's repetition half) with the rule family
+    used verbatim by Gopher/MassiveText, RefinedWeb and Dolma.
+
+    The fixture corpus has no newlines, so the line-based rules (bullet
+    starts, ellipsis ends) are vacuous here and omitted; every computed
+    rule is token-level, one map-only projection — no shuffle at all,
+    embarrassingly parallel at 100 TB. Ratios in integer micro-units
+    (FIXTURES rules 6-7)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokenize_ws(F.col("text"))
+    n = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("long")
+    n_symbol = F.size(F.filter(toks, lambda t: t.isin("#", "..."))).cast("long")
+    stop_arr = F.array(*[F.lit(w) for w in textanalysis.STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr)).cast("long")
+    mean_len_micro = micro6(sum_len.cast("double") / n.cast("double"))
+    alpha_micro = micro6(n_alpha.cast("double") / n.cast("double"))
+    symbol_micro = micro6(n_symbol.cast("double") / n.cast("double"))
+    feat = docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        mean_len_micro.alias("mean_len_micro"),
+        alpha_micro.alias("alpha_micro"),
+        n_stop.alias("n_stopwords"),
+        symbol_micro.alias("symbol_micro"),
+    )
+    keep = (
+        (F.col("n_tokens") >= _GOPHER_MIN_TOKENS)
+        & (F.col("n_tokens") <= _GOPHER_MAX_TOKENS)
+        & (F.col("mean_len_micro") >= _GOPHER_MIN_MEAN_LEN_MICRO)
+        & (F.col("mean_len_micro") <= _GOPHER_MAX_MEAN_LEN_MICRO)
+        & (F.col("alpha_micro") >= _GOPHER_MIN_ALPHA_MICRO)
+        & (F.col("n_stopwords") >= _GOPHER_MIN_STOPWORDS)
+        & (F.col("symbol_micro") <= _GOPHER_MAX_SYMBOL_MICRO)
+    )
+    return feat.select("*", keep.alias("keep"))
+
+
+_SQL_GOPHER_RULES = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+feat AS (
+  SELECT doc_id,
+         CAST(len(tk) AS BIGINT) AS n_tokens,
+         {_micro_sql("CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE) / CAST(len(tk) AS DOUBLE)")} AS mean_len_micro,
+         {_micro_sql("CAST(len(list_filter(tk, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / CAST(len(tk) AS DOUBLE)")} AS alpha_micro,
+         CAST(len(list_filter(list_distinct(tk),
+              t -> t IN ({", ".join(f"'{w}'" for w in textanalysis.STOPWORDS)}))) AS BIGINT) AS n_stopwords,
+         {_micro_sql("CAST(len(list_filter(tk, t -> t IN ('#', '...'))) AS DOUBLE) / CAST(len(tk) AS DOUBLE)")} AS symbol_micro
+  FROM t
+)
+SELECT doc_id, n_tokens, mean_len_micro, alpha_micro, n_stopwords, symbol_micro,
+       (n_tokens >= {_GOPHER_MIN_TOKENS} AND n_tokens <= {_GOPHER_MAX_TOKENS}
+        AND mean_len_micro >= {_GOPHER_MIN_MEAN_LEN_MICRO}
+        AND mean_len_micro <= {_GOPHER_MAX_MEAN_LEN_MICRO}
+        AND alpha_micro >= {_GOPHER_MIN_ALPHA_MICRO}
+        AND n_stopwords >= {_GOPHER_MIN_STOPWORDS}
+        AND symbol_micro <= {_GOPHER_MAX_SYMBOL_MICRO}) AS keep
+FROM feat
+"""
+
+
+_SUBSTR_W = 10     # tokens per window (Lee et al. 2022 use 50 on real corpora)
+_SUBSTR_SEED = 909
+
+
+def q_substring_dedup(spark, sf_dir):
+    """Cross-document exact-substring dedup (Lee et al. 2022, 'Deduplicating
+    Training Data Makes Language Models Better'): flag any document that
+    shares a W-token window with an earlier document. The suffix-array of
+    the paper is replaced by its shuffle-friendly equivalent — hash every
+    W-token window, attribute each distinct window to its first-seen
+    doc_id (min over the corpus), and mark later docs that repeat one.
+
+    Distinct from q_decontaminate (corpus vs tiny benchmark set, map-side
+    semi-join) — here the window table is corpus-sized on BOTH sides, so
+    the plan is the honest distributed one: one shuffle keyed on window
+    hash for the min-doc attribution, one on doc_id for the per-doc
+    verdict. Both are partial-agg combinable; nothing is quadratic."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokenize_ws(F.col("text"))
+    base = docs.select("doc_id", toks.alias("tk")).filter(
+        F.size("tk") >= _SUBSTR_W
+    )
+    wins = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tk") - _SUBSTR_W),
+                lambda i: F.array_join(F.slice(F.col("tk"), i + 1, _SUBSTR_W), " "),
+            )
+        ).alias("win"),
+    )
+    wh = wins.select(
+        "doc_id", seeded_hash(F.col("win"), _SUBSTR_SEED).alias("g")
+    ).distinct()
+    first_seen = wh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        wh.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum((F.col("first_doc") < F.col("doc_id")).cast("long"))
+            .cast("long")
+            .alias("n_dup_windows"),
+        )
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_windows"), F.lit(0)).cast("long").alias("n_windows"),
+        F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("long").alias("n_dup_windows"),
+        (F.coalesce(F.col("n_dup_windows"), F.lit(0)) > 0).alias("is_dup"),
+    )
+
+
+_SQL_SUBSTRING_DEDUP = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+w AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(tk) - {_SUBSTR_W} + 1),
+                i -> list_aggregate(tk[i + 1 : i + {_SUBSTR_W}], 'string_agg', ' '))) AS win
+  FROM t WHERE len(tk) >= {_SUBSTR_W}
+),
+wh AS (SELECT DISTINCT doc_id, {seeded_hash_sql("win", _SUBSTR_SEED)} AS g FROM w),
+fs AS (SELECT g, min(doc_id) AS first_doc FROM wh GROUP BY g),
+agg AS (
+  SELECT wh.doc_id, count(*) AS n_windows,
+         sum(CASE WHEN fs.first_doc < wh.doc_id THEN 1 ELSE 0 END) AS n_dup_windows
+  FROM wh JOIN fs USING (g) GROUP BY wh.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(coalesce(a.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       coalesce(a.n_dup_windows, 0) > 0 AS is_dup
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN agg a USING (doc_id)
+"""
+
+
+_PREFETCH_QID = 5   # query point id
+_PREFETCH_K = 20    # per-leg prefetch size
+
+
+def q_prefetch_rerank(spark, sf_dir):
+    """Qdrant Query-API NESTED PREFETCH (query_points(prefetch=[...])):
+    two cheap candidate legs — int8-quantized dot top-20 and binary
+    sign-code Hamming top-20 — union their shortlists, then rerank the
+    merged candidate set with the exact full-precision cosine, top-5.
+    This is Qdrant's documented multi-stage pattern ('use prefetch for a
+    fast wide net, rerank with the true metric'); it composes the
+    q_rescore_oversample and q_hamming_knn stages behind one query.
+
+    Both candidate phases are integer-exact (int8 dot ≤ 127²·64 in
+    DOUBLE; Hamming is XOR+popcount), so unlike a float ANN the whole
+    pipeline has a FULL oracle. Scale shape: both legs are broadcast-
+    query map-side scans ending in TakeOrdered heaps (k·P shuffle rows);
+    the rerank rescans only ≤ 40 rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    embd = F.col("embedding").cast("array<double>")
+    mx = F.array_max(F.transform(embd, lambda x: F.abs(x)))
+    scale = F.when(mx > 0, F.lit(127.0) / mx).otherwise(F.lit(0.0))
+    q8 = F.transform(
+        embd,
+        lambda x: (
+            F.floor(F.abs(x) * scale + F.lit(0.5)) * F.when(x < 0, -1).otherwise(1)
+        ).cast("double"),
+    )
+    w0, w1 = _binary_code_cols()
+    coded = emb.select(
+        "vec_id", "label", "embedding",
+        q8.alias("q8"), w0.alias("w0"), w1.alias("w1"),
+    )
+    qrow = coded.filter(F.col("vec_id") == _PREFETCH_QID).select(
+        F.col("q8").alias("qq8"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+        F.col("embedding").alias("qv"),
+    )
+    scored = coded.crossJoin(F.broadcast(qrow))
+    leg_a = (
+        scored.select("vec_id", dot(F.col("q8"), F.col("qq8")).cast("long").alias("qd"))
+        .orderBy(F.col("qd").desc(), F.col("vec_id").asc())
+        .limit(_PREFETCH_K)
+    )
+    ham = (
+        F.bit_count(F.col("w0").bitwiseXOR(F.col("qw0")))
+        + F.bit_count(F.col("w1").bitwiseXOR(F.col("qw1")))
+    ).cast("long")
+    leg_b = (
+        scored.select("vec_id", ham.alias("hm"))
+        .orderBy(F.col("hm").asc(), F.col("vec_id").asc())
+        .limit(_PREFETCH_K)
+    )
+    cand = leg_a.select("vec_id").union(leg_b.select("vec_id")).distinct()
+    qv = qrow.select("qv")
+    return (
+        cand.join(emb, "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            micro6(cosine(F.col("embedding"), F.col("qv"))).alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), F.col("vec_id").asc())
+        .limit(5)
+    )
+
+
+_SQL_PREFETCH_RERANK = f"""
+WITH s AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS mx
+  FROM embeddings
+),
+coded AS (
+  SELECT vec_id, label, e,
+         list_transform(e, x ->
+           floor(abs(x) * (CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END) + 0.5)
+           * (CASE WHEN x < 0 THEN -1 ELSE 1 END)) AS q8,
+         CAST(list_sum(list_transform(range(0, 32),
+              j -> CASE WHEN e[j + 1] > 0.0 THEN 2.0 ** j ELSE 0.0 END)) AS BIGINT) AS w0,
+         CAST(list_sum(list_transform(range(0, 32),
+              j -> CASE WHEN e[j + 33] > 0.0 THEN 2.0 ** j ELSE 0.0 END)) AS BIGINT) AS w1
+  FROM s
+),
+q AS (SELECT q8, w0, w1, e FROM coded WHERE vec_id = {_PREFETCH_QID}),
+leg_a AS (
+  SELECT c.vec_id
+  FROM coded c, q
+  ORDER BY CAST(list_dot_product(c.q8, q.q8) AS BIGINT) DESC, c.vec_id
+  LIMIT {_PREFETCH_K}
+),
+leg_b AS (
+  SELECT c.vec_id
+  FROM coded c, q
+  ORDER BY bit_count(xor(c.w0, q.w0)) + bit_count(xor(c.w1, q.w1)) ASC, c.vec_id
+  LIMIT {_PREFETCH_K}
+),
+cand AS (SELECT vec_id FROM leg_a UNION SELECT vec_id FROM leg_b)
+SELECT c.vec_id, e.label,
+       {_micro_sql("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.e)")} AS score_micro
+FROM cand c JOIN embeddings e USING (vec_id), q
+ORDER BY score_micro DESC, c.vec_id
+LIMIT 5
+"""
+
+
+def q_funnel_steps(spark, sf_dir):
+    """Event funnel analysis: how many users progress through the ordered
+    view → click → purchase sequence, where each later step must happen
+    strictly AFTER the user's first completion of the previous one.
+    The product-analytics staple over the events stream.
+
+    Plan shape: three filtered min-aggregations chained by equi-joins on
+    user_id — every stage is map-side partial-agg combinable, the join
+    frontier shrinks monotonically (funnels only narrow), and nothing
+    depends on row order. At 100 TB each leg is one shuffle on user_id;
+    AQE broadcasts the shrinking frontier automatically."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("ct"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+
+    def stage(df, name):
+        return df.agg(F.count("*").cast("long").alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+
+    return (
+        stage(v, "1_view")
+        .unionAll(stage(c, "2_click"))
+        .unionAll(stage(p, "3_purchase"))
+    )
+
+
+_SQL_FUNNEL_STEPS = """
+WITH v AS (
+  SELECT user_id, min(ts) AS vt FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS ct
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.vt
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS pt
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.ct
+  GROUP BY e.user_id
+)
+SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+UNION ALL
+SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
+UNION ALL
+SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p
+"""
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-activity day; for each
+    (cohort, day-offset) cell, how many of that cohort's users were
+    active that many days later. The standard retention-triangle query.
+
+    Plan shape: first-day per user (one shuffle on user_id, min-combine),
+    distinct (user, day) activity (same key), one join on user_id, final
+    count per (cohort, offset) — all partial-agg friendly, no windows."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    first_day = ev.groupBy("user_id").agg(F.min(day).alias("d0"))
+    activity = ev.select("user_id", day.alias("d")).distinct()
+    return (
+        activity.join(first_day, "user_id")
+        .groupBy(
+            F.date_format("d0", "yyyy-MM-dd").alias("cohort"),
+            F.datediff(F.to_date("d"), F.to_date("d0")).cast("int").alias("day_offset"),
+        )
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
+_SQL_COHORT_RETENTION = """
+WITH f AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS d0 FROM events GROUP BY user_id
+),
+a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events)
+SELECT strftime(f.d0, '%Y-%m-%d') AS cohort,
+       CAST(date_diff('day', CAST(f.d0 AS DATE), CAST(a.d AS DATE)) AS INTEGER) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def q_scd2_intervals(spark, sf_dir):
+    """SCD Type-2 interval construction: collapse each user's event
+    stream into validity intervals of their event_type 'state' — a row
+    per state CHANGE with [valid_from, valid_to) and a current flag.
+    The warehouse dimension-history operator, built from the same change
+    detection as sessionization (lag ≠ current ⇒ new interval, lead ⇒
+    interval close). Interval bounds emitted as epoch microseconds
+    (exact integers — FIXTURES rule: no float timestamp math).
+
+    Plan shape: two window passes over the SAME (user_id, ts, event_id)
+    sort order — Catalyst reuses one shuffle+sort for both."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    changes = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    out = changes.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(F.lead("ts").over(w2)).alias("valid_to_us"),
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        "valid_from_us",
+        "valid_to_us",
+        F.col("valid_to_us").isNull().alias("is_current"),
+    )
+
+
+_SQL_SCD2_INTERVALS = """
+WITH c AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+ch AS (SELECT * FROM c WHERE prev IS NULL OR prev <> event_type)
+SELECT user_id, event_type,
+       CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+       CAST(epoch_us(lead(ts) OVER w2) AS BIGINT) AS valid_to_us,
+       lead(ts) OVER w2 IS NULL AS is_current
+FROM ch
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -4014,6 +4437,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_shard_export": q_shard_export,
     "q_dedup_clusters": q_dedup_clusters,
     "q_temperature_mix": q_temperature_mix,
+    "q_gopher_rules": q_gopher_rules,
+    "q_substring_dedup": q_substring_dedup,
+    "q_prefetch_rerank": q_prefetch_rerank,
+    "q_funnel_steps": q_funnel_steps,
+    "q_cohort_retention": q_cohort_retention,
+    "q_scd2_intervals": q_scd2_intervals,
     # §2.C
     "q_normalize_scale": q_normalize_scale,
     "q_flatten": q_flatten,
@@ -4179,6 +4608,12 @@ ORACLES: dict[str, str] = {
     "q_shard_export": _SQL_SHARD_EXPORT,
     "q_dedup_clusters": _SQL_DEDUP_CLUSTERS,
     "q_temperature_mix": _SQL_TEMPERATURE_MIX,
+    "q_gopher_rules": _SQL_GOPHER_RULES,
+    "q_substring_dedup": _SQL_SUBSTRING_DEDUP,
+    "q_prefetch_rerank": _SQL_PREFETCH_RERANK,
+    "q_funnel_steps": _SQL_FUNNEL_STEPS,
+    "q_cohort_retention": _SQL_COHORT_RETENTION,
+    "q_scd2_intervals": _SQL_SCD2_INTERVALS,
     "q_window_funcs": _SQL_WINDOW_FUNCS,
     "q_pivot_events": _SQL_PIVOT_EVENTS,
     "q_rollup_orders": _SQL_ROLLUP_ORDERS,

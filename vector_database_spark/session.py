@@ -39,8 +39,9 @@ def get_spark(app_name: str = "vector_database_spark", cpus: int | None = None) 
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # fixture events.parquet stores TIMESTAMP(NANOS); read as long, the
-        # table loader converts to a micros timestamp (sources/tables.py)
+        # older fixture events.parquet stored TIMESTAMP(NANOS); kept for
+        # compatibility — the table loader normalizes either form to a
+        # UTC micros timestamp (sources/tables.py)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

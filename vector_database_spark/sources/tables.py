@@ -17,6 +17,15 @@ from pyspark.sql import functions as F
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        kind = dict(df.dtypes).get("ts")
+        if kind == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif kind == "timestamp_ntz":
+            # Fixture regenerated as TIMESTAMP(MICROS) without tz → Spark
+            # infers TIMESTAMP_NTZ, which Spark 4 refuses to cast to
+            # BIGINT. Interpret the naive wall clock as UTC (exactly
+            # DuckDB's epoch() semantics for naive timestamps) regardless
+            # of the session timezone.
+            df = df.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
     return df

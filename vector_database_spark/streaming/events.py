@@ -22,12 +22,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# ts arrives as BIGINT nanos (fixture parquet is TIMESTAMP(NANOS); see
-# sources/tables.py) and is converted to a micros timestamp below.
+# Fixture parquet stores ts as TIMESTAMP(MICROS) without timezone → read
+# as TIMESTAMP_NTZ and pinned to UTC below (same normalization as
+# sources/tables.py, independent of the session timezone).
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -45,7 +46,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
     )
 
 
