@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "q_gopher_rules",
     "q_funnel_steps",
     "q_scd2_intervals",
+    "q_bigram_logprob",
+    "q_char_entropy",
 ]
 
 

@@ -274,3 +274,31 @@ def test_scd2_single_sort_for_both_windows(spark, sf):
 
     p = plan_of(q_scd2_intervals(spark, sf))
     assert p.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_bigram_lm_lookups_broadcast(spark, sf):
+    # all three LM lookup joins (unigram, prev-unigram, bigram) broadcast;
+    # the corpus side never sort-merge-joins
+    from vector_database_spark.queries import q_bigram_logprob
+
+    p = plan_of(q_bigram_logprob(spark, sf))
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in p
+
+
+def test_char_entropy_single_partial_agg_no_join(spark, sf):
+    # per-char counts are map-side (length-replace trick, no histogram
+    # shuffle); the one remaining agg is two-phase, and there is no join
+    from vector_database_spark.queries import q_char_entropy
+
+    p = plan_of(q_char_entropy(spark, sf))
+    assert "partial_sum" in p
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_score_threshold_is_takeordered(spark, sf):
+    from vector_database_spark.queries import q_score_threshold
+
+    p = plan_of(q_score_threshold(spark, sf))
+    assert "TakeOrderedAndProject" in p

@@ -32,6 +32,61 @@ SIMHASH_BITS = 16
 COSINE_NEARDUP_THRESHOLD = 0.95
 
 
+def substring_dedup(
+    docs: DataFrame,
+    window_tokens: int,
+    seed: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document exact-substring dedup (Lee et al. 2022): flag any doc
+    sharing a ``window_tokens``-token window with an earlier (lower-id)
+    doc. Distributed stand-in for the paper's suffix array: hash every
+    window, attribute each distinct window hash to its first-seen doc id
+    (min over the corpus), mark later docs repeating one.
+
+    Output: (id_col, n_windows, n_dup_windows, is_dup) — every input doc
+    appears; docs shorter than the window have n_windows = 0.
+
+    Scale shape: two linear shuffles (window-hash min-attribution, per-doc
+    verdict), both partial-agg combinable; nothing quadratic. Used by
+    queries.py::q_substring_dedup and the 1M-doc stress probe.
+    """
+    toks = tokenize_ws(F.col(text_col))
+    base = docs.select(id_col, toks.alias("tk")).filter(
+        F.size("tk") >= window_tokens
+    )
+    wins = base.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tk") - window_tokens),
+                lambda i: F.array_join(
+                    F.slice(F.col("tk"), i + 1, window_tokens), " "
+                ),
+            )
+        ).alias("win"),
+    )
+    wh = wins.select(id_col, seeded_hash(F.col("win"), seed).alias("g")).distinct()
+    first_seen = wh.groupBy("g").agg(F.min(id_col).alias("first_doc"))
+    per_doc = (
+        wh.join(first_seen, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum((F.col("first_doc") < F.col(id_col)).cast("long"))
+            .cast("long")
+            .alias("n_dup_windows"),
+        )
+    )
+    return docs.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_windows"), F.lit(0)).cast("long").alias("n_windows"),
+        F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("long").alias("n_dup_windows"),
+        (F.coalesce(F.col("n_dup_windows"), F.lit(0)) > 0).alias("is_dup"),
+    )
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """F1: exact dedup by content hash, keep lowest id per hash group."""
     w = Window.partitionBy("text_hash").orderBy(F.col(id_col).asc())

@@ -4042,40 +4042,10 @@ def q_substring_dedup(spark, sf_dir):
     semi-join) — here the window table is corpus-sized on BOTH sides, so
     the plan is the honest distributed one: one shuffle keyed on window
     hash for the min-doc attribution, one on doc_id for the per-doc
-    verdict. Both are partial-agg combinable; nothing is quadratic."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = tokenize_ws(F.col("text"))
-    base = docs.select("doc_id", toks.alias("tk")).filter(
-        F.size("tk") >= _SUBSTR_W
-    )
-    wins = base.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("tk") - _SUBSTR_W),
-                lambda i: F.array_join(F.slice(F.col("tk"), i + 1, _SUBSTR_W), " "),
-            )
-        ).alias("win"),
-    )
-    wh = wins.select(
-        "doc_id", seeded_hash(F.col("win"), _SUBSTR_SEED).alias("g")
-    ).distinct()
-    first_seen = wh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
-    per_doc = (
-        wh.join(first_seen, "g")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_windows"),
-            F.sum((F.col("first_doc") < F.col("doc_id")).cast("long"))
-            .cast("long")
-            .alias("n_dup_windows"),
-        )
-    )
-    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce(F.col("n_windows"), F.lit(0)).cast("long").alias("n_windows"),
-        F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("long").alias("n_dup_windows"),
-        (F.coalesce(F.col("n_dup_windows"), F.lit(0)) > 0).alias("is_dup"),
+    verdict. Both are partial-agg combinable; nothing is quadratic.
+    Implementation shared with the 1M-doc probe: operators/dedup.py."""
+    return dedup.substring_dedup(
+        _t(spark, sf_dir, "documents"), _SUBSTR_W, _SUBSTR_SEED
     )
 
 
@@ -4365,6 +4335,208 @@ WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+_BI_LAMBDA = 0.7  # interpolation weight on the bigram term
+
+
+def q_bigram_logprob(spark, sf_dir):
+    """CCNet-style LM scoring, interpolated-bigram edition: each token
+    position is scored ln(λ·p(w|prev) + (1−λ)·p(w)) under the corpus's
+    own MLE bigram/unigram models (position 0 scores unigram-only);
+    per-doc mean in micro-units. The bigram upgrade of q_unigram_logprob
+    — ranks fluent token ORDER, not just token choice.
+
+    Determinism: ln rounded to 6dp per position, summed via
+    DECIMAL(38,6) (order-free), identical operation order both engines.
+    Scale shape: both LM tables are |vocab|-/|vocab|²-bounded aggregates
+    (map-side combinable); per-position scoring is three broadcast
+    lookup joins — no corpus-sized shuffle beyond the doc re-agg."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokenize_ws(F.col("text"))
+    tp = docs.select(
+        "doc_id", toks.alias("tk")
+    ).select(
+        "doc_id",
+        F.posexplode(F.col("tk")).alias("pos", "cur"),
+        F.col("tk"),
+    ).select(
+        "doc_id",
+        "pos",
+        "cur",
+        F.when(F.col("pos") >= 1, F.element_at(F.col("tk"), F.col("pos"))).alias(
+            "prev"
+        ),
+    )
+    uni = tp.groupBy("cur").agg(F.count("*").alias("cu"))
+    tot = uni.agg(F.sum("cu").alias("tot"))
+    bi = (
+        tp.filter(F.col("pos") >= 1)
+        .groupBy("prev", "cur")
+        .agg(F.count("*").alias("cb"))
+    )
+    up = uni.select(F.col("cur").alias("prev"), F.col("cu").alias("cp"))
+    scored = (
+        tp.join(F.broadcast(uni), "cur")
+        .join(F.broadcast(up), "prev", "left")
+        .join(F.broadcast(bi), ["prev", "cur"], "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    p_uni = F.col("cu").cast("double") / F.col("tot").cast("double")
+    p_bi = F.col("cb").cast("double") / F.col("cp").cast("double")
+    lp = round6(
+        F.when(F.col("pos") == 0, F.log(p_uni)).otherwise(
+            F.log(F.lit(_BI_LAMBDA) * p_bi + F.lit(1.0 - _BI_LAMBDA) * p_uni)
+        )
+    )
+    per_doc = scored.select("doc_id", lp.alias("lp")).groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.col("lp").cast("decimal(38,6)")).cast("double").alias("slp"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        micro6(F.col("slp") / F.col("n_tokens").cast("double")).alias(
+            "avg_logprob_micro"
+        ),
+    )
+
+
+_SQL_BIGRAM_LOGPROB = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+tp AS (
+  SELECT doc_id, i AS pos, tk[i + 1] AS cur,
+         CASE WHEN i >= 1 THEN tk[i] END AS prev
+  FROM (SELECT doc_id, tk, unnest(range(len(tk))) AS i FROM t)
+),
+uni AS (SELECT cur, count(*) AS cu FROM tp GROUP BY cur),
+tot AS (SELECT sum(cu) AS tot FROM uni),
+bi AS (SELECT prev, cur, count(*) AS cb FROM tp WHERE pos >= 1 GROUP BY prev, cur),
+scored AS (
+  SELECT tp.doc_id,
+         round(CASE WHEN tp.pos = 0
+               THEN ln(CAST(u.cu AS DOUBLE) / CAST(tot.tot AS DOUBLE))
+               ELSE ln({_BI_LAMBDA} * (CAST(b.cb AS DOUBLE) / CAST(up.cu AS DOUBLE))
+                       + {1.0 - _BI_LAMBDA} * (CAST(u.cu AS DOUBLE) / CAST(tot.tot AS DOUBLE)))
+               END, 6) AS lp
+  FROM tp
+  JOIN uni u ON tp.cur = u.cur
+  LEFT JOIN uni up ON tp.prev = up.cur
+  LEFT JOIN bi b ON tp.prev = b.prev AND tp.cur = b.cur
+  CROSS JOIN tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       {_micro_sql("CAST(sum(CAST(lp AS DECIMAL(38,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS avg_logprob_micro
+FROM scored GROUP BY doc_id
+"""
+
+
+_ENTROPY_LOW_MICRO = 2_000_000  # < 2.0 nats ⇒ repetitive/boilerplate-ish
+
+
+def q_char_entropy(spark, sf_dir):
+    """Per-document character-level Shannon entropy (nats) — the cheap
+    proxy for the compression-ratio curation signal (Dolma/MassiveText
+    drop low-entropy docs: repeated boilerplate compresses well and has
+    low char entropy). H = −Σ_c p_c·ln p_c over the doc's characters.
+
+    Determinism: each term p·ln p rounded to 6dp, summed via
+    DECIMAL(38,6). Scale shape: only the ~dozens of DISTINCT chars per
+    doc are exploded (not |text| rows); each char's count is computed
+    map-side as len(text) − len(replace(text, ch)) — the histogram
+    shuffle disappears and the single doc-keyed agg sees |docs|·|Σ|
+    rows (measured 5.6s → map-side at sf0.1)."""
+    docs = _t(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_total"),
+        F.col("text"),
+        F.explode(
+            F.array_distinct(
+                F.expr("transform(sequence(1, length(text)), i -> substr(text, i, 1))")
+            )
+        ).alias("ch"),
+    )
+    c = (F.length("text") - F.length(F.replace(F.col("text"), F.col("ch")))).cast(
+        "long"
+    )
+    hist = chars.select("doc_id", "n_chars_total", c.alias("c"))
+    p = F.col("c").cast("double") / F.col("n_chars_total").cast("double")
+    term = round6(p * F.log(p))
+    ent = hist.select("doc_id", "n_chars_total", term.alias("term")).groupBy(
+        "doc_id", "n_chars_total"
+    ).agg(
+        micro6(-F.sum(F.col("term").cast("decimal(38,6)")).cast("double")).alias(
+            "entropy_micro"
+        )
+    )
+    return ent.select(
+        "doc_id",
+        "n_chars_total",
+        "entropy_micro",
+        (F.col("entropy_micro") < _ENTROPY_LOW_MICRO).alias("low_entropy"),
+    )
+
+
+_SQL_CHAR_ENTROPY = f"""
+WITH ch AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_total, text,
+         unnest(list_distinct(list_transform(range(1, length(text) + 1),
+                i -> substr(text, i, 1)))) AS ch
+  FROM documents
+),
+hist AS (
+  SELECT doc_id, n_chars_total,
+         CAST(length(text) - length(replace(text, ch, '')) AS BIGINT) AS c
+  FROM ch
+),
+ent AS (
+  SELECT doc_id, n_chars_total,
+         {_micro_sql("-CAST(sum(CAST(round((CAST(c AS DOUBLE) / CAST(n_chars_total AS DOUBLE)) * ln(CAST(c AS DOUBLE) / CAST(n_chars_total AS DOUBLE)), 6) AS DECIMAL(38,6))) AS DOUBLE)")} AS entropy_micro
+  FROM hist GROUP BY doc_id, n_chars_total
+)
+SELECT doc_id, n_chars_total, entropy_micro,
+       entropy_micro < {_ENTROPY_LOW_MICRO} AS low_entropy
+FROM ent
+"""
+
+
+_SCORE_THRESHOLD_MICRO = 250_000  # Qdrant search(score_threshold=0.25)
+
+
+def q_score_threshold(spark, sf_dir):
+    """Qdrant search score_threshold parameter: top-k, but results below
+    the similarity floor are cut even if k isn't filled — the 'only
+    confident matches' knob. Filter applies AFTER scoring, BEFORE the
+    limit; plan stays a map-side scored scan + TakeOrdered."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 11).select(F.col("embedding").alias("qv"))
+    return (
+        emb.crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            micro6(cosine(F.col("embedding"), F.col("qv"))).alias("score_micro"),
+        )
+        .filter(F.col("score_micro") >= _SCORE_THRESHOLD_MICRO)
+        .orderBy(F.col("score_micro").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+_SQL_SCORE_THRESHOLD = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 11),
+s AS (
+  SELECT e.vec_id, e.label,
+         {_micro_sql("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))")} AS score_micro
+  FROM embeddings e, q
+)
+SELECT vec_id, label, score_micro
+FROM s
+WHERE score_micro >= {_SCORE_THRESHOLD_MICRO}
+ORDER BY score_micro DESC, vec_id
+LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4443,6 +4615,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_funnel_steps": q_funnel_steps,
     "q_cohort_retention": q_cohort_retention,
     "q_scd2_intervals": q_scd2_intervals,
+    "q_bigram_logprob": q_bigram_logprob,
+    "q_char_entropy": q_char_entropy,
+    "q_score_threshold": q_score_threshold,
     # §2.C
     "q_normalize_scale": q_normalize_scale,
     "q_flatten": q_flatten,
@@ -4614,6 +4789,9 @@ ORACLES: dict[str, str] = {
     "q_funnel_steps": _SQL_FUNNEL_STEPS,
     "q_cohort_retention": _SQL_COHORT_RETENTION,
     "q_scd2_intervals": _SQL_SCD2_INTERVALS,
+    "q_bigram_logprob": _SQL_BIGRAM_LOGPROB,
+    "q_char_entropy": _SQL_CHAR_ENTROPY,
+    "q_score_threshold": _SQL_SCORE_THRESHOLD,
     "q_window_funcs": _SQL_WINDOW_FUNCS,
     "q_pivot_events": _SQL_PIVOT_EVENTS,
     "q_rollup_orders": _SQL_ROLLUP_ORDERS,
