@@ -276,14 +276,15 @@ def test_scd2_single_sort_for_both_windows(spark, sf):
     assert p.count("Exchange hashpartitioning(user_id") == 1
 
 
-def test_bigram_lm_lookups_broadcast(spark, sf):
-    # all three LM lookup joins (unigram, prev-unigram, bigram) broadcast;
-    # the corpus side never sort-merge-joins
+def test_bigram_lm_unigram_lookups_broadcast(spark, sf):
+    # the vocab-bounded unigram tables broadcast (hinted); the bigram
+    # table join is deliberately un-hinted — |vocab|²-bounded, it must be
+    # allowed to fall back to a shuffle join at scale (AQE broadcasts it
+    # while small)
     from vector_database_spark.queries import q_bigram_logprob
 
     p = plan_of(q_bigram_logprob(spark, sf))
-    assert p.count("BroadcastHashJoin") >= 3
-    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 2
 
 
 def test_char_entropy_single_partial_agg_no_join(spark, sf):

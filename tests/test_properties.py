@@ -303,3 +303,23 @@ def test_gopher_rules_known_answers(spark):
     assert not out[2]["keep"] and out[2]["symbol_micro"] > 100_000
     assert not out[3]["keep"] and out[3]["n_stopwords"] == 0
     assert not out[4]["keep"] and out[4]["n_tokens"] < 5
+
+
+def test_prefetch_rerank_recall_vs_exact(spark):
+    """The two-leg prefetch shortlist must recover most of the exact
+    cosine top-5 for the same query point (recall@5 >= 0.8)."""
+    import vector_database_spark.queries as q
+    from vector_database_spark.functions.vector import cosine, micro6
+
+    got = [r["vec_id"] for r in q.q_prefetch_rerank(spark, SF_SMALL).collect()]
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 5).select(F.col("embedding").alias("qv"))
+    exact = [
+        r["vec_id"]
+        for r in emb.crossJoin(F.broadcast(qv))
+        .select("vec_id", micro6(cosine(F.col("embedding"), F.col("qv"))).alias("s"))
+        .orderBy(F.col("s").desc(), F.col("vec_id").asc())
+        .limit(5)
+        .collect()
+    ]
+    assert len(set(got) & set(exact)) >= 4

@@ -4347,9 +4347,11 @@ def q_bigram_logprob(spark, sf_dir):
 
     Determinism: ln rounded to 6dp per position, summed via
     DECIMAL(38,6) (order-free), identical operation order both engines.
-    Scale shape: both LM tables are |vocab|-/|vocab|²-bounded aggregates
-    (map-side combinable); per-position scoring is three broadcast
-    lookup joins — no corpus-sized shuffle beyond the doc re-agg."""
+    Scale shape: the unigram table is |vocab|-bounded → broadcast
+    (hinted). The bigram table grows toward |vocab|² on real corpora, so
+    its join is deliberately UN-hinted: AQE broadcasts it while small
+    and falls back to a co-keyed shuffle join when it outgrows the
+    threshold — forcing broadcast here would OOM executors at 100 TB."""
     docs = _t(spark, sf_dir, "documents")
     toks = tokenize_ws(F.col("text"))
     tp = docs.select(
@@ -4377,7 +4379,7 @@ def q_bigram_logprob(spark, sf_dir):
     scored = (
         tp.join(F.broadcast(uni), "cur")
         .join(F.broadcast(up), "prev", "left")
-        .join(F.broadcast(bi), ["prev", "cur"], "left")
+        .join(bi, ["prev", "cur"], "left")
         .crossJoin(F.broadcast(tot))
     )
     p_uni = F.col("cu").cast("double") / F.col("tot").cast("double")
@@ -4496,6 +4498,49 @@ ent AS (
 SELECT doc_id, n_chars_total, entropy_micro,
        entropy_micro < {_ENTROPY_LOW_MICRO} AS low_entropy
 FROM ent
+"""
+
+
+def q_stream_session_window(spark, sf_dir):
+    """Streaming session windows, APPEND mode: the watermark actually
+    gates emission — sessions whose window end is above (max event time −
+    10 min) are withheld as potentially still open. The oracle states the
+    same rule declaratively over the batch gap-sessions (the rare case of
+    an oracle that checks watermark/late-data SEMANTICS, not just final
+    state). See streaming/events.py::stream_session_windows."""
+    return streaming_events.stream_session_windows(spark, sf_dir)
+
+
+_SQL_STREAM_SESSION_WINDOW = """
+WITH e AS (SELECT user_id, ts, value, epoch_us(ts) AS us FROM events),
+m AS (SELECT max(ts) AS mx FROM events),
+g AS (
+  SELECT user_id, ts, value, us,
+         CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM g
+),
+w AS (
+  SELECT user_id,
+         min(ts) AS st,
+         max(ts) + INTERVAL '30 minutes' AS en,
+         count(*) AS n,
+         round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_value
+  FROM s GROUP BY user_id, sess
+)
+SELECT user_id,
+       strftime(st, '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(en, '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(n AS BIGINT) AS n,
+       sum_value
+FROM w, m
+WHERE en <= m.mx - INTERVAL '10 minutes'
 """
 
 
@@ -4618,6 +4663,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bigram_logprob": q_bigram_logprob,
     "q_char_entropy": q_char_entropy,
     "q_score_threshold": q_score_threshold,
+    "q_stream_session_window": q_stream_session_window,
     # §2.C
     "q_normalize_scale": q_normalize_scale,
     "q_flatten": q_flatten,
@@ -4792,6 +4838,7 @@ ORACLES: dict[str, str] = {
     "q_bigram_logprob": _SQL_BIGRAM_LOGPROB,
     "q_char_entropy": _SQL_CHAR_ENTROPY,
     "q_score_threshold": _SQL_SCORE_THRESHOLD,
+    "q_stream_session_window": _SQL_STREAM_SESSION_WINDOW,
     "q_window_funcs": _SQL_WINDOW_FUNCS,
     "q_pivot_events": _SQL_PIVOT_EVENTS,
     "q_rollup_orders": _SQL_ROLLUP_ORDERS,

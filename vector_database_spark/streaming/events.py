@@ -104,6 +104,57 @@ def run_stream_to_batch(
     return spark.table(name)
 
 
+def stream_session_windows(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming gap-based session windows in APPEND mode — the mode where
+    watermark semantics actually bite: a session row is emitted only once
+    its window end falls at or below the final watermark (max event time −
+    delay), so sessions still open near the end of the stream are withheld.
+    The other streaming queries here use complete/update modes, which
+    re-emit state; this is the at-most-once, late-data-disciplined shape a
+    downstream sink would consume.
+
+    The oracle encodes the SAME semantics declaratively: batch gap
+    sessions filtered to session_end ≤ max(ts) − watermark. Session window
+    = [min(ts), max(ts) + gap) per burst of events with inter-event gaps
+    < gap (Spark session_window semantics; the batch twin uses ≥ gap for
+    a new session, identical boundaries)."""
+    name = "sess_out_" + uuid.uuid4().hex[:8]
+    agg = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", watermark)
+        .groupBy(F.session_window(F.col("ts"), gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("user_id"),
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState: a
     running (count, sum(value)) per event_type maintained in explicit state
