@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "q_scd2_intervals",
     "q_bigram_logprob",
     "q_char_entropy",
+    "q_ship_priority",
 ]
 
 

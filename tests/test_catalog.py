@@ -510,3 +510,104 @@ def test_recommend_lookup_from_other_collection(catalog, spark):
     mismatched = catalog.create_collection("wrongdim", dim=3, metric="dot")
     with pytest.raises(ValueError, match="lookup_from dim"):
         corpus.recommend(positive=[1], lookup_from=mismatched)
+
+
+class TestQueryPointsFacade:
+    """Qdrant 1.10+ universal Query API: one endpoint, every retrieval
+    mode dispatched by query form (query_points)."""
+
+    @pytest.fixture()
+    def col(self, catalog, spark):
+        c = catalog.create_collection("qp", dim=4)
+        c.upsert(
+            _points(
+                spark,
+                [
+                    (1, [1, 0, 0, 0], 0),
+                    (2, [0.9, 0.1, 0, 0], 0),
+                    (3, [0, 1, 0, 0], 1),
+                    (4, [0, 0.9, 0.1, 0], 1),
+                    (5, [0, 0, 1, 0], 2),
+                    (6, [0.5, 0.5, 0, 0], 2),
+                ],
+            )
+        )
+        return c
+
+    def test_vector_query_equals_search(self, col):
+        qv = [1.0, 0.0, 0.0, 0.0]
+        a = [(r["id"], r["score"]) for r in col.query_points(qv, limit=3).collect()]
+        b = [(r["id"], r["score"]) for r in col.search(qv, limit=3).collect()]
+        assert a == b
+
+    def test_point_id_query_excludes_self(self, col):
+        got = [r["id"] for r in col.query_points(1, limit=3).collect()]
+        assert 1 not in got
+        assert got[0] == 2  # nearest other point to id=1
+
+    def test_none_query_is_scroll(self, col):
+        got = [r["id"] for r in col.query_points(limit=4).collect()]
+        assert got == [1, 2, 3, 4]
+
+    def test_recommend_dict_matches_method(self, col):
+        q = {"recommend": {"positive": [1, 2], "negative": [5]}}
+        a = [r["id"] for r in col.query_points(q, limit=2).collect()]
+        b = [r["id"] for r in col.recommend([1, 2], [5], limit=2).collect()]
+        assert a == b
+
+    def test_sample_is_deterministic_exact_count(self, col):
+        a = [r["id"] for r in col.query_points({"sample": "random"}, limit=3).collect()]
+        b = [r["id"] for r in col.query_points({"sample": "random"}, limit=3).collect()]
+        assert a == b and len(a) == 3
+
+    def test_context_query_runs(self, col):
+        q = {"context": [{"positive": 1, "negative": 5}]}
+        rows = col.query_points(q, limit=3).collect()
+        assert len(rows) == 3
+        # ids 2 and 6 sit in the positive zone (closer to 1 than 5): max score 0
+        best = {r["id"] for r in rows if r["ctx_micro"] == 0}
+        assert 2 in best
+
+    def test_prefetch_rerank_equals_exact_on_pool(self, col):
+        qv = [1.0, 0.0, 0.0, 0.0]
+        got = [
+            r["id"]
+            for r in col.query_points(
+                qv,
+                prefetch=[{"query": qv, "limit": 4}, {"query": 6, "limit": 4}],
+                limit=3,
+            ).collect()
+        ]
+        # rerank over the candidate pool by exact cosine = plain search
+        # whenever the pool contains the true top-k
+        exact = [r["id"] for r in col.search(qv, limit=3).collect()]
+        assert got == exact
+
+    def test_prefetch_fusion_rrf(self, col):
+        fused = col.query_points(
+            {"fusion": "rrf"},
+            prefetch=[
+                {"query": [1.0, 0.0, 0.0, 0.0], "limit": 3},
+                {"query": [0.0, 1.0, 0.0, 0.0], "limit": 3},
+            ],
+            limit=4,
+        ).collect()
+        ids = [r["id"] for r in fused]
+        assert len(ids) == 4
+        # id=6 ranks high in BOTH legs → must fuse into the page
+        assert 6 in ids
+
+    def test_prefetch_fusion_dbsf(self, col):
+        fused = col.query_points(
+            {"fusion": "dbsf"},
+            prefetch=[
+                {"query": [1.0, 0.0, 0.0, 0.0], "limit": 3},
+                {"query": [0.0, 1.0, 0.0, 0.0], "limit": 3},
+            ],
+            limit=4,
+        ).collect()
+        assert len(fused) == 4
+
+    def test_unsupported_query_raises(self, col):
+        with pytest.raises(ValueError, match="unsupported query form"):
+            col.query_points({"nope": 1})

@@ -303,3 +303,15 @@ def test_score_threshold_is_takeordered(spark, sf):
 
     p = plan_of(q_score_threshold(spark, sf))
     assert "TakeOrderedAndProject" in p
+
+
+def test_ship_priority_pushdown_broadcast_takeordered(spark, sf):
+    # Q3 shape: segment+date predicates reach the scans, customer dim
+    # broadcasts, final top-10 is TakeOrdered — the selective star-join
+    # contract at scale
+    from vector_database_spark.queries import q_ship_priority
+
+    p = plan_of(q_ship_priority(spark, sf))
+    assert "PushedFilters: [" in p
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p

@@ -922,6 +922,197 @@ class VectorCollection:
         # scales to arbitrarily large collections.
         return scored.orderBy(*order).limit(limit)
 
+    def _point_vectors(self, point_ids: list[int]) -> dict[int, list[float]]:
+        """Bounded point-vector lookup (|ids| rows collected — the same
+        data movement Qdrant's server does to resolve id-form queries)."""
+        ids = [int(i) for i in point_ids]
+        rows = {
+            r["id"]: [float(x) for x in r["embedding"]]
+            for r in self.df()
+            .filter(F.col("id").isin(ids))
+            .select("id", "embedding")
+            .collect()
+        }
+        missing = [i for i in ids if i not in rows]
+        if missing:
+            raise KeyError(f"query points not found: {missing}")
+        return rows
+
+    def query_points(
+        self,
+        query=None,
+        *,
+        prefetch: "list[dict] | None" = None,
+        limit: int = 10,
+        payload_filter=None,
+        with_payload: bool = True,
+        with_vector: bool = False,
+        sample_seed: int = 404,
+    ) -> DataFrame:
+        """Qdrant 1.10+ universal Query API (client.query_points): ONE
+        endpoint dispatching every retrieval mode by query form —
+        the facade modern Qdrant clients use for everything.
+
+        ``query`` forms:
+          * ``None``                  → scroll page (id-ordered)
+          * ``list[float]``           → nearest by the collection metric
+          * ``int``                   → nearest to that stored point
+                                        (the point itself excluded)
+          * ``{"recommend": {...}}``  → recommend (positive/negative ids)
+          * ``{"discover": {...}}``   → discovery (target + context pairs)
+          * ``{"context": [...]}``    → context search (targetless pairs)
+          * ``{"sample": "random"}``  → seeded reproducible random draw
+          * ``{"fusion": "rrf"|"dbsf"}`` → fuse ``prefetch`` leg results
+
+        ``prefetch``: list of sub-query dicts (same kwargs minus prefetch;
+        one nesting level, like Qdrant). With a fusion query the legs are
+        rank- (RRF) or z-score- (DBSF) fused; with a vector/id query the
+        legs form a candidate pool that is RERANKED exactly by the top
+        query — the multi-stage shape of q_prefetch_rerank. Candidate
+        pools are bounded by Σ leg limits, so collecting their ids is
+        O(k), never O(collection).
+        """
+        if prefetch:
+            legs = [
+                self.query_points(
+                    **{
+                        "limit": 20,
+                        **p,
+                        "with_payload": False,
+                        "with_vector": False,
+                    }
+                )
+                for p in prefetch
+            ]
+            if isinstance(query, dict) and "fusion" in query:
+                return self._fuse_legs(legs, query["fusion"], limit)
+            cand_ids = sorted(
+                {int(r["id"]) for leg in legs for r in leg.select("id").collect()}
+            )
+            pool = F.col("id").isin(cand_ids)
+            flt = pool if payload_filter is None else (pool & payload_filter)
+            return self.search(
+                self._resolve_vector_query(query),
+                limit=limit,
+                payload_filter=flt,
+                with_payload=with_payload,
+                with_vector=with_vector,
+            )
+        if query is None:
+            return self.scroll(limit=limit, payload_filter=payload_filter)
+        if isinstance(query, int):
+            qv = self._point_vectors([query])[int(query)]
+            flt = F.col("id") != int(query)
+            if payload_filter is not None:
+                flt = flt & payload_filter
+            return self.search(
+                qv, limit=limit, payload_filter=flt,
+                with_payload=with_payload, with_vector=with_vector,
+            )
+        if isinstance(query, (list, tuple)):
+            return self.search(
+                list(query), limit=limit, payload_filter=payload_filter,
+                with_payload=with_payload, with_vector=with_vector,
+            )
+        if isinstance(query, dict):
+            if "recommend" in query:
+                kw = dict(query["recommend"])
+                return self.recommend(
+                    kw.pop("positive"),
+                    kw.pop("negative", None),
+                    limit=limit,
+                    payload_filter=payload_filter,
+                    **kw,
+                )
+            if "discover" in query:
+                kw = dict(query["discover"])
+                return self.discover(
+                    kw.pop("target"),
+                    kw.pop("context"),
+                    limit=limit,
+                    payload_filter=payload_filter,
+                )
+            if "context" in query:
+                from vector_database_spark.operators.knn import context_search
+
+                pairs = [
+                    (int(p["positive"]), int(p["negative"]))
+                    for p in query["context"]
+                ]
+                ex_ids = sorted({i for pair in pairs for i in pair})
+                rows = self._point_vectors(ex_ids)
+                vec_pairs = [(rows[p], rows[n]) for p, n in pairs]
+                flt = ~F.col("id").isin(ex_ids)
+                if payload_filter is not None:
+                    flt = flt & payload_filter
+                return context_search(
+                    self.df().drop("norm", "version"),
+                    vec_pairs,
+                    k=limit,
+                    id_col="id",
+                    payload_cols=("payload",) if with_payload else (),
+                    pre_filter=flt,
+                )
+            if query.get("sample") == "random":
+                from vector_database_spark.functions.hashing import seeded_hash
+
+                df = self.df()
+                if payload_filter is not None:
+                    df = df.filter(payload_filter)
+                key = seeded_hash(F.col("id").cast("string"), sample_seed)
+                cols = ["id"] + (["payload"] if with_payload else [])
+                return (
+                    df.select(*cols, key.alias("__k"))
+                    .orderBy(F.col("__k").asc(), F.col("id").asc())
+                    .limit(limit)
+                    .drop("__k")
+                )
+        raise ValueError(f"unsupported query form: {query!r}")
+
+    def _resolve_vector_query(self, query) -> list[float]:
+        if isinstance(query, int):
+            return self._point_vectors([query])[int(query)]
+        if isinstance(query, (list, tuple)):
+            return [float(x) for x in query]
+        raise ValueError(
+            f"prefetch rerank needs a vector or point-id query, got {query!r}"
+        )
+
+    def _fuse_legs(self, legs: list[DataFrame], method: str, limit: int) -> DataFrame:
+        """RRF / DBSF fusion over prefetch leg results (Qdrant Fusion enum).
+        Legs are ≤ tens of rows each (bounded by their limits), so the
+        windowed rank/moment math is driver-scale regardless of
+        collection size."""
+        if method not in ("rrf", "dbsf"):  # pragma: no cover
+            raise ValueError(f"unknown fusion {method!r}")
+        parts = []
+        for i, leg in enumerate(legs):
+            w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+            parts.append(
+                leg.select("id", "score").withColumn(
+                    "rank", F.row_number().over(w)
+                ).withColumn("leg", F.lit(i))
+            )
+        allp = parts[0]
+        for p in parts[1:]:
+            allp = allp.unionAll(p)
+        if method == "rrf":
+            contrib = 1.0 / (F.lit(60.0) + F.col("rank"))
+        else:
+            moments = Window.partitionBy("leg")
+            mu = F.avg("score").over(moments)
+            sd = F.stddev_pop("score").over(moments)
+            contrib = F.when(sd > 0, (F.col("score") - (mu - 3 * sd)) / (6 * sd)).otherwise(
+                F.lit(0.5)
+            )
+        return (
+            allp.withColumn("contrib", contrib)
+            .groupBy("id")
+            .agg(F.sum("contrib").alias("fused_score"))
+            .orderBy(F.col("fused_score").desc(), F.col("id").asc())
+            .limit(limit)
+        )
+
 
 def latest_wins(df: DataFrame, id_col: str = "id", version_col: str = "version") -> DataFrame:
     """Resolve multi-version rows to the latest version per id (SURVEY A3).

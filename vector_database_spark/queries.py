@@ -4544,6 +4544,55 @@ WHERE en <= m.mx - INTERVAL '10 minutes'
 """
 
 
+_Q3_DATE = "1998-06-01"  # mid-corpus cutoff (fixture dates span 1995-2001)
+
+
+def q_ship_priority(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): customer ⋈ orders ⋈ lineitem
+    star join with opposing date predicates, revenue rollup per order,
+    top-10 by revenue. The canonical selective-join + agg + top-k bench
+    carrier the 100 TB story leans on: both date filters and the segment
+    filter push to the scans, the customer dim broadcasts, the
+    orders↔lineitem join shuffles on the order key, revenue partials are
+    map-side, and the final top-10 is TakeOrdered."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit(_Q3_DATE))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit(_Q3_DATE))
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(round6(F.sum(rev.cast("decimal(38,6)")).cast("double")).alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+_SQL_SHIP_PRIORITY = f"""
+SELECT l.l_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o.o_orderpriority,
+       round(CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                 AS DECIMAL(38,6))) AS DOUBLE), 6) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '{_Q3_DATE} 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '{_Q3_DATE} 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l.l_orderkey
+LIMIT 10
+"""
+
+
 _SCORE_THRESHOLD_MICRO = 250_000  # Qdrant search(score_threshold=0.25)
 
 
@@ -4664,6 +4713,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_char_entropy": q_char_entropy,
     "q_score_threshold": q_score_threshold,
     "q_stream_session_window": q_stream_session_window,
+    "q_ship_priority": q_ship_priority,
     # §2.C
     "q_normalize_scale": q_normalize_scale,
     "q_flatten": q_flatten,
@@ -4839,6 +4889,7 @@ ORACLES: dict[str, str] = {
     "q_char_entropy": _SQL_CHAR_ENTROPY,
     "q_score_threshold": _SQL_SCORE_THRESHOLD,
     "q_stream_session_window": _SQL_STREAM_SESSION_WINDOW,
+    "q_ship_priority": _SQL_SHIP_PRIORITY,
     "q_window_funcs": _SQL_WINDOW_FUNCS,
     "q_pivot_events": _SQL_PIVOT_EVENTS,
     "q_rollup_orders": _SQL_ROLLUP_ORDERS,
