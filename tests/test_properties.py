@@ -323,3 +323,25 @@ def test_prefetch_rerank_recall_vs_exact(spark):
         .collect()
     ]
     assert len(set(got) & set(exact)) >= 4
+
+
+def test_topngram_flags_planted_repetition(spark):
+    """A 'spam spam spam …' doc concentrates all chars in one 2-gram →
+    keep=false; a diverse doc keeps."""
+    import vector_database_spark.queries as q
+    import tempfile, os
+
+    # the diverse doc must be LONG: on a short doc even a unique 3-gram
+    # exceeds 18% of the characters (Gopher's thresholds assume real docs)
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["spam"] * 30)),
+            (2, " ".join(f"word{i}" for i in range(80))),
+        ],
+        "doc_id long, text string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r["doc_id"]: r for r in q.q_topngram_fraction(spark, d).collect()}
+    assert not out[1]["keep"] and out[1]["top2_frac_micro"] > 900_000
+    assert out[2]["keep"]

@@ -82,6 +82,31 @@ NOTES = {
         "BroadcastHashJoin LeftAnti for the strip (corpus side never shuffles "
         "for membership), one exchange to reassemble docs."
     ),
+    "q_substring_dedup": (
+        "Exact-substring dedup (Lee et al. shape). Wants: two linear "
+        "partial-agg shuffles only — window-hash min attribution, per-doc "
+        "verdict; no cartesian/nested-loop anywhere."
+    ),
+    "q_prefetch_rerank": (
+        "Multi-stage prefetch rerank. Wants: three TakeOrderedAndProject "
+        "heaps (int8-dot leg, Hamming leg, exact rerank), broadcast query "
+        "row, rerank touches only the ≤40-row candidate union."
+    ),
+    "q_bigram_logprob": (
+        "Interpolated bigram LM. Wants: broadcast unigram lookups; the "
+        "bigram-table join UN-hinted (AQE broadcasts while small, shuffle "
+        "join when it outgrows the threshold at corpus scale)."
+    ),
+    "q_ship_priority": (
+        "TPC-H Q3 star join. Wants: segment + both date predicates pushed "
+        "to the scans, customer dim broadcast, map-side revenue partials, "
+        "TakeOrderedAndProject top-10."
+    ),
+    "q_scd2_intervals": (
+        "SCD2 intervals. Wants: ONE exchange on user_id reused by both "
+        "window passes (lag change-detect + lead close) over the same "
+        "(user_id, ts, event_id) sort."
+    ),
 }
 
 

@@ -232,6 +232,11 @@ def window_funcs(lineitem: DataFrame) -> DataFrame:
         round6(F.sum(F.col("l_quantity").cast("decimal(38,6)")).over(run).cast("double")).alias(
             "running_qty"
         ),
+        F.ntile(4).over(wp).cast("long").alias("price_quartile"),
+        # percent_rank/cume_dist are integer ratios → micro6, never a raw
+        # 6dp round (half-boundary flake, FIXTURES rule 6)
+        micro6(F.percent_rank().over(wp)).alias("price_pct_rank_micro"),
+        micro6(F.cume_dist().over(wp)).alias("price_cume_dist_micro"),
     )
 
 

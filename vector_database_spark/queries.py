@@ -1189,9 +1189,14 @@ SELECT l_suppkey, l_orderkey, l_linenumber,
        lag(l_quantity, 1) OVER w AS prev_qty,
        round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6)))
              OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
-                   ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6) AS running_qty
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6) AS running_qty,
+       CAST(ntile(4) OVER wp AS BIGINT) AS price_quartile,
+       CAST(floor((percent_rank() OVER wp) * 1000000.0 + 0.5) AS BIGINT) AS price_pct_rank_micro,
+       CAST(floor((cume_dist() OVER wp) * 1000000.0 + 0.5) AS BIGINT) AS price_cume_dist_micro
 FROM lineitem
-WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber),
+       wp AS (PARTITION BY l_suppkey
+              ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
 """
 
 
@@ -4593,6 +4598,119 @@ LIMIT 10
 """
 
 
+_TOP2_MAX_MICRO = 200_000  # Gopher: top 2-gram chars <= 20% of doc chars
+_TOP3_MAX_MICRO = 180_000  # Gopher: top 3-gram chars <= 18%
+
+
+def q_topngram_fraction(spark, sf_dir):
+    """Gopher repetition rules, n-gram half (Rae et al. §A1.1): the
+    fraction of a document's characters contained in occurrences of its
+    single MOST FREQUENT 2-gram / 3-gram, with the paper's keep
+    thresholds (20% / 18%). Completes the repetition family started by
+    q_repetition_ratio (duplicate-token/bigram fractions).
+
+    Definitions (declared, both engines): doc chars = length of the
+    space-joined token stream; gram chars = occurrences × gram length
+    (space included). Most-frequent gram tie-breaks lexicographically.
+    Plan: per-n gram explode → (doc, gram) partial count → per-doc top-1
+    via max_by-style window — two doc-keyed shuffles, nothing quadratic."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokenize_ws(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        toks.alias("tk"),
+        F.length(F.array_join(toks, " ")).cast("long").alias("total_chars"),
+    )
+
+    def top_frac(n: int, out: str):
+        grams = base.select(
+            "doc_id",
+            "total_chars",
+            F.explode(
+                F.when(
+                    F.size("tk") >= n,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("tk") - n),
+                        lambda i: F.array_join(F.slice(F.col("tk"), i + 1, n), " "),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("gram"),
+        )
+        counts = grams.groupBy("doc_id", "total_chars", "gram").agg(
+            F.count("*").alias("c")
+        )
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col("c").desc(), F.col("gram").asc()
+        )
+        top = counts.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") == 1
+        )
+        return top.select(
+            "doc_id",
+            micro6(
+                (F.col("c") * F.length("gram")).cast("double")
+                / F.col("total_chars").cast("double")
+            ).alias(out),
+        )
+
+    t2 = top_frac(2, "top2_frac_micro")
+    t3 = top_frac(3, "top3_frac_micro")
+    out = (
+        docs.select("doc_id")
+        .join(t2, "doc_id", "left")
+        .join(t3, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("top2_frac_micro", F.lit(0)).cast("long").alias("top2_frac_micro"),
+            F.coalesce("top3_frac_micro", F.lit(0)).cast("long").alias("top3_frac_micro"),
+        )
+    )
+    return out.select(
+        "*",
+        (
+            (F.col("top2_frac_micro") <= _TOP2_MAX_MICRO)
+            & (F.col("top3_frac_micro") <= _TOP3_MAX_MICRO)
+        ).alias("keep"),
+    )
+
+
+def _sql_topngram(n: int, out: str) -> str:
+    return f"""
+  SELECT doc_id, {_micro_sql("(c * length(gram)) / CAST(total_chars AS DOUBLE)")} AS {out}
+  FROM (
+    SELECT doc_id, total_chars, gram, CAST(count(*) AS DOUBLE) AS c,
+           row_number() OVER (PARTITION BY doc_id
+               ORDER BY count(*) DESC, gram ASC) AS rn
+    FROM (
+      SELECT doc_id, total_chars,
+             unnest(list_transform(range(len(tk) - {n} + 1),
+                    i -> list_aggregate(tk[i + 1 : i + {n}], 'string_agg', ' '))) AS gram
+      FROM t WHERE len(tk) >= {n}
+    )
+    GROUP BY doc_id, total_chars, gram
+  ) WHERE rn = 1
+"""
+
+
+_SQL_TOPNGRAM_FRACTION = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS tk,
+         CAST(length(array_to_string({_TOKS_SQL}, ' ')) AS BIGINT) AS total_chars
+  FROM documents
+),
+t2 AS ({_sql_topngram(2, "top2_frac_micro")}),
+t3 AS ({_sql_topngram(3, "top3_frac_micro")})
+SELECT d.doc_id,
+       CAST(coalesce(t2.top2_frac_micro, 0) AS BIGINT) AS top2_frac_micro,
+       CAST(coalesce(t3.top3_frac_micro, 0) AS BIGINT) AS top3_frac_micro,
+       coalesce(t2.top2_frac_micro, 0) <= {_TOP2_MAX_MICRO}
+         AND coalesce(t3.top3_frac_micro, 0) <= {_TOP3_MAX_MICRO} AS keep
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN t2 USING (doc_id)
+LEFT JOIN t3 USING (doc_id)
+"""
+
+
 _SCORE_THRESHOLD_MICRO = 250_000  # Qdrant search(score_threshold=0.25)
 
 
@@ -4714,6 +4832,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_score_threshold": q_score_threshold,
     "q_stream_session_window": q_stream_session_window,
     "q_ship_priority": q_ship_priority,
+    "q_topngram_fraction": q_topngram_fraction,
     # §2.C
     "q_normalize_scale": q_normalize_scale,
     "q_flatten": q_flatten,
@@ -4890,6 +5009,7 @@ ORACLES: dict[str, str] = {
     "q_score_threshold": _SQL_SCORE_THRESHOLD,
     "q_stream_session_window": _SQL_STREAM_SESSION_WINDOW,
     "q_ship_priority": _SQL_SHIP_PRIORITY,
+    "q_topngram_fraction": _SQL_TOPNGRAM_FRACTION,
     "q_window_funcs": _SQL_WINDOW_FUNCS,
     "q_pivot_events": _SQL_PIVOT_EVENTS,
     "q_rollup_orders": _SQL_ROLLUP_ORDERS,
