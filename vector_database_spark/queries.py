@@ -4598,6 +4598,162 @@ LIMIT 10
 """
 
 
+def q_loss_mask(spark, sf_dir):
+    """SFT loss masking: for '[INST] prompt [/INST] response' records,
+    emit the per-token loss mask — 0 over the prompt (through the
+    [/INST] delimiter), 1 over the response — the standard
+    instruction-tuning label mask (only response tokens contribute to
+    the loss). Companion to q_inst_parse (field extraction) and
+    q_mask_pad (padding mask); map-only."""
+    docs = _t(spark, sf_dir, "documents")
+    inst = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("[INST] "), F.substring("text", 1, 40), F.lit(" [/INST] "), F.col("lang")
+        ).alias("inst_text"),
+    )
+    toks = tokenize_ws(F.col("inst_text"))
+    pos = F.array_position(toks, "[/inst]")
+    mask = F.transform(
+        F.sequence(F.lit(1), F.size(toks)),
+        lambda i: F.when(i <= pos, 0).otherwise(1),
+    )
+    return inst.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        pos.cast("long").alias("n_prompt_tokens"),
+        mask.alias("loss_mask"),
+    )
+
+
+_SQL_LOSS_MASK = f"""
+WITH inst AS (
+  SELECT doc_id, '[INST] ' || substr(text, 1, 40) || ' [/INST] ' || lang AS inst_text
+  FROM documents
+),
+t AS (
+  SELECT doc_id, string_split_regex(lower(inst_text), '\\s+') AS tk FROM inst
+),
+p AS (SELECT doc_id, tk, list_position(tk, '[/inst]') AS pos FROM t)
+SELECT doc_id,
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       CAST(pos AS BIGINT) AS n_prompt_tokens,
+       list_transform(range(1, len(tk) + 1),
+                      i -> CASE WHEN i <= pos THEN 0 ELSE 1 END) AS loss_mask
+FROM p
+"""
+
+
+def q_corr_stats(spark, sf_dir):
+    """Correlation / covariance aggregates per group — computed from
+    explicit DECIMAL(38,6) co-moment sums (n, Σx, Σy, Σxy, Σx², Σy²)
+    rather than the engines' streaming corr()/covar() implementations,
+    whose per-partition merge order makes raw doubles diverge across
+    engines. The final algebra runs in DOUBLE with identical operation
+    order both sides; outputs in micro-units.
+
+    Scale shape: one partial-agg shuffle on the group key — the six sums
+    are map-side combinable, which is the entire point of choosing the
+    co-moment form over a two-pass mean-centered formula."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    dec = lambda c: F.sum(c.cast("decimal(38,6)")).cast("double")  # noqa: E731
+    sums = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        dec(x).alias("sx"),
+        dec(y).alias("sy"),
+        dec(x * y).alias("sxy"),
+        dec(x * x).alias("sxx"),
+        dec(y * y).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / n
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return sums.select(
+        "l_returnflag",
+        "n",
+        micro6(cov).alias("covar_pop_micro"),
+        micro6(corr).alias("corr_micro"),
+    ).orderBy("l_returnflag")
+
+
+_SQL_CORR_STATS = f"""
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       {_micro_sql("(sxy - sx * sy / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)")} AS covar_pop_micro,
+       {_micro_sql("(CAST(n AS DOUBLE) * sxy - sx * sy) / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy))")} AS corr_micro
+FROM s
+ORDER BY l_returnflag
+"""
+
+
+def q_cluster_canonical(spark, sf_dir):
+    """Canonical selection by QUALITY: real dedup pipelines keep the
+    best-quality representative of each near-dup cluster, not the lowest
+    id. Same cluster graph as q_dedup_clusters (source-chain components
+    via dedup.connected_components); the survivor is the doc with max
+    n_chars (quality proxy), min doc_id tie-break. One extra window over
+    the component key on top of the CC output."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    chained = docs.select(
+        "doc_id", F.lag("doc_id").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    pairs = chained.select(
+        F.col("prev").alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+    comp = dedup.connected_components(
+        pairs, nodes=docs.select("doc_id"), max_iter=30
+    ).select(F.col("id").alias("doc_id"), "component")
+    joined = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    wq = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(wq))
+        .select(
+            "doc_id",
+            "component",
+            "n_chars",
+            (F.col("__rn") == 1).alias("is_canonical"),
+        )
+    )
+
+
+_SQL_CLUSTER_CANONICAL = """
+WITH RECURSIVE e0 AS (
+  SELECT lag(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS a,
+         doc_id AS b
+  FROM documents
+  QUALIFY a IS NOT NULL
+),
+edges AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
+walk(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.r
+),
+comp AS (SELECT id AS doc_id, min(r) AS component FROM walk GROUP BY id)
+SELECT c.doc_id, c.component, d.n_chars,
+       row_number() OVER (PARTITION BY c.component
+           ORDER BY d.n_chars DESC, c.doc_id ASC) = 1 AS is_canonical
+FROM comp c JOIN documents d USING (doc_id)
+"""
+
+
 _TOP2_MAX_MICRO = 200_000  # Gopher: top 2-gram chars <= 20% of doc chars
 _TOP3_MAX_MICRO = 180_000  # Gopher: top 3-gram chars <= 18%
 
@@ -4833,6 +4989,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_stream_session_window": q_stream_session_window,
     "q_ship_priority": q_ship_priority,
     "q_topngram_fraction": q_topngram_fraction,
+    "q_loss_mask": q_loss_mask,
+    "q_corr_stats": q_corr_stats,
+    "q_cluster_canonical": q_cluster_canonical,
     # §2.C
     "q_normalize_scale": q_normalize_scale,
     "q_flatten": q_flatten,
@@ -5010,6 +5169,9 @@ ORACLES: dict[str, str] = {
     "q_stream_session_window": _SQL_STREAM_SESSION_WINDOW,
     "q_ship_priority": _SQL_SHIP_PRIORITY,
     "q_topngram_fraction": _SQL_TOPNGRAM_FRACTION,
+    "q_loss_mask": _SQL_LOSS_MASK,
+    "q_corr_stats": _SQL_CORR_STATS,
+    "q_cluster_canonical": _SQL_CLUSTER_CANONICAL,
     "q_window_funcs": _SQL_WINDOW_FUNCS,
     "q_pivot_events": _SQL_PIVOT_EVENTS,
     "q_rollup_orders": _SQL_ROLLUP_ORDERS,
