@@ -60,9 +60,12 @@ def main() -> None:
         "(hash-synthesized). The vocabulary-bound operators stay shuffle-",
         "light: vocab build is one map-side-combinable agg, encode/BM25",
         "broadcast their vocabulary/stats sides, chunking never shuffles.",
+        "The bigram LM column is the un-hinted-join validation: at 1M docs",
+        "the bigram table has millions of rows — AQE picks the join side",
+        "at runtime instead of a forced broadcast that would OOM at scale.",
         "",
-        "| docs | vocab_build s | encode s | bm25 s | chunk s |",
-        "|---|---|---|---|---|",
+        "| docs | vocab_build s | encode s | bm25 s | chunk s | bigram_lm s |",
+        "|---|---|---|---|---|---|",
     ]
     for n in SIZES:
         path = f"/tmp/stress_text_{n}"
@@ -90,8 +93,12 @@ def main() -> None:
         _noop(textops.chunk_text(docs))
         t_chunk = time.perf_counter() - t0
 
+        t0 = time.perf_counter()
+        _noop(textanalysis.bigram_logprob(docs))
+        t_bg = time.perf_counter() - t0
+
         lines.append(
-            f"| {n:,} | {t_vocab:.1f} | {t_enc:.1f} | {t_bm:.1f} | {t_chunk:.1f} |"
+            f"| {n:,} | {t_vocab:.1f} | {t_enc:.1f} | {t_bm:.1f} | {t_chunk:.1f} | {t_bg:.1f} |"
         )
         print(lines[-1])
 

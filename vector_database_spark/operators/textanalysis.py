@@ -255,3 +255,68 @@ def bm25_search(
     )
     # k=None returns every scored doc (the candidate set for hybrid fusion)
     return out if k is None else out.limit(k)
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    lam: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Interpolated-bigram LM scoring (CCNet shape): each position scores
+    ln(λ·p(w|prev) + (1−λ)·p(w)) under the corpus's own MLE models;
+    position 0 scores unigram-only. Output: (id_col, n_tokens,
+    avg_logprob_micro).
+
+    Scale notes: the unigram lookup is |vocab|-bounded (broadcast
+    hinted); the bigram-count join is UN-hinted — it grows toward
+    |vocab|² on real corpora, so AQE must be free to pick a shuffle join
+    (validated by the 1M-doc / 200k-vocab probe in tools/stress_text.py).
+    Per-position ln is 6dp-rounded and summed via DECIMAL(38,6) so the
+    doc mean is order-independent (queries.py carries the DuckDB twin).
+    """
+    toks = tokenize_ws(F.col(text_col))
+    tp = docs.select(id_col, toks.alias("tk")).select(
+        id_col,
+        F.posexplode(F.col("tk")).alias("pos", "cur"),
+        F.col("tk"),
+    ).select(
+        id_col,
+        "pos",
+        "cur",
+        F.when(F.col("pos") >= 1, F.element_at(F.col("tk"), F.col("pos"))).alias(
+            "prev"
+        ),
+    )
+    uni = tp.groupBy("cur").agg(F.count("*").alias("cu"))
+    tot = uni.agg(F.sum("cu").alias("tot"))
+    bi = (
+        tp.filter(F.col("pos") >= 1)
+        .groupBy("prev", "cur")
+        .agg(F.count("*").alias("cb"))
+    )
+    up = uni.select(F.col("cur").alias("prev"), F.col("cu").alias("cp"))
+    scored = (
+        tp.join(F.broadcast(uni), "cur")
+        .join(F.broadcast(up), "prev", "left")
+        .join(bi, ["prev", "cur"], "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    p_uni = F.col("cu").cast("double") / F.col("tot").cast("double")
+    p_bi = F.col("cb").cast("double") / F.col("cp").cast("double")
+    lp = round6(
+        F.when(F.col("pos") == 0, F.log(p_uni)).otherwise(
+            F.log(F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni)
+        )
+    )
+    per_doc = scored.select(id_col, lp.alias("lp")).groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.col("lp").cast("decimal(38,6)")).cast("double").alias("slp"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        micro6(F.col("slp") / F.col("n_tokens").cast("double")).alias(
+            "avg_logprob_micro"
+        ),
+    )

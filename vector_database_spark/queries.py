@@ -19,7 +19,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from vector_database_spark.catalog import latest_wins
-from vector_database_spark.functions.hashing import seeded_hash, seeded_hash_sql
+from vector_database_spark.functions.hashing import (
+    portable_hash_sql,
+    seeded_hash,
+    seeded_hash_sql,
+)
 from vector_database_spark.functions.text import bigrams, tokenize_ws
 from vector_database_spark.functions.vector import (
     cosine,
@@ -4356,55 +4360,9 @@ def q_bigram_logprob(spark, sf_dir):
     (hinted). The bigram table grows toward |vocab|² on real corpora, so
     its join is deliberately UN-hinted: AQE broadcasts it while small
     and falls back to a co-keyed shuffle join when it outgrows the
-    threshold — forcing broadcast here would OOM executors at 100 TB."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = tokenize_ws(F.col("text"))
-    tp = docs.select(
-        "doc_id", toks.alias("tk")
-    ).select(
-        "doc_id",
-        F.posexplode(F.col("tk")).alias("pos", "cur"),
-        F.col("tk"),
-    ).select(
-        "doc_id",
-        "pos",
-        "cur",
-        F.when(F.col("pos") >= 1, F.element_at(F.col("tk"), F.col("pos"))).alias(
-            "prev"
-        ),
-    )
-    uni = tp.groupBy("cur").agg(F.count("*").alias("cu"))
-    tot = uni.agg(F.sum("cu").alias("tot"))
-    bi = (
-        tp.filter(F.col("pos") >= 1)
-        .groupBy("prev", "cur")
-        .agg(F.count("*").alias("cb"))
-    )
-    up = uni.select(F.col("cur").alias("prev"), F.col("cu").alias("cp"))
-    scored = (
-        tp.join(F.broadcast(uni), "cur")
-        .join(F.broadcast(up), "prev", "left")
-        .join(bi, ["prev", "cur"], "left")
-        .crossJoin(F.broadcast(tot))
-    )
-    p_uni = F.col("cu").cast("double") / F.col("tot").cast("double")
-    p_bi = F.col("cb").cast("double") / F.col("cp").cast("double")
-    lp = round6(
-        F.when(F.col("pos") == 0, F.log(p_uni)).otherwise(
-            F.log(F.lit(_BI_LAMBDA) * p_bi + F.lit(1.0 - _BI_LAMBDA) * p_uni)
-        )
-    )
-    per_doc = scored.select("doc_id", lp.alias("lp")).groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_tokens"),
-        F.sum(F.col("lp").cast("decimal(38,6)")).cast("double").alias("slp"),
-    )
-    return per_doc.select(
-        "doc_id",
-        "n_tokens",
-        micro6(F.col("slp") / F.col("n_tokens").cast("double")).alias(
-            "avg_logprob_micro"
-        ),
-    )
+    threshold — forcing broadcast here would OOM executors at 100 TB.
+    Implementation shared with the 1M-doc probe: operators/textanalysis.py."""
+    return textanalysis.bigram_logprob(_t(spark, sf_dir, "documents"), _BI_LAMBDA)
 
 
 _SQL_BIGRAM_LOGPROB = f"""
@@ -4754,6 +4712,109 @@ FROM comp c JOIN documents d USING (doc_id)
 """
 
 
+_SPAN_LEN = 3     # tokens per corruption block
+_SPAN_MOD = 20
+_SPAN_HITS = 3    # mask a block when h % 20 < 3  (15% noise density)
+_SPAN_SEED = 515
+
+
+def q_span_corruption(spark, sf_dir):
+    """T5-style span corruption (Raffel et al.): partition each doc's
+    tokens into 3-token blocks, deterministically mask ~15% of blocks
+    (portable seeded hash — reproducible cross-engine, unlike RNG
+    corruption), replace each masked span with an <extra_id_K> sentinel
+    in the input and emit the (sentinel, span) pairs as the target — the
+    denoising-pretraining example constructor.
+
+    Output keeps rows narrow: token/mask counts + md5 of the constructed
+    input/target strings. Entirely map-side expression work over one
+    scan — no shuffle, embarrassingly parallel at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokenize_ws(F.col("text"))
+    n_blocks = F.floor((F.size(toks) + _SPAN_LEN - 1) / _SPAN_LEN).cast("int")
+    blocks = F.sequence(F.lit(0), n_blocks - 1)
+    base = docs.select("doc_id", toks.alias("tk"), blocks.alias("bs"))
+    tk = F.col("tk")
+
+    def span_b(b):
+        return F.slice(tk, b * _SPAN_LEN + 1, _SPAN_LEN)
+
+    def masked_b(b):
+        key = F.concat(F.col("doc_id").cast("string"), F.lit("_"), b.cast("string"))
+        return F.pmod(seeded_hash(key, _SPAN_SEED), F.lit(_SPAN_MOD)) < _SPAN_HITS
+
+    bs = F.col("bs")
+    input_parts = F.transform(
+        bs,
+        lambda b: F.when(
+            masked_b(b),
+            F.array(
+                F.concat(
+                    F.lit("<extra_id_"),
+                    F.size(F.filter(bs, lambda x: (x < b) & masked_b(x))).cast("string"),
+                    F.lit(">"),
+                )
+            ),
+        ).otherwise(span_b(b)),
+    )
+    target_parts = F.transform(
+        F.filter(bs, masked_b),
+        lambda b: F.concat(
+            F.lit("<extra_id_"),
+            F.size(F.filter(bs, lambda x: (x < b) & masked_b(x))).cast("string"),
+            F.lit("> "),
+            F.array_join(span_b(b), " "),
+        ),
+    )
+    n_masked_tokens = F.aggregate(
+        F.filter(bs, masked_b),
+        F.lit(0).cast("long"),
+        lambda a, b: a + F.size(span_b(b)),
+    )
+    return base.select(
+        "doc_id",
+        F.size(tk).cast("long").alias("n_tokens"),
+        F.size(F.filter(bs, masked_b)).cast("long").alias("n_masked_spans"),
+        n_masked_tokens.alias("n_masked_tokens"),
+        F.md5(F.array_join(F.flatten(input_parts), " ")).alias("input_md5"),
+        F.md5(F.array_join(target_parts, " ")).alias("target_md5"),
+    )
+
+
+def _sql_span_masked(b: str) -> str:
+    h = portable_hash_sql(f"'{_SPAN_SEED}:' || doc_id || '_' || CAST({b} AS VARCHAR)")
+    return f"({h} % {_SPAN_MOD} < {_SPAN_HITS})"
+
+
+_SQL_SPAN_CORRUPTION = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS tk,
+         range(CAST(floor((len({_TOKS_SQL}) + {_SPAN_LEN} - 1) / {_SPAN_LEN}) AS BIGINT)) AS bs
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, tk, bs,
+         list_transform(bs, b -> CASE WHEN {_sql_span_masked('b')}
+           THEN ['<extra_id_' || CAST(len(list_filter(bs, x -> x < b AND {_sql_span_masked('x')})) AS VARCHAR) || '>']
+           ELSE tk[b * {_SPAN_LEN} + 1 : b * {_SPAN_LEN} + {_SPAN_LEN}]
+         END) AS input_parts,
+         list_transform(list_filter(bs, b -> {_sql_span_masked('b')}),
+           b -> '<extra_id_' || CAST(len(list_filter(bs, x -> x < b AND {_sql_span_masked('x')})) AS VARCHAR) || '> '
+                || array_to_string(tk[b * {_SPAN_LEN} + 1 : b * {_SPAN_LEN} + {_SPAN_LEN}], ' ')) AS target_parts,
+         list_filter(bs, b -> {_sql_span_masked('b')}) AS masked_bs
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       CAST(len(masked_bs) AS BIGINT) AS n_masked_spans,
+       CAST(coalesce(list_sum(list_transform(masked_bs,
+            b -> len(tk[b * {_SPAN_LEN} + 1 : b * {_SPAN_LEN} + {_SPAN_LEN}]))), 0) AS BIGINT) AS n_masked_tokens,
+       md5(coalesce(array_to_string(flatten(input_parts), ' '), '')) AS input_md5,
+       md5(coalesce(array_to_string(target_parts, ' '), '')) AS target_md5
+FROM parts
+"""
+
+
 _TOP2_MAX_MICRO = 200_000  # Gopher: top 2-gram chars <= 20% of doc chars
 _TOP3_MAX_MICRO = 180_000  # Gopher: top 3-gram chars <= 18%
 
@@ -4990,6 +5051,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ship_priority": q_ship_priority,
     "q_topngram_fraction": q_topngram_fraction,
     "q_loss_mask": q_loss_mask,
+    "q_span_corruption": q_span_corruption,
     "q_corr_stats": q_corr_stats,
     "q_cluster_canonical": q_cluster_canonical,
     # §2.C
@@ -5170,6 +5232,7 @@ ORACLES: dict[str, str] = {
     "q_ship_priority": _SQL_SHIP_PRIORITY,
     "q_topngram_fraction": _SQL_TOPNGRAM_FRACTION,
     "q_loss_mask": _SQL_LOSS_MASK,
+    "q_span_corruption": _SQL_SPAN_CORRUPTION,
     "q_corr_stats": _SQL_CORR_STATS,
     "q_cluster_canonical": _SQL_CLUSTER_CANONICAL,
     "q_window_funcs": _SQL_WINDOW_FUNCS,
