@@ -4712,6 +4712,119 @@ FROM comp c JOIN documents d USING (doc_id)
 """
 
 
+_SIMHASH_MAX_HAMMING = 3
+_SIMHASH_BANDS = 4  # 16 bits / 4 bands; ≤3 flipped bits leave ≥1 band intact
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup PAIRS via Hamming banding: split each 16-bit
+    fingerprint into 4 bands; docs sharing any band are candidates
+    (pigeonhole: ≤3 differing bits can corrupt at most 3 of 4 bands, so
+    every true pair survives — the banding is lossless, not heuristic);
+    verify exact Hamming ≤ 3 by XOR+popcount. The SimHash sibling of
+    q_dedup_minhash's band join, with a FULL oracle (exact pairwise over
+    the fingerprints — banding provably changes nothing).
+
+    Scale shape: |bands|×|docs| rows shuffle on 4-bit band keys;
+    candidate verification is integer ops on pairs only."""
+    sigs = dedup.simhash(_docs_with_near_dups(spark, sf_dir))
+    bits_per = dedup.SIMHASH_BITS // _SIMHASH_BANDS
+    frames = []
+    for b in range(_SIMHASH_BANDS):
+        band_val = F.shiftright(F.col("simhash"), b * bits_per).bitwiseAND(
+            F.lit((1 << bits_per) - 1)
+        )
+        frames.append(
+            sigs.select(
+                F.col("doc_id"),
+                F.col("simhash"),
+                F.concat(F.lit(f"{b}_"), band_val.cast("string")).alias("bk"),
+            )
+        )
+    allb = frames[0]
+    for fr in frames[1:]:
+        allb = allb.unionAll(fr)
+    a = allb.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"), "bk"
+    )
+    b_ = allb.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"), "bk"
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
+    return (
+        a.join(b_, "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
+        .distinct()
+    )
+
+
+def _sql_simhash_pairs() -> str:
+    base = _simhash_sql().replace("ORDER BY doc_id", "")
+    return f"""
+WITH sh AS ({base})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}
+"""
+
+
+def q_gap_fill(spark, sf_dir):
+    """Time-series gap filling: one row per (hour, event_type) over the
+    corpus's full hour range, zero-filled where no events landed — the
+    hypertable `time_bucket_gapfill` / continuous-rollup densification
+    every downstream charting or forecasting join expects.
+
+    Plan shape: the hour spine is generated from one global min/max agg
+    (a 1-row broadcast), cross-joined with the |types| dim — spine size
+    is hours×types regardless of event count; the left join to actual
+    hourly counts is the only data-sized shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    spine_hours = bounds.select(
+        F.explode(F.expr("sequence(t0, t1, interval 1 hour)")).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    spine = spine_hours.crossJoin(types)
+    actual = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    return (
+        spine.join(actual, ["h", "event_type"], "left")
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+    )
+
+
+_SQL_GAP_FILL = """
+WITH b AS (
+  SELECT date_trunc('hour', min(ts)) AS t0, date_trunc('hour', max(ts)) AS t1
+  FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS h FROM b
+),
+types AS (SELECT DISTINCT event_type FROM events),
+actual AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour, t.event_type,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n
+FROM spine s
+CROSS JOIN types t
+LEFT JOIN actual a ON a.h = s.h AND a.event_type = t.event_type
+"""
+
+
 _SPAN_LEN = 3     # tokens per corruption block
 _SPAN_MOD = 20
 _SPAN_HITS = 3    # mask a block when h % 20 < 3  (15% noise density)
@@ -5052,6 +5165,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_topngram_fraction": q_topngram_fraction,
     "q_loss_mask": q_loss_mask,
     "q_span_corruption": q_span_corruption,
+    "q_simhash_pairs": q_simhash_pairs,
+    "q_gap_fill": q_gap_fill,
     "q_corr_stats": q_corr_stats,
     "q_cluster_canonical": q_cluster_canonical,
     # §2.C
@@ -5233,6 +5348,8 @@ ORACLES: dict[str, str] = {
     "q_topngram_fraction": _SQL_TOPNGRAM_FRACTION,
     "q_loss_mask": _SQL_LOSS_MASK,
     "q_span_corruption": _SQL_SPAN_CORRUPTION,
+    "q_simhash_pairs": _sql_simhash_pairs(),
+    "q_gap_fill": _SQL_GAP_FILL,
     "q_corr_stats": _SQL_CORR_STATS,
     "q_cluster_canonical": _SQL_CLUSTER_CANONICAL,
     "q_window_funcs": _SQL_WINDOW_FUNCS,
