@@ -611,3 +611,46 @@ class TestQueryPointsFacade:
     def test_unsupported_query_raises(self, col):
         with pytest.raises(ValueError, match="unsupported query form"):
             col.query_points({"nope": 1})
+
+    def test_fusion_honors_payload_filter_and_returns_payload(self, col):
+        from pyspark.sql import functions as F
+
+        flt = F.col("payload.label") == "0"
+        fused = col.query_points(
+            {"fusion": "rrf"},
+            prefetch=[
+                {"query": [1.0, 0.0, 0.0, 0.0], "limit": 4},
+                {"query": [0.0, 1.0, 0.0, 0.0], "limit": 4},
+            ],
+            payload_filter=flt,
+            limit=4,
+        ).collect()
+        assert fused  # label '0' points (ids 1, 2) survive
+        assert set(r["id"] for r in fused) <= {1, 2}
+        assert all(r["payload"]["label"] == "0" for r in fused)
+
+    def test_fusion_on_distance_metric_rewards_nearest(self, catalog, spark):
+        c = catalog.create_collection("qp_l2", dim=2, metric="euclid")
+        c.upsert(
+            _points(
+                spark,
+                [(1, [0.0, 0.1], 0), (2, [0.0, 5.0], 0), (3, [5.0, 0.0], 0)],
+            )
+        )
+        fused = c.query_points(
+            {"fusion": "rrf"},
+            prefetch=[{"query": [0.0, 0.0], "limit": 3}],
+            limit=3,
+            with_payload=False,
+        ).collect()
+        # nearest point (smallest distance) must fuse FIRST
+        assert fused[0]["id"] == 1
+
+    def test_prefetch_id_query_excludes_self(self, col):
+        got = [
+            r["id"]
+            for r in col.query_points(
+                1, prefetch=[{"query": 1, "limit": 4}], limit=3
+            ).collect()
+        ]
+        assert 1 not in got and got[0] == 2

@@ -99,34 +99,18 @@ def main() -> None:
     for n in EVENT_SIZES:
         ev = synth_events(spark, n)
 
-        def funnel(ev=ev):
-            v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("vt"))
-            c = (
-                ev.filter(F.col("event_type") == "click")
-                .join(v, "user_id").filter(F.col("ts") > F.col("vt"))
-                .groupBy("user_id").agg(F.min("ts").alias("ct"))
-            )
-            p = (
-                ev.filter(F.col("event_type") == "purchase")
-                .join(c, "user_id").filter(F.col("ts") > F.col("ct"))
-                .groupBy("user_id").agg(F.min("ts").alias("pt"))
-            )
-            return v.count(), c.count(), p.count()
-
+        # the probe runs the SHIPPED operators (operators/relational.py),
+        # not inline twins — green numbers here mean the code users run
         t0 = time.perf_counter()
-        nv, nc, np_ = funnel()
+        stages = {
+            r["stage"]: r["n_users"] for r in relational.funnel_steps(ev).collect()
+        }
         t_funnel = time.perf_counter() - t0
+        nv, nc, np_ = stages["1_view"], stages["2_click"], stages["3_purchase"]
         monotone = nv >= nc >= np_ > 0
 
-        from pyspark.sql.window import Window
-
         t0 = time.perf_counter()
-        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        changes = (
-            ev.withColumn("prev", F.lag("event_type").over(w))
-            .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
-            .count()
-        )
+        changes = relational.scd2_intervals(ev).count()
         t_scd2 = time.perf_counter() - t0
 
         t0 = time.perf_counter()

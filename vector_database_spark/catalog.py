@@ -628,16 +628,7 @@ class VectorCollection:
         target_is_id = isinstance(target, int)
         if target_is_id and int(target) not in lookup_ids:
             lookup_ids.append(int(target))
-        rows = {
-            r["id"]: [float(x) for x in r["embedding"]]
-            for r in self.df()
-            .filter(F.col("id").isin(lookup_ids))
-            .select("id", "embedding")
-            .collect()
-        }
-        missing = [i for i in lookup_ids if i not in rows]
-        if missing:
-            raise KeyError(f"discover example points not found: {missing}")
+        rows = self._point_vectors(lookup_ids)
         tv = rows[int(target)] if target_is_id else [float(x) for x in target]
         pairs = [(rows[int(p)], rows[int(n)]) for p, n in context]
         excluded = ex_ids + ([int(target)] if target_is_id else [])
@@ -690,16 +681,7 @@ class VectorCollection:
             raise ValueError(
                 f"lookup_from dim {lookup_from.info.dim} != collection dim {self.info.dim}"
             )
-        rows = {
-            r["id"]: r["embedding"]
-            for r in src.df()
-            .filter(F.col("id").isin(ex_ids))
-            .select("id", "embedding")
-            .collect()
-        }
-        missing = [i for i in ex_ids if i not in rows]
-        if missing:
-            raise KeyError(f"recommend example points not found: {missing}")
+        rows = src._point_vectors(ex_ids)
         dim = self.info.dim
         qv = [0.0] * dim
         for i in positive:
@@ -966,17 +948,21 @@ class VectorCollection:
 
         ``prefetch``: list of sub-query dicts (same kwargs minus prefetch;
         one nesting level, like Qdrant). With a fusion query the legs are
-        rank- (RRF) or z-score- (DBSF) fused; with a vector/id query the
-        legs form a candidate pool that is RERANKED exactly by the top
-        query — the multi-stage shape of q_prefetch_rerank. Candidate
-        pools are bounded by Σ leg limits, so collecting their ids is
-        O(k), never O(collection).
+        rank- (RRF) or z-score- (DBSF) fused — ``payload_filter`` is
+        pushed into every leg (Qdrant filters prefetch legs the same
+        way), fused rows are (id, fused_score[, payload]). With a
+        vector/id query the legs form a candidate pool that is RERANKED
+        exactly by the top query — the multi-stage shape of
+        q_prefetch_rerank; an id query excludes itself, matching the
+        non-prefetch id path. Candidate pools are bounded by Σ leg
+        limits, so collecting their ids is O(k), never O(collection).
         """
         if prefetch:
             legs = [
                 self.query_points(
                     **{
                         "limit": 20,
+                        "payload_filter": payload_filter,
                         **p,
                         "with_payload": False,
                         "with_vector": False,
@@ -985,11 +971,18 @@ class VectorCollection:
                 for p in prefetch
             ]
             if isinstance(query, dict) and "fusion" in query:
-                return self._fuse_legs(legs, query["fusion"], limit)
+                fused = self._fuse_legs(legs, query["fusion"], limit)
+                if with_payload:
+                    fused = fused.join(
+                        self.df().select("id", "payload"), "id", "left"
+                    ).orderBy(F.col("fused_score").desc(), F.col("id").asc())
+                return fused
             cand_ids = sorted(
                 {int(r["id"]) for leg in legs for r in leg.select("id").collect()}
             )
             pool = F.col("id").isin(cand_ids)
+            if isinstance(query, int):
+                pool = pool & (F.col("id") != int(query))
             flt = pool if payload_filter is None else (pool & payload_filter)
             return self.search(
                 self._resolve_vector_query(query),
@@ -1082,12 +1075,18 @@ class VectorCollection:
         """RRF / DBSF fusion over prefetch leg results (Qdrant Fusion enum).
         Legs are ≤ tens of rows each (bounded by their limits), so the
         windowed rank/moment math is driver-scale regardless of
-        collection size."""
+        collection size. Score direction follows the collection metric:
+        for distance metrics (euclid/manhattan) SMALLER scores are
+        better, so ranks sort ascending and the DBSF z-normalization is
+        sign-flipped — otherwise fusion would reward the FARTHEST
+        points."""
         if method not in ("rrf", "dbsf"):  # pragma: no cover
             raise ValueError(f"unknown fusion {method!r}")
+        distance_metric = self.info.metric in ("euclid", "manhattan")
         parts = []
         for i, leg in enumerate(legs):
-            w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+            order = F.col("score").asc() if distance_metric else F.col("score").desc()
+            w = Window.orderBy(order, F.col("id").asc())
             parts.append(
                 leg.select("id", "score").withColumn(
                     "rank", F.row_number().over(w)
@@ -1102,9 +1101,11 @@ class VectorCollection:
             moments = Window.partitionBy("leg")
             mu = F.avg("score").over(moments)
             sd = F.stddev_pop("score").over(moments)
-            contrib = F.when(sd > 0, (F.col("score") - (mu - 3 * sd)) / (6 * sd)).otherwise(
-                F.lit(0.5)
-            )
+            if distance_metric:
+                normalized = ((mu + 3 * sd) - F.col("score")) / (6 * sd)
+            else:
+                normalized = (F.col("score") - (mu - 3 * sd)) / (6 * sd)
+            contrib = F.when(sd > 0, normalized).otherwise(F.lit(0.5))
         return (
             allp.withColumn("contrib", contrib)
             .groupBy("id")

@@ -162,6 +162,79 @@ def salted_agg(lineitem: DataFrame, salts: int = 8) -> DataFrame:
     )
 
 
+def funnel_steps(events: DataFrame) -> DataFrame:
+    """Ordered view → click → purchase funnel: per-stage user counts,
+    each later step strictly AFTER the user's first completion of the
+    previous one. Output: (stage, n_users) — 3 rows.
+
+    Chained filtered min-aggregations joined on user_id; every stage is
+    map-side partial-agg combinable and the frontier only shrinks.
+    Shared by queries.py::q_funnel_steps and the 10M-event probe
+    (tools/stress_events.py)."""
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("ct"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count("*").cast("long").alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+
+    return (
+        stage(v, "1_view")
+        .unionAll(stage(c, "2_click"))
+        .unionAll(stage(p, "3_purchase"))
+    )
+
+
+def scd2_intervals(events: DataFrame) -> DataFrame:
+    """SCD Type-2 interval construction over each user's event_type
+    'state': one row per state CHANGE with [valid_from, valid_to) bounds
+    in exact epoch microseconds and a current flag. Output: (user_id,
+    event_type, valid_from_us, valid_to_us, is_current).
+
+    Two window passes (lag change-detect, lead close) over the SAME
+    (user_id, ts, event_id) sort — Catalyst reuses one shuffle+sort.
+    Shared by queries.py::q_scd2_intervals and the 10M-event probe."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    changes = (
+        events.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    )
+    out = changes.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(F.lead("ts").over(w)).alias("valid_to_us"),
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        "valid_from_us",
+        "valid_to_us",
+        F.col("valid_to_us").isNull().alias("is_current"),
+    )
+
+
 def asof_last_click(events: DataFrame) -> DataFrame:
     """As-of join expressed as a running window: for every purchase event,
     the epoch-second of the same user's most recent click at-or-before it.

@@ -4200,38 +4200,9 @@ def q_funnel_steps(spark, sf_dir):
     user_id — every stage is map-side partial-agg combinable, the join
     frontier shrinks monotonically (funnels only narrow), and nothing
     depends on row order. At 100 TB each leg is one shuffle on user_id;
-    AQE broadcasts the shrinking frontier automatically."""
-    ev = _t(spark, sf_dir, "events")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("vt"))
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("vt"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("ct"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("ct"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("pt"))
-    )
-
-    def stage(df, name):
-        return df.agg(F.count("*").cast("long").alias("n_users")).select(
-            F.lit(name).alias("stage"), "n_users"
-        )
-
-    return (
-        stage(v, "1_view")
-        .unionAll(stage(c, "2_click"))
-        .unionAll(stage(p, "3_purchase"))
-    )
+    AQE broadcasts the shrinking frontier automatically.
+    Implementation shared with the 10M-event probe: operators/relational.py."""
+    return relational.funnel_steps(_t(spark, sf_dir, "events"))
 
 
 _SQL_FUNNEL_STEPS = """
@@ -4303,28 +4274,9 @@ def q_scd2_intervals(spark, sf_dir):
     (exact integers — FIXTURES rule: no float timestamp math).
 
     Plan shape: two window passes over the SAME (user_id, ts, event_id)
-    sort order — Catalyst reuses one shuffle+sort for both."""
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    changes = (
-        ev.select("user_id", "event_type", "ts", "event_id")
-        .withColumn("prev", F.lag("event_type").over(w))
-        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
-    )
-    w2 = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    out = changes.select(
-        "user_id",
-        "event_type",
-        F.unix_micros("ts").alias("valid_from_us"),
-        F.unix_micros(F.lead("ts").over(w2)).alias("valid_to_us"),
-    )
-    return out.select(
-        "user_id",
-        "event_type",
-        "valid_from_us",
-        "valid_to_us",
-        F.col("valid_to_us").isNull().alias("is_current"),
-    )
+    sort order — Catalyst reuses one shuffle+sort for both.
+    Implementation shared with the 10M-event probe: operators/relational.py."""
+    return relational.scd2_intervals(_t(spark, sf_dir, "events"))
 
 
 _SQL_SCD2_INTERVALS = """
@@ -4410,7 +4362,10 @@ def q_char_entropy(spark, sf_dir):
     shuffle disappears and the single doc-keyed agg sees |docs|·|Σ|
     rows (measured 5.6s → map-side at sf0.1)."""
     docs = _t(spark, sf_dir, "documents")
-    chars = docs.select(
+    # empty docs are excluded on BOTH sides: Spark's sequence(1, 0) counts
+    # DOWN (would fabricate rows), DuckDB's range(1, 1) is empty — the
+    # filter makes the engines agree by never reaching either edge case
+    chars = docs.filter(F.length("text") > 0).select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars_total"),
         F.col("text"),
@@ -4446,7 +4401,7 @@ WITH ch AS (
   SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_total, text,
          unnest(list_distinct(list_transform(range(1, length(text) + 1),
                 i -> substr(text, i, 1)))) AS ch
-  FROM documents
+  FROM documents WHERE length(text) > 0
 ),
 hist AS (
   SELECT doc_id, n_chars_total,

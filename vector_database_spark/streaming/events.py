@@ -22,31 +22,42 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Fixture parquet stores ts as TIMESTAMP(MICROS) without timezone → read
-# as TIMESTAMP_NTZ and pinned to UTC below (same normalization as
-# sources/tables.py, independent of the session timezone).
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.TimestampNTZType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet fixture."""
+    """File-source stream over the events parquet fixture.
+
+    The stream schema must be declared up front, but the fixture has
+    shipped in two encodings across driver rounds — TIMESTAMP(NANOS)
+    (arrives as BIGINT nanos under the nanosAsLong conf) and
+    TIMESTAMP(MICROS) without timezone (arrives as TIMESTAMP_NTZ). One
+    cheap batch-read of the file's footer decides which schema to
+    declare; both normalize to a UTC micros timestamp, mirroring
+    sources/tables.py so batch and streaming agree."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    kind = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes).get("ts")
+    if kind == "bigint":
+        schema, fix = T.LongType(), F.expr("timestamp_micros(ts div 1000)")
+    else:
+        schema, fix = T.TimestampNTZType(), F.to_utc_timestamp(F.col("ts"), "UTC")
     # the file source wants a directory; select just the events file by glob
     return (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(schema))
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
-        .withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
+        .withColumn("ts", fix)
     )
 
 
