@@ -315,3 +315,22 @@ def test_ship_priority_pushdown_broadcast_takeordered(spark, sf):
     assert "PushedFilters: [" in p
     assert "BroadcastHashJoin" in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_no_single_partition_windows_in_deglobalized_queries(spark, sf):
+    # r2 perf_weak set: these four used global unpartitioned windows
+    # (WindowExec "moving all data to a single partition"). They now run on
+    # the partition-offset / shard-keyed shapes — a global window would
+    # reappear in the plan as an `Exchange SinglePartition` feeding a
+    # Window, so its absence is the tripwire.
+    from vector_database_spark.queries import (
+        q_batch_ids,
+        q_hybrid_rrf,
+        q_pack_sequences,
+        q_perplexity_buckets,
+        q_pipeline_e2e,
+    )
+
+    for q in (q_batch_ids, q_perplexity_buckets, q_pack_sequences, q_pipeline_e2e, q_hybrid_rrf):
+        p = plan_of(q(spark, sf))
+        assert "Exchange SinglePartition" not in p, q.__name__

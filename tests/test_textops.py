@@ -114,11 +114,48 @@ def test_pack_sequences_bins(spark):
         [(i, " ".join(["t"] * 50)) for i in range(10)],  # 10 docs x 50 tokens
         "doc_id long, text string",
     )
-    rows = pack_sequences(docs, seq_len=128).collect()
+    # n_shards=1 → the classic global id-ordered pack
+    rows = pack_sequences(docs, seq_len=128, n_shards=1).collect()
     # offsets 0,50,...,450; bin = floor(offset/128) → bins 0(3),1(3),2(2),3(2)
     assert [(r["bin_id"], r["n_docs"], r["sum_tokens"]) for r in rows] == [
         (0, 3, 150), (1, 3, 150), (2, 2, 100), (3, 2, 100),
     ]
+
+
+def test_pack_sequences_sharded(spark):
+    """Default sharded pack: per-shard offsets match a Python twin of the
+    portable shard hash + id-ordered cumulative pack within each shard."""
+    import hashlib
+
+    from vector_database_spark.operators.textops import (
+        N_PACK_SHARDS,
+        PACK_SHARD_SEED,
+        pack_sequences,
+    )
+
+    n_tok = {i: 30 + 7 * (i % 5) for i in range(20)}
+    docs = spark.createDataFrame(
+        [(i, " ".join(["t"] * n_tok[i])) for i in range(20)],
+        "doc_id long, text string",
+    )
+
+    def shard_of(i):
+        h = int(hashlib.md5(f"{PACK_SHARD_SEED}:{i}".encode()).hexdigest()[:15], 16)
+        return h % N_PACK_SHARDS
+
+    expected = {}
+    for s in range(N_PACK_SHARDS):
+        off = 0
+        for i in sorted(i for i in n_tok if shard_of(i) == s):
+            b = off // 128
+            n_docs, sum_t = expected.get((s, b), (0, 0))
+            expected[(s, b)] = (n_docs + 1, sum_t + n_tok[i])
+            off += n_tok[i]
+    got = {
+        (r["shard"], r["bin_id"]): (r["n_docs"], r["sum_tokens"])
+        for r in pack_sequences(docs, seq_len=128).collect()
+    }
+    assert got == expected
 
 
 def test_tfidf_known_answer(spark):

@@ -445,13 +445,20 @@ class VectorCollection:
         small write, no collection rewrite. A later upsert of the same id
         resurrects it (write version > tombstone version). Returns the
         minted version.
+
+        ``point_ids`` may be an iterable of ids or a single-column
+        DataFrame of ids — the DataFrame form writes the tombstones as one
+        distributed plan with no driver materialization (restore_snapshot
+        feeds its anti-join diff through here unbounded-safe).
         """
         if (point_ids is None) == (payload_filter is None):
             raise ValueError("exactly one of point_ids / payload_filter required")
         spark = self.catalog.spark
         with self.catalog._lock():
             version = self.catalog._load()[self.info.name]["version"] + 1
-            if point_ids is not None:
+            if isinstance(point_ids, DataFrame):
+                doomed = point_ids.select(F.col(point_ids.columns[0]).cast("long").alias("id"))
+            elif point_ids is not None:
                 doomed = spark.createDataFrame(
                     [(int(i),) for i in point_ids], "id long"
                 )
@@ -769,11 +776,19 @@ class VectorCollection:
                 f"v{info['compacted_at']}; its history is folded away"
             )
         snap = self.df(as_of_version=pinned).select("id", "embedding", "payload")
-        doomed = [
-            r["id"]
-            for r in self.df().select("id").join(snap.select("id"), "id", "left_anti").collect()
-        ]
-        if doomed:
+        # the post-snapshot id diff stays a DataFrame end to end: at scale
+        # that set is unbounded, so it is anti-joined and fed straight into
+        # delete() as a distributed tombstone write, never collect()ed.
+        # localCheckpoint pins the diff on executors BEFORE delete appends
+        # to the tombstone dir this plan reads — lineage through a path
+        # being appended to would be read-while-write.
+        doomed = (
+            self.df()
+            .select("id")
+            .join(snap.select("id"), "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if not doomed.isEmpty():
             self.delete(point_ids=doomed)
         if not snap.isEmpty():
             self.upsert(snap)

@@ -46,7 +46,11 @@ def substring_dedup(
     (min over the corpus), mark later docs repeating one.
 
     Output: (id_col, n_windows, n_dup_windows, is_dup) — every input doc
-    appears; docs shorter than the window have n_windows = 0.
+    appears; docs shorter than the window have n_windows = 0. Output
+    contract: both counts are over the doc's DISTINCT window hashes (the
+    post-``.distinct()`` set), not raw token windows — a doc repeating the
+    same window internally counts it once, so n_windows can be smaller
+    than size(tokens) - W + 1.
 
     Scale shape: two linear shuffles (window-hash min-attribution, per-doc
     verdict), both partial-agg combinable; nothing quadratic. Used by
@@ -156,6 +160,17 @@ def minhash_band_pairs(
 
 MAX_BITMASK_VOCAB = 4096  # 64 longs per set; beyond this use array_intersect
 
+# Broadcast the doc→token-set map in the verify stage only below this doc
+# count (~64 B/row packed masks → a few hundred MB). Above it the hint is
+# withheld so a planet-scale corpus can never OOM an executor on a forced
+# broadcast; AQE still converts to broadcast at runtime if the actual map
+# is small.
+BROADCAST_VERIFY_MAX_DOCS = 5_000_000
+
+
+def _maybe_broadcast(df: DataFrame, n_rows: int) -> DataFrame:
+    return F.broadcast(df) if n_rows <= BROADCAST_VERIFY_MAX_DOCS else df
+
 
 def _token_bitmasks(docs: DataFrame, text_col: str, id_col: str):
     """(masks_df, n_words) — per-doc token set as packed 64-bit words, or
@@ -205,15 +220,18 @@ def jaccard_verify(
     integer ratios hit exact half-boundaries where round() diverges
     across engines (functions/vector.py::micro6).
 
-    Plan note (scale): the doc→set map is broadcast, so the candidate-pair
-    stream (near-quadratic on degenerate corpora) flows map-side through
-    both joins with NO shuffle of the pairs. The set representation is
-    adaptive: packed 64-bit bitmask words when the corpus vocabulary is
-    small (intersection = W ANDs + popcounts), distinct-token arrays with
-    ``array_intersect`` otherwise. At a scale where the doc map itself
-    outgrows broadcast, drop the hints — Catalyst falls back to shuffle
-    joins — and rely on the LSH bands keeping |pairs| ≈ linear.
+    Plan note (scale): when the doc→set map is small enough to broadcast,
+    the candidate-pair stream (near-quadratic on degenerate corpora) flows
+    map-side through both joins with NO shuffle of the pairs. The hint is
+    CONDITIONAL on a cheap doc count (<= BROADCAST_VERIFY_MAX_DOCS): a
+    100 TB corpus fails the gate, the hint is withheld, and Catalyst/AQE
+    pick shuffle joins (or a runtime broadcast if the map turns out small)
+    — an unconditional hint would OOM executors before AQE could fall
+    back. The set representation is adaptive: packed 64-bit bitmask words
+    when the corpus vocabulary is small (intersection = W ANDs +
+    popcounts), distinct-token arrays with ``array_intersect`` otherwise.
     """
+    n_docs = docs.select(id_col).count()
     masks, n_words = _token_bitmasks(docs, text_col, id_col)
     if masks is not None:
         cols = [f"w{w}" for w in range(n_words)]
@@ -232,8 +250,8 @@ def jaccard_verify(
             term = F.bit_count(F.col(f"a_{c}").bitwiseAND(F.col(f"b_{c}")))
             inter = term if inter is None else inter + term
         jac = (
-            candidate_pairs.join(F.broadcast(a), "id_a")
-            .join(F.broadcast(b), "id_b")
+            candidate_pairs.join(_maybe_broadcast(a, n_docs), "id_a")
+            .join(_maybe_broadcast(b, n_docs), "id_b")
             .withColumn("inter", inter.cast("long"))
         )
     else:
@@ -252,8 +270,8 @@ def jaccard_verify(
             F.col("set_size").alias("size_b"),
         )
         jac = (
-            candidate_pairs.join(F.broadcast(a), "id_a")
-            .join(F.broadcast(b), "id_b")
+            candidate_pairs.join(_maybe_broadcast(a, n_docs), "id_a")
+            .join(_maybe_broadcast(b, n_docs), "id_b")
             .withColumn(
                 "inter", F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b"))).cast("long")
             )

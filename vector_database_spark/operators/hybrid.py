@@ -3,28 +3,34 @@ Rank Fusion (Cormack et al. 2009: score = Σ 1/(rrf_k + rank_i)).
 
 Modern vector databases (Qdrant included, via its Query API prefetch +
 fusion) expose exactly this shape: a keyword leg and an embedding leg,
-fused on rank rather than on incomparable raw scores. The reference's
-search surface is the vector leg (vector_db_query.py:78-82); BM25
-(operators/textanalysis.py) is the lexical leg; this module is the fusion.
+each truncated to a bounded prefetch pool, fused on rank rather than on
+incomparable raw scores. The reference's search surface is the vector leg
+(vector_db_query.py:78-82); BM25 (operators/textanalysis.py) is the
+lexical leg; this module is the fusion.
 
 Scale shape: the candidate set is the BM25-scored docs (docs containing at
 least one query term — explode + filter prunes everything else at the
-scan), joined 1:1 to their embeddings. Both rank windows run over that
-candidate set, which is query-bounded, not corpus-bounded; the join to
-embeddings shuffles only candidates. Determinism: round6 scores, id
-tie-breaks, ranks as BIGINT, RRF terms added in fixed expression order.
+scan), joined 1:1 to their embeddings. Each leg's ranks come from the
+partition-offset scheme in operators/ranking.py (range repartition +
+broadcast offsets + partition-local window — no single-partition global
+window), then the leg is truncated to its top-``prefetch_n`` pool exactly
+as Qdrant's ``prefetch.limit`` does. A doc absent from one leg's pool
+contributes nothing from that leg (the standard prefetch-RRF convention).
+Determinism: round6 scores, id tie-breaks, ranks as BIGINT, RRF terms
+added in fixed expression order.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from vector_database_spark.functions.vector import cosine, micro6, round6
+from vector_database_spark.operators.ranking import global_row_number
 from vector_database_spark.operators.textanalysis import bm25_search
 
 RRF_K = 60
+PREFETCH_N = 100
 
 
 def hybrid_rrf(
@@ -37,12 +43,14 @@ def hybrid_rrf(
     emb_id_col: str = "vec_id",
     emb_col: str = "embedding",
     rrf_k: int = RRF_K,
+    prefetch_n: int = PREFETCH_N,
 ) -> DataFrame:
     """Top-k docs by RRF over (BM25 rank, cosine rank).
 
     Output: (doc_id, rank_lex, rank_vec, rrf) ordered by rrf desc, id.
-    Both ranks are computed over the same candidate set (BM25-scored docs
-    that have an embedding) so every candidate appears in both lists.
+    Each rank is computed over the shared candidate set (BM25-scored docs
+    that have an embedding) and truncated to the leg's top-``prefetch_n``;
+    a doc outside one leg's pool has a NULL rank there and a 0 RRF term.
     """
     if isinstance(query_vec, (list, tuple)):
         query_vec = F.array(*[F.lit(float(x)) for x in query_vec]).cast(
@@ -56,23 +64,29 @@ def hybrid_rrf(
         ),
         doc_id_col,
     )
-    w_lex = Window.orderBy(F.col("score").desc(), F.col(doc_id_col).asc())
-    w_vec = Window.orderBy(F.col("cos").desc(), F.col(doc_id_col).asc())
-    ranked = cand.select(
-        doc_id_col,
-        F.row_number().over(w_lex).cast("long").alias("rank_lex"),
-        F.row_number().over(w_vec).cast("long").alias("rank_vec"),
+    leg_lex = global_row_number(
+        cand.select(doc_id_col, "score"),
+        [F.col("score").desc(), F.col(doc_id_col).asc()],
+        out_col="rank_lex",
+    ).filter(F.col("rank_lex") <= prefetch_n)
+    leg_vec = global_row_number(
+        cand.select(doc_id_col, "cos"),
+        [F.col("cos").desc(), F.col(doc_id_col).asc()],
+        out_col="rank_vec",
+    ).filter(F.col("rank_vec") <= prefetch_n)
+    fused = leg_lex.select(doc_id_col, "rank_lex").join(
+        leg_vec.select(doc_id_col, "rank_vec"), doc_id_col, "full_outer"
     )
     # micro6, not round6: RRF is a sum of integer reciprocals, which CAN
     # land exactly on .5e-6 boundaries (e.g. 1/128 = 7812.5 micro) where
     # Spark's and DuckDB's round() disagree — micro6 is the repo rule for
     # integer-ratio outputs
     rrf = micro6(
-        F.lit(1.0) / (F.lit(rrf_k) + F.col("rank_lex"))
-        + F.lit(1.0) / (F.lit(rrf_k) + F.col("rank_vec"))
+        F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("rank_lex")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("rank_vec")), F.lit(0.0))
     )
     return (
-        ranked.select(doc_id_col, "rank_lex", "rank_vec", rrf.alias("rrf_micro"))
+        fused.select(doc_id_col, "rank_lex", "rank_vec", rrf.alias("rrf_micro"))
         .orderBy(F.col("rrf_micro").desc(), F.col(doc_id_col).asc())
         .limit(k)
     )

@@ -212,34 +212,60 @@ def chunk_text(
     )
 
 
+PACK_SHARD_SEED = 97
+N_PACK_SHARDS = 8
+
+
+def pack_shard(id_col_expr, n_shards: int = N_PACK_SHARDS):
+    """Deterministic pack shard: portable_hash('97:' || id) % n_shards.
+    Portable across Spark and DuckDB (functions/hashing.py), so both
+    engines assign identical shards."""
+    from vector_database_spark.functions.hashing import seeded_hash
+
+    return F.pmod(seeded_hash(id_col_expr.cast("string"), PACK_SHARD_SEED), F.lit(n_shards)).cast(
+        "long"
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     seq_len: int = SEQ_LEN,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_shards: int = N_PACK_SHARDS,
 ) -> DataFrame:
-    """Contiguous sequence packing: documents in id order are laid into
+    """Contiguous sequence packing: documents are laid into
     ``seq_len``-token bins by cumulative offset (bin = floor(start/seq_len))
     — the packing step that turns ragged documents into fixed training
     rows without padding waste.
 
-    Declared deterministic semantics: id-ordered offset packing (vs
-    first-fit, which is inherently sequential). The global running sum is a
-    single-partition window here; at scale pack per shard (hash(id) %
-    n_shards as a partition column) and offset each shard independently —
-    same bin quality, embarrassingly parallel.
+    Declared deterministic semantics: shard-keyed offset packing. Each doc
+    is assigned a shard by portable hash (:func:`pack_shard`); docs are
+    packed in id order WITHIN their shard, offsets independent per shard —
+    the running-sum window is partitioned by shard, so the plan is
+    embarrassingly parallel (n_shards scales with the cluster; same bin
+    quality as a global pack because bins only ever waste their final
+    partial row). No single-partition global window.
 
-    Output: one row per bin: n_docs, sum_tokens (≈ bin utilization).
+    Output: one row per (shard, bin_id): n_docs, sum_tokens (≈ bin
+    utilization).
     """
     from pyspark.sql.window import Window
 
     n_tok = F.size(tokenize_ws(F.col(text_col))).cast("long")
-    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
-    binned = docs.select(id_col, n_tok.alias("n_tok")).withColumn(
+    shard = pack_shard(F.col(id_col), n_shards)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    binned = docs.select(
+        id_col, shard.alias("shard"), n_tok.alias("n_tok")
+    ).withColumn(
         "bin_id", F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / seq_len)
     )
     return (
-        binned.groupBy("bin_id")
+        binned.groupBy("shard", "bin_id")
         .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("sum_tokens"))
-        .orderBy("bin_id")
+        .orderBy("shard", "bin_id")
     )

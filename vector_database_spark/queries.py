@@ -1532,14 +1532,18 @@ FROM enc
 
 def q_batch_ids(spark, sf_dir):
     """D11: deterministic fixed-size batching (DataLoader batch_size=8,
-    transformer_sample.py:455-457; hash-ordered instead of shuffled)."""
-    docs = _t(spark, sf_dir, "documents")
-    from pyspark.sql.window import Window
+    transformer_sample.py:455-457; hash-ordered instead of shuffled).
+    Global row numbers come from the partition-offset scheme in
+    operators/ranking.py (range repartition + per-partition counts +
+    local window) — no single-partition global window."""
+    from vector_database_spark.operators.ranking import global_row_number
 
-    w = Window.orderBy("doc_id")
-    return docs.select(
-        "doc_id",
-        (((F.row_number().over(w) - 1) / 8).cast("long")).alias("batch_id"),
+    docs = _t(spark, sf_dir, "documents")
+    ranked = global_row_number(
+        docs.select("doc_id"), [F.col("doc_id").asc()], out_col="rn"
+    )
+    return ranked.select(
+        "doc_id", (((F.col("rn") - 1) / 8).cast("long")).alias("batch_id")
     )
 
 
@@ -1962,7 +1966,13 @@ def q_quantize_int8(spark, sf_dir):
             * F.when(x < 0, -1).otherwise(1)
         ).cast("int"),
     )
-    return emb.select("vec_id", micro6(scale).alias("scale_micro"), q8.alias("q8"))
+    # q8 is serialized to a space-joined string: the driver's canonicalizer
+    # sorts pandas columns, and list-valued cells are unhashable there.
+    return emb.select(
+        "vec_id",
+        micro6(scale).alias("scale_micro"),
+        F.array_join(q8, " ").alias("q8"),
+    )
 
 
 _SQL_QUANTIZE_INT8 = f"""
@@ -1973,9 +1983,9 @@ WITH s AS (
 )
 SELECT vec_id,
        {_micro_sql("CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END")} AS scale_micro,
-       list_transform(e, x -> CAST(
+       array_to_string(list_transform(e, x -> CAST(
            floor(abs(x) * (CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END) + 0.5)
-           * (CASE WHEN x < 0 THEN -1 ELSE 1 END) AS INT)) AS q8
+           * (CASE WHEN x < 0 THEN -1 ELSE 1 END) AS INT)), ' ') AS q8
 FROM s
 """
 
@@ -2038,27 +2048,32 @@ FROM c ORDER BY doc_id, chunk_id
 
 
 def q_pack_sequences(spark, sf_dir):
-    """Sequence packing: id-ordered documents laid into 128-token bins by
-    cumulative offset — fixed training rows without padding waste. Exact
-    integer window sum; per-bin utilization output."""
+    """Sequence packing: documents laid into 128-token bins by cumulative
+    offset, shard-keyed (portable hash(id) % 8, packed in id order within
+    each shard) so the running-sum window is partitioned — fixed training
+    rows without padding waste, embarrassingly parallel plan. Exact integer
+    window sum; per-(shard, bin) utilization output."""
     return textops.pack_sequences(_t(spark, sf_dir, "documents"))
 
 
 _SQL_PACK_SEQUENCES = f"""
 WITH t AS (
   SELECT doc_id,
+         {seeded_hash_sql("CAST(doc_id AS VARCHAR)", textops.PACK_SHARD_SEED)}
+           % {textops.N_PACK_SHARDS} AS shard,
          CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tok
   FROM documents
 ),
 b AS (
-  SELECT doc_id, n_tok,
-         CAST(floor((sum(n_tok) OVER (ORDER BY doc_id
+  SELECT shard, n_tok,
+         CAST(floor((sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                      - n_tok) / {textops.SEQ_LEN}.0) AS BIGINT) AS bin_id
   FROM t
 )
-SELECT bin_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
-FROM b GROUP BY bin_id ORDER BY bin_id
+SELECT CAST(shard AS BIGINT) AS shard, bin_id,
+       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+FROM b GROUP BY shard, bin_id ORDER BY shard, bin_id
 """
 
 
@@ -2152,15 +2167,23 @@ j AS (
          {_cos_sql('e.embedding', _RAW_VEC_SQL)} AS cos
   FROM bm25 b JOIN embeddings e ON e.vec_id = b.doc_id
 ),
-r AS (
+rl AS (
   SELECT doc_id,
-         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_lex,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_lex
+  FROM j QUALIFY rank_lex <= 100
+),
+rv AS (
+  SELECT doc_id,
          CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS rank_vec
-  FROM j
+  FROM j QUALIFY rank_vec <= 100
+),
+f AS (
+  SELECT coalesce(rl.doc_id, rv.doc_id) AS doc_id, rank_lex, rank_vec
+  FROM rl FULL JOIN rv ON rl.doc_id = rv.doc_id
 )
 SELECT doc_id, rank_lex, rank_vec,
-       {_micro_sql('1.0 / (60 + rank_lex) + 1.0 / (60 + rank_vec)')} AS rrf_micro
-FROM r
+       {_micro_sql('coalesce(1.0 / (60 + rank_lex), 0.0) + coalesce(1.0 / (60 + rank_vec), 0.0)')} AS rrf_micro
+FROM f
 ORDER BY rrf_micro DESC, doc_id
 LIMIT 10
 """
@@ -2417,22 +2440,28 @@ def q_pipeline_e2e(spark, sf_dir):
     kept = docs.join(kept_ids, "doc_id")
     deduped = dedup.exact_dedup(kept).select("doc_id", "text")
     chunks = textops.chunk_text(deduped)
-    w = Window.orderBy("doc_id", "chunk_id").rowsBetween(
-        Window.unboundedPreceding, 0
+    # shard-keyed packing (see textops.pack_sequences): the running-sum
+    # window is partitioned by the portable doc shard, never global
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     binned = chunks.withColumn(
+        "shard", textops.pack_shard(F.col("doc_id"))
+    ).withColumn(
         "bin_id",
         F.floor(
             (F.sum("n_chunk_tokens").over(w) - F.col("n_chunk_tokens")) / textops.SEQ_LEN
         ),
     )
     return (
-        binned.groupBy("bin_id")
+        binned.groupBy("shard", "bin_id")
         .agg(
             F.count("*").alias("n_chunks"),
             F.sum("n_chunk_tokens").alias("sum_tokens"),
         )
-        .orderBy("bin_id")
+        .orderBy("shard", "bin_id")
     )
 
 
@@ -2467,13 +2496,19 @@ chunks AS (
 ),
 binned AS (
   SELECT doc_id, chunk_id, n,
-         CAST(floor((sum(n) OVER (ORDER BY doc_id, chunk_id
+         {seeded_hash_sql("CAST(doc_id AS VARCHAR)", textops.PACK_SHARD_SEED)}
+           % {textops.N_PACK_SHARDS} AS shard,
+         CAST(floor((sum(n) OVER (
+                      PARTITION BY {seeded_hash_sql("CAST(doc_id AS VARCHAR)", textops.PACK_SHARD_SEED)}
+                        % {textops.N_PACK_SHARDS}
+                      ORDER BY doc_id, chunk_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n)
                     / {textops.SEQ_LEN}.0) AS BIGINT) AS bin_id
   FROM chunks
 )
-SELECT bin_id, count(*) AS n_chunks, CAST(sum(n) AS BIGINT) AS sum_tokens
-FROM binned GROUP BY bin_id ORDER BY bin_id
+SELECT CAST(shard AS BIGINT) AS shard, bin_id,
+       count(*) AS n_chunks, CAST(sum(n) AS BIGINT) AS sum_tokens
+FROM binned GROUP BY shard, bin_id ORDER BY shard, bin_id
 """
 
 
@@ -3608,17 +3643,24 @@ def q_perplexity_buckets(spark, sf_dir):
     head / middle / tail terciles — the standard curation split where
     'head' feeds training and 'tail' gets dropped or down-weighted.
 
-    ntile over a global (score, id) order — single-partition window, fine
-    to ~10^8 docs of 16-byte rows; the 100 TB path replaces rank-terciles
-    with threshold-terciles (two approx-quantile cutoffs, map-side CASE),
-    trading exact thirds for a scan-speed pass."""
+    Exact tercile semantics (identical to SQL ntile(3)), scale-safe plan:
+    global rank via the partition-offset scheme in operators/ranking.py
+    (range repartition + broadcast offsets + partition-local window), then
+    tile as a map-side expression — no single-partition global window."""
+    from vector_database_spark.operators.ranking import global_ntile
+
     per = _doc_unigram_logprob(_t(spark, sf_dir, "documents"))
-    w = Window.orderBy(F.col("avg_logprob_micro").desc(), F.col("doc_id").asc())
-    tercile = F.ntile(3).over(w)
-    return per.select(
+    tiled = global_ntile(
+        per,
+        [F.col("avg_logprob_micro").desc(), F.col("doc_id").asc()],
+        k=3,
+        out_col="tercile",
+    )
+    tercile = F.col("tercile")
+    return tiled.select(
         "doc_id",
         "avg_logprob_micro",
-        tercile.alias("tercile"),
+        tercile.cast("int").alias("tercile"),
         F.element_at(F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), tercile)
         .alias("bucket"),
     )
