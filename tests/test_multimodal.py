@@ -11,9 +11,37 @@ from vector_database_spark.sources import multimodal as mm
 from vector_database_spark.sources.tables import read_table
 
 
-def test_real_decoder_is_stubbed():
+def _pillow_available() -> bool:
+    try:
+        import PIL  # type: ignore[import-not-found]  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    _pillow_available(), reason="Pillow installed: real decoder is active"
+)
+def test_real_decoder_is_stubbed_without_pillow():
     with pytest.raises(NotImplementedError):
         mm.decode_image_real(b"\x89PNG")
+
+
+@pytest.mark.skipif(not _pillow_available(), reason="Pillow not installed")
+def test_real_decoder_with_pillow():
+    # 2x3 all-white PNG: decode must report real dimensions and mean 255
+    import io
+
+    from PIL import Image  # type: ignore[import-not-found]
+
+    buf = io.BytesIO()
+    Image.new("L", (2, 3), color=255).save(buf, format="PNG")
+    meta = mm.decode_image_real(buf.getvalue())
+    assert meta["fmt"] == "png"
+    assert (meta["width"], meta["height"]) == (2, 3)
+    assert meta["mean_byte_micro"] == 255_000_000
+    assert meta["n_bytes"] == len(buf.getvalue())
 
 
 def test_extract_image_meta_shapes(spark):

@@ -334,3 +334,16 @@ def test_no_single_partition_windows_in_deglobalized_queries(spark, sf):
     for q in (q_batch_ids, q_perplexity_buckets, q_pack_sequences, q_pipeline_e2e, q_hybrid_rrf):
         p = plan_of(q(spark, sf))
         assert "Exchange SinglePartition" not in p, q.__name__
+
+
+def test_window_funcs_shares_one_exchange(spark, sf):
+    # two window groups (shipdate order, price order) over the SAME
+    # l_suppkey partitioning: optimal shape is ONE Exchange reused by both,
+    # and exactly the two unavoidable Sorts (the orderings differ, so a
+    # second sort is the floor, not a regression)
+    from vector_database_spark.queries import q_window_funcs
+
+    p = plan_of(q_window_funcs(spark, sf))
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("Sort [") == 2
+    assert "Exchange SinglePartition" not in p

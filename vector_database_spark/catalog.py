@@ -973,6 +973,21 @@ class VectorCollection:
         limits, so collecting their ids is O(k), never O(collection).
         """
         if prefetch:
+            # validate the (query, prefetch) combination BEFORE computing
+            # any leg: a recommend/discover/context/sample top-level query
+            # over prefetch is not implemented (Qdrant permits it; here the
+            # supported forms are fusion or exact vector/id rerank), and
+            # failing late would waste every executed leg.
+            if not (
+                isinstance(query, (int, list, tuple))
+                or (isinstance(query, dict) and "fusion" in query)
+            ):
+                raise ValueError(
+                    "query_points with prefetch supports a fusion query "
+                    "({'fusion': 'rrf'|'dbsf'}) or a vector/point-id rerank "
+                    f"query; got {query!r}. Recommend/discover/context over "
+                    "prefetch is not implemented — run that mode directly."
+                )
             legs = [
                 self.query_points(
                     **{

@@ -28,16 +28,42 @@ IMAGE_META_SCHEMA = (
 )
 
 
-def decode_image_real(blob: bytes) -> dict:  # pragma: no cover - stub
+def decode_image_real(blob: bytes) -> dict:
     """Real image decode (PIL / torchvision path, vector_db.py:55-63).
 
-    STUB: pillow/torch are not installed in this environment. On a real
-    cluster, install the codec on executors and swap this in for
-    ``decode_image_fake`` — the mapInPandas plumbing is identical.
+    Escape hatch: if Pillow is importable on the executor, decode the blob
+    for real — same output contract as ``decode_image_fake`` (n_bytes,
+    fmt, width, height, mean_byte_micro), so it is a drop-in ``decoder=``
+    argument to :func:`extract_image_meta`. Without Pillow (this
+    container) it raises NotImplementedError and the default path uses the
+    deterministic fake decoder; the mapInPandas plumbing is identical
+    either way. ``tests/test_multimodal.py`` exercises this path
+    conditionally (skipped where Pillow is absent).
     """
-    raise NotImplementedError(
-        "image codec not available in this environment; use decode_image_fake"
+    try:
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError as exc:  # pragma: no cover - container has no Pillow
+        raise NotImplementedError(
+            "image codec not available in this environment; use decode_image_fake"
+        ) from exc
+    import math
+
+    img = Image.open(io.BytesIO(blob))
+    w, h = img.size
+    grey = img.convert("L")
+    data = list(grey.getdata())
+    mean_micro = (
+        math.floor(sum(data) / len(data) * 1_000_000.0 + 0.5) if data else 0
     )
+    return {
+        "n_bytes": len(blob),
+        "fmt": (img.format or "unknown").lower(),
+        "width": w,
+        "height": h,
+        "mean_byte_micro": mean_micro,
+    }
 
 
 def decode_image_fake(blob: bytes) -> dict:

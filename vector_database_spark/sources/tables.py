@@ -25,7 +25,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # Fixture regenerated as TIMESTAMP(MICROS) without tz → Spark
             # infers TIMESTAMP_NTZ, which Spark 4 refuses to cast to
             # BIGINT. Interpret the naive wall clock as UTC (exactly
-            # DuckDB's epoch() semantics for naive timestamps) regardless
-            # of the session timezone.
+            # DuckDB's epoch() semantics for naive timestamps). NOTE: the
+            # NTZ→LTZ step inside to_utc_timestamp uses the SESSION
+            # timezone, so this is only UTC-correct because session.get_spark
+            # pins spark.sql.session.timeZone=UTC — asserted here so a
+            # foreign session can't silently shift every event timestamp.
+            assert spark.conf.get("spark.sql.session.timeZone") == "UTC", (
+                "events NTZ loader requires spark.sql.session.timeZone=UTC "
+                "(see vector_database_spark.session.get_spark)"
+            )
             df = df.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
     return df

@@ -133,7 +133,15 @@ def stream_session_windows(
     sessions filtered to session_end ≤ max(ts) − watermark. Session window
     = [min(ts), max(ts) + gap) per burst of events with inter-event gaps
     < gap (Spark session_window semantics; the batch twin uses ≥ gap for
-    a new session, identical boundaries)."""
+    a new session, identical boundaries).
+
+    Boundary assumption: the oracle's ≤ is inclusive; whether Spark emits
+    a session ending EXACTLY at the final watermark depends on its
+    internal eviction predicate. A divergence needs a session whose
+    max(ts)+gap lands on max(ts)−watermark to the microsecond — a
+    measure-zero case the fixture (minute-scale gaps vs second-scale
+    values) cannot produce; if a future fixture hits it, align the oracle
+    by flipping to strict <."""
     name = "sess_out_" + uuid.uuid4().hex[:8]
     agg = (
         read_events_stream(spark, sf_dir)
