@@ -29,6 +29,9 @@ def _query_vecs(emb, n=10):
 
 
 def test_lsh_recall_at_5(emb):
+    # 6 bits x 8 tables, hamming-1 multiprobe: measured 0.86 on this
+    # (deterministic, seeded) fixture — gate just below the floor so a
+    # fixture regeneration has headroom but a recall regression trips
     k, hits, total = 5, 0, 0
     for _, qv in _query_vecs(emb):
         exact = set(_exact_ids(emb, qv, k))
@@ -36,29 +39,40 @@ def test_lsh_recall_at_5(emb):
         hits += len(exact & approx)
         total += k
     recall = hits / total
-    assert recall >= 0.5, f"LSH recall@5 = {recall}"
+    assert recall >= 0.85, f"LSH recall@5 = {recall}"
 
 
-def test_lsh_multiprobe_beats_single_bucket(emb):
-    qv = _query_vecs(emb, n=1)[0][1]
-    single = ann.lsh_knn(emb, qv, k=5, max_hamming=0).count()
-    multi = ann.lsh_knn(emb, qv, k=5, max_hamming=1).count()
-    assert multi >= single
+def test_lsh_multiprobe_radius_2_recall(emb):
+    # hamming-2 probing widens each table's probe set from 1+6 to 1+6+15
+    # buckets: measured recall@5 = 1.0 here; gate >= 0.95 and require it
+    # to dominate the hamming-1 default
+    k, h1, h2, total = 5, 0, 0, 0
+    for _, qv in _query_vecs(emb):
+        exact = set(_exact_ids(emb, qv, k))
+        a1 = {r["vec_id"] for r in ann.lsh_knn(emb, qv, k=k, max_hamming=1).collect()}
+        a2 = {r["vec_id"] for r in ann.lsh_knn(emb, qv, k=k, max_hamming=2).collect()}
+        h1 += len(exact & a1)
+        h2 += len(exact & a2)
+        total += k
+    assert h2 / total >= 0.95, f"LSH mh2 recall@5 = {h2 / total}"
+    assert h2 >= h1
 
 
 def test_ivf_recall_at_5(emb):
-    assigned, centroids = ann.ivf_index(emb, n_centroids=8)
+    # 16 centroids / nprobe 8 (the q_knn_ivf operating point): measured
+    # 0.84 on this fixture at a ~0.48 scan fraction
+    assigned, centroids = ann.ivf_index(emb, n_centroids=16)
     assigned = assigned.cache()
     k, hits, total = 5, 0, 0
     for _, qv in _query_vecs(emb):
         exact = set(_exact_ids(emb, qv, k))
         approx = {
-            r["vec_id"] for r in ann.ivf_knn(assigned, centroids, qv, k=k, nprobe=3).collect()
+            r["vec_id"] for r in ann.ivf_knn(assigned, centroids, qv, k=k, nprobe=8).collect()
         }
         hits += len(exact & approx)
         total += k
     recall = hits / total
-    assert recall >= 0.5, f"IVF recall@5 = {recall}"
+    assert recall >= 0.8, f"IVF recall@5 = {recall}"
 
 
 def test_mllib_lsh_similarity_join_finds_identical_pairs(spark, emb):
@@ -197,7 +211,8 @@ def test_pq_rerank_recall_at_5(spark, emb):
         total += 5
     codes.unpersist()
     recall = hits / total
-    assert recall >= 0.6, f"PQ+rerank recall@5 = {recall}"
+    # shortlist=100 (a constant, not a data fraction): measured 0.96 here
+    assert recall >= 0.9, f"PQ+rerank recall@5 = {recall}"
 
 
 def test_pq_codes_shape_and_determinism(spark, emb):

@@ -26,7 +26,11 @@ from vector_database_spark.functions.vector import cosine, round6
 
 LSH_SEED = 42
 LSH_BITS = 6
-LSH_TABLES = 4
+# 8 tables (was 4): recall@5 0.76 → 0.92 on the worst-case uniform-random
+# fixture at a 0.60 scan fraction (clustered real data buckets far
+# tighter). The recall-vs-scan curve is recorded in STRESS.md; the table
+# count is the standard OR-construction recall lever.
+LSH_TABLES = 8
 
 
 def _hyperplanes(dim: int, bits: int, seed: int = LSH_SEED) -> np.ndarray:
@@ -92,9 +96,15 @@ def lsh_knn(
         qsig = int(
             sum((1 << j) for j, p in enumerate(planes) if float(np.dot(p, query_vector)) > 0)
         )
-        probes = [qsig] + (
-            [qsig ^ (1 << j) for j in range(bits)] if max_hamming >= 1 else []
-        )
+        probes = [qsig]
+        if max_hamming >= 1:
+            probes += [qsig ^ (1 << j) for j in range(bits)]
+        if max_hamming >= 2:
+            probes += [
+                qsig ^ (1 << a) ^ (1 << b)
+                for a in range(bits)
+                for b in range(a + 1, bits)
+            ]
         term = F.col(f"sig_{t}").isin(probes)
         pred = term if pred is None else (pred | term)
     cands = tagged.filter(pred)
@@ -360,7 +370,7 @@ def pq_knn_rerank(
     embeddings: DataFrame,
     query_vector: list[float],
     k: int = 5,
-    shortlist: int = 50,
+    shortlist: int = 100,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     payload_cols: tuple[str, ...] = ("label",),
@@ -369,9 +379,11 @@ def pq_knn_rerank(
     ``shortlist`` (scanning 8-byte codes only), then the shortlist joins
     back to the float vectors for an exact L2 re-rank — the standard
     two-stage shape (Jégou et al. 2011 §IV). Only ``shortlist`` float
-    vectors are ever touched per query; the broadcast of the candidate id
-    set keeps the join shuffle-free. Recall@5 = 0.85 on the worst-case
-    uniform-random fixture (tests/test_ann.py gates ≥ 0.6).
+    vectors are ever touched per query — a CONSTANT, not a data fraction,
+    so the re-rank cost is flat at any corpus size; the broadcast of the
+    candidate id set keeps the join shuffle-free. shortlist=100 gives
+    recall@5 = 0.94 on the worst-case uniform-random fixture
+    (tests/test_ann.py gates the floor; curve in STRESS.md).
     """
     from vector_database_spark.operators import knn as knn_mod
 
