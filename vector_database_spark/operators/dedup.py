@@ -189,9 +189,12 @@ def _token_bitmasks(docs: DataFrame, text_col: str, id_col: str):
     if n_vocab > MAX_BITMASK_VOCAB:
         return None, 0
     n_words = max(1, (n_vocab + 63) // 64)
-    vocab_ids = vocab.select(
-        "token",
-        (F.row_number().over(Window.orderBy("token")) - 1).alias("tid"),
+    # dense token ids: the vocab is <= MAX_BITMASK_VOCAB by the gate above
+    # (the whole bitmask representation exists only under that bound), so
+    # sorting it on the driver is a bounded collect — no global window
+    tokens = sorted(r["token"] for r in vocab.collect())
+    vocab_ids = docs.sparkSession.createDataFrame(
+        [(t, i) for i, t in enumerate(tokens)], "token string, tid int"
     )
     tagged = toks.join(F.broadcast(vocab_ids), "token")
     word = (F.col("tid") / 64).cast("int")

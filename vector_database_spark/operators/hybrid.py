@@ -10,14 +10,17 @@ lexical leg; this module is the fusion.
 
 Scale shape: the candidate set is the BM25-scored docs (docs containing at
 least one query term — explode + filter prunes everything else at the
-scan), joined 1:1 to their embeddings. Each leg's ranks come from the
-partition-offset scheme in operators/ranking.py (range repartition +
-broadcast offsets + partition-local window — no single-partition global
-window), then the leg is truncated to its top-``prefetch_n`` pool exactly
-as Qdrant's ``prefetch.limit`` does. A doc absent from one leg's pool
+scan), joined 1:1 to their embeddings, and pinned once (localCheckpoint)
+so both legs read it without re-running BM25. Each leg is a
+TakeOrderedAndProject top-``prefetch_n`` — per-partition heaps, never a
+global sort — and the pool that comes back is O(prefetch_n) BY DEFINITION
+(Qdrant's ``prefetch.limit`` materializes the same bounded list), so
+ranking it driver-side is a bounded collect like the two-phase k-NN query
+side, not a corpus-sized one. A doc absent from one leg's pool
 contributes nothing from that leg (the standard prefetch-RRF convention).
 Determinism: round6 scores, id tie-breaks, ranks as BIGINT, RRF terms
-added in fixed expression order.
+added in fixed expression order (the fusion arithmetic stays a Spark
+expression over the literal rank table, identical to the oracle's).
 """
 
 from __future__ import annotations
@@ -26,7 +29,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from vector_database_spark.functions.vector import cosine, micro6, round6
-from vector_database_spark.operators.ranking import global_row_number
 from vector_database_spark.operators.textanalysis import bm25_search
 
 RRF_K = 60
@@ -64,18 +66,26 @@ def hybrid_rrf(
         ),
         doc_id_col,
     )
-    leg_lex = global_row_number(
-        cand.select(doc_id_col, "score"),
-        [F.col("score").desc(), F.col(doc_id_col).asc()],
-        out_col="rank_lex",
-    ).filter(F.col("rank_lex") <= prefetch_n)
-    leg_vec = global_row_number(
-        cand.select(doc_id_col, "cos"),
-        [F.col("cos").desc(), F.col(doc_id_col).asc()],
-        out_col="rank_vec",
-    ).filter(F.col("rank_vec") <= prefetch_n)
-    fused = leg_lex.select(doc_id_col, "rank_lex").join(
-        leg_vec.select(doc_id_col, "rank_vec"), doc_id_col, "full_outer"
+    # pin the scored candidate set ONCE: both leg top-Ns read the
+    # materialized candidates instead of re-evaluating the BM25 plan
+    cand = cand.select(doc_id_col, "score", "cos").localCheckpoint(eager=True)
+    spark = cand.sparkSession
+    # each leg: TakeOrderedAndProject top-N (partial heaps) → a bounded
+    # O(prefetch_n) pool, ranked on the driver (pool order IS the rank)
+    lex_pool = cand.orderBy(
+        F.col("score").desc(), F.col(doc_id_col).asc()
+    ).limit(prefetch_n).select(doc_id_col).collect()
+    vec_pool = cand.orderBy(
+        F.col("cos").desc(), F.col(doc_id_col).asc()
+    ).limit(prefetch_n).select(doc_id_col).collect()
+    ranks: dict[int, list] = {}
+    for i, r in enumerate(lex_pool):
+        ranks.setdefault(r[doc_id_col], [None, None])[0] = i + 1
+    for i, r in enumerate(vec_pool):
+        ranks.setdefault(r[doc_id_col], [None, None])[1] = i + 1
+    fused = spark.createDataFrame(
+        [(did, rl, rv) for did, (rl, rv) in sorted(ranks.items())],
+        f"{doc_id_col} long, rank_lex long, rank_vec long",
     )
     # micro6, not round6: RRF is a sum of integer reciprocals, which CAN
     # land exactly on .5e-6 boundaries (e.g. 1/128 = 7812.5 micro) where

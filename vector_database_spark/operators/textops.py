@@ -38,11 +38,14 @@ def build_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """D2: WordLevel vocabulary build (transformer_sample.py:398-409).
 
     count tokens → drop freq < MIN_FREQUENCY → dense ids after the 4
-    reserved specials, ordered by (count DESC, token ASC) — a group-by plus
-    a rank. The global rank is a single-partition window over the (small)
-    distinct-token set; token counting itself is a map-side-combined
-    groupBy that scales with the corpus.
+    reserved specials, ordered by (count DESC, token ASC) — a group-by
+    plus a rank. Token counting is a map-side-combined groupBy that scales
+    with the corpus; the rank over the distinct-token set uses the
+    partition-offset scheme (operators/ranking.py), so even a
+    billion-token raw vocabulary never funnels through one partition.
     """
+    from vector_database_spark.operators.ranking import global_row_number
+
     counts = (
         tokenized(docs, text_col)
         .select(F.explode("tokens").alias("token"))
@@ -50,11 +53,15 @@ def build_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .count()
         .filter(F.col("count") >= MIN_FREQUENCY)
     )
-    w = Window.orderBy(F.col("count").desc(), F.col("token").asc())
-    return counts.select(
+    ranked = global_row_number(
+        counts,
+        [F.col("count").desc(), F.col("token").asc()],
+        out_col="__vrank",
+    )
+    return ranked.select(
         "token",
         F.col("count").alias("cnt"),
-        (F.row_number().over(w) + 3).cast("long").alias("token_id"),
+        (F.col("__vrank") + 3).cast("long").alias("token_id"),
     )
 
 
