@@ -250,3 +250,82 @@ def test_zero_norm_rows_rank_last_in_both_batch_operators(spark):
     # single-query exact operator too
     single = knn.knn(df, [1.0, 0.0], k=4, payload_cols=())
     assert [r["vec_id"] for r in single.collect()][-1] == 3  # ranks last
+
+
+def test_semdedup_finds_all_planted_copies(spark, emb):
+    from vector_database_spark.operators import dedup
+
+    copies = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 7000).alias("vec_id"), "embedding", "label"
+    )
+    aug = emb.unionByName(copies)
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.semdedup_pairs(aug).collect()}
+    # identical vectors share their sign bucket by construction → every
+    # planted pair MUST be found (within-bucket recall on exact dups = 1)
+    for i in range(20):
+        assert (i, i + 7000) in pairs
+    # and every reported pair is a true near-dup per the exact operator
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_neardup_pairs(aug).collect()
+    }
+    assert pairs <= exact
+
+
+def test_semdedup_plan_shuffles_on_bucket_not_cartesian(spark, emb):
+    from vector_database_spark.operators import dedup
+
+    p = (
+        dedup.semdedup_pairs(emb)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the join key is the sign bucket: an equi-join (shuffle or broadcast),
+    # never the all-pairs cartesian of the exact operator
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_ivfpq_recall_at_5(spark, emb):
+    # FAISS-style IVF16,PQ8 composite: recall is bounded by the IVF cell
+    # routing (nprobe 8/16 ≈ 0.84 here); the PQ shortlist stage loses
+    # almost nothing on top. Measured 0.84 on this fixture.
+    assigned, centroids = ann.ivf_index(emb, n_centroids=16)
+    books = ann.pq_train(emb)
+    codes = ann.pq_encode(
+        assigned.select("vec_id", "centroid_id", "embedding"),
+        books,
+        payload_cols=("centroid_id",),
+    ).persist()
+    codes.count()
+    hits = total = 0
+    for _, qv in _query_vecs(emb):
+        exact = {r["vec_id"] for r in knn.knn(emb, qv, k=5, metric="euclid").collect()}
+        got = {
+            r["vec_id"]
+            for r in ann.ivfpq_knn(codes, centroids, books, emb, qv, k=5).collect()
+        }
+        hits += len(exact & got)
+        total += 5
+    codes.unpersist()
+    assert hits / total >= 0.8, f"IVFPQ recall@5 = {hits / total}"
+
+
+def test_matryoshka_prefix_tradeoff_and_degenerate_exactness(emb):
+    # 16-d prefix on UNTRAINED random embeddings: the prefix carries only
+    # 1/4 of the signal, so recall is modest (0.66 measured) — real MRL
+    # embeddings concentrate information in the prefix. Gate the floor…
+    hits = total = 0
+    for _, qv in _query_vecs(emb):
+        exact = {r["vec_id"] for r in knn.knn(emb, qv, k=5).collect()}
+        got = {r["vec_id"] for r in knn.matryoshka_knn(emb, qv, k=5).collect()}
+        hits += len(exact & got)
+        total += 5
+    assert hits / total >= 0.6, f"MRL recall@5 = {hits / total}"
+    # …and pin the degenerate case: a full-dimension "prefix" must return
+    # exactly the exact-search answer (two-stage collapses to one)
+    qv = _query_vecs(emb, n=1)[0][1]
+    exact_ids = [r["vec_id"] for r in knn.knn(emb, qv, k=5).collect()]
+    full_ids = [
+        r["vec_id"] for r in knn.matryoshka_knn(emb, qv, k=5, prefix_dim=64).collect()
+    ]
+    assert full_ids == exact_ids

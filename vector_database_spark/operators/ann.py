@@ -364,6 +364,57 @@ def pq_knn(
     )
 
 
+def ivfpq_knn(
+    assigned_codes: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    embeddings: DataFrame,
+    query_vector: list[float],
+    k: int = 5,
+    nprobe: int = 8,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    payload_cols: tuple[str, ...] = ("label",),
+) -> DataFrame:
+    """IVF+PQ composite index (the FAISS ``IVFxx,PQyy`` production shape,
+    Jégou et al. 2011 §V): coarse-quantize to route the query to
+    ``nprobe`` cells, ADC-scan ONLY those cells' 8-byte PQ codes for a
+    ``shortlist``, then exact re-rank the shortlist against the float
+    vectors.
+
+    ``assigned_codes``: rows of (id, centroid_id, code) — built once at
+    ingest by :func:`ivf_index` + :func:`pq_encode`. At scale it is
+    written partitioned by ``centroid_id`` (ivf_write_partitioned), so
+    the cell filter is partition PRUNING, the ADC pass reads
+    nprobe/n_centroids of the code bytes, and the re-rank touches a
+    constant ``shortlist`` float vectors — the full 100 TB search path
+    never reads more than a sliver of the data. Approximate → rows-only,
+    recall-gated in tests/test_ann.py.
+    """
+    q = np.asarray(query_vector, dtype=float)
+    cnorm = np.linalg.norm(centroids, axis=1) * np.linalg.norm(q)
+    sims = centroids @ q / np.where(cnorm == 0, 1.0, cnorm)
+    probe = [int(i) for i in np.argsort(-sims)[:nprobe]]
+    cell_codes = assigned_codes.filter(F.col("centroid_id").isin(probe))
+    cand = pq_knn(
+        cell_codes, codebooks, query_vector, k=shortlist, id_col=id_col,
+        payload_cols=(),
+    ).select(id_col)
+    from vector_database_spark.operators import knn as knn_mod
+
+    joined = embeddings.join(F.broadcast(cand), id_col)
+    return knn_mod.knn(
+        joined,
+        [float(x) for x in query_vector],
+        k=k,
+        metric="euclid",
+        id_col=id_col,
+        emb_col=emb_col,
+        payload_cols=payload_cols,
+    )
+
+
 def pq_knn_rerank(
     encoded: DataFrame,
     codebooks: np.ndarray,

@@ -419,6 +419,73 @@ def embedding_neardup_pairs(
     )
 
 
+def _sign_bucket_words(emb, dim: int = 64, n_words: int = 1) -> list:
+    """Sign-bit bucket words: bit j of word k = [component_{32k+j} > 0],
+    as Σ 2^j·[v>0] in exact-integer double arithmetic (the same
+    construction as the binary quantizer, queries._binary_code_cols).
+    Identical vectors always share every word; the DuckDB twin computes
+    the same bits, so bucketing is fully oracle-checkable."""
+    embd = emb.cast("array<double>")
+    words = []
+    for k in range(n_words):
+        bits = F.zip_with(
+            F.slice(embd, k * 32 + 1, min(32, dim - k * 32)),
+            F.sequence(F.lit(0), F.lit(min(32, dim - k * 32) - 1)),
+            lambda v, j: F.when(
+                v > 0.0, F.pow(F.lit(2.0), j.cast("double"))
+            ).otherwise(F.lit(0.0)),
+        )
+        words.append(F.aggregate(bits, F.lit(0.0), lambda a, x: a + x).cast("long"))
+    return words
+
+
+def semdedup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = COSINE_NEARDUP_THRESHOLD,
+    dim: int = 64,
+    n_bucket_words: int = 1,
+) -> DataFrame:
+    """SemDeDup-shape semantic dedup (Abbas et al. 2023): cluster the
+    embeddings cheaply, verify cosine ONLY within clusters — the scale
+    path of :func:`embedding_neardup_pairs`, which compares all N² pairs.
+
+    The cluster key here is the 32-bit sign bucket (first
+    ``n_bucket_words`` sign words) instead of the paper's k-means: it is
+    a pure deterministic expression, so both engines assign identical
+    buckets and the operator keeps a FULL DuckDB oracle — rare for a
+    clustered dedup. Exact/near-identical copies always share the bucket
+    (identical sign patterns); a near-dup whose near-zero components flip
+    sign can land one bucket away — the recall/cost trade every
+    clustered dedup makes (SemDeDup likewise only compares within a
+    cluster), measured against the exact operator in tests/test_ann.py.
+
+    Scale shape: one shuffle of (id, embedding) on the bucket key; pairs
+    materialize per bucket, never globally. Skewed buckets (e.g. an
+    all-positive embedding model) are the LSH hot-bucket hazard — salt
+    or raise ``n_bucket_words``. Output: (id_a, id_b, cos), a < b.
+    """
+    words = _sign_bucket_words(F.col(emb_col), dim=dim, n_words=n_bucket_words)
+    keys = [f"__sb{k}" for k in range(len(words))]
+    tagged = embeddings.select(
+        F.col(id_col), F.col(emb_col), *[w.alias(k) for w, k in zip(words, keys)]
+    )
+    a = tagged.select(
+        *keys, F.col(id_col).alias("id_a"), F.col(emb_col).alias("ea")
+    )
+    b = tagged.select(
+        *keys, F.col(id_col).alias("id_b"), F.col(emb_col).alias("eb")
+    )
+    return (
+        a.join(b, keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", round6(cosine(F.col("ea"), F.col("eb"))).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def line_dedup(
     docs: DataFrame,
     text_col: str = "text",

@@ -87,6 +87,50 @@ def knn(
     return scored.orderBy(*order).limit(k)
 
 
+def matryoshka_knn(
+    collection: DataFrame,
+    query: list[float],
+    k: int = 5,
+    prefix_dim: int = 16,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    payload_cols: tuple[str, ...] = ("label",),
+) -> DataFrame:
+    """Matryoshka two-stage search (Kusupati et al. 2022 MRL): score the
+    FIRST ``prefix_dim`` components to build a ``shortlist``, then re-rank
+    the shortlist by full-dimension cosine — the adaptive-retrieval
+    pattern MRL embeddings are trained for (cheap prefix pass, exact
+    final order).
+
+    Both stages are deterministic expressions (slice + cosine +
+    TakeOrdered), so unlike the LSH/IVF/PQ family this approximate index
+    keeps a FULL DuckDB oracle. At scale the prefix stage reads
+    prefix_dim/dim of the vector bytes when embeddings are stored
+    column-chunked (or a materialized prefix column); the full vectors
+    are touched only for the constant-size shortlist.
+    Output: (id, *payload, score) — full-dim cosine, top-k.
+    """
+    qfull = F.array(*[F.lit(float(x)) for x in query]).cast("array<double>")
+    qpre = F.array(*[F.lit(float(x)) for x in query[:prefix_dim]]).cast(
+        "array<double>"
+    )
+    pre_score, _ = score_col(
+        "cosine", F.slice(F.col(emb_col).cast("array<double>"), 1, prefix_dim), qpre
+    )
+    short = (
+        collection.select(id_col, *payload_cols, emb_col, pre_score.alias("pre"))
+        .orderBy(F.col("pre").desc(), F.col(id_col).asc())
+        .limit(shortlist)
+    )
+    full_score, _ = score_col("cosine", F.col(emb_col), qfull)
+    return (
+        short.select(id_col, *payload_cols, full_score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def knn_batch(
     queries: DataFrame,
     collection: DataFrame,

@@ -864,6 +864,43 @@ ORDER BY id_a, id_b
 """
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup-shape clustered embedding dedup (Abbas et al. 2023): the
+    scale path of q_neardup_embedding. Vectors are bucketed by their
+    32-bit sign pattern (a deterministic stand-in for the paper's k-means
+    clusters — both engines compute identical buckets, so the operator
+    keeps a FULL oracle); cosine is verified only WITHIN buckets, so
+    pairs materialize per bucket instead of N² globally. Same planted
+    copies as q_neardup_embedding: identical vectors always share their
+    sign bucket, so every planted pair must appear."""
+    emb = _t(spark, sf_dir, "embeddings")
+    copies = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    return dedup.semdedup_pairs(emb.unionByName(copies))
+
+
+_SQL_SEMDEDUP = f"""
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 50
+),
+s AS (
+  SELECT vec_id, embedding,
+         CAST(list_sum(list_transform(range(0, 32),
+              j -> CASE WHEN CAST(embedding AS DOUBLE[])[j + 1] > 0.0
+                        THEN 2.0 ** j ELSE 0.0 END)) AS BIGINT) AS b0
+  FROM aug
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_cos_sql('a.embedding', 'b.embedding')} AS cos
+FROM s a JOIN s b ON a.b0 = b.b0 AND a.vec_id < b.vec_id
+WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {dedup.COSINE_NEARDUP_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis (north-star)
 # ---------------------------------------------------------------------------
@@ -1709,6 +1746,55 @@ def q_knn_ivf(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     assigned, centroids = ann.ivf_index(emb, n_centroids=16)
     return ann.ivf_knn(assigned, centroids, RAW_QUERY_VEC, k=5, nprobe=8)
+
+
+def q_matryoshka(spark, sf_dir):
+    """Matryoshka (MRL) two-stage search: 16-d prefix cosine builds a
+    50-candidate shortlist (TakeOrdered), full 64-d cosine re-ranks to
+    top-5. Both stages are deterministic expressions → FULL oracle,
+    unusual for an 'approximate' index. At scale the prefix pass reads a
+    quarter of the vector bytes; full vectors only for the shortlist."""
+    from vector_database_spark.operators.knn import matryoshka_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return matryoshka_knn(emb, RAW_QUERY_VEC, k=5)
+
+
+_MRL_PREFIX_SQL = (
+    "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in RAW_QUERY_VEC[:16]) + "]"
+)
+
+_SQL_MATRYOSHKA = f"""
+WITH pre AS (
+  SELECT vec_id, label, embedding,
+         {_cos_sql('embedding[1:16]', _MRL_PREFIX_SQL)} AS pre
+  FROM embeddings
+  ORDER BY pre DESC, vec_id ASC
+  LIMIT 50
+)
+SELECT vec_id, label, {_cos_sql('embedding', _RAW_VEC_SQL)} AS score
+FROM pre
+ORDER BY score DESC, vec_id ASC
+LIMIT 5
+"""
+
+
+def q_knn_ivfpq(spark, sf_dir):
+    """B8 composite: IVF+PQ (the FAISS IVFxx,PQyy production index) —
+    coarse-quantize to route the query to nprobe=8 of 16 cells, ADC-scan
+    only those cells' 8-byte PQ codes for a 100-candidate shortlist,
+    exact re-rank the shortlist. Rows-only; recall gate in
+    tests/test_ann.py. At scale the cell filter is partition pruning and
+    the re-rank touches a constant 100 vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, centroids = ann.ivf_index(emb, n_centroids=16)
+    books = ann.pq_train(emb)
+    codes = ann.pq_encode(
+        assigned.select("vec_id", "centroid_id", "embedding"),
+        books,
+        payload_cols=("centroid_id",),
+    )
+    return ann.ivfpq_knn(codes, centroids, books, emb, RAW_QUERY_VEC, k=5)
 
 
 def q_knn_pq(spark, sf_dir):
@@ -5101,6 +5187,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_knn_lsh": q_knn_lsh,
     "q_knn_ivf": q_knn_ivf,
     "q_knn_pq": q_knn_pq,
+    "q_matryoshka": q_matryoshka,
+    "q_knn_ivfpq": q_knn_ivfpq,
     "q_knn_twophase": q_knn_twophase,
     "q_text_search": q_text_search,
     # Qdrant client API parity beyond search
@@ -5195,6 +5283,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_simhash": q_simhash,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_neardup_embedding": q_neardup_embedding,
+    "q_semdedup": q_semdedup,
     # text analysis
     "q_text_stats": q_text_stats,
     "q_lang_id": q_lang_id,
@@ -5275,6 +5364,7 @@ ORACLES: dict[str, str] = {
     "q_upsert_latest_wins": _SQL_UPSERT,
     "q_collection_stats": _SQL_COLLECTION_STATS,
     "q_knn_topk": _SQL_KNN_TOPK,
+    "q_matryoshka": _SQL_MATRYOSHKA,
     "q_knn_top1": _SQL_KNN_TOP1,
     "q_knn_score_payload": _SQL_KNN_SCORE_PAYLOAD,
     "q_knn_raw_vector": _SQL_KNN_RAW_VECTOR,
@@ -5306,6 +5396,7 @@ ORACLES: dict[str, str] = {
     "q_simhash": _SQL_SIMHASH,
     "q_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "q_neardup_embedding": _SQL_NEARDUP_EMBEDDING,
+    "q_semdedup": _SQL_SEMDEDUP,
     "q_text_stats": _SQL_TEXT_STATS,
     "q_lang_id": _SQL_LANG_ID,
     "q_quality_score": _SQL_QUALITY,
