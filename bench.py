@@ -67,6 +67,10 @@ BENCH_QUERIES = [
     "q_bigram_logprob",
     "q_char_entropy",
     "q_ship_priority",
+    # round 3: clustered semantic dedup + composite/adaptive retrieval
+    "q_semdedup",
+    "q_matryoshka",
+    "q_knn_ivfpq",
 ]
 
 
