@@ -71,6 +71,10 @@ BENCH_QUERIES = [
     "q_semdedup",
     "q_matryoshka",
     "q_knn_ivfpq",
+    # round 3b: retrieval eval harness + sketch profiling
+    "q_retrieval_metrics",
+    "q_hll_distinct",
+    "q_theta_overlap",
 ]
 
 

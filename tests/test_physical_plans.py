@@ -347,3 +347,17 @@ def test_window_funcs_shares_one_exchange(spark, sf):
     assert p.count("Exchange hashpartitioning") == 1
     assert p.count("Sort [") == 2
     assert "Exchange SinglePartition" not in p
+
+
+def test_retrieval_metrics_plan(spark, sf):
+    # eval harness shape: query side broadcast over the corpus scan, both
+    # rank windows share ONE qid exchange (two sorts — orderings differ),
+    # and the final per-query rollup has a partial agg; nothing funnels to
+    # a single partition
+    from vector_database_spark.queries import q_retrieval_metrics
+
+    p = plan_of(q_retrieval_metrics(spark, sf))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in p
+    assert "partial_count" in p or "partial_max" in p

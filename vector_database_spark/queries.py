@@ -12,6 +12,7 @@ Cross-engine determinism rules (FIXTURES.md):
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -5167,6 +5168,244 @@ LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# sketch aggregates (DataSketches HLL / KLL / Theta — the 100 TB profiling kit)
+# ---------------------------------------------------------------------------
+# At 100 TB, exact COUNT(DISTINCT), exact percentiles, and exact set overlap
+# all force full shuffles of the distinct keys; the sketch versions are
+# constant-size state that merges associatively — one partial-agg pass, a
+# few-KB final merge, no key shuffle. Approximate estimates have no DuckDB
+# SQL twin, so these are rows-only for the driver; tests/test_sketches.py
+# gates every estimate against the exact answer with the sketch's published
+# error bound.
+
+
+def q_hll_distinct(spark, sf_dir):
+    """Per-event-type distinct-user estimates via DataSketches HLL
+    (lgConfigK=14 → ~0.8% rsd) plus a '__total__' row produced by MERGING
+    the per-type sketches with hll_union_agg — the mergeability property
+    is the point: reusing already-computed per-group state for the rollup
+    instead of a second scan is exactly how a 1000-executor cluster keeps
+    distinct-count rollups one-pass.
+
+    Scale shape: partial hll_sketch_agg map-side, |event_types| rows of
+    ~16 KB state after the shuffle; the union is a driver-sized merge."""
+    ev = _t(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", 14).alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    per = sk.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").cast("long").alias("approx_users"),
+        "n_events",
+    )
+    total = sk.agg(
+        F.hll_union_agg("sk").alias("u"), F.sum("n_events").alias("n_events")
+    ).select(
+        F.lit("__total__").alias("event_type"),
+        F.hll_sketch_estimate("u").cast("long").alias("approx_users"),
+        F.col("n_events").cast("long"),
+    )
+    return per.unionByName(total).orderBy("event_type")
+
+
+def q_kll_quantiles(spark, sf_dir):
+    """Per-event-type p50/p90/p99 of `value` via a KLL quantile sketch
+    (k=200 → ±1.65% rank error at 99% confidence). The exact version
+    (q_percentiles) sorts every group; the KLL state is ~3 KB per group
+    regardless of row count and merges across partitions, so at 100 TB
+    this is the difference between a sort-based shuffle of the fact table
+    and a map-side digest.
+
+    Returned quantile values are actual retained data points (KLL is a
+    rank sketch, not an interpolator)."""
+    ev = _t(spark, sf_dir, "events")
+    sk = F.kll_sketch_agg_double("value", 200)
+    qs = F.kll_sketch_get_quantile_double(
+        sk, F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), qs.alias("qv"))
+        .select(
+            "event_type",
+            "n",
+            round6(F.element_at("qv", 1)).alias("p50"),
+            round6(F.element_at("qv", 2)).alias("p90"),
+            round6(F.element_at("qv", 3)).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_theta_overlap(spark, sf_dir):
+    """Token-vocabulary overlap between two corpus sources via Theta
+    sketches: |A|, |B|, |A∪B|, |A∩B|, |A\\B| and an approximate Jaccard —
+    the sketch algebra (union/intersection/difference on compact binary
+    state) that powers corpus-overlap / contamination dashboards where the
+    exact answer would shuffle every distinct shingle of both corpora.
+
+    Scale shape: one explode+partial-agg pass builds a per-source sketch;
+    the set algebra then runs on two ~16 KB blobs."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tokenize_ws(F.col("text"))).alias("tok")
+    ).filter(F.col("source").isin("src0", "src1"))
+    sk = toks.groupBy("source").agg(F.theta_sketch_agg("tok").alias("sk"))
+    a = sk.filter(F.col("source") == "src0").select(F.col("sk").alias("ska"))
+    b = sk.filter(F.col("source") == "src1").select(F.col("sk").alias("skb"))
+    est = F.theta_sketch_estimate
+    pair = a.crossJoin(b).select(
+        F.lit("src0").alias("source_a"),
+        F.lit("src1").alias("source_b"),
+        est(F.col("ska")).cast("long").alias("approx_a"),
+        est(F.col("skb")).cast("long").alias("approx_b"),
+        est(F.theta_union(F.col("ska"), F.col("skb"))).cast("long").alias("approx_union"),
+        est(F.theta_intersection(F.col("ska"), F.col("skb"))).cast("long").alias("approx_intersect"),
+        est(F.theta_difference(F.col("ska"), F.col("skb"))).cast("long").alias("approx_only_a"),
+    )
+    return pair.select(
+        "*",
+        micro6(
+            F.col("approx_intersect").cast("double") / F.col("approx_union")
+        ).alias("jaccard_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# offline retrieval evaluation (recall@k / MRR / nDCG)
+# ---------------------------------------------------------------------------
+
+# Rank-indexed constants precomputed ONCE in Python and embedded as literals
+# in BOTH engines, so no metric depends on either engine's log2/division
+# rounding: disc[r] = micro(1/log2(r+1)) (the nDCG discount), recip[r] =
+# micro(1/r) (the MRR reciprocal), for ranks 1..10.
+_EVAL_K = 10
+_DISC_MICRO = [
+    int((1_000_000.0 / math.log2(r + 1)) + 0.5) for r in range(1, _EVAL_K + 1)
+]
+_RECIP_MICRO = [int((1_000_000.0 / r) + 0.5) for r in range(1, _EVAL_K + 1)]
+_IDCG_MICRO = sum(_DISC_MICRO)  # |truth| = k always, so IDCG is constant
+_DISC_SQL = "[" + ", ".join(str(v) for v in _DISC_MICRO) + "]"
+_RECIP_SQL = "[" + ", ".join(str(v) for v in _RECIP_MICRO) + "]"
+
+
+def q_retrieval_metrics(spark, sf_dir):
+    """Offline retrieval evaluation: recall@10, MRR@10 and nDCG@10 of the
+    int8-quantized dot-product retriever measured against exact-cosine
+    ground truth, one row per query — the eval harness every embedding
+    pipeline runs before swapping in a cheaper index (the reference's
+    only correctness signal is eyeballing neighbors, SURVEY §5.1; this is
+    the quantitative version). Both legs are deterministic (integer int8
+    dot, micro-rounded cosine with id tie-breaks) and the rank-indexed
+    discount/reciprocal tables are Python-precomputed literals, so the
+    whole evaluation — unlike a float ANN — carries a FULL oracle.
+
+    Scale shape: one broadcast of the (small) query set over the corpus
+    scan, one shuffle on qid for the two rank windows (same partitioning,
+    one Exchange + two Sorts), then a partial-agg rollup to |Q| rows.
+    Corpus size only enters through the scan; no all-pairs work."""
+    emb = _t(spark, sf_dir, "embeddings")
+    embd = F.col("embedding").cast("array<double>")
+    mx = F.array_max(F.transform(embd, lambda x: F.abs(x)))
+    scale = F.when(mx > 0, F.lit(127.0) / mx).otherwise(F.lit(0.0))
+    q8 = F.transform(
+        embd,
+        lambda x: (
+            F.floor(F.abs(x) * scale + F.lit(0.5)) * F.when(x < 0, -1).otherwise(1)
+        ).cast("double"),
+    )
+    quant = emb.select("vec_id", "embedding", q8.alias("q8"))
+    qs = quant.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("q8").alias("qq8"),
+    )
+    scored = (
+        quant.filter(F.col("vec_id") >= 16)
+        .crossJoin(F.broadcast(qs))
+        .select(
+            "qid",
+            "vec_id",
+            micro6(cosine(F.col("embedding"), F.col("qv"))).alias("cos_micro"),
+            dot(F.col("q8"), F.col("qq8")).cast("long").alias("q_dot"),
+        )
+    )
+    w_truth = Window.partitionBy("qid").orderBy(
+        F.col("cos_micro").desc(), F.col("vec_id").asc()
+    )
+    w_sys = Window.partitionBy("qid").orderBy(
+        F.col("q_dot").desc(), F.col("vec_id").asc()
+    )
+    ranked = scored.select(
+        "qid",
+        F.row_number().over(w_truth).alias("truth_rank"),
+        F.row_number().over(w_sys).alias("sys_rank"),
+    ).filter((F.col("truth_rank") <= _EVAL_K) & (F.col("sys_rank") <= _EVAL_K))
+    disc = F.array(*[F.lit(v) for v in _DISC_MICRO])
+    recip = F.array(*[F.lit(v) for v in _RECIP_MICRO])
+    hits = F.count(F.lit(1)).cast("long")
+    dcg = F.sum(F.element_at(disc, F.col("sys_rank"))).cast("double")
+    return (
+        ranked.groupBy("qid")
+        .agg(
+            hits.alias("hits"),
+            F.max(F.element_at(recip, F.col("sys_rank"))).cast("long").alias("mrr_micro"),
+            micro6(dcg / F.lit(float(_IDCG_MICRO))).alias("ndcg_micro"),
+        )
+        .select(
+            "qid",
+            "hits",
+            (F.col("hits") * F.lit(1_000_000 // _EVAL_K)).cast("long").alias("recall_micro"),
+            "mrr_micro",
+            "ndcg_micro",
+        )
+        .orderBy("qid")
+    )
+
+
+_SQL_RETRIEVAL_METRICS = f"""
+WITH s AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS mx
+  FROM embeddings
+),
+quant AS (
+  SELECT vec_id, e,
+         list_transform(e, x ->
+           floor(abs(x) * (CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END) + 0.5)
+           * (CASE WHEN x < 0 THEN -1 ELSE 1 END)) AS q8
+  FROM s
+),
+scored AS (
+  SELECT q.vec_id AS qid, c.vec_id,
+         {_micro_sql("list_cosine_similarity(c.e, q.e)")} AS cos_micro,
+         CAST(list_dot_product(c.q8, q.q8) AS BIGINT) AS q_dot
+  FROM quant c CROSS JOIN quant q
+  WHERE q.vec_id < 16 AND c.vec_id >= 16
+),
+ranked AS (
+  SELECT qid,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_micro DESC, vec_id) AS truth_rank,
+         row_number() OVER (PARTITION BY qid ORDER BY q_dot DESC, vec_id) AS sys_rank
+  FROM scored
+),
+rel AS (
+  SELECT qid, sys_rank FROM ranked
+  WHERE truth_rank <= {_EVAL_K} AND sys_rank <= {_EVAL_K}
+)
+SELECT qid,
+       CAST(count(*) AS BIGINT) AS hits,
+       CAST(count(*) * {1_000_000 // _EVAL_K} AS BIGINT) AS recall_micro,
+       CAST(max(({_RECIP_SQL})[sys_rank]) AS BIGINT) AS mrr_micro,
+       {_micro_sql(f"CAST(sum(({_DISC_SQL})[sys_rank]) AS DOUBLE) / {_IDCG_MICRO}")} AS ndcg_micro
+FROM rel
+GROUP BY qid
+ORDER BY qid
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -5324,6 +5563,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_stream_event_window": q_stream_event_window,
     "q_stateful_totals": q_stateful_totals,
     "q_stateful_topk": q_stateful_topk,
+    # retrieval evaluation
+    "q_retrieval_metrics": q_retrieval_metrics,
+    # sketch aggregates (rows-only: no SQL twin for approximate estimates)
+    "q_hll_distinct": q_hll_distinct,
+    "q_kll_quantiles": q_kll_quantiles,
+    "q_theta_overlap": q_theta_overlap,
 }
 
 # Driver sampling rotation: the per-round correctness driver samples ~50
@@ -5497,4 +5742,5 @@ ORACLES: dict[str, str] = {
     "q_stream_event_window": _SQL_STREAM_EVENT_WINDOW,
     "q_stateful_totals": _SQL_STATEFUL_TOTALS,
     "q_stateful_topk": _SQL_STATEFUL_TOPK,
+    "q_retrieval_metrics": _SQL_RETRIEVAL_METRICS,
 }
