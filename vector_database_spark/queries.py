@@ -15,6 +15,8 @@ from __future__ import annotations
 import math
 from collections.abc import Callable
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -5168,6 +5170,105 @@ LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# Python UDTF / vectorized UDAF boundary (§2.E UDF/UDAF/UDTF row)
+# ---------------------------------------------------------------------------
+
+
+def q_udtf_ngrams(spark, sf_dir):
+    """Word-trigram expansion through a Python UDTF consumed via LATERAL —
+    the table-function third of the UDF/UDAF/UDTF surface. Tokenization
+    stays in the JVM (tokenize_ws both engines); the UDTF receives the
+    token array and emits one (pos, ngram) row per window, so the Python
+    boundary carries arrays, not raw text. Deterministic → FULL oracle.
+
+    Scale note: a per-row Python generator is the API-parity path; the
+    hot-path equivalent is the pure-codegen posexplode+slice shape used by
+    q_chunk_text / q_topngram_fraction. Docs are capped (doc_id < 50) to
+    bound the driver-side canonicalization, not the operator."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, ngram string")
+    class _NGrams:
+        def eval(self, toks):
+            n = 3
+            toks = list(toks or [])
+            for i in range(len(toks) - n + 1):
+                yield i, " ".join(toks[i : i + n])
+
+    spark.udtf.register("ngrams_udtf", _NGrams)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    docs.select("doc_id", tokenize_ws(F.col("text")).alias("tk")).createOrReplaceTempView(
+        "udtf_docs_v"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.ngram "
+        "FROM udtf_docs_v d, LATERAL ngrams_udtf(d.tk) t"
+    )
+
+
+_SQL_UDTF_NGRAMS = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS tk FROM documents WHERE doc_id < 50
+)
+SELECT doc_id, CAST(i AS INT) AS pos,
+       list_aggregate(tk[i + 1 : i + 3], 'string_agg', ' ') AS ngram
+FROM t, UNNEST(range(greatest(len(tk) - 2, 0))) AS u(i)
+"""
+
+
+def q_udaf_median(spark, sf_dir):
+    """Per-label median vector norm through a GROUPED_AGG pandas UDF — the
+    vectorized-UDAF third of the UDF surface (Arrow-batched, one Python
+    call per group, not per row). Inputs are micro-unit integers and the
+    output is 2×median (so the even-count midpoint interpolation stays an
+    exact integer), making the custom aggregate fully oracle-checkable.
+
+    Scale shape: grouped-agg UDFs co-locate each whole group (one shuffle
+    on label — no map-side partials, unlike built-in aggs); groups here
+    are label cardinality (10), each a bounded column batch. For an
+    algebraic median stand-in that DOES partial-aggregate, see
+    q_percentiles / q_corr_stats."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def median2x(v: pd.Series) -> int:
+        return int(round(float(v.median()) * 2.0))
+
+    # Spark disallows mixing grouped-agg pandas UDFs with built-in aggs in
+    # one agg(), so the group size is a pandas agg too
+    @pandas_udf("long")
+    def pd_count(v: pd.Series) -> int:
+        return len(v)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "label",
+        micro6(l2_norm(F.col("embedding").cast("array<double>"))).alias("norm_micro"),
+    )
+    return (
+        norms.groupBy("label")
+        .agg(
+            pd_count(F.col("norm_micro")).alias("n"),
+            median2x(F.col("norm_micro")).alias("median2x_micro"),
+        )
+        .orderBy("label")
+    )
+
+
+_SQL_UDAF_MEDIAN = f"""
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       CAST(2 * median(norm_micro) AS BIGINT) AS median2x_micro
+FROM (
+  SELECT label,
+         {_micro_sql("sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))")} AS norm_micro
+  FROM embeddings
+)
+GROUP BY label
+ORDER BY label
+"""
+
+
+# ---------------------------------------------------------------------------
 # sketch aggregates (DataSketches HLL / KLL / Theta — the 100 TB profiling kit)
 # ---------------------------------------------------------------------------
 # At 100 TB, exact COUNT(DISTINCT), exact percentiles, and exact set overlap
@@ -5569,6 +5670,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_hll_distinct": q_hll_distinct,
     "q_kll_quantiles": q_kll_quantiles,
     "q_theta_overlap": q_theta_overlap,
+    # Python UDTF / vectorized UDAF boundary
+    "q_udtf_ngrams": q_udtf_ngrams,
+    "q_udaf_median": q_udaf_median,
 }
 
 # Driver sampling rotation: the per-round correctness driver samples ~50
@@ -5743,4 +5847,6 @@ ORACLES: dict[str, str] = {
     "q_stateful_totals": _SQL_STATEFUL_TOTALS,
     "q_stateful_topk": _SQL_STATEFUL_TOPK,
     "q_retrieval_metrics": _SQL_RETRIEVAL_METRICS,
+    "q_udtf_ngrams": _SQL_UDTF_NGRAMS,
+    "q_udaf_median": _SQL_UDAF_MEDIAN,
 }
