@@ -188,3 +188,71 @@ def test_bm25_ranks_tf_and_rarity(spark):
     # only docs containing the term score; higher tf ranks first
     assert [r["doc_id"] for r in rows] == [1, 2]
     assert rows[0]["score"] > rows[1]["score"] > 0
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning vs a from-scratch reference implementation
+# ---------------------------------------------------------------------------
+
+
+def _ref_bpe(word_counts: dict[str, int], n_merges: int, min_pair_count: int = 2):
+    """Sennrich et al. 2016 reference: pair counting over word types,
+    greedy non-overlapping left-to-right merge, (count DESC, left ASC,
+    right ASC) argmax — the exact contract bpe_learn declares."""
+    vocab = {tuple(list(w) + ["</w>"]): c for w, c in word_counts.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pc: dict[tuple[str, str], int] = {}
+        for sym, c in vocab.items():
+            for i in range(len(sym) - 1):
+                pc[(sym[i], sym[i + 1])] = pc.get((sym[i], sym[i + 1]), 0) + c
+        if not pc:
+            break
+        (left, right), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if cnt < min_pair_count:
+            break
+        merges.append((rank, left, right, left + right, cnt))
+        out = {}
+        for sym, c in vocab.items():
+            ns: list[str] = []
+            for x in sym:
+                if ns and ns[-1] == left and x == right:
+                    ns[-1] = left + right
+                else:
+                    ns.append(x)
+            out[tuple(ns)] = out.get(tuple(ns), 0) + c
+        vocab = out
+    return merges
+
+
+def _word_counts(duck):
+    import re
+
+    rows = duck.sql("SELECT text FROM documents").fetchall()
+    wc: dict[str, int] = {}
+    for (text,) in rows:
+        for t in re.split(r"\s+", text.lower()):
+            if t:
+                wc[t] = wc.get(t, 0) + 1
+    return wc
+
+
+def test_bpe_learn_matches_reference(spark, duck):
+    from tests.conftest import SF_SMALL
+    from vector_database_spark.sources.tables import read_table
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    got = textops.bpe_learn(docs, n_merges=12)
+    want = _ref_bpe(_word_counts(duck), 12)
+    assert got == want
+
+
+def test_bpe_learn_known_answer(spark):
+    # 'low' x5, 'lowest' x2: first merges are driven by the shared prefix
+    docs = spark.createDataFrame(
+        [(1, "low low low low low lowest lowest")], "doc_id long, text string"
+    )
+    merges = textops.bpe_learn(docs, n_merges=3)
+    # l+o appears in all 7 word instances; then lo+w in all 7
+    assert merges[0][1:] == ("l", "o", "lo", 7)
+    assert merges[1][1:] == ("lo", "w", "low", 7)

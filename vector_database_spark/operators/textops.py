@@ -276,3 +276,88 @@ def pack_sequences(
         .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("sum_tokens"))
         .orderBy("shard", "bin_id")
     )
+
+
+BPE_EOW = "</w>"  # end-of-word marker (Sennrich et al. 2016 §3.2)
+
+
+def bpe_learn(
+    docs: DataFrame,
+    n_merges: int = 20,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+) -> list[tuple[int, str, str, str, int]]:
+    """Distributed BPE vocabulary learning (Sennrich et al. 2016): iterate
+    ``n_merges`` rounds of (count adjacent symbol pairs weighted by word
+    frequency → merge the most frequent pair in every word). The loop runs
+    on the WORD-TYPE table (distinct words + counts), not the corpus — the
+    classical formulation, and the reason this scales: a 100 TB corpus has
+    a bounded word-type table (tens of millions of rows), touched once to
+    build and then iterated in memory-sized rounds.
+
+    Deterministic: pair argmax tie-breaks (count DESC, left ASC, right
+    ASC); the per-word merge is a left-to-right greedy fold identical to
+    the reference regex replace (non-overlapping, no same-pass rescan).
+
+    Each round is two small jobs (pair count + argmax collect of ONE row)
+    plus a localCheckpoint that keeps the symbol column a flat projection
+    (20 stacked merge folds would otherwise collapse into one giant
+    codegen expression). Returns the merge table
+    [(rank, left, right, merged, pair_count)] — driver-sized by
+    definition (n_merges rows).
+
+    Reference twin: the WordLevel trainer this engine ships for D2
+    (transformer_sample.py:398-409) is frequency-pruned whole words; BPE
+    is the subword upgrade every modern LLM tokenizer actually uses.
+    """
+    words = (
+        docs.select(F.explode(tokenize_ws(F.col(text_col))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    # word -> initial symbol sequence: chars + end-of-word marker
+    # (split at every inter-char position: not at start, must be followed
+    # by a char — the (?=.) guard keeps end-of-string from producing a
+    # trailing empty symbol)
+    sym = F.concat(F.split(F.col("word"), "(?!^)(?=.)"), F.array(F.lit(BPE_EOW)))
+    table = words.select(F.col("wc"), sym.alias("sym")).localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            table.filter(F.size("sym") >= 2)
+            .select(
+                "wc",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(F.col("sym"), 1, F.size("sym") - 1).alias("l"),
+                        F.slice(F.col("sym"), 2, F.size("sym") - 1).alias("r"),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not pairs or pairs[0]["cnt"] < min_pair_count:
+            break
+        left, right, cnt = pairs[0]["l"], pairs[0]["r"], int(pairs[0]["cnt"])
+        merged = left + right
+        merges.append((rank, left, right, merged, cnt))
+        fold = F.aggregate(
+            F.col("sym"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (x == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        table = table.select("wc", fold.alias("sym")).localCheckpoint(eager=True)
+    return merges

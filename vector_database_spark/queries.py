@@ -5170,6 +5170,24 @@ LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# BPE subword vocabulary learning (iterative — the tokenizer-training twin)
+# ---------------------------------------------------------------------------
+
+
+def q_bpe_learn(spark, sf_dir):
+    """20 rounds of distributed BPE merge learning over the corpus
+    (operators/textops.py::bpe_learn — Sennrich et al. 2016 on the
+    word-type table). Iterative argmax-dependent rounds have no SQL twin
+    (each round's input depends on the previous round's winner), so this
+    is rows-only for the driver; tests/test_textops.py differential-tests
+    the merge sequence against a from-scratch Python reference BPE."""
+    merges = textops.bpe_learn(_t(spark, sf_dir, "documents"), n_merges=20)
+    return spark.createDataFrame(
+        merges, "merge_rank INT, left STRING, right STRING, merged STRING, pair_count LONG"
+    ).orderBy("merge_rank")
+
+
+# ---------------------------------------------------------------------------
 # Python UDTF / vectorized UDAF boundary (§2.E UDF/UDAF/UDTF row)
 # ---------------------------------------------------------------------------
 
@@ -5673,6 +5691,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Python UDTF / vectorized UDAF boundary
     "q_udtf_ngrams": q_udtf_ngrams,
     "q_udaf_median": q_udaf_median,
+    # iterative subword tokenizer training (rows-only: argmax-dependent loop)
+    "q_bpe_learn": q_bpe_learn,
 }
 
 # Driver sampling rotation: the per-round correctness driver samples ~50
