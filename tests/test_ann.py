@@ -329,3 +329,35 @@ def test_matryoshka_prefix_tradeoff_and_degenerate_exactness(emb):
         r["vec_id"] for r in knn.matryoshka_knn(emb, qv, k=5, prefix_dim=64).collect()
     ]
     assert full_ids == exact_ids
+
+
+def test_nsw_recall_at_5(emb):
+    # graph-index ANN (per-bucket NSW, beam ef=48): measure recall over 10
+    # queries vs the exact operator. A 4-bucket graph over 500 uniform
+    # vectors with ef≈10% of corpus should be near-exhaustive within each
+    # bucket — gate high
+    k = 5
+    queries = _query_vecs(emb)
+    res = ann.nsw_knn(emb, queries, k=k).collect()
+    by_q: dict[int, list[int]] = {}
+    for r in res:
+        by_q.setdefault(r["qid"], []).append(r["vec_id"])
+    hits = total = 0
+    for qid, qv in queries:
+        exact = set(_exact_ids(emb, qv, k))
+        hits += len(exact & set(by_q.get(qid, [])))
+        total += k
+    recall = hits / total
+    assert recall >= 0.9, f"NSW recall@5 = {recall}"
+
+
+def test_nsw_deterministic_and_exact_rowcount(emb):
+    queries = _query_vecs(emb, n=3)
+    a = [tuple(r) for r in ann.nsw_knn(emb, queries, k=5).collect()]
+    b = [tuple(r) for r in ann.nsw_knn(emb, queries, k=5).collect()]
+    assert a == b
+    assert len(a) == 3 * 5
+    # per-query results are score-descending with id tie-breaks
+    for qid in {t[0] for t in a}:
+        scores = [t[-1] for t in a if t[0] == qid]
+        assert scores == sorted(scores, reverse=True)

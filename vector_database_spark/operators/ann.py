@@ -18,6 +18,8 @@ correctness check, no DuckDB oracle (SURVEY §5.2).
 
 from __future__ import annotations
 
+import heapq
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -451,3 +453,137 @@ def pq_knn_rerank(
         emb_col=emb_col,
         payload_cols=payload_cols,
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph-index ANN: per-partition navigable-small-world (HNSW-class)
+# ---------------------------------------------------------------------------
+
+NSW_M = 8        # out-degree target on insert
+NSW_M_MAX = 16   # hard degree cap after bidirectional linking
+NSW_EF = 48      # search beam width (the recall knob — see STRESS.md curve)
+NSW_EF_CONSTRUCTION = 64  # build beam width (graph quality, paid once at ingest)
+
+
+def _nsw_build(X: "np.ndarray", M: int, ef: int):
+    """Incremental single-layer NSW construction (Malkov et al. 2014 —
+    the base layer of HNSW): insert points in order; each new point
+    beam-searches the current graph for its M nearest, links
+    bidirectionally, and over-degree nodes prune back to their M_MAX
+    closest. Returns adjacency as a list of int lists. X must be
+    L2-normalized rows; insertion order is the caller's (sorted by id →
+    deterministic)."""
+    n = X.shape[0]
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for i in range(1, n):
+        found = _nsw_search(X, adj, X[i], ef=max(ef, M), entry=0, n_nodes=i)
+        links = [j for _, j in found[:M]]
+        adj[i] = links
+        for j in links:
+            adj[j].append(i)
+            if len(adj[j]) > NSW_M_MAX:
+                d = ((X[adj[j]] - X[j]) ** 2).sum(axis=1)
+                keep = np.argsort(d, kind="stable")[:NSW_M_MAX]
+                adj[j] = [adj[j][t] for t in keep]
+    return adj
+
+
+def _nsw_search(X, adj, q, ef: int, entry: int, n_nodes: int):
+    """Best-first beam search over the graph: maintain a candidate heap
+    and a bounded result heap of size ef; expand the closest unexpanded
+    candidate until it is farther than the worst result. Ties break on
+    node id (deterministic). Returns [(dist, node)] sorted ascending."""
+    d0 = float(((X[entry] - q) ** 2).sum())
+    visited = {entry}
+    cand = [(d0, entry)]           # min-heap: closest first
+    result = [(-d0, entry)]        # max-heap (negated): worst first
+    while cand:
+        d, u = heapq.heappop(cand)
+        if -result[0][0] < d and len(result) >= ef:
+            break
+        neigh = [v for v in adj[u] if v < n_nodes and v not in visited]
+        if not neigh:
+            continue
+        visited.update(neigh)
+        dists = ((X[neigh] - q) ** 2).sum(axis=1)
+        for dv, v in zip(dists, neigh):
+            dv = float(dv)
+            if len(result) < ef or dv < -result[0][0]:
+                heapq.heappush(cand, (dv, v))
+                heapq.heappush(result, (-dv, v))
+                if len(result) > ef:
+                    heapq.heappop(result)
+    return sorted((-nd, v) for nd, v in result)
+
+
+def nsw_knn(
+    embeddings: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+    n_buckets: int = 4,
+    M: int = NSW_M,
+    ef: int = NSW_EF,
+    ef_construction: int = NSW_EF_CONSTRUCTION,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    payload_cols: tuple[str, ...] = ("label",),
+) -> DataFrame:
+    """HNSW-class graph ANN, Spark-shaped: the corpus is hash-bucketed,
+    each bucket builds an in-memory NSW graph and beam-searches every
+    query (one applyInPandas pass — build cost amortizes over the query
+    batch), and the per-bucket top-k merge to a global top-k per query.
+    This is exactly how segment-local HNSW ships in production systems
+    (Lucene/Elasticsearch build one graph per immutable segment and merge
+    per-segment results): the graph never needs to span executors, and
+    each bucket's memory is corpus/n_buckets — pick n_buckets so a
+    bucket's vectors fit one executor. At 100 TB the graphs would be
+    built ONCE at ingest and persisted; here build+search are fused
+    because the fixture rebuild is cheap.
+
+    Deterministic (insertion order + tie-breaks on id) but approximate →
+    rows-only; recall gated in tests/test_ann.py. Scores are cosine
+    similarities recomputed exactly for the returned candidates."""
+    import pandas as pd
+
+    qids = [int(q[0]) for q in queries]
+    qmat = np.stack([np.asarray(q[1], dtype=np.float64) for q in queries])
+    qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qmat = qmat / np.where(qnorm == 0, 1.0, qnorm)
+
+    out_schema = f"qid long, {id_col} long, score double"
+    pay = list(payload_cols)
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        X = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        X = X / np.where(norms == 0, 1.0, norms)
+        adj = _nsw_build(X, M=M, ef=ef_construction)
+        rows = []
+        for qi, qv in zip(qids, qmat):
+            found = _nsw_search(X, adj, qv, ef=max(ef, k), entry=0, n_nodes=len(adj))
+            for _, node in found[:k]:
+                rows.append(
+                    (qi, int(pdf[id_col].iloc[node]), float(X[node] @ qv))
+                )
+        return pd.DataFrame(rows, columns=["qid", id_col, "score"])
+
+    bucketed = embeddings.select(
+        id_col, emb_col, (F.pmod(F.xxhash64(F.col(id_col)), n_buckets)).alias("_b")
+    )
+    per = bucketed.groupBy("_b").applyInPandas(per_bucket, out_schema)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    topk = (
+        per.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    if pay:
+        # payload fetch for the k×|queries| winners only: broadcast the
+        # tiny result side against the collection scan
+        topk = embeddings.select(id_col, *pay).join(F.broadcast(topk), id_col)
+    return topk.select(
+        "qid", id_col, *pay, round6(F.col("score")).alias("score")
+    ).orderBy("qid", F.col("score").desc(), F.col(id_col).asc())

@@ -5170,6 +5170,26 @@ LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# graph-index ANN (per-bucket NSW — the HNSW-class answer)
+# ---------------------------------------------------------------------------
+
+
+def q_knn_nsw(spark, sf_dir):
+    """B8 graph-index variant: top-5 for three query vectors via
+    per-bucket navigable-small-world graphs (operators/ann.py::nsw_knn) —
+    the Spark-shaped equivalent of Qdrant's server-side HNSW
+    (compose.yaml:2-12): one graph per hash bucket (= per segment, as
+    Lucene does), beam search in each, per-query merge of bucket top-ks.
+    Approximate → rows-only; recall@5 gated >= 0.9 in tests/test_ann.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id").isin(0, 7, 11)).collect()
+    ]
+    return ann.nsw_knn(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
 # BPE subword vocabulary learning (iterative — the tokenizer-training twin)
 # ---------------------------------------------------------------------------
 
@@ -5693,6 +5713,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_udaf_median": q_udaf_median,
     # iterative subword tokenizer training (rows-only: argmax-dependent loop)
     "q_bpe_learn": q_bpe_learn,
+    # graph-index ANN (rows-only: approximate)
+    "q_knn_nsw": q_knn_nsw,
 }
 
 # Driver sampling rotation: the per-round correctness driver samples ~50
