@@ -4554,6 +4554,31 @@ FROM ent
 """
 
 
+def q_stream_interval_join(spark, sf_dir):
+    """Stream-stream interval join (view→click attribution within 30
+    minutes), both sides watermarked — the join state stays bounded by
+    watermark+interval at any stream length. Inner joins emit on match,
+    so the appended result equals the batch join: FULL oracle (see
+    streaming/events.py::stream_interval_join)."""
+    return streaming_events.stream_interval_join(spark, sf_dir)
+
+
+_SQL_STREAM_INTERVAL_JOIN = """
+SELECT v.user_id,
+       v.event_id AS view_id,
+       c.event_id AS click_id,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_time,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_time,
+       round(c.value, 6) AS click_value
+FROM events v
+JOIN events c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts
+ AND c.ts <= v.ts + INTERVAL '30 minutes'
+WHERE v.event_type = 'view' AND c.event_type = 'click'
+"""
+
+
 def q_stream_session_window(spark, sf_dir):
     """Streaming session windows, APPEND mode: the watermark actually
     gates emission — sessions whose window end is above (max event time −
@@ -5700,6 +5725,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_frame_sample": q_frame_sample,
     # streaming
     "q_stream_event_window": q_stream_event_window,
+    "q_stream_interval_join": q_stream_interval_join,
     "q_stateful_totals": q_stateful_totals,
     "q_stateful_topk": q_stateful_topk,
     # retrieval evaluation
@@ -5891,4 +5917,5 @@ ORACLES: dict[str, str] = {
     "q_retrieval_metrics": _SQL_RETRIEVAL_METRICS,
     "q_udtf_ngrams": _SQL_UDTF_NGRAMS,
     "q_udaf_median": _SQL_UDAF_MEDIAN,
+    "q_stream_interval_join": _SQL_STREAM_INTERVAL_JOIN,
 }

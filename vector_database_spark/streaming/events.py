@@ -378,3 +378,69 @@ def stream_upsert_collection(spark: SparkSession, sf_dir: str, collection) -> in
     )
     q.awaitTermination()
     return batches["n"]
+
+
+def stream_interval_join(
+    spark: SparkSession,
+    sf_dir: str,
+    interval: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream event-time INTERVAL join: views joined to the same
+    user's clicks landing within ``interval`` after the view, both sides
+    watermarked — the attribution-join shape (ad view → click credit).
+    The time-range predicate is what lets Structured Streaming bound the
+    join state: each side keeps only rows younger than watermark +
+    interval, so state is O(rate × window), not O(stream). Inner joins
+    emit on match (the watermark gates state eviction, not emission), so
+    the final appended table equals the batch join exactly — giving this
+    streaming query a FULL oracle.
+    """
+    name = "ivj_out_" + uuid.uuid4().hex[:8]
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("value"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            "user_id = c_user_id AND "
+            f"click_ts >= view_ts AND click_ts <= view_ts + interval {interval}"
+        ),
+        "inner",
+    ).select(
+        "user_id",
+        "view_id",
+        "click_id",
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_time"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_time"),
+        F.round(F.col("value"), 6).alias("click_value"),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
