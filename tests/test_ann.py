@@ -361,3 +361,26 @@ def test_nsw_deterministic_and_exact_rowcount(emb):
     for qid in {t[0] for t in a}:
         scores = [t[-1] for t in a if t[0] == qid]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_nsw_persisted_index_matches_fused(spark, emb, tmp_path):
+    # build-once layout: persisted graph search must return the same
+    # ids/scores as the fused build+search operator, and the read must
+    # prune to bucket partitions
+    path = str(tmp_path / "nsw_idx")
+    ann.nsw_index_write(emb, path, n_buckets=4)
+    queries = _query_vecs(emb, n=4)
+    fused = [
+        (r["qid"], r["vec_id"], r["score"])
+        for r in ann.nsw_knn(emb, queries, k=5, payload_cols=()).collect()
+    ]
+    persisted = [
+        (r["qid"], r["vec_id"], r["score"])
+        for r in ann.nsw_search_index(spark, path, queries, k=5).collect()
+    ]
+    assert persisted == fused
+    # adjacency stored as ids with bounded degree
+    idx = spark.read.parquet(path)
+    import pyspark.sql.functions as F2
+
+    assert idx.filter(F2.size("neighbors") > ann.NSW_M_MAX).count() == 0

@@ -587,3 +587,92 @@ def nsw_knn(
     return topk.select(
         "qid", id_col, *pay, round6(F.col("score")).alias("score")
     ).orderBy("qid", F.col("score").desc(), F.col(id_col).asc())
+
+
+def nsw_index_write(
+    embeddings: DataFrame,
+    path: str,
+    n_buckets: int = 4,
+    M: int = NSW_M,
+    ef_construction: int = NSW_EF_CONSTRUCTION,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> None:
+    """Materialize the per-bucket NSW graphs as a bucket-partitioned
+    Parquet layout: (vec_id, embedding, neighbors ARRAY<BIGINT>) under
+    ``_b=<bucket>/`` dirs — the build-once-at-ingest half of the graph
+    index. Neighbor lists store ids (not positions), so the layout
+    survives re-reads in any row order; adjacency adds ≤ M_MAX longs per
+    row (~128 bytes next to a 256-byte vector). Searches then prune to
+    whole bucket partitions and never rebuild anything."""
+    import pandas as pd
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        X = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        X = X / np.where(norms == 0, 1.0, norms)
+        adj = _nsw_build(X, M=M, ef=ef_construction)
+        ids = pdf[id_col].to_numpy()
+        pdf = pdf.copy()
+        pdf["neighbors"] = [[int(ids[j]) for j in row] for row in adj]
+        return pdf
+
+    bucketed = embeddings.select(
+        id_col, emb_col, (F.pmod(F.xxhash64(F.col(id_col)), n_buckets)).alias("_b")
+    )
+    out_schema = f"{id_col} long, {emb_col} array<float>, _b int, neighbors array<long>"
+    built = bucketed.groupBy("_b").applyInPandas(build, out_schema)
+    built.write.mode("overwrite").partitionBy("_b").parquet(path)
+
+
+def nsw_search_index(
+    spark,
+    path: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+    ef: int = NSW_EF,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Beam-search a persisted NSW index (written by nsw_index_write):
+    each bucket partition loads its (vectors, adjacency) columns, maps
+    stored neighbor ids back to positions, and runs the same beam as the
+    fused operator — paying ZERO build cost per query batch. Entry point
+    is the bucket's minimum id (the fused build's first-inserted node),
+    so results are identical to nsw_knn over the same corpus."""
+    import pandas as pd
+
+    qids = [int(q[0]) for q in queries]
+    qmat = np.stack([np.asarray(q[1], dtype=np.float64) for q in queries])
+    qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qmat = qmat / np.where(qnorm == 0, 1.0, qnorm)
+
+    def search(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        X = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        X = X / np.where(norms == 0, 1.0, norms)
+        pos = {int(v): i for i, v in enumerate(pdf[id_col].to_numpy())}
+        adj = [
+            [pos[int(nb)] for nb in row if int(nb) in pos]
+            for row in pdf["neighbors"].to_numpy()
+        ]
+        rows = []
+        for qi, qv in zip(qids, qmat):
+            found = _nsw_search(X, adj, qv, ef=max(ef, k), entry=0, n_nodes=len(adj))
+            for _, node in found[:k]:
+                rows.append((qi, int(pdf[id_col].iloc[node]), float(X[node] @ qv)))
+        return pd.DataFrame(rows, columns=["qid", id_col, "score"])
+
+    idx = spark.read.parquet(path)
+    per = idx.groupBy("_b").applyInPandas(search, f"qid long, {id_col} long, score double")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        per.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("qid", id_col, round6(F.col("score")).alias("score"))
+        .orderBy("qid", F.col("score").desc(), F.col(id_col).asc())
+    )
