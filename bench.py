@@ -71,10 +71,12 @@ BENCH_QUERIES = [
     "q_semdedup",
     "q_matryoshka",
     "q_knn_ivfpq",
-    # round 3b: retrieval eval harness + sketch profiling
+    # round 3b: retrieval eval harness + sketch profiling + graph ANN + BPE
     "q_retrieval_metrics",
     "q_hll_distinct",
     "q_theta_overlap",
+    "q_knn_nsw",
+    "q_bpe_learn",
 ]
 
 
