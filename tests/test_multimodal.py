@@ -81,3 +81,32 @@ def test_sample_frames_stride(spark):
     for did, n_frames in per_doc.items():
         expect = (lens[did] + 31) // 32
         assert n_frames == expect
+
+
+def test_resize_fake_geometry_known_answer(spark):
+    from vector_database_spark.sources import multimodal
+
+    df = spark.createDataFrame([(1, "abcdefgh")], "doc_id long, text string")
+    out = multimodal.resize_image(
+        multimodal.binary_from_text(df), out_w=2, out_h=2
+    ).collect()
+    # n=8, first=ord('a')=97 -> W=(97%64)+1=34, H=(8%64)+1=9
+    # p=0:(r0,c0) idx=0 -> 'a'(97); p=1:(r0,c1) idx=0*34+1*34//2=17 -> clamp 7 'h'
+    # p=2:(r1,c0) idx=(1*9//2)*34=136 -> clamp 7; p=3: idx=136+17 -> clamp 7
+    assert out[0]["pixels"] == "97 104 104 104"
+
+
+@pytest.mark.skipif(not _pillow_available(), reason="Pillow not installed")
+def test_resize_with_pillow_contract(spark):
+    import io
+
+    from PIL import Image  # type: ignore[import-not-found]
+
+    from vector_database_spark.sources import multimodal
+
+    buf = io.BytesIO()
+    Image.new("L", (16, 16), color=128).save(buf, format="PNG")
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))], "doc_id long, blob binary")
+    out = multimodal.resize_image(df, out_w=4, out_h=4, use_pillow=True).collect()
+    vals = [int(v) for v in out[0]["pixels"].split()]
+    assert len(vals) == 16 and all(v == 128 for v in vals)

@@ -1621,6 +1621,38 @@ FROM b
 """
 
 
+def q_resize_image(spark, sf_dir):
+    """Multimodal RESIZE stage: nearest-neighbor 8×8 downsample of each
+    blob in its decoded W×H geometry (sources/multimodal.py::resize_image,
+    mapInPandas). The fake geometry is pure byte arithmetic, so the
+    Arrow-batch boundary itself is differential-tested against an
+    ascii/substr SQL twin — a full oracle on a multimodal operator."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.resize_image(multimodal.binary_from_text(docs))
+
+
+# same ASCII equivalence note as _SQL_FRAME_SAMPLE below; idx formula is
+# ((p//8) * H // 8) * W + ((p%8) * W // 8), clamped to n-1, 1-based substr
+_SQL_RESIZE_IMAGE = """
+WITH b AS (
+  SELECT doc_id, octet_length(encode(text)) AS n,
+         ascii(substr(text, 1, 1)) AS first, text
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN n = 0 THEN '' ELSE array_to_string(
+         list_transform(range(64), p ->
+           ascii(substr(text,
+             CAST(least(
+               ((p // 8) * ((n % 64) + 1) // 8) * ((first % 64) + 1)
+                 + ((p % 8) * ((first % 64) + 1) // 8),
+               n - 1) AS INT) + 1,
+             1))),
+         ' ') END AS pixels
+FROM b
+"""
+
+
 def q_frame_sample(spark, sf_dir):
     """Frame-sampling stub: one row per 32-byte 'frame' offset."""
     docs = _t(spark, sf_dir, "documents")
@@ -5723,6 +5755,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # multimodal
     "q_multimodal_meta": q_multimodal_meta,
     "q_frame_sample": q_frame_sample,
+    "q_resize_image": q_resize_image,
     # streaming
     "q_stream_event_window": q_stream_event_window,
     "q_stream_interval_join": q_stream_interval_join,
@@ -5911,6 +5944,7 @@ ORACLES: dict[str, str] = {
     "q_batch_ids": _SQL_BATCH_IDS,
     "q_multimodal_meta": _SQL_MULTIMODAL_META,
     "q_frame_sample": _SQL_FRAME_SAMPLE,
+    "q_resize_image": _SQL_RESIZE_IMAGE,
     "q_stream_event_window": _SQL_STREAM_EVENT_WINDOW,
     "q_stateful_totals": _SQL_STATEFUL_TOTALS,
     "q_stateful_topk": _SQL_STATEFUL_TOPK,

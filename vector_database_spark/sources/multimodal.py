@@ -162,3 +162,62 @@ def sample_frames(
     return blobs.select(id_col, blob_col).mapInPandas(
         _sample, "doc_id bigint, frame_off bigint, frame_val bigint"
     )
+
+
+def resize_image(
+    blobs: DataFrame,
+    out_w: int = 8,
+    out_h: int = 8,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+    use_pillow: bool = False,
+) -> DataFrame:
+    """Nearest-neighbor image resize over binary columns via mapInPandas —
+    the multimodal RESIZE stage (vector_db.py:31-40 preprocesses to a
+    fixed geometry before embedding). The blob is interpreted in its
+    decoded W×H geometry (decode_image_fake's deterministic dims in this
+    container; the Pillow branch decodes and resizes for real with the
+    same output contract) and sampled to a fixed ``out_w×out_h`` grid:
+    pixel(r,c) = byte[min(floor(r*H/out_h)*W + floor(c*W/out_w), n-1)].
+
+    Output pixels serialize to a space-joined string (driver-side
+    canonicalization cannot sort list cells — FIXTURES.md rule). Because
+    the fake geometry is pure byte arithmetic, this mapInPandas operator
+    carries a FULL DuckDB oracle (ascii/substr twin) — rare for the
+    multimodal family and a direct differential test of the Arrow batch
+    boundary."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(b: bytes) -> str:
+            n = len(b)
+            if n == 0:
+                return ""
+            if use_pillow:
+                import io
+
+                from PIL import Image  # type: ignore[import-not-found]
+
+                img = Image.open(io.BytesIO(b)).convert("L")
+                small = img.resize((out_w, out_h), Image.NEAREST)
+                return " ".join(str(v) for v in small.getdata())
+            first = b[0]
+            w = (first % 64) + 1
+            h = (n % 64) + 1
+            vals = []
+            for p in range(out_w * out_h):
+                r, c = p // out_w, p % out_w
+                idx = (r * h // out_h) * w + (c * w // out_w)
+                vals.append(b[min(idx, n - 1)])
+            return " ".join(str(v) for v in vals)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "pixels": [one(bytes(b)) for b in pdf[blob_col]],
+                }
+            )
+
+    return blobs.select(id_col, blob_col).mapInPandas(
+        _resize, "doc_id bigint, pixels string"
+    )
