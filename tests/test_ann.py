@@ -365,8 +365,8 @@ def test_nsw_deterministic_and_exact_rowcount(emb):
 
 def test_nsw_persisted_index_matches_fused(spark, emb, tmp_path):
     # build-once layout: persisted graph search must return the same
-    # ids/scores as the fused build+search operator, and the read must
-    # prune to bucket partitions
+    # ids/scores as the fused build+search operator (shared prep/search
+    # helpers pin the sort key, normalization and entry rule)
     path = str(tmp_path / "nsw_idx")
     ann.nsw_index_write(emb, path, n_buckets=4)
     queries = _query_vecs(emb, n=4)

@@ -94,7 +94,8 @@ def main() -> None:
         "Hash-deterministic 64-d vectors (uniform — the worst case for any\n"
         "ANN), 16 corpus-member queries, M=8 ef=48. One NSW graph per hash\n"
         "bucket, beam search per bucket, global merge; the exact column is\n"
-        "16 sequential two-phase exact searches for contrast. Build+search\n"
+        "16 sequential exact top-k scans (TakeOrderedAndProject) for\n"
+        "contrast. Build+search\n"
         "are fused in this probe; a production layout builds graphs once\n"
         "at ingest and only pays beam search per query.\n\n"
         "Search beam `ef` is the recall knob: uniform-random data is the\n"

@@ -460,19 +460,21 @@ def pq_knn_rerank(
 # ---------------------------------------------------------------------------
 
 NSW_M = 8        # out-degree target on insert
-NSW_M_MAX = 16   # hard degree cap after bidirectional linking
+NSW_M_MAX = 16   # degree cap after bidirectional linking (2×M, HNSW convention)
 NSW_EF = 48      # search beam width (the recall knob — see STRESS.md curve)
 NSW_EF_CONSTRUCTION = 64  # build beam width (graph quality, paid once at ingest)
 
 
-def _nsw_build(X: "np.ndarray", M: int, ef: int):
+def _nsw_build(X: "np.ndarray", M: int, ef: int, m_max: int | None = None):
     """Incremental single-layer NSW construction (Malkov et al. 2014 —
     the base layer of HNSW): insert points in order; each new point
     beam-searches the current graph for its M nearest, links
-    bidirectionally, and over-degree nodes prune back to their M_MAX
-    closest. Returns adjacency as a list of int lists. X must be
-    L2-normalized rows; insertion order is the caller's (sorted by id →
-    deterministic)."""
+    bidirectionally, and over-degree nodes prune back to their ``m_max``
+    (default 2×M, the HNSW convention — scales with the caller's M
+    instead of a fixed cap) closest. Returns adjacency as a list of int
+    lists. X must be L2-normalized rows; insertion order is the caller's
+    (sorted by id → deterministic)."""
+    m_max = 2 * M if m_max is None else m_max
     n = X.shape[0]
     adj: list[list[int]] = [[] for _ in range(n)]
     for i in range(1, n):
@@ -481,11 +483,54 @@ def _nsw_build(X: "np.ndarray", M: int, ef: int):
         adj[i] = links
         for j in links:
             adj[j].append(i)
-            if len(adj[j]) > NSW_M_MAX:
+            if len(adj[j]) > m_max:
                 d = ((X[adj[j]] - X[j]) ** 2).sum(axis=1)
-                keep = np.argsort(d, kind="stable")[:NSW_M_MAX]
+                keep = np.argsort(d, kind="stable")[:m_max]
                 adj[j] = [adj[j][t] for t in keep]
     return adj
+
+
+def _bucket_arrays(pdf, id_col: str, emb_col: str):
+    """Shared per-bucket prep for build AND search: sort by id (the
+    deterministic insertion order and the entry-point rule — position 0 =
+    min id) and L2-normalize. Fused/persisted result equality rests on
+    both paths using exactly this."""
+    pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+    X = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    return pdf, X / np.where(norms == 0, 1.0, norms)
+
+
+def _normalize_queries(queries: list[tuple[int, list[float]]]):
+    qids = [int(q[0]) for q in queries]
+    qmat = np.stack([np.asarray(q[1], dtype=np.float64) for q in queries])
+    qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
+    return qids, qmat / np.where(qnorm == 0, 1.0, qnorm)
+
+
+def _search_bucket(pdf, X, adj, qids, qmat, k: int, ef: int, id_col: str):
+    """Beam-search every query against one bucket's graph; exact cosine
+    (normalized dot) recomputed for emitted candidates."""
+    import pandas as pd
+
+    rows = []
+    for qi, qv in zip(qids, qmat):
+        found = _nsw_search(X, adj, qv, ef=max(ef, k), entry=0, n_nodes=len(adj))
+        for _, node in found[:k]:
+            rows.append((qi, int(pdf[id_col].iloc[node]), float(X[node] @ qv)))
+    return pd.DataFrame(rows, columns=["qid", id_col, "score"])
+
+
+def _merge_bucket_topk(per: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Global per-query top-k over the per-bucket winners."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        per.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
 
 
 def _nsw_search(X, adj, q, ef: int, entry: int, n_nodes: int):
@@ -543,43 +588,21 @@ def nsw_knn(
     Deterministic (insertion order + tie-breaks on id) but approximate →
     rows-only; recall gated in tests/test_ann.py. Scores are cosine
     similarities recomputed exactly for the returned candidates."""
-    import pandas as pd
-
-    qids = [int(q[0]) for q in queries]
-    qmat = np.stack([np.asarray(q[1], dtype=np.float64) for q in queries])
-    qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
-    qmat = qmat / np.where(qnorm == 0, 1.0, qnorm)
-
-    out_schema = f"qid long, {id_col} long, score double"
+    qids, qmat = _normalize_queries(queries)
     pay = list(payload_cols)
 
-    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
-        X = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(X, axis=1, keepdims=True)
-        X = X / np.where(norms == 0, 1.0, norms)
+    def per_bucket(pdf):
+        pdf, X = _bucket_arrays(pdf, id_col, emb_col)
         adj = _nsw_build(X, M=M, ef=ef_construction)
-        rows = []
-        for qi, qv in zip(qids, qmat):
-            found = _nsw_search(X, adj, qv, ef=max(ef, k), entry=0, n_nodes=len(adj))
-            for _, node in found[:k]:
-                rows.append(
-                    (qi, int(pdf[id_col].iloc[node]), float(X[node] @ qv))
-                )
-        return pd.DataFrame(rows, columns=["qid", id_col, "score"])
+        return _search_bucket(pdf, X, adj, qids, qmat, k, ef, id_col)
 
     bucketed = embeddings.select(
         id_col, emb_col, (F.pmod(F.xxhash64(F.col(id_col)), n_buckets)).alias("_b")
     )
-    per = bucketed.groupBy("_b").applyInPandas(per_bucket, out_schema)
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col(id_col).asc())
-    topk = (
-        per.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
+    per = bucketed.groupBy("_b").applyInPandas(
+        per_bucket, f"qid long, {id_col} long, score double"
     )
+    topk = _merge_bucket_topk(per, k, id_col)
     if pay:
         # payload fetch for the k×|queries| winners only: broadcast the
         # tiny result side against the collection scan
@@ -602,16 +625,15 @@ def nsw_index_write(
     Parquet layout: (vec_id, embedding, neighbors ARRAY<BIGINT>) under
     ``_b=<bucket>/`` dirs — the build-once-at-ingest half of the graph
     index. Neighbor lists store ids (not positions), so the layout
-    survives re-reads in any row order; adjacency adds ≤ M_MAX longs per
-    row (~128 bytes next to a 256-byte vector). Searches then prune to
-    whole bucket partitions and never rebuild anything."""
-    import pandas as pd
+    survives re-reads in any row order; adjacency adds ≤ 2M longs per
+    row (~128 bytes next to a 256-byte vector at the defaults). Searches
+    never rebuild anything; every bucket is searched per query batch (a
+    query's neighbors can live in ANY bucket — the partitioning is for
+    parallelism and per-executor memory sizing, not pruning), with the
+    per-bucket work bounded by the beam, not the bucket size."""
 
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
-        X = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(X, axis=1, keepdims=True)
-        X = X / np.where(norms == 0, 1.0, norms)
+    def build(pdf):
+        pdf, X = _bucket_arrays(pdf, id_col, emb_col)
         adj = _nsw_build(X, M=M, ef=ef_construction)
         ids = pdf[id_col].to_numpy()
         pdf = pdf.copy()
@@ -640,39 +662,22 @@ def nsw_search_index(
     stored neighbor ids back to positions, and runs the same beam as the
     fused operator — paying ZERO build cost per query batch. Entry point
     is the bucket's minimum id (the fused build's first-inserted node),
-    so results are identical to nsw_knn over the same corpus."""
-    import pandas as pd
+    so results are identical to nsw_knn over the same corpus. As in the
+    fused operator, all buckets are searched (the layout is a parallelism
+    unit, not a pruning key)."""
+    qids, qmat = _normalize_queries(queries)
 
-    qids = [int(q[0]) for q in queries]
-    qmat = np.stack([np.asarray(q[1], dtype=np.float64) for q in queries])
-    qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
-    qmat = qmat / np.where(qnorm == 0, 1.0, qnorm)
-
-    def search(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
-        X = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(X, axis=1, keepdims=True)
-        X = X / np.where(norms == 0, 1.0, norms)
+    def search(pdf):
+        pdf, X = _bucket_arrays(pdf, id_col, emb_col)
         pos = {int(v): i for i, v in enumerate(pdf[id_col].to_numpy())}
         adj = [
             [pos[int(nb)] for nb in row if int(nb) in pos]
             for row in pdf["neighbors"].to_numpy()
         ]
-        rows = []
-        for qi, qv in zip(qids, qmat):
-            found = _nsw_search(X, adj, qv, ef=max(ef, k), entry=0, n_nodes=len(adj))
-            for _, node in found[:k]:
-                rows.append((qi, int(pdf[id_col].iloc[node]), float(X[node] @ qv)))
-        return pd.DataFrame(rows, columns=["qid", id_col, "score"])
+        return _search_bucket(pdf, X, adj, qids, qmat, k, ef, id_col)
 
     idx = spark.read.parquet(path)
     per = idx.groupBy("_b").applyInPandas(search, f"qid long, {id_col} long, score double")
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col(id_col).asc())
-    return (
-        per.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .select("qid", id_col, round6(F.col("score")).alias("score"))
-        .orderBy("qid", F.col("score").desc(), F.col(id_col).asc())
-    )
+    return _merge_bucket_topk(per, k, id_col).select(
+        "qid", id_col, round6(F.col("score")).alias("score")
+    ).orderBy("qid", F.col("score").desc(), F.col(id_col).asc())

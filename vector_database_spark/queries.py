@@ -5778,9 +5778,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # Driver sampling rotation: the per-round correctness driver samples ~50
 # registry entries per round, and rounds 1+2 externally confirmed these 85
-# of the 139. Rotate them to the BACK of the registry (stable within each
-# group) so a prefix-biased round-3 sample reaches the 54 queries that are
-# so far only covered by the local parity suite.
+# entries (registry now 151 after the round-3 additions, so 66 entries
+# remain driver-unconfirmed). Rotate the confirmed set to the BACK of the
+# registry (stable within each group) so a prefix-biased round-3 sample
+# reaches queries so far covered only by the local parity suite.
 _DRIVER_CONFIRMED_R1_R2 = frozenset({
     "q_upsert_latest_wins", "q_collection_stats", "q_knn_topk", "q_knn_top1",
     "q_knn_score_payload", "q_knn_raw_vector", "q_knn_batch", "q_knn_filtered",
