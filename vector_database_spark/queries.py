@@ -5227,6 +5227,60 @@ LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# Z-order layout (multi-dimensional data skipping)
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 10
+
+
+def q_zorder_key(spark, sf_dir):
+    """Morton/Z-order key over (user bucket, event hour) — the
+    multi-column clustering key behind Delta/Iceberg OPTIMIZE ZORDER BY:
+    range-partitioning by this key keeps per-file min/max narrow in BOTH
+    dimensions, so 2-d box predicates (and predicates on the non-leading
+    dimension alone) prune files that a linear sort cannot
+    (operators/relational.py::zorder_key; the skipping win is measured
+    from real parquet footers in tests/test_relational.py). Pure bit
+    arithmetic → FULL oracle."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    ux = F.pmod(F.col("user_id"), 1024)
+    tx = F.pmod(F.floor(F.col("ts").cast("long") / 3600), 1024)
+    keyed = ev.select(
+        "event_id",
+        ux.cast("long").alias("ux"),
+        tx.cast("long").alias("tx"),
+    )
+    return keyed.select(
+        "event_id",
+        "ux",
+        "tx",
+        relational.zorder_key(F.col("ux"), F.col("tx"), _Z_BITS).alias("zkey"),
+    ).orderBy("event_id")
+
+
+def _zorder_sql_expr(a: str, b: str, bits: int) -> str:
+    terms = []
+    for j in range(bits):
+        terms.append(f"((({a} >> {j}) & 1) << {2 * j})")
+        terms.append(f"((({b} >> {j}) & 1) << {2 * j + 1})")
+    return " + ".join(terms)
+
+
+_SQL_ZORDER_KEY = f"""
+WITH k AS (
+  SELECT event_id,
+         CAST(user_id % 1024 AS BIGINT) AS ux,
+         CAST(floor(epoch(ts) / 3600) % 1024 AS BIGINT) AS tx
+  FROM events WHERE event_id < 2000
+)
+SELECT event_id, ux, tx,
+       CAST({_zorder_sql_expr('ux', 'tx', _Z_BITS)} AS BIGINT) AS zkey
+FROM k
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # graph-index ANN (per-bucket NSW — the HNSW-class answer)
 # ---------------------------------------------------------------------------
 
@@ -5774,6 +5828,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bpe_learn": q_bpe_learn,
     # graph-index ANN (rows-only: approximate)
     "q_knn_nsw": q_knn_nsw,
+    # physical layout
+    "q_zorder_key": q_zorder_key,
 }
 
 # Driver sampling rotation: the per-round correctness driver samples ~50
@@ -5953,4 +6009,5 @@ ORACLES: dict[str, str] = {
     "q_udtf_ngrams": _SQL_UDTF_NGRAMS,
     "q_udaf_median": _SQL_UDAF_MEDIAN,
     "q_stream_interval_join": _SQL_STREAM_INTERVAL_JOIN,
+    "q_zorder_key": _SQL_ZORDER_KEY,
 }
