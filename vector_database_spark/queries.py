@@ -1653,6 +1653,33 @@ FROM b
 """
 
 
+def q_audio_features(spark, sf_dir):
+    """Multimodal AUDIO stage: blob → (RMS energy, zero crossings, peak)
+    treating bytes as 8-bit PCM (sources/multimodal.py::
+    extract_audio_features, mapInPandas) — full ascii/substr oracle on
+    the Arrow boundary, same contract pattern as q_resize_image."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.extract_audio_features(multimodal.binary_from_text(docs))
+
+
+_SQL_AUDIO_FEATURES = f"""
+WITH b AS (
+  SELECT doc_id, octet_length(encode(text)) AS n, text FROM documents
+),
+s AS (
+  SELECT doc_id, n,
+         list_transform(range(n), i -> ascii(substr(text, CAST(i AS INT) + 1, 1)) - 128) AS sm
+  FROM b
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_samples,
+       {_micro_sql("sqrt(CAST(list_sum(list_transform(sm, x -> x * x)) AS DOUBLE) / n)")} AS rms_micro,
+       CAST(len(list_filter(range(n - 1), i -> (sm[CAST(i AS INT) + 1] < 0) != (sm[CAST(i AS INT) + 2] < 0))) AS BIGINT) AS zero_crossings,
+       CAST(list_max(list_transform(sm, x -> abs(x))) AS BIGINT) AS peak
+FROM s
+"""
+
+
 def q_frame_sample(spark, sf_dir):
     """Frame-sampling stub: one row per 32-byte 'frame' offset."""
     docs = _t(spark, sf_dir, "documents")
@@ -5810,6 +5837,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_multimodal_meta": q_multimodal_meta,
     "q_frame_sample": q_frame_sample,
     "q_resize_image": q_resize_image,
+    "q_audio_features": q_audio_features,
     # streaming
     "q_stream_event_window": q_stream_event_window,
     "q_stream_interval_join": q_stream_interval_join,
@@ -6002,6 +6030,7 @@ ORACLES: dict[str, str] = {
     "q_multimodal_meta": _SQL_MULTIMODAL_META,
     "q_frame_sample": _SQL_FRAME_SAMPLE,
     "q_resize_image": _SQL_RESIZE_IMAGE,
+    "q_audio_features": _SQL_AUDIO_FEATURES,
     "q_stream_event_window": _SQL_STREAM_EVENT_WINDOW,
     "q_stateful_totals": _SQL_STATEFUL_TOTALS,
     "q_stateful_topk": _SQL_STATEFUL_TOPK,

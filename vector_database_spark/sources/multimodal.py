@@ -221,3 +221,45 @@ def resize_image(
     return blobs.select(id_col, blob_col).mapInPandas(
         _resize, "doc_id bigint, pixels string"
     )
+
+
+def extract_audio_features(
+    blobs: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """Audio feature extraction over binary columns via mapInPandas: the
+    blob is interpreted as 8-bit unsigned PCM (sample = byte − 128) and
+    reduced to the classic waveform features — RMS energy, zero-crossing
+    count, peak amplitude. Like resize_image, the fake codec is pure byte
+    arithmetic, so the Arrow boundary carries a FULL ascii/substr oracle;
+    a real decoder (soundfile/librosa) drops in with the same output
+    contract when the container has one."""
+
+    def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        def one(b: bytes):
+            n = len(b)
+            if n == 0:
+                return 0, 0, 0, 0
+            s = [x - 128 for x in b]
+            rms = math.sqrt(sum(v * v for v in s) / n)
+            zc = sum(1 for i in range(1, n) if (s[i - 1] < 0) != (s[i] < 0))
+            return n, math.floor(rms * 1_000_000.0 + 0.5), zc, max(abs(v) for v in s)
+
+        for pdf in batches:
+            feats = [one(bytes(b)) for b in pdf[blob_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_samples": [f[0] for f in feats],
+                    "rms_micro": [f[1] for f in feats],
+                    "zero_crossings": [f[2] for f in feats],
+                    "peak": [f[3] for f in feats],
+                }
+            )
+
+    return blobs.select(id_col, blob_col).mapInPandas(
+        _features,
+        "doc_id bigint, n_samples bigint, rms_micro bigint, "
+        "zero_crossings bigint, peak bigint",
+    )
