@@ -74,3 +74,43 @@ def test_zorder_layout_skips_on_non_leading_dim(spark, tmp_path):
 
     # and the data survives the re-layout intact
     assert spark.read.parquet(zpath).count() == ev.count()
+
+
+def test_zorder_key_roundtrip_property(spark):
+    # Morton interleave is a bijection on (a, b) within the bit budget:
+    # de-interleaving the key recovers both inputs exactly
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vector_database_spark.operators import relational
+
+    pairs = [(0, 0), (1023, 1023), (1, 2), (512, 511)]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    rows = df.select(
+        "a", "b", relational.zorder_key(F.col("a"), F.col("b"), 10).alias("z")
+    ).collect()
+
+    def deinterleave(z):
+        a = b = 0
+        for j in range(10):
+            a |= ((z >> (2 * j)) & 1) << j
+            b |= ((z >> (2 * j + 1)) & 1) << j
+        return a, b
+
+    for r in rows:
+        assert deinterleave(r["z"]) == (r["a"], r["b"])
+
+    # pure-python twin of the column expression, property-checked broadly
+    def zkey_py(a, b):
+        k = 0
+        for j in range(10):
+            k += ((a >> j) & 1) << (2 * j)
+            k += ((b >> j) & 1) << (2 * j + 1)
+        return k
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(0, 1023), st.integers(0, 1023))
+    def check(a, b):
+        assert deinterleave(zkey_py(a, b)) == (a, b)
+
+    check()

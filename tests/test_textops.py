@@ -256,3 +256,36 @@ def test_bpe_learn_known_answer(spark):
     # l+o appears in all 7 word instances; then lo+w in all 7
     assert merges[0][1:] == ("l", "o", "lo", 7)
     assert merges[1][1:] == ("lo", "w", "low", 7)
+
+
+def test_bpe_encode_matches_reference_and_roundtrips(spark, duck):
+    from tests.conftest import SF_SMALL
+    from vector_database_spark.sources.tables import read_table
+
+    docs = read_table(spark, SF_SMALL, "documents").limit(40)
+    merges = textops.bpe_learn(docs, n_merges=10)
+    enc = {r["doc_id"]: r["subwords"] for r in textops.bpe_encode(docs, merges).collect()}
+
+    ranked = [(l, r, m) for _, l, r, m, _ in merges]
+
+    def ref_encode_word(w):
+        sym = list(w) + ["</w>"]
+        for left, right, merged in ranked:
+            out = []
+            for x in sym:
+                if out and out[-1] == left and x == right:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            sym = out
+        return sym
+
+    import re
+
+    for row in docs.select("doc_id", "text").collect():
+        words = [t for t in re.split(r"\s+", row["text"].lower()) if t]
+        want = [p for w in words for p in ref_encode_word(w)]
+        assert enc[row["doc_id"]] == want, row["doc_id"]
+        # lossless: stripping </w> and re-joining recovers the token stream
+        joined = "".join(enc[row["doc_id"]]).replace("</w>", " ").strip()
+        assert joined == " ".join(words)

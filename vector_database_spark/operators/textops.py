@@ -14,6 +14,7 @@ hash-based on the id, never randomSplit.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -361,3 +362,66 @@ def bpe_learn(
         )
         table = table.select("wc", fold.alias("sym")).localCheckpoint(eager=True)
     return merges
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply learned BPE merges (from :func:`bpe_learn`) to encode the
+    corpus into subword sequences — the production shape: each distinct
+    WORD TYPE is encoded exactly once in an Arrow-batched pandas UDF
+    (merge list folded in rank order, same greedy left-to-right fold as
+    training), then the word→subwords map broadcast-joins back onto the
+    corpus tokens and sequences reassemble in position order. A 100 TB
+    corpus pays Python cost proportional to its vocabulary, not its
+    token count.
+
+    Output: (id, subwords ARRAY<STRING>, n_subwords) — subwords carry the
+    </w> end-of-word markers, so ``concat(subwords)`` round-trips the
+    original words.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    ranked = [(left, right, merged) for _, left, right, merged, _ in merges]
+
+    @pandas_udf("array<string>")
+    def encode_word(words: pd.Series) -> pd.Series:
+        def one(w: str) -> list[str]:
+            sym = list(w) + [BPE_EOW]
+            for left, right, merged in ranked:
+                out: list[str] = []
+                for x in sym:
+                    if out and out[-1] == left and x == right:
+                        out[-1] = merged
+                    else:
+                        out.append(x)
+                sym = out
+            return sym
+
+        return words.map(one)
+
+    toks = docs.select(
+        id_col, F.posexplode(tokenize_ws(F.col(text_col))).alias("pos", "word")
+    ).filter(F.col("word") != "")
+    types = toks.select("word").distinct().select(
+        "word", encode_word(F.col("word")).alias("pieces")
+    )
+    joined = toks.join(F.broadcast(types), "word")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "pieces"))
+                ).getField("pieces")
+            ).alias("subwords")
+        )
+        .select(
+            id_col,
+            "subwords",
+            F.size("subwords").cast("long").alias("n_subwords"),
+        )
+    )

@@ -5345,6 +5345,23 @@ def q_bpe_learn(spark, sf_dir):
     ).orderBy("merge_rank")
 
 
+def q_bpe_encode(spark, sf_dir):
+    """Apply 10 learned BPE merges to encode the corpus into subword
+    sequences (textops.bpe_encode): each distinct WORD TYPE is encoded
+    once in an Arrow-batched pandas UDF, broadcast-joined back onto the
+    positional token stream, reassembled in order — Python cost scales
+    with the vocabulary, not the token count. Rows-only (the merge table
+    feeding it is the argmax-loop output); encode itself is
+    differential-tested against a reference Python BPE and round-trips
+    losslessly in tests/test_textops.py."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = textops.bpe_learn(docs, n_merges=10)
+    enc = textops.bpe_encode(docs.filter(F.col("doc_id") < 100), merges)
+    return enc.select(
+        "doc_id", F.array_join("subwords", " ").alias("subword_text"), "n_subwords"
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Python UDTF / vectorized UDAF boundary (§2.E UDF/UDAF/UDTF row)
 # ---------------------------------------------------------------------------
@@ -5854,6 +5871,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_udaf_median": q_udaf_median,
     # iterative subword tokenizer training (rows-only: argmax-dependent loop)
     "q_bpe_learn": q_bpe_learn,
+    "q_bpe_encode": q_bpe_encode,
     # graph-index ANN (rows-only: approximate)
     "q_knn_nsw": q_knn_nsw,
     # physical layout
