@@ -361,3 +361,15 @@ def test_retrieval_metrics_plan(spark, sf):
     assert p.count("Exchange hashpartitioning") == 1
     assert "Exchange SinglePartition" not in p
     assert "partial_count" in p or "partial_max" in p
+
+
+def test_sketch_aggs_partial_aggregate(spark, sf):
+    # the sketch queries' scale story IS the partial agg: constant-size
+    # sketch state merges map-side before one small shuffle
+    from vector_database_spark.queries import q_hll_distinct, q_theta_overlap
+
+    p = plan_of(q_hll_distinct(spark, sf))
+    assert "partial_hll_sketch_agg" in p
+    assert "Exchange SinglePartition" not in p.split("ObjectHashAggregate")[0]
+    p2 = plan_of(q_theta_overlap(spark, sf))
+    assert "partial_theta_sketch_agg" in p2

@@ -289,3 +289,19 @@ def test_bpe_encode_matches_reference_and_roundtrips(spark, duck):
         # lossless: stripping </w> and re-joining recovers the token stream
         joined = "".join(enc[row["doc_id"]]).replace("</w>", " ").strip()
         assert joined == " ".join(words)
+
+
+def test_bpe_encode_join_fallback_matches_broadcast(spark):
+    # broadcast_types_max=0 forces the shuffle/join strategy; both
+    # physical paths must produce identical subword sequences
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low"), (2, "newer newest new")],
+        "doc_id long, text string",
+    )
+    merges = textops.bpe_learn(docs, n_merges=6)
+    a = {r["doc_id"]: r["subwords"] for r in textops.bpe_encode(docs, merges).collect()}
+    b = {
+        r["doc_id"]: r["subwords"]
+        for r in textops.bpe_encode(docs, merges, broadcast_types_max=0).collect()
+    }
+    assert a == b

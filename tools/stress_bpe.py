@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Scale-stress probe for BPE learning/encoding (appends to STRESS.md).
+
+BPE's distributed cost model: the merge loop runs on the WORD-TYPE table
+(distinct words), so corpus growth only enters through the one-time
+word-count pass and the final encode join — the per-round work is bounded
+by vocabulary size. This probe synthesizes token-ish words over a 50k
+word vocabulary (so types saturate and the claim is visible: 10× the
+docs, ~flat learn time) and times 10 merge rounds + full-corpus encode.
+
+Usage: python tools/stress_bpe.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from vector_database_spark.operators import textops  # noqa: E402
+from vector_database_spark.session import get_spark  # noqa: E402
+from tools.stress_common import update_section  # noqa: E402
+
+VOCAB = 50_000
+TOKENS_PER_DOC = 24
+
+
+def synth_docs(spark, n_docs: int):
+    # words like "w17345x" — letters only after the prefix digitization so
+    # char-level BPE has structure to find
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(TOKENS_PER_DOC)),
+                lambda j: F.concat(
+                    F.lit("w"),
+                    F.pmod(F.xxhash64(F.col("id"), j), F.lit(VOCAB)).cast("string"),
+                    F.lit("x"),
+                ),
+            ),
+        ).alias("text"),
+    )
+
+
+def main() -> None:
+    spark = get_spark("stress_bpe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rows = []
+    for n in (100_000, 1_000_000):
+        docs = synth_docs(spark, n).localCheckpoint(eager=True)
+        n_types = docs.select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+        ).distinct().count()
+
+        t0 = time.perf_counter()
+        merges = textops.bpe_learn(docs, n_merges=10)
+        t_learn = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        enc = textops.bpe_encode(docs, merges)
+        total_subwords = enc.agg(F.sum("n_subwords")).collect()[0][0]
+        t_encode = time.perf_counter() - t0
+
+        rows.append((n, n_types, len(merges), t_learn, t_encode, total_subwords))
+        print(
+            f"n={n:,}: types={n_types:,} merges={len(merges)} "
+            f"learn={t_learn:.1f}s encode={t_encode:.1f}s subwords={total_subwords:,}"
+        )
+
+    body = "\n".join(
+        f"| {n:,} | {ty:,} | {m} | {tl:.1f} | {te:.1f} | {sw:,} |"
+        for n, ty, m, tl, te, sw in rows
+    )
+    update_section(
+        "BPE learn/encode scaling (word-type-bound loop)",
+        "24 tokens/doc over a 50k word vocabulary (hash-synthesized). The\n"
+        "merge loop runs on the word-TYPE table, so once types saturate,\n"
+        "10x the corpus costs ~the same learn time — only the initial\n"
+        "word count and the final encode pass see the full corpus. Encode\n"
+        "pays the merge fold once per word TYPE, broadcasts the\n"
+        "word->pieces map, and maps token arrays through it map-side —\n"
+        "ZERO shuffles (join fallback for >2M-type vocabularies is\n"
+        "equivalence-tested).\n\n"
+        "| docs | word types | merges | learn s | encode s | subwords |\n"
+        "|---|---|---|---|---|---|\n" + body,
+    )
+    print("STRESS.md updated")
+
+
+if __name__ == "__main__":
+    main()

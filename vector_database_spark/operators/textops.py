@@ -369,15 +369,22 @@ def bpe_encode(
     merges: list[tuple[int, str, str, str, int]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_types_max: int = 2_000_000,
 ) -> DataFrame:
     """Apply learned BPE merges (from :func:`bpe_learn`) to encode the
-    corpus into subword sequences — the production shape: each distinct
-    WORD TYPE is encoded exactly once in an Arrow-batched pandas UDF
-    (merge list folded in rank order, same greedy left-to-right fold as
-    training), then the word→subwords map broadcast-joins back onto the
-    corpus tokens and sequences reassemble in position order. A 100 TB
-    corpus pays Python cost proportional to its vocabulary, not its
-    token count.
+    corpus into subword sequences. Two physical strategies, chosen by
+    vocabulary size (the same conditional-broadcast policy as the MinHash
+    verify stage):
+
+    * word types <= ``broadcast_types_max`` (every real tokenizer —
+      vocabularies are 10^4..10^6): the word->pieces map is computed once
+      on the distinct-word table, collected, and BROADCAST into a
+      map-side pandas UDF that encodes each document's token array by
+      dict lookup — ZERO shuffles; Python pays one fold per word TYPE and
+      one dict hit per token.
+    * above the threshold: positional explode -> broadcast join of the
+      pieces table -> ordered reassembly (one shuffle on the doc id),
+      which never materializes the type map on the driver.
 
     Output: (id, subwords ARRAY<STRING>, n_subwords) — subwords carry the
     </w> end-of-word markers, so ``concat(subwords)`` round-trips the
@@ -387,29 +394,58 @@ def bpe_encode(
 
     ranked = [(left, right, merged) for _, left, right, merged, _ in merges]
 
+    def _encode_one(w: str) -> list[str]:
+        sym = list(w) + [BPE_EOW]
+        for left, right, merged in ranked:
+            out: list[str] = []
+            for x in sym:
+                if out and out[-1] == left and x == right:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            sym = out
+        return sym
+
     @pandas_udf("array<string>")
     def encode_word(words: pd.Series) -> pd.Series:
-        def one(w: str) -> list[str]:
-            sym = list(w) + [BPE_EOW]
-            for left, right, merged in ranked:
-                out: list[str] = []
-                for x in sym:
-                    if out and out[-1] == left and x == right:
-                        out[-1] = merged
-                    else:
-                        out.append(x)
-                sym = out
-            return sym
-
-        return words.map(one)
+        return words.map(_encode_one)
 
     toks = docs.select(
         id_col, F.posexplode(tokenize_ws(F.col(text_col))).alias("pos", "word")
     ).filter(F.col("word") != "")
-    types = toks.select("word").distinct().select(
-        "word", encode_word(F.col("word")).alias("pieces")
-    )
-    joined = toks.join(F.broadcast(types), "word")
+    types = toks.select("word").distinct()
+
+    if types.count() <= broadcast_types_max:
+        pieces_map = {
+            r["word"]: list(r["pieces"])
+            for r in types.select(
+                "word", encode_word(F.col("word")).alias("pieces")
+            ).collect()
+        }
+        sc = docs.sparkSession.sparkContext
+        bc = sc.broadcast(pieces_map)
+
+        @pandas_udf("array<string>")
+        def encode_doc(token_arrays: pd.Series) -> pd.Series:
+            m = bc.value
+
+            def one(tokens) -> list[str]:
+                out: list[str] = []
+                for w in tokens:
+                    if w:
+                        out.extend(m.get(w) or _encode_one(w))
+                return out
+
+            return token_arrays.map(one)
+
+        return docs.select(
+            id_col, encode_doc(tokenize_ws(F.col(text_col))).alias("subwords")
+        ).select(
+            id_col, "subwords", F.size("subwords").cast("long").alias("n_subwords")
+        )
+
+    typed = types.select("word", encode_word(F.col("word")).alias("pieces"))
+    joined = toks.join(F.broadcast(typed), "word")
     return (
         joined.groupBy(id_col)
         .agg(
