@@ -273,3 +273,34 @@ def test_stream_stream_join_within_watermark(spark, tmp_path):
     # view 1 → click 2 (2 min later, same user); view 3 → click 5 (1 min);
     # click 4 is 25 min after view 3 — outside the 10-minute bound
     assert pairs == {(1, 2), (3, 5)}
+
+
+def test_points_feed_stream_source(spark, tmp_path):
+    # custom Python streaming DataSource: offsets advance batch_points per
+    # micro-batch, the feed caps at max_points, and the accumulated sink
+    # holds exactly the deterministic id range
+    from vector_database_spark.sources.points_jsonl import PointsFeedDataSource
+
+    spark.dataSource.register(PointsFeedDataSource)
+    name = "points_feed_out"
+    q = (
+        spark.readStream.format("points_feed")
+        .option("batch_points", "250")
+        .option("max_points", "600")
+        .load()
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        # the feed self-caps at max_points: once read() returns an empty
+        # batch at the cap, processAllAvailable unblocks
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(name).collect()
+    assert sorted(r["id"] for r in rows) == list(range(600))
+    by_id = {r["id"]: r for r in rows}
+    assert by_id[7]["payload"]["label"] == "7"
+    assert len(by_id[3]["vector"]) == 8

@@ -27,6 +27,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceWriter,
+    SimpleDataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -168,3 +169,57 @@ class PointsJsonlDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool):
         return _PointsWriter(self.options, overwrite)
+
+
+class _PointsFeedReader(SimpleDataSourceStreamReader):
+    """Deterministic point-feed stream: each read drains up to
+    ``batch_points`` synthetic points from a monotonically increasing id
+    sequence capped at ``max_points``. Offsets are plain dicts
+    ({"next_id": n}) checkpointed by the engine — replaying any offset
+    range regenerates identical rows (ids are the randomness seed), which
+    is exactly the exactly-once contract a replayable source must keep."""
+
+    def __init__(self, options):
+        self.batch_points = int(options.get("batch_points", "100"))
+        self.max_points = int(options.get("max_points", "1000"))
+        self.dim = int(options.get("dim", "8"))
+
+    def initialOffset(self):  # noqa: N802 (API name)
+        return {"next_id": 0}
+
+    def _rows(self, lo: int, hi: int):
+        for pid in range(lo, hi):
+            vec = [((pid * 31 + j * 17) % 19) / 10.0 - 0.9 for j in range(self.dim)]
+            yield (pid, [float(x) for x in vec], {"label": str(pid % 10)})
+
+    def read(self, start: dict):
+        lo = int(start["next_id"])
+        hi = min(lo + self.batch_points, self.max_points)
+        # iter(list), not a generator: the engine needs an iterator it
+        # can also copy.copy() into its prefetch cache — list iterators
+        # support both, generators support neither
+        return iter(list(self._rows(lo, hi))), {"next_id": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # replay path after a restart: must regenerate the same rows
+        return iter(list(self._rows(int(start["next_id"]), int(end["next_id"]))))
+
+
+class PointsFeedDataSource(DataSource):
+    """Streaming twin of points_jsonl: `spark.readStream.format
+    ("points_feed")` yields Qdrant-shaped point rows from a replayable
+    deterministic feed — the Python-DataSource streaming API
+    (SimpleDataSourceStreamReader) wired end to end: offset management,
+    replay-between-offsets, schema declaration. Drive it into
+    foreachBatch upsert for the full streaming-ingest lifecycle
+    (vector_db.py:94-106's batched writes, as an unbounded stream)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "points_feed"
+
+    def schema(self) -> str:
+        return POINTS_SCHEMA
+
+    def simpleStreamReader(self, schema):  # noqa: N802 (API name)
+        return _PointsFeedReader(self.options)
