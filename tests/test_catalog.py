@@ -654,3 +654,30 @@ class TestQueryPointsFacade:
             ).collect()
         ]
         assert 1 not in got and got[0] == 2
+
+
+def test_export_import_points_roundtrip(spark, tmp_path):
+    from vector_database_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.create_collection("exp_src", dim=4)
+    src = cat.collection("exp_src")
+    pts = spark.createDataFrame(
+        [(i, [float(i), 0.0, 1.0, 2.0], {"label": str(i % 3)}) for i in range(30)],
+        "id long, embedding array<float>, payload map<string,string>",
+    )
+    src.upsert(pts)
+    src.delete([5])
+
+    path = str(tmp_path / "export")
+    src.export_points(path)
+
+    cat.create_collection("exp_dst", dim=4)
+    dst = cat.collection("exp_dst")
+    version = dst.import_points(path)
+    assert version == 1
+    assert dst.df().count() == 29  # the deleted point never leaves the source
+
+    a = {r["id"]: (r["embedding"], dict(r["payload"])) for r in src.df().collect()}
+    b = {r["id"]: (r["embedding"], dict(r["payload"])) for r in dst.df().collect()}
+    assert a == b and 5 not in b

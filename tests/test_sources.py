@@ -78,10 +78,9 @@ def test_orc_roundtrip(spark, tmp_path):
 
 
 def _register_points_ds(spark):
-    from vector_database_spark.sources.points_jsonl import PointsJsonlDataSource
+    from vector_database_spark.sources import points_jsonl
 
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    spark.dataSource.register(PointsJsonlDataSource)
+    points_jsonl.register(spark)
 
 
 def test_points_jsonl_roundtrip_and_partitioning(spark, tmp_path):

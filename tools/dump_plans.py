@@ -107,6 +107,34 @@ NOTES = {
         "window passes (lag change-detect + lead close) over the same "
         "(user_id, ts, event_id) sort."
     ),
+    "q_retrieval_metrics": (
+        "Retrieval eval (recall/MRR/nDCG). Wants: query side broadcast over "
+        "one corpus scan, ONE qid exchange shared by both rank windows (two "
+        "sorts — orderings differ), partial aggs into the per-query rollup; "
+        "the discount/reciprocal tables are literals, so no extra joins."
+    ),
+    "q_hll_distinct": (
+        "Sketch distinct rollup. Wants: partial_hll_sketch_agg map-side "
+        "(constant ~KB state per group merging associatively), one small "
+        "shuffle of |event_types| sketches, union-merge for the total row "
+        "WITHOUT a second scan."
+    ),
+    "q_theta_overlap": (
+        "Theta set algebra. Wants: one explode+partial_theta_sketch_agg "
+        "pass per source; the union/intersection/difference all run on two "
+        "~KB blobs after aggregation — corpus size never re-enters."
+    ),
+    "q_zorder_key": (
+        "Z-order key. Wants: map-only (zero Exchange before the final "
+        "order): the 2x10-shift Morton expression stays inside one "
+        "WholeStageCodegen span over the pruned (event_id, user_id, ts) "
+        "scan."
+    ),
+    "q_udaf_median": (
+        "Grouped-agg pandas UDF. Wants: one exchange on label (grouped-agg "
+        "UDFs cannot partial-aggregate — the documented trade vs built-in "
+        "aggs), Arrow batches into Python once per group."
+    ),
 }
 
 

@@ -320,6 +320,45 @@ class VectorCollection:
         state as of an earlier version (time travel over the write log)."""
         return self._resolved_df(as_of_version).drop("norm", "bucket", "tenant")
 
+    def export_points(self, path: str) -> None:
+        """Export the live collection as Qdrant-style point JSONL shards
+        through the custom ``points_jsonl`` DataSource — the snapshot
+        interchange format (scroll/snapshot export twin): each task writes
+        one shard under the atomic-rename commit protocol, and any engine
+        (or a Qdrant client script) can replay the records. Requires the
+        default MAP<STRING,STRING> payload type (the interchange schema)."""
+        from vector_database_spark.sources import points_jsonl
+
+        spark = self.catalog.spark
+        points_jsonl.register(spark)
+        (
+            self.df()
+            .select(
+                "id",
+                F.col("embedding").alias("vector"),
+                F.col("payload"),
+            )
+            .write.format("points_jsonl")
+            .mode("append")
+            .save(path)
+        )
+
+    def import_points(self, path: str) -> int:
+        """Upsert a points_jsonl export into this collection (the restore
+        half of export_points): per-file read parallelism, id-filter
+        pushdown available to callers that pre-filter. Returns the new
+        collection version (upsert's contract)."""
+        from vector_database_spark.sources import points_jsonl
+
+        spark = self.catalog.spark
+        points_jsonl.register(spark)
+        pts = spark.read.format("points_jsonl").load(path)
+        return self.upsert(
+            pts.select(
+                "id", F.col("vector").alias("embedding"), F.col("payload")
+            )
+        )
+
     def get(self, point_id: int):
         """Point lookup by id. The bucket predicate prunes the scan to one
         partition directory (verify with .explain: PartitionFilters)."""

@@ -41,6 +41,16 @@ from pyspark.sql.datasource import (
 POINTS_SCHEMA = "id bigint, vector array<float>, payload map<string,string>"
 
 
+def register(spark) -> None:
+    """Register both point data sources on a session. Implementing
+    pushFilters makes Spark REQUIRE spark.sql.python.filterPushdown.enabled
+    (it refuses to silently skip a declared pushdown), so the flag is set
+    here — it is a runtime conf."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(PointsJsonlDataSource)
+    spark.dataSource.register(PointsFeedDataSource)
+
+
 @dataclass
 class _FilePartition(InputPartition):
     path: str
