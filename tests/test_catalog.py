@@ -681,3 +681,29 @@ def test_export_import_points_roundtrip(spark, tmp_path):
     a = {r["id"]: (r["embedding"], dict(r["payload"])) for r in src.df().collect()}
     b = {r["id"]: (r["embedding"], dict(r["payload"])) for r in dst.df().collect()}
     assert a == b and 5 not in b
+
+
+def test_reexport_does_not_resurrect_deleted_points(spark, tmp_path):
+    from vector_database_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat2"))
+    cat.create_collection("rex", dim=2)
+    col = cat.collection("rex")
+    col.upsert(
+        spark.createDataFrame(
+            [(i, [1.0, float(i)], {"k": "v"}) for i in range(10)],
+            "id long, embedding array<float>, payload map<string,string>",
+        )
+    )
+    path = str(tmp_path / "rex_export")
+    col.export_points(path)
+    col.delete([3, 4])
+    # overwrite-mode export: the second generation fully replaces the
+    # first, so the deleted points cannot come back via stale shards
+    col.export_points(path)
+
+    cat.create_collection("rex2", dim=2)
+    dst = cat.collection("rex2")
+    dst.import_points(path)
+    ids = sorted(r["id"] for r in dst.df().collect())
+    assert ids == [0, 1, 2, 5, 6, 7, 8, 9]

@@ -305,3 +305,19 @@ def test_bpe_encode_join_fallback_matches_broadcast(spark):
         for r in textops.bpe_encode(docs, merges, broadcast_types_max=0).collect()
     }
     assert a == b
+
+
+def test_bpe_encode_tokenless_docs_consistent_across_strategies(spark):
+    # empty / whitespace-only / null text: both physical strategies must
+    # emit an empty-subword row, not drop or crash
+    docs = spark.createDataFrame(
+        [(1, "low lower"), (2, ""), (3, "   "), (4, None)],
+        "doc_id long, text string",
+    )
+    merges = textops.bpe_learn(docs, n_merges=2)
+    for kwargs in ({}, {"broadcast_types_max": 0}):
+        rows = {r["doc_id"]: r for r in textops.bpe_encode(docs, merges, **kwargs).collect()}
+        assert set(rows) == {1, 2, 3, 4}, kwargs
+        for d in (2, 3, 4):
+            assert rows[d]["subwords"] == [] and rows[d]["n_subwords"] == 0, (d, kwargs)
+        assert rows[1]["n_subwords"] > 0

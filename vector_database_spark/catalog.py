@@ -324,7 +324,9 @@ class VectorCollection:
         """Export the live collection as Qdrant-style point JSONL shards
         through the custom ``points_jsonl`` DataSource — the snapshot
         interchange format (scroll/snapshot export twin): each task writes
-        one shard under the atomic-rename commit protocol, and any engine
+        one shard under the atomic-rename commit protocol (overwrite mode:
+        a re-export replaces the previous generation's shards, so deleted
+        points cannot resurface from stale files), and any engine
         (or a Qdrant client script) can replay the records. Requires the
         default MAP<STRING,STRING> payload type (the interchange schema)."""
         from vector_database_spark.sources import points_jsonl
@@ -339,7 +341,7 @@ class VectorCollection:
                 F.col("payload"),
             )
             .write.format("points_jsonl")
-            .mode("append")
+            .mode("overwrite")
             .save(path)
         )
 

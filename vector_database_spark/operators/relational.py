@@ -361,14 +361,20 @@ def zorder_key(a, b, bits: int = 10):
     source columns and a 2-d box predicate prunes files — the multi-column
     data-skipping layout (Delta/Iceberg OPTIMIZE ZORDER BY) that a plain
     sort gives only its leading column. Pure bit arithmetic → identical
-    in any engine; the expression is 2×bits codegen'd shifts.
+    in any engine; the expression is 2×bits codegen'd shifts. Inputs are
+    masked to ``bits`` (pmod by 2^bits) so out-of-range values wrap
+    instead of silently aliasing onto unrelated keys by bit truncation —
+    callers should still pre-bucket (e.g. ``pmod(col, 1024)``) so the
+    wrap is the identity.
     """
+    am = F.pmod(a.cast("long"), F.lit(1 << bits))
+    bm = F.pmod(b.cast("long"), F.lit(1 << bits))
     key = F.lit(0).cast("long")
     for j in range(bits):
         key = (
             key
-            + F.shiftleft(F.shiftright(a.cast("long"), j) % 2, 2 * j)
-            + F.shiftleft(F.shiftright(b.cast("long"), j) % 2, 2 * j + 1)
+            + F.shiftleft(F.shiftright(am, j) % 2, 2 * j)
+            + F.shiftleft(F.shiftright(bm, j) % 2, 2 * j + 1)
         )
     return key
 

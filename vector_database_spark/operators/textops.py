@@ -415,13 +415,20 @@ def bpe_encode(
     ).filter(F.col("word") != "")
     types = toks.select("word").distinct()
 
-    if types.count() <= broadcast_types_max:
+    # persist so the strategy-choosing count and the subsequent
+    # collect/encode reuse one tokenize+distinct pass instead of two;
+    # the fallback branch leaves it cached for its own job (LRU-evicted)
+    types.persist()
+    small_vocab = types.count() <= broadcast_types_max
+
+    if small_vocab:
         pieces_map = {
             r["word"]: list(r["pieces"])
             for r in types.select(
                 "word", encode_word(F.col("word")).alias("pieces")
             ).collect()
         }
+        types.unpersist()
         sc = docs.sparkSession.sparkContext
         bc = sc.broadcast(pieces_map)
 
@@ -431,6 +438,8 @@ def bpe_encode(
 
             def one(tokens) -> list[str]:
                 out: list[str] = []
+                if tokens is None:
+                    return out
                 for w in tokens:
                     if w:
                         out.extend(m.get(w) or _encode_one(w))
@@ -446,14 +455,23 @@ def bpe_encode(
 
     typed = types.select("word", encode_word(F.col("word")).alias("pieces"))
     joined = toks.join(F.broadcast(typed), "word")
+    grouped = joined.groupBy(id_col).agg(
+        F.flatten(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "pieces"))
+            ).getField("pieces")
+        ).alias("subwords")
+    )
+    # left join from the full doc set: token-less docs (empty/whitespace/
+    # null text) keep an empty subword row, matching the broadcast path
     return (
-        joined.groupBy(id_col)
-        .agg(
-            F.flatten(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "pieces"))
-                ).getField("pieces")
-            ).alias("subwords")
+        docs.select(id_col)
+        .join(grouped, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.col("subwords"), F.array().cast("array<string>")
+            ).alias("subwords"),
         )
         .select(
             id_col,

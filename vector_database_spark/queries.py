@@ -1673,9 +1673,15 @@ s AS (
 )
 SELECT doc_id,
        CAST(n AS BIGINT) AS n_samples,
-       {_micro_sql("sqrt(CAST(list_sum(list_transform(sm, x -> x * x)) AS DOUBLE) / n)")} AS rms_micro,
-       CAST(len(list_filter(range(n - 1), i -> (sm[CAST(i AS INT) + 1] < 0) != (sm[CAST(i AS INT) + 2] < 0))) AS BIGINT) AS zero_crossings,
-       CAST(list_max(list_transform(sm, x -> abs(x))) AS BIGINT) AS peak
+       CASE WHEN n = 0 THEN 0
+            ELSE {_micro_sql("sqrt(CAST(list_sum(list_transform(sm, x -> x * x)) AS DOUBLE) / n)")}
+       END AS rms_micro,
+       CAST(CASE WHEN n = 0 THEN 0
+            ELSE len(list_filter(range(n - 1), i -> (sm[CAST(i AS INT) + 1] < 0) != (sm[CAST(i AS INT) + 2] < 0)))
+       END AS BIGINT) AS zero_crossings,
+       CAST(CASE WHEN n = 0 THEN 0
+            ELSE list_max(list_transform(sm, x -> abs(x)))
+       END AS BIGINT) AS peak
 FROM s
 """
 

@@ -9,11 +9,16 @@ reader (id range/equality predicates skip rows before they ever reach the
 JVM — and a production reader would skip whole files on a manifest), and a
 partitioned writer (one shard file per task, commit/abort protocol).
 
-Register once per session::
+Register once per session via the module helper (NOT bare
+``spark.dataSource.register``: the reader declares pushFilters, which
+Spark refuses to run unless ``spark.sql.python.filterPushdown.enabled``
+is on — ``register()`` sets that session-wide, which also affects any
+other Python DataSource in the session)::
 
-    spark.dataSource.register(PointsJsonlDataSource)
+    from vector_database_spark.sources import points_jsonl
+    points_jsonl.register(spark)
     spark.read.format("points_jsonl").load(path)
-    df.write.format("points_jsonl").mode("append").save(path)
+    df.write.format("points_jsonl").mode("overwrite").save(path)
 """
 
 from __future__ import annotations
@@ -156,7 +161,15 @@ class _PointsWriter(DataSourceWriter):
 
     def commit(self, messages):
         # task files become visible only on job commit (atomic-rename
-        # protocol; a failed job leaves only .tmp files behind)
+        # protocol; a failed job leaves only .tmp files behind). Overwrite
+        # semantics: the previous generation's shards are removed in the
+        # same commit, so readers never see old+new mixed.
+        if self.overwrite:
+            new = {m.path[: -len(".tmp")] for m in messages}
+            for f in os.listdir(self.path):
+                full = os.path.join(self.path, f)
+                if f.endswith(".jsonl") and full not in new:
+                    os.remove(full)
         for m in messages:
             os.rename(m.path, m.path[: -len(".tmp")])
 
