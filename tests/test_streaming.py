@@ -304,3 +304,43 @@ def test_points_feed_stream_source(spark, tmp_path):
     by_id = {r["id"]: r for r in rows}
     assert by_id[7]["payload"]["label"] == "7"
     assert len(by_id[3]["vector"]) == 8
+
+
+def test_points_feed_streams_into_collection(spark, tmp_path):
+    # full streaming-ingest lifecycle: custom streaming source -> micro
+    # batches -> foreachBatch versioned upsert into a collection — the
+    # reference's batched ingest loop (vector_db.py:94-106) as an
+    # unbounded stream over the Python DataSource API
+    from vector_database_spark.catalog import Catalog
+    from vector_database_spark.sources import points_jsonl
+
+    points_jsonl.register(spark)
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.create_collection("feed", dim=8, metric="dot")
+    col = cat.collection("feed")
+
+    def sink(batch_df, epoch_id):
+        pts = batch_df.select(
+            "id", F.col("vector").alias("embedding"), "payload"
+        )
+        if pts.take(1):
+            col.upsert(pts)
+
+    q = (
+        spark.readStream.format("points_feed")
+        .option("batch_points", "200")
+        .option("max_points", "500")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert col.count() == 500
+    got = col.get(123)
+    assert got is not None and got["payload"]["label"] == "3"
+    # micro-batches arrived as separate versions (log-structured ingest)
+    assert col.info.version >= 2
