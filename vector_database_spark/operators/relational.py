@@ -288,11 +288,20 @@ def window_funcs(lineitem: DataFrame) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
+    # the fixture violates TPC-H's (l_orderkey, l_linenumber) key at
+    # sf0.1 (143k duplicate pairs), so the orderings include EVERY column
+    # the query reads: remaining ties are then only between fully
+    # identical rows, which makes the output deterministic as a multiset
+    # (the driver's order-insensitive compare) in any engine
     w = Window.partitionBy("l_suppkey").orderBy(
-        "l_shipdate", "l_orderkey", "l_linenumber"
+        "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
     )
     wp = Window.partitionBy("l_suppkey").orderBy(
-        F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+        F.col("l_extendedprice").desc(),
+        F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+        F.col("l_shipdate").asc(),
+        F.col("l_quantity").asc(),
     )
     run = w.rowsBetween(Window.unboundedPreceding, 0)
     return lineitem.select(

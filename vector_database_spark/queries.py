@@ -1228,19 +1228,18 @@ def q_window_funcs(spark, sf_dir):
 _SQL_WINDOW_FUNCS = """
 SELECT l_suppkey, l_orderkey, l_linenumber,
        CAST(row_number() OVER w AS BIGINT) AS rn,
-       CAST(rank() OVER (PARTITION BY l_suppkey
-            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS BIGINT) AS price_rank,
+       CAST(rank() OVER wp AS BIGINT) AS price_rank,
        lag(l_quantity, 1) OVER w AS prev_qty,
        round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6)))
-             OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
-                   ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6) AS running_qty,
+             OVER (w ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6) AS running_qty,
        CAST(ntile(4) OVER wp AS BIGINT) AS price_quartile,
        CAST(floor((percent_rank() OVER wp) * 1000000.0 + 0.5) AS BIGINT) AS price_pct_rank_micro,
        CAST(floor((cume_dist() OVER wp) * 1000000.0 + 0.5) AS BIGINT) AS price_cume_dist_micro
 FROM lineitem
-WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber),
+WINDOW w AS (PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice),
        wp AS (PARTITION BY l_suppkey
-              ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+              ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_shipdate, l_quantity)
 """
 
 
