@@ -707,3 +707,40 @@ def test_reexport_does_not_resurrect_deleted_points(spark, tmp_path):
     dst.import_points(path)
     ids = sorted(r["id"] for r in dst.df().collect())
     assert ids == [0, 1, 2, 5, 6, 7, 8, 9]
+
+
+def test_nsw_index_on_collection(spark, tmp_path):
+    import pytest as _pytest
+
+    from vector_database_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat3"))
+    cat.create_collection("graph", dim=8)
+    col = cat.collection("graph")
+    pts = spark.createDataFrame(
+        [
+            (i, [((i * 31 + j * 17) % 19) / 10.0 - 0.9 for j in range(8)], {"i": str(i)})
+            for i in range(120)
+        ],
+        "id long, embedding array<float>, payload map<string,string>",
+    )
+    col.upsert(pts)
+    col.build_nsw_index(n_buckets=2)
+
+    qv = [((5 * 31 + j * 17) % 19) / 10.0 - 0.9 for j in range(8)]
+    exact = [r["id"] for r in col.search(qv, limit=5).collect()]
+    approx = [r["id"] for r in col.search_nsw(qv, limit=5, ef=128).collect()]
+    # beam wider than any bucket → exhaustive per bucket → equals exact
+    assert approx == exact
+
+    # staleness contract: writes after the build invalidate the index
+    col.upsert(
+        spark.createDataFrame(
+            [(999, [0.5] * 8, {"i": "999"})],
+            "id long, embedding array<float>, payload map<string,string>",
+        )
+    )
+    with _pytest.raises(ValueError, match="rebuild"):
+        col.search_nsw(qv)
+    col.build_nsw_index(n_buckets=2)
+    assert len(col.search_nsw(qv, limit=5).collect()) == 5

@@ -889,6 +889,75 @@ class VectorCollection:
             exclude_self=False,
         )
 
+    # -- graph ANN index (build-once, search-many) --------------------------
+    @property
+    def _nsw_index_path(self) -> str:
+        return self.path + "__nsw"
+
+    def build_nsw_index(
+        self, n_buckets: int = 4, M: int = 8, ef_construction: int = 64
+    ) -> None:
+        """Materialize the per-bucket NSW graph index for the CURRENT live
+        state (operators/ann.py::nsw_index_write) — the HNSW-class index a
+        Qdrant server builds internally (compose.yaml:2-12), as an explicit
+        ingest-time step. The index pins the collection version it was
+        built from; searching after later writes raises until a rebuild
+        (an honest staleness contract — Qdrant reindexes in the
+        background, a batch engine does it on schedule)."""
+        import json as _json
+
+        from vector_database_spark.operators import ann
+
+        emb = self.df().select("id", "embedding")
+        ann.nsw_index_write(
+            emb,
+            self._nsw_index_path,
+            n_buckets=n_buckets,
+            M=M,
+            ef_construction=ef_construction,
+            id_col="id",
+            emb_col="embedding",
+        )
+        with open(os.path.join(self._nsw_index_path, "_index_meta.json"), "w") as fh:
+            _json.dump({"built_at_version": self.info.version}, fh)
+
+    def search_nsw(
+        self, query_vector: list[float], limit: int = 5, ef: int = 48
+    ) -> DataFrame:
+        """Approximate cosine top-k over the persisted NSW graph index:
+        beam search per bucket partition, global merge — zero build cost
+        per query. Raises if no index exists or the collection has been
+        written since the index was built. Returns (qid, id, score); on a
+        small collection with a wide beam this equals exact search
+        (asserted in tests/test_catalog.py)."""
+        import json as _json
+
+        from vector_database_spark.operators import ann
+
+        meta_path = os.path.join(self._nsw_index_path, "_index_meta.json")
+        if not os.path.exists(meta_path):
+            raise ValueError(
+                f"collection {self.info.name!r} has no NSW index; "
+                "call build_nsw_index() first"
+            )
+        with open(meta_path) as fh:
+            built_at = _json.load(fh)["built_at_version"]
+        if built_at != self.info.version:
+            raise ValueError(
+                f"NSW index of {self.info.name!r} was built at version "
+                f"{built_at} but the collection is at {self.info.version}; "
+                "rebuild with build_nsw_index()"
+            )
+        return ann.nsw_search_index(
+            self.catalog.spark,
+            self._nsw_index_path,
+            [(0, [float(x) for x in query_vector])],
+            k=limit,
+            ef=ef,
+            id_col="id",
+            emb_col="embedding",
+        )
+
     def search(
         self,
         query_vector: list[float],
