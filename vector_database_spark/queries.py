@@ -5466,6 +5466,98 @@ ORDER BY label
 """
 
 
+def q_label_precision(spark, sf_dir):
+    """The reference's only retrieval-quality signal is eyeballing that a
+    digit query returns same-digit neighbors (vector_db_query.py:85-89,
+    SURVEY §5.1). This is that check as a measured metric: for each query
+    vector, precision@10 = fraction of exact-cosine top-10 neighbors
+    sharing the query's label, plus the corpus-wide macro average — the
+    embedding-quality eval a real pipeline runs per model version. Exact
+    scoring + integer ratios → FULL oracle.
+
+    Scale shape: same as q_retrieval_metrics — broadcast query side, one
+    qid exchange for the rank window, partial-agg rollup."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        emb.filter(F.col("vec_id") >= 16)
+        .crossJoin(F.broadcast(qs))
+        .select(
+            "qid",
+            "qlabel",
+            "vec_id",
+            "label",
+            micro6(cosine(F.col("embedding"), F.col("qv"))).alias("cos_micro"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_micro").desc(), F.col("vec_id").asc()
+    )
+    top = scored.select(
+        "qid", "qlabel", "label", F.row_number().over(w).alias("rnk")
+    ).filter(F.col("rnk") <= 10)
+    per_q = top.groupBy("qid", "qlabel").agg(
+        F.sum(F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0))
+        .cast("long")
+        .alias("hits")
+    )
+    per_rows = per_q.select(
+        "qid",
+        F.col("qlabel").cast("long").alias("qlabel"),
+        "hits",
+        (F.col("hits") * 100_000).cast("long").alias("precision_micro"),
+    )
+    macro = per_q.agg(
+        F.sum("hits").cast("long").alias("hits"),
+        F.count(F.lit(1)).cast("long").alias("nq"),
+    ).select(
+        F.lit(-1).cast("long").alias("qid"),
+        F.lit(-1).cast("long").alias("qlabel"),
+        "hits",
+        micro6(F.col("hits").cast("double") / (F.col("nq") * 10)).alias(
+            "precision_micro"
+        ),
+    )
+    return per_rows.unionByName(macro).orderBy("qid")
+
+
+_SQL_LABEL_PRECISION = f"""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id < 16
+),
+scored AS (
+  SELECT q.qid, q.qlabel, c.vec_id, c.label,
+         {_micro_sql("list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), q.qv)")} AS cos_micro
+  FROM embeddings c CROSS JOIN q
+  WHERE c.vec_id >= 16
+),
+top AS (
+  SELECT qid, qlabel, label,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_micro DESC, vec_id) AS rnk
+  FROM scored
+),
+per_q AS (
+  SELECT qid, qlabel,
+         CAST(count(*) FILTER (WHERE label = qlabel) AS BIGINT) AS hits
+  FROM top WHERE rnk <= 10
+  GROUP BY qid, qlabel
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(qlabel AS BIGINT) AS qlabel, hits,
+       CAST(hits * 100000 AS BIGINT) AS precision_micro
+FROM per_q
+UNION ALL
+SELECT -1, -1, CAST(sum(hits) AS BIGINT),
+       {_micro_sql("CAST(sum(hits) AS DOUBLE) / (count(*) * 10)")}
+FROM per_q
+ORDER BY qid
+"""
+
+
 # ---------------------------------------------------------------------------
 # sketch aggregates (DataSketches HLL / KLL / Theta — the 100 TB profiling kit)
 # ---------------------------------------------------------------------------
@@ -5867,6 +5959,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_stateful_topk": q_stateful_topk,
     # retrieval evaluation
     "q_retrieval_metrics": q_retrieval_metrics,
+    "q_label_precision": q_label_precision,
     # sketch aggregates (rows-only: no SQL twin for approximate estimates)
     "q_hll_distinct": q_hll_distinct,
     "q_kll_quantiles": q_kll_quantiles,
@@ -6058,6 +6151,7 @@ ORACLES: dict[str, str] = {
     "q_stateful_totals": _SQL_STATEFUL_TOTALS,
     "q_stateful_topk": _SQL_STATEFUL_TOPK,
     "q_retrieval_metrics": _SQL_RETRIEVAL_METRICS,
+    "q_label_precision": _SQL_LABEL_PRECISION,
     "q_udtf_ngrams": _SQL_UDTF_NGRAMS,
     "q_udaf_median": _SQL_UDAF_MEDIAN,
     "q_stream_interval_join": _SQL_STREAM_INTERVAL_JOIN,
