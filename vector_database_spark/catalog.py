@@ -329,12 +329,21 @@ class VectorCollection:
         points cannot resurface from stale files), and any engine
         (or a Qdrant client script) can replay the records. Requires the
         default MAP<STRING,STRING> payload type (the interchange schema)."""
+        from pyspark.sql import types as _T
+
         from vector_database_spark.sources import points_jsonl
 
         spark = self.catalog.spark
         points_jsonl.register(spark)
+        df = self.df()
+        if not isinstance(df.schema["payload"].dataType, _T.MapType):
+            raise ValueError(
+                f"export_points requires the MAP<STRING,STRING> payload "
+                f"(the interchange schema); collection {self.info.name!r} "
+                f"has {df.schema['payload'].dataType.simpleString()}"
+            )
         (
-            self.df()
+            df
             .select(
                 "id",
                 F.col("embedding").alias("vector"),
@@ -903,11 +912,18 @@ class VectorCollection:
         ingest-time step. The index pins the collection version it was
         built from; searching after later writes raises until a rebuild
         (an honest staleness contract — Qdrant reindexes in the
-        background, a batch engine does it on schedule)."""
-        import json as _json
-
+        background, a batch engine does it on schedule). The pinned
+        version is read from the PERSISTED catalog, not this handle, so
+        writes through other handles/processes are seen. Cosine only:
+        the graph stores normalized vectors (raise up front otherwise)."""
         from vector_database_spark.operators import ann
 
+        if self.info.metric != "cosine":
+            raise ValueError(
+                f"build_nsw_index requires a cosine collection; "
+                f"{self.info.name!r} uses metric={self.info.metric!r}"
+            )
+        current_version = self.catalog._load()[self.info.name]["version"]
         emb = self.df().select("id", "embedding")
         ann.nsw_index_write(
             emb,
@@ -919,7 +935,7 @@ class VectorCollection:
             emb_col="embedding",
         )
         with open(os.path.join(self._nsw_index_path, "_index_meta.json"), "w") as fh:
-            _json.dump({"built_at_version": self.info.version}, fh)
+            json.dump({"built_at_version": current_version}, fh)
 
     def search_nsw(
         self, query_vector: list[float], limit: int = 5, ef: int = 48
@@ -930,10 +946,13 @@ class VectorCollection:
         written since the index was built. Returns (qid, id, score); on a
         small collection with a wide beam this equals exact search
         (asserted in tests/test_catalog.py)."""
-        import json as _json
-
         from vector_database_spark.operators import ann
 
+        if self.info.metric != "cosine":
+            raise ValueError(
+                f"search_nsw requires a cosine collection; "
+                f"{self.info.name!r} uses metric={self.info.metric!r}"
+            )
         meta_path = os.path.join(self._nsw_index_path, "_index_meta.json")
         if not os.path.exists(meta_path):
             raise ValueError(
@@ -941,11 +960,12 @@ class VectorCollection:
                 "call build_nsw_index() first"
             )
         with open(meta_path) as fh:
-            built_at = _json.load(fh)["built_at_version"]
-        if built_at != self.info.version:
+            built_at = json.load(fh)["built_at_version"]
+        current_version = self.catalog._load()[self.info.name]["version"]
+        if built_at != current_version:
             raise ValueError(
                 f"NSW index of {self.info.name!r} was built at version "
-                f"{built_at} but the collection is at {self.info.version}; "
+                f"{built_at} but the collection is at {current_version}; "
                 "rebuild with build_nsw_index()"
             )
         return ann.nsw_search_index(

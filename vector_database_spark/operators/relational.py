@@ -304,17 +304,28 @@ def window_funcs(lineitem: DataFrame) -> DataFrame:
         F.col("l_quantity").asc(),
     )
     run = w.rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.partitionBy("l_suppkey")
+    rank_col = F.rank().over(wp).cast("long")
+    n_col = F.count(F.lit(1)).over(wn).cast("long")
+    from vector_database_spark.operators.ranking import ntile_from_rank
+
     return lineitem.select(
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
         F.row_number().over(w).cast("long").alias("rn"),
-        F.rank().over(wp).cast("long").alias("price_rank"),
+        rank_col.alias("price_rank"),
         F.lag(F.col("l_quantity"), 1).over(w).alias("prev_qty"),
         round6(F.sum(F.col("l_quantity").cast("decimal(38,6)")).over(run).cast("double")).alias(
             "running_qty"
         ),
-        F.ntile(4).over(wp).cast("long").alias("price_quartile"),
+        # quartile derived from the TIE-AWARE rank (declared semantics,
+        # identical formula in the oracle): position-based ntile() would
+        # split fully identical rows across a boundary arbitrarily, and
+        # the arbitrary pairing with the other window's position-based
+        # columns (rn, prev_qty, running_qty) is engine-dependent — the
+        # one residual nondeterminism total orderings cannot remove
+        ntile_from_rank(rank_col, n_col, 4).cast("long").alias("price_quartile"),
         # percent_rank/cume_dist are integer ratios → micro6, never a raw
         # 6dp round (half-boundary flake, FIXTURES rule 6)
         micro6(F.percent_rank().over(wp)).alias("price_pct_rank_micro"),

@@ -415,9 +415,11 @@ def bpe_encode(
     ).filter(F.col("word") != "")
     types = toks.select("word").distinct()
 
-    # persist so the strategy-choosing count and the subsequent
-    # collect/encode reuse one tokenize+distinct pass instead of two;
-    # the fallback branch leaves it cached for its own job (LRU-evicted)
+    # persist so the strategy-choosing count and the broadcast branch's
+    # collect reuse one tokenize+distinct pass; BOTH branches unpersist
+    # before returning (the cache must not outlive the call — the
+    # fallback's lazy job recomputes the distinct once, an accepted cost
+    # on the >broadcast_types_max path)
     types.persist()
     small_vocab = types.count() <= broadcast_types_max
 
@@ -453,6 +455,7 @@ def bpe_encode(
             id_col, "subwords", F.size("subwords").cast("long").alias("n_subwords")
         )
 
+    types.unpersist()
     typed = types.select("word", encode_word(F.col("word")).alias("pieces"))
     joined = toks.join(F.broadcast(typed), "word")
     grouped = joined.groupBy(id_col).agg(

@@ -1232,14 +1232,20 @@ SELECT l_suppkey, l_orderkey, l_linenumber,
        lag(l_quantity, 1) OVER w AS prev_qty,
        round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6)))
              OVER (w ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6) AS running_qty,
-       CAST(ntile(4) OVER wp AS BIGINT) AS price_quartile,
+       CAST(CASE WHEN rank() OVER wp <= (count(*) OVER wn % 4) * ((count(*) OVER wn // 4) + 1)
+                 THEN ceil(CAST(rank() OVER wp AS DOUBLE) / ((count(*) OVER wn // 4) + 1))
+                 ELSE (count(*) OVER wn % 4)
+                      + ceil(CAST(rank() OVER wp - (count(*) OVER wn % 4) * ((count(*) OVER wn // 4) + 1) AS DOUBLE)
+                             / greatest(count(*) OVER wn // 4, 1))
+            END AS BIGINT) AS price_quartile,
        CAST(floor((percent_rank() OVER wp) * 1000000.0 + 0.5) AS BIGINT) AS price_pct_rank_micro,
        CAST(floor((cume_dist() OVER wp) * 1000000.0 + 0.5) AS BIGINT) AS price_cume_dist_micro
 FROM lineitem
 WINDOW w AS (PARTITION BY l_suppkey
              ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice),
        wp AS (PARTITION BY l_suppkey
-              ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_shipdate, l_quantity)
+              ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_shipdate, l_quantity),
+       wn AS (PARTITION BY l_suppkey)
 """
 
 
