@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Run the full Spark-vs-DuckDB oracle sweep at any scale factor.
+
+The driver's correctness gate runs at sf0.01; this tool makes the same
+row/column/value comparison a one-command check at ANY fixture scale —
+running it at sf0.1 is how the round-3 q_window_funcs divergence was
+found (the sf0.1 lineitem fixture breaks TPC-H's composite key, which
+only a scale-up exposes).
+
+Usage: python tools/sweep_oracles.py [sf_dir]   (default /root/testdata/sf0.01)
+Exit code 0 iff every oracle-backed query matches.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return round(v, 6)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def main() -> int:
+    import duckdb
+
+    from vector_database_spark.queries import ORACLES, QUERIES
+    from vector_database_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("sweep_oracles")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    bad = []
+    for name in sorted(ORACLES):
+        try:
+            sdf = QUERIES[name](spark, sf_dir)
+            cols = sdf.columns
+            idx = sorted(range(len(cols)), key=lambda i: cols[i])
+            srows = sorted(
+                (tuple(_norm(r[i]) for i in idx) for r in sdf.collect()), key=repr
+            )
+            res = con.sql(ORACLES[name])
+            dcols = [d[0] for d in res.description]
+            didx = sorted(range(len(dcols)), key=lambda i: dcols[i])
+            drows = sorted(
+                (tuple(_norm(r[i]) for i in didx) for r in res.fetchall()), key=repr
+            )
+            ok = sorted(cols) == sorted(dcols) and srows == drows
+        except Exception as ex:  # noqa: BLE001 - report and continue the sweep
+            bad.append(f"{name}: ERR {str(ex)[:140]}")
+            continue
+        if not ok:
+            bad.append(name)
+    print(f"{sf_dir}: {len(ORACLES)} oracles, MISMATCHES:", bad or "none")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
