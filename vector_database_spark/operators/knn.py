@@ -464,3 +464,92 @@ def context_search(
         score = score + F.least(F.lit(0).cast("long"), margin)
     scored = df.select(id_col, *payload_cols, score.alias("ctx_micro"))
     return scored.orderBy(F.col("ctx_micro").desc(), F.col(id_col).asc()).limit(k)
+
+
+def retrieval_eval_candidates(
+    queries: list[tuple[int, list[float]]],
+    collection: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Two-phase candidate generation for the retrieval-eval harness
+    (q_retrieval_metrics' cluster-scale ranking stage): each partition
+    keeps TWO k-heaps per query — the exact-cosine ground-truth leg
+    (micro6 keys) and the int8-quantized dot system leg (exact integer
+    keys) — so only 2·k·P·|queries| candidate rows shuffle instead of the
+    whole scored corpus funneling through one reducer per query.
+
+    int8 codes use the same per-vector symmetric formula as the column
+    expression (scale 127/max|x|, half-up) in float64, so the integer dot
+    is bit-identical to the SQL path and heap pruning can never disagree
+    with the global tie-break ((key DESC, id ASC) both phases).
+
+    Output: (qid, vec_id, leg 'truth'|'sys', key) — feed to a per-
+    (qid, leg) top-k window and the metric rollup."""
+    import numpy as np
+    import pandas as pd
+
+    q_ids = [int(q[0]) for q in queries]
+    Q = np.asarray([[float(x) for x in q[1]] for q in queries], dtype=np.float64)
+
+    def _int8(M: "np.ndarray") -> "np.ndarray":
+        mx = np.abs(M).max(axis=1, keepdims=True)
+        scale = np.where(mx > 0, 127.0 / np.where(mx == 0, 1.0, mx), 0.0)
+        return np.floor(np.abs(M) * scale + 0.5) * np.sign(M)
+
+    Qn = Q / np.where(
+        np.linalg.norm(Q, axis=1, keepdims=True) == 0,
+        1.0,
+        np.linalg.norm(Q, axis=1, keepdims=True),
+    )
+    Q8 = _int8(Q)
+
+    def local_heaps(batches):
+        import heapq
+        import math
+
+        from vector_database_spark.functions.vector import py_micro6
+
+        truth: list[list] = [[] for _ in q_ids]
+        sys_h: list[list] = [[] for _ in q_ids]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.asarray([list(e) for e in pdf[emb_col]], dtype=np.float64)
+            norms = np.linalg.norm(E, axis=1, keepdims=True)
+            En = E / np.where(norms == 0.0, 1.0, norms)
+            S = En @ Qn.T
+            S[norms[:, 0] == 0.0, :] = -np.inf
+            D = _int8(E) @ Q8.T  # exact integers in float64
+            ids = pdf[id_col].to_numpy()
+            for qi in range(len(q_ids)):
+                for rid, s, d in zip(ids, S[:, qi], D[:, qi]):
+                    t_item = (
+                        py_micro6(s) if math.isfinite(s) else -(10**18),
+                        -int(rid),
+                    )
+                    if len(truth[qi]) < k:
+                        heapq.heappush(truth[qi], t_item)
+                    elif t_item > truth[qi][0]:
+                        heapq.heapreplace(truth[qi], t_item)
+                    s_item = (int(d), -int(rid))
+                    if len(sys_h[qi]) < k:
+                        heapq.heappush(sys_h[qi], s_item)
+                    elif s_item > sys_h[qi][0]:
+                        heapq.heapreplace(sys_h[qi], s_item)
+        rows = {"qid": [], id_col: [], "leg": [], "key": []}
+        for qi, qid in enumerate(q_ids):
+            for leg, heap in (("truth", truth[qi]), ("sys", sys_h[qi])):
+                for key, negid in heap:
+                    rows["qid"].append(qid)
+                    rows[id_col].append(-negid)
+                    rows["leg"].append(leg)
+                    rows["key"].append(int(key))
+        yield pd.DataFrame(rows).astype(
+            {"qid": "int64", id_col: "int64", "leg": "object", "key": "int64"}
+        )
+
+    return collection.select(id_col, emb_col).mapInPandas(
+        local_heaps, f"qid bigint, {id_col} bigint, leg string, key bigint"
+    )

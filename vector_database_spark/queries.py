@@ -5701,7 +5701,11 @@ def q_retrieval_metrics(spark, sf_dir):
     Scale shape: one broadcast of the (small) query set over the corpus
     scan, one shuffle on qid for the two rank windows (same partitioning,
     one Exchange + two Sorts), then a partial-agg rollup to |Q| rows.
-    Corpus size only enters through the scan; no all-pairs work."""
+    No all-pairs work — but the qid windows funnel each query's scored
+    corpus through one reducer (the q_knn_batch shape); at cluster scale
+    swap the ranking stage for the two-phase local-heap operator
+    (operators/knn.py::knn_batch_local_topk, the q_knn_twophase path:
+    shuffle O(k·partitions) per query, identical ids)."""
     emb = _t(spark, sf_dir, "embeddings")
     embd = F.col("embedding").cast("array<double>")
     mx = F.array_max(F.transform(embd, lambda x: F.abs(x)))
@@ -5739,12 +5743,19 @@ def q_retrieval_metrics(spark, sf_dir):
         F.row_number().over(w_truth).alias("truth_rank"),
         F.row_number().over(w_sys).alias("sys_rank"),
     ).filter((F.col("truth_rank") <= _EVAL_K) & (F.col("sys_rank") <= _EVAL_K))
+    return _retrieval_rollup(ranked)
+
+
+def _retrieval_rollup(rel: DataFrame) -> DataFrame:
+    """Shared metric rollup: ``rel`` holds one row per (query, doc) in
+    BOTH legs' top-k, with the system-leg rank; emits per-query hits /
+    recall / MRR / nDCG in micro units (literal rank tables — rule 10)."""
     disc = F.array(*[F.lit(v) for v in _DISC_MICRO])
     recip = F.array(*[F.lit(v) for v in _RECIP_MICRO])
     hits = F.count(F.lit(1)).cast("long")
     dcg = F.sum(F.element_at(disc, F.col("sys_rank"))).cast("double")
     return (
-        ranked.groupBy("qid")
+        rel.groupBy("qid")
         .agg(
             hits.alias("hits"),
             F.max(F.element_at(recip, F.col("sys_rank"))).cast("long").alias("mrr_micro"),
@@ -5759,6 +5770,37 @@ def q_retrieval_metrics(spark, sf_dir):
         )
         .orderBy("qid")
     )
+
+
+def q_retrieval_metrics_twophase(spark, sf_dir):
+    """The cluster-scale twin of q_retrieval_metrics: both ranking legs
+    come from per-partition k-heaps (operators/knn.py::
+    retrieval_eval_candidates — 2·k·P·|Q| candidate rows shuffle instead
+    of every scored row funneling through one reducer per query), then a
+    tiny per-(query, leg) window and the shared metric rollup. Heap keys
+    reproduce the global tie-break exactly, so the rows are IDENTICAL to
+    the window version — same FULL oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 16).collect()
+    ]
+    cands = knn.retrieval_eval_candidates(
+        queries, emb.filter(F.col("vec_id") >= 16), k=_EVAL_K
+    )
+    w = Window.partitionBy("qid", "leg").orderBy(
+        F.col("key").desc(), F.col("vec_id").asc()
+    )
+    legs = cands.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= _EVAL_K
+    )
+    truth = legs.filter(F.col("leg") == "truth").select(
+        "qid", "vec_id", F.col("rnk").alias("truth_rank")
+    )
+    sys_leg = legs.filter(F.col("leg") == "sys").select(
+        "qid", "vec_id", F.col("rnk").alias("sys_rank")
+    )
+    return _retrieval_rollup(truth.join(sys_leg, ["qid", "vec_id"]))
 
 
 _SQL_RETRIEVAL_METRICS = f"""
@@ -5965,6 +6007,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_stateful_topk": q_stateful_topk,
     # retrieval evaluation
     "q_retrieval_metrics": q_retrieval_metrics,
+    "q_retrieval_metrics_twophase": q_retrieval_metrics_twophase,
     "q_label_precision": q_label_precision,
     # sketch aggregates (rows-only: no SQL twin for approximate estimates)
     "q_hll_distinct": q_hll_distinct,
@@ -6157,6 +6200,7 @@ ORACLES: dict[str, str] = {
     "q_stateful_totals": _SQL_STATEFUL_TOTALS,
     "q_stateful_topk": _SQL_STATEFUL_TOPK,
     "q_retrieval_metrics": _SQL_RETRIEVAL_METRICS,
+    "q_retrieval_metrics_twophase": _SQL_RETRIEVAL_METRICS,
     "q_label_precision": _SQL_LABEL_PRECISION,
     "q_udtf_ngrams": _SQL_UDTF_NGRAMS,
     "q_udaf_median": _SQL_UDAF_MEDIAN,
