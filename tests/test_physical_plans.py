@@ -373,3 +373,13 @@ def test_sketch_aggs_partial_aggregate(spark, sf):
     assert "Exchange SinglePartition" not in p.split("ObjectHashAggregate")[0]
     p2 = plan_of(q_theta_overlap(spark, sf))
     assert "partial_theta_sketch_agg" in p2
+
+
+def test_retrieval_twophase_plan(spark, sf):
+    # scale twin: ranking legs come from per-partition heaps (MapInPandas)
+    # — the corpus never shuffles; only candidate rows reach the windows
+    from vector_database_spark.queries import q_retrieval_metrics_twophase
+
+    p = plan_of(q_retrieval_metrics_twophase(spark, sf))
+    assert "MapInPandas" in p
+    assert "Exchange SinglePartition" not in p
