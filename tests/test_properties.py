@@ -102,6 +102,29 @@ def test_minhash_contains_all_exact_dup_pairs(spark):
         assert (i, i + 5000) in pairs
 
 
+def test_incremental_dedup_flags_planted_and_only_incoming(spark):
+    """Verbatim corpus copies in the incoming batch MUST be flagged
+    (J=1 collides in every band); the verdict covers exactly the incoming
+    ids (corpus-internal and incoming-internal pairs never surface)."""
+    docs = read_table(spark, SF_SMALL, "documents")
+    corpus = docs.filter(F.col("doc_id") < 300)
+    incoming = (
+        docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 350))
+        .select("doc_id", "text")
+        .unionByName(
+            corpus.filter(F.col("doc_id") < 20).select(
+                (F.col("doc_id") + 7000).alias("doc_id"), "text"
+            )
+        )
+    )
+    out = {r["doc_id"]: r for r in dedup.incremental_dedup(incoming, corpus).collect()}
+    assert set(out) == set(range(300, 350)) | {7000 + i for i in range(20)}
+    for i in range(20):
+        r = out[7000 + i]
+        assert r["is_dup"] and r["max_jaccard_micro"] == 1_000_000
+        assert r["n_matches"] >= 1
+
+
 def test_filter_dsl_agrees_with_python_reference(spark):
     """Property check: random Qdrant filter specs evaluated by the Catalyst
     translator must agree row-for-row with a direct Python evaluator

@@ -1,0 +1,131 @@
+"""Distributed Lloyd's k-means in exact integer micro-unit arithmetic.
+
+Cluster-based curation is a first-class pretraining-pipeline primitive:
+SemDeDup (Abbas et al. 2023) dedupes within k-means clusters, cluster
+balance drives data-mixing decisions, and IVF routing (operators/ann.py)
+is a k-means coarse quantizer. MLlib's KMeans is float-based and
+seed-dependent, so it can only ever be a rows-only operator. This one is
+different: every quantity is an exact integer, so Spark and DuckDB compute
+IDENTICAL clusterings and the operator carries a FULL oracle
+(FIXTURES.md rules 6/8 applied to an iterative algorithm).
+
+Determinism contract (mirrored line-for-line by the unrolled-CTE oracle in
+queries.py::_sql_kmeans):
+  * vectors → micro ints: ``floor(x * 1e6 + 0.5)`` per element (micro6).
+  * init: the k smallest ids, in id order, are centroids 0..k-1.
+  * assignment: argmin of EXACT integer squared distance, ties → smaller
+    cluster id (array_min over (dist, cid) structs).
+  * update: element-wise floor division sum//count (Python ``//`` ==
+    the ``(s - ((s%n+n)%n)) / n`` SQL formula — true floor, not trunc).
+  * empty cluster: keeps its previous centroid.
+  * rounds is fixed and part of the declared semantics; because the
+    arithmetic is exact, round r is bit-identical across engines, so the
+    fixpoint rule (FIXTURES.md rule 9) is not needed here.
+
+Scale shape (the plan a 1000-executor cluster wants):
+  * assignment is MAP-SIDE: centroids are k×dim literals folded into a
+    whole-stage-codegen'd expression — no join, no shuffle over the data.
+  * the update shuffles only (cluster, dim) partial sums — k*dim rows
+    after map-side partial aggregation, independent of data size.
+  * driver state is k*dim ints per round (same bounded collect MLlib does).
+
+Reference parity: the reference clusters implicitly through Qdrant's IVF
+config surface; this implements the algorithm Spark-first
+(vector_db.py:85-91 stores the points this would cluster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+KMEANS_K = 8
+KMEANS_ROUNDS = 3
+
+
+def _micro_vec(emb_col):
+    """array<float> → array<bigint> micro units, the micro6 contract."""
+    return F.transform(
+        emb_col,
+        lambda x: F.floor(x.cast("double") * F.lit(1000000.0) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+
+
+def _dist_sq(mv_col, centroid: list[int]):
+    """Exact integer squared L2 distance to a literal centroid."""
+    lit = F.array(*[F.lit(int(c)) for c in centroid])
+    return F.aggregate(
+        F.zip_with(mv_col, lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _argmin_struct(mv_col, centroids: list[list[int]]):
+    """(dist_sq, cid) struct of the nearest centroid; ties → smaller cid."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _dist_sq(mv_col, c).alias("d"), F.lit(cid).alias("c")
+                )
+                for cid, c in enumerate(centroids)
+            ]
+        )
+    )
+
+
+def kmeans_micro(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = KMEANS_K,
+    rounds: int = KMEANS_ROUNDS,
+) -> DataFrame:
+    """Exact-integer Lloyd's k-means; returns (id, cluster, dist_sq).
+
+    ``cluster``/``dist_sq`` are w.r.t. the centroids AFTER `rounds`
+    assign+update iterations. Cross-engine-deterministic by construction.
+    """
+    pts = df.select(F.col(id_col).alias("_id"), _micro_vec(F.col(vec_col)).alias("mv"))
+    # Re-scanned once per round; cache the micro projection (deterministic,
+    # so cache-vs-recompute cannot change results — this is purely a cost call).
+    pts = pts.cache()
+
+    init_rows = pts.orderBy("_id").limit(k).collect()
+    centroids = [list(r["mv"]) for r in init_rows]
+    dim = len(centroids[0])
+
+    for _ in range(rounds):
+        assigned = pts.select(
+            _argmin_struct(F.col("mv"), centroids)["c"].alias("cluster"), "mv"
+        )
+        # k*dim partial-agg rows to the driver — bounded, like MLlib.
+        sums = (
+            assigned.select("cluster", F.posexplode("mv").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cluster: dict[int, list[tuple[int, int, int]]] = {}
+        for r in sums:
+            by_cluster.setdefault(r["cluster"], []).append((r["pos"], r["s"], r["n"]))
+        new_centroids = []
+        for cid in range(k):
+            if cid in by_cluster:
+                vals = sorted(by_cluster[cid])
+                assert len(vals) == dim
+                new_centroids.append([s // n for _, s, n in vals])
+            else:
+                new_centroids.append(centroids[cid])  # empty cluster: keep
+        centroids = new_centroids
+
+    final = pts.select(
+        F.col("_id").alias(id_col),
+        _argmin_struct(F.col("mv"), centroids).alias("am"),
+    ).select(
+        id_col, F.col("am.c").alias("cluster"), F.col("am.d").alias("dist_sq")
+    )
+    pts.unpersist()
+    return final.orderBy(id_col)

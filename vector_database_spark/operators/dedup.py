@@ -129,6 +129,27 @@ def minhash_signatures(
     return toks.groupBy(id_col).agg(*aggs)
 
 
+def band_keys(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+) -> DataFrame:
+    """(bid, band_key) rows — one per (doc, band); docs sharing a band's
+    full sub-signature collide on band_key. Shared by the self-join dedup
+    (minhash_band_pairs) and the incremental batch-vs-corpus dedup."""
+    rows_per_band = num_hashes // bands
+    band_frames = []
+    for b in range(bands):
+        cols = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
+        key = F.concat_ws("_", F.lit(str(b)), *[F.col(c).cast("string") for c in cols])
+        band_frames.append(signatures.select(F.col(id_col).alias("bid"), key.alias("band_key")))
+    all_bands = band_frames[0]
+    for bf in band_frames[1:]:
+        all_bands = all_bands.unionAll(bf)
+    return all_bands
+
+
 def minhash_band_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -139,15 +160,7 @@ def minhash_band_pairs(
 
     Output: distinct (id_a, id_b) with id_a < id_b.
     """
-    rows_per_band = num_hashes // bands
-    band_frames = []
-    for b in range(bands):
-        cols = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
-        key = F.concat_ws("_", F.lit(str(b)), *[F.col(c).cast("string") for c in cols])
-        band_frames.append(signatures.select(F.col(id_col).alias("bid"), key.alias("band_key")))
-    all_bands = band_frames[0]
-    for bf in band_frames[1:]:
-        all_bands = all_bands.unionAll(bf)
+    all_bands = band_keys(signatures, id_col, num_hashes, bands)
     a = all_bands.select(F.col("bid").alias("id_a"), "band_key")
     b_ = all_bands.select(F.col("bid").alias("id_b"), "band_key")
     return (
@@ -293,6 +306,20 @@ def jaccard_verify(
 _live_sigs = None
 
 
+def _release_sig_caches() -> None:
+    """Release the previous call's signature cache(s). One call's caches
+    are live at a time per session (the DataFrame analogue of dropping a
+    materialized CTE)."""
+    global _live_sigs
+    if _live_sigs is not None:
+        for df in _live_sigs if isinstance(_live_sigs, list) else [_live_sigs]:
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # previous cache belonged to a stopped SparkSession
+    _live_sigs = None
+
+
 def minhash_neardup_pairs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -309,11 +336,7 @@ def minhash_neardup_pairs(
     cache is live at a time per session.
     """
     global _live_sigs
-    if _live_sigs is not None:
-        try:
-            _live_sigs.unpersist()
-        except Exception:
-            pass  # previous cache belonged to a stopped SparkSession
+    _release_sig_caches()
     sigs = minhash_signatures(docs, text_col, id_col).persist()
     _live_sigs = sigs
     cands = minhash_band_pairs(sigs, id_col)
@@ -321,6 +344,70 @@ def minhash_neardup_pairs(
     # is order-insensitive) and a global sort of a near-quadratic pair list
     # costs more than the whole pipeline (measured 14.4s → 5.9s at sf0.1).
     return jaccard_verify(cands, docs, text_col, id_col)
+
+
+def incremental_dedup(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Dedupe an INCOMING batch against an EXISTING corpus — the shape
+    every production ingestion pipeline actually runs: new shards arrive
+    continuously and must be near-dup-checked against what is already
+    ingested, never re-deduping the whole corpus.
+
+    MinHash band keys are computed per side and joined CROSS-side only
+    (incoming × corpus band collisions — incoming-internal and
+    corpus-internal pairs never materialize). Candidates are
+    Jaccard-verified exactly; the verdict is per incoming doc.
+
+    Output: (id_col, n_matches BIGINT, max_jaccard_micro BIGINT nullable,
+    is_dup BOOLEAN) — one row per incoming doc; ``n_matches`` counts
+    verified corpus near-dups, ``max_jaccard_micro`` is NULL when none.
+
+    Scale shape: at 100 TB the corpus side of this plan (signatures +
+    band keys) is a PERSISTED index maintained at ingest — each batch
+    then costs one signature pass over the batch plus a band-key join
+    whose corpus side is read pre-bucketed by band_key; nothing is
+    quadratic in corpus size. Ids must be disjoint across the two inputs
+    (enforced: verification unions the two doc sets).
+
+    Deterministic (portable md5 hash family) → FULL DuckDB oracle
+    (queries.py::q_incremental_dedup).
+    """
+    global _live_sigs
+    _release_sig_caches()
+    inc_sigs = minhash_signatures(incoming, text_col, id_col).persist()
+    corp_sigs = minhash_signatures(corpus, text_col, id_col).persist()
+    _live_sigs = [inc_sigs, corp_sigs]
+    cands = (
+        band_keys(corp_sigs, id_col)
+        .withColumnRenamed("bid", "id_a")
+        .join(band_keys(inc_sigs, id_col).withColumnRenamed("bid", "id_b"), "band_key")
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    both = incoming.select(id_col, text_col).unionByName(
+        corpus.select(id_col, text_col)
+    )
+    verified = jaccard_verify(cands, both, text_col, id_col, threshold)
+    hits = verified.groupBy("id_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.max("jaccard_micro").alias("max_jaccard_micro"),
+    )
+    return (
+        incoming.select(id_col)
+        .join(hits, F.col(id_col) == F.col("id_b"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_matches"), F.lit(0)).cast("long").alias("n_matches"),
+            "max_jaccard_micro",
+            F.col("n_matches").isNotNull().alias("is_dup"),
+        )
+        .orderBy(id_col)
+    )
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
