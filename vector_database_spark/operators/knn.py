@@ -166,6 +166,41 @@ def knn_batch(
     )
 
 
+def hard_negatives(
+    anchors: DataFrame,
+    collection: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    q_id_col: str = "qid",
+    q_emb_col: str = "qv",
+    q_label_col: str = "qlabel",
+) -> DataFrame:
+    """Hard-negative mining — the embedding-model training-data op
+    (DPR / SimCSE / contrastive fine-tuning): for each anchor, the k
+    most-similar points with a DIFFERENT label, i.e. the negatives
+    closest to the decision boundary that make contrastive batches
+    informative.
+
+    Same broadcast-anchors shape as knn_batch; the cross-label predicate
+    is applied BEFORE ranking (map-side, no wasted candidates). At scale,
+    pre-prune with ann.py buckets exactly like batch k-NN.
+    Output: (qid, id, label, score) — top-k per anchor.
+    """
+    joined = with_min_parallelism(collection).crossJoin(F.broadcast(anchors))
+    joined = joined.filter(F.col(label_col) != F.col(q_label_col))
+    score, asc = score_col("cosine", F.col(emb_col), F.col(q_emb_col))
+    scored = joined.select(q_id_col, id_col, label_col, score.alias("score"))
+    order = [F.col("score").asc() if asc else F.col("score").desc(), F.col(id_col).asc()]
+    w = Window.partitionBy(q_id_col).orderBy(*order)
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def knn_batch_local_topk(
     queries: list[tuple[int, list[float]]],
     collection: DataFrame,

@@ -186,6 +186,36 @@ QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) <= 3
 """
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training data: for each
+    anchor (vec_id < 10) the 5 most-cosine-similar points with a
+    DIFFERENT label — the near-boundary negatives DPR/SimCSE-style
+    training batches are built from (knn.hard_negatives)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    return knn.hard_negatives(anchors, emb, k=5)
+
+
+_SQL_HARD_NEGATIVES = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id < 10
+),
+scored AS (
+  SELECT q.qid, c.vec_id, c.label, {_cos_sql('c.embedding', 'q.qv')} AS score
+  FROM embeddings c, q
+  WHERE c.label != q.qlabel
+)
+SELECT qid, vec_id, label, score
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) <= 5
+"""
+
+
 def q_knn_filtered(spark, sf_dir):
     """B6: payload predicate *before* vector ranking (filtered k-NN)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -4798,6 +4828,26 @@ WHERE v.event_type = 'view' AND c.event_type = 'click'
 """
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Watermarked streaming dedup with REAL duplicates: the fixture
+    streamed through two unioned file sources (every event arrives
+    twice), dropDuplicatesWithinWatermark keeps one survivor per
+    event_id with state bounded by the watermark. Byte-identical
+    duplicates → survivor set == batch DISTINCT == the events table:
+    FULL oracle (streaming/events.py::run_dedup_stream)."""
+    return streaming_events.run_dedup_stream(spark, sf_dir)
+
+
+_SQL_STREAM_DEDUP = """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       user_id,
+       event_type,
+       round(value, 6) AS value
+FROM events
+"""
+
+
 def q_stream_session_window(spark, sf_dir):
     """Streaming session windows, APPEND mode: the watermark actually
     gates emission — sessions whose window end is above (max event time −
@@ -6007,6 +6057,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_knn_score_payload": q_knn_score_payload,
     "q_knn_raw_vector": q_knn_raw_vector,
     "q_knn_batch": q_knn_batch,
+    "q_hard_negatives": q_hard_negatives,
     "q_knn_filtered": q_knn_filtered,
     "q_sim_self_join": q_sim_self_join,
     "q_cosine_normalize": q_cosine_normalize,
@@ -6077,6 +6128,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_char_entropy": q_char_entropy,
     "q_score_threshold": q_score_threshold,
     "q_stream_session_window": q_stream_session_window,
+    "q_stream_dedup": q_stream_dedup,
     "q_ship_priority": q_ship_priority,
     "q_topngram_fraction": q_topngram_fraction,
     "q_loss_mask": q_loss_mask,
@@ -6220,6 +6272,7 @@ ORACLES: dict[str, str] = {
     "q_knn_score_payload": _SQL_KNN_SCORE_PAYLOAD,
     "q_knn_raw_vector": _SQL_KNN_RAW_VECTOR,
     "q_knn_batch": _SQL_KNN_BATCH,
+    "q_hard_negatives": _SQL_HARD_NEGATIVES,
     "q_knn_filtered": _SQL_KNN_FILTERED,
     "q_sim_self_join": _SQL_SIM_SELF_JOIN,
     "q_cosine_normalize": _SQL_COSINE_NORMALIZE,
@@ -6323,6 +6376,7 @@ ORACLES: dict[str, str] = {
     "q_char_entropy": _SQL_CHAR_ENTROPY,
     "q_score_threshold": _SQL_SCORE_THRESHOLD,
     "q_stream_session_window": _SQL_STREAM_SESSION_WINDOW,
+    "q_stream_dedup": _SQL_STREAM_DEDUP,
     "q_ship_priority": _SQL_SHIP_PRIORITY,
     "q_topngram_fraction": _SQL_TOPNGRAM_FRACTION,
     "q_loss_mask": _SQL_LOSS_MASK,

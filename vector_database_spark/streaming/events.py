@@ -94,6 +94,44 @@ def dedup_stream(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     )
 
 
+def run_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive streaming dedup end-to-end with REAL duplicates: the events
+    fixture is streamed through TWO file sources unioned (every event
+    arrives exactly twice), then dropDuplicatesWithinWatermark keeps one
+    survivor per event_id. Because the duplicate copies are byte-identical
+    (same file) the survivor set equals the batch DISTINCT — a FULL
+    oracle for watermarked streaming dedup (event_id is unique in every
+    fixture scale, so the oracle is simply the events table).
+
+    State stays bounded: each key's entry is dropped once the watermark
+    passes its event time — the stream can run forever; a plain
+    dropDuplicates would grow state monotonically (see dedup_stream).
+    """
+    doubled = read_events_stream(spark, sf_dir).union(
+        read_events_stream(spark, sf_dir)
+    )
+    name = "stream_dedup_" + uuid.uuid4().hex[:8]
+    q = (
+        dedup_stream(doubled)
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            "user_id",
+            "event_type",
+            F.round(F.col("value"), 6).alias("value"),
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def run_stream_to_batch(
     spark: SparkSession, sf_dir: str, mode: str = "complete"
 ) -> DataFrame:
