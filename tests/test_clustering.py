@@ -81,6 +81,23 @@ def test_identical_points_tie_to_smallest_cluster(spark):
     assert all(r["cluster"] == 0 and r["dist_sq"] == 0 for r in out)
 
 
+def test_semdedup_kmeans_finds_all_planted_copies(spark):
+    """Identical vectors share their k-means cluster by construction, so
+    verbatim copies can never be missed by the within-cluster verify."""
+    from vector_database_spark.operators.clustering import semdedup_kmeans_pairs
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    copies = emb.filter(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 5000).alias("vec_id"), "embedding", "label"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in semdedup_kmeans_pairs(emb.unionByName(copies)).collect()
+    }
+    for i in range(30):
+        assert (i, i + 5000) in pairs
+
+
 def test_assignment_plan_is_map_side(spark):
     # The 100 TB contract: final assignment folds centroids in as
     # literals — no join anywhere, and the only exchange is the

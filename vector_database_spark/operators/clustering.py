@@ -38,6 +38,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from vector_database_spark.functions.vector import cosine, round6
+
 KMEANS_K = 8
 KMEANS_ROUNDS = 3
 
@@ -129,3 +131,43 @@ def kmeans_micro(
     )
     pts.unpersist()
     return final.orderBy(id_col)
+
+
+def semdedup_kmeans_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = KMEANS_K,
+    rounds: int = KMEANS_ROUNDS,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Paper-faithful SemDeDup (Abbas et al. 2023): k-means clusters, then
+    cosine verified ONLY within clusters. The sign-bucket variant
+    (dedup.semdedup_pairs) trades cluster quality for a cheap key; this
+    one uses the actual k-means partition — and because kmeans_micro is
+    exact-integer deterministic, it STILL carries a full DuckDB oracle
+    (queries.py::q_semdedup_kmeans), which no float k-means could.
+
+    Identical vectors always share a cluster (identical distances →
+    identical argmin), so verbatim copies are never missed. Scale shape:
+    the k-means rounds (map-side + k·dim shuffles) then ONE shuffle of
+    (id, embedding) on the cluster key; pairs materialize per cluster.
+    Output: (id_a, id_b, cos), id_a < id_b, cos >= threshold.
+    """
+    asgn = kmeans_micro(embeddings, emb_col, id_col, k, rounds).select(
+        id_col, "cluster"
+    )
+    tagged = embeddings.select(id_col, emb_col).join(asgn, id_col)
+    a = tagged.select(
+        "cluster", F.col(id_col).alias("id_a"), F.col(emb_col).alias("ea")
+    )
+    b = tagged.select(
+        "cluster", F.col(id_col).alias("id_b"), F.col(emb_col).alias("eb")
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", round6(cosine(F.col("ea"), F.col("eb"))).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .orderBy("id_a", "id_b")
+    )

@@ -1039,10 +1039,13 @@ def q_kmeans_clusters(spark, sf_dir):
     return clustering.kmeans_micro(_t(spark, sf_dir, "embeddings"))
 
 
-def _sql_kmeans(k: int = clustering.KMEANS_K,
-                rounds: int = clustering.KMEANS_ROUNDS,
-                dim: int = 64) -> str:
-    """Unrolled Lloyd rounds as CTEs; mirrors kmeans_micro line-for-line.
+def _sql_kmeans_ctes(k: int = clustering.KMEANS_K,
+                     rounds: int = clustering.KMEANS_ROUNDS,
+                     dim: int = 64,
+                     source: str = "embeddings") -> tuple[str, str]:
+    """(CTE list SQL, final-assignment LATERAL SQL) for unrolled Lloyd
+    rounds; mirrors kmeans_micro line-for-line. Split so composed oracles
+    (q_semdedup_kmeans) can embed the clustering as a subplan.
 
     Floor division is ``(s - ((s%n+n)%n)) / n`` — true floor like Python's
     ``//`` (numerator made exactly divisible, so the float division is
@@ -1051,7 +1054,7 @@ def _sql_kmeans(k: int = clustering.KMEANS_K,
             "p -> (p[1]-p[2])*(p[1]-p[2])))")
     ctes = [
         "m AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), "
-        "x -> CAST(floor(x*1000000 + 0.5) AS BIGINT)) AS mv FROM embeddings)",
+        f"x -> CAST(floor(x*1000000 + 0.5) AS BIGINT)) AS mv FROM {source})",
         f"c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, "
         f"mv AS cv FROM m ORDER BY vec_id LIMIT {k})",
     ]
@@ -1072,15 +1075,62 @@ def _sql_kmeans(k: int = clustering.KMEANS_K,
             f"c{r} AS (SELECT p.cid, COALESCE(n.cv, p.cv) AS cv "
             f"FROM c{r - 1} p LEFT JOIN n{r} n USING (cid))"
         )
+    lateral = (
+        f"LATERAL (SELECT c.cid, {dist} AS d FROM c{rounds} c "
+        "ORDER BY d ASC, c.cid ASC LIMIT 1) am"
+    )
+    return ",\n".join(ctes), lateral
+
+
+def _sql_kmeans() -> str:
+    ctes, lateral = _sql_kmeans_ctes()
     return (
-        "WITH " + ",\n".join(ctes)
-        + f"\nSELECT m.vec_id, am.cid AS cluster, CAST(am.d AS BIGINT) AS dist_sq "
-        f"FROM m, LATERAL (SELECT c.cid, {dist} AS d FROM c{rounds} c "
-        "ORDER BY d ASC, c.cid ASC LIMIT 1) am ORDER BY vec_id"
+        f"WITH {ctes}\n"
+        "SELECT m.vec_id, am.cid AS cluster, CAST(am.d AS BIGINT) AS dist_sq "
+        f"FROM m, {lateral} ORDER BY vec_id"
     )
 
 
 _SQL_KMEANS_CLUSTERS = _sql_kmeans()
+
+
+def q_semdedup_kmeans(spark, sf_dir):
+    """Paper-faithful SemDeDup: k-means clusters (exact-integer Lloyd's)
+    → cosine verify within clusters only. Same planted copies as
+    q_semdedup; identical vectors always share their k-means cluster, so
+    every planted pair must appear. FULL oracle — possible only because
+    kmeans_micro is integer-deterministic
+    (operators/clustering.py::semdedup_kmeans_pairs)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    copies = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    return clustering.semdedup_kmeans_pairs(emb.unionByName(copies))
+
+
+def _sql_semdedup_kmeans() -> str:
+    ctes, lateral = _sql_kmeans_ctes(source="aug")
+    return f"""
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 50
+),
+{ctes},
+asgn AS (SELECT m.vec_id, am.cid AS cluster FROM m, {lateral}),
+t AS (
+  SELECT a2.vec_id, a2.cluster, e.embedding
+  FROM asgn a2 JOIN aug e USING (vec_id)
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_cos_sql('a.embedding', 'b.embedding')} AS cos
+FROM t a JOIN t b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {dedup.COSINE_NEARDUP_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+_SQL_SEMDEDUP_KMEANS = _sql_semdedup_kmeans()
 
 
 # ---------------------------------------------------------------------------
@@ -6165,6 +6215,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_neardup_embedding": q_neardup_embedding,
     "q_semdedup": q_semdedup,
     "q_kmeans_clusters": q_kmeans_clusters,
+    "q_semdedup_kmeans": q_semdedup_kmeans,
     # text analysis
     "q_text_stats": q_text_stats,
     "q_lang_id": q_lang_id,
@@ -6303,6 +6354,7 @@ ORACLES: dict[str, str] = {
     "q_neardup_embedding": _SQL_NEARDUP_EMBEDDING,
     "q_semdedup": _SQL_SEMDEDUP,
     "q_kmeans_clusters": _SQL_KMEANS_CLUSTERS,
+    "q_semdedup_kmeans": _SQL_SEMDEDUP_KMEANS,
     "q_text_stats": _SQL_TEXT_STATS,
     "q_lang_id": _SQL_LANG_ID,
     "q_quality_score": _SQL_QUALITY,
