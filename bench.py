@@ -85,6 +85,13 @@ BENCH_QUERIES = [
     "q_zorder_key",
     "q_resize_image",
     "q_audio_features",
+    # round 3c: incremental ingestion dedup + contrastive mining
+    # q_kmeans_clusters / q_semdedup_kmeans are NOT headliners: their 3
+    # Lloyd rounds are driver-loop jobs whose fixed latency dominates at
+    # any SF (same reason as q_knn_ivfpq/q_bpe_learn); scaling is
+    # profiled in tools/stress_kmeans.py (2M rows ≈ 25 s, near-linear).
+    "q_incremental_dedup",
+    "q_hard_negatives",
 ]
 
 

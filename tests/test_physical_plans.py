@@ -383,3 +383,34 @@ def test_retrieval_twophase_plan(spark, sf):
     p = plan_of(q_retrieval_metrics_twophase(spark, sf))
     assert "MapInPandas" in p
     assert "Exchange SinglePartition" not in p
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf, tmp_path):
+    # Bucketed layout on the join key: both scans expose the same hash
+    # partitioning, so the SortMergeJoin needs NO Exchange — the
+    # pay-once-at-ingest answer to a repeated fact⋈fact join. (Sorts
+    # remain: Spark 3+ ignores bucket sort order on read by default —
+    # they are partition-local, zero data movement.)
+    from vector_database_spark.operators.relational import bucketed_write
+
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    customer = spark.read.parquet(f"{sf}/customer.parquet").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    bucketed_write(orders, "b_orders", "o_custkey", 8, str(tmp_path / "o"))
+    bucketed_write(customer, "b_customer", "o_custkey", 8, str(tmp_path / "c"))
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(spark.table("b_customer"), "o_custkey")
+        p = plan_of(joined)
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p
+        assert "Bucketed: true" in p
+        # and it still computes the right thing
+        expected = orders.join(customer, "o_custkey").count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")

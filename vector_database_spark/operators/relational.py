@@ -399,6 +399,47 @@ def zorder_key(a, b, bits: int = 10):
     return key
 
 
+def bucketed_write(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 16,
+    path: str | None = None,
+) -> None:
+    """Persist ``df`` as a Spark bucketed + in-bucket-sorted table on
+    ``key`` — the layout device that makes repeated big joins and
+    aggregations on that key SHUFFLE-FREE: every table bucketed into the
+    same (key, n_buckets) scheme exposes a hash output-partitioning the
+    join's required distribution is satisfied by, so SortMergeJoin runs
+    with ZERO Exchange. This is the 100 TB answer to 'the fact⋈fact join
+    shuffles 100 TB every run': pay the shuffle once at ingest, never
+    again per query
+    (tests/test_physical_plans.py::test_bucketed_join_is_shuffle_free).
+
+    The join still shows partition-local Sorts: Spark 3+ ignores the
+    bucket sort order on read unless the legacy
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering`` conf is set —
+    those sorts are per-bucket in-memory work, not data movement. sortBy
+    is kept anyway (min/max row-group stats + forward-compat).
+
+    ``path`` makes it an external table (tests point it at a tmp dir so
+    nothing lands in the default warehouse).
+    """
+    # one file per bucket: repartition on the SAME hash first — a bucket
+    # split across files forfeits the sorted-bucket guarantee and Spark
+    # would re-Sort both sides of every merge join
+    writer = (
+        df.repartition(n_buckets, F.col(key))
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
 def zorder_write(
     df: DataFrame, path: str, a_col: str, b_col: str, n_files: int = 8, bits: int = 10
 ) -> None:
