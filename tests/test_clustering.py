@@ -8,7 +8,6 @@ assignment plan shape."""
 from __future__ import annotations
 
 import numpy as np
-import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMALL

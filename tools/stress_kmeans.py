@@ -48,6 +48,11 @@ def main() -> None:
     spark = get_spark("stress_kmeans")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warmup: one tiny fit so the first measured row isn't JVM/codegen
+    # startup (first probe run recorded 50k slower than 500k for that
+    # reason)
+    kmeans_micro(synth_clustered(spark, 5_000)).collect()
+
     rows = []
     for n in (50_000, 500_000, 2_000_000):
         emb = synth_clustered(spark, n).localCheckpoint(eager=True)

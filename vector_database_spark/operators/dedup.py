@@ -352,6 +352,7 @@ def incremental_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = JACCARD_THRESHOLD,
+    corpus_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Dedupe an INCOMING batch against an EXISTING corpus — the shape
     every production ingestion pipeline actually runs: new shards arrive
@@ -368,11 +369,15 @@ def incremental_dedup(
     verified corpus near-dups, ``max_jaccard_micro`` is NULL when none.
 
     Scale shape: at 100 TB the corpus side of this plan (signatures +
-    band keys) is a PERSISTED index maintained at ingest — each batch
-    then costs one signature pass over the batch plus a band-key join
-    whose corpus side is read pre-bucketed by band_key; nothing is
-    quadratic in corpus size. Ids must be disjoint across the two inputs
-    (enforced: verification unions the two doc sets).
+    band keys) is a PERSISTED index maintained at ingest — pass it as
+    ``corpus_sigs`` (the minhash_signatures output) and each batch costs
+    one signature pass over the batch plus a band-key join whose corpus
+    side is read pre-bucketed by band_key; nothing is quadratic in
+    corpus size. Ids MUST be disjoint across the two inputs — the
+    verification stage unions the two doc sets, so an id on both sides
+    would fan its joins out and silently inflate ``n_matches``. Collisions
+    fail fast: one broadcast-semi probe of the batch ids against the
+    (persisted) corpus signature index — no extra corpus scan.
 
     Deterministic (portable md5 hash family) → FULL DuckDB oracle
     (queries.py::q_incremental_dedup).
@@ -380,8 +385,23 @@ def incremental_dedup(
     global _live_sigs
     _release_sig_caches()
     inc_sigs = minhash_signatures(incoming, text_col, id_col).persist()
-    corp_sigs = minhash_signatures(corpus, text_col, id_col).persist()
-    _live_sigs = [inc_sigs, corp_sigs]
+    if corpus_sigs is None:
+        corp_sigs = minhash_signatures(corpus, text_col, id_col).persist()
+        _live_sigs = [inc_sigs, corp_sigs]
+    else:
+        corp_sigs = corpus_sigs  # caller-managed persistence (their index)
+        _live_sigs = [inc_sigs]
+    overlap = (
+        corp_sigs.select(id_col)
+        .join(F.broadcast(incoming.select(id_col)), id_col, "semi")
+        .limit(1)
+        .count()
+    )
+    if overlap:
+        raise ValueError(
+            "incremental_dedup requires disjoint ids: some incoming "
+            f"{id_col} values already exist in the corpus"
+        )
     cands = (
         band_keys(corp_sigs, id_col)
         .withColumnRenamed("bid", "id_a")

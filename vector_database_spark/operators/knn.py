@@ -142,6 +142,7 @@ def knn_batch(
     q_emb_col: str = "qv",
     payload_cols: tuple[str, ...] = ("label",),
     exclude_self: bool = True,
+    pair_filter: Column | None = None,
 ) -> DataFrame:
     """B5: N query vectors × top-k each.
 
@@ -150,11 +151,16 @@ def knn_batch(
     a window ranks per query id. The only shuffle is of the scored
     candidate set on qid; at scale, pre-prune candidates with ann.py so the
     window input is k·P per query, not the whole collection.
+
+    ``pair_filter`` is an extra (query, candidate) predicate applied
+    map-side before scoring (e.g. hard_negatives' cross-label rule).
     """
     q = F.broadcast(queries)
     joined = with_min_parallelism(collection).crossJoin(q)
     if exclude_self:
         joined = joined.filter(F.col(id_col) != F.col(q_id_col))
+    if pair_filter is not None:
+        joined = joined.filter(pair_filter)
     score, asc = score_col(metric, F.col(emb_col), F.col(q_emb_col))
     scored = joined.select(q_id_col, id_col, *payload_cols, score.alias("score"))
     order = [F.col("score").asc() if asc else F.col("score").desc(), F.col(id_col).asc()]
@@ -183,21 +189,24 @@ def hard_negatives(
     closest to the decision boundary that make contrastive batches
     informative.
 
-    Same broadcast-anchors shape as knn_batch; the cross-label predicate
-    is applied BEFORE ranking (map-side, no wasted candidates). At scale,
-    pre-prune with ann.py buckets exactly like batch k-NN.
+    A thin wrapper over knn_batch: the cross-label predicate rides its
+    ``pair_filter`` hook, applied BEFORE ranking (map-side, no wasted
+    candidates). An anchor's own row has its own label, so self-matches
+    are excluded by the label rule itself. At scale, pre-prune with
+    ann.py buckets exactly like batch k-NN.
     Output: (qid, id, label, score) — top-k per anchor.
     """
-    joined = with_min_parallelism(collection).crossJoin(F.broadcast(anchors))
-    joined = joined.filter(F.col(label_col) != F.col(q_label_col))
-    score, asc = score_col("cosine", F.col(emb_col), F.col(q_emb_col))
-    scored = joined.select(q_id_col, id_col, label_col, score.alias("score"))
-    order = [F.col("score").asc() if asc else F.col("score").desc(), F.col(id_col).asc()]
-    w = Window.partitionBy(q_id_col).orderBy(*order)
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .drop("rn")
+    return knn_batch(
+        anchors,
+        collection,
+        k=k,
+        id_col=id_col,
+        emb_col=emb_col,
+        q_id_col=q_id_col,
+        q_emb_col=q_emb_col,
+        payload_cols=(label_col,),
+        exclude_self=False,
+        pair_filter=F.col(label_col) != F.col(q_label_col),
     )
 
 
