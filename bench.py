@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     # profiled in tools/stress_kmeans.py (2M rows ≈ 25 s, near-linear).
     "q_incremental_dedup",
     "q_hard_negatives",
+    "q_corpus_report",
 ]
 
 

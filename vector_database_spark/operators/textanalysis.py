@@ -165,6 +165,52 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def corpus_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Dataset-card report per source (the Dolma/FineWeb release-notes
+    table): document and token volumes, average document length, language
+    mix, and the exact-duplicate rate — the one-scan summary every corpus
+    release ships with.
+
+    All derived ratios are integer-ratio micro-units (FIXTURES.md rule 6);
+    the duplicate rate is 1 − distinct(md5(text))/docs within the source.
+    One groupBy (map-side partial aggs) — scan-bound at any corpus size.
+    Output: (source, n_docs, total_tokens, avg_tokens_micro,
+    pct_en_micro, dup_rate_micro).
+    """
+    n_tok = F.size(tokenize_ws(F.col(text_col))).cast("long")
+    base = docs.select(
+        "source",
+        n_tok.alias("n_tok"),
+        (F.col("lang") == "en").cast("long").alias("is_en"),
+        F.md5(F.col(text_col)).alias("h"),
+    )
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("is_en").alias("n_en"),
+            F.count_distinct("h").alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            micro6(F.col("total_tokens").cast("double") / F.col("n_docs")).alias(
+                "avg_tokens_micro"
+            ),
+            micro6(F.col("n_en").cast("double") / F.col("n_docs")).alias(
+                "pct_en_micro"
+            ),
+            micro6(
+                (F.col("n_docs") - F.col("n_distinct")).cast("double")
+                / F.col("n_docs")
+            ).alias("dup_rate_micro"),
+        )
+        .orderBy("source")
+    )
+
+
 BM25_K1 = 1.2
 BM25_B = 0.75
 

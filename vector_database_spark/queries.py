@@ -1150,6 +1150,38 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def q_corpus_report(spark, sf_dir):
+    """Dataset-card stats per source (Dolma/FineWeb release table): doc
+    and token volumes, average length, language mix, exact-dup rate —
+    one map-side-combinable groupBy
+    (operators/textanalysis.py::corpus_report)."""
+    return textanalysis.corpus_report(_t(spark, sf_dir, "documents"))
+
+
+_SQL_CORPUS_REPORT = f"""
+WITH base AS (
+  SELECT source,
+         len({_TOKS_SQL}) AS n_tok,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+         md5(text) AS h
+  FROM documents
+),
+agg AS (
+  SELECT source,
+         count(*) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         sum(is_en) AS n_en,
+         count(DISTINCT h) AS n_distinct
+  FROM base GROUP BY source
+)
+SELECT source, n_docs, total_tokens,
+       {_micro_sql('CAST(total_tokens AS DOUBLE) / n_docs')} AS avg_tokens_micro,
+       {_micro_sql('CAST(n_en AS DOUBLE) / n_docs')} AS pct_en_micro,
+       {_micro_sql('CAST(n_docs - n_distinct AS DOUBLE) / n_docs')} AS dup_rate_micro
+FROM agg ORDER BY source
+"""
+
+
 def q_lang_id(spark, sf_dir):
     """Language-ID heuristic over marker tokens."""
     return textanalysis.lang_id(_t(spark, sf_dir, "documents"))
@@ -6218,6 +6250,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_semdedup_kmeans": q_semdedup_kmeans,
     # text analysis
     "q_text_stats": q_text_stats,
+    "q_corpus_report": q_corpus_report,
     "q_lang_id": q_lang_id,
     "q_quality_score": q_quality_score,
     "q_token_count": q_token_count,
@@ -6356,6 +6389,7 @@ ORACLES: dict[str, str] = {
     "q_kmeans_clusters": _SQL_KMEANS_CLUSTERS,
     "q_semdedup_kmeans": _SQL_SEMDEDUP_KMEANS,
     "q_text_stats": _SQL_TEXT_STATS,
+    "q_corpus_report": _SQL_CORPUS_REPORT,
     "q_lang_id": _SQL_LANG_ID,
     "q_quality_score": _SQL_QUALITY,
     "q_token_count": _SQL_TOKEN_COUNT,
