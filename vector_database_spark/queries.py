@@ -4910,6 +4910,27 @@ WHERE v.event_type = 'view' AND c.event_type = 'click'
 """
 
 
+def q_stream_enrich(spark, sf_dir):
+    """Stream-static enrichment join + aggregation: events stream joined
+    to a static per-user tier dim (broadcast), tier×type counts/sums.
+    Stream-static inner joins are stateless, so the complete-mode result
+    equals the batch join → FULL oracle
+    (streaming/events.py::run_enrich_stream)."""
+    return streaming_events.run_enrich_stream(spark, sf_dir)
+
+
+_SQL_STREAM_ENRICH = """
+WITH tiers AS (
+  SELECT user_id, user_id % 5 AS tier FROM (SELECT DISTINCT user_id FROM events)
+)
+SELECT t.tier, e.event_type,
+       count(*) AS n,
+       round(CAST(sum(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_value
+FROM events e JOIN tiers t USING (user_id)
+GROUP BY t.tier, e.event_type
+"""
+
+
 def q_stream_dedup(spark, sf_dir):
     """Watermarked streaming dedup with REAL duplicates: the fixture
     streamed through two unioned file sources (every event arrives
@@ -6211,6 +6232,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_score_threshold": q_score_threshold,
     "q_stream_session_window": q_stream_session_window,
     "q_stream_dedup": q_stream_dedup,
+    "q_stream_enrich": q_stream_enrich,
     "q_ship_priority": q_ship_priority,
     "q_topngram_fraction": q_topngram_fraction,
     "q_loss_mask": q_loss_mask,
@@ -6463,6 +6485,7 @@ ORACLES: dict[str, str] = {
     "q_score_threshold": _SQL_SCORE_THRESHOLD,
     "q_stream_session_window": _SQL_STREAM_SESSION_WINDOW,
     "q_stream_dedup": _SQL_STREAM_DEDUP,
+    "q_stream_enrich": _SQL_STREAM_ENRICH,
     "q_ship_priority": _SQL_SHIP_PRIORITY,
     "q_topngram_fraction": _SQL_TOPNGRAM_FRACTION,
     "q_loss_mask": _SQL_LOSS_MASK,

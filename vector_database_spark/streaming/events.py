@@ -132,6 +132,52 @@ def run_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def run_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream inner-joined to a
+    STATIC dimension (per-user tier derived once from the batch fixture —
+    the broadcast-dim lookup every streaming ETL runs). Stream-static
+    inner joins are stateless (each micro-batch probes the static side;
+    no watermark needed), so the appended result equals the batch join:
+    FULL oracle. At scale the static side is a broadcast or a bucketed
+    table; Spark re-reads it per micro-batch, picking up dim updates.
+    """
+    from vector_database_spark.sources.tables import read_table
+
+    tiers = (
+        read_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select("user_id", F.pmod(F.col("user_id"), F.lit(5)).alias("tier"))
+    )
+    enriched = (
+        read_events_stream(spark, sf_dir)
+        .join(F.broadcast(tiers), "user_id")
+        .groupBy("tier", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("dec_sum"),
+        )
+        .select(
+            "tier",
+            "event_type",
+            "n",
+            F.round(F.col("dec_sum").cast("double"), 6).alias("sum_value"),
+        )
+    )
+    name = "stream_enrich_" + uuid.uuid4().hex[:8]
+    q = (
+        enriched.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def run_stream_to_batch(
     spark: SparkSession, sf_dir: str, mode: str = "complete"
 ) -> DataFrame:
