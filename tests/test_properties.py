@@ -125,6 +125,20 @@ def test_incremental_dedup_flags_planted_and_only_incoming(spark):
         assert r["n_matches"] >= 1
 
 
+def test_incremental_dedup_rejects_overlapping_ids(spark):
+    """An incoming id already present in the corpus would fan the verify
+    joins out and silently inflate n_matches — must raise instead."""
+    import pytest
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    corpus = docs.filter(F.col("doc_id") < 300)
+    incoming = docs.filter((F.col("doc_id") >= 299) & (F.col("doc_id") < 320)).select(
+        "doc_id", "text"
+    )
+    with pytest.raises(ValueError, match="disjoint ids"):
+        dedup.incremental_dedup(incoming, corpus)
+
+
 def test_filter_dsl_agrees_with_python_reference(spark):
     """Property check: random Qdrant filter specs evaluated by the Catalyst
     translator must agree row-for-row with a direct Python evaluator

@@ -87,19 +87,22 @@ def main() -> None:
         t_corpus = time.perf_counter() - t0
 
         # candidate count, via the same public banding API the operator
-        # composes (the operator's output doesn't expose pre-verify pairs)
+        # composes (the operator's output doesn't expose pre-verify pairs);
+        # persist the batch signatures — band_keys references them once
+        # per band
+        inc_sigs = dedup.minhash_signatures(incoming).persist()
         n_cands = (
             dedup.band_keys(corp_sigs)
             .withColumnRenamed("bid", "id_a")
             .join(
-                dedup.band_keys(dedup.minhash_signatures(incoming))
-                .withColumnRenamed("bid", "id_b"),
+                dedup.band_keys(inc_sigs).withColumnRenamed("bid", "id_b"),
                 "band_key",
             )
             .select("id_a", "id_b")
             .distinct()
             .count()
         )
+        inc_sigs.unpersist()
 
         # the SHIPPED operator, timed with the index precomputed
         t0 = time.perf_counter()

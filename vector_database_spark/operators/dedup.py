@@ -376,23 +376,18 @@ def incremental_dedup(
     corpus size. Ids MUST be disjoint across the two inputs — the
     verification stage unions the two doc sets, so an id on both sides
     would fan its joins out and silently inflate ``n_matches``. Collisions
-    fail fast: one broadcast-semi probe of the batch ids against the
-    (persisted) corpus signature index — no extra corpus scan.
+    fail fast with an EAGER broadcast-semi probe at call time (this
+    function runs a Spark job before returning, like the other
+    driver-looped operators here): against the in-memory index when
+    ``corpus_sigs`` is supplied, else against the column-pruned corpus id
+    scan — never the signature computation.
 
     Deterministic (portable md5 hash family) → FULL DuckDB oracle
     (queries.py::q_incremental_dedup).
     """
-    global _live_sigs
-    _release_sig_caches()
-    inc_sigs = minhash_signatures(incoming, text_col, id_col).persist()
-    if corpus_sigs is None:
-        corp_sigs = minhash_signatures(corpus, text_col, id_col).persist()
-        _live_sigs = [inc_sigs, corp_sigs]
-    else:
-        corp_sigs = corpus_sigs  # caller-managed persistence (their index)
-        _live_sigs = [inc_sigs]
+    probe_side = corpus_sigs if corpus_sigs is not None else corpus
     overlap = (
-        corp_sigs.select(id_col)
+        probe_side.select(id_col)
         .join(F.broadcast(incoming.select(id_col)), id_col, "semi")
         .limit(1)
         .count()
@@ -402,6 +397,15 @@ def incremental_dedup(
             "incremental_dedup requires disjoint ids: some incoming "
             f"{id_col} values already exist in the corpus"
         )
+    global _live_sigs
+    _release_sig_caches()
+    inc_sigs = minhash_signatures(incoming, text_col, id_col).persist()
+    if corpus_sigs is None:
+        corp_sigs = minhash_signatures(corpus, text_col, id_col).persist()
+        _live_sigs = [inc_sigs, corp_sigs]
+    else:
+        corp_sigs = corpus_sigs  # caller-managed persistence (their index)
+        _live_sigs = [inc_sigs]
     cands = (
         band_keys(corp_sigs, id_col)
         .withColumnRenamed("bid", "id_a")

@@ -6336,7 +6336,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 # Driver sampling rotation: the per-round correctness driver samples ~50
 # registry entries per round, and rounds 1+2 externally confirmed these 85
-# entries (registry now 162 after the round-3 additions, so 77 entries
+# entries (registry now 164 after the round-3 additions, so 79 entries
 # remain driver-unconfirmed). Rotate the confirmed set to the BACK of the
 # registry (stable within each group) so a prefix-biased round-3 sample
 # reaches queries so far covered only by the local parity suite.
