@@ -414,3 +414,14 @@ def test_bucketed_join_is_shuffle_free(spark, sf, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_incremental_dedup_plan_has_no_cartesian(spark, sf):
+    # cross-side banding must stay an equi-join on band_key; the verify
+    # stage joins candidates to the (broadcastable at this scale) doc map
+    from vector_database_spark.queries import q_incremental_dedup
+
+    p = plan_of(q_incremental_dedup(spark, sf))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Exchange SinglePartition" not in p

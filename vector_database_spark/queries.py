@@ -216,6 +216,75 @@ QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) <= 5
 """
 
 
+def q_training_triplets(spark, sf_dir):
+    """The contrastive-training artifact itself: one (anchor, positive,
+    hard negative) row per anchor — positive = nearest same-label point
+    (excluding self), negative = nearest cross-label point, plus the
+    triplet margin in micro-units (rule 6: a difference of 6dp scores
+    can sit exactly on a round() half-boundary; floor-micro can't flake).
+    Both legs ride knn_batch's pair_filter hook; one corpus scan each,
+    broadcast anchors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    pos = knn.knn_batch(
+        anchors,
+        emb,
+        k=1,
+        pair_filter=F.col("label") == F.col("qlabel"),
+    ).select(
+        "qid",
+        F.col("vec_id").alias("pos_id"),
+        F.col("score").alias("pos_score"),
+    )
+    neg = knn.hard_negatives(anchors, emb, k=1).select(
+        "qid",
+        F.col("vec_id").alias("neg_id"),
+        F.col("score").alias("neg_score"),
+    )
+    return (
+        pos.join(neg, "qid")
+        .select(
+            "qid",
+            "pos_id",
+            "pos_score",
+            "neg_id",
+            "neg_score",
+            micro6(F.col("pos_score") - F.col("neg_score")).alias("margin_micro"),
+        )
+        .orderBy("qid")
+    )
+
+
+_SQL_TRAINING_TRIPLETS = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id < 10
+),
+pos AS (
+  SELECT q.qid, c.vec_id AS pos_id, {_cos_sql('c.embedding', 'q.qv')} AS pos_score
+  FROM embeddings c, q
+  WHERE c.label = q.qlabel AND c.vec_id != q.qid
+  QUALIFY row_number() OVER (PARTITION BY q.qid
+                             ORDER BY pos_score DESC, c.vec_id) = 1
+),
+neg AS (
+  SELECT q.qid, c.vec_id AS neg_id, {_cos_sql('c.embedding', 'q.qv')} AS neg_score
+  FROM embeddings c, q
+  WHERE c.label != q.qlabel
+  QUALIFY row_number() OVER (PARTITION BY q.qid
+                             ORDER BY neg_score DESC, c.vec_id) = 1
+)
+SELECT p.qid, p.pos_id, p.pos_score, n.neg_id, n.neg_score,
+       CAST(floor((p.pos_score - n.neg_score) * 1000000 + 0.5) AS BIGINT) AS margin_micro
+FROM pos p JOIN neg n USING (qid)
+ORDER BY qid
+"""
+
+
 def q_knn_filtered(spark, sf_dir):
     """B6: payload predicate *before* vector ranking (filtered k-NN)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -6161,6 +6230,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_knn_raw_vector": q_knn_raw_vector,
     "q_knn_batch": q_knn_batch,
     "q_hard_negatives": q_hard_negatives,
+    "q_training_triplets": q_training_triplets,
     "q_knn_filtered": q_knn_filtered,
     "q_sim_self_join": q_sim_self_join,
     "q_cosine_normalize": q_cosine_normalize,
@@ -6379,6 +6449,7 @@ ORACLES: dict[str, str] = {
     "q_knn_raw_vector": _SQL_KNN_RAW_VECTOR,
     "q_knn_batch": _SQL_KNN_BATCH,
     "q_hard_negatives": _SQL_HARD_NEGATIVES,
+    "q_training_triplets": _SQL_TRAINING_TRIPLETS,
     "q_knn_filtered": _SQL_KNN_FILTERED,
     "q_sim_self_join": _SQL_SIM_SELF_JOIN,
     "q_cosine_normalize": _SQL_COSINE_NORMALIZE,
