@@ -7,8 +7,10 @@ running it at sf0.1 is how the round-3 q_window_funcs divergence was
 found (the sf0.1 lineitem fixture breaks TPC-H's composite key, which
 only a scale-up exposes).
 
-Usage: python tools/sweep_oracles.py [sf_dir]   (default /root/testdata/sf0.01)
-Exit code 0 iff every oracle-backed query matches.
+Usage: python tools/sweep_oracles.py [sf_dir] [q1,q2,...]
+(default sf_dir /root/testdata/sf0.01; the optional comma-separated name
+list restricts the sweep — the fast iteration loop when developing one
+query). Exit code 0 iff every swept oracle-backed query matches.
 """
 
 from __future__ import annotations
@@ -36,14 +38,18 @@ def main() -> int:
     from vector_database_spark.session import get_spark
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     spark = get_spark("sweep_oracles")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    names = sorted(ORACLES if only is None else (set(ORACLES) & only))
+    if only is not None and (missing := only - set(ORACLES)):
+        print("not oracle-backed (skipped):", sorted(missing))
     bad = []
-    for name in sorted(ORACLES):
+    for name in names:
         try:
             sdf = QUERIES[name](spark, sf_dir)
             cols = sdf.columns
@@ -63,7 +69,7 @@ def main() -> int:
             continue
         if not ok:
             bad.append(name)
-    print(f"{sf_dir}: {len(ORACLES)} oracles, MISMATCHES:", bad or "none")
+    print(f"{sf_dir}: {len(names)} oracles, MISMATCHES:", bad or "none")
     return 1 if bad else 0
 
 
