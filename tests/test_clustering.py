@@ -80,6 +80,41 @@ def test_identical_points_tie_to_smallest_cluster(spark):
     assert all(r["cluster"] == 0 and r["dist_sq"] == 0 for r in out)
 
 
+def test_random_inputs_match_reference(spark):
+    """Randomized agreement with the from-scratch reference on a coarse
+    value grid (multiples of 0.25 — ties and duplicate points occur
+    often, exercising the argmin tie-break and empty-cluster paths)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    grid = st.integers(min_value=-8, max_value=8).map(lambda q: q * 0.25)
+
+    @settings(max_examples=5, deadline=None)
+    @given(data=st.data())
+    def prop(data):
+        dim = data.draw(st.integers(2, 4))
+        n = data.draw(st.integers(4, 16))
+        k = data.draw(st.integers(2, min(4, n)))
+        rounds = data.draw(st.integers(1, 3))
+        vecs = data.draw(
+            st.lists(
+                st.lists(grid, min_size=dim, max_size=dim), min_size=n, max_size=n
+            )
+        )
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        got = {
+            r["vec_id"]: (r["cluster"], r["dist_sq"])
+            for r in kmeans_micro(df, k=k, rounds=rounds).collect()
+        }
+        ref = _ref_kmeans(list(range(n)), vecs, k, rounds)
+        assert got == ref
+
+    prop()
+
+
 def test_semdedup_kmeans_finds_all_planted_copies(spark):
     """Identical vectors share their k-means cluster by construction, so
     verbatim copies can never be missed by the within-cluster verify."""
