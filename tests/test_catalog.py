@@ -293,6 +293,24 @@ def test_facet_counts_and_filter(catalog, spark):
     assert [(r["value"], r["count"]) for r in rows] == [("0", 2), ("1", 1)]
 
 
+def test_cluster_separates_two_groups(catalog, spark):
+    # two tight planted groups far apart; k=2 over the live points must
+    # recover them exactly, and upserts change the clustering input
+    col = catalog.create_collection("km1", dim=2)
+    pts = [(i, [1.0 + i * 1e-6, 0.5], 0) for i in range(6)] + [
+        (10 + i, [9.0, 9.0 + i * 1e-6], 1) for i in range(6)
+    ]
+    col.upsert(_points(spark, pts))
+    out = {r["id"]: r["cluster"] for r in col.cluster(k=2, rounds=2).collect()}
+    assert len(out) == 12
+    lo = {out[i] for i in range(6)}
+    hi = {out[10 + i] for i in range(6)}
+    assert len(lo) == 1 and len(hi) == 1 and lo != hi
+    # payload filter restricts the clustered population
+    only = col.cluster(k=2, rounds=1, payload_filter=F.col("id") < 6).collect()
+    assert {r["id"] for r in only} == set(range(6))
+
+
 def test_discover_context_pairs(catalog, spark):
     col = catalog.create_collection("d1", dim=2)
     col.upsert(

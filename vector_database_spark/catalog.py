@@ -663,6 +663,27 @@ class VectorCollection:
             .limit(limit)
         )
 
+    def cluster(
+        self,
+        k: int = 8,
+        rounds: int = 3,
+        payload_filter=None,
+    ) -> DataFrame:
+        """Cluster the collection's live points with the exact-integer
+        distributed k-means (operators/clustering.py::kmeans_micro) —
+        the curation entry point for SemDeDup-style dedup, cluster-
+        balanced mixing, or building an IVF coarse quantizer over a
+        collection. Deterministic: same points → same clustering, on any
+        cluster size. Returns (id, cluster, dist_sq) for every live
+        point matching the optional payload filter.
+        """
+        from vector_database_spark.operators.clustering import kmeans_micro
+
+        df = self.df()
+        if payload_filter is not None:
+            df = df.filter(payload_filter)
+        return kmeans_micro(df, vec_col="embedding", id_col="id", k=k, rounds=rounds)
+
     def discover(
         self,
         target,
