@@ -135,6 +135,22 @@ NOTES = {
         "UDFs cannot partial-aggregate — the documented trade vs built-in "
         "aggs), Arrow batches into Python once per group."
     ),
+    "q_kmeans_clusters": (
+        "Exact-integer k-means (final assignment plan; the 3 training "
+        "rounds run eagerly at build). Wants: NO join — centroids are "
+        "folded in as literals inside one WholeStageCodegen span; the only "
+        "exchange is the presentation orderBy."
+    ),
+    "q_incremental_dedup": (
+        "Batch-vs-corpus dedup. Wants: equi-joins only (band_key, then "
+        "verify ids) — no cartesian; the doc-map sides broadcast at this "
+        "scale; partial aggs for the per-doc verdict."
+    ),
+    "q_hard_negatives": (
+        "Hard-negative mining. Wants: anchors broadcast over ONE corpus "
+        "scan with the cross-label predicate applied map-side before "
+        "scoring; the only exchange is the per-anchor rank window on qid."
+    ),
 }
 
 
