@@ -132,6 +132,22 @@ def test_semdedup_kmeans_finds_all_planted_copies(spark):
         assert (i, i + 5000) in pairs
 
 
+def test_fewer_points_than_k_and_empty_input(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    out = {r["vec_id"]: r for r in kmeans_micro(df, k=5, rounds=2).collect()}
+    # k clamps to n: each point becomes (and stays) its own centroid
+    assert out[0]["cluster"] == 0 and out[1]["cluster"] == 1
+    assert out[0]["dist_sq"] == 0 and out[1]["dist_sq"] == 0
+
+    empty = df.filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="at least one"):
+        kmeans_micro(empty)
+
+
 def test_assignment_plan_is_map_side(spark):
     # The 100 TB contract: final assignment folds centroids in as
     # literals — no join anywhere, and the only exchange is the

@@ -97,6 +97,11 @@ def kmeans_micro(
 
     init_rows = pts.orderBy("_id").limit(k).collect()
     centroids = [list(r["mv"]) for r in init_rows]
+    if not centroids:
+        raise ValueError("kmeans_micro requires at least one input row")
+    # fewer points than k: cluster ids stay 0..len-1 (matches the oracle,
+    # whose c0 CTE also yields only the existing rows)
+    k = len(centroids)
     dim = len(centroids[0])
 
     for _ in range(rounds):
