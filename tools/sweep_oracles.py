@@ -46,9 +46,11 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     names = sorted(ORACLES if only is None else (set(ORACLES) & only))
-    if only is not None and (missing := only - set(ORACLES)):
-        print("not oracle-backed (skipped):", sorted(missing))
     bad = []
+    if only is not None and (missing := only - set(ORACLES)):
+        # a typo'd or oracle-less name must not produce a vacuous green run
+        print("not oracle-backed:", sorted(missing))
+        bad.extend(f"{m}: NOT_IN_ORACLES" for m in sorted(missing))
     for name in names:
         try:
             sdf = QUERIES[name](spark, sf_dir)

@@ -90,6 +90,8 @@ def kmeans_micro(
     ``cluster``/``dist_sq`` are w.r.t. the centroids AFTER `rounds`
     assign+update iterations. Cross-engine-deterministic by construction.
     """
+    if k < 1:
+        raise ValueError(f"kmeans_micro requires k >= 1, got {k}")
     pts = df.select(F.col(id_col).alias("_id"), _micro_vec(F.col(vec_col)).alias("mv"))
     # Re-scanned once per round; cache the micro projection (deterministic,
     # so cache-vs-recompute cannot change results — this is purely a cost call).
@@ -98,6 +100,7 @@ def kmeans_micro(
     init_rows = pts.orderBy("_id").limit(k).collect()
     centroids = [list(r["mv"]) for r in init_rows]
     if not centroids:
+        pts.unpersist()
         raise ValueError("kmeans_micro requires at least one input row")
     # fewer points than k: cluster ids stay 0..len-1 (matches the oracle,
     # whose c0 CTE also yields only the existing rows)

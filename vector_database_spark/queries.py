@@ -279,7 +279,7 @@ neg AS (
                              ORDER BY neg_score DESC, c.vec_id) = 1
 )
 SELECT p.qid, p.pos_id, p.pos_score, n.neg_id, n.neg_score,
-       CAST(floor((p.pos_score - n.neg_score) * 1000000 + 0.5) AS BIGINT) AS margin_micro
+       {_micro_sql('p.pos_score - n.neg_score')} AS margin_micro
 FROM pos p JOIN neg n USING (qid)
 ORDER BY qid
 """
