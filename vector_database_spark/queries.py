@@ -3450,6 +3450,64 @@ def q_recommend_best_score(spark, sf_dir):
     )
 
 
+def q_recommend_sum_scores(spark, sf_dir):
+    """Qdrant recommend with strategy=sum_scores: per candidate,
+    score = Σ cos(c, positive) − Σ cos(c, negative) over 6dp-rounded
+    cosines. Term association is pinned to (p1+p2+p3) − (n1+n2) in BOTH
+    engines, so the double arithmetic is bit-identical. Same literal-
+    folded one-scan TakeOrdered shape as the other recommend variants."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = _REC_POS + _REC_NEG
+    rows = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(ex))
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    e = F.col("embedding")
+
+    def lv(v):
+        return F.array(*[F.lit(float(x)) for x in v]).cast("array<double>")
+
+    pos_terms = [round6(cosine(e, lv(rows[i]))) for i in _REC_POS]
+    neg_terms = [round6(cosine(e, lv(rows[i]))) for i in _REC_NEG]
+    pos_sum = pos_terms[0]
+    for t in pos_terms[1:]:
+        pos_sum = pos_sum + t
+    neg_sum = neg_terms[0]
+    for t in neg_terms[1:]:
+        neg_sum = neg_sum + t
+    return (
+        emb.filter(~F.col("vec_id").isin(ex))
+        .select("vec_id", "label", (pos_sum - neg_sum).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(5)
+    )
+
+
+def _sql_recommend_sum_scores() -> str:
+    ctes = ",\n".join(
+        f"e{vid} AS (SELECT CAST(embedding AS DOUBLE[]) AS v "
+        f"FROM embeddings WHERE vec_id = {vid})"
+        for vid in _REC_POS + _REC_NEG
+    )
+    froms = ", ".join(f"e{vid}" for vid in _REC_POS + _REC_NEG)
+    pos = " + ".join(_cos_sql("c.embedding", f"e{vid}.v") for vid in _REC_POS)
+    neg = " + ".join(_cos_sql("c.embedding", f"e{vid}.v") for vid in _REC_NEG)
+    ids = ", ".join(str(i) for i in _REC_POS + _REC_NEG)
+    return f"""
+WITH {ctes}
+SELECT c.vec_id, c.label, ({pos}) - ({neg}) AS score
+FROM embeddings c, {froms}
+WHERE c.vec_id NOT IN ({ids})
+ORDER BY score DESC, vec_id
+LIMIT 5
+"""
+
+
+_SQL_RECOMMEND_SUM_SCORES = _sql_recommend_sum_scores()
+
+
 def _sql_recommend_best_score() -> str:
     ctes = ",\n".join(
         f"e{vid} AS (SELECT CAST(embedding AS DOUBLE[]) AS v "
@@ -6273,6 +6331,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_repetition_ratio": q_repetition_ratio,
     "q_knn_groups": q_knn_groups,
     "q_recommend_best_score": q_recommend_best_score,
+    "q_recommend_sum_scores": q_recommend_sum_scores,
     "q_dbsf_fusion": q_dbsf_fusion,
     "q_decontaminate": q_decontaminate,
     "q_unigram_logprob": q_unigram_logprob,
@@ -6527,6 +6586,7 @@ ORACLES: dict[str, str] = {
     "q_repetition_ratio": _SQL_REPETITION,
     "q_knn_groups": _SQL_KNN_GROUPS,
     "q_recommend_best_score": _SQL_RECOMMEND_BEST_SCORE,
+    "q_recommend_sum_scores": _SQL_RECOMMEND_SUM_SCORES,
     "q_dbsf_fusion": _SQL_DBSF_FUSION,
     "q_decontaminate": _SQL_DECONTAMINATE,
     "q_unigram_logprob": _SQL_UNIGRAM_LOGPROB,
