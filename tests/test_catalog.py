@@ -213,6 +213,39 @@ def test_recommend_average_vector(catalog, spark):
         col.recommend(positive=[99])
 
 
+def test_recommend_score_strategies(catalog, spark):
+    import math
+
+    col = catalog.create_collection("r2", dim=2)
+    col.upsert(
+        _points(
+            spark,
+            [
+                (1, [1, 0], 0),      # positive example
+                (2, [0, 1], 1),      # negative example
+                (3, [1, 0.01], 0),   # near the positive
+                (4, [0.01, 1], 1),   # near the negative
+                (5, [-1, -1], 2),    # far from both
+            ],
+        )
+    )
+    for strategy in ("best_score", "sum_scores"):
+        res = col.recommend(
+            positive=[1], negative=[2], limit=3, strategy=strategy
+        ).collect()
+        ids = [r["id"] for r in res]
+        assert ids[0] == 3, (strategy, res)     # positive-adjacent wins
+        assert 1 not in ids and 2 not in ids    # examples excluded
+    # best_score with a negative-dominated candidate: score = -bn^2
+    res = {r["id"]: r["score"] for r in col.recommend(
+        positive=[1], negative=[2], limit=3, strategy="best_score"
+    ).collect()}
+    bn4 = round(1 / math.sqrt(1 + 0.01**2), 6)  # cos([0.01,1],[0,1])
+    assert math.isclose(res[4], round(-(bn4 * bn4), 6), abs_tol=2e-6)
+    with pytest.raises(ValueError, match="unknown recommend strategy"):
+        col.recommend(positive=[1], strategy="nope")
+
+
 def test_time_travel_versions(catalog, spark):
     col = catalog.create_collection("tt1", dim=2)
     v1 = col.upsert(_points(spark, [(1, [1, 0], 0), (2, [0, 1], 1)]))

@@ -737,10 +737,20 @@ class VectorCollection:
         limit: int = 5,
         payload_filter=None,
         lookup_from: "VectorCollection | None" = None,
+        strategy: str = "average_vector",
     ) -> DataFrame:
-        """Qdrant recommend API (average_vector strategy): the query vector
-        is mean(positive embeddings) − mean(negative embeddings); the
-        example points are excluded from results.
+        """Qdrant recommend API. ``strategy`` selects the formula:
+
+        * ``average_vector`` (default): one search with query vector
+          mean(positives) − mean(negatives).
+        * ``best_score``: per candidate, bp = best similarity to any
+          positive, bn = best to any negative; score = bp if bp > bn
+          else −bn² (Qdrant's published formula). Similarity metrics
+          (cosine/dot) only.
+        * ``sum_scores``: per candidate, Σ sim(positive) − Σ sim(negative),
+          term association pinned left-to-right. Similarity metrics only.
+
+        The example points are excluded from results.
 
         ``lookup_from`` (Qdrant lookup_from): resolve the example ids in a
         DIFFERENT collection (same dim) and search this one — the
@@ -752,6 +762,8 @@ class VectorCollection:
         examples, not collection size) — collecting them to the driver is
         the same data movement Qdrant's server does internally.
         """
+        if strategy not in ("average_vector", "best_score", "sum_scores"):
+            raise ValueError(f"unknown recommend strategy {strategy!r}")
         negative = negative or []
         ex_ids = [int(i) for i in positive] + [int(i) for i in negative]
         src = lookup_from if lookup_from is not None else self
@@ -760,6 +772,11 @@ class VectorCollection:
                 f"lookup_from dim {lookup_from.info.dim} != collection dim {self.info.dim}"
             )
         rows = src._point_vectors(ex_ids)
+        if strategy != "average_vector":
+            return self._recommend_scored(
+                strategy, rows, positive, negative, limit, payload_filter,
+                exclude=lookup_from is None,
+            )
         dim = self.info.dim
         qv = [0.0] * dim
         for i in positive:
@@ -775,6 +792,61 @@ class VectorCollection:
         else:
             flt = payload_filter
         return self.search(qv, limit=limit, payload_filter=flt)
+
+    def _recommend_scored(
+        self, strategy, rows, positive, negative, limit, payload_filter, exclude
+    ) -> DataFrame:
+        """best_score / sum_scores recommend: per-candidate scoring against
+        the literal-folded exemplar vectors — one scan, TakeOrdered, no
+        join (the same shape as queries.q_recommend_best_score /
+        q_recommend_sum_scores, here under the collection's metric)."""
+        metric = self.info.metric
+        if metric not in ("cosine", "dot"):
+            raise ValueError(
+                f"recommend strategy {strategy!r} needs a similarity metric "
+                f"(cosine/dot); collection metric is {metric!r}"
+            )
+        e = F.col("embedding")
+
+        def sim(v):
+            q = F.array(*[F.lit(float(x)) for x in v]).cast("array<double>")
+            if metric == "cosine":
+                qn = sum(float(x) * float(x) for x in v) ** 0.5 or 1.0
+                return round6(
+                    F.when(F.col("norm") > 0.0, dot(e, q) / (F.col("norm") * F.lit(qn)))
+                )
+            return round6(dot(e, q))
+
+        pos_terms = [sim(rows[int(i)]) for i in positive]
+        neg_terms = [sim(rows[int(i)]) for i in negative]
+        if strategy == "best_score":
+            bp = F.greatest(*pos_terms) if len(pos_terms) > 1 else pos_terms[0]
+            if neg_terms:
+                bn = F.greatest(*neg_terms) if len(neg_terms) > 1 else neg_terms[0]
+                score = F.when(bp > bn, bp).otherwise(round6(-(bn * bn)))
+            else:
+                score = bp
+        else:  # sum_scores
+            score = pos_terms[0]
+            for t in pos_terms[1:]:
+                score = score + t
+            if neg_terms:
+                nsum = neg_terms[0]
+                for t in neg_terms[1:]:
+                    nsum = nsum + t
+                score = score - nsum
+        # _resolved_df keeps the stored norm column the cosine path needs
+        df = self._resolved_df().drop("bucket", "tenant")
+        if exclude:
+            ex = [int(i) for i in positive] + [int(i) for i in negative]
+            df = df.filter(~F.col("id").isin(ex))
+        if payload_filter is not None:
+            df = df.filter(payload_filter)
+        return (
+            df.select("id", score.alias("score"), "payload")
+            .orderBy(F.col("score").desc(), F.col("id").asc())
+            .limit(limit)
+        )
 
     def batch_update(self, ops: list[tuple]) -> int:
         """Qdrant batch_update_points: one request carrying a SEQUENCE of
