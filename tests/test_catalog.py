@@ -242,8 +242,20 @@ def test_recommend_score_strategies(catalog, spark):
     ).collect()}
     bn4 = round(1 / math.sqrt(1 + 0.01**2), 6)  # cos([0.01,1],[0,1])
     assert math.isclose(res[4], round(-(bn4 * bn4), 6), abs_tol=2e-6)
+    # negative-only is legal for the score-based strategies (Qdrant
+    # parity). best_score = −bn²: the ORTHOGONAL candidate (cos 0) wins;
+    # sum_scores = −Σcos: the OPPOSITE-direction candidate wins.
+    res = col.recommend(negative=[2], limit=3, strategy="best_score").collect()
+    assert [r["id"] for r in res][0] == 1
+    res = col.recommend(negative=[2], limit=3, strategy="sum_scores").collect()
+    assert [r["id"] for r in res][0] == 5
+    # ...but not for average_vector
+    with pytest.raises(ValueError, match="at least one positive"):
+        col.recommend(negative=[2], strategy="average_vector")
     with pytest.raises(ValueError, match="unknown recommend strategy"):
         col.recommend(positive=[1], strategy="nope")
+    with pytest.raises(ValueError, match="at least one example"):
+        col.recommend(positive=[], strategy="best_score")
 
 
 def test_time_travel_versions(catalog, spark):

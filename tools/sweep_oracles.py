@@ -38,7 +38,11 @@ def main() -> int:
     from vector_database_spark.session import get_spark
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    only = (
+        {t.strip() for t in sys.argv[2].split(",") if t.strip()}
+        if len(sys.argv) > 2
+        else None
+    )
     spark = get_spark("sweep_oracles")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()

@@ -732,7 +732,7 @@ class VectorCollection:
 
     def recommend(
         self,
-        positive: list[int],
+        positive: list[int] | None = None,
         negative: list[int] | None = None,
         limit: int = 5,
         payload_filter=None,
@@ -764,7 +764,23 @@ class VectorCollection:
         """
         if strategy not in ("average_vector", "best_score", "sum_scores"):
             raise ValueError(f"unknown recommend strategy {strategy!r}")
+        positive = positive or []
         negative = negative or []
+        if not positive and not negative:
+            raise ValueError("recommend needs at least one example point")
+        if strategy == "average_vector" and not positive:
+            # Qdrant parity: only the score-based strategies accept
+            # negative-only recommends
+            raise ValueError(
+                "average_vector recommend needs at least one positive "
+                "example; use strategy='best_score' for negative-only"
+            )
+        # validate BEFORE the example-vector lookup job runs
+        if strategy != "average_vector" and self.info.metric not in ("cosine", "dot"):
+            raise ValueError(
+                f"recommend strategy {strategy!r} needs a similarity metric "
+                f"(cosine/dot); collection metric is {self.info.metric!r}"
+            )
         ex_ids = [int(i) for i in positive] + [int(i) for i in negative]
         src = lookup_from if lookup_from is not None else self
         if lookup_from is not None and lookup_from.info.dim != self.info.dim:
@@ -793,48 +809,62 @@ class VectorCollection:
             flt = payload_filter
         return self.search(qv, limit=limit, payload_filter=flt)
 
+    def _sim_expr(self, metric: str, query_vector: list[float]):
+        """Similarity of each row's stored embedding to a literal vector —
+        the SAME expression search() scores with (stored-norm cosine with
+        the legacy non-positive-norm NULL guard, or plain dot), shared so
+        search and scored recommends stay bit-identical."""
+        q = F.array(*[F.lit(float(x)) for x in query_vector]).cast("array<double>")
+        if metric == "cosine":
+            qn = sum(float(x) * float(x) for x in query_vector) ** 0.5 or 1.0
+            return round6(
+                F.when(
+                    F.col("norm") > 0.0,
+                    dot(F.col("embedding"), q) / (F.col("norm") * F.lit(qn)),
+                )
+            )
+        return round6(dot(F.col("embedding"), q))
+
     def _recommend_scored(
         self, strategy, rows, positive, negative, limit, payload_filter, exclude
     ) -> DataFrame:
         """best_score / sum_scores recommend: per-candidate scoring against
         the literal-folded exemplar vectors — one scan, TakeOrdered, no
         join (the same shape as queries.q_recommend_best_score /
-        q_recommend_sum_scores, here under the collection's metric)."""
+        q_recommend_sum_scores, here under the collection's metric).
+        Negative-only calls are supported (Qdrant allows them for the
+        score-based strategies): best_score ranks by −bn², sum_scores by
+        −Σ sim(negative)."""
         metric = self.info.metric
-        if metric not in ("cosine", "dot"):
-            raise ValueError(
-                f"recommend strategy {strategy!r} needs a similarity metric "
-                f"(cosine/dot); collection metric is {metric!r}"
-            )
-        e = F.col("embedding")
+        pos_terms = [self._sim_expr(metric, rows[int(i)]) for i in positive]
+        neg_terms = [self._sim_expr(metric, rows[int(i)]) for i in negative]
 
-        def sim(v):
-            q = F.array(*[F.lit(float(x)) for x in v]).cast("array<double>")
-            if metric == "cosine":
-                qn = sum(float(x) * float(x) for x in v) ** 0.5 or 1.0
-                return round6(
-                    F.when(F.col("norm") > 0.0, dot(e, q) / (F.col("norm") * F.lit(qn)))
-                )
-            return round6(dot(e, q))
+        def _sum(terms):
+            out = terms[0]
+            for t in terms[1:]:
+                out = out + t
+            return out
 
-        pos_terms = [sim(rows[int(i)]) for i in positive]
-        neg_terms = [sim(rows[int(i)]) for i in negative]
         if strategy == "best_score":
-            bp = F.greatest(*pos_terms) if len(pos_terms) > 1 else pos_terms[0]
-            if neg_terms:
-                bn = F.greatest(*neg_terms) if len(neg_terms) > 1 else neg_terms[0]
+            bp = F.greatest(*pos_terms) if len(pos_terms) > 1 else (
+                pos_terms[0] if pos_terms else None
+            )
+            bn = F.greatest(*neg_terms) if len(neg_terms) > 1 else (
+                neg_terms[0] if neg_terms else None
+            )
+            if bp is not None and bn is not None:
                 score = F.when(bp > bn, bp).otherwise(round6(-(bn * bn)))
-            else:
+            elif bp is not None:
                 score = bp
+            else:
+                score = round6(-(bn * bn))
         else:  # sum_scores
-            score = pos_terms[0]
-            for t in pos_terms[1:]:
-                score = score + t
-            if neg_terms:
-                nsum = neg_terms[0]
-                for t in neg_terms[1:]:
-                    nsum = nsum + t
-                score = score - nsum
+            if pos_terms and neg_terms:
+                score = _sum(pos_terms) - _sum(neg_terms)
+            elif pos_terms:
+                score = _sum(pos_terms)
+            else:
+                score = -_sum(neg_terms)
         # _resolved_df keeps the stored norm column the cosine path needs
         df = self._resolved_df().drop("bucket", "tenant")
         if exclude:
@@ -1103,20 +1133,11 @@ class VectorCollection:
         if payload_filter is not None:
             df = df.filter(payload_filter)
         q = F.array(*[F.lit(float(x)) for x in query_vector]).cast("array<double>")
-        if metric == "cosine":
-            # stored norm → cosine is one dot + one divide per row. Rows
-            # with a non-positive norm (legacy data written before ingest
-            # validation) score NULL and sort last instead of NaN-first.
-            qnorm = sum(float(x) * float(x) for x in query_vector) ** 0.5 or 1.0
-            score = round6(
-                F.when(
-                    F.col("norm") > 0.0,
-                    dot(F.col("embedding"), q) / (F.col("norm") * F.lit(qnorm)),
-                )
-            )
-            asc = False
-        elif metric == "dot":
-            score = round6(dot(F.col("embedding"), q))
+        if metric in ("cosine", "dot"):
+            # stored-norm cosine (non-positive legacy norms score NULL and
+            # sort last instead of NaN-first) or plain dot — the shared
+            # expression scored recommends also use (_sim_expr)
+            score = self._sim_expr(metric, query_vector)
             asc = False
         elif metric == "euclid":
             score = round6(l2_dist(F.col("embedding"), q))

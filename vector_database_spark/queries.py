@@ -3426,36 +3426,23 @@ def q_recommend_best_score(spark, sf_dir):
     formula, computed on 6dp-rounded cosines so the branch decides
     identically in both engines). The five example vectors are literals —
     one scan, TakeOrderedAndProject, no shuffle."""
-    emb = _t(spark, sf_dir, "embeddings")
-    ex = _REC_POS + _REC_NEG
-    rows = {
-        r["vec_id"]: [float(x) for x in r["embedding"]]
-        for r in emb.filter(F.col("vec_id").isin(ex))
-        .select("vec_id", "embedding")
-        .collect()
-    }
-    e = F.col("embedding")
-
-    def lv(v):
-        return F.array(*[F.lit(float(x)) for x in v]).cast("array<double>")
-
-    bp = F.greatest(*[round6(cosine(e, lv(rows[i]))) for i in _REC_POS])
-    bn = F.greatest(*[round6(cosine(e, lv(rows[i]))) for i in _REC_NEG])
+    cand, pos_terms, neg_terms = _rec_exemplar_sims(spark, sf_dir)
+    bp = F.greatest(*pos_terms)
+    bn = F.greatest(*neg_terms)
     score = F.when(bp > bn, bp).otherwise(round6(-(bn * bn)))
     return (
-        emb.filter(~F.col("vec_id").isin(ex))
-        .select("vec_id", "label", score.alias("score"))
+        cand.select("vec_id", "label", score.alias("score"))
         .orderBy(F.col("score").desc(), F.col("vec_id").asc())
         .limit(5)
     )
 
 
-def q_recommend_sum_scores(spark, sf_dir):
-    """Qdrant recommend with strategy=sum_scores: per candidate,
-    score = Σ cos(c, positive) − Σ cos(c, negative) over 6dp-rounded
-    cosines. Term association is pinned to (p1+p2+p3) − (n1+n2) in BOTH
-    engines, so the double arithmetic is bit-identical. Same literal-
-    folded one-scan TakeOrdered shape as the other recommend variants."""
+def _rec_exemplar_sims(spark, sf_dir):
+    """Shared scaffolding for the score-based recommend strategies: the
+    exemplar vectors collected once (bounded point lookups), a per-
+    exemplar 6dp cosine term against each candidate row, and the
+    candidate DataFrame with examples excluded. Returns
+    (candidates, pos_terms, neg_terms)."""
     emb = _t(spark, sf_dir, "embeddings")
     ex = _REC_POS + _REC_NEG
     rows = {
@@ -3471,6 +3458,31 @@ def q_recommend_sum_scores(spark, sf_dir):
 
     pos_terms = [round6(cosine(e, lv(rows[i]))) for i in _REC_POS]
     neg_terms = [round6(cosine(e, lv(rows[i]))) for i in _REC_NEG]
+    return emb.filter(~F.col("vec_id").isin(ex)), pos_terms, neg_terms
+
+
+def _rec_sql_scaffold():
+    """(ctes, froms, ids, pos_cos_list, neg_cos_list) — the DuckDB twin of
+    _rec_exemplar_sims, shared by both score-strategy oracles."""
+    ctes = ",\n".join(
+        f"e{vid} AS (SELECT CAST(embedding AS DOUBLE[]) AS v "
+        f"FROM embeddings WHERE vec_id = {vid})"
+        for vid in _REC_POS + _REC_NEG
+    )
+    froms = ", ".join(f"e{vid}" for vid in _REC_POS + _REC_NEG)
+    ids = ", ".join(str(i) for i in _REC_POS + _REC_NEG)
+    pos = [_cos_sql("c.embedding", f"e{vid}.v") for vid in _REC_POS]
+    neg = [_cos_sql("c.embedding", f"e{vid}.v") for vid in _REC_NEG]
+    return ctes, froms, ids, pos, neg
+
+
+def q_recommend_sum_scores(spark, sf_dir):
+    """Qdrant recommend with strategy=sum_scores: per candidate,
+    score = Σ cos(c, positive) − Σ cos(c, negative) over 6dp-rounded
+    cosines. Term association is pinned to (p1+p2+p3) − (n1+n2) in BOTH
+    engines, so the double arithmetic is bit-identical. Same literal-
+    folded one-scan TakeOrdered shape as the other recommend variants."""
+    cand, pos_terms, neg_terms = _rec_exemplar_sims(spark, sf_dir)
     pos_sum = pos_terms[0]
     for t in pos_terms[1:]:
         pos_sum = pos_sum + t
@@ -3478,26 +3490,17 @@ def q_recommend_sum_scores(spark, sf_dir):
     for t in neg_terms[1:]:
         neg_sum = neg_sum + t
     return (
-        emb.filter(~F.col("vec_id").isin(ex))
-        .select("vec_id", "label", (pos_sum - neg_sum).alias("score"))
+        cand.select("vec_id", "label", (pos_sum - neg_sum).alias("score"))
         .orderBy(F.col("score").desc(), F.col("vec_id").asc())
         .limit(5)
     )
 
 
 def _sql_recommend_sum_scores() -> str:
-    ctes = ",\n".join(
-        f"e{vid} AS (SELECT CAST(embedding AS DOUBLE[]) AS v "
-        f"FROM embeddings WHERE vec_id = {vid})"
-        for vid in _REC_POS + _REC_NEG
-    )
-    froms = ", ".join(f"e{vid}" for vid in _REC_POS + _REC_NEG)
-    pos = " + ".join(_cos_sql("c.embedding", f"e{vid}.v") for vid in _REC_POS)
-    neg = " + ".join(_cos_sql("c.embedding", f"e{vid}.v") for vid in _REC_NEG)
-    ids = ", ".join(str(i) for i in _REC_POS + _REC_NEG)
+    ctes, froms, ids, pos, neg = _rec_sql_scaffold()
     return f"""
 WITH {ctes}
-SELECT c.vec_id, c.label, ({pos}) - ({neg}) AS score
+SELECT c.vec_id, c.label, ({" + ".join(pos)}) - ({" + ".join(neg)}) AS score
 FROM embeddings c, {froms}
 WHERE c.vec_id NOT IN ({ids})
 ORDER BY score DESC, vec_id
@@ -3509,19 +3512,9 @@ _SQL_RECOMMEND_SUM_SCORES = _sql_recommend_sum_scores()
 
 
 def _sql_recommend_best_score() -> str:
-    ctes = ",\n".join(
-        f"e{vid} AS (SELECT CAST(embedding AS DOUBLE[]) AS v "
-        f"FROM embeddings WHERE vec_id = {vid})"
-        for vid in _REC_POS + _REC_NEG
-    )
-    froms = ", ".join(f"e{vid}" for vid in _REC_POS + _REC_NEG)
-    bp = "greatest(" + ", ".join(
-        _cos_sql("c.embedding", f"e{vid}.v") for vid in _REC_POS
-    ) + ")"
-    bn = "greatest(" + ", ".join(
-        _cos_sql("c.embedding", f"e{vid}.v") for vid in _REC_NEG
-    ) + ")"
-    ids = ", ".join(str(i) for i in _REC_POS + _REC_NEG)
+    ctes, froms, ids, pos, neg = _rec_sql_scaffold()
+    bp = "greatest(" + ", ".join(pos) + ")"
+    bn = "greatest(" + ", ".join(neg) + ")"
     return f"""
 WITH {ctes},
 s AS (
