@@ -618,6 +618,22 @@ class TestQueryPointsFacade:
         b = [r["id"] for r in col.recommend([1, 2], [5], limit=2).collect()]
         assert a == b
 
+    def test_recommend_dict_strategy_and_negative_only(self, col):
+        # strategy flows through the facade kwargs; negative-only is
+        # legal for the score-based strategies
+        q = {"recommend": {"positive": [1], "negative": [5],
+                           "strategy": "best_score"}}
+        a = [r["id"] for r in col.query_points(q, limit=2).collect()]
+        b = [r["id"] for r in
+             col.recommend([1], [5], limit=2, strategy="best_score").collect()]
+        assert a == b
+        q = {"recommend": {"negative": [5], "strategy": "sum_scores"}}
+        a = [r["id"] for r in col.query_points(q, limit=2).collect()]
+        b = [r["id"] for r in
+             col.recommend(negative=[5], limit=2,
+                           strategy="sum_scores").collect()]
+        assert a == b
+
     def test_sample_is_deterministic_exact_count(self, col):
         a = [r["id"] for r in col.query_points({"sample": "random"}, limit=3).collect()]
         b = [r["id"] for r in col.query_points({"sample": "random"}, limit=3).collect()]

@@ -1285,7 +1285,7 @@ class VectorCollection:
             if "recommend" in query:
                 kw = dict(query["recommend"])
                 return self.recommend(
-                    kw.pop("positive"),
+                    kw.pop("positive", None),
                     kw.pop("negative", None),
                     limit=limit,
                     payload_filter=payload_filter,
