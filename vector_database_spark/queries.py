@@ -3925,6 +3925,51 @@ FROM z
 """
 
 
+def q_multivec_pool(spark, sf_dir):
+    """Multivector pooling — the standard step that turns per-token
+    vectors into one sentence embedding: the 4 × 16-d token view of each
+    stored vector (same deterministic slicing as q_maxsim_multivector)
+    pooled by MEAN (a + b + c + d left-associated, ÷4, micro6 — rule 6)
+    and by CLS (first token). Pooled vectors serialize to space-joined
+    micro strings (the driver canonicalizer cannot sort list cells —
+    the q_quantize_int8 lesson). Map-only, zero shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+
+    def mean_j(j):
+        return micro6((e[j] + e[j + 16] + e[j + 32] + e[j + 48]) / F.lit(4.0))
+
+    mean_str = F.concat_ws(" ", *[mean_j(j).cast("string") for j in range(16)])
+    cls_str = F.concat_ws(" ", *[micro6(e[j]).cast("string") for j in range(16)])
+    return emb.select(
+        "vec_id",
+        mean_str.alias("mean_pool_micro"),
+        cls_str.alias("cls_pool_micro"),
+    ).orderBy("vec_id")
+
+
+def _sql_multivec_pool() -> str:
+    ev = "CAST(embedding AS DOUBLE[])"
+    mean = ", ".join(
+        "CAST(" + _micro_sql(
+            f"({ev}[{j + 1}] + {ev}[{j + 17}] + {ev}[{j + 33}] + {ev}[{j + 49}]) / 4.0"
+        ) + " AS VARCHAR)"
+        for j in range(16)
+    )
+    cls = ", ".join(
+        "CAST(" + _micro_sql(f"{ev}[{j + 1}]") + " AS VARCHAR)" for j in range(16)
+    )
+    return f"""
+SELECT vec_id,
+       concat_ws(' ', {mean}) AS mean_pool_micro,
+       concat_ws(' ', {cls}) AS cls_pool_micro
+FROM embeddings ORDER BY vec_id
+"""
+
+
+_SQL_MULTIVEC_POOL = _sql_multivec_pool()
+
+
 def q_maxsim_multivector(spark, sf_dir):
     """ColBERT-style late-interaction search over MULTIVECTORS (Qdrant
     multivector config with MaxSim comparator — the modern twin of the
@@ -6331,6 +6376,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_winnow_fingerprint": q_winnow_fingerprint,
     "q_embedding_outliers": q_embedding_outliers,
     "q_maxsim_multivector": q_maxsim_multivector,
+    "q_multivec_pool": q_multivec_pool,
     "q_formula_boost": q_formula_boost,
     "q_random_sample": q_random_sample,
     "q_rescore_oversample": q_rescore_oversample,
@@ -6586,6 +6632,7 @@ ORACLES: dict[str, str] = {
     "q_winnow_fingerprint": _SQL_WINNOW,
     "q_embedding_outliers": _SQL_EMBEDDING_OUTLIERS,
     "q_maxsim_multivector": _SQL_MAXSIM,
+    "q_multivec_pool": _SQL_MULTIVEC_POOL,
     "q_formula_boost": _SQL_FORMULA_BOOST,
     "q_random_sample": _SQL_RANDOM_SAMPLE,
     "q_rescore_oversample": _SQL_RESCORE_OVERSAMPLE,
