@@ -13,10 +13,11 @@ least one query term — explode + filter prunes everything else at the
 scan), joined 1:1 to their embeddings, and pinned once (localCheckpoint)
 so both legs read it without re-running BM25. Each leg is a
 TakeOrderedAndProject top-``prefetch_n`` — per-partition heaps, never a
-global sort — and the pool that comes back is O(prefetch_n) BY DEFINITION
-(Qdrant's ``prefetch.limit`` materializes the same bounded list), so
-ranking it driver-side is a bounded collect like the two-phase k-NN query
-side, not a corpus-sized one. A doc absent from one leg's pool
+global sort — and the pool is O(prefetch_n) BY DEFINITION (Qdrant's
+``prefetch.limit`` materializes the same bounded list), so ranking it
+with an unpartitioned row_number window is a ≤100-row single-partition
+exchange inside ONE plan — no driver collect, no createDataFrame
+re-upload, one Spark job fewer per query. A doc absent from one leg's pool
 contributes nothing from that leg (the standard prefetch-RRF convention).
 Determinism: round6 scores, id tie-breaks, ranks as BIGINT, RRF terms
 added in fixed expression order (the fusion arithmetic stays a Spark
@@ -69,23 +70,26 @@ def hybrid_rrf(
     # pin the scored candidate set ONCE: both leg top-Ns read the
     # materialized candidates instead of re-evaluating the BM25 plan
     cand = cand.select(doc_id_col, "score", "cos").localCheckpoint(eager=True)
-    spark = cand.sparkSession
     # each leg: TakeOrderedAndProject top-N (partial heaps) → a bounded
-    # O(prefetch_n) pool, ranked on the driver (pool order IS the rank)
-    lex_pool = cand.orderBy(
-        F.col("score").desc(), F.col(doc_id_col).asc()
-    ).limit(prefetch_n).select(doc_id_col).collect()
-    vec_pool = cand.orderBy(
-        F.col("cos").desc(), F.col(doc_id_col).asc()
-    ).limit(prefetch_n).select(doc_id_col).collect()
-    ranks: dict[int, list] = {}
-    for i, r in enumerate(lex_pool):
-        ranks.setdefault(r[doc_id_col], [None, None])[0] = i + 1
-    for i, r in enumerate(vec_pool):
-        ranks.setdefault(r[doc_id_col], [None, None])[1] = i + 1
-    fused = spark.createDataFrame(
-        [(did, rl, rv) for did, (rl, rv) in sorted(ranks.items())],
-        f"{doc_id_col} long, rank_lex long, rank_vec long",
+    # O(prefetch_n) pool, then rank IN-PLAN with a row_number window. The
+    # window has no partitionBy, which is only safe because the input is
+    # the already-limited pool — ≤ prefetch_n rows by construction (the
+    # single-partition exchange moves ≤100 rows, like Qdrant materializing
+    # prefetch.limit). No driver collect / re-upload round-trip.
+    def _leg_rank(order_col: Column, rank_name: str) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        pool = cand.orderBy(
+            order_col.desc(), F.col(doc_id_col).asc()
+        ).limit(prefetch_n)
+        w = Window.orderBy(order_col.desc(), F.col(doc_id_col).asc())
+        return pool.select(
+            doc_id_col,
+            F.row_number().over(w).cast("long").alias(rank_name),
+        )
+
+    fused = _leg_rank(F.col("score"), "rank_lex").join(
+        _leg_rank(F.col("cos"), "rank_vec"), doc_id_col, "full_outer"
     )
     # micro6, not round6: RRF is a sum of integer reciprocals, which CAN
     # land exactly on .5e-6 boundaries (e.g. 1/128 = 7812.5 micro) where

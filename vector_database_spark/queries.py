@@ -2081,8 +2081,17 @@ def q_stateful_topk(spark, sf_dir):
     """Custom stateful streaming op (explicit per-key state): running
     top-3 (value, event_id) per event_type. The top-k merge is
     order-independent, so the stream's final state matches the batch
-    window twin exactly — fully oracle-checked."""
-    return streaming_events.stateful_topk(spark, sf_dir)
+    window twin exactly — fully oracle-checked. The array columns are
+    space-joined to strings for the driver canonicalizer (list cells
+    are unhashable in pandas; same rule as q_quantize_int8)."""
+    out = streaming_events.stateful_topk(spark, sf_dir)
+    return out.select(
+        "event_type",
+        F.array_join(F.col("top_ids").cast("array<string>"), " ").alias("top_ids"),
+        F.array_join(F.col("top_values_micro").cast("array<string>"), " ").alias(
+            "top_values_micro"
+        ),
+    )
 
 
 _SQL_STATEFUL_TOPK = f"""
@@ -2093,8 +2102,9 @@ WITH ranked AS (
   FROM events
 )
 SELECT event_type,
-       list(event_id ORDER BY rn) AS top_ids,
-       list({_micro_sql('value')} ORDER BY rn) AS top_values_micro
+       array_to_string(list(CAST(event_id AS VARCHAR) ORDER BY rn), ' ') AS top_ids,
+       array_to_string(list(CAST({_micro_sql('value')} AS VARCHAR) ORDER BY rn), ' ')
+           AS top_values_micro
 FROM ranked WHERE rn <= 3 GROUP BY event_type
 """
 
@@ -5228,11 +5238,14 @@ def q_loss_mask(spark, sf_dir):
         F.sequence(F.lit(1), F.size(toks)),
         lambda i: F.when(i <= pos, 0).otherwise(1),
     )
+    # loss_mask is serialized to a space-joined string: the driver's
+    # canonicalizer sorts pandas columns, and list-valued cells are
+    # unhashable there (same rule as q_quantize_int8).
     return inst.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
         pos.cast("long").alias("n_prompt_tokens"),
-        mask.alias("loss_mask"),
+        F.array_join(mask, " ").alias("loss_mask"),
     )
 
 
@@ -5248,8 +5261,8 @@ p AS (SELECT doc_id, tk, list_position(tk, '[/inst]') AS pos FROM t)
 SELECT doc_id,
        CAST(len(tk) AS BIGINT) AS n_tokens,
        CAST(pos AS BIGINT) AS n_prompt_tokens,
-       list_transform(range(1, len(tk) + 1),
-                      i -> CASE WHEN i <= pos THEN 0 ELSE 1 END) AS loss_mask
+       array_to_string(list_transform(range(1, len(tk) + 1),
+                      i -> CASE WHEN i <= pos THEN 0 ELSE 1 END), ' ') AS loss_mask
 FROM p
 """
 
@@ -6532,9 +6545,30 @@ _DRIVER_CONFIRMED_R1_R2 = frozenset({
     "q_neardup_embedding", "q_lang_id", "q_quality_score", "q_token_count",
     "q_doc_fingerprint", "q_minhash_signatures", "q_softmax_argmax",
 })
+
+# Round 3 sampled 50 more (all green except q_loss_mask, whose array
+# serialization is fixed this round and which therefore stays in the
+# unconfirmed front group for a re-sample).
+_DRIVER_CONFIRMED_R3 = frozenset({
+    "q_asof_join", "q_bigram_logprob", "q_char_entropy", "q_cluster_canonical",
+    "q_cohort_retention", "q_context_search", "q_corpus_report", "q_corr_stats",
+    "q_dedup_clusters", "q_downsample", "q_filter_dsl", "q_formula_boost",
+    "q_funnel_steps", "q_gap_fill", "q_geo_bbox", "q_gopher_rules",
+    "q_hard_negatives", "q_incremental_dedup", "q_kmeans_clusters",
+    "q_knn_ivfpq", "q_knn_manhattan", "q_line_dedup", "q_matryoshka",
+    "q_maxsim_multivector", "q_multivec_pool", "q_perplexity_buckets",
+    "q_pivot_events", "q_prefetch_rerank", "q_random_sample", "q_range_join",
+    "q_recommend_sum_scores", "q_rescore_oversample", "q_scd2_intervals",
+    "q_score_threshold", "q_semdedup", "q_semdedup_kmeans", "q_shard_export",
+    "q_ship_priority", "q_simhash_pairs", "q_sliding_window",
+    "q_span_corruption", "q_stream_dedup", "q_stream_enrich",
+    "q_stream_session_window", "q_substring_dedup", "q_temperature_mix",
+    "q_topngram_fraction", "q_training_triplets", "q_window_funcs",
+})
+_DRIVER_CONFIRMED = _DRIVER_CONFIRMED_R1_R2 | _DRIVER_CONFIRMED_R3
 QUERIES = {
     k: QUERIES[k]
-    for k in sorted(QUERIES, key=lambda k: k in _DRIVER_CONFIRMED_R1_R2)
+    for k in sorted(QUERIES, key=lambda k: k in _DRIVER_CONFIRMED)
 }
 
 ORACLES: dict[str, str] = {
