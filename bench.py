@@ -96,6 +96,94 @@ BENCH_QUERIES = [
 ]
 
 
+def ann_recall(spark, sf_dir: str, k: int = 5, n_queries: int = 10) -> dict[str, float]:
+    """recall@5 vs the exact operator for every approximate query in the
+    registry (same operating points as q_knn_lsh/ivf/pq/nsw/ivfpq), so the
+    bench records the recall/latency trade alongside wall time — a faster
+    ANN number is meaningless if it was bought by dropping recall."""
+    from pyspark.sql import functions as F
+
+    from vector_database_spark.operators import ann, knn
+    from vector_database_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").cache()
+    queries = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < n_queries).collect()
+    ]
+
+    def exact(qv, metric="cosine"):
+        return {r["vec_id"] for r in knn.knn(emb, qv, k=k, metric=metric).collect()}
+
+    out: dict[str, float] = {}
+    total = k * len(queries)
+
+    hits = sum(
+        len(exact(qv) & {r["vec_id"] for r in ann.lsh_knn(emb, qv, k=k).collect()})
+        for _, qv in queries
+    )
+    out["q_knn_lsh"] = round(hits / total, 3)
+
+    assigned, centroids = ann.ivf_index(emb, n_centroids=16)
+    assigned = assigned.cache()
+    hits = sum(
+        len(
+            exact(qv)
+            & {
+                r["vec_id"]
+                for r in ann.ivf_knn(assigned, centroids, qv, k=k, nprobe=8).collect()
+            }
+        )
+        for _, qv in queries
+    )
+    out["q_knn_ivf"] = round(hits / total, 3)
+
+    books = ann.pq_train(emb)
+    codes = ann.pq_encode(emb, books).cache()
+    codes.count()
+    hits = sum(
+        len(
+            exact(qv, "euclid")
+            & {
+                r["vec_id"]
+                for r in ann.pq_knn_rerank(codes, books, emb, qv, k=k).collect()
+            }
+        )
+        for _, qv in queries
+    )
+    out["q_knn_pq"] = round(hits / total, 3)
+
+    codes_ivf = ann.pq_encode(
+        assigned.select("vec_id", "centroid_id", "embedding"),
+        books,
+        payload_cols=("centroid_id",),
+    ).cache()
+    codes_ivf.count()
+    hits = sum(
+        len(
+            exact(qv, "euclid")
+            & {
+                r["vec_id"]
+                for r in ann.ivfpq_knn(codes_ivf, centroids, books, emb, qv, k=k).collect()
+            }
+        )
+        for _, qv in queries
+    )
+    out["q_knn_ivfpq"] = round(hits / total, 3)
+
+    by_q: dict[int, set] = {}
+    for r in ann.nsw_knn(emb, queries, k=k).collect():
+        by_q.setdefault(r["qid"], set()).add(r["vec_id"])
+    hits = sum(len(exact(qv) & by_q.get(qid, set())) for qid, qv in queries)
+    out["q_knn_nsw"] = round(hits / total, 3)
+
+    codes.unpersist()
+    codes_ivf.unpersist()
+    assigned.unpersist()
+    emb.unpersist()
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -120,6 +208,12 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    # recall@5 for the approximate operators, published next to the wall
+    # times so operating-point changes stay visible (outside the timed
+    # section; set SPARK_GRAFT_RECALL=0 to skip)
+    recall: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_RECALL", "1") != "0":
+        recall = ann_recall(spark, sf_dir)
     print(
         json.dumps(
             {
@@ -127,6 +221,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "recall_at_5": recall,
                 "sf": sf_val,
             }
         )

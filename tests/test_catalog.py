@@ -734,6 +734,45 @@ class TestQueryPointsFacade:
         ]
         assert 1 not in got and got[0] == 2
 
+    def test_recommend_over_prefetch_restricts_to_pool(self, col):
+        from pyspark.sql import functions as F
+
+        # pool = top-3 around the x-axis → {1, 2, 6}; recommend with
+        # positive=[3] then rescores ONLY that pool (3 itself is not in
+        # the pool, and recommend excludes examples anyway)
+        q = {"recommend": {"positive": [3]}}
+        got = col.query_points(
+            q, prefetch=[{"query": [1.0, 0.0, 0.0, 0.0], "limit": 3}], limit=6
+        ).collect()
+        ids = [r["id"] for r in got]
+        assert set(ids) <= {1, 2, 6} and ids
+        # equals plain recommend restricted to the same pool filter
+        want = [
+            r["id"]
+            for r in col.recommend(
+                positive=[3], limit=6,
+                payload_filter=F.col("id").isin([1, 2, 6]),
+            ).collect()
+        ]
+        assert ids == want
+
+    def test_sample_over_prefetch_is_seeded_subset_of_pool(self, col):
+        q = {"sample": "random"}
+        pre = [{"query": [0.0, 1.0, 0.0, 0.0], "limit": 3}]
+        a = [r["id"] for r in col.query_points(q, prefetch=pre, limit=2).collect()]
+        b = [r["id"] for r in col.query_points(q, prefetch=pre, limit=2).collect()]
+        pool = [
+            r["id"]
+            for r in col.query_points([0.0, 1.0, 0.0, 0.0], limit=3).collect()
+        ]
+        assert a == b and set(a) <= set(pool) and len(a) == 2
+
+    def test_prefetch_requires_a_query(self, col):
+        with pytest.raises(ValueError, match="needs a top-level query"):
+            col.query_points(None, prefetch=[{"query": 1, "limit": 2}])
+        with pytest.raises(ValueError, match="needs a top-level query"):
+            col.query_points({"nope": 1}, prefetch=[{"query": 1, "limit": 2}])
+
 
 def test_export_import_points_roundtrip(spark, tmp_path):
     from vector_database_spark.catalog import Catalog

@@ -1,12 +1,16 @@
 """Multimodal binary-column plumbing tests: mapInPandas schema/batching is
-real; codecs are stubbed (container has no image/audio libs)."""
+real; image decode runs for real through functions/png.py (stdlib codec)
+— Pillow, when present, is preferred with an identical output contract."""
 
 from __future__ import annotations
+
+import base64
 
 import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMALL
+from vector_database_spark.functions import png
 from vector_database_spark.sources import multimodal as mm
 from vector_database_spark.sources.tables import read_table
 
@@ -20,28 +24,71 @@ def _pillow_available() -> bool:
         return False
 
 
-@pytest.mark.skipif(
-    _pillow_available(), reason="Pillow installed: real decoder is active"
-)
-def test_real_decoder_is_stubbed_without_pillow():
-    with pytest.raises(NotImplementedError):
-        mm.decode_image_real(b"\x89PNG")
+def test_png_roundtrip_every_filter_type():
+    # a 5x4 grey gradient survives encode->decode under each of the five
+    # scanline filters — differential coverage of every unfilter branch
+    w, h = 5, 4
+    pix = [(r * 37 + c * 91) % 256 for r in range(h) for c in range(w)]
+    for ft in range(5):
+        blob = png.encode_png(w, h, pix, channels=1, filter_type=ft)
+        gw, gh, ch, got = png.decode_png(blob)
+        assert (gw, gh, ch) == (w, h, 1), ft
+        assert got == pix, f"filter {ft}"
 
 
-@pytest.mark.skipif(not _pillow_available(), reason="Pillow not installed")
-def test_real_decoder_with_pillow():
-    # 2x3 all-white PNG: decode must report real dimensions and mean 255
-    import io
+def test_png_rgb_roundtrip_and_grey_formula():
+    w, h = 3, 2
+    rgb = [v % 256 for v in range(w * h * 3)]
+    for ft in (0, 1, 4):
+        blob = png.encode_png(w, h, rgb, channels=3, filter_type=ft)
+        gw, gh, ch, got = png.decode_png(blob)
+        assert (gw, gh, ch) == (w, h, 3) and got == rgb
+    grey = png.to_grey(3, rgb)
+    # PIL's exact integer RGB->L formula
+    want = [
+        (rgb[i] * 19595 + rgb[i + 1] * 38470 + rgb[i + 2] * 7471 + 0x8000) >> 16
+        for i in range(0, len(rgb), 3)
+    ]
+    assert grey == want
 
-    from PIL import Image  # type: ignore[import-not-found]
 
-    buf = io.BytesIO()
-    Image.new("L", (2, 3), color=255).save(buf, format="PNG")
-    meta = mm.decode_image_real(buf.getvalue())
+def test_png_rejects_malformed():
+    with pytest.raises(ValueError, match="signature"):
+        png.decode_png(b"\x89PNG")  # truncated signature
+    with pytest.raises(ValueError, match="IHDR"):
+        png.decode_png(b"\x89PNG\r\n\x1a\n")  # no chunks
+
+
+def test_real_decoder_decodes_png_without_pillow():
+    # 2x3 all-white PNG via the stdlib encoder: decode must report real
+    # dimensions and mean 255 whether Pillow is present or not
+    blob = png.encode_png(2, 3, [255] * 6)
+    meta = mm.decode_image_real(blob)
     assert meta["fmt"] == "png"
     assert (meta["width"], meta["height"]) == (2, 3)
     assert meta["mean_byte_micro"] == 255_000_000
-    assert meta["n_bytes"] == len(buf.getvalue())
+    assert meta["n_bytes"] == len(blob)
+
+
+def test_real_decoder_base64_payload_semantics():
+    # the reference stores images as base64 payload strings and decodes on
+    # read (vector_db_query.py:87-88): same lifecycle here
+    grad = [(i * 17) % 256 for i in range(4 * 4)]
+    payload = base64.b64encode(png.encode_png(4, 4, grad)).decode("ascii")
+    meta = mm.decode_image_real(base64.b64decode(payload))
+    assert (meta["width"], meta["height"]) == (4, 4)
+    import math
+
+    assert meta["mean_byte_micro"] == math.floor(
+        sum(grad) / len(grad) * 1_000_000.0 + 0.5
+    )
+
+
+def test_real_decoder_non_png_without_pillow():
+    if _pillow_available():
+        pytest.skip("Pillow installed: non-PNG formats decode for real")
+    with pytest.raises(NotImplementedError, match="not a PNG"):
+        mm.decode_image_real(b"\xff\xd8\xff\xe0JFIF-ish")
 
 
 def test_extract_image_meta_shapes(spark):
@@ -96,17 +143,31 @@ def test_resize_fake_geometry_known_answer(spark):
     assert out[0]["pixels"] == "97 104 104 104"
 
 
-@pytest.mark.skipif(not _pillow_available(), reason="Pillow not installed")
-def test_resize_with_pillow_contract(spark):
-    import io
-
-    from PIL import Image  # type: ignore[import-not-found]
-
+def test_resize_real_decode_contract(spark):
+    # runs through Pillow when importable, else the stdlib PNG fallback —
+    # both must hit the same contract
     from vector_database_spark.sources import multimodal
 
-    buf = io.BytesIO()
-    Image.new("L", (16, 16), color=128).save(buf, format="PNG")
-    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))], "doc_id long, blob binary")
+    blob = png.encode_png(16, 16, [128] * 256)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob))], "doc_id long, blob binary"
+    )
     out = multimodal.resize_image(df, out_w=4, out_h=4, use_pillow=True).collect()
     vals = [int(v) for v in out[0]["pixels"].split()]
     assert len(vals) == 16 and all(v == 128 for v in vals)
+
+
+def test_resize_real_decode_nearest_geometry(spark):
+    # 4x2 image with distinct quadrant values downsampled 2x2: NEAREST at
+    # (dst+0.5)*scale must pick the center-right pixel of each quadrant
+    from vector_database_spark.sources import multimodal
+
+    pix = [10, 10, 20, 20,
+           30, 30, 40, 40]
+    blob = png.encode_png(4, 2, pix)
+    df = spark.createDataFrame(
+        [(7, bytearray(blob))], "doc_id long, blob binary"
+    )
+    out = multimodal.resize_image(df, out_w=2, out_h=2, use_pillow=True).collect()
+    # sx = int((c+0.5)*4/2) -> 1, 3 ; sy = int((r+0.5)*2/2) -> 0, 1
+    assert out[0]["pixels"] == "10 20 30 40"

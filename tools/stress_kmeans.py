@@ -10,9 +10,16 @@ assignment is a perfect relabeling of the planted groups. Wall time
 should scale ~linearly in rows: per round the assignment is map-side
 (centroid literals) and the update shuffles only k*64 partial sums.
 
-Usage: SPARK_DRIVER_MEMORY=48g python tools/stress_kmeans.py
-(the 10M row needs the bigger heap: checkpointed floats + cached micro
-ints ~8 GB together; the default 8g heap OOMs)
+Usage: python tools/stress_kmeans.py — runs at the DEFAULT heap.
+(Earlier revisions needed SPARK_DRIVER_MEMORY=48g: the synth floats were
+localCheckpoint'ed and the micro ints cached DESERIALIZED, ~8 GB of raw
+data as ~30+ GB of java objects on the one local JVM. Now the input is
+persisted DISK_ONLY and the k-means projection is NOT cached at all
+(storage_level=False — DataFrame caching's per-task columnar builders
+alone OOM'd 8g at 10M rows even at disk-backed levels), so local heap
+holds only the per-task working set — the shape a real cluster sees,
+where recompute-over-cache is the normal call for a cheap map-only
+projection.)
 """
 
 from __future__ import annotations
@@ -55,12 +62,23 @@ def main() -> None:
     # reason)
     kmeans_micro(synth_clustered(spark, 5_000)).collect()
 
+    from pyspark.storagelevel import StorageLevel
+
     rows = []
     for n in (50_000, 500_000, 2_000_000, 10_000_000):
-        emb = synth_clustered(spark, n).localCheckpoint(eager=True)
+        # DISK_ONLY: pins the synth cost outside the measured window (like
+        # the old localCheckpoint) without holding n×64 floats as java
+        # objects on the local JVM heap.
+        emb = synth_clustered(spark, n).persist(StorageLevel.DISK_ONLY)
+        emb.count()
         t0 = time.perf_counter()
         got = (
-            kmeans_micro(emb)
+            # storage_level=False: no projection cache at all — DataFrame
+            # caching's per-task columnar builders OOM the default local
+            # heap at 10M wide-array rows (see the kmeans_micro
+            # docstring); the projection recomputes from the DISK_ONLY
+            # input, one linear read per round
+            kmeans_micro(emb, storage_level=False)
             .groupBy("cluster")
             .agg(
                 F.count(F.lit(1)).alias("n"),
@@ -85,6 +103,8 @@ def main() -> None:
         "must recover the planted partition exactly; wall should be\n"
         "~linear in rows (map-side assignment + k*64-row update shuffle\n"
         "per round — driver state is 8×64 ints regardless of data size).\n"
+        "Runs at the DEFAULT 8g local heap: input DISK_ONLY, projection\n"
+        "uncached (storage_level=False) — no SPARK_DRIVER_MEMORY override.\n"
         "Wall times are single runs on a shared host — run-to-run\n"
         "variance up to ~3x was observed (compare within one table, not\n"
         "across regenerations); the invariants are the EXACT planted\n"

@@ -1209,28 +1209,33 @@ class VectorCollection:
         one nesting level, like Qdrant). With a fusion query the legs are
         rank- (RRF) or z-score- (DBSF) fused — ``payload_filter`` is
         pushed into every leg (Qdrant filters prefetch legs the same
-        way), fused rows are (id, fused_score[, payload]). With a
-        vector/id query the legs form a candidate pool that is RERANKED
-        exactly by the top query — the multi-stage shape of
-        q_prefetch_rerank; an id query excludes itself, matching the
-        non-prefetch id path. Candidate pools are bounded by Σ leg
-        limits, so collecting their ids is O(k), never O(collection).
+        way), fused rows are (id, fused_score[, payload]). With any
+        OTHER query form the legs form a candidate pool and the query
+        runs in its normal mode restricted to that pool — vector/id
+        rerank (the multi-stage shape of q_prefetch_rerank, id queries
+        excluding themselves) as well as recommend / discover / context /
+        sample over prefetch, as Qdrant permits. Candidate pools are
+        bounded by Σ leg limits, so collecting their ids is O(k), never
+        O(collection).
         """
         if prefetch:
             # validate the (query, prefetch) combination BEFORE computing
-            # any leg: a recommend/discover/context/sample top-level query
-            # over prefetch is not implemented (Qdrant permits it; here the
-            # supported forms are fusion or exact vector/id rerank), and
-            # failing late would waste every executed leg.
+            # any leg — failing late would waste every executed leg. Any
+            # non-fusion query form reranks the prefetch pool (Qdrant
+            # permits recommend/discover/context/sample over prefetch);
+            # only a missing query has no defined rerank semantics.
+            _known_dict = ("fusion", "recommend", "discover", "context", "sample")
             if not (
                 isinstance(query, (int, list, tuple))
-                or (isinstance(query, dict) and "fusion" in query)
+                or (
+                    isinstance(query, dict)
+                    and any(k in query for k in _known_dict)
+                )
             ):
                 raise ValueError(
-                    "query_points with prefetch supports a fusion query "
-                    "({'fusion': 'rrf'|'dbsf'}) or a vector/point-id rerank "
-                    f"query; got {query!r}. Recommend/discover/context over "
-                    "prefetch is not implemented — run that mode directly."
+                    "query_points with prefetch needs a top-level query to "
+                    "rerank the pool: a vector, a point id, or one of "
+                    f"{_known_dict}; got {query!r}."
                 )
             legs = [
                 self.query_points(
@@ -1255,15 +1260,21 @@ class VectorCollection:
                 {int(r["id"]) for leg in legs for r in leg.select("id").collect()}
             )
             pool = F.col("id").isin(cand_ids)
-            if isinstance(query, int):
-                pool = pool & (F.col("id") != int(query))
             flt = pool if payload_filter is None else (pool & payload_filter)
-            return self.search(
-                self._resolve_vector_query(query),
+            # Recurse WITHOUT prefetch: the top-level query runs in its
+            # normal mode restricted to the bounded candidate pool — this
+            # is exactly Qdrant's semantics (prefetch narrows, the query
+            # rescores), and it covers vector/id rerank AND
+            # recommend/discover/context/sample over prefetch with the
+            # mode's own exclusion rules (id self-exclusion, example-point
+            # exclusion) applied by the mode itself.
+            return self.query_points(
+                query,
                 limit=limit,
                 payload_filter=flt,
                 with_payload=with_payload,
                 with_vector=with_vector,
+                sample_seed=sample_seed,
             )
         if query is None:
             return self.scroll(limit=limit, payload_filter=payload_filter)

@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from vector_database_spark.functions.vector import cosine, round6
+from vector_database_spark.operators.dedup import COSINE_NEARDUP_THRESHOLD
 
 KMEANS_K = 8
 KMEANS_ROUNDS = 3
@@ -84,23 +85,47 @@ def kmeans_micro(
     id_col: str = "vec_id",
     k: int = KMEANS_K,
     rounds: int = KMEANS_ROUNDS,
+    storage_level=None,
 ) -> DataFrame:
     """Exact-integer Lloyd's k-means; returns (id, cluster, dist_sq).
 
     ``cluster``/``dist_sq`` are w.r.t. the centroids AFTER `rounds`
     assign+update iterations. Cross-engine-deterministic by construction.
+
+    ``storage_level`` controls how the per-round micro projection is
+    persisted. Default MEMORY_AND_DISK (PySpark's SERIALIZED level — the
+    java-object form of wide long-arrays is ~4x the raw bytes). Pass
+    ``False`` to skip persisting entirely and recompute the projection
+    from the source each round: DataFrame caching builds in-memory
+    columnar batches per task even at disk-backed levels
+    (ColumnBuilder.ensureFreeSpace doubles ByteBuffers), and at high
+    local task concurrency (local[32], 10M wide-array rows) those
+    transient builders alone can OOM a default 8g single-JVM heap. The
+    projection is a map-only pass over the source scan, so recompute
+    costs one linear read per round — the trade a 100 TB run would make
+    anyway rather than dedicate executor storage to a derivable
+    intermediate (tools/stress_kmeans.py runs this shape at 10M rows on
+    the default heap).
     """
     if k < 1:
         raise ValueError(f"kmeans_micro requires k >= 1, got {k}")
     pts = df.select(F.col(id_col).alias("_id"), _micro_vec(F.col(vec_col)).alias("mv"))
-    # Re-scanned once per round; cache the micro projection (deterministic,
-    # so cache-vs-recompute cannot change results — this is purely a cost call).
-    pts = pts.cache()
+    # Re-scanned once per round; persist the micro projection
+    # (deterministic, so cache-vs-recompute cannot change results — this
+    # is purely a cost call). See the docstring for the level choice.
+    persisted = storage_level is not False
+    if persisted:
+        from pyspark.storagelevel import StorageLevel
+
+        pts = pts.persist(
+            storage_level if storage_level is not None else StorageLevel.MEMORY_AND_DISK
+        )
 
     init_rows = pts.orderBy("_id").limit(k).collect()
     centroids = [list(r["mv"]) for r in init_rows]
     if not centroids:
-        pts.unpersist()
+        if persisted:
+            pts.unpersist()
         raise ValueError("kmeans_micro requires at least one input row")
     # fewer points than k: cluster ids stay 0..len-1 (matches the oracle,
     # whose c0 CTE also yields only the existing rows)
@@ -137,7 +162,12 @@ def kmeans_micro(
     ).select(
         id_col, F.col("am.c").alias("cluster"), F.col("am.d").alias("dist_sq")
     )
-    pts.unpersist()
+    # Unpersist eagerly: the returned (lazy) final pass recomputes the
+    # micro projection from the source in ONE map-side scan — cheaper than
+    # holding rounds-worth of cached state hostage to the caller's
+    # DataFrame lifetime.
+    if persisted:
+        pts.unpersist()
     return final.orderBy(id_col)
 
 
@@ -147,7 +177,9 @@ def semdedup_kmeans_pairs(
     emb_col: str = "embedding",
     k: int = KMEANS_K,
     rounds: int = KMEANS_ROUNDS,
-    threshold: float = 0.95,
+    # shared with dedup + the DuckDB oracle (_sql_semdedup_kmeans) so the
+    # two engines can't drift apart on independent copies of the constant
+    threshold: float = COSINE_NEARDUP_THRESHOLD,
 ) -> DataFrame:
     """Paper-faithful SemDeDup (Abbas et al. 2023): k-means clusters, then
     cosine verified ONLY within clusters. The sign-bucket variant

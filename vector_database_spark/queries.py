@@ -1116,9 +1116,11 @@ def _sql_kmeans_ctes(k: int = clustering.KMEANS_K,
     rounds; mirrors kmeans_micro line-for-line. Split so composed oracles
     (q_semdedup_kmeans) can embed the clustering as a subplan.
 
-    Floor division is ``(s - ((s%n+n)%n)) / n`` — true floor like Python's
-    ``//`` (numerator made exactly divisible, so the float division is
-    exact for |s| < 2^53)."""
+    Floor division is ``(s - ((s%n+n)%n)) // n`` — true floor like
+    Python's ``//``: the numerator is made exactly divisible first, so
+    DuckDB's truncating integer ``//`` equals floor, and staying in
+    BIGINT keeps it exact at ANY magnitude (the earlier float ``/`` +
+    CAST was only exact for |s| < 2^53)."""
     dist = ("list_sum(list_transform(list_zip(m.mv, c.cv), "
             "p -> (p[1]-p[2])*(p[1]-p[2])))")
     ctes = [
@@ -1135,7 +1137,7 @@ def _sql_kmeans_ctes(k: int = clustering.KMEANS_K,
         )
         ctes.append(
             f"n{r} AS (SELECT cluster AS cid, "
-            "list(CAST((sv - ((sv % cnt + cnt) % cnt)) / cnt AS BIGINT) ORDER BY pos) AS cv "
+            "list(CAST((sv - ((sv % cnt + cnt) % cnt)) // cnt AS BIGINT) ORDER BY pos) AS cv "
             f"FROM (SELECT cluster, z[2] AS pos, SUM(z[1]) AS sv, COUNT(*) AS cnt "
             f"FROM (SELECT cluster, unnest(list_zip(mv, range(1, {dim + 1}))) AS z FROM a{r}) "
             "GROUP BY cluster, pos) GROUP BY cluster)"
@@ -5096,7 +5098,10 @@ def q_stream_enrich(spark, sf_dir):
 
 _SQL_STREAM_ENRICH = """
 WITH tiers AS (
-  SELECT user_id, user_id % 5 AS tier FROM (SELECT DISTINCT user_id FROM events)
+  -- (x % 5 + 5) % 5 == Spark pmod: non-negative for any sign of user_id
+  -- (DuckDB % keeps the dividend's sign), so parity is sign-robust
+  SELECT user_id, (user_id % 5 + 5) % 5 AS tier
+  FROM (SELECT DISTINCT user_id FROM events)
 )
 SELECT t.tier, e.event_type,
        count(*) AS n,

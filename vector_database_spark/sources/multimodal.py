@@ -5,10 +5,13 @@ The reference stores raw images as base64 payload strings
 Here image/audio/video are opaque BINARY columns with typed metadata
 structs; decode / feature-extract / resize / frame-sample run as
 Arrow-batched pandas functions over ``mapInPandas`` — the Spark-side
-plumbing (schema, batching, partition parallelism) is real and tested,
-while the actual codec calls are STUBBED (image/audio libraries are not in
-this container): ``decode_image_real`` raises NotImplementedError and the
-default path uses a deterministic fake decoder so plans and tests execute.
+plumbing (schema, batching, partition parallelism) is real and tested.
+Codecs: the default path uses a deterministic fake decoder (reproducible
+oracles without any library); ``decode_image_real`` prefers Pillow when
+importable and otherwise decodes PNG through the pure-stdlib codec in
+functions/png.py, so the real-decode branch runs (and is tested) even in
+this codec-less container. Non-PNG formats without Pillow raise
+NotImplementedError — the one remaining environment-bound boundary.
 
 At scale: `spark.read.format("binaryFile")` ingests the raw blobs; blobs
 stay columnar Parquet BINARY; metadata extraction is a map-only pass.
@@ -31,24 +34,41 @@ IMAGE_META_SCHEMA = (
 def decode_image_real(blob: bytes) -> dict:
     """Real image decode (PIL / torchvision path, vector_db.py:55-63).
 
-    Escape hatch: if Pillow is importable on the executor, decode the blob
-    for real — same output contract as ``decode_image_fake`` (n_bytes,
-    fmt, width, height, mean_byte_micro), so it is a drop-in ``decoder=``
-    argument to :func:`extract_image_meta`. Without Pillow (this
-    container) it raises NotImplementedError and the default path uses the
-    deterministic fake decoder; the mapInPandas plumbing is identical
-    either way. ``tests/test_multimodal.py`` exercises this path
-    conditionally (skipped where Pillow is absent).
+    Same output contract as ``decode_image_fake`` (n_bytes, fmt, width,
+    height, mean_byte_micro), so it is a drop-in ``decoder=`` argument to
+    :func:`extract_image_meta`. Prefers Pillow when importable; without
+    it (this container), PNG blobs decode through the pure-stdlib codec
+    (functions/png.py — to_grey uses PIL's exact RGB→L integers, so both
+    branches produce identical bytes) and only non-PNG formats raise
+    NotImplementedError. ``tests/test_multimodal.py`` exercises the
+    fallback unconditionally — no environment-dependent skips.
     """
+    import math
+
     try:
         import io
 
         from PIL import Image  # type: ignore[import-not-found]
-    except ImportError as exc:  # pragma: no cover - container has no Pillow
-        raise NotImplementedError(
-            "image codec not available in this environment; use decode_image_fake"
-        ) from exc
-    import math
+    except ImportError:
+        from vector_database_spark.functions import png as _png
+
+        if not _png.is_png(bytes(blob)):
+            raise NotImplementedError(
+                "no Pillow and blob is not a PNG; use decode_image_fake "
+                "or install an image codec"
+            ) from None
+        w, h, ch, samples = _png.decode_png(bytes(blob))
+        data = _png.to_grey(ch, samples)
+        mean_micro = (
+            math.floor(sum(data) / len(data) * 1_000_000.0 + 0.5) if data else 0
+        )
+        return {
+            "n_bytes": len(blob),
+            "fmt": "png",
+            "width": w,
+            "height": h,
+            "mean_byte_micro": mean_micro,
+        }
 
     img = Image.open(io.BytesIO(blob))
     w, h = img.size
@@ -193,13 +213,29 @@ def resize_image(
             if n == 0:
                 return ""
             if use_pillow:
-                import io
+                # real-decode branch: Pillow when importable, else the
+                # pure-stdlib PNG codec with PIL-identical grey + NEAREST
+                # ((dst+0.5)*scale, floored) so both produce the same bytes
+                try:
+                    import io
 
-                from PIL import Image  # type: ignore[import-not-found]
+                    from PIL import Image  # type: ignore[import-not-found]
 
-                img = Image.open(io.BytesIO(b)).convert("L")
-                small = img.resize((out_w, out_h), Image.NEAREST)
-                return " ".join(str(v) for v in small.getdata())
+                    img = Image.open(io.BytesIO(b)).convert("L")
+                    small = img.resize((out_w, out_h), Image.NEAREST)
+                    return " ".join(str(v) for v in small.getdata())
+                except ImportError:
+                    from vector_database_spark.functions import png as _png
+
+                    w, h, ch, samples = _png.decode_png(b)
+                    grey = _png.to_grey(ch, samples)
+                    vals = []
+                    for r in range(out_h):
+                        sy = min(h - 1, int((r + 0.5) * h / out_h))
+                        for c in range(out_w):
+                            sx = min(w - 1, int((c + 0.5) * w / out_w))
+                            vals.append(grey[sy * w + sx])
+                    return " ".join(str(v) for v in vals)
             first = b[0]
             w = (first % 64) + 1
             h = (n % 64) + 1
