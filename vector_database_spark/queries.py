@@ -733,6 +733,62 @@ FROM framed
 """
 
 
+def q_causal_mask(spark, sf_dir):
+    """D13: combined causal+padding decoder mask
+    (transformer_sample.py:551-553 — `(decoder_input != pad) &
+    casual_mask(seq_len)`, the triu at :462-465). The relational
+    analogue of the square mask tensor is one row per (doc, query
+    position i): mask[i][j] = 1 iff j <= i (causal) AND framed[j] != PAD,
+    serialized as a 128-bit string plus its popcount. Map-only 1→seq_len
+    expansion (explode over positions) — no shuffle; at training scale
+    this mask is generated inside the harness, so the operator's job is
+    the expansion shape and exact bit parity, both oracle-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = textops.build_vocab(docs)
+    framed = textops.pad_frame(textops.encode(docs, vocab), seq_len=SEQ_LEN)
+    pb = F.transform(
+        "framed", lambda x: F.when(x != textops.PAD, 1).otherwise(0).cast("int")
+    )
+    rows = framed.select("doc_id", pb.alias("pb")).select(
+        "doc_id",
+        "pb",
+        F.explode(F.sequence(F.lit(1), F.lit(SEQ_LEN))).alias("pos"),
+    )
+    js = F.sequence(F.lit(1), F.lit(SEQ_LEN))
+    bit = lambda j: (j <= F.col("pos")) & (F.element_at("pb", j) == 1)  # noqa: E731
+    return rows.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.array_join(
+            F.transform(js, lambda j: F.when(bit(j), "1").otherwise("0")), ""
+        ).alias("mask_str"),
+        F.size(F.filter(js, bit)).cast("long").alias("n_attend"),
+    )
+
+
+_SQL_CAUSAL_MASK = f"""
+WITH {_SQL_VOCAB_CTE},
+framed AS (
+  SELECT doc_id,
+         flatten([[CAST(2 AS BIGINT)], ids, [CAST(3 AS BIGINT)],
+                  list_transform(range({SEQ_LEN} - 2 - len(ids)), x -> CAST(1 AS BIGINT))]) AS f
+  FROM enc WHERE len(ids) <= {TOO_LONG_LIMIT}
+),
+pb AS (
+  SELECT doc_id, list_transform(f, x -> CASE WHEN x != 1 THEN 1 ELSE 0 END) AS pb
+  FROM framed
+),
+p AS (SELECT doc_id, pb, unnest(range(1, {SEQ_LEN} + 1)) AS pos FROM pb)
+SELECT doc_id,
+       CAST(pos AS BIGINT) AS pos,
+       array_to_string(list_transform(range(1, {SEQ_LEN} + 1),
+           j -> CASE WHEN j <= pos AND pb[j] = 1 THEN '1' ELSE '0' END), '') AS mask_str,
+       CAST(len(list_filter(range(1, {SEQ_LEN} + 1),
+           j -> j <= pos AND pb[j] = 1)) AS BIGINT) AS n_attend
+FROM p
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup family (F1/F2 + north-star)
 # ---------------------------------------------------------------------------
@@ -6445,6 +6501,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_split_train_val": q_split_train_val,
     "q_inst_parse": q_inst_parse,
     "q_mask_pad": q_mask_pad,
+    "q_causal_mask": q_causal_mask,
     # dedup family
     "q_dedup_exact": q_dedup_exact,
     "q_minhash_signatures": q_minhash_signatures,
@@ -6608,6 +6665,7 @@ ORACLES: dict[str, str] = {
     "q_split_train_val": _SQL_SPLIT,
     "q_inst_parse": _SQL_INST_PARSE,
     "q_mask_pad": _SQL_MASK_PAD,
+    "q_causal_mask": _SQL_CAUSAL_MASK,
     "q_dedup_exact": _SQL_DEDUP_EXACT,
     "q_minhash_signatures": _SQL_MINHASH_SIGS,
     "q_dedup_minhash": _SQL_DEDUP_MINHASH,
