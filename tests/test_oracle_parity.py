@@ -42,6 +42,21 @@ QUERIES, ORACLES = _registry()
 def test_query_matches_oracle(name, spark, duck):
     qfn = QUERIES[name]
     sdf = qfn(spark, SF_ORACLE)
+    # driver-canonicalizer tripwire: list/map/struct cells are unhashable
+    # in the grading driver's pandas compare (the q_loss_mask /
+    # q_quantize_int8 / q_stateful_topk bug class — serialize to
+    # space-joined strings instead, FIXTURES.md rule)
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    complex_cols = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not complex_cols, (
+        f"{name}: oracle-backed query emits non-scalar columns "
+        f"{complex_cols} — the driver canonicalizer cannot hash them"
+    )
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
 

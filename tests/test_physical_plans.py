@@ -336,6 +336,20 @@ def test_no_single_partition_windows_in_deglobalized_queries(spark, sf):
         assert "Exchange SinglePartition" not in p, q.__name__
 
 
+def test_hybrid_rrf_ranks_pools_in_plan(spark, sf):
+    # r4: the two prefetch pools are ranked by windows sitting directly on
+    # their TakeOrderedAndProject heaps (already single-partition output —
+    # no Exchange inserted), full-outer joined, all inside ONE plan.
+    # Pre-r4 the ranks came from a collect→createDataFrame round-trip,
+    # which showed up here as a LocalTableScan of uploaded rank rows.
+    from vector_database_spark.queries import q_hybrid_rrf
+
+    p = plan_of(q_hybrid_rrf(spark, sf))
+    assert p.count("TakeOrderedAndProject") == 3  # 2 leg pools + final top-k
+    assert p.count("Window") == 2  # one row_number per leg
+    assert "LocalTableScan" not in p  # no driver-side rank upload
+
+
 def test_window_funcs_shares_one_exchange(spark, sf):
     # two window groups (shipdate order, price order) over the SAME
     # l_suppkey partitioning: optimal shape is ONE Exchange reused by both,
