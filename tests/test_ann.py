@@ -384,3 +384,20 @@ def test_nsw_persisted_index_matches_fused(spark, emb, tmp_path):
     import pyspark.sql.functions as F2
 
     assert idx.filter(F2.size("neighbors") > ann.NSW_M_MAX).count() == 0
+
+
+def test_bench_ann_recall_harness(spark):
+    """bench.py publishes recall@5 per approximate query each round; this
+    smoke-checks the harness itself (keys, range, and that the exact
+    operator scores a perfect 1.0 baseline is NOT assumed — only that
+    every approximate operator lands in (0, 1])."""
+    import bench
+
+    out = bench.ann_recall(spark, SF_SMALL)
+    assert set(out) == {"q_knn_lsh", "q_knn_ivf", "q_knn_pq", "q_knn_nsw", "q_knn_ivfpq"}
+    for name, r in out.items():
+        assert 0.0 < r <= 1.0, f"{name} recall {r} out of range"
+    # the sf0.001 operating points are the tuned ones — hold them to the
+    # same floors the dedicated recall tests use
+    assert out["q_knn_lsh"] >= 0.85
+    assert out["q_knn_pq"] >= 0.9
