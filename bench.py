@@ -112,15 +112,25 @@ def ann_recall(spark, sf_dir: str, k: int = 5, n_queries: int = 10) -> dict[str,
         for r in emb.filter(F.col("vec_id") < n_queries).collect()
     ]
 
-    def exact(qv, metric="cosine"):
-        return {r["vec_id"] for r in knn.knn(emb, qv, k=k, metric=metric).collect()}
+    # exact baselines computed ONCE per (query, metric) — three operators
+    # share the cosine ground truth, two share euclid; recomputing per
+    # operator would run 30 redundant exact-scan jobs
+    exact_by_metric: dict[str, dict[int, set]] = {}
+
+    def exact(qid, qv, metric="cosine"):
+        per = exact_by_metric.setdefault(metric, {})
+        if qid not in per:
+            per[qid] = {
+                r["vec_id"] for r in knn.knn(emb, qv, k=k, metric=metric).collect()
+            }
+        return per[qid]
 
     out: dict[str, float] = {}
     total = k * len(queries)
 
     hits = sum(
-        len(exact(qv) & {r["vec_id"] for r in ann.lsh_knn(emb, qv, k=k).collect()})
-        for _, qv in queries
+        len(exact(qid, qv) & {r["vec_id"] for r in ann.lsh_knn(emb, qv, k=k).collect()})
+        for qid, qv in queries
     )
     out["q_knn_lsh"] = round(hits / total, 3)
 
@@ -128,13 +138,13 @@ def ann_recall(spark, sf_dir: str, k: int = 5, n_queries: int = 10) -> dict[str,
     assigned = assigned.cache()
     hits = sum(
         len(
-            exact(qv)
+            exact(qid, qv)
             & {
                 r["vec_id"]
                 for r in ann.ivf_knn(assigned, centroids, qv, k=k, nprobe=8).collect()
             }
         )
-        for _, qv in queries
+        for qid, qv in queries
     )
     out["q_knn_ivf"] = round(hits / total, 3)
 
@@ -143,13 +153,13 @@ def ann_recall(spark, sf_dir: str, k: int = 5, n_queries: int = 10) -> dict[str,
     codes.count()
     hits = sum(
         len(
-            exact(qv, "euclid")
+            exact(qid, qv, "euclid")
             & {
                 r["vec_id"]
                 for r in ann.pq_knn_rerank(codes, books, emb, qv, k=k).collect()
             }
         )
-        for _, qv in queries
+        for qid, qv in queries
     )
     out["q_knn_pq"] = round(hits / total, 3)
 
@@ -161,20 +171,20 @@ def ann_recall(spark, sf_dir: str, k: int = 5, n_queries: int = 10) -> dict[str,
     codes_ivf.count()
     hits = sum(
         len(
-            exact(qv, "euclid")
+            exact(qid, qv, "euclid")
             & {
                 r["vec_id"]
                 for r in ann.ivfpq_knn(codes_ivf, centroids, books, emb, qv, k=k).collect()
             }
         )
-        for _, qv in queries
+        for qid, qv in queries
     )
     out["q_knn_ivfpq"] = round(hits / total, 3)
 
     by_q: dict[int, set] = {}
     for r in ann.nsw_knn(emb, queries, k=k).collect():
         by_q.setdefault(r["qid"], set()).add(r["vec_id"])
-    hits = sum(len(exact(qv) & by_q.get(qid, set())) for qid, qv in queries)
+    hits = sum(len(exact(qid, qv) & by_q.get(qid, set())) for qid, qv in queries)
     out["q_knn_nsw"] = round(hits / total, 3)
 
     codes.unpersist()

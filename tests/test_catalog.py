@@ -773,6 +773,20 @@ class TestQueryPointsFacade:
         with pytest.raises(ValueError, match="needs a top-level query"):
             col.query_points({"nope": 1}, prefetch=[{"query": 1, "limit": 2}])
 
+    def test_prefetch_rejects_malformed_dict_payloads_before_legs(self, col):
+        # a known mode key with a bad payload must fail the up-front shape
+        # check, not execute every leg and then die in the recursion
+        bad = [
+            {"sample": "uniform"},
+            {"fusion": "borda"},
+            {"discover": {"target": 1}},  # missing context
+            {"context": []},
+            {"recommend": [1, 2]},  # not a dict
+        ]
+        for q in bad:
+            with pytest.raises(ValueError, match="needs a top-level query"):
+                col.query_points(q, prefetch=[{"query": 1, "limit": 2}])
+
 
 def test_export_import_points_roundtrip(spark, tmp_path):
     from vector_database_spark.catalog import Catalog

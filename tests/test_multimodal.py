@@ -53,10 +53,49 @@ def test_png_rgb_roundtrip_and_grey_formula():
 
 
 def test_png_rejects_malformed():
+    import struct
+    import zlib
+
     with pytest.raises(ValueError, match="signature"):
         png.decode_png(b"\x89PNG")  # truncated signature
     with pytest.raises(ValueError, match="IHDR"):
         png.decode_png(b"\x89PNG\r\n\x1a\n")  # no chunks
+    # truncated IHDR payload must be ValueError, not struct.error
+    sig = b"\x89PNG\r\n\x1a\n"
+    with pytest.raises(ValueError, match="truncated"):
+        png.decode_png(sig + struct.pack(">I", 13) + b"IHDR" + b"\x00" * 3)
+    # corrupt IDAT must be ValueError, not zlib.error
+    good = png.encode_png(2, 2, [1, 2, 3, 4])
+    idat_at = good.index(b"IDAT")
+    corrupt = good[: idat_at + 4] + b"\xff\xff\xff\xff" + good[idat_at + 8 :]
+    with pytest.raises(ValueError, match="zlib|mismatch"):
+        png.decode_png(corrupt)
+
+
+def test_png_bounded_against_bombs():
+    import struct
+    import zlib
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    # header claims more samples than the codec ceiling → rejected before
+    # any inflate
+    ihdr = struct.pack(">IIBBBBB", 1 << 16, 1 << 16, 8, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="ceiling"):
+        png.decode_png(sig + chunk(b"IHDR", ihdr) + chunk(b"IEND", b""))
+    # honest small header but an IDAT that inflates far past it → the
+    # bounded decompress stops at expected+1 and reports a mismatch
+    # instead of materializing the bomb
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    bomb = zlib.compress(b"\x00" * (50 * 1024 * 1024), 9)  # 50 MB of zeros
+    with pytest.raises(ValueError, match="mismatch"):
+        png.decode_png(sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", bomb) + chunk(b"IEND", b""))
 
 
 def test_real_decoder_decodes_png_without_pillow():

@@ -1225,17 +1225,31 @@ class VectorCollection:
             # permits recommend/discover/context/sample over prefetch);
             # only a missing query has no defined rerank semantics.
             _known_dict = ("fusion", "recommend", "discover", "context", "sample")
-            if not (
-                isinstance(query, (int, list, tuple))
-                or (
-                    isinstance(query, dict)
-                    and any(k in query for k in _known_dict)
-                )
-            ):
+
+            def _dict_query_ok(q) -> bool:
+                # shape-check the payload too, not just key presence —
+                # a malformed form must fail HERE, not after the legs ran
+                if not isinstance(q, dict):
+                    return False
+                if "fusion" in q:
+                    return q["fusion"] in ("rrf", "dbsf")
+                if "recommend" in q:
+                    return isinstance(q["recommend"], dict)
+                if "discover" in q:
+                    return isinstance(q["discover"], dict) and {
+                        "target", "context"
+                    } <= set(q["discover"])
+                if "context" in q:
+                    return isinstance(q["context"], (list, tuple)) and bool(q["context"])
+                if "sample" in q:
+                    return q["sample"] == "random"
+                return False
+
+            if not (isinstance(query, (int, list, tuple)) or _dict_query_ok(query)):
                 raise ValueError(
                     "query_points with prefetch needs a top-level query to "
-                    "rerank the pool: a vector, a point id, or one of "
-                    f"{_known_dict}; got {query!r}."
+                    "rerank the pool: a vector, a point id, or a well-formed "
+                    f"{_known_dict} dict; got {query!r}."
                 )
             legs = [
                 self.query_points(

@@ -27,6 +27,10 @@ import zlib
 _SIG = b"\x89PNG\r\n\x1a\n"
 # channels per pixel by PNG color type (8-bit only)
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# decode ceiling: blobs land in executor Python workers via mapInPandas,
+# so a crafted header (or a zlib bomb) must not be able to demand an
+# unbounded allocation — 64M samples ≈ 64 MB raw, far above any fixture
+MAX_SAMPLES = 64 * 1024 * 1024
 
 
 def is_png(blob: bytes) -> bool:
@@ -59,6 +63,8 @@ def decode_png(blob: bytes) -> tuple[int, int, int, list[int]]:
         data = blob[pos + 8 : pos + 8 + length]
         pos += 12 + length  # length + type + data + crc
         if ctype == b"IHDR":
+            if len(data) != 13:
+                raise ValueError("truncated PNG IHDR")
             width, height, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
@@ -75,9 +81,21 @@ def decode_png(blob: bytes) -> tuple[int, int, int, list[int]]:
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
-    raw = zlib.decompress(bytes(idat))
+    if width * height * channels > MAX_SAMPLES:
+        raise ValueError(
+            f"PNG {width}x{height}x{channels} exceeds the stdlib fallback "
+            f"codec's {MAX_SAMPLES}-sample ceiling"
+        )
     stride = width * channels
-    if len(raw) != (stride + 1) * height:
+    expected = (stride + 1) * height
+    # bounded inflate: cap output at the header-derived size so a zlib
+    # bomb in IDAT cannot allocate past `expected` (+1 detects overrun)
+    try:
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected + 1)
+    except zlib.error as exc:
+        raise ValueError("corrupt PNG IDAT (zlib error)") from exc
+    if len(raw) != expected or not (d.eof and not d.unconsumed_tail):
         raise ValueError("PNG data length mismatch")
     out: list[int] = []
     prev = bytes(stride)
