@@ -6,8 +6,9 @@ shared-nothing execution; the Spark-native equivalents are:
 
   1. Random-hyperplane LSH (signed projections → bit signature): bucket by
      signature prefix, search only the query's bucket(s), exact re-rank.
-     Pure DataFrame ops — the hyperplanes are literal arrays, the signature
-     is a codegen'd expression, NO Python in the scoring path.
+     Signatures are one Arrow-batched numpy matmul (48 dots/row IS a
+     matmul — see with_lsh_signature); the candidate filter and the exact
+     re-rank are codegen'd Catalyst expressions.
   2. IVF-style coarse quantization via MLlib KMeans: partition by nearest
      centroid, probe the closest `nprobe` centroids, exact re-rank inside.
 
@@ -21,10 +22,11 @@ from __future__ import annotations
 import heapq
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from vector_database_spark.functions.vector import cosine, round6
+from vector_database_spark.functions.vector import cosine_literal, round6
 
 LSH_SEED = 42
 LSH_BITS = 6
@@ -40,17 +42,6 @@ def _hyperplanes(dim: int, bits: int, seed: int = LSH_SEED) -> np.ndarray:
     return rng.randn(bits, dim)
 
 
-def lsh_signature_col(emb: Column, planes: np.ndarray) -> Column:
-    """Bit signature: bit j = 1 iff emb . plane_j > 0 — as one expression."""
-    from vector_database_spark.functions.vector import dot
-
-    sig = F.lit(0).cast("long")
-    for j, plane in enumerate(planes):
-        d = dot(emb, F.array(*[F.lit(float(v)) for v in plane]))
-        sig = sig + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
-    return sig
-
-
 def with_lsh_signature(
     embeddings: DataFrame,
     dim: int = 64,
@@ -62,12 +53,44 @@ def with_lsh_signature(
 
     Done once at ingest at scale; the collection is then partitioned by
     ``sig_0`` (primary table) with the others as pruning columns.
+
+    All ``tables*bits`` plane dots per row are ONE Arrow-batched numpy
+    matmul (``E @ P.T``): this is 48 dot products per row — a matmul, not
+    48 scalar expressions. The Catalyst alternatives both lose: HOF folds
+    are CodegenFallback (per-element interpreted lambda dispatch dominated
+    q_knn_lsh's wall time), and unrolling 48×64 multiply-adds into one
+    projection overflows janino's 64 KB method limit (observed), which
+    falls the whole stage back to interpreted eval. The batch kernel also
+    uses the SAME arithmetic family as the query-side signature
+    (np.dot, lsh_knn below), so row and probe signatures can never
+    disagree on a sign that their shared math agrees on. Sign decisions
+    at |dot| ≲ 1e-16 may differ from a sequential fold's — irrelevant for
+    a recall-gated approximate index (measure-zero on real data).
+
+    The UDF is extracted into a single ArrowEvalPython node; the eight
+    ``sig_t`` gets read its one output attribute (no recompute).
     """
-    out = embeddings
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.stack(
+        [_hyperplanes(dim, bits, seed=LSH_SEED + t) for t in range(tables)]
+    )  # (tables, bits, dim)
+    flat_t = planes.reshape(tables * bits, dim).T.copy()  # (dim, tables*bits)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def _sigs(embs: pd.Series) -> pd.Series:
+        if not len(embs):
+            return pd.Series([], dtype=object)
+        e = np.array([np.asarray(v, dtype=np.float64) for v in embs], dtype=np.float64)
+        bits_on = (e @ flat_t) > 0  # (n, tables*bits)
+        sigs = bits_on.reshape(len(e), tables, bits).astype(np.int64) @ weights
+        return pd.Series(list(sigs))
+
+    out = embeddings.withColumn("__sigs", _sigs(F.col(emb_col)))
     for t in range(tables):
-        planes = _hyperplanes(dim, bits, seed=LSH_SEED + t)
-        out = out.withColumn(f"sig_{t}", lsh_signature_col(F.col(emb_col), planes))
-    return out
+        out = out.withColumn(f"sig_{t}", F.get(F.col("__sigs"), t))
+    return out.drop("__sigs")
 
 
 def lsh_knn(
@@ -110,9 +133,10 @@ def lsh_knn(
         term = F.col(f"sig_{t}").isin(probes)
         pred = term if pred is None else (pred | term)
     cands = tagged.filter(pred)
-    q = F.array(*[F.lit(float(x)) for x in query_vector]).cast("array<double>")
     scored = cands.select(
-        id_col, *payload_cols, round6(cosine(F.col(emb_col), q)).alias("score")
+        id_col,
+        *payload_cols,
+        round6(cosine_literal(F.col(emb_col), query_vector)).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
@@ -230,9 +254,10 @@ def ivf_knn(
     sims = centroids @ q / np.where(cnorm == 0, 1.0, cnorm)
     probe = [int(i) for i in np.argsort(-sims)[:nprobe]]
     cands = assigned.filter(F.col("centroid_id").isin(probe))
-    qcol = F.array(*[F.lit(float(x)) for x in query_vector]).cast("array<double>")
     scored = cands.select(
-        id_col, *payload_cols, round6(cosine(F.col(emb_col), qcol)).alias("score")
+        id_col,
+        *payload_cols,
+        round6(cosine_literal(F.col(emb_col), query_vector)).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
@@ -304,7 +329,6 @@ def pq_encode(
     subspace) — 64 float32 bytes → 8 code bytes, 32x smaller. Distributed
     mapInPandas with one vectorized argmin per Arrow batch.
     """
-    import pandas as pd
 
     m, ksub, dsub = codebooks.shape
     books = codebooks  # captured in the closure, broadcast with the task
@@ -511,7 +535,6 @@ def _normalize_queries(queries: list[tuple[int, list[float]]]):
 def _search_bucket(pdf, X, adj, qids, qmat, k: int, ef: int, id_col: str):
     """Beam-search every query against one bucket's graph; exact cosine
     (normalized dot) recomputed for emitted candidates."""
-    import pandas as pd
 
     rows = []
     for qi, qv in zip(qids, qmat):

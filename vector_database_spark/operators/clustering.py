@@ -38,7 +38,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from vector_database_spark.functions.vector import cosine, round6
+from vector_database_spark.functions.vector import (
+    cosine,
+    cosine_cols,
+    computed_once,
+    round6,
+)
 from vector_database_spark.operators.dedup import COSINE_NEARDUP_THRESHOLD
 
 KMEANS_K = 8
@@ -56,13 +61,18 @@ def _micro_vec(emb_col):
 
 
 def _dist_sq(mv_col, centroid: list[int]):
-    """Exact integer squared L2 distance to a literal centroid."""
-    lit = F.array(*[F.lit(int(c)) for c in centroid])
-    return F.aggregate(
-        F.zip_with(mv_col, lit, lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    """Exact integer squared L2 distance to a literal centroid.
+
+    Unrolled static chain instead of an aggregate/zip_with fold: HOFs are
+    CodegenFallback (per-row interpreted lambdas), and the assignment
+    stage evaluates k of these per row — the map-side hot loop of every
+    Lloyd round. Integer adds are associative-exact, and the chain keeps
+    the fold's left-to-right order anyway, so results are identical."""
+    acc = F.lit(0).cast("long")
+    for i, c in enumerate(centroid):
+        d = F.get(mv_col, i) - F.lit(int(c))
+        acc = acc + d * d
+    return acc
 
 
 def _argmin_struct(mv_col, centroids: list[list[int]]):
@@ -180,6 +190,7 @@ def semdedup_kmeans_pairs(
     # shared with dedup + the DuckDB oracle (_sql_semdedup_kmeans) so the
     # two engines can't drift apart on independent copies of the constant
     threshold: float = COSINE_NEARDUP_THRESHOLD,
+    dim: int | None = None,
 ) -> DataFrame:
     """Paper-faithful SemDeDup (Abbas et al. 2023): k-means clusters, then
     cosine verified ONLY within clusters. The sign-bucket variant
@@ -204,10 +215,19 @@ def semdedup_kmeans_pairs(
     b = tagged.select(
         "cluster", F.col(id_col).alias("id_b"), F.col(emb_col).alias("eb")
     )
-    return (
+    # known dim → unrolled codegen'd verify cosine (bit-identical to the
+    # HOF fold, functions/vector.py::cosine_cols)
+    ver_cos = (
+        cosine_cols(F.col("ea"), F.col("eb"), dim)
+        if dim is not None
+        else cosine(F.col("ea"), F.col("eb"))
+    )
+    # computed_once: the threshold predicate reads the projected cos, not
+    # a substituted second copy of the unrolled chain (double work +
+    # 64 KB codegen overflow)
+    scored = (
         a.join(b, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", round6(cosine(F.col("ea"), F.col("eb"))).alias("cos"))
-        .filter(F.col("cos") >= threshold)
-        .orderBy("id_a", "id_b")
+        .select("id_a", "id_b", round6(computed_once(ver_cos)).alias("cos"))
     )
+    return scored.filter(F.col("cos") >= threshold).orderBy("id_a", "id_b")

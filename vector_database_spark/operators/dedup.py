@@ -23,7 +23,13 @@ from pyspark.sql.window import Window
 
 from vector_database_spark.functions.hashing import seeded_hash
 from vector_database_spark.functions.text import tokenize_ws
-from vector_database_spark.functions.vector import cosine, micro6, round6
+from vector_database_spark.functions.vector import (
+    cosine,
+    cosine_cols,
+    computed_once,
+    micro6,
+    round6,
+)
 
 NUM_HASHES = 8          # minhash signature length
 BANDS = 4               # → 2 rows per band; P(collide) = 1-(1-j^2)^4
@@ -508,11 +514,21 @@ def ngram_jaccard_pairs(
     )
 
 
+def _pair_cosine(dim: int | None):
+    """Verify-stage cosine: unrolled codegen'd chain when the dimension
+    is known (collections declare it), HOF fold otherwise. Bit-identical
+    either way (functions/vector.py::cosine_cols)."""
+    if dim is not None:
+        return cosine_cols(F.col("ea"), F.col("eb"), dim)
+    return cosine(F.col("ea"), F.col("eb"))
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     threshold: float = COSINE_NEARDUP_THRESHOLD,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= threshold, a < b).
 
@@ -522,12 +538,13 @@ def embedding_neardup_pairs(
     """
     a = embeddings.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("ea"))
     b = embeddings.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("eb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", round6(cosine(F.col("ea"), F.col("eb"))).alias("cos"))
-        .filter(F.col("cos") >= threshold)
-        .orderBy("id_a", "id_b")
+    # computed_once: the threshold predicate must read the projected cos,
+    # not a substituted second copy of the unrolled chain (double work +
+    # 64 KB codegen overflow)
+    scored = a.join(b, F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", round6(computed_once(_pair_cosine(dim))).alias("cos")
     )
+    return scored.filter(F.col("cos") >= threshold).orderBy("id_a", "id_b")
 
 
 def _sign_bucket_words(emb, dim: int = 64, n_words: int = 1) -> list:
@@ -588,13 +605,12 @@ def semdedup_pairs(
     b = tagged.select(
         *keys, F.col(id_col).alias("id_b"), F.col(emb_col).alias("eb")
     )
-    return (
+    scored = (
         a.join(b, keys)
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", round6(cosine(F.col("ea"), F.col("eb"))).alias("cos"))
-        .filter(F.col("cos") >= threshold)
-        .orderBy("id_a", "id_b")
+        .select("id_a", "id_b", round6(computed_once(_pair_cosine(dim))).alias("cos"))
     )
+    return scored.filter(F.col("cos") >= threshold).orderBy("id_a", "id_b")
 
 
 def line_dedup(

@@ -19,12 +19,42 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from vector_database_spark.functions.vector import cosine, dot, l2_dist, micro6, round6
+from vector_database_spark.functions.vector import (
+    cosine,
+    cosine_cols,
+    cosine_literal,
+    dot,
+    dot_cols,
+    dot_literal,
+    l2_dist,
+    l2_dist_cols,
+    l2_dist_literal,
+    micro6,
+    round6,
+)
 
 _METRICS = {
     "cosine": (cosine, False),
     "dot": (dot, False),
     "euclid": (l2_dist, True),
+}
+
+# literal-query twins: same math in the same IEEE order, but unrolled to
+# whole-stage-codegen'd chains instead of interpreted HOF folds — the
+# exact scan is the per-row hot path of every search (see functions/
+# vector.py::dot_literal)
+_METRICS_LITERAL = {
+    "cosine": (cosine_literal, False),
+    "dot": (dot_literal, False),
+    "euclid": (l2_dist_literal, True),
+}
+
+# column-vs-column twins for a statically-known dimension (collections
+# declare dim at creation) — same unroll, both sides F.get chains
+_METRICS_COLS = {
+    "cosine": (cosine_cols, False),
+    "dot": (dot_cols, False),
+    "euclid": (l2_dist_cols, True),
 }
 
 
@@ -43,8 +73,15 @@ def with_min_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
-def score_col(metric: str, emb: Column, query: Column) -> tuple[Column, bool]:
+def score_col(metric: str, emb: Column, query, dim: int | None = None) -> tuple[Column, bool]:
     """(rounded score column, ascending?) for a metric name.
+
+    ``query`` may be a Column or a Python list; list queries score
+    through the unrolled literal twins (bit-identical, codegen'd).
+    A Column query with a known ``dim`` scores through the unrolled
+    column-column twins (same fold order — see vector.py::dot_cols for
+    the exact-``dim`` contract); without ``dim`` it falls back to the
+    interpreted HOF fold.
 
     Zero-norm cosine is NULL (functions/vector.py::cosine, try_divide) and
     desc ordering is nulls-last, so zero vectors never outrank real
@@ -52,8 +89,15 @@ def score_col(metric: str, emb: Column, query: Column) -> tuple[Column, bool]:
     inf components): Spark sorts NaN FIRST under desc, which would rank
     garbage rows #1.
     """
-    fn, asc = _METRICS[metric]
-    score = round6(fn(emb, query))
+    if isinstance(query, (list, tuple)):
+        fn, asc = _METRICS_LITERAL[metric]
+        score = round6(fn(emb, [float(x) for x in query]))
+    elif dim is not None:
+        fn, asc = _METRICS_COLS[metric]
+        score = round6(fn(emb, query, dim))
+    else:
+        fn, asc = _METRICS[metric]
+        score = round6(fn(emb, query))
     if metric == "cosine":
         score = F.nanvl(score, F.lit(None).cast("double"))
     return score, asc
@@ -76,11 +120,11 @@ def knn(
     ``pre_filter`` applies a payload predicate *before* scoring (B6
     filtered k-NN) so Catalyst pushes it into the Parquet scan.
     """
-    if isinstance(query, (list, tuple)):
-        query = F.array(*[F.lit(float(x)) for x in query]).cast("array<double>")
     df = collection
     if pre_filter is not None:
         df = df.filter(pre_filter)
+    # list queries stay lists: score_col unrolls them into codegen'd
+    # literal chains instead of an interpreted HOF fold
     score, asc = score_col(metric, F.col(emb_col), query)
     scored = df.select(id_col, *payload_cols, score.alias("score"))
     order = [F.col("score").asc() if asc else F.col("score").desc(), F.col(id_col).asc()]
@@ -111,19 +155,17 @@ def matryoshka_knn(
     are touched only for the constant-size shortlist.
     Output: (id, *payload, score) — full-dim cosine, top-k.
     """
-    qfull = F.array(*[F.lit(float(x)) for x in query]).cast("array<double>")
-    qpre = F.array(*[F.lit(float(x)) for x in query[:prefix_dim]]).cast(
-        "array<double>"
-    )
     pre_score, _ = score_col(
-        "cosine", F.slice(F.col(emb_col).cast("array<double>"), 1, prefix_dim), qpre
+        "cosine",
+        F.slice(F.col(emb_col).cast("array<double>"), 1, prefix_dim),
+        list(query[:prefix_dim]),
     )
     short = (
         collection.select(id_col, *payload_cols, emb_col, pre_score.alias("pre"))
         .orderBy(F.col("pre").desc(), F.col(id_col).asc())
         .limit(shortlist)
     )
-    full_score, _ = score_col("cosine", F.col(emb_col), qfull)
+    full_score, _ = score_col("cosine", F.col(emb_col), list(query))
     return (
         short.select(id_col, *payload_cols, full_score.alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
@@ -143,6 +185,7 @@ def knn_batch(
     payload_cols: tuple[str, ...] = ("label",),
     exclude_self: bool = True,
     pair_filter: Column | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """B5: N query vectors × top-k each.
 
@@ -161,7 +204,9 @@ def knn_batch(
         joined = joined.filter(F.col(id_col) != F.col(q_id_col))
     if pair_filter is not None:
         joined = joined.filter(pair_filter)
-    score, asc = score_col(metric, F.col(emb_col), F.col(q_emb_col))
+    # dim (when the caller knows it — collections always do) switches the
+    # per-pair scoring from the interpreted HOF fold to unrolled codegen
+    score, asc = score_col(metric, F.col(emb_col), F.col(q_emb_col), dim=dim)
     scored = joined.select(q_id_col, id_col, *payload_cols, score.alias("score"))
     order = [F.col("score").asc() if asc else F.col("score").desc(), F.col(id_col).asc()]
     w = Window.partitionBy(q_id_col).orderBy(*order)
@@ -182,6 +227,7 @@ def hard_negatives(
     q_id_col: str = "qid",
     q_emb_col: str = "qv",
     q_label_col: str = "qlabel",
+    dim: int | None = None,
 ) -> DataFrame:
     """Hard-negative mining — the embedding-model training-data op
     (DPR / SimCSE / contrastive fine-tuning): for each anchor, the k
@@ -207,6 +253,7 @@ def hard_negatives(
         payload_cols=(label_col,),
         exclude_self=False,
         pair_filter=F.col(label_col) != F.col(q_label_col),
+        dim=dim,
     )
 
 
@@ -378,6 +425,7 @@ def similarity_self_join(
     emb_col: str = "embedding",
     payload_cols: tuple[str, ...] = (),
     left_filter: Column | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """B7: nearest neighbor(s) per point (similarity self-join).
 
@@ -404,7 +452,7 @@ def similarity_self_join(
         joined = with_min_parallelism(collection).crossJoin(F.broadcast(left)).filter(
             F.col(id_col) != F.col("qid")
         )
-        score, asc = score_col(metric, F.col(emb_col), F.col("qv"))
+        score, asc = score_col(metric, F.col(emb_col), F.col("qv"), dim=dim)
         val = F.struct(
             F.col(id_col), *[F.col(c) for c in payload_cols], score.alias("score")
         )
@@ -428,6 +476,7 @@ def similarity_self_join(
         emb_col=emb_col,
         payload_cols=payload_cols,
         exclude_self=True,
+        dim=dim,
     )
 
 
@@ -456,18 +505,17 @@ def discover(
     df = collection if pre_filter is None else collection.filter(pre_filter)
     e = F.col(emb_col)
 
-    def lit_vec(v):
-        return F.array(*[F.lit(float(x)) for x in v]).cast("array<double>")
-
+    # cosine_literal: 2·|pairs|+1 cosines per row, unrolled to codegen'd
+    # chains (bit-identical to the HOF fold, see functions/vector.py)
     ctx_score = F.lit(0)
     for pos, neg in context:
-        closer = round6(cosine(e, lit_vec(pos))) > round6(cosine(e, lit_vec(neg)))
+        closer = round6(cosine_literal(e, pos)) > round6(cosine_literal(e, neg))
         ctx_score = ctx_score + F.when(closer, 1).otherwise(0)
     scored = df.select(
         id_col,
         *payload_cols,
         ctx_score.cast("int").alias("ctx_score"),
-        round6(cosine(e, lit_vec(target))).alias("target_score"),
+        round6(cosine_literal(e, target)).alias("target_score"),
     )
     return scored.orderBy(
         F.col("ctx_score").desc(),
@@ -499,12 +547,9 @@ def context_search(
     df = collection if pre_filter is None else collection.filter(pre_filter)
     e = F.col(emb_col)
 
-    def lit_vec(v):
-        return F.array(*[F.lit(float(x)) for x in v]).cast("array<double>")
-
     score = F.lit(0).cast("long")
     for pos, neg in context:
-        margin = micro6(cosine(e, lit_vec(pos))) - micro6(cosine(e, lit_vec(neg)))
+        margin = micro6(cosine_literal(e, pos)) - micro6(cosine_literal(e, neg))
         score = score + F.least(F.lit(0).cast("long"), margin)
     scored = df.select(id_col, *payload_cols, score.alias("ctx_micro"))
     return scored.orderBy(F.col("ctx_micro").desc(), F.col(id_col).asc()).limit(k)
