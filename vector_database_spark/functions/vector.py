@@ -218,6 +218,18 @@ def computed_once(col: Column) -> Column:
     return F.when(F.monotonically_increasing_id() >= 0, col)
 
 
+def norm_unrolled(a: Column, dim: int) -> Column:
+    """``l2_norm`` for a known dimension, unrolled (same fold order).
+
+    Pair-scoring pattern: ``cosine(a, b)`` evaluates THREE dots per PAIR.
+    Tagging each side with its norm once per ROW and scoring pairs as
+    ``try_divide(dot_cols(a, b, dim), na * nb)`` is bit-identical —
+    the denominator is the same ``sqrt(a·a) * sqrt(b·b)`` doubles in the
+    same order — but does N work instead of N² for two of the three dots.
+    """
+    return F.sqrt(dot_self_unrolled(a, dim))
+
+
 def l2_norm(a: Column) -> Column:
     """Euclidean norm ``sqrt(a . a)`` in DOUBLE."""
     return F.sqrt(dot(a, a))

@@ -38,13 +38,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from vector_database_spark.functions.vector import (
-    cosine,
-    cosine_cols,
-    computed_once,
-    round6,
+from vector_database_spark.functions.vector import computed_once, round6
+from vector_database_spark.operators.dedup import (
+    COSINE_NEARDUP_THRESHOLD,
+    _pair_sides,
 )
-from vector_database_spark.operators.dedup import COSINE_NEARDUP_THRESHOLD
 
 KMEANS_K = 8
 KMEANS_ROUNDS = 3
@@ -209,22 +207,9 @@ def semdedup_kmeans_pairs(
         id_col, "cluster"
     )
     tagged = embeddings.select(id_col, emb_col).join(asgn, id_col)
-    a = tagged.select(
-        "cluster", F.col(id_col).alias("id_a"), F.col(emb_col).alias("ea")
-    )
-    b = tagged.select(
-        "cluster", F.col(id_col).alias("id_b"), F.col(emb_col).alias("eb")
-    )
-    # known dim → unrolled codegen'd verify cosine (bit-identical to the
-    # HOF fold, functions/vector.py::cosine_cols)
-    ver_cos = (
-        cosine_cols(F.col("ea"), F.col("eb"), dim)
-        if dim is not None
-        else cosine(F.col("ea"), F.col("eb"))
-    )
-    # computed_once: the threshold predicate reads the projected cos, not
-    # a substituted second copy of the unrolled chain (double work +
-    # 64 KB codegen overflow)
+    # per-row norms + single cross dot per pair, computed_once so the
+    # threshold reads the projected cos (see dedup._pair_sides)
+    a, b, ver_cos = _pair_sides(tagged, id_col, emb_col, dim, extra=("cluster",))
     scored = (
         a.join(b, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -24,10 +24,12 @@ from pyspark.sql.window import Window
 from vector_database_spark.functions.hashing import seeded_hash
 from vector_database_spark.functions.text import tokenize_ws
 from vector_database_spark.functions.vector import (
-    cosine,
-    cosine_cols,
     computed_once,
+    dot,
+    dot_cols,
+    l2_norm,
     micro6,
+    norm_unrolled,
     round6,
 )
 
@@ -514,13 +516,29 @@ def ngram_jaccard_pairs(
     )
 
 
-def _pair_cosine(dim: int | None):
-    """Verify-stage cosine: unrolled codegen'd chain when the dimension
-    is known (collections declare it), HOF fold otherwise. Bit-identical
-    either way (functions/vector.py::cosine_cols)."""
+def _pair_sides(tagged: DataFrame, id_col: str, emb_col: str, dim: int | None, extra=()):
+    """(a, b, cos_expr) for a pair-verify join: each side tagged with its
+    norm ONCE PER ROW, so the per-pair score is a single cross dot —
+    try_divide(dot, na*nb) is bit-identical to cosine(ea, eb) (same
+    sqrt(a·a)*sqrt(b·b) doubles in the same order) but does N instead of
+    N² work for two of the three dots. Known dim → unrolled codegen'd
+    chains; otherwise the HOF fold (functions/vector.py::norm_unrolled)."""
     if dim is not None:
-        return cosine_cols(F.col("ea"), F.col("eb"), dim)
-    return cosine(F.col("ea"), F.col("eb"))
+        nrm = norm_unrolled(F.col(emb_col), dim)
+        cross = dot_cols(F.col("ea"), F.col("eb"), dim)
+    else:
+        nrm = l2_norm(F.col(emb_col))
+        cross = dot(F.col("ea"), F.col("eb"))
+    tagged = tagged.withColumn("__n", nrm)
+    a = tagged.select(
+        *extra, F.col(id_col).alias("id_a"), F.col(emb_col).alias("ea"),
+        F.col("__n").alias("na"),
+    )
+    b = tagged.select(
+        *extra, F.col(id_col).alias("id_b"), F.col(emb_col).alias("eb"),
+        F.col("__n").alias("nb"),
+    )
+    return a, b, F.try_divide(cross, F.col("na") * F.col("nb"))
 
 
 def embedding_neardup_pairs(
@@ -536,13 +554,19 @@ def embedding_neardup_pairs(
     candidate pairs and this becomes the verify stage.
     Output: (id_a, id_b, cos DOUBLE).
     """
-    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("ea"))
-    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("eb"))
+    from vector_database_spark.operators.knn import with_min_parallelism
+
+    # with_min_parallelism: the streamed side of the nested-loop pair join
+    # otherwise inherits the scan's file-partition count (1-2 tasks on a
+    # single parquet file — measured 2 of 32 cores busy for the whole N²)
+    a, b, cos = _pair_sides(
+        with_min_parallelism(embeddings), id_col, emb_col, dim
+    )
     # computed_once: the threshold predicate must read the projected cos,
     # not a substituted second copy of the unrolled chain (double work +
     # 64 KB codegen overflow)
     scored = a.join(b, F.col("id_a") < F.col("id_b")).select(
-        "id_a", "id_b", round6(computed_once(_pair_cosine(dim))).alias("cos")
+        "id_a", "id_b", round6(computed_once(cos)).alias("cos")
     )
     return scored.filter(F.col("cos") >= threshold).orderBy("id_a", "id_b")
 
@@ -599,16 +623,11 @@ def semdedup_pairs(
     tagged = embeddings.select(
         F.col(id_col), F.col(emb_col), *[w.alias(k) for w, k in zip(words, keys)]
     )
-    a = tagged.select(
-        *keys, F.col(id_col).alias("id_a"), F.col(emb_col).alias("ea")
-    )
-    b = tagged.select(
-        *keys, F.col(id_col).alias("id_b"), F.col(emb_col).alias("eb")
-    )
+    a, b, cos = _pair_sides(tagged, id_col, emb_col, dim, extra=keys)
     scored = (
         a.join(b, keys)
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", round6(computed_once(_pair_cosine(dim))).alias("cos"))
+        .select("id_a", "id_b", round6(computed_once(cos)).alias("cos"))
     )
     return scored.filter(F.col("cos") >= threshold).orderBy("id_a", "id_b")
 

@@ -30,6 +30,7 @@ from vector_database_spark.functions.vector import (
     l2_dist_cols,
     l2_dist_literal,
     micro6,
+    norm_unrolled,
     round6,
 )
 
@@ -198,15 +199,36 @@ def knn_batch(
     ``pair_filter`` is an extra (query, candidate) predicate applied
     map-side before scoring (e.g. hard_negatives' cross-label rule).
     """
-    q = F.broadcast(queries)
-    joined = with_min_parallelism(collection).crossJoin(q)
+    coll = with_min_parallelism(collection)
+    norm_pre = metric == "cosine" and dim is not None
+    if norm_pre:
+        # norms once per ROW on each side — the per-pair score is then a
+        # single cross dot; bit-identical to cosine(emb, qv) since the
+        # denominator is the same sqrt(a·a)*sqrt(b·b) doubles
+        # (functions/vector.py::norm_unrolled)
+        coll = coll.withColumn("__cn", norm_unrolled(F.col(emb_col), dim))
+        queries = queries.withColumn("__qn", norm_unrolled(F.col(q_emb_col), dim))
+    joined = coll.crossJoin(F.broadcast(queries))
     if exclude_self:
         joined = joined.filter(F.col(id_col) != F.col(q_id_col))
     if pair_filter is not None:
         joined = joined.filter(pair_filter)
-    # dim (when the caller knows it — collections always do) switches the
-    # per-pair scoring from the interpreted HOF fold to unrolled codegen
-    score, asc = score_col(metric, F.col(emb_col), F.col(q_emb_col), dim=dim)
+    if norm_pre:
+        score = F.nanvl(
+            round6(
+                F.try_divide(
+                    dot_cols(F.col(emb_col), F.col(q_emb_col), dim),
+                    F.col("__cn") * F.col("__qn"),
+                )
+            ),
+            F.lit(None).cast("double"),
+        )
+        asc = False
+    else:
+        # dim (when the caller knows it — collections always do) switches
+        # the per-pair scoring from the interpreted HOF fold to unrolled
+        # codegen
+        score, asc = score_col(metric, F.col(emb_col), F.col(q_emb_col), dim=dim)
     scored = joined.select(q_id_col, id_col, *payload_cols, score.alias("score"))
     order = [F.col("score").asc() if asc else F.col("score").desc(), F.col(id_col).asc()]
     w = Window.partitionBy(q_id_col).orderBy(*order)
@@ -449,10 +471,26 @@ def similarity_self_join(
     if left_filter is not None:
         left = left.filter(left_filter)
     if k == 1:
-        joined = with_min_parallelism(collection).crossJoin(F.broadcast(left)).filter(
+        coll = with_min_parallelism(collection)
+        if metric == "cosine" and dim is not None:
+            # per-row norms, single cross dot per pair (see knn_batch)
+            coll = coll.withColumn("__cn", norm_unrolled(F.col(emb_col), dim))
+            left = left.withColumn("__qn", norm_unrolled(F.col("qv"), dim))
+            score = F.nanvl(
+                round6(
+                    F.try_divide(
+                        dot_cols(F.col(emb_col), F.col("qv"), dim),
+                        F.col("__cn") * F.col("__qn"),
+                    )
+                ),
+                F.lit(None).cast("double"),
+            )
+            asc = False
+        else:
+            score, asc = score_col(metric, F.col(emb_col), F.col("qv"), dim=dim)
+        joined = coll.crossJoin(F.broadcast(left)).filter(
             F.col(id_col) != F.col("qid")
         )
-        score, asc = score_col(metric, F.col(emb_col), F.col("qv"), dim=dim)
         val = F.struct(
             F.col(id_col), *[F.col(c) for c in payload_cols], score.alias("score")
         )

@@ -39,6 +39,7 @@ from vector_database_spark.functions.vector import (
     l2_dist_cols,
     l2_norm,
     micro6,
+    norm_unrolled,
     round6,
 )
 from vector_database_spark.operators import (
@@ -6032,11 +6033,14 @@ def q_label_precision(spark, sf_dir):
 
     Scale shape: same as q_retrieval_metrics — broadcast query side, one
     qid exchange for the rank window, partial-agg rollup."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "__n", norm_unrolled(F.col("embedding"), _EMB_DIM)
+    )
     qs = emb.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qv"),
         F.col("label").alias("qlabel"),
+        F.col("__n").alias("__qn"),
     )
     scored = (
         emb.filter(F.col("vec_id") >= 16)
@@ -6046,7 +6050,13 @@ def q_label_precision(spark, sf_dir):
             "qlabel",
             "vec_id",
             "label",
-            micro6(cosine_cols(F.col("embedding"), F.col("qv"), _EMB_DIM)).alias("cos_micro"),
+            # norms tagged per row above; per-pair score is one cross dot
+            micro6(
+                F.try_divide(
+                    dot_cols(F.col("embedding"), F.col("qv"), _EMB_DIM),
+                    F.col("__n") * F.col("__qn"),
+                )
+            ).alias("cos_micro"),
         )
     )
     w = Window.partitionBy("qid").orderBy(
@@ -6265,11 +6275,19 @@ def q_retrieval_metrics(spark, sf_dir):
             F.floor(F.abs(x) * scale + F.lit(0.5)) * F.when(x < 0, -1).otherwise(1)
         ).cast("double"),
     )
-    quant = emb.select("vec_id", "embedding", q8.alias("q8"))
+    quant = emb.select(
+        "vec_id",
+        "embedding",
+        q8.alias("q8"),
+        # norm once per row: the per-(query, doc) cosine below is then a
+        # single cross dot — bit-identical (vector.py::norm_unrolled)
+        norm_unrolled(F.col("embedding"), _EMB_DIM).alias("__n"),
+    )
     qs = quant.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qv"),
         F.col("q8").alias("qq8"),
+        F.col("__n").alias("__qn"),
     )
     scored = (
         quant.filter(F.col("vec_id") >= 16)
@@ -6277,7 +6295,12 @@ def q_retrieval_metrics(spark, sf_dir):
         .select(
             "qid",
             "vec_id",
-            micro6(cosine_cols(F.col("embedding"), F.col("qv"), _EMB_DIM)).alias("cos_micro"),
+            micro6(
+                F.try_divide(
+                    dot_cols(F.col("embedding"), F.col("qv"), _EMB_DIM),
+                    F.col("__n") * F.col("__qn"),
+                )
+            ).alias("cos_micro"),
             dot_cols(F.col("q8"), F.col("qq8"), _EMB_DIM).cast("long").alias("q_dot"),
         )
     )
