@@ -32,11 +32,8 @@ from pyspark.sql.window import Window
 from vector_database_spark.functions.vector import (
     cosine,
     dot,
-    dot_literal,
     l1_dist,
-    l1_dist_literal,
     l2_dist,
-    l2_dist_literal,
     l2_norm,
     round6,
 )
@@ -817,18 +814,16 @@ class VectorCollection:
         the SAME expression search() scores with (stored-norm cosine with
         the legacy non-positive-norm NULL guard, or plain dot), shared so
         search and scored recommends stay bit-identical."""
-        # dot_literal: unrolled codegen'd chain, bit-identical to the HOF
-        # fold (functions/vector.py) — the per-row hot path of every search
+        q = F.array(*[F.lit(float(x)) for x in query_vector]).cast("array<double>")
         if metric == "cosine":
             qn = sum(float(x) * float(x) for x in query_vector) ** 0.5 or 1.0
             return round6(
                 F.when(
                     F.col("norm") > 0.0,
-                    dot_literal(F.col("embedding"), query_vector)
-                    / (F.col("norm") * F.lit(qn)),
+                    dot(F.col("embedding"), q) / (F.col("norm") * F.lit(qn)),
                 )
             )
-        return round6(dot_literal(F.col("embedding"), query_vector))
+        return round6(dot(F.col("embedding"), q))
 
     def _recommend_scored(
         self, strategy, rows, positive, negative, limit, payload_filter, exclude
@@ -1024,9 +1019,6 @@ class VectorCollection:
             id_col="id",
             payload_cols=("payload",),
             exclude_self=False,
-            # collections declare dim at creation → unrolled codegen'd
-            # per-pair scoring (functions/vector.py::dot_cols)
-            dim=self.info.dim,
         )
 
     # -- graph ANN index (build-once, search-many) --------------------------
@@ -1140,6 +1132,7 @@ class VectorCollection:
         df = self._resolved_df(tenant=tenant).drop("bucket", "tenant")
         if payload_filter is not None:
             df = df.filter(payload_filter)
+        q = F.array(*[F.lit(float(x)) for x in query_vector]).cast("array<double>")
         if metric in ("cosine", "dot"):
             # stored-norm cosine (non-positive legacy norms score NULL and
             # sort last instead of NaN-first) or plain dot — the shared
@@ -1147,10 +1140,10 @@ class VectorCollection:
             score = self._sim_expr(metric, query_vector)
             asc = False
         elif metric == "euclid":
-            score = round6(l2_dist_literal(F.col("embedding"), query_vector))
+            score = round6(l2_dist(F.col("embedding"), q))
             asc = True
         elif metric == "manhattan":
-            score = round6(l1_dist_literal(F.col("embedding"), query_vector))
+            score = round6(l1_dist(F.col("embedding"), q))
             asc = True
         else:  # pragma: no cover
             raise ValueError(f"unknown metric {metric!r}")

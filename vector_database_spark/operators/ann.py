@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from vector_database_spark.functions.vector import cosine_literal, round6
+from vector_database_spark.functions.vector import cosine, round6
 
 LSH_SEED = 42
 LSH_BITS = 6
@@ -133,10 +133,9 @@ def lsh_knn(
         term = F.col(f"sig_{t}").isin(probes)
         pred = term if pred is None else (pred | term)
     cands = tagged.filter(pred)
+    q = F.array(*[F.lit(float(x)) for x in query_vector]).cast("array<double>")
     scored = cands.select(
-        id_col,
-        *payload_cols,
-        round6(cosine_literal(F.col(emb_col), query_vector)).alias("score"),
+        id_col, *payload_cols, round6(cosine(F.col(emb_col), q)).alias("score")
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
@@ -254,10 +253,9 @@ def ivf_knn(
     sims = centroids @ q / np.where(cnorm == 0, 1.0, cnorm)
     probe = [int(i) for i in np.argsort(-sims)[:nprobe]]
     cands = assigned.filter(F.col("centroid_id").isin(probe))
+    qcol = F.array(*[F.lit(float(x)) for x in query_vector]).cast("array<double>")
     scored = cands.select(
-        id_col,
-        *payload_cols,
-        round6(cosine_literal(F.col(emb_col), query_vector)).alias("score"),
+        id_col, *payload_cols, round6(cosine(F.col(emb_col), qcol)).alias("score")
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 

@@ -26,10 +26,8 @@ from vector_database_spark.functions.text import tokenize_ws
 from vector_database_spark.functions.vector import (
     computed_once,
     dot,
-    dot_cols,
     l2_norm,
     micro6,
-    norm_unrolled,
     round6,
 )
 
@@ -516,20 +514,15 @@ def ngram_jaccard_pairs(
     )
 
 
-def _pair_sides(tagged: DataFrame, id_col: str, emb_col: str, dim: int | None, extra=()):
+def _pair_sides(tagged: DataFrame, id_col: str, emb_col: str, extra=()):
     """(a, b, cos_expr) for a pair-verify join: each side tagged with its
-    norm ONCE PER ROW, so the per-pair score is a single cross dot —
+    norm ONCE PER ROW, so the per-pair score is a single fold —
     try_divide(dot, na*nb) is bit-identical to cosine(ea, eb) (same
     sqrt(a·a)*sqrt(b·b) doubles in the same order) but does N instead of
-    N² work for two of the three dots. Known dim → unrolled codegen'd
-    chains; otherwise the HOF fold (functions/vector.py::norm_unrolled)."""
-    if dim is not None:
-        nrm = norm_unrolled(F.col(emb_col), dim)
-        cross = dot_cols(F.col("ea"), F.col("eb"), dim)
-    else:
-        nrm = l2_norm(F.col(emb_col))
-        cross = dot(F.col("ea"), F.col("eb"))
-    tagged = tagged.withColumn("__n", nrm)
+    N² work for two of the three folds (2.7x measured on 64M pairs,
+    STRESS.md "Pair scoring")."""
+    tagged = tagged.withColumn("__n", l2_norm(F.col(emb_col)))
+    cross = dot(F.col("ea"), F.col("eb"))
     a = tagged.select(
         *extra, F.col(id_col).alias("id_a"), F.col(emb_col).alias("ea"),
         F.col("__n").alias("na"),
@@ -546,7 +539,6 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     threshold: float = COSINE_NEARDUP_THRESHOLD,
-    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= threshold, a < b).
 
@@ -559,12 +551,9 @@ def embedding_neardup_pairs(
     # with_min_parallelism: the streamed side of the nested-loop pair join
     # otherwise inherits the scan's file-partition count (1-2 tasks on a
     # single parquet file — measured 2 of 32 cores busy for the whole N²)
-    a, b, cos = _pair_sides(
-        with_min_parallelism(embeddings), id_col, emb_col, dim
-    )
+    a, b, cos = _pair_sides(with_min_parallelism(embeddings), id_col, emb_col)
     # computed_once: the threshold predicate must read the projected cos,
-    # not a substituted second copy of the unrolled chain (double work +
-    # 64 KB codegen overflow)
+    # not a substituted second copy of the fold (double per-pair work)
     scored = a.join(b, F.col("id_a") < F.col("id_b")).select(
         "id_a", "id_b", round6(computed_once(cos)).alias("cos")
     )
@@ -623,7 +612,7 @@ def semdedup_pairs(
     tagged = embeddings.select(
         F.col(id_col), F.col(emb_col), *[w.alias(k) for w, k in zip(words, keys)]
     )
-    a, b, cos = _pair_sides(tagged, id_col, emb_col, dim, extra=keys)
+    a, b, cos = _pair_sides(tagged, id_col, emb_col, extra=keys)
     scored = (
         a.join(b, keys)
         .filter(F.col("id_a") < F.col("id_b"))

@@ -29,12 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from vector_database_spark.functions.vector import (
-    cosine,
-    cosine_literal,
-    micro6,
-    round6,
-)
+from vector_database_spark.functions.vector import cosine, micro6, round6
 from vector_database_spark.operators.textanalysis import bm25_search
 
 RRF_K = 60
@@ -61,11 +56,10 @@ def hybrid_rrf(
     a doc outside one leg's pool has a NULL rank there and a 0 RRF term.
     """
     if isinstance(query_vec, (list, tuple)):
-        # unrolled literal twin — bit-identical to the HOF fold, codegen'd
-        # (functions/vector.py::cosine_literal)
-        cos = cosine_literal(F.col(emb_col), [float(x) for x in query_vec])
-    else:
-        cos = cosine(F.col(emb_col), query_vec)
+        query_vec = F.array(*[F.lit(float(x)) for x in query_vec]).cast(
+            "array<double>"
+        )
+    cos = cosine(F.col(emb_col), query_vec)
     lex = bm25_search(docs, query_terms, k=None, id_col=doc_id_col)
     cand = lex.join(
         embeddings.select(

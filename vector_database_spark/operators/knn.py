@@ -21,41 +21,22 @@ from pyspark.sql.window import Window
 
 from vector_database_spark.functions.vector import (
     cosine,
-    cosine_cols,
-    cosine_literal,
     dot,
-    dot_cols,
-    dot_literal,
     l2_dist,
-    l2_dist_cols,
-    l2_dist_literal,
+    l2_norm,
     micro6,
-    norm_unrolled,
     round6,
 )
 
+# HOF folds, deliberately: unrolled expression chains were measured
+# SLOWER everywhere (HotSpot JIT method ceiling — functions/vector.py
+# module docstring). The pair-scoring optimization that does pay is
+# per-row norm tagging (one fold per pair), applied in knn_batch and
+# similarity_self_join below.
 _METRICS = {
     "cosine": (cosine, False),
     "dot": (dot, False),
     "euclid": (l2_dist, True),
-}
-
-# literal-query twins: same math in the same IEEE order, but unrolled to
-# whole-stage-codegen'd chains instead of interpreted HOF folds — the
-# exact scan is the per-row hot path of every search (see functions/
-# vector.py::dot_literal)
-_METRICS_LITERAL = {
-    "cosine": (cosine_literal, False),
-    "dot": (dot_literal, False),
-    "euclid": (l2_dist_literal, True),
-}
-
-# column-vs-column twins for a statically-known dimension (collections
-# declare dim at creation) — same unroll, both sides F.get chains
-_METRICS_COLS = {
-    "cosine": (cosine_cols, False),
-    "dot": (dot_cols, False),
-    "euclid": (l2_dist_cols, True),
 }
 
 
@@ -74,15 +55,11 @@ def with_min_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
-def score_col(metric: str, emb: Column, query, dim: int | None = None) -> tuple[Column, bool]:
+def score_col(metric: str, emb: Column, query) -> tuple[Column, bool]:
     """(rounded score column, ascending?) for a metric name.
 
-    ``query`` may be a Column or a Python list; list queries score
-    through the unrolled literal twins (bit-identical, codegen'd).
-    A Column query with a known ``dim`` scores through the unrolled
-    column-column twins (same fold order — see vector.py::dot_cols for
-    the exact-``dim`` contract); without ``dim`` it falls back to the
-    interpreted HOF fold.
+    ``query`` may be a Column or a Python list (folded in as an array
+    literal; its norm constant-folds at plan time for cosine).
 
     Zero-norm cosine is NULL (functions/vector.py::cosine, try_divide) and
     desc ordering is nulls-last, so zero vectors never outrank real
@@ -91,14 +68,9 @@ def score_col(metric: str, emb: Column, query, dim: int | None = None) -> tuple[
     garbage rows #1.
     """
     if isinstance(query, (list, tuple)):
-        fn, asc = _METRICS_LITERAL[metric]
-        score = round6(fn(emb, [float(x) for x in query]))
-    elif dim is not None:
-        fn, asc = _METRICS_COLS[metric]
-        score = round6(fn(emb, query, dim))
-    else:
-        fn, asc = _METRICS[metric]
-        score = round6(fn(emb, query))
+        query = F.array(*[F.lit(float(x)) for x in query]).cast("array<double>")
+    fn, asc = _METRICS[metric]
+    score = round6(fn(emb, query))
     if metric == "cosine":
         score = F.nanvl(score, F.lit(None).cast("double"))
     return score, asc
@@ -124,8 +96,6 @@ def knn(
     df = collection
     if pre_filter is not None:
         df = df.filter(pre_filter)
-    # list queries stay lists: score_col unrolls them into codegen'd
-    # literal chains instead of an interpreted HOF fold
     score, asc = score_col(metric, F.col(emb_col), query)
     scored = df.select(id_col, *payload_cols, score.alias("score"))
     order = [F.col("score").asc() if asc else F.col("score").desc(), F.col(id_col).asc()]
@@ -186,7 +156,6 @@ def knn_batch(
     payload_cols: tuple[str, ...] = ("label",),
     exclude_self: bool = True,
     pair_filter: Column | None = None,
-    dim: int | None = None,
 ) -> DataFrame:
     """B5: N query vectors × top-k each.
 
@@ -200,14 +169,14 @@ def knn_batch(
     map-side before scoring (e.g. hard_negatives' cross-label rule).
     """
     coll = with_min_parallelism(collection)
-    norm_pre = metric == "cosine" and dim is not None
+    norm_pre = metric == "cosine"
     if norm_pre:
         # norms once per ROW on each side — the per-pair score is then a
-        # single cross dot; bit-identical to cosine(emb, qv) since the
-        # denominator is the same sqrt(a·a)*sqrt(b·b) doubles
-        # (functions/vector.py::norm_unrolled)
-        coll = coll.withColumn("__cn", norm_unrolled(F.col(emb_col), dim))
-        queries = queries.withColumn("__qn", norm_unrolled(F.col(q_emb_col), dim))
+        # single fold instead of three; bit-identical to cosine(emb, qv)
+        # since the denominator is the same sqrt(a·a)*sqrt(b·b) doubles
+        # (functions/vector.py::l2_norm; 2.7x on 64M pairs, STRESS.md)
+        coll = coll.withColumn("__cn", l2_norm(F.col(emb_col)))
+        queries = queries.withColumn("__qn", l2_norm(F.col(q_emb_col)))
     joined = coll.crossJoin(F.broadcast(queries))
     if exclude_self:
         joined = joined.filter(F.col(id_col) != F.col(q_id_col))
@@ -217,7 +186,7 @@ def knn_batch(
         score = F.nanvl(
             round6(
                 F.try_divide(
-                    dot_cols(F.col(emb_col), F.col(q_emb_col), dim),
+                    dot(F.col(emb_col), F.col(q_emb_col)),
                     F.col("__cn") * F.col("__qn"),
                 )
             ),
@@ -225,10 +194,7 @@ def knn_batch(
         )
         asc = False
     else:
-        # dim (when the caller knows it — collections always do) switches
-        # the per-pair scoring from the interpreted HOF fold to unrolled
-        # codegen
-        score, asc = score_col(metric, F.col(emb_col), F.col(q_emb_col), dim=dim)
+        score, asc = score_col(metric, F.col(emb_col), F.col(q_emb_col))
     scored = joined.select(q_id_col, id_col, *payload_cols, score.alias("score"))
     order = [F.col("score").asc() if asc else F.col("score").desc(), F.col(id_col).asc()]
     w = Window.partitionBy(q_id_col).orderBy(*order)
@@ -249,7 +215,6 @@ def hard_negatives(
     q_id_col: str = "qid",
     q_emb_col: str = "qv",
     q_label_col: str = "qlabel",
-    dim: int | None = None,
 ) -> DataFrame:
     """Hard-negative mining — the embedding-model training-data op
     (DPR / SimCSE / contrastive fine-tuning): for each anchor, the k
@@ -275,7 +240,6 @@ def hard_negatives(
         payload_cols=(label_col,),
         exclude_self=False,
         pair_filter=F.col(label_col) != F.col(q_label_col),
-        dim=dim,
     )
 
 
@@ -447,7 +411,6 @@ def similarity_self_join(
     emb_col: str = "embedding",
     payload_cols: tuple[str, ...] = (),
     left_filter: Column | None = None,
-    dim: int | None = None,
 ) -> DataFrame:
     """B7: nearest neighbor(s) per point (similarity self-join).
 
@@ -472,14 +435,14 @@ def similarity_self_join(
         left = left.filter(left_filter)
     if k == 1:
         coll = with_min_parallelism(collection)
-        if metric == "cosine" and dim is not None:
-            # per-row norms, single cross dot per pair (see knn_batch)
-            coll = coll.withColumn("__cn", norm_unrolled(F.col(emb_col), dim))
-            left = left.withColumn("__qn", norm_unrolled(F.col("qv"), dim))
+        if metric == "cosine":
+            # per-row norms, single fold per pair (see knn_batch)
+            coll = coll.withColumn("__cn", l2_norm(F.col(emb_col)))
+            left = left.withColumn("__qn", l2_norm(F.col("qv")))
             score = F.nanvl(
                 round6(
                     F.try_divide(
-                        dot_cols(F.col(emb_col), F.col("qv"), dim),
+                        dot(F.col(emb_col), F.col("qv")),
                         F.col("__cn") * F.col("__qn"),
                     )
                 ),
@@ -487,7 +450,7 @@ def similarity_self_join(
             )
             asc = False
         else:
-            score, asc = score_col(metric, F.col(emb_col), F.col("qv"), dim=dim)
+            score, asc = score_col(metric, F.col(emb_col), F.col("qv"))
         joined = coll.crossJoin(F.broadcast(left)).filter(
             F.col(id_col) != F.col("qid")
         )
@@ -514,7 +477,6 @@ def similarity_self_join(
         emb_col=emb_col,
         payload_cols=payload_cols,
         exclude_self=True,
-        dim=dim,
     )
 
 
@@ -543,17 +505,18 @@ def discover(
     df = collection if pre_filter is None else collection.filter(pre_filter)
     e = F.col(emb_col)
 
-    # cosine_literal: 2·|pairs|+1 cosines per row, unrolled to codegen'd
-    # chains (bit-identical to the HOF fold, see functions/vector.py)
+    def lit_vec(v):
+        return F.array(*[F.lit(float(x)) for x in v]).cast("array<double>")
+
     ctx_score = F.lit(0)
     for pos, neg in context:
-        closer = round6(cosine_literal(e, pos)) > round6(cosine_literal(e, neg))
+        closer = round6(cosine(e, lit_vec(pos))) > round6(cosine(e, lit_vec(neg)))
         ctx_score = ctx_score + F.when(closer, 1).otherwise(0)
     scored = df.select(
         id_col,
         *payload_cols,
         ctx_score.cast("int").alias("ctx_score"),
-        round6(cosine_literal(e, target)).alias("target_score"),
+        round6(cosine(e, lit_vec(target))).alias("target_score"),
     )
     return scored.orderBy(
         F.col("ctx_score").desc(),
@@ -585,9 +548,12 @@ def context_search(
     df = collection if pre_filter is None else collection.filter(pre_filter)
     e = F.col(emb_col)
 
+    def lit_vec(v):
+        return F.array(*[F.lit(float(x)) for x in v]).cast("array<double>")
+
     score = F.lit(0).cast("long")
     for pos, neg in context:
-        margin = micro6(cosine_literal(e, pos)) - micro6(cosine_literal(e, neg))
+        margin = micro6(cosine(e, lit_vec(pos))) - micro6(cosine(e, lit_vec(neg)))
         score = score + F.least(F.lit(0).cast("long"), margin)
     scored = df.select(id_col, *payload_cols, score.alias("ctx_micro"))
     return scored.orderBy(F.col("ctx_micro").desc(), F.col(id_col).asc()).limit(k)

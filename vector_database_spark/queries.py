@@ -29,17 +29,13 @@ from vector_database_spark.functions.hashing import (
 )
 from vector_database_spark.functions.text import bigrams, tokenize_ws
 from vector_database_spark.functions.vector import (
-    cosine,
-    cosine_cols,
-    cosine_literal,
-    dot,
-    dot_cols,
     computed_once,
-    l1_dist_cols,
-    l2_dist_cols,
+    cosine,
+    dot,
+    l1_dist,
+    l2_dist,
     l2_norm,
     micro6,
-    norm_unrolled,
     round6,
 )
 from vector_database_spark.operators import (
@@ -61,9 +57,6 @@ from vector_database_spark.streaming import events as streaming_events
 SEQ_LEN = textops.SEQ_LEN  # 128
 TOO_LONG_LIMIT = SEQ_LEN - 2
 RAW_QUERY_VEC = [round(((i * 37) % 19) / 10.0 - 0.9, 1) for i in range(64)]
-# fixture embedding dimension — statically known (collections declare dim at
-# creation), which lets every column-column metric unroll to codegen'd chains
-_EMB_DIM = 64
 _RAW_VEC_SQL = "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in RAW_QUERY_VEC) + "]"
 
 _TOKS_SQL = "string_split_regex(lower(text), '\\s+')"
@@ -178,7 +171,7 @@ def q_knn_batch(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
-    return knn.knn_batch(queries, emb, k=3, dim=_EMB_DIM)
+    return knn.knn_batch(queries, emb, k=3)
 
 
 _SQL_KNN_BATCH = f"""
@@ -205,7 +198,7 @@ def q_hard_negatives(spark, sf_dir):
         F.col("embedding").alias("qv"),
         F.col("label").alias("qlabel"),
     )
-    return knn.hard_negatives(anchors, emb, k=5, dim=_EMB_DIM)
+    return knn.hard_negatives(anchors, emb, k=5)
 
 
 _SQL_HARD_NEGATIVES = f"""
@@ -243,13 +236,12 @@ def q_training_triplets(spark, sf_dir):
         emb,
         k=1,
         pair_filter=F.col("label") == F.col("qlabel"),
-        dim=_EMB_DIM,
     ).select(
         "qid",
         F.col("vec_id").alias("pos_id"),
         F.col("score").alias("pos_score"),
     )
-    neg = knn.hard_negatives(anchors, emb, k=1, dim=_EMB_DIM).select(
+    neg = knn.hard_negatives(anchors, emb, k=1).select(
         "qid",
         F.col("vec_id").alias("neg_id"),
         F.col("score").alias("neg_score"),
@@ -320,8 +312,7 @@ def q_sim_self_join(spark, sf_dir):
     """B7: nearest other point per point (left side vec_id < 100)."""
     emb = _t(spark, sf_dir, "embeddings")
     return knn.similarity_self_join(
-        emb, k=1, payload_cols=("label",), left_filter=F.col("qid") < 100,
-        dim=_EMB_DIM,
+        emb, k=1, payload_cols=("label",), left_filter=F.col("qid") < 100
     )
 
 
@@ -365,8 +356,8 @@ def q_dot_euclid(spark, sf_dir):
     return (
         j.select(
             "vec_id",
-            round6(dot_cols(F.col("embedding"), F.col("qv"), _EMB_DIM)).alias("dot"),
-            round6(l2_dist_cols(F.col("embedding"), F.col("qv"), _EMB_DIM)).alias("l2"),
+            round6(dot(F.col("embedding"), F.col("qv"))).alias("dot"),
+            round6(l2_dist(F.col("embedding"), F.col("qv"))).alias("l2"),
         )
         .orderBy(F.col("l2").asc(), F.col("vec_id").asc())
         .limit(5)
@@ -1109,7 +1100,7 @@ def q_neardup_embedding(spark, sf_dir):
     copies = emb.filter(F.col("vec_id") < 50).select(
         (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
     )
-    return dedup.embedding_neardup_pairs(emb.unionByName(copies), dim=_EMB_DIM)
+    return dedup.embedding_neardup_pairs(emb.unionByName(copies))
 
 
 _SQL_NEARDUP_EMBEDDING = f"""
@@ -1242,7 +1233,7 @@ def q_semdedup_kmeans(spark, sf_dir):
     copies = emb.filter(F.col("vec_id") < 50).select(
         (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
     )
-    return clustering.semdedup_kmeans_pairs(emb.unionByName(copies), dim=_EMB_DIM)
+    return clustering.semdedup_kmeans_pairs(emb.unionByName(copies))
 
 
 def _sql_semdedup_kmeans() -> str:
@@ -3246,7 +3237,7 @@ def q_distance_matrix(spark, sf_dir):
     a = sample.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
     b = sample.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
     scored = a.join(F.broadcast(b), F.col("id_a") != F.col("id_b")).select(
-        "id_a", "id_b", round6(cosine_cols(F.col("ea"), F.col("eb"), _EMB_DIM)).alias("score")
+        "id_a", "id_b", round6(cosine(F.col("ea"), F.col("eb"))).alias("score")
     )
     w = Window.partitionBy("id_a").orderBy(F.col("score").desc(), F.col("id_b").asc())
     return scored.withColumn("rn", F.row_number().over(w)).filter(
@@ -3287,7 +3278,7 @@ def q_named_vectors(spark, sf_dir):
         .select(
             "vec_id",
             "label",
-            round6(cosine_cols(F.col("vectors.lead16"), F.col("qv"), 16)).alias("score"),
+            round6(cosine(F.col("vectors.lead16"), F.col("qv"))).alias("score"),
         )
         .orderBy(F.col("score").desc(), F.col("vec_id").asc())
         .limit(5)
@@ -3455,10 +3446,9 @@ def q_knn_groups(spark, sf_dir):
     from pyspark.sql.window import Window
 
     emb = _t(spark, sf_dir, "embeddings")
+    qv = F.array(*[F.lit(float(x)) for x in RAW_QUERY_VEC]).cast("array<double>")
     scored = emb.select(
-        "vec_id",
-        "label",
-        round6(cosine_literal(F.col("embedding"), RAW_QUERY_VEC)).alias("score"),
+        "vec_id", "label", round6(cosine(F.col("embedding"), qv)).alias("score")
     )
     w_hit = Window.partitionBy("label").orderBy(
         F.col("score").desc(), F.col("vec_id").asc()
@@ -3531,8 +3521,12 @@ def _rec_exemplar_sims(spark, sf_dir):
         .collect()
     }
     e = F.col("embedding")
-    pos_terms = [round6(cosine_literal(e, rows[i])) for i in _REC_POS]
-    neg_terms = [round6(cosine_literal(e, rows[i])) for i in _REC_NEG]
+
+    def lv(v):
+        return F.array(*[F.lit(float(x)) for x in v]).cast("array<double>")
+
+    pos_terms = [round6(cosine(e, lv(rows[i]))) for i in _REC_POS]
+    neg_terms = [round6(cosine(e, lv(rows[i]))) for i in _REC_NEG]
     return emb.filter(~F.col("vec_id").isin(ex)), pos_terms, neg_terms
 
 
@@ -3621,9 +3615,10 @@ def q_dbsf_fusion(spark, sf_dir):
     lex = textanalysis.bm25_search(
         _t(spark, sf_dir, "documents"), _BM25_TERMS, k=None
     )
+    qv = F.array(*[F.lit(float(x)) for x in RAW_QUERY_VEC]).cast("array<double>")
     emb = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id"),
-        round6(cosine_literal(F.col("embedding"), RAW_QUERY_VEC)).alias("cos"),
+        round6(cosine(F.col("embedding"), qv)).alias("cos"),
     )
     cand = lex.join(emb, "doc_id")
 
@@ -4068,7 +4063,7 @@ def q_maxsim_multivector(spark, sf_dir):
         .select(F.posexplode(tok(F.col("embedding"))).alias("qpos", "qvec"))
     )
     pair = docs.join(F.broadcast(q)).select(
-        "vec_id", "label", "qpos", micro6(cosine_cols(F.col("dvec"), F.col("qvec"), 16)).alias("c")
+        "vec_id", "label", "qpos", micro6(cosine(F.col("dvec"), F.col("qvec"))).alias("c")
     )
     per_qtok = pair.groupBy("vec_id", "label", "qpos").agg(F.max("c").alias("m"))
     return (
@@ -4115,7 +4110,7 @@ def q_formula_boost(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     qv = emb.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("qv"))
     scored = emb.crossJoin(F.broadcast(qv)).select(
-        "vec_id", micro6(cosine_cols(F.col("embedding"), F.col("qv"), _EMB_DIM)).alias("cos_micro")
+        "vec_id", micro6(cosine(F.col("embedding"), F.col("qv"))).alias("cos_micro")
     )
     boosted = scored.join(docs, scored.vec_id == docs.doc_id).select(
         "vec_id",
@@ -4210,7 +4205,7 @@ def q_rescore_oversample(spark, sf_dir):
             "label",
             "embedding",
             "qv",
-            dot_cols(F.col("q8"), F.col("qq8"), _EMB_DIM).cast("long").alias("q_dot"),
+            dot(F.col("q8"), F.col("qq8")).cast("long").alias("q_dot"),
         )
         .orderBy(F.col("q_dot").desc(), F.col("vec_id").asc())
         .limit(20)
@@ -4220,7 +4215,7 @@ def q_rescore_oversample(spark, sf_dir):
             "vec_id",
             "label",
             "q_dot",
-            micro6(cosine_cols(F.col("embedding"), F.col("qv"), _EMB_DIM)).alias("score_micro"),
+            micro6(cosine(F.col("embedding"), F.col("qv"))).alias("score_micro"),
         )
         .orderBy(F.col("score_micro").desc(), F.col("vec_id").asc())
         .limit(5)
@@ -4341,7 +4336,7 @@ def q_knn_manhattan(spark, sf_dir):
         .select(
             "vec_id",
             "label",
-            round6(l1_dist_cols(F.col("embedding"), F.col("qv"), _EMB_DIM)).alias("l1"),
+            round6(l1_dist(F.col("embedding"), F.col("qv"))).alias("l1"),
         )
         .orderBy(F.col("l1").asc(), F.col("vec_id").asc())
         .limit(5)
@@ -4828,7 +4823,7 @@ def q_prefetch_rerank(spark, sf_dir):
     )
     scored = coded.crossJoin(F.broadcast(qrow))
     leg_a = (
-        scored.select("vec_id", dot_cols(F.col("q8"), F.col("qq8"), _EMB_DIM).cast("long").alias("qd"))
+        scored.select("vec_id", dot(F.col("q8"), F.col("qq8")).cast("long").alias("qd"))
         .orderBy(F.col("qd").desc(), F.col("vec_id").asc())
         .limit(_PREFETCH_K)
     )
@@ -4849,7 +4844,7 @@ def q_prefetch_rerank(spark, sf_dir):
         .select(
             "vec_id",
             "label",
-            micro6(cosine_cols(F.col("embedding"), F.col("qv"), _EMB_DIM)).alias("score_micro"),
+            micro6(cosine(F.col("embedding"), F.col("qv"))).alias("score_micro"),
         )
         .orderBy(F.col("score_micro").desc(), F.col("vec_id").asc())
         .limit(5)
@@ -5789,7 +5784,7 @@ def q_score_threshold(spark, sf_dir):
         "vec_id",
         "label",
         computed_once(
-            micro6(cosine_cols(F.col("embedding"), F.col("qv"), _EMB_DIM))
+            micro6(cosine(F.col("embedding"), F.col("qv")))
         ).alias("score_micro"),
     )
     return (
@@ -6034,7 +6029,7 @@ def q_label_precision(spark, sf_dir):
     Scale shape: same as q_retrieval_metrics — broadcast query side, one
     qid exchange for the rank window, partial-agg rollup."""
     emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "__n", norm_unrolled(F.col("embedding"), _EMB_DIM)
+        "__n", l2_norm(F.col("embedding"))
     )
     qs = emb.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("qid"),
@@ -6053,7 +6048,7 @@ def q_label_precision(spark, sf_dir):
             # norms tagged per row above; per-pair score is one cross dot
             micro6(
                 F.try_divide(
-                    dot_cols(F.col("embedding"), F.col("qv"), _EMB_DIM),
+                    dot(F.col("embedding"), F.col("qv")),
                     F.col("__n") * F.col("__qn"),
                 )
             ).alias("cos_micro"),
@@ -6280,8 +6275,8 @@ def q_retrieval_metrics(spark, sf_dir):
         "embedding",
         q8.alias("q8"),
         # norm once per row: the per-(query, doc) cosine below is then a
-        # single cross dot — bit-identical (vector.py::norm_unrolled)
-        norm_unrolled(F.col("embedding"), _EMB_DIM).alias("__n"),
+        # single fold per pair — bit-identical (vector.py::l2_norm)
+        l2_norm(F.col("embedding")).alias("__n"),
     )
     qs = quant.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("qid"),
@@ -6297,11 +6292,11 @@ def q_retrieval_metrics(spark, sf_dir):
             "vec_id",
             micro6(
                 F.try_divide(
-                    dot_cols(F.col("embedding"), F.col("qv"), _EMB_DIM),
+                    dot(F.col("embedding"), F.col("qv")),
                     F.col("__n") * F.col("__qn"),
                 )
             ).alias("cos_micro"),
-            dot_cols(F.col("q8"), F.col("qq8"), _EMB_DIM).cast("long").alias("q_dot"),
+            dot(F.col("q8"), F.col("qq8")).cast("long").alias("q_dot"),
         )
     )
     w_truth = Window.partitionBy("qid").orderBy(
