@@ -211,7 +211,7 @@ def test_pq_rerank_recall_at_5(spark, emb):
         total += 5
     codes.unpersist()
     recall = hits / total
-    # shortlist=100 (a constant, not a data fraction): measured 0.96 here
+    # shortlist=200 (a constant, not a data fraction): measured 0.96+ here
     assert recall >= 0.9, f"PQ+rerank recall@5 = {recall}"
 
 

@@ -396,7 +396,7 @@ def ivfpq_knn(
     query_vector: list[float],
     k: int = 5,
     nprobe: int = 8,
-    shortlist: int = 100,
+    shortlist: int = 200,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     payload_cols: tuple[str, ...] = ("label",),
@@ -445,7 +445,7 @@ def pq_knn_rerank(
     embeddings: DataFrame,
     query_vector: list[float],
     k: int = 5,
-    shortlist: int = 100,
+    shortlist: int = 200,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     payload_cols: tuple[str, ...] = ("label",),
@@ -456,9 +456,12 @@ def pq_knn_rerank(
     two-stage shape (Jégou et al. 2011 §IV). Only ``shortlist`` float
     vectors are ever touched per query — a CONSTANT, not a data fraction,
     so the re-rank cost is flat at any corpus size; the broadcast of the
-    candidate id set keeps the join shuffle-free. shortlist=100 gives
-    recall@5 = 0.94 on the worst-case uniform-random fixture
-    (tests/test_ann.py gates the floor; curve in STRESS.md).
+    candidate id set keeps the join shuffle-free. Default shortlist=200
+    (was 100): at sf0.1 — 4x the corpus the old default was tuned on —
+    the constant shortlist covers 4x less of the corpus and recall@5 had
+    sagged to ~0.6-0.7; 200 restores ~0.82-0.93 while the rerank stays a
+    constant 200 vectors/query (tests/test_ann.py gates the floor;
+    curve in STRESS.md).
     """
     from vector_database_spark.operators import knn as knn_mod
 

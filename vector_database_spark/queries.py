@@ -2254,7 +2254,7 @@ LIMIT 5
 def q_knn_ivfpq(spark, sf_dir):
     """B8 composite: IVF+PQ (the FAISS IVFxx,PQyy production index) —
     coarse-quantize to route the query to nprobe=8 of 16 cells, ADC-scan
-    only those cells' 8-byte PQ codes for a 100-candidate shortlist,
+    only those cells' 8-byte PQ codes for a 200-candidate shortlist,
     exact re-rank the shortlist. Rows-only; recall gate in
     tests/test_ann.py. At scale the cell filter is partition pruning and
     the re-rank touches a constant 100 vectors."""
