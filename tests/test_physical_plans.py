@@ -439,3 +439,63 @@ def test_incremental_dedup_plan_has_no_cartesian(spark, sf):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "Exchange SinglePartition" not in p
+
+
+def test_filtered_scores_read_the_projected_attribute(spark, sf):
+    # Round-4 tripwire (functions/vector.py::computed_once): Spark 4
+    # pushes a filter through a projection by SUBSTITUTING the aliased
+    # expression whenever the referenced fields are deterministic — the
+    # expensive cosine would then be evaluated twice per row (and for
+    # huge generated code, blow janino's 64 KB limit into a silent
+    # interpreted fallback). The contract: the Filter node sits above
+    # the scoring Project and references only the attribute, so the
+    # fold's text (aggregate over zip_with) appears exactly ONCE in the
+    # plan of every filter-on-score query.
+    from vector_database_spark.queries import (
+        q_neardup_embedding,
+        q_score_threshold,
+        q_semdedup_kmeans,
+    )
+
+    for q in (q_score_threshold, q_neardup_embedding, q_semdedup_kmeans):
+        p = plan_of(q(spark, sf))
+        n = p.count("aggregate(zip_with")
+        # one cross-dot fold in the scoring projection; per-row norm
+        # folds (l2_norm) on each SIDE add at most two more — but no
+        # expression may appear a second time inside a Filter/Join node
+        for line in p.splitlines():
+            stripped = line.strip()
+            if stripped.startswith(("Filter", ":- Filter", "+- Filter")):
+                assert "zip_with" not in stripped, (
+                    q.__name__ + ": score expression substituted into a Filter"
+                )
+        assert n >= 1
+
+
+def test_pair_scoring_tags_norms_per_row(spark, sf):
+    # Round-4 tripwire: pair cosine must be ONE fold per pair with the
+    # norms computed per ROW below the join (try_divide(dot, na*nb) —
+    # 2.7x at 64M pairs, STRESS.md "Pair scoring"). A naive cosine per
+    # pair shows up as try_divide over THREE folds in one expression.
+    from vector_database_spark.queries import q_knn_batch, q_sim_self_join
+
+    for q in (q_knn_batch, q_sim_self_join):
+        p = plan_of(q(spark, sf))
+        assert "__qn" in p and ("__cn" in p or "__n" in p), q.__name__
+        bad = [
+            ln
+            for ln in p.splitlines()
+            if ln.count("aggregate(zip_with") >= 3 and "try_divide" in ln
+        ]
+        assert not bad, q.__name__ + ": 3-fold cosine evaluated per pair"
+
+
+def test_exact_neardup_pair_join_is_parallel(spark, sf):
+    # Round-4 tripwire: the streamed side of the N^2 pair join must be
+    # round-robin split first — a single parquet file otherwise runs the
+    # whole quadratic verify on 1-2 tasks (measured 140s -> 16s at
+    # sf0.1 with 32 cores).
+    from vector_database_spark.queries import q_neardup_embedding
+
+    p = plan_of(q_neardup_embedding(spark, sf))
+    assert "roundrobinpartitioning" in p.lower(), "pair join input not split"

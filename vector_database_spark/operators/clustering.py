@@ -165,9 +165,16 @@ def kmeans_micro(
                 new_centroids.append(centroids[cid])  # empty cluster: keep
         centroids = new_centroids
 
+    # computed_once: the k-fold argmin is the expensive expression here.
+    # Without the pin, CollapseProject substitutes it into BOTH field
+    # extractions below, and a downstream equi-join on `cluster` infers
+    # an isnotnull filter that Catalyst pushes down with a THIRD
+    # substituted copy (caught by test_physical_plans' round-4 tripwire
+    # on q_semdedup_kmeans). Pinned, the struct is evaluated once and
+    # the extractions/filters read the attribute.
     final = pts.select(
         F.col("_id").alias(id_col),
-        _argmin_struct(F.col("mv"), centroids).alias("am"),
+        computed_once(_argmin_struct(F.col("mv"), centroids)).alias("am"),
     ).select(
         id_col, F.col("am.c").alias("cluster"), F.col("am.d").alias("dist_sq")
     )

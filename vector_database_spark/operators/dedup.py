@@ -609,8 +609,14 @@ def semdedup_pairs(
     """
     words = _sign_bucket_words(F.col(emb_col), dim=dim, n_words=n_bucket_words)
     keys = [f"__sb{k}" for k in range(len(words))]
+    # computed_once: the bucket equi-join infers isnotnull filters on the
+    # keys, which Catalyst otherwise pushes down with SUBSTITUTED copies
+    # of the 32-element sign fold — the plan carried 10 copies of it
+    # (registry plan audit, round 4) instead of one per side
     tagged = embeddings.select(
-        F.col(id_col), F.col(emb_col), *[w.alias(k) for w, k in zip(words, keys)]
+        F.col(id_col),
+        F.col(emb_col),
+        *[computed_once(w).alias(k) for w, k in zip(words, keys)],
     )
     a, b, cos = _pair_sides(tagged, id_col, emb_col, extra=keys)
     scored = (

@@ -2994,9 +2994,13 @@ def q_pipeline_e2e(spark, sf_dir):
     from pyspark.sql.window import Window
 
     docs = _t(spark, sf_dir, "documents")
+    # computed_once: without the pin the quality predicate is pushed down
+    # with a substituted second copy of the tokenize+fold feature
+    # expression (registry plan audit, round 4)
     kept_ids = (
         textanalysis.quality_score(docs)
-        .filter(F.col("quality_micro") >= 500_000)
+        .select("doc_id", computed_once(F.col("quality_micro")).alias("__qm"))
+        .filter(F.col("__qm") >= 500_000)
         .select("doc_id")
     )
     kept = docs.join(kept_ids, "doc_id")
