@@ -11,7 +11,7 @@ positional generator below guards the empty case explicitly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 WS_PATTERN = r"\s+"
@@ -20,6 +20,40 @@ WS_PATTERN = r"\s+"
 def tokenize_ws(text: Column) -> Column:
     """Whitespace tokenization (transformer_sample.py:399 semantics)."""
     return F.split(F.lower(text), WS_PATTERN)
+
+
+def explode_tokens(
+    docs: DataFrame,
+    keep: tuple[str, ...],
+    text_col: str = "text",
+    alias: str = "token",
+    distinct: bool = False,
+    pos: bool = False,
+    pos_alias: str = "pos",
+) -> DataFrame:
+    """``(…keep, token)`` rows — tokenize evaluated ONCE per document.
+
+    Writing ``explode(tokenize_ws(text))`` inline costs a SECOND full
+    tokenize per document: InferFiltersFromGenerate clones the generator
+    expression into an empty-skip pre-filter, and Spark-4 pushdown plants
+    the clone at the scan (registry plan audit, round 4 — every tokenize
+    query paid 2x). Here the token array is projected first, pinned
+    (computed_once — a nondeterministic expression is not legal directly
+    under Generate, and the pin stops the clone from being substituted),
+    and the explode consumes the attribute.
+    """
+    from vector_database_spark.functions.vector import computed_once
+
+    toks = tokenize_ws(F.col(text_col))
+    if distinct:
+        toks = F.array_distinct(toks)
+    pinned = docs.select(*keep, computed_once(toks).alias("__tokens"))
+    gen = (
+        F.posexplode("__tokens").alias(pos_alias, alias)
+        if pos
+        else F.explode("__tokens").alias(alias)
+    )
+    return pinned.select(*keep, gen)
 
 
 def bigrams(tokens: Column) -> Column:

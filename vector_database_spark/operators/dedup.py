@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from vector_database_spark.functions.hashing import seeded_hash
-from vector_database_spark.functions.text import tokenize_ws
+from vector_database_spark.functions.text import explode_tokens, tokenize_ws
 from vector_database_spark.functions.vector import (
     computed_once,
     dot,
@@ -62,20 +62,19 @@ def substring_dedup(
     verdict), both partial-agg combinable; nothing quadratic. Used by
     queries.py::q_substring_dedup and the 1M-doc stress probe.
     """
-    toks = tokenize_ws(F.col(text_col))
-    base = docs.select(id_col, toks.alias("tk")).filter(
-        F.size("tk") >= window_tokens
+    # pinned: the length guard otherwise pushes down a substituted second
+    # tokenize per document (functions/text.py::explode_tokens rationale)
+    base = docs.select(
+        id_col, computed_once(tokenize_ws(F.col(text_col))).alias("tk")
+    ).filter(F.size("tk") >= window_tokens)
+    warr = F.transform(
+        F.sequence(F.lit(0), F.size("tk") - window_tokens),
+        lambda i: F.array_join(F.slice(F.col("tk"), i + 1, window_tokens), " "),
     )
-    wins = base.select(
-        id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("tk") - window_tokens),
-                lambda i: F.array_join(
-                    F.slice(F.col("tk"), i + 1, window_tokens), " "
-                ),
-            )
-        ).alias("win"),
+    # window-array build pinned too: the explode's inferred pre-filter
+    # would clone the whole W-token join per row otherwise
+    wins = base.select(id_col, computed_once(warr).alias("warr")).select(
+        id_col, F.explode("warr").alias("win")
     )
     wh = wins.select(id_col, seeded_hash(F.col("win"), seed).alias("g")).distinct()
     first_seen = wh.groupBy("g").agg(F.min(id_col).alias("first_doc"))
@@ -110,10 +109,7 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 def _doc_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Distinct (id, token) pairs — the shingle sets for Jaccard/MinHash."""
-    return (
-        docs.select(id_col, F.explode(tokenize_ws(F.col(text_col))).alias("token"))
-        .distinct()
-    )
+    return explode_tokens(docs, (id_col,), text_col).distinct()
 
 
 def minhash_signatures(
@@ -200,9 +196,7 @@ def _token_bitmasks(docs: DataFrame, text_col: str, id_col: str):
     pairs need verification. The global vocabulary cardinality decides the
     representation at plan-build time (one countDistinct scan).
     """
-    toks = docs.select(
-        F.col(id_col), F.explode(F.array_distinct(tokenize_ws(F.col(text_col)))).alias("token")
-    )
+    toks = explode_tokens(docs, (id_col,), text_col, distinct=True)
     vocab = toks.select("token").distinct()
     n_vocab = vocab.count()
     if n_vocab > MAX_BITMASK_VOCAB:
@@ -298,12 +292,17 @@ def jaccard_verify(
                 "inter", F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b"))).cast("long")
             )
         )
+    # computed_once: the threshold predicate reads the projected jaccard
+    # (a pushed copy would re-run the W-word popcount chain per pair —
+    # the verify stage IS the hot loop of the two heaviest bench queries)
     out = jac.select(
         "id_a",
         "id_b",
-        micro6(
-            F.col("inter").cast("double")
-            / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double")
+        computed_once(
+            micro6(
+                F.col("inter").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double")
+            )
         ).alias("jaccard_micro"),
     )
     return out.filter(F.col("jaccard_micro") >= int(threshold * 1_000_000))

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from vector_database_spark.functions.text import tokenize_ws
+from vector_database_spark.functions.text import explode_tokens, tokenize_ws
 from vector_database_spark.functions.vector import micro6, round6
 
 # Marker tokens per language for the n-gram/keyword language-ID heuristic.
@@ -230,7 +230,7 @@ def tfidf(
     heavy side shuffles once on (doc, token) — map-side combinable.
     ln-derived score → round6 is cross-engine safe (FIXTURES rule 1).
     """
-    toks = docs.select(id_col, F.explode(tokenize_ws(F.col(text_col))).alias("token"))
+    toks = explode_tokens(docs, (id_col,), text_col)
     tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
     df_ = toks.select(id_col, "token").distinct().groupBy("token").agg(
         F.count("*").alias("df")
@@ -268,11 +268,21 @@ def bm25_search(
     identical in both engines. Plan: explode once, tf agg, broadcast the
     |terms|-row df side, top-k via TakeOrderedAndProject.
     """
-    toks = docs.select(
-        id_col,
-        F.size(tokenize_ws(F.col(text_col))).cast("long").alias("dl"),
-        F.explode(tokenize_ws(F.col(text_col))).alias("token"),
-    ).filter(F.col("token").isin(list(query_terms)))
+    # tokenize once per doc: pinned array column feeds BOTH the doc
+    # length and the explode (see functions/text.py::explode_tokens)
+    from vector_database_spark.functions.vector import computed_once
+
+    toks = (
+        docs.select(
+            id_col, computed_once(tokenize_ws(F.col(text_col))).alias("__tokens")
+        )
+        .select(
+            id_col,
+            F.size("__tokens").cast("long").alias("dl"),
+            F.explode("__tokens").alias("token"),
+        )
+        .filter(F.col("token").isin(list(query_terms)))
+    )
     stats = docs.agg(
         F.count("*").alias("n"),
         F.sum(F.size(tokenize_ws(F.col(text_col))).cast("long")).alias("total_dl"),
@@ -321,8 +331,14 @@ def bigram_logprob(
     Per-position ln is 6dp-rounded and summed via DECIMAL(38,6) so the
     doc mean is order-independent (queries.py carries the DuckDB twin).
     """
-    toks = tokenize_ws(F.col(text_col))
-    tp = docs.select(id_col, toks.alias("tk")).select(
+    from vector_database_spark.functions.vector import computed_once
+
+    # pinned: the explode's inferred empty-skip filter otherwise pushes a
+    # substituted second tokenize to the scan (and this subtree is read
+    # three times — tp/uni/bi — so the waste triples)
+    tp = docs.select(
+        id_col, computed_once(tokenize_ws(F.col(text_col))).alias("tk")
+    ).select(
         id_col,
         F.posexplode(F.col("tk")).alias("pos", "cur"),
         F.col("tk"),

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from vector_database_spark.functions.text import tokenize_ws
+from vector_database_spark.functions.text import explode_tokens, tokenize_ws
 
 UNK, PAD, SOS, EOS = 0, 1, 2, 3
 MIN_FREQUENCY = 2
@@ -31,8 +31,21 @@ SPLIT_MOD = 1 << 32
 
 
 def tokenized(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """D1: docs + a ``tokens`` array column."""
-    return docs.withColumn("tokens", tokenize_ws(F.col(text_col)))
+    """D1: docs + a ``tokens`` array column.
+
+    The column is pinned (computed_once): Catalyst's
+    InferFiltersFromGenerate clones a downstream explode's generator
+    expression into a pre-filter, and the relaxed Spark-4 pushdown then
+    plants a SECOND tokenize at the scan — every tokenize-explode query
+    was splitting each document twice (registry plan audit, round 4;
+    pin measured 15-25% off q_vocab_build/encode/pad_frame/bigram).
+    Pinned, the inferred empty-skip filter reads the attribute.
+    Predicates on OTHER columns still push through (Spark 4 pushes when
+    the fields the predicate references are deterministic).
+    """
+    from vector_database_spark.functions.vector import computed_once
+
+    return docs.withColumn("tokens", computed_once(tokenize_ws(F.col(text_col))))
 
 
 def build_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -312,7 +325,7 @@ def bpe_learn(
     is the subword upgrade every modern LLM tokenizer actually uses.
     """
     words = (
-        docs.select(F.explode(tokenize_ws(F.col(text_col))).alias("word"))
+        explode_tokens(docs, (), text_col, alias="word")
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wc"))
@@ -410,9 +423,9 @@ def bpe_encode(
     def encode_word(words: pd.Series) -> pd.Series:
         return words.map(_encode_one)
 
-    toks = docs.select(
-        id_col, F.posexplode(tokenize_ws(F.col(text_col))).alias("pos", "word")
-    ).filter(F.col("word") != "")
+    toks = explode_tokens(docs, (id_col,), text_col, alias="word", pos=True).filter(
+        F.col("word") != ""
+    )
     types = toks.select("word").distinct()
 
     # persist so the strategy-choosing count and the broadcast branch's

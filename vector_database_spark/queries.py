@@ -27,7 +27,11 @@ from vector_database_spark.functions.hashing import (
     seeded_hash,
     seeded_hash_sql,
 )
-from vector_database_spark.functions.text import bigrams, tokenize_ws
+from vector_database_spark.functions.text import (
+    bigrams,
+    explode_tokens,
+    tokenize_ws,
+)
 from vector_database_spark.functions.vector import (
     computed_once,
     cosine,
@@ -2938,9 +2942,7 @@ def q_sparse_dot(spark, sf_dir):
     through DECIMAL(38,6); top-10 by (score, id)."""
     docs = _t(spark, sf_dir, "documents")
     terms = list(_SPARSE_Q)
-    toks = docs.select(
-        "doc_id", F.explode(tokenize_ws(F.col("text"))).alias("token")
-    ).filter(F.col("token").isin(terms))
+    toks = explode_tokens(docs, ("doc_id",)).filter(F.col("token").isin(terms))
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df_ = toks.select("doc_id", "token").distinct().groupBy("token").agg(
         F.count("*").alias("df")
@@ -3707,16 +3709,20 @@ def q_decontaminate(spark, sf_dir):
     benchmark gram set is tiny and broadcast, so the check is a map-side
     semi-join over the corpus — no corpus-sized shuffle at 100 TB."""
     docs = _t(spark, sf_dir, "documents")
-    toks = tokenize_ws(F.col("text"))
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - _DECON_N),
-                lambda i: F.array_join(F.slice(toks, i + 1, _DECON_N), " "),
-            )
-        ).alias("gram"),
-    ).filter(F.size(toks) >= _DECON_N)
+    # two pinned projections: tokenize once per doc, gram-array build once
+    # per doc (the explode's inferred pre-filter and the length guard
+    # would otherwise each re-run the substituted expression — see
+    # functions/text.py::explode_tokens)
+    base = docs.select(
+        "doc_id", computed_once(tokenize_ws(F.col("text"))).alias("tk")
+    ).filter(F.size("tk") >= _DECON_N)
+    garr = F.transform(
+        F.sequence(F.lit(0), F.size("tk") - _DECON_N),
+        lambda i: F.array_join(F.slice(F.col("tk"), i + 1, _DECON_N), " "),
+    )
+    grams = base.select("doc_id", computed_once(garr).alias("garr")).select(
+        "doc_id", F.explode("garr").alias("gram")
+    )
     from vector_database_spark.functions.hashing import seeded_hash
 
     gh = grams.select(
@@ -3790,7 +3796,7 @@ def _doc_unigram_logprob(docs: DataFrame) -> DataFrame:
     """Per-doc mean token log-prob under the corpus unigram LM —
     (doc_id, n_tokens, avg_logprob_micro). Shared by the keep-filter and
     the CCNet tercile-bucket queries."""
-    tok = docs.select("doc_id", F.explode(tokenize_ws(F.col("text"))).alias("token"))
+    tok = explode_tokens(docs, ("doc_id",))
     counts = tok.groupBy("token").agg(F.count("*").alias("c"))
     tot = counts.agg(F.sum("c").alias("tot"))
     lm = counts.crossJoin(F.broadcast(tot)).select(
@@ -3851,17 +3857,20 @@ def q_winnow_fingerprint(spark, sf_dir):
     from vector_database_spark.functions.hashing import seeded_hash
 
     docs = _t(spark, sf_dir, "documents")
-    toks = tokenize_ws(F.col("text"))
-    grams = docs.select(
+    # pinned twice: tokenize once, gram-array build once (see
+    # q_decontaminate / functions/text.py::explode_tokens)
+    base = docs.select(
+        "doc_id", computed_once(tokenize_ws(F.col("text"))).alias("tk")
+    ).filter(F.size("tk") >= _WINNOW_K)
+    garr = F.transform(
+        F.sequence(F.lit(0), F.size("tk") - _WINNOW_K),
+        lambda i: F.array_join(F.slice(F.col("tk"), i + 1, _WINNOW_K), " "),
+    )
+    grams = base.select(
         "doc_id",
-        F.size(toks).alias("n_toks"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - _WINNOW_K),
-                lambda i: F.array_join(F.slice(toks, i + 1, _WINNOW_K), " "),
-            )
-        ).alias("pos", "gram"),
-    ).filter(F.col("n_toks") >= _WINNOW_K)
+        F.size("tk").alias("n_toks"),
+        computed_once(garr).alias("garr"),
+    ).select("doc_id", "n_toks", F.posexplode("garr").alias("pos", "gram"))
     hashed = grams.select(
         "doc_id", "pos", seeded_hash(F.col("gram"), _WINNOW_SEED).alias("h")
     )
@@ -6203,9 +6212,9 @@ def q_theta_overlap(spark, sf_dir):
     Scale shape: one explode+partial-agg pass builds a per-source sketch;
     the set algebra then runs on two ~16 KB blobs."""
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "source", F.explode(tokenize_ws(F.col("text"))).alias("tok")
-    ).filter(F.col("source").isin("src0", "src1"))
+    toks = explode_tokens(docs, ("source",), alias="tok").filter(
+        F.col("source").isin("src0", "src1")
+    )
     sk = toks.groupBy("source").agg(F.theta_sketch_agg("tok").alias("sk"))
     a = sk.filter(F.col("source") == "src0").select(F.col("sk").alias("ska"))
     b = sk.filter(F.col("source") == "src1").select(F.col("sk").alias("skb"))
