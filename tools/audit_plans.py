@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Registry-wide plan audit: flag expensive expressions that Catalyst
+substituted into Filter/Join nodes — the double-compute bug class of
+round 4.
+
+Spark 4 pushes a predicate through a projection by SUBSTITUTING the
+aliased expression whenever the fields the predicate references are
+deterministic, and InferFiltersFromGenerate clones generator expressions
+into pre-filters. Either way an expensive projected expression (a vector
+fold, a tokenize, a popcount chain, an n-gram build) silently runs twice
+per row. The fix is functions/vector.py::computed_once (or the
+project-then-explode shape in functions/text.py::explode_tokens); this
+tool finds the sites.
+
+This audit found, in one pass: the k-means argmin substituted into an
+inferred isnotnull, q_semdedup's sign-word fold appearing 10x in one
+plan, q_pipeline_e2e's quality predicate cloned to the scan, and the 2x
+tokenize in EVERY tokenize-explode query.
+
+Known-clean exception: q_simhash_pairs keeps its `bit_count(xor) <= k`
+inside the join condition on purpose (it prunes pairs in-join and
+popcount is cheap), so that one hit is allowlisted.
+
+Usage: python tools/audit_plans.py [sf_dir]   (default sf0.001)
+Exit code 0 iff no unexpected offender.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+MARKERS = (
+    "aggregate(",          # HOF vector/text folds
+    "split(lower",         # tokenize
+    "regexp_extract_all",  # BPE-ish token split
+    "bit_count(",          # popcount chains
+    "array_join(slice",    # n-gram builds
+)
+OPERATORS = (
+    "Filter",
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+)
+ALLOW = {("q_simhash_pairs", "bit_count(")}
+
+
+def main() -> int:
+    from vector_database_spark.queries import QUERIES
+    from vector_database_spark.session import get_spark
+
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("audit_plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    n_bad = 0
+    for name, fn in QUERIES.items():
+        try:
+            plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        except Exception as ex:  # noqa: BLE001 — report, keep auditing
+            print(f"{name}: PLAN-ERROR {type(ex).__name__}: {ex}", flush=True)
+            n_bad += 1
+            continue
+        for line in plan.splitlines():
+            node = line.strip().lstrip(":+- *(0123456789)")
+            if not node.startswith(OPERATORS):
+                continue
+            for m in MARKERS:
+                if m in node and (name, m) not in ALLOW:
+                    print(f"{name}: {m!r} inside {node[:110]}", flush=True)
+                    n_bad += 1
+                    break
+    print(f"AUDIT {'CLEAN' if n_bad == 0 else f'FOUND {n_bad} site(s)'}")
+    return 0 if n_bad == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

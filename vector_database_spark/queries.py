@@ -651,9 +651,11 @@ def q_too_long_filter(spark, sf_dir):
     """D6: length guard as filter (transformer_sample.py:510-511)."""
     docs = _t(spark, sf_dir, "documents")
     toks = tokenize_ws(F.col("text"))
-    return docs.select("doc_id", F.size(toks).cast("long").alias("n_tok")).filter(
-        F.col("n_tok") <= TOO_LONG_LIMIT
-    )
+    # computed_once: the length guard otherwise pushes down a substituted
+    # second tokenize per document (tools/audit_plans.py)
+    return docs.select(
+        "doc_id", computed_once(F.size(toks).cast("long")).alias("n_tok")
+    ).filter(F.col("n_tok") <= TOO_LONG_LIMIT)
 
 
 _SQL_TOO_LONG = f"""
