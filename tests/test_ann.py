@@ -401,3 +401,24 @@ def test_bench_ann_recall_harness(spark):
     # same floors the dedicated recall tests use
     assert out["q_knn_lsh"] >= 0.85
     assert out["q_knn_pq"] >= 0.9
+
+
+def test_lsh_signature_null_and_ragged_rows_degrade_to_null(spark):
+    # the Arrow-batched signature kernel must not fail the whole batch on
+    # a NULL or wrong-length embedding — those rows get NULL signatures
+    # (the pre-batching per-row expression's behavior) and are therefore
+    # never LSH candidates, while good rows in the same batch still sign
+    good = [float(i % 7) - 3.0 for i in range(64)]
+    df = spark.createDataFrame(
+        [(0, good), (1, None), (2, [1.0, 2.0]), (3, good)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        r["vec_id"]: r
+        for r in ann.with_lsh_signature(df, dim=64).collect()
+    }
+    assert rows[0]["sig_0"] is not None
+    assert rows[3]["sig_0"] == rows[0]["sig_0"]  # identical vectors agree
+    for t in range(ann.LSH_TABLES):
+        assert rows[1][f"sig_{t}"] is None
+        assert rows[2][f"sig_{t}"] is None

@@ -782,6 +782,8 @@ class TestQueryPointsFacade:
             {"discover": {"target": 1}},  # missing context
             {"context": []},
             {"recommend": [1, 2]},  # not a dict
+            {"recommend": {}},  # dict but neither positive nor negative
+            {"recommend": {"strategy": "best_score"}},  # same, with noise
         ]
         for q in bad:
             with pytest.raises(ValueError, match="needs a top-level query"):

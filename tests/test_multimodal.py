@@ -96,6 +96,12 @@ def test_png_bounded_against_bombs():
     bomb = zlib.compress(b"\x00" * (50 * 1024 * 1024), 9)  # 50 MB of zeros
     with pytest.raises(ValueError, match="mismatch"):
         png.decode_png(sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", bomb) + chunk(b"IEND", b""))
+    # width=0 bypasses the w*h*ch sample ceiling (product 0) while
+    # (stride+1)*height can still be ~4 GB — must be rejected outright
+    for w, h in ((0, (1 << 32) - 1), ((1 << 32) - 1, 0), (0, 0)):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        with pytest.raises(ValueError, match="zero dimension"):
+            png.decode_png(sig + chunk(b"IHDR", ihdr) + chunk(b"IEND", b""))
 
 
 def test_real_decoder_decodes_png_without_pillow():

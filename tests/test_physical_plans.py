@@ -363,14 +363,14 @@ def test_window_funcs_shares_one_exchange(spark, sf):
     assert "Exchange SinglePartition" not in p
 
 
-def test_retrieval_metrics_plan(spark, sf):
-    # eval harness shape: query side broadcast over the corpus scan, both
-    # rank windows share ONE qid exchange (two sorts — orderings differ),
-    # and the final per-query rollup has a partial agg; nothing funnels to
-    # a single partition
-    from vector_database_spark.queries import q_retrieval_metrics
+def test_retrieval_metrics_window_plan(spark, sf):
+    # oracle-parity variant's shape: query side broadcast over the corpus
+    # scan, both rank windows share ONE qid exchange (two sorts —
+    # orderings differ), and the final per-query rollup has a partial agg;
+    # nothing funnels to a single partition
+    from vector_database_spark.queries import q_retrieval_metrics_window
 
-    p = plan_of(q_retrieval_metrics(spark, sf))
+    p = plan_of(q_retrieval_metrics_window(spark, sf))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
     assert p.count("Exchange hashpartitioning") == 1
     assert "Exchange SinglePartition" not in p
@@ -389,12 +389,13 @@ def test_sketch_aggs_partial_aggregate(spark, sf):
     assert "partial_theta_sketch_agg" in p2
 
 
-def test_retrieval_twophase_plan(spark, sf):
-    # scale twin: ranking legs come from per-partition heaps (MapInPandas)
-    # — the corpus never shuffles; only candidate rows reach the windows
-    from vector_database_spark.queries import q_retrieval_metrics_twophase
+def test_retrieval_metrics_default_is_twophase(spark, sf):
+    # round-5 directive: the DEFAULT eval query runs the cluster-scale
+    # plan — ranking legs from per-partition heaps (MapInPandas), the
+    # corpus never shuffles; only candidate rows reach the windows
+    from vector_database_spark.queries import q_retrieval_metrics
 
-    p = plan_of(q_retrieval_metrics_twophase(spark, sf))
+    p = plan_of(q_retrieval_metrics(spark, sf))
     assert "MapInPandas" in p
     assert "Exchange SinglePartition" not in p
 
@@ -464,9 +465,12 @@ def test_filtered_scores_read_the_projected_attribute(spark, sf):
         # folds (l2_norm) on each SIDE add at most two more — but no
         # expression may appear a second time inside a Filter/Join node
         for line in p.splitlines():
-            stripped = line.strip()
-            if stripped.startswith(("Filter", ":- Filter", "+- Filter")):
-                assert "zip_with" not in stripped, (
+            # normalize node heads the way tools/audit_plans.py does, so
+            # Filters nested in join branches (':  +- Filter') and
+            # codegen'd forms ('*(n) Filter') are inspected too
+            node = line.strip().lstrip(":+- *(0123456789)")
+            if node.startswith("Filter"):
+                assert "zip_with" not in node, (
                     q.__name__ + ": score expression substituted into a Filter"
                 )
         assert n >= 1

@@ -1234,7 +1234,12 @@ class VectorCollection:
                 if "fusion" in q:
                     return q["fusion"] in ("rrf", "dbsf")
                 if "recommend" in q:
-                    return isinstance(q["recommend"], dict)
+                    # at least one exemplar side, mirroring the discover
+                    # target/context check — an empty dict would execute
+                    # every prefetch leg and only then die inside recommend()
+                    return isinstance(q["recommend"], dict) and bool(
+                        {"positive", "negative"} & set(q["recommend"])
+                    )
                 if "discover" in q:
                     return isinstance(q["discover"], dict) and {
                         "target", "context"

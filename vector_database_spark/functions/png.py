@@ -81,6 +81,11 @@ def decode_png(blob: bytes) -> tuple[int, int, int, list[int]]:
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
+    if width == 0 or height == 0:
+        # zero-dim headers would pass the w*h*ch sample ceiling (product
+        # is 0) while (stride+1)*height can still demand ~4 GB — reject
+        # before sizing the inflate bound
+        raise ValueError(f"PNG with zero dimension ({width}x{height})")
     if width * height * channels > MAX_SAMPLES:
         raise ValueError(
             f"PNG {width}x{height}x{channels} exceeds the stdlib fallback "

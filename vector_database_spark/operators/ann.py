@@ -82,10 +82,25 @@ def with_lsh_signature(
     def _sigs(embs: pd.Series) -> pd.Series:
         if not len(embs):
             return pd.Series([], dtype=object)
-        e = np.array([np.asarray(v, dtype=np.float64) for v in embs], dtype=np.float64)
+        # NULL / wrong-length rows degrade to NULL signatures (matching the
+        # pre-batching Catalyst expression's per-row behavior) instead of
+        # failing the whole Arrow batch on np.asarray(None) / ragged stack
+        zeros = np.zeros(dim, dtype=np.float64)
+        ok = np.ones(len(embs), dtype=bool)
+        vecs = []
+        for i, v in enumerate(embs):
+            a = None if v is None else np.asarray(v, dtype=np.float64)
+            if a is None or a.shape != (dim,):
+                ok[i] = False
+                vecs.append(zeros)
+            else:
+                vecs.append(a)
+        e = np.stack(vecs)
         bits_on = (e @ flat_t) > 0  # (n, tables*bits)
         sigs = bits_on.reshape(len(e), tables, bits).astype(np.int64) @ weights
-        return pd.Series(list(sigs))
+        return pd.Series(
+            [s if good else None for s, good in zip(sigs, ok)], dtype=object
+        )
 
     out = embeddings.withColumn("__sigs", _sigs(F.col(emb_col)))
     for t in range(tables):
