@@ -34,7 +34,11 @@ from vector_database_spark.functions.vector import (
 NUM_HASHES = 8          # minhash signature length
 BANDS = 4               # → 2 rows per band; P(collide) = 1-(1-j^2)^4
 JACCARD_THRESHOLD = 0.5
-SIMHASH_BITS = 16
+# 64-bit fingerprints (Manku et al. 2007's operating point): with 4 bands
+# of 16 bits each, band keys take 2^16 values, so the band join's candidate
+# count tracks true near-dup density instead of N²/16 (the round-4 16-bit
+# default's failure mode at corpus scale).
+SIMHASH_BITS = 64
 COSINE_NEARDUP_THRESHOLD = 0.95
 
 
@@ -447,20 +451,33 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     Output: (id_col, simhash BIGINT). Hamming-close fingerprints ≈ near-dups.
     Explodes tokens once; ``bits`` conditional-sum aggregates — map-side
     combinable, one shuffle.
+
+    Bit sourcing: the portable hash yields 60 usable bits, so bit j reads
+    bit ``j % 32`` of seeded hash ``999 + j // 32`` — up to 64 independent
+    bits from two hash evaluations per token. Bit 63 contributes the
+    two's-complement term -(2**63) so the fingerprint packs into a signed
+    BIGINT identically in Spark and DuckDB (xor/bit_count both operate on
+    the two's-complement value in both engines).
     """
-    toks = _doc_tokens(docs, text_col, id_col).withColumn(
-        "th", seeded_hash(F.col("token"), 999)
-    )
+    if bits > 64:
+        raise ValueError(f"simhash supports at most 64 bits, got {bits}")
+    toks = _doc_tokens(docs, text_col, id_col)
+    for w in range((bits + 31) // 32):
+        toks = toks.withColumn(f"th{w}", seeded_hash(F.col("token"), 999 + w))
     aggs = [
         F.sum(
-            F.when(F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(F.col(f"th{j // 32}"), j % 32).bitwiseAND(F.lit(1)) == 1,
+                1,
+            ).otherwise(-1)
         ).alias(f"b{j}")
         for j in range(bits)
     ]
     sums = toks.groupBy(id_col).agg(*aggs)
     sim = None
     for j in range(bits):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+        weight = -(1 << 63) if j == 63 else (1 << j)
+        term = F.when(F.col(f"b{j}") > 0, F.lit(weight)).otherwise(F.lit(0)).cast("long")
         sim = term if sim is None else sim + term
     return sums.select(id_col, sim.alias("simhash"))
 
