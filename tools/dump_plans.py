@@ -108,10 +108,11 @@ NOTES = {
         "(user_id, ts, event_id) sort."
     ),
     "q_retrieval_metrics": (
-        "Retrieval eval (recall/MRR/nDCG). Wants: query side broadcast over "
-        "one corpus scan, ONE qid exchange shared by both rank windows (two "
-        "sorts — orderings differ), partial aggs into the per-query rollup; "
-        "the discount/reciprocal tables are literals, so no extra joins."
+        "Retrieval eval (recall/MRR/nDCG), two-phase default since r5. "
+        "Wants: both ranking legs from per-partition k-heaps (MapInPandas — "
+        "the corpus never shuffles), only 2·k·P·|Q| candidate rows reach "
+        "the tiny per-(query, leg) windows, partial aggs into the per-query "
+        "rollup; the discount/reciprocal tables are literals, no extra joins."
     ),
     "q_hll_distinct": (
         "Sketch distinct rollup. Wants: partial_hll_sketch_agg map-side "
