@@ -21,6 +21,10 @@ Known-clean exception: q_simhash_pairs keeps its `bit_count(xor) <= k`
 inside the join condition on purpose (it prunes pairs in-join and
 popcount is cheap), so that one hit is allowlisted.
 
+Since round 5 the audit also runs inside pytest over the heaviest query
+plans (tests/test_plan_audit.py), so a regression fails the suite, not
+just this tool.
+
 Usage: python tools/audit_plans.py [sf_dir]   (default sf0.001)
 Exit code 0 iff no unexpected offender.
 """
@@ -49,20 +53,15 @@ OPERATORS = (
 ALLOW = {("q_simhash_pairs", "bit_count(")}
 
 
-def main() -> int:
-    from vector_database_spark.queries import QUERIES
-    from vector_database_spark.session import get_spark
-
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    spark = get_spark("audit_plans")
-    spark.sparkContext.setLogLevel("ERROR")
-    n_bad = 0
-    for name, fn in QUERIES.items():
+def audit_query_plans(spark, queries, sf: str) -> list[str]:
+    """Run the substitution audit over ``queries`` (name → builder).
+    Returns human-readable offender strings; empty list == clean."""
+    bad: list[str] = []
+    for name, fn in queries.items():
         try:
             plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
         except Exception as ex:  # noqa: BLE001 — report, keep auditing
-            print(f"{name}: PLAN-ERROR {type(ex).__name__}: {ex}", flush=True)
-            n_bad += 1
+            bad.append(f"{name}: PLAN-ERROR {type(ex).__name__}: {ex}")
             continue
         for line in plan.splitlines():
             node = line.strip().lstrip(":+- *(0123456789)")
@@ -70,11 +69,23 @@ def main() -> int:
                 continue
             for m in MARKERS:
                 if m in node and (name, m) not in ALLOW:
-                    print(f"{name}: {m!r} inside {node[:110]}", flush=True)
-                    n_bad += 1
+                    bad.append(f"{name}: {m!r} inside {node[:110]}")
                     break
-    print(f"AUDIT {'CLEAN' if n_bad == 0 else f'FOUND {n_bad} site(s)'}")
-    return 0 if n_bad == 0 else 1
+    return bad
+
+
+def main() -> int:
+    from vector_database_spark.queries import QUERIES
+    from vector_database_spark.session import get_spark
+
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("audit_plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    offenders = audit_query_plans(spark, QUERIES, sf)
+    for line in offenders:
+        print(line, flush=True)
+    print(f"AUDIT {'CLEAN' if not offenders else f'FOUND {len(offenders)} site(s)'}")
+    return 0 if not offenders else 1
 
 
 if __name__ == "__main__":
