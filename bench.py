@@ -194,13 +194,25 @@ def ann_recall(spark, sf_dir: str, k: int = 5, n_queries: int = 10) -> dict[str,
     return out
 
 
+# Warmup-regime generation. Bumped whenever the warmup changes what is
+# pre-warmed before timing (gen 2 = round-5 table-scan + codegen-family
+# warmup; gen 3 = round-6, q_knn_topk's exact plan no longer pre-run).
+# best_known() only compares runs of the SAME generation — mixing warm-
+# cache timings with prior cold-run bests would let the >1.5x watch
+# tripwire under-flag regressions smaller than the warmup savings
+# (round-5 ADVICE item 2).
+WARMUP_GEN = 3
+
+
 def best_known(repo_dir: str, sf_val) -> dict[str, float]:
-    """Per-query best time ever measured at this SF, mined from every
-    BENCH*.json in the repo root (driver rounds, local double-runs, the
-    rolling BENCH.json). Round-5 directive: separating host noise from
-    real regressions cost judge cycles twice — now every bench run
-    publishes each query's ratio to its best-known time and a `watch`
-    block of ratios > 1.5x, so drift is flagged by the harness itself."""
+    """Per-query best time measured at this SF *under the current warmup
+    regime*, mined from every BENCH*.json in the repo root (driver rounds,
+    local double-runs, the rolling BENCH_LOCAL.json diagnostics). Round-5
+    directive: separating host noise from real regressions cost judge
+    cycles twice — now every bench run publishes each query's ratio to its
+    best-known time and a `watch` block of ratios > 1.5x, so drift is
+    flagged by the harness itself. Runs without a matching `warmup_gen`
+    tag are excluded so cold-regime bests never anchor warm-regime runs."""
     import glob
 
     best: dict[str, float] = {}
@@ -209,7 +221,11 @@ def best_known(repo_dir: str, sf_val) -> dict[str, float]:
         if not isinstance(node, dict):
             return
         q = node.get("queries")
-        if isinstance(q, dict) and node.get("sf") == sf_val:
+        if (
+            isinstance(q, dict)
+            and node.get("sf") == sf_val
+            and node.get("warmup_gen") == WARMUP_GEN
+        ):
             for name, t in q.items():
                 if isinstance(t, (int, float)) and (
                     name not in best or t < best[name]
@@ -244,14 +260,28 @@ def main() -> None:
     # corpus pass is ~0.9s). Warm (a) the fold/TakeOrdered family, (b)
     # explode+agg / range-repartition+localCheckpoint / window /
     # broadcast-join codegen families on a tiny SYNTHETIC frame (no
-    # fixture data — no bench query's exact plan is pre-run), and (c)
-    # each fixture table's scan path once.
+    # fixture data — no bench query's exact plan is pre-run; round 5
+    # still pre-ran q_knn_topk here, fixed in gen 3), and (c) each
+    # fixture table's scan path once.
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
     from vector_database_spark.sources.tables import read_table
 
-    QUERIES["q_knn_topk"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    synth_vec = spark.range(2000).select(
+        F.col("id"),
+        F.transform(F.sequence(F.lit(0), F.lit(15)), lambda i: i * 0.5).alias("v"),
+    )
+    qv = F.array(*[F.lit(float(i)) for i in range(16)])
+    synth_vec.select(
+        F.col("id"),
+        (
+            F.aggregate(F.zip_with(F.col("v"), qv, lambda a, b: a * b),
+                        F.lit(0.0), lambda acc, x: acc + x)
+        ).alias("score"),
+    ).orderBy(F.col("score").desc()).limit(5).write.mode("overwrite").format(
+        "noop"
+    ).save()
     tiny = spark.range(2000).select(
         F.col("id"), F.explode(F.split(F.lit("a b c d e"), " ")).alias("tok")
     )
@@ -302,20 +332,39 @@ def main() -> None:
         for name, r in sorted(ratios.items(), key=lambda kv: -kv[1])
         if r > 1.5
     }
-    print(
-        json.dumps(
+    # Diagnostics (best-known ratios, watch block) go to a LOCAL file:
+    # round 5 put them on stdout and the JSON line outgrew the driver's
+    # 2000-char tail capture — BENCH_r05.json recorded "parsed": null and
+    # the bench gate never evaluated (VERDICT r5 item 1). The driver-facing
+    # line must stay compact and be the LAST stdout line.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo_dir, "BENCH_LOCAL.json"), "w") as fh:
+        json.dump(
             {
-                "metric": "bench_total_wall_clock",
-                "value": total,
-                "unit": "sec",
+                "sf": sf_val,
+                "warmup_gen": WARMUP_GEN,
                 "queries": timings,
                 "recall_at_5": recall,
                 "best_known_ratio": ratios,
                 "watch": watch,
-                "sf": sf_val,
-            }
+            },
+            fh,
+            indent=1,
         )
-    )
+    compact = {
+        "metric": "bench_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "recall_at_5": recall,
+        "sf": sf_val,
+        "warmup_gen": WARMUP_GEN,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # driver tail window is 2000 chars — never exceed
+        compact.pop("recall_at_5", None)
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

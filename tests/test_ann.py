@@ -109,9 +109,12 @@ def test_twophase_matches_exact_batch(emb):
         emb,
         k=3,
     )
-    two = knn.knn_batch_local_topk(queries, emb, k=3)
-    e = {(r["qid"], r["vec_id"]) for r in exact.collect()}
-    t = {(r["qid"], r["vec_id"]) for r in two.collect()}
+    two = knn.knn_batch_local_topk(queries, emb, k=3, payload_cols=("label",))
+    # FULL row identity (r6 directive 4): micro-keyed heaps emit micro/1e6,
+    # which must equal the exact operator's round6 double bit-for-bit —
+    # ids AND scores AND payloads, not just id sets
+    e = {(r["qid"], r["vec_id"], r["label"], r["score"]) for r in exact.collect()}
+    t = {(r["qid"], r["vec_id"], r["label"], r["score"]) for r in two.collect()}
     assert e == t
 
 

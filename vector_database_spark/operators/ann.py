@@ -90,7 +90,11 @@ def with_lsh_signature(
         vecs = []
         for i, v in enumerate(embs):
             a = None if v is None else np.asarray(v, dtype=np.float64)
-            if a is None or a.shape != (dim,):
+            # non-finite guard: NULL *elements* arrive as NaN (Arrow list
+            # nulls), pass the shape check, and (NaN > 0) == False would
+            # yield a deterministic-but-meaningless signature — degrade to
+            # a NULL signature like fully-NULL rows (round-5 ADVICE 3)
+            if a is None or a.shape != (dim,) or not np.isfinite(a).all():
                 ok[i] = False
                 vecs.append(zeros)
             else:

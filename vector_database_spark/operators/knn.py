@@ -250,6 +250,7 @@ def knn_batch_local_topk(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     exclude_self: bool = True,
+    payload_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """B5 at scale: two-phase batch k-NN (SURVEY §4.3).
 
@@ -260,13 +261,24 @@ def knn_batch_local_topk(
 
     Compare with :func:`knn_batch`, which shuffles every scored row: at
     100 TB that shuffle is the bottleneck; here the shuffle is O(k·P).
-    Scores are numpy float64 (summation order differs from the exact
-    fold-based operator by ~1e-15; ids agree — see tests/test_knn.py).
+
+    Determinism (round-6 directive 4, FULL-oracle upgrade): phase 1 keys
+    every heap with ``py_micro6`` of the numpy score — the SAME half-up
+    micro-unit rule the exact operator ranks by — and the EMITTED score is
+    ``micro / 1e6``, i.e. exactly the double ``round6`` would produce for
+    the fold-based score (IEEE division of an exact integer by the exact
+    1e6 is correctly rounded; cosine scores have no exact decimal
+    half-boundaries, see functions/vector.py::round6). The raw numpy
+    float64 (which drifts ~1e-15 from the fold by summation order) never
+    leaves the executor, so the output hash-matches :func:`knn_batch` /
+    the q_knn_batch SQL oracle bit-for-bit.
     """
     import pandas as pd
 
     q_ids = [int(q[0]) for q in queries]
     q_vecs = [[float(x) for x in q[1]] for q in queries]
+    pay_fields = [collection.schema[c] for c in payload_cols]
+    pay_ddl = "".join(f", {f.name} {f.dataType.simpleString()}" for f in pay_fields)
 
     def local_topk(batches):
         import heapq
@@ -292,9 +304,10 @@ def knn_batch_local_topk(
             S = En @ Qn.T  # (batch, nq) cosine in one matmul
             S[norms[:, 0] == 0.0, :] = -np.inf
             ids = pdf[id_col].to_numpy()
+            pays = [pdf[c].tolist() for c in payload_cols]
             for qi, qid in enumerate(q_ids):
                 col = S[:, qi]
-                for rid, s in zip(ids, col):
+                for ri, (rid, s) in enumerate(zip(ids, col)):
                     if exclude_self and int(rid) == qid:
                         continue
                     # heap key: (py_micro6 score, -id) — the SAME half-up
@@ -303,29 +316,29 @@ def knn_batch_local_topk(
                     # Python round() (half-even) disagrees with round6
                     # exactly on the .xxxxxx5 boundaries that decide ties.
                     micro = py_micro6(s) if math.isfinite(s) else -(10**18)
-                    item = (micro, -int(rid), float(s))
+                    item = (micro, -int(rid), tuple(p[ri] for p in pays))
                     if len(heaps[qi]) < k:
                         heapq.heappush(heaps[qi], item)
                     elif item[:2] > heaps[qi][0][:2]:
                         heapq.heapreplace(heaps[qi], item)
-        rows = {
-            "qid": [], id_col: [], "score": []
+        rows: dict[str, list] = {
+            "qid": [], id_col: [], **{c: [] for c in payload_cols}, "score": []
         }
         for qi, qid in enumerate(q_ids):
-            for _micro, negid, s in heaps[qi]:
+            for micro, negid, pay in heaps[qi]:
                 rows["qid"].append(qid)
                 rows[id_col].append(-negid)
-                rows["score"].append(s)
-        yield pd.DataFrame(rows).astype(
-            {"qid": "int64", id_col: "int64", "score": "float64"}
-        )
+                for c, v in zip(payload_cols, pay):
+                    rows[c].append(v)
+                # micro/1e6: exactly the round6 double of the fold score
+                rows["score"].append(None if micro == -(10**18) else micro / 1e6)
+        yield pd.DataFrame(rows).astype({"qid": "int64", id_col: "int64"})
 
-    cands = collection.select(id_col, emb_col).mapInPandas(
-        local_topk, f"qid bigint, {id_col} bigint, score double"
+    cands = collection.select(id_col, emb_col, *payload_cols).mapInPandas(
+        local_topk, f"qid bigint, {id_col} bigint{pay_ddl}, score double"
     )
-    # global rank at the SAME precision the exact operator uses (round6
-    # before ordering) so tie-breaks at the k boundary agree
-    cands = cands.withColumn("score", round6(F.col("score")))
+    # global rank over already-micro-quantized scores: tie-breaks at the k
+    # boundary agree with the exact operator by construction
     w = Window.partitionBy("qid").orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     )
@@ -333,6 +346,7 @@ def knn_batch_local_topk(
         cands.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .drop("rn")
+        .select("qid", id_col, *payload_cols, "score")
     )
 
 

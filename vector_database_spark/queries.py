@@ -950,6 +950,32 @@ def q_incremental_dedup(spark, sf_dir):
     return dedup.incremental_dedup(incoming, corpus)
 
 
+def q_incremental_dedup_indexed(spark, sf_dir):
+    """The PRODUCTION shape of incremental dedup (VERDICT r5 directive 5):
+    the corpus signature index is built ONCE (minhash_signatures,
+    persisted — the index a real pipeline maintains at ingest) and the
+    arriving batch is checked against it via ``corpus_sigs``, so the
+    operator pays one signature pass over the BATCH plus the cross-side
+    band join; the corpus text is never re-signatured. Same inputs and
+    result contract as q_incremental_dedup → same FULL oracle. Time split
+    (index build vs per-batch) is recorded in STRESS.md 'Incremental
+    batch-vs-corpus dedup' (tools/stress_incremental.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    incoming = docs.filter(F.col("doc_id") >= 400).select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 20000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+        )
+    )
+    corp_sigs = dedup.minhash_signatures(corpus).persist()
+    out = dedup.incremental_dedup(incoming, corpus, corpus_sigs=corp_sigs)
+    # caller-managed index persistence: enroll it so the next dedup call's
+    # cache rotation releases it (registry queries have no later hook)
+    dedup.register_sig_cache(corp_sigs)
+    return out
+
+
 def _sql_incremental_dedup() -> str:
     mins = ",\n         ".join(
         f"min({seeded_hash_sql('token', i)}) AS h{i}" for i in range(dedup.NUM_HASHES)
@@ -2183,9 +2209,10 @@ FROM ranked WHERE rn <= 3 GROUP BY event_type
 
 def q_knn_twophase(spark, sf_dir):
     """B5 at scale: two-phase batch k-NN (map-side local top-k heaps via a
-    BLAS matmul, then a k·P-row global window). Rows-only: numpy float64
-    summation order differs from the fold-based exact operator at ~1e-15;
-    tests assert id-level agreement with q_knn_batch."""
+    BLAS matmul, then a k·P-row global window). FULL oracle since round 6:
+    phase 1 keys heaps with py_micro6 and emits micro/1e6 — exactly the
+    round6 double the fold-based operator produces — so the result
+    hash-matches q_knn_batch's SQL oracle (VERDICT r5 directive 4)."""
     emb = _t(spark, sf_dir, "embeddings")
     qrows = (
         emb.filter(F.col("vec_id") < 10)
@@ -2193,7 +2220,7 @@ def q_knn_twophase(spark, sf_dir):
         .collect()
     )
     queries = [(r.vec_id, list(r.embedding)) for r in qrows]
-    return knn.knn_batch_local_topk(queries, emb, k=3)
+    return knn.knn_batch_local_topk(queries, emb, k=3, payload_cols=("label",))
 
 
 def q_text_search(spark, sf_dir):
@@ -6561,6 +6588,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_minhash_signatures": q_minhash_signatures,
     "q_dedup_minhash": q_dedup_minhash,
     "q_incremental_dedup": q_incremental_dedup,
+    "q_incremental_dedup_indexed": q_incremental_dedup_indexed,
     "q_simhash": q_simhash,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_neardup_embedding": q_neardup_embedding,
@@ -6662,21 +6690,27 @@ _DRIVER_CONFIRMED_R1_R2 = frozenset({
     "q_doc_fingerprint", "q_minhash_signatures", "q_softmax_argmax",
 })
 
-# Round-5 priority: these lead the registry so a prefix-biased driver
-# sample reaches them first. q_quantize_int8's ONLY driver row ever is the
-# r2 harness crash that predates the r3 serialization fix (VERDICT r4
-# "what's wrong" #1 — code is green locally at every scale; the external
-# record needs a fresh row). The rest changed THIS round: simhash moved to
-# 64-bit fingerprints / 16-bit bands, q_retrieval_metrics now defaults to
-# the two-phase plan, and q_retrieval_metrics_window is a new registry key
-# (the old window body, kept as the oracle-parity path).
-_R5_PRIORITY = (
-    "q_quantize_int8",
-    "q_simhash_pairs",
-    "q_simhash",
-    "q_retrieval_metrics",
-    "q_retrieval_metrics_window",
-    "q_vocab_build",  # perf directive: needs a fresh driver-visible timing
+# Round-6 priority (VERDICT r5 directive 3): queries last driver-confirmed
+# in ROUND 1 whose plans changed materially in round 4 (tokenize-once pins,
+# pair-scoring rewrite) lead the registry so a prefix-biased driver sample
+# re-confirms them; q_knn_twophase follows because it gains its FULL oracle
+# this round (directive 4) and needs a fresh hash_match row.
+_R6_PRIORITY = (
+    "q_pad_frame",
+    "q_too_long_filter",
+    "q_max_len_scan",
+    "q_split_train_val",
+    "q_inst_parse",
+    "q_mask_pad",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_text_stats",
+    "q_join_enrich",
+    "q_event_window",
+    "q_json_extract",
+    "q_topk_global",
+    "q_knn_twophase",
+    "q_incremental_dedup_indexed",  # new this round (r6 directive 5)
 )
 
 # Round 3 sampled 50 more (all green except q_loss_mask, whose array
@@ -6717,14 +6751,36 @@ _DRIVER_SAMPLED_R4 = frozenset({
     "q_sim_self_join", "q_cosine_normalize", "q_dot_euclid", "q_knn_lsh",
     "q_knn_ivf", "q_knn_pq",
 })
+# Round 5's driver sample (CORRECTNESS_r05.json): 47 green + 3 rows-only —
+# the freshest external rows, so they rotate to the very back.
+_DRIVER_SAMPLED_R5 = frozenset({
+    "q_base64_decode", "q_base64_encode", "q_bm25", "q_cast_list",
+    "q_chunk_text", "q_count_filtered", "q_dbsf_fusion", "q_decode_lookup",
+    "q_decontaminate", "q_delete_points", "q_discovery_search",
+    "q_distance_matrix", "q_embedding_outliers", "q_encode_lookup",
+    "q_facet_counts", "q_flatten", "q_geo_radius", "q_hamming_knn",
+    "q_hybrid_rrf", "q_interleave_sources", "q_knn_groups",
+    "q_knn_twophase", "q_label_centroids", "q_match_text", "q_mmr_rerank",
+    "q_named_vectors", "q_normalize_scale", "q_pack_sequences",
+    "q_pipeline_e2e", "q_quantize_binary", "q_quantize_int8", "q_recommend",
+    "q_recommend_best_score", "q_repetition_ratio", "q_retrieval_metrics",
+    "q_retrieval_metrics_window", "q_sample_stratified", "q_scroll",
+    "q_scroll_ordered", "q_scrub_pii", "q_simhash", "q_simhash_pairs",
+    "q_softmax_argmax", "q_sparse_dot", "q_text_search", "q_tfidf",
+    "q_tokenize_ws", "q_unigram_logprob", "q_vocab_build",
+    "q_winnow_fingerprint",
+})
+
 _DRIVER_CONFIRMED = _DRIVER_CONFIRMED_R1_R2 | _DRIVER_CONFIRMED_R3
 
 
 def _registry_rank(k: str) -> tuple[int, int]:
-    if k in _R5_PRIORITY:
-        return (0, _R5_PRIORITY.index(k))
+    if k in _R6_PRIORITY:
+        return (0, _R6_PRIORITY.index(k))
+    if k in _DRIVER_SAMPLED_R5:
+        return (4, 0)  # freshest external rows: very back
     if k in _DRIVER_SAMPLED_R4:
-        return (3, 0)  # freshest external rows: back
+        return (3, 0)
     if k in _DRIVER_CONFIRMED_R3:
         return (2, 0)
     return (1, 0)  # R1/R2-only (or never): stalest rows lead
@@ -6741,6 +6797,9 @@ ORACLES: dict[str, str] = {
     "q_knn_score_payload": _SQL_KNN_SCORE_PAYLOAD,
     "q_knn_raw_vector": _SQL_KNN_RAW_VECTOR,
     "q_knn_batch": _SQL_KNN_BATCH,
+    # two-phase plan, same result contract as q_knn_batch (micro-keyed
+    # heaps reproduce the global round6 tie-break exactly — r6 directive 4)
+    "q_knn_twophase": _SQL_KNN_BATCH,
     "q_hard_negatives": _SQL_HARD_NEGATIVES,
     "q_training_triplets": _SQL_TRAINING_TRIPLETS,
     "q_knn_filtered": _SQL_KNN_FILTERED,
@@ -6769,6 +6828,8 @@ ORACLES: dict[str, str] = {
     "q_minhash_signatures": _SQL_MINHASH_SIGS,
     "q_dedup_minhash": _SQL_DEDUP_MINHASH,
     "q_incremental_dedup": _SQL_INCREMENTAL_DEDUP,
+    # index-path variant: same inputs, same result contract (r6 directive 5)
+    "q_incremental_dedup_indexed": _SQL_INCREMENTAL_DEDUP,
     "q_simhash": _SQL_SIMHASH,
     "q_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "q_neardup_embedding": _SQL_NEARDUP_EMBEDDING,
