@@ -345,6 +345,15 @@ def main() -> None:
                 "warmup_gen": WARMUP_GEN,
                 "queries": timings,
                 "recall_at_5": recall,
+                # the ANN operating points the recall numbers were taken at
+                # (r6 directive 2: annotate recall with the chosen point)
+                "ann_operating_points": {
+                    "lsh": "4 tables x 6-bit hyperplanes, hamming-1 multiprobe",
+                    "ivf": "16 centroids, nprobe=8",
+                    "pq": "8x16 codebooks, ADC shortlist-50, exact re-rank",
+                    "nsw": "M=8, ef=auto: max(48, 2*sqrt(bucket_rows)) "
+                           "(scale-aware default, STRESS.md 1M curve)",
+                },
                 "best_known_ratio": ratios,
                 "watch": watch,
             },

@@ -354,6 +354,18 @@ def test_nsw_recall_at_5(emb):
     assert recall >= 0.9, f"NSW recall@5 = {recall}"
 
 
+def test_auto_ef_scale_aware_default():
+    # r6 directive 2: ef=None derives the beam from the bucket size —
+    # 2*sqrt(bucket_rows) with the NSW_EF floor; an explicit int pins it
+    from vector_database_spark.operators.ann import NSW_EF, _auto_ef
+
+    assert _auto_ef(77, 10**6) == 77
+    assert _auto_ef(None, 100) == NSW_EF
+    assert _auto_ef(None, 15_625) == 250
+    assert _auto_ef(None, 1_000_000) == 2000
+    assert _auto_ef(None, 0) == NSW_EF  # empty bucket must not crash
+
+
 def test_nsw_deterministic_and_exact_rowcount(emb):
     queries = _query_vecs(emb, n=3)
     a = [tuple(r) for r in ann.nsw_knn(emb, queries, k=5).collect()]

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMALL
@@ -100,6 +101,41 @@ def test_minhash_contains_all_exact_dup_pairs(spark):
     }
     for i in range(30):
         assert (i, i + 5000) in pairs
+
+
+def test_simhash_compound_bands_equal_default_and_lossless(spark):
+    """Manku C(6,3)=20 compound keys and the default 4×16-bit bands are
+    BOTH lossless for Hamming ≤ 3, so on the same fingerprints they must
+    produce the IDENTICAL verified pair set (r6 directive 6). Planted
+    fingerprints at exact Hamming 1/2/3 from a base doc (bits flipped in
+    up to 3 different blocks) must all surface; Hamming 4 must not."""
+    rows = []
+    base = 0x0123_4567_89AB_CDEF
+    # flips chosen to land in DIFFERENT 11/10-bit blocks AND different
+    # 16-bit bands — the adversarial case for banding
+    rows.append((1, base))
+    rows.append((2, base ^ (1 << 5)))                                 # H=1
+    rows.append((3, base ^ (1 << 5) ^ (1 << 20)))                     # H=2
+    rows.append((4, base ^ (1 << 5) ^ (1 << 20) ^ (1 << 40)))         # H=3
+    rows.append((5, base ^ (1 << 5) ^ (1 << 20) ^ (1 << 40) ^ (1 << 60)))  # H=4
+    rows.append((6, -(1 << 63) | 0x7FFF))  # negative fingerprint (bit 63 set)
+    rows.append((7, (-(1 << 63) | 0x7FFF) ^ (1 << 62)))               # H=1 to 6
+    sigs = spark.createDataFrame(rows, "doc_id long, simhash long")
+    default = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_band_pairs(sigs).collect()
+    }
+    compound = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_band_pairs(sigs, compound=True).collect()
+    }
+    assert default == compound
+    assert (1, 2, 1) in default and (1, 3, 2) in default and (1, 4, 3) in default
+    assert (6, 7, 1) in default  # sign-bit fingerprints band correctly
+    assert not any(a == 1 and b == 5 for a, b, _ in default)  # H=4 excluded
+
+    with pytest.raises(ValueError):
+        dedup.simhash_band_pairs(sigs, max_hamming=4)
 
 
 def test_incremental_dedup_flags_planted_and_only_incoming(spark):

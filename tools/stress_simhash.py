@@ -106,7 +106,9 @@ def main() -> None:
         "that floor until N approaches ~10M; past that, the standard escalation",
         "(Manku §3: more blocks, compound band keys — e.g. 6 blocks keyed on",
         "every C(6,3)=20 choice of 3, ~32-bit keys → floor N²·20/2^33) drops the",
-        "floor another ~2^15 at 5x the band-join width. The `bands`/key-width",
+        "floor another ~2^15 at 5x the band-join width — IMPLEMENTED in round 6",
+        "as simhash_band_pairs(compound=True); measured floor drop in the",
+        "compound-key section below. The `bands`/key-width",
         "trade is a parameter of the same operator; 4x16 is the shipped default",
         "because it is lossless for k<=3 with the fewest tables.",
         "",
@@ -140,5 +142,109 @@ def main() -> None:
     print("updated STRESS.md section: SimHash banding")
 
 
+COMPOUND_SIZES = [1_000_000, 5_000_000]
+
+
+def synth_sigs(spark, n_docs: int):
+    """Uniform 64-bit fingerprints (xxhash64 of id) — the worst case for
+    the random-collision floor, which is exactly what this probe measures.
+    Planted: 0.5% exact copies (Hamming 0, ids +100M) and 0.5% 3-bit
+    flips across three different bands AND three different Manku blocks
+    (Hamming 3, ids +200M) — the adversarial true-pair shape."""
+    base = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), F.xxhash64(F.col("id")).alias("simhash")
+    )
+    h0 = base.filter(F.col("doc_id") % 200 == 0).select(
+        (F.col("doc_id") + 100_000_000).alias("doc_id"), "simhash"
+    )
+    flip = (1 << 5) | (1 << 20) | (1 << 40)  # bands 0/1/2, blocks 0/1/3
+    h3 = base.filter(F.col("doc_id") % 200 == 100).select(
+        (F.col("doc_id") + 200_000_000).alias("doc_id"),
+        F.col("simhash").bitwiseXOR(F.lit(flip)).alias("simhash"),
+    )
+    return base.unionByName(h0).unionByName(h3)
+
+
+def banded_candidates(sigs, compound: bool) -> int:
+    """Σ over band-key groups of C(n,2) — the candidate pairs the band
+    join would materialize, counted WITHOUT the join (keeps the 16-bit
+    floor computable at 5M docs where it is ~800G pairs)."""
+    exploded = sigs.select(
+        F.explode(
+            dedup.simhash_band_key_array(F.col("simhash"), compound)
+        ).alias("bk")
+    )
+    row = (
+        exploded.groupBy("bk")
+        .agg(F.count("*").alias("n"))
+        .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("p"))
+        .collect()[0]
+    )
+    return row["p"]
+
+
+def main_compound() -> None:
+    """Round-6 directive 6 probe: the Manku C(6,3)=20 compound-key
+    escalation vs the default 4×16-bit bands at >=1M/5M docs — candidate
+    floor contrast plus an END-TO-END simhash_band_pairs(compound=True)
+    run with planted-recall verification (H0 and H3 pairs must all
+    surface; compound banding is lossless for Hamming <= 3)."""
+    spark = get_spark("stress-simhash-compound")
+    spark.sparkContext.setLogLevel("ERROR")
+    lines = [
+        "Uniform synthetic 64-bit fingerprints (xxhash64 of id — worst case",
+        "for the random-collision floor), 0.5% planted exact copies (H=0) and",
+        "0.5% planted 3-bit flips spanning three bands AND three Manku blocks",
+        "(H=3). `cand(4x16)` is the default band scheme's candidate count,",
+        "`cand(C(6,3))` the compound 20-table/~33-bit-key escalation (both via",
+        "band-group sizes, no join); `pairs` and `planted found` come from an",
+        "end-to-end simhash_band_pairs(compound=True) run — the floor drop is",
+        "what makes the verified join MATERIALIZABLE at these sizes (the 4x16",
+        "candidate set at 5M docs is ~790G pairs; the compound set joins in",
+        "seconds).",
+        "",
+        "| docs (incl planted) | cand(4x16) | cand(C(6,3)) | floor drop | pairs verified | planted found | wall s |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for n in COMPOUND_SIZES:
+        sigs = synth_sigs(spark, n).persist()
+        total = sigs.count()
+        c_def = banded_candidates(sigs, compound=False)
+        c_cmp = banded_candidates(sigs, compound=True)
+        t0 = time.perf_counter()
+        pairs = dedup.simhash_band_pairs(sigs, compound=True).persist()
+        n_pairs = pairs.count()
+        wall = time.perf_counter() - t0
+        n_h0 = n // 200 + (1 if n % 200 else 0)
+        n_h3 = n // 200
+        found_h0 = pairs.filter(
+            (F.col("id_b") - F.col("id_a") == 100_000_000)
+            & (F.col("hamming") == 0)
+        ).count()
+        found_h3 = pairs.filter(
+            (F.col("id_b") - F.col("id_a") == 200_000_000)
+            & (F.col("hamming") == 3)
+        ).count()
+        lines.append(
+            f"| {total:,} | {c_def:,} | {c_cmp:,} | {c_def / max(c_cmp, 1):,.0f}x "
+            f"| {n_pairs:,} | H0 {found_h0}/{n_h0}, H3 {found_h3}/{n_h3} | {wall:.1f} |"
+        )
+        print(lines[-1], flush=True)
+        assert found_h0 == n_h0 and found_h3 == n_h3, "planted recall must be 100%"
+        pairs.unpersist()
+        sigs.unpersist()
+
+    from tools.stress_common import update_section
+
+    update_section(
+        "SimHash compound-key escalation (Manku C(6,3), round 6)",
+        "\n".join(lines),
+    )
+    print("updated STRESS.md section: SimHash compound-key escalation")
+
+
 if __name__ == "__main__":
-    main()
+    if "--compound" in sys.argv:
+        main_compound()
+    else:
+        main()

@@ -505,8 +505,27 @@ def pq_knn_rerank(
 
 NSW_M = 8        # out-degree target on insert
 NSW_M_MAX = 16   # degree cap after bidirectional linking (2×M, HNSW convention)
-NSW_EF = 48      # search beam width (the recall knob — see STRESS.md curve)
+NSW_EF = 48      # search beam FLOOR (the recall knob — see STRESS.md curve)
 NSW_EF_CONSTRUCTION = 64  # build beam width (graph quality, paid once at ingest)
+# Scale-aware search beam (round-6 directive 2): at fixed ef=48, recall@5
+# collapses 0.94 → 0.65 as buckets grow 2.5k → 15.6k rows (STRESS.md NSW
+# curve) — a fixed beam explores a shrinking fraction of a growing graph.
+# ef=None (the default) derives the beam per bucket as
+# max(NSW_EF, 2·sqrt(bucket_rows)): measured recall@5 0.93-1.00 at every
+# operating point from 2.5k to 15.6k rows/bucket (up to 1M total rows) on
+# uniform-random vectors — the ANN worst case — while beam cost grows only
+# O(sqrt) in bucket size (STRESS.md "NSW graph ANN"). The beam is chosen
+# INSIDE the per-bucket kernel where the bucket size is already known, so
+# auto-scaling costs no extra pass; pass an explicit int to pin it.
+NSW_EF_SQRT_COEF = 2
+
+
+def _auto_ef(ef: int | None, n_bucket: int) -> int:
+    import math
+
+    if ef is not None:
+        return ef
+    return max(NSW_EF, int(NSW_EF_SQRT_COEF * math.sqrt(max(n_bucket, 1))))
 
 
 def _nsw_build(X: "np.ndarray", M: int, ef: int, m_max: int | None = None):
@@ -610,7 +629,7 @@ def nsw_knn(
     k: int = 5,
     n_buckets: int = 4,
     M: int = NSW_M,
-    ef: int = NSW_EF,
+    ef: int | None = None,
     ef_construction: int = NSW_EF_CONSTRUCTION,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
@@ -637,7 +656,9 @@ def nsw_knn(
     def per_bucket(pdf):
         pdf, X = _bucket_arrays(pdf, id_col, emb_col)
         adj = _nsw_build(X, M=M, ef=ef_construction)
-        return _search_bucket(pdf, X, adj, qids, qmat, k, ef, id_col)
+        return _search_bucket(
+            pdf, X, adj, qids, qmat, k, _auto_ef(ef, len(pdf)), id_col
+        )
 
     bucketed = embeddings.select(
         id_col, emb_col, (F.pmod(F.xxhash64(F.col(id_col)), n_buckets)).alias("_b")
@@ -696,7 +717,7 @@ def nsw_search_index(
     path: str,
     queries: list[tuple[int, list[float]]],
     k: int = 5,
-    ef: int = NSW_EF,
+    ef: int | None = None,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> DataFrame:
@@ -717,7 +738,9 @@ def nsw_search_index(
             [pos[int(nb)] for nb in row if int(nb) in pos]
             for row in pdf["neighbors"].to_numpy()
         ]
-        return _search_bucket(pdf, X, adj, qids, qmat, k, ef, id_col)
+        return _search_bucket(
+            pdf, X, adj, qids, qmat, k, _auto_ef(ef, len(pdf)), id_col
+        )
 
     idx = spark.read.parquet(path)
     per = idx.groupBy("_b").applyInPandas(search, f"qid long, {id_col} long, score double")

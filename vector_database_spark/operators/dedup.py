@@ -497,6 +497,112 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return sums.select(id_col, sim.alias("simhash"))
 
 
+SIMHASH_BANDS = 4            # 64/4 → 16-bit band keys; lossless for k ≤ 3
+SIMHASH_COMPOUND_BLOCKS = 6  # Manku §3 escalation: C(6,3) = 20 tables
+
+
+def simhash_band_key_array(sim: Column, compound: bool = False) -> Column:
+    """ARRAY of band keys for one fingerprint column — the banding scheme
+    of :func:`simhash_band_pairs`, exposed so probes can count band-group
+    collisions without materializing the pair join. Default: 4 string keys
+    'b_<16-bit value>'. ``compound``: 20 BIGINT keys, one per C(6,3) block
+    choice, each packing (combo id, 3 block values) into ≤38 bits."""
+    if compound:
+        widths = [11, 11, 11, 11, 10, 10]  # Σ = 64
+        offsets = [sum(widths[:i]) for i in range(len(widths))]
+        blocks = [
+            F.shiftrightunsigned(sim, offsets[i]).bitwiseAND(
+                F.lit((1 << widths[i]) - 1)
+            )
+            for i in range(len(widths))
+        ]
+        from itertools import combinations
+
+        keys = []
+        for c, (i, j, k) in enumerate(
+            combinations(range(SIMHASH_COMPOUND_BLOCKS), 3)
+        ):
+            # fixed 11-bit slots regardless of block width: 5+33 bits < 64
+            packed = (
+                (
+                    (F.lit(c).cast("long") * 2048 + blocks[i].cast("long")) * 2048
+                    + blocks[j].cast("long")
+                )
+                * 2048
+                + blocks[k].cast("long")
+            )
+            keys.append(packed)
+        return F.array(*keys)
+    bits_per = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << bits_per) - 1
+    return F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}_"),
+                F.shiftrightunsigned(sim, b * bits_per)
+                .bitwiseAND(F.lit(mask))
+                .cast("string"),
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+
+
+def simhash_band_pairs(
+    sigs: DataFrame,
+    max_hamming: int = 3,
+    compound: bool = False,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+) -> DataFrame:
+    """SimHash near-dup pairs via Hamming banding (Manku et al. 2007).
+
+    Default (``compound=False``): 4 bands × 16 bits. Pigeonhole: ≤3
+    flipped bits corrupt ≤3 of the 4 bands, so every true pair shares at
+    least one intact band — the banding is LOSSLESS for ``max_hamming`` ≤
+    3, not a heuristic. Band keys take 2^16 values, so the random-collision
+    floor is ~``bands``·N²/2^17 pairs on a hash-uniform corpus.
+
+    ``compound=True`` (round-6 directive 6 — the documented "next knob past
+    ~10M docs" made real): Manku §3's compound-key escalation. The 64 bits
+    split into 6 blocks (11,11,11,11,10,10 bits); one table per C(6,3)=20
+    choice of 3 blocks, keyed on the 3 block VALUES packed into a single
+    BIGINT (combo id + 3×11-bit slots → ≤38 bits). ≤3 flipped bits lie in
+    ≤3 blocks, so ≥3 blocks stay intact and the table keyed on 3 intact
+    blocks still collides — the pigeonhole property is preserved for
+    Hamming ≤ 3. The collision floor drops to ~20·N²/2^(32..33) — ~2^15
+    lower than the 16-bit bands — at 5× the band-join width (20·N rows
+    shuffle instead of 4·N). Worth it only once N² /2^17 dominates true
+    near-dup density, i.e. ≳10M hash-uniform docs (STRESS.md "SimHash
+    banding", compound columns).
+
+    Output: (id_a, id_b, hamming BIGINT) with id_a < id_b and hamming ≤
+    ``max_hamming``; identical for both key schemes (both are lossless,
+    verification is the same exact XOR+popcount).
+    """
+    if max_hamming > 3:
+        raise ValueError(
+            f"banding is lossless only for max_hamming <= 3 "
+            f"(4 bands / C(6,3) blocks); got {max_hamming}"
+        )
+    key_arr = simhash_band_key_array(F.col(sim_col), compound)
+    exploded = sigs.select(id_col, sim_col, F.explode(key_arr).alias("bk"))
+    a = exploded.select(
+        F.col(id_col).alias("id_a"), F.col(sim_col).alias("sh_a"), "bk"
+    )
+    b = exploded.select(
+        F.col(id_col).alias("id_b"), F.col(sim_col).alias("sh_b"), "bk"
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
+    return (
+        a.join(b, "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",

@@ -5489,7 +5489,8 @@ FROM comp c JOIN documents d USING (doc_id)
 
 
 _SIMHASH_MAX_HAMMING = 3
-_SIMHASH_BANDS = 4  # 64 bits / 4 bands; ≤3 flipped bits leave ≥1 band intact
+# banding itself lives in operators/dedup.py::simhash_band_pairs (default
+# 4×16-bit bands; compound=True is the Manku C(6,3) escalation for >10M docs)
 
 
 def q_simhash_pairs(spark, sf_dir):
@@ -5507,35 +5508,19 @@ def q_simhash_pairs(spark, sf_dir):
     N²/|values| — the round-4 4-bit-band default was quadratic); candidate
     verification is integer ops on pairs only."""
     sigs = dedup.simhash(_docs_with_near_dups(spark, sf_dir))
-    bits_per = dedup.SIMHASH_BITS // _SIMHASH_BANDS
-    frames = []
-    for b in range(_SIMHASH_BANDS):
-        band_val = F.shiftright(F.col("simhash"), b * bits_per).bitwiseAND(
-            F.lit((1 << bits_per) - 1)
-        )
-        frames.append(
-            sigs.select(
-                F.col("doc_id"),
-                F.col("simhash"),
-                F.concat(F.lit(f"{b}_"), band_val.cast("string")).alias("bk"),
-            )
-        )
-    allb = frames[0]
-    for fr in frames[1:]:
-        allb = allb.unionAll(fr)
-    a = allb.select(
-        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"), "bk"
-    )
-    b_ = allb.select(
-        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"), "bk"
-    )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
-    return (
-        a.join(b_, "bk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", ham.alias("hamming"))
-        .filter(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
-        .distinct()
+    return dedup.simhash_band_pairs(sigs, max_hamming=_SIMHASH_MAX_HAMMING)
+
+
+def q_simhash_pairs_compound(spark, sf_dir):
+    """The Manku C(6,3)=20-table compound-key escalation (r6 directive 6:
+    the documented >10M-doc knob, made real): 6 blocks of 11/10 bits, one
+    table per 3-block choice, ~33-bit BIGINT keys. Both schemes are
+    lossless for Hamming ≤ 3, so the verified pair set is IDENTICAL to
+    q_simhash_pairs — same FULL oracle. Candidate floor: ~20N²/2^33 vs
+    ~4N²/2^17 (1,319× fewer at 5M docs, STRESS.md)."""
+    sigs = dedup.simhash(_docs_with_near_dups(spark, sf_dir))
+    return dedup.simhash_band_pairs(
+        sigs, max_hamming=_SIMHASH_MAX_HAMMING, compound=True
     )
 
 
@@ -6561,6 +6546,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_loss_mask": q_loss_mask,
     "q_span_corruption": q_span_corruption,
     "q_simhash_pairs": q_simhash_pairs,
+    "q_simhash_pairs_compound": q_simhash_pairs_compound,
     "q_gap_fill": q_gap_fill,
     "q_corr_stats": q_corr_stats,
     "q_cluster_canonical": q_cluster_canonical,
@@ -6710,7 +6696,8 @@ _R6_PRIORITY = (
     "q_json_extract",
     "q_topk_global",
     "q_knn_twophase",
-    "q_incremental_dedup_indexed",  # new this round (r6 directive 5)
+    "q_incremental_dedup_indexed",   # new this round (r6 directive 5)
+    "q_simhash_pairs_compound",      # new this round (r6 directive 6)
 )
 
 # Round 3 sampled 50 more (all green except q_loss_mask, whose array
@@ -6919,6 +6906,8 @@ ORACLES: dict[str, str] = {
     "q_loss_mask": _SQL_LOSS_MASK,
     "q_span_corruption": _SQL_SPAN_CORRUPTION,
     "q_simhash_pairs": _sql_simhash_pairs(),
+    # compound keys are lossless too → identical pair set, same oracle (r6)
+    "q_simhash_pairs_compound": _sql_simhash_pairs(),
     "q_gap_fill": _SQL_GAP_FILL,
     "q_corr_stats": _SQL_CORR_STATS,
     "q_cluster_canonical": _SQL_CLUSTER_CANONICAL,
