@@ -22,6 +22,11 @@ HEAVY_QUERIES = (
     "q_quality_score",
     "q_substring_dedup",
     "q_simhash_pairs",
+    # round-6 additions: explode-once banding (compound keys), the
+    # two-phase micro-keyed batch k-NN, and the indexed incremental path
+    "q_simhash_pairs_compound",
+    "q_knn_twophase",
+    "q_incremental_dedup_indexed",
     "q_semdedup",
     "q_semdedup_kmeans",
     "q_kmeans_clusters",

@@ -50,7 +50,11 @@ OPERATORS = (
     "ShuffledHashJoin",
     "BroadcastNestedLoopJoin",
 )
-ALLOW = {("q_simhash_pairs", "bit_count(")}
+ALLOW = {
+    ("q_simhash_pairs", "bit_count("),
+    # same deliberate in-join popcount prune, compound key scheme (r6)
+    ("q_simhash_pairs_compound", "bit_count("),
+}
 
 
 def audit_query_plans(spark, queries, sf: str) -> list[str]:
