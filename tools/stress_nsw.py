@@ -134,6 +134,28 @@ def main() -> None:
 
 
 IVF_POINTS = [(64, 4), (64, 8), (64, 16), (128, 8), (128, 16)]
+IVF_CLUSTERED_POINTS = [(64, 2), (64, 4), (64, 8)]
+
+
+def synth_clustered(spark, n: int, n_clusters: int = 64):
+    """Deterministic clustered corpus: 64-d points around ``n_clusters``
+    hash-derived centers with small per-point noise — the shape real
+    embedding spaces have (and the case IVF's Voronoi cells are FOR)."""
+    cid = F.pmod(F.col("id"), n_clusters)
+    center = lambda j: (  # noqa: E731
+        (F.pmod(F.hash(cid, F.lit(j)), F.lit(19)).cast("double") / 10.0) - 0.9
+    )
+    noise = lambda j: (  # noqa: E731
+        F.pmod(F.hash(F.col("id"), F.lit(100 + j)), F.lit(21)).cast("double")
+        / 100.0
+        - 0.1
+    )
+    return spark.range(0, n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[center(j) + noise(j) for j in range(64)])
+        .cast("array<float>")
+        .alias("embedding"),
+    )
 
 
 def main_ivf() -> None:
@@ -186,6 +208,51 @@ def main_ivf() -> None:
             hits += len(truth[qid] & got)
         t_query = time.perf_counter() - t0
         recall = hits / (k * len(queries))
+        lines.append(
+            f"| {n:,} | {n_cent} | {nprobe} | {nprobe / n_cent:.2f} "
+            f"| {recall:.2f} | {t_query:.1f} | {t_train:.1f} |"
+        )
+        print(lines[-1], flush=True)
+
+    # the realistic case: clustered embeddings — what IVF's Voronoi
+    # partitioning is actually FOR. Same harness, clustered corpus.
+    emb_c = synth_clustered(spark, n).localCheckpoint(eager=True)
+    queries_c = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb_c.filter(F.col("vec_id") % (n // 16) == 0).collect()
+    ]
+    truth_c = _ground_truth(emb_c, queries_c, k)
+    lines += [
+        "",
+        "Clustered corpus (64 hash-derived centers + per-point noise — the",
+        "shape real embedding spaces have): the same operator at a FRACTION",
+        "of the scanned data holds high recall, because nprobe cells now",
+        "align with true neighborhoods. This pair of tables is the honest",
+        "operating envelope: uniform = floor, clustered = expectation.",
+        "",
+        "| rows (clustered) | centroids | nprobe | scan frac | recall@5 | query s (16q) | train s |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    trained_c: dict[int, tuple] = {}
+    for n_cent, nprobe in IVF_CLUSTERED_POINTS:
+        if n_cent not in trained_c:
+            t0 = time.perf_counter()
+            assigned, centroids = ann.ivf_index(emb_c, n_centroids=n_cent)
+            assigned = assigned.localCheckpoint(eager=True)
+            trained_c[n_cent] = (assigned, centroids, time.perf_counter() - t0)
+        assigned, centroids, t_train = trained_c[n_cent]
+        t0 = time.perf_counter()
+        hits = 0
+        for qid, qv in queries_c:
+            got = {
+                r["vec_id"]
+                for r in ann.ivf_knn(
+                    assigned, centroids, qv, k=k, nprobe=nprobe, payload_cols=()
+                ).collect()
+            }
+            hits += len(truth_c[qid] & got)
+        t_query = time.perf_counter() - t0
+        recall = hits / (k * len(queries_c))
         lines.append(
             f"| {n:,} | {n_cent} | {nprobe} | {nprobe / n_cent:.2f} "
             f"| {recall:.2f} | {t_query:.1f} | {t_train:.1f} |"

@@ -282,17 +282,16 @@ def knn_batch_local_topk(
 
     def local_topk(batches):
         import heapq
-        import math
 
         import numpy as np
-
-        from vector_database_spark.functions.vector import py_micro6
 
         Q = np.asarray(q_vecs, dtype=np.float64)  # (nq, dim)
         Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
         heaps: list[list] = [[] for _ in q_ids]
+        no_pay = ()
         for pdf in batches:
-            if not len(pdf):
+            n = len(pdf)
+            if not n:
                 continue
             E = np.asarray([list(e) for e in pdf[emb_col]], dtype=np.float64)
             norms = np.linalg.norm(E, axis=1, keepdims=True)
@@ -303,24 +302,46 @@ def knn_batch_local_topk(
             En = E / np.where(norms == 0.0, 1.0, norms)
             S = En @ Qn.T  # (batch, nq) cosine in one matmul
             S[norms[:, 0] == 0.0, :] = -np.inf
+            # heap key: (micro6 score, -id) — the SAME half-up micro-unit
+            # rule the global phase ranks by, so phase 1 never prunes a
+            # candidate the global round would keep. Computed VECTORIZED:
+            # np.floor(s*1e6+0.5) is the identical IEEE double expression
+            # as functions/vector.py::py_micro6 (Python round()'s half-even
+            # would disagree exactly on the .xxxxxx5 tie boundaries).
+            # Non-finite (−inf zero-norm, NaN zero-norm query) → −1e18,
+            # matching the old per-element isfinite guard.
+            M = np.where(
+                np.isfinite(S), np.floor(S * 1e6 + 0.5), -1.0e18
+            ).astype(np.int64)
             ids = pdf[id_col].to_numpy()
             pays = [pdf[c].tolist() for c in payload_cols]
             for qi, qid in enumerate(q_ids):
-                col = S[:, qi]
-                for ri, (rid, s) in enumerate(zip(ids, col)):
-                    if exclude_self and int(rid) == qid:
+                col = M[:, qi]
+                # the per-(row × query) Python loop is the phase-1 cost at
+                # 1M rows; prune with one np.partition to the rows whose
+                # key can still enter the top-k: everything >= the
+                # (k+1)-th largest micro (k+1, not k, so an excluded self
+                # row can't starve the candidate set; >= keeps ALL ties at
+                # the boundary, so id tie-breaks stay exact)
+                if n > k + 8:
+                    kth = np.partition(col, n - (k + 1))[n - (k + 1)]
+                    cand_idx = np.nonzero(col >= kth)[0]
+                else:
+                    cand_idx = range(n)
+                heap = heaps[qi]
+                for ri in cand_idx:
+                    rid = int(ids[ri])
+                    if exclude_self and rid == qid:
                         continue
-                    # heap key: (py_micro6 score, -id) — the SAME half-up
-                    # micro-unit rule the global phase ranks by, so phase 1
-                    # never prunes a candidate the global round would keep.
-                    # Python round() (half-even) disagrees with round6
-                    # exactly on the .xxxxxx5 boundaries that decide ties.
-                    micro = py_micro6(s) if math.isfinite(s) else -(10**18)
-                    item = (micro, -int(rid), tuple(p[ri] for p in pays))
-                    if len(heaps[qi]) < k:
-                        heapq.heappush(heaps[qi], item)
-                    elif item[:2] > heaps[qi][0][:2]:
-                        heapq.heapreplace(heaps[qi], item)
+                    item = (
+                        int(col[ri]),
+                        -rid,
+                        tuple(p[ri] for p in pays) if pays else no_pay,
+                    )
+                    if len(heap) < k:
+                        heapq.heappush(heap, item)
+                    elif item[:2] > heap[0][:2]:
+                        heapq.heapreplace(heap, item)
         rows: dict[str, list] = {
             "qid": [], id_col: [], **{c: [] for c in payload_cols}, "score": []
         }
