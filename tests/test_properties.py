@@ -103,6 +103,41 @@ def test_minhash_contains_all_exact_dup_pairs(spark):
         assert (i, i + 5000) in pairs
 
 
+def test_twophase_equals_window_on_tie_dense_grids(spark):
+    """Adversarial equivalence sweep for the vectorized phase-1 pruning
+    (r6): small-integer-grid vectors make MANY pairs share the exact same
+    cosine micro key, so the (k+1)-th-largest partition threshold sits on
+    a fat tie plateau — precisely where a '>' instead of '>=' (or a k
+    instead of k+1) would silently drop a lower-id tie that the global
+    window keeps. Full row equality (ids AND micro-quantized scores)
+    against the exact window operator, across partitionings."""
+    import numpy as np
+
+    from vector_database_spark.operators import knn
+
+    for seed in range(5):
+        rng = np.random.RandomState(seed)
+        n, dim, k = 240, 4, 4
+        vecs = rng.randint(0, 3, size=(n, dim)).astype(float)  # dense ties
+        rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).repartition(7)
+        q_ids = [int(i) for i in rng.choice(n, size=3, replace=False)]
+        queries = [(i, [float(x) for x in vecs[i]]) for i in q_ids]
+        qdf = spark.createDataFrame(queries, "qid long, qv array<float>")
+
+        exact = {
+            (r["qid"], r["vec_id"], r["score"])
+            for r in knn.knn_batch(qdf, df, k=k, payload_cols=()).collect()
+        }
+        two = {
+            (r["qid"], r["vec_id"], r["score"])
+            for r in knn.knn_batch_local_topk(queries, df, k=k).collect()
+        }
+        assert exact == two, f"seed {seed}: {exact ^ two}"
+
+
 def test_simhash_compound_bands_equal_default_and_lossless(spark):
     """Manku C(6,3)=20 compound keys and the default 4×16-bit bands are
     BOTH lossless for Hamming ≤ 3, so on the same fingerprints they must
