@@ -635,37 +635,45 @@ def retrieval_eval_candidates(
 
     def local_heaps(batches):
         import heapq
-        import math
-
-        from vector_database_spark.functions.vector import py_micro6
 
         truth: list[list] = [[] for _ in q_ids]
         sys_h: list[list] = [[] for _ in q_ids]
         for pdf in batches:
-            if not len(pdf):
+            n = len(pdf)
+            if not n:
                 continue
             E = np.asarray([list(e) for e in pdf[emb_col]], dtype=np.float64)
             norms = np.linalg.norm(E, axis=1, keepdims=True)
             En = E / np.where(norms == 0.0, 1.0, norms)
             S = En @ Qn.T
             S[norms[:, 0] == 0.0, :] = -np.inf
-            D = _int8(E) @ Q8.T  # exact integers in float64
+            # micro keys vectorized — the identical IEEE expression as
+            # py_micro6 (see knn_batch_local_topk); int8 dots are exact
+            # integers in float64 (|dot| <= dim*127², far below 2^53)
+            M = np.where(
+                np.isfinite(S), np.floor(S * 1e6 + 0.5), -1.0e18
+            ).astype(np.int64)
+            D = (_int8(E) @ Q8.T).astype(np.int64)
             ids = pdf[id_col].to_numpy()
             for qi in range(len(q_ids)):
-                for rid, s, d in zip(ids, S[:, qi], D[:, qi]):
-                    t_item = (
-                        py_micro6(s) if math.isfinite(s) else -(10**18),
-                        -int(rid),
-                    )
-                    if len(truth[qi]) < k:
-                        heapq.heappush(truth[qi], t_item)
-                    elif t_item > truth[qi][0]:
-                        heapq.heapreplace(truth[qi], t_item)
-                    s_item = (int(d), -int(rid))
-                    if len(sys_h[qi]) < k:
-                        heapq.heappush(sys_h[qi], s_item)
-                    elif s_item > sys_h[qi][0]:
-                        heapq.heapreplace(sys_h[qi], s_item)
+                for col, heap in ((M[:, qi], truth[qi]), (D[:, qi], sys_h[qi])):
+                    # one np.partition prunes the per-(row × query) Python
+                    # loop to the rows whose key reaches the (k+1)-th
+                    # largest; >= keeps every boundary tie so the id
+                    # tie-break stays exact (same rule as the two-phase
+                    # batch k-NN — no query here excludes itself, the +1
+                    # is pure safety margin)
+                    if n > k + 8:
+                        kth = np.partition(col, n - (k + 1))[n - (k + 1)]
+                        cand_idx = np.nonzero(col >= kth)[0]
+                    else:
+                        cand_idx = range(n)
+                    for ri in cand_idx:
+                        item = (int(col[ri]), -int(ids[ri]))
+                        if len(heap) < k:
+                            heapq.heappush(heap, item)
+                        elif item > heap[0]:
+                            heapq.heapreplace(heap, item)
         rows = {"qid": [], id_col: [], "leg": [], "key": []}
         for qi, qid in enumerate(q_ids):
             for leg, heap in (("truth", truth[qi]), ("sys", sys_h[qi])):
