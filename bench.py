@@ -21,6 +21,9 @@ BENCH_QUERIES = [
     # vector search surface
     "q_knn_topk",
     "q_knn_batch",
+    # the O(k·P)-shuffle scale plan for the same result (FULL oracle since
+    # r6) — benched next to the window plan so the driver sees both shapes
+    "q_knn_twophase",
     "q_sim_self_join",
     "q_knn_lsh",
     # text pipeline
