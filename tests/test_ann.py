@@ -101,6 +101,26 @@ def test_ivf_partitioned_layout_prunes(spark, emb, tmp_path):
     assert "centroid_id" in plan.split("PartitionFilters")[1][:200]
 
 
+def test_lsh_partitioned_layout_prunes_and_matches_fused(spark, emb, tmp_path):
+    """r6: the signatures-at-ingest layout lsh_knn's docstring promises —
+    per-table copies partitioned by (table, sig) so the probe set is a
+    partition predicate; results must equal the fused scan operator (same
+    probes, same exact re-rank)."""
+    dim = len(emb.select("embedding").first()[0])
+    path = str(tmp_path / "lsh")
+    ann.lsh_write_partitioned(emb, path, dim=dim)
+    qv = _query_vecs(emb, n=1)[0][1]
+    pruned = ann.lsh_knn_pruned(spark, path, qv, k=5)
+    fused = ann.lsh_knn(emb, qv, k=5)
+    p_rows = [(r["vec_id"], r["score"]) for r in pruned.collect()]
+    f_rows = [(r["vec_id"], r["score"]) for r in fused.collect()]
+    assert p_rows == f_rows
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    tail = plan.split("PartitionFilters")[1][:400]
+    assert "table" in tail and "sig" in tail
+
+
 def test_twophase_matches_exact_batch(emb):
     queries = _query_vecs(emb)
     exact = knn.knn_batch(

@@ -135,6 +135,30 @@ def lsh_knn(
     dim = len(query_vector)
     tagged = with_lsh_signature(embeddings, dim=dim, bits=bits, tables=tables, emb_col=emb_col)
     pred = None
+    for t, probes in enumerate(
+        _query_probes(query_vector, bits=bits, tables=tables, max_hamming=max_hamming)
+    ):
+        term = F.col(f"sig_{t}").isin(probes)
+        pred = term if pred is None else (pred | term)
+    cands = tagged.filter(pred)
+    q = F.array(*[F.lit(float(x)) for x in query_vector]).cast("array<double>")
+    scored = cands.select(
+        id_col, *payload_cols, round6(cosine(F.col(emb_col), q)).alias("score")
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def _query_probes(
+    query_vector: list[float],
+    bits: int = LSH_BITS,
+    tables: int = LSH_TABLES,
+    max_hamming: int = 1,
+) -> list[list[int]]:
+    """Per-table probe buckets for one query: the query's signature plus
+    its multiprobe Hamming neighborhood (shared by the fused scan filter
+    and the persisted-layout partition predicate)."""
+    dim = len(query_vector)
+    out = []
     for t in range(tables):
         planes = _hyperplanes(dim, bits, seed=LSH_SEED + t)
         qsig = int(
@@ -149,9 +173,75 @@ def lsh_knn(
                 for a in range(bits)
                 for b in range(a + 1, bits)
             ]
-        term = F.col(f"sig_{t}").isin(probes)
+        out.append(probes)
+    return out
+
+
+def lsh_write_partitioned(
+    embeddings: DataFrame,
+    path: str,
+    dim: int,
+    bits: int = LSH_BITS,
+    tables: int = LSH_TABLES,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    payload_cols: tuple[str, ...] = ("label",),
+) -> None:
+    """Materialize the multi-table LSH index as a partitioned Parquet
+    layout — the signatures-at-ingest form lsh_knn's docstring promises:
+    one row copy per table under ``table=<t>/sig=<bucket>/`` so a query's
+    per-table probe set becomes PARTITION PRUNING (only the probed bucket
+    directories are even listed). The ``tables``× storage duplication is
+    the standard multi-table LSH trade — each copy answers its own table's
+    bucket lookup with no scan of the rest; at 100 TB the alternative
+    (a single copy + OR filter over signature columns) still reads every
+    row group. Probe cost per query: tables × (1 + multiprobe) partitions
+    of ~N/2^bits rows each."""
+    tagged = with_lsh_signature(
+        embeddings, dim=dim, bits=bits, tables=tables, emb_col=emb_col
+    )
+    frames = [
+        tagged.select(
+            id_col,
+            emb_col,
+            *payload_cols,
+            F.lit(t).alias("table"),
+            F.col(f"sig_{t}").alias("sig"),
+        )
+        for t in range(tables)
+    ]
+    allt = frames[0]
+    for fr in frames[1:]:
+        allt = allt.unionByName(fr)
+    allt.write.mode("overwrite").partitionBy("table", "sig").parquet(path)
+
+
+def lsh_knn_pruned(
+    spark,
+    path: str,
+    query_vector: list[float],
+    k: int = 5,
+    bits: int = LSH_BITS,
+    tables: int = LSH_TABLES,
+    max_hamming: int = 1,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    payload_cols: tuple[str, ...] = ("label",),
+) -> DataFrame:
+    """lsh_knn against the partitioned layout written by
+    :func:`lsh_write_partitioned`: the per-table probe sets land on the
+    ``table``/``sig`` PARTITION columns (verify: PartitionFilters in
+    .explain), candidates are deduped by id (a row collides in several
+    tables), then exact cosine re-ranks — identical results to the fused
+    operator by construction (same probes, same re-rank)."""
+    df = spark.read.parquet(path)
+    pred = None
+    for t, probes in enumerate(
+        _query_probes(query_vector, bits=bits, tables=tables, max_hamming=max_hamming)
+    ):
+        term = (F.col("table") == t) & F.col("sig").isin(probes)
         pred = term if pred is None else (pred | term)
-    cands = tagged.filter(pred)
+    cands = df.filter(pred).dropDuplicates([id_col])
     q = F.array(*[F.lit(float(x)) for x in query_vector]).cast("array<double>")
     scored = cands.select(
         id_col, *payload_cols, round6(cosine(F.col(emb_col), q)).alias("score")
