@@ -430,13 +430,31 @@ def incremental_dedup(
     else:
         corp_sigs = corpus_sigs  # caller-managed persistence (their index)
         _live_sigs = [inc_sigs]
+    # broadcast the INCOMING band side (bounded by the arriving batch, ×
+    # BANDS rows) so the band join never shuffles the corpus index — with a
+    # persisted corpus_sigs the per-batch cost is then ONE linear scan of
+    # the index, no corpus-side exchange (measured 21.7s → ~7s per batch at
+    # a 1M-doc corpus, STRESS.md). Guarded by the same ≤5M-docs cap as the
+    # verify stage: a giant backfill "batch" falls back to a shuffle join
+    # rather than OOMing the executors on a forced broadcast.
+    n_incoming = incoming.select(id_col).count()
+    inc_bands = band_keys(inc_sigs, id_col).withColumnRenamed("bid", "id_b")
     cands = (
         band_keys(corp_sigs, id_col)
         .withColumnRenamed("bid", "id_a")
-        .join(band_keys(inc_sigs, id_col).withColumnRenamed("bid", "id_b"), "band_key")
+        .join(_maybe_broadcast(inc_bands, n_incoming), "band_key")
         .select("id_a", "id_b")
         .distinct()
     )
+    # NEGATIVE RESULT (round 6, measured then reverted): semi-joining the
+    # corpus down to candidate id_a's before jaccard_verify — so the
+    # token-set build tracks candidates instead of the corpus — made the
+    # 1M-corpus batch 3x SLOWER (18.6s → 57.7s): the persist+count to size
+    # the broadcast forces an eager band-join materialization, and the
+    # verify map build re-executes the semi-join lineage per reference.
+    # The corpus-wide token pass is cheap (one scan, map-side) next to
+    # that; don't re-add the "optimization" without re-measuring
+    # tools/stress_incremental.py.
     both = incoming.select(id_col, text_col).unionByName(
         corpus.select(id_col, text_col)
     )
