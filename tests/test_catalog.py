@@ -878,3 +878,54 @@ def test_nsw_index_on_collection(spark, tmp_path):
         col.search_nsw(qv)
     col.build_nsw_index(n_buckets=2)
     assert len(col.search_nsw(qv, limit=5).collect()) == 5
+
+
+def test_lsh_index_on_collection(spark, tmp_path):
+    """r6: the persisted multi-table LSH index as a collection surface —
+    same build-once / version-pinned staleness contract as the NSW graph
+    index; probes must land on the (table, sig) PARTITION columns, and
+    the approximate top-k must be a subset the exact search agrees with
+    on score."""
+    import pytest as _pytest
+
+    from vector_database_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat4"))
+    cat.create_collection("hashed", dim=8)
+    col = cat.collection("hashed")
+    pts = spark.createDataFrame(
+        [
+            (i, [((i * 31 + j * 17) % 19) / 10.0 - 0.9 for j in range(8)], {"i": str(i)})
+            for i in range(120)
+        ],
+        "id long, embedding array<float>, payload map<string,string>",
+    )
+    col.upsert(pts)
+    with _pytest.raises(ValueError, match="no LSH index"):
+        col.search_lsh([0.1] * 8)
+    col.build_lsh_index()
+
+    qv = [((5 * 31 + j * 17) % 19) / 10.0 - 0.9 for j in range(8)]
+    res = col.search_lsh(qv, limit=5)
+    rows = res.collect()
+    assert len(rows) == 5
+    assert rows[0]["id"] == 5 and rows[0]["score"] == 1.0  # exact self hit
+    exact_scores = {
+        r["id"]: r["score"] for r in col.search(qv, limit=120).collect()
+    }
+    for r in rows:
+        assert exact_scores[r["id"]] == r["score"]
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+    # staleness: a later write invalidates the index until rebuild
+    col.upsert(
+        spark.createDataFrame(
+            [(999, [0.5] * 8, {"i": "999"})],
+            "id long, embedding array<float>, payload map<string,string>",
+        )
+    )
+    with _pytest.raises(ValueError, match="rebuild"):
+        col.search_lsh(qv)
+    col.build_lsh_index()
+    assert len(col.search_lsh(qv, limit=5).collect()) == 5

@@ -1101,6 +1101,87 @@ class VectorCollection:
             emb_col="embedding",
         )
 
+    # -- multi-table LSH index (signatures at ingest) -----------------------
+    @property
+    def _lsh_index_path(self) -> str:
+        return self.path + "__lsh"
+
+    def build_lsh_index(self, bits: int = 6, tables: int = 4) -> None:
+        """Materialize the multi-table LSH index for the CURRENT live
+        state (operators/ann.py::lsh_write_partitioned): one row copy per
+        table partitioned by (table, sig), so a query's probe set becomes
+        partition pruning. Same staleness contract as the NSW index: the
+        pinned collection version is checked at search time and a later
+        write raises until rebuild. Cosine only (random-hyperplane LSH
+        approximates the angular metric)."""
+        from vector_database_spark.operators import ann
+
+        if self.info.metric != "cosine":
+            raise ValueError(
+                f"build_lsh_index requires a cosine collection; "
+                f"{self.info.name!r} uses metric={self.info.metric!r}"
+            )
+        current_version = self.catalog._load()[self.info.name]["version"]
+        emb = self.df().select("id", "embedding", "payload")
+        ann.lsh_write_partitioned(
+            emb,
+            self._lsh_index_path,
+            dim=self.info.dim,
+            bits=bits,
+            tables=tables,
+            id_col="id",
+            emb_col="embedding",
+            payload_cols=("payload",),
+        )
+        with open(os.path.join(self._lsh_index_path, "_index_meta.json"), "w") as fh:
+            json.dump(
+                {"built_at_version": current_version, "bits": bits, "tables": tables},
+                fh,
+            )
+
+    def search_lsh(
+        self, query_vector: list[float], limit: int = 5, max_hamming: int = 1
+    ) -> DataFrame:
+        """Approximate cosine top-k over the persisted LSH index: the
+        per-table probe buckets are PARTITION predicates (only probed
+        directories are listed), candidates dedupe by id and re-rank with
+        exact cosine. Raises if no index exists or the collection has been
+        written since the build. Returns (id, payload, score)."""
+        from vector_database_spark.operators import ann
+
+        if self.info.metric != "cosine":
+            raise ValueError(
+                f"search_lsh requires a cosine collection; "
+                f"{self.info.name!r} uses metric={self.info.metric!r}"
+            )
+        meta_path = os.path.join(self._lsh_index_path, "_index_meta.json")
+        if not os.path.exists(meta_path):
+            raise ValueError(
+                f"collection {self.info.name!r} has no LSH index; "
+                "call build_lsh_index() first"
+            )
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        current_version = self.catalog._load()[self.info.name]["version"]
+        if meta["built_at_version"] != current_version:
+            raise ValueError(
+                f"LSH index of {self.info.name!r} was built at version "
+                f"{meta['built_at_version']} but the collection is at "
+                f"{current_version}; rebuild with build_lsh_index()"
+            )
+        return ann.lsh_knn_pruned(
+            self.catalog.spark,
+            self._lsh_index_path,
+            [float(x) for x in query_vector],
+            k=limit,
+            bits=meta["bits"],
+            tables=meta["tables"],
+            max_hamming=max_hamming,
+            id_col="id",
+            emb_col="embedding",
+            payload_cols=("payload",),
+        )
+
     def search(
         self,
         query_vector: list[float],
