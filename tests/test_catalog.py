@@ -929,3 +929,47 @@ def test_lsh_index_on_collection(spark, tmp_path):
         col.search_lsh(qv)
     col.build_lsh_index()
     assert len(col.search_lsh(qv, limit=5).collect()) == 5
+
+
+def test_ivf_index_on_collection(spark, tmp_path):
+    """r6: the IVF coarse index as a collection surface — centroids pinned
+    in the index meta, nprobe = centroid_id partition pruning, same
+    staleness contract as NSW/LSH. At nprobe == n_centroids every cell is
+    probed, so the result must EQUAL exact search."""
+    import pytest as _pytest
+
+    from vector_database_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat5"))
+    cat.create_collection("coarse", dim=8)
+    col = cat.collection("coarse")
+    pts = spark.createDataFrame(
+        [
+            (i, [((i * 31 + j * 17) % 19) / 10.0 - 0.9 for j in range(8)], {"i": str(i)})
+            for i in range(120)
+        ],
+        "id long, embedding array<float>, payload map<string,string>",
+    )
+    col.upsert(pts)
+    with _pytest.raises(ValueError, match="no IVF index"):
+        col.search_ivf([0.1] * 8)
+    col.build_ivf_index(n_centroids=4)
+
+    qv = [((5 * 31 + j * 17) % 19) / 10.0 - 0.9 for j in range(8)]
+    full = col.search_ivf(qv, limit=5, nprobe=4)  # all cells → exact
+    exact = [(r["id"], r["score"]) for r in col.search(qv, limit=5).collect()]
+    assert [(r["id"], r["score"]) for r in full.collect()] == exact
+    plan = full._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "centroid_id" in plan.split("PartitionFilters")[1][:200]
+
+    col.upsert(
+        spark.createDataFrame(
+            [(999, [0.5] * 8, {"i": "999"})],
+            "id long, embedding array<float>, payload map<string,string>",
+        )
+    )
+    with _pytest.raises(ValueError, match="rebuild"):
+        col.search_ivf(qv)
+    col.build_ivf_index(n_centroids=4)
+    assert len(col.search_ivf(qv, limit=5, nprobe=2).collect()) == 5

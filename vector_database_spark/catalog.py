@@ -1101,6 +1101,85 @@ class VectorCollection:
             emb_col="embedding",
         )
 
+    # -- IVF index (coarse quantization, nprobe = partition pruning) --------
+    @property
+    def _ivf_index_path(self) -> str:
+        return self.path + "__ivf"
+
+    def build_ivf_index(self, n_centroids: int = 16) -> None:
+        """Materialize the IVF index for the CURRENT live state: KMeans
+        centroids + a centroid_id-partitioned Parquet layout
+        (operators/ann.py::ivf_index / ivf_write_partitioned), so nprobe
+        becomes partition pruning at search time. Centroids are persisted
+        in the index meta alongside the pinned collection version; the
+        same staleness contract as the NSW/LSH indexes applies. Cosine
+        only (probe order ranks centroids by cosine)."""
+        from vector_database_spark.operators import ann
+
+        if self.info.metric != "cosine":
+            raise ValueError(
+                f"build_ivf_index requires a cosine collection; "
+                f"{self.info.name!r} uses metric={self.info.metric!r}"
+            )
+        current_version = self.catalog._load()[self.info.name]["version"]
+        emb = self.df().select("id", "embedding", "payload")
+        assigned, centroids = ann.ivf_index(
+            emb, n_centroids=n_centroids, id_col="id", emb_col="embedding"
+        )
+        ann.ivf_write_partitioned(assigned, self._ivf_index_path)
+        with open(os.path.join(self._ivf_index_path, "_index_meta.json"), "w") as fh:
+            json.dump(
+                {
+                    "built_at_version": current_version,
+                    "centroids": [[float(x) for x in c] for c in centroids],
+                },
+                fh,
+            )
+
+    def search_ivf(
+        self, query_vector: list[float], limit: int = 5, nprobe: int = 4
+    ) -> DataFrame:
+        """Approximate cosine top-k over the persisted IVF index: the
+        ``nprobe`` nearest centroids become a centroid_id PARTITION
+        predicate (only those directories are read), exact cosine re-ranks
+        inside them. Raises if no index exists or the collection has been
+        written since the build. Returns (id, payload, score)."""
+        import numpy as np
+
+        from vector_database_spark.operators import ann
+
+        if self.info.metric != "cosine":
+            raise ValueError(
+                f"search_ivf requires a cosine collection; "
+                f"{self.info.name!r} uses metric={self.info.metric!r}"
+            )
+        meta_path = os.path.join(self._ivf_index_path, "_index_meta.json")
+        if not os.path.exists(meta_path):
+            raise ValueError(
+                f"collection {self.info.name!r} has no IVF index; "
+                "call build_ivf_index() first"
+            )
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        current_version = self.catalog._load()[self.info.name]["version"]
+        if meta["built_at_version"] != current_version:
+            raise ValueError(
+                f"IVF index of {self.info.name!r} was built at version "
+                f"{meta['built_at_version']} but the collection is at "
+                f"{current_version}; rebuild with build_ivf_index()"
+            )
+        return ann.ivf_knn_pruned(
+            self.catalog.spark,
+            self._ivf_index_path,
+            np.asarray(meta["centroids"], dtype=float),
+            [float(x) for x in query_vector],
+            k=limit,
+            nprobe=nprobe,
+            id_col="id",
+            emb_col="embedding",
+            payload_cols=("payload",),
+        )
+
     # -- multi-table LSH index (signatures at ingest) -----------------------
     @property
     def _lsh_index_path(self) -> str:
