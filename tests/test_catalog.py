@@ -973,3 +973,53 @@ def test_ivf_index_on_collection(spark, tmp_path):
         col.search_ivf(qv)
     col.build_ivf_index(n_centroids=4)
     assert len(col.search_ivf(qv, limit=5, nprobe=2).collect()) == 5
+
+
+def test_ivfpq_index_on_collection(spark, tmp_path):
+    """r6: the IVF+PQ composite surface — with nprobe == n_centroids and
+    shortlist >= collection size the ADC shortlist covers every row, so
+    the exact-cosine re-rank must EQUAL exact search; partition pruning
+    on centroid_id asserted; staleness contract shared with the others."""
+    import pytest as _pytest
+
+    from vector_database_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat6"))
+    cat.create_collection("composite", dim=8)
+    col = cat.collection("composite")
+    pts = spark.createDataFrame(
+        [
+            (i, [((i * 31 + j * 17) % 19) / 10.0 - 0.9 for j in range(8)], {"i": str(i)})
+            for i in range(120)
+        ],
+        "id long, embedding array<float>, payload map<string,string>",
+    )
+    col.upsert(pts)
+    with _pytest.raises(ValueError, match="no IVF\\+PQ index"):
+        col.search_ivfpq([0.1] * 8)
+    col.build_ivfpq_index(n_centroids=4, m=4, ksub=8)
+
+    qv = [((5 * 31 + j * 17) % 19) / 10.0 - 0.9 for j in range(8)]
+    full = col.search_ivfpq(qv, limit=5, nprobe=4, shortlist=200)
+    exact = [(r["id"], r["score"]) for r in col.search(qv, limit=5).collect()]
+    assert [(r["id"], r["score"]) for r in full.collect()] == exact
+    plan = full._jdf.queryExecution().executedPlan().toString()
+    # the plan contains several scans (live collection + index); the INDEX
+    # scan must carry the centroid partition predicate
+    assert any(
+        "centroid_id" in seg[:200] for seg in plan.split("PartitionFilters")[1:]
+    )
+    # tight operating point still finds the exact self hit at rank 1
+    tight = col.search_ivfpq(qv, limit=3, nprobe=2, shortlist=10).collect()
+    assert tight[0]["id"] == 5 and tight[0]["score"] == 1.0
+
+    col.upsert(
+        spark.createDataFrame(
+            [(999, [0.5] * 8, {"i": "999"})],
+            "id long, embedding array<float>, payload map<string,string>",
+        )
+    )
+    with _pytest.raises(ValueError, match="rebuild"):
+        col.search_ivfpq(qv)
+    col.build_ivfpq_index(n_centroids=4, m=4, ksub=8)
+    assert len(col.search_ivfpq(qv, limit=5).collect()) == 5

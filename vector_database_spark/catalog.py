@@ -1180,6 +1180,119 @@ class VectorCollection:
             payload_cols=("payload",),
         )
 
+    # -- IVF+PQ composite index (FAISS "IVFxx,PQyy" production shape) -------
+    @property
+    def _ivfpq_index_path(self) -> str:
+        return self.path + "__ivfpq"
+
+    def build_ivfpq_index(self, n_centroids: int = 16, m: int = 8, ksub: int = 16) -> None:
+        """Materialize the IVF+PQ composite index (Jégou et al. 2011 §V)
+        for the CURRENT live state: KMeans cell assignment + per-row PQ
+        codes, written partitioned by centroid_id so the query's nprobe
+        cells are partition-pruned and the ADC pass reads only those
+        cells' ~m-byte codes. Centroids AND codebooks persist in the index
+        meta with the pinned collection version; same staleness contract
+        as the other index surfaces. Cosine only."""
+        from vector_database_spark.operators import ann
+
+        if self.info.metric != "cosine":
+            raise ValueError(
+                f"build_ivfpq_index requires a cosine collection; "
+                f"{self.info.name!r} uses metric={self.info.metric!r}"
+            )
+        current_version = self.catalog._load()[self.info.name]["version"]
+        emb = self.df().select("id", "embedding")
+        assigned, centroids = ann.ivf_index(
+            emb, n_centroids=n_centroids, id_col="id", emb_col="embedding"
+        )
+        books = ann.pq_train(emb, id_col="id", emb_col="embedding", m=m, ksub=ksub)
+        codes = ann.pq_encode(
+            assigned.select("id", "centroid_id", "embedding"),
+            books,
+            id_col="id",
+            emb_col="embedding",
+            payload_cols=("centroid_id",),
+        )
+        ann.ivf_write_partitioned(codes, self._ivfpq_index_path)
+        with open(os.path.join(self._ivfpq_index_path, "_index_meta.json"), "w") as fh:
+            json.dump(
+                {
+                    "built_at_version": current_version,
+                    "centroids": [[float(x) for x in c] for c in centroids],
+                    "codebooks": [
+                        [[float(x) for x in row] for row in book] for book in books
+                    ],
+                },
+                fh,
+            )
+
+    def search_ivfpq(
+        self,
+        query_vector: list[float],
+        limit: int = 5,
+        nprobe: int = 8,
+        shortlist: int = 200,
+    ) -> DataFrame:
+        """Approximate cosine top-k over the persisted IVF+PQ index: route
+        to the ``nprobe`` nearest cells (centroid_id partition pruning),
+        ADC-scan only those cells' PQ codes for a ``shortlist``, then
+        re-rank the shortlist EXACTLY by the collection's cosine metric
+        against the live float vectors. With nprobe == n_centroids and
+        shortlist >= collection size this provably equals exact search.
+        Returns (id, payload, score)."""
+        import numpy as np
+
+        from vector_database_spark.operators import ann, knn
+
+        if self.info.metric != "cosine":
+            raise ValueError(
+                f"search_ivfpq requires a cosine collection; "
+                f"{self.info.name!r} uses metric={self.info.metric!r}"
+            )
+        meta_path = os.path.join(self._ivfpq_index_path, "_index_meta.json")
+        if not os.path.exists(meta_path):
+            raise ValueError(
+                f"collection {self.info.name!r} has no IVF+PQ index; "
+                "call build_ivfpq_index() first"
+            )
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        current_version = self.catalog._load()[self.info.name]["version"]
+        if meta["built_at_version"] != current_version:
+            raise ValueError(
+                f"IVF+PQ index of {self.info.name!r} was built at version "
+                f"{meta['built_at_version']} but the collection is at "
+                f"{current_version}; rebuild with build_ivfpq_index()"
+            )
+        centroids = np.asarray(meta["centroids"], dtype=float)
+        books = np.asarray(meta["codebooks"], dtype=float)
+        q = np.asarray([float(x) for x in query_vector], dtype=float)
+        cnorm = np.linalg.norm(centroids, axis=1) * np.linalg.norm(q)
+        sims = centroids @ q / np.where(cnorm == 0, 1.0, cnorm)
+        probe = [int(i) for i in np.argsort(-sims)[:nprobe]]
+        codes = self.catalog.spark.read.parquet(self._ivfpq_index_path)
+        cell_codes = codes.filter(F.col("centroid_id").isin(probe))
+        cand = ann.pq_knn(
+            cell_codes,
+            books,
+            [float(x) for x in query_vector],
+            k=shortlist,
+            id_col="id",
+            payload_cols=(),
+        ).select("id")
+        joined = self.df().select("id", "embedding", "payload").join(
+            F.broadcast(cand), "id"
+        )
+        return knn.knn(
+            joined,
+            [float(x) for x in query_vector],
+            k=limit,
+            metric="cosine",
+            id_col="id",
+            emb_col="embedding",
+            payload_cols=("payload",),
+        )
+
     # -- multi-table LSH index (signatures at ingest) -----------------------
     @property
     def _lsh_index_path(self) -> str:
