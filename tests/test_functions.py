@@ -118,8 +118,22 @@ def test_embed_udf_real_model_path_mock_transformers(spark, tmp_path):
 
         import numpy as np
 
+        # The fakes persist in REUSED python workers (spark.python.worker
+        # .reuse), where pyspark.testing.utils probes find_spec("torch") at
+        # import time inside the applyInPandasWithState worker path — a
+        # module whose __spec__ is None makes that RAISE (ValueError:
+        # torch.__spec__ is None), which is exactly the cross-test streaming
+        # flake seen in full-suite runs. Every fake therefore carries a real
+        # ModuleSpec, a fake-marker for the post-test sweep, and is removed
+        # from the worker pool after the assertions below.
+        import importlib.machinery
+
         if "torch" not in sys.modules:
             fake_torch = types.ModuleType("torch")
+            fake_torch.__spec__ = importlib.machinery.ModuleSpec(
+                "torch", loader=None
+            )
+            fake_torch.__vdbs_fake__ = True
 
             class _NoGrad:
                 def __enter__(self):
@@ -132,6 +146,10 @@ def test_embed_udf_real_model_path_mock_transformers(spark, tmp_path):
             sys.modules["torch"] = fake_torch
         if "transformers" not in sys.modules:
             fake_tr = types.ModuleType("transformers")
+            fake_tr.__spec__ = importlib.machinery.ModuleSpec(
+                "transformers", loader=None
+            )
+            fake_tr.__vdbs_fake__ = True
 
             class ResNetModel:
                 @classmethod
@@ -196,6 +214,24 @@ def test_embed_udf_real_model_path_mock_transformers(spark, tmp_path):
     # Arrow batching: multi-row batches, several per task, model reused
     assert max(batch_sizes) > 1
     assert len(batches) > len(inits)
+
+    # Sweep the fakes back OUT of the reused worker pool: a lingering fake
+    # torch (even with a valid __spec__) would make any later worker-side
+    # `import torch` succeed with a non-functional stub. Far more cleanup
+    # tasks than workers, so every idle reused worker takes at least one.
+    def _evict_fakes(it):
+        import sys
+
+        for mod in ("torch", "transformers"):
+            m = sys.modules.get(mod)
+            if m is not None and getattr(m, "__vdbs_fake__", False):
+                del sys.modules[mod]
+        for pdf in it:
+            yield pdf
+
+    spark.range(2048).repartition(256).mapInPandas(
+        _evict_fakes, "id long"
+    ).write.mode("overwrite").format("noop").save()
 
 
 def test_connected_components_known_graph(spark):
