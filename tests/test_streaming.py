@@ -59,6 +59,37 @@ def test_stateful_running_totals(spark):
         assert abs(got[k][1] - expect[k][1]) < 1e-3
 
 
+def test_stateful_running_totals_v2_gate_or_parity(spark):
+    """The Spark 4 state-v2 twin (transformWithStateInPandas): when the
+    protobuf runtime is present it must match the batch groupBy exactly
+    (same assertions as the v1 test); when absent — this container — the
+    operator must fail UP FRONT with the documented RuntimeError instead of
+    Spark's opaque mid-stream runner crash. Either branch executes real
+    operator code, so the v2 path is never silently untested."""
+    import pytest
+
+    ok, why = se.tws_available()
+    if not ok:
+        with pytest.raises(RuntimeError, match="transformWithStateInPandas"):
+            se.stateful_running_totals_v2(spark, SF_SMALL)
+        pytest.skip(f"protobuf runtime absent ({why}); up-front gate verified")
+    got = {
+        r["event_type"]: (r["n"], r["total"])
+        for r in se.stateful_running_totals_v2(spark, SF_SMALL).collect()
+    }
+    expect = {
+        r["event_type"]: (r["n"], round(r["s"], 6))
+        for r in read_table(spark, SF_SMALL, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k][0] == expect[k][0]
+        assert abs(got[k][1] - expect[k][1]) < 1e-3
+
+
 def _write_event_files(spark, tmp_path, batches):
     """Write each batch (list of event tuples) as its own parquet file with
     increasing mtimes so the file stream source picks them up as separate

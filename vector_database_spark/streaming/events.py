@@ -331,6 +331,119 @@ def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tws_available() -> tuple[bool, str]:
+    """Can transformWithStateInPandas actually RUN here?
+
+    The Spark 4 state-v2 python driver worker speaks the state-server
+    protocol through generated protobuf code
+    (pyspark/sql/streaming/proto/StateMessage_pb2.py), whose header pins a
+    modern runtime (``Protobuf Python Version: 6.33.0`` with a
+    ValidateProtobufRuntimeVersion gate). Importing StatefulProcessor
+    succeeds WITHOUT protobuf — the failure only surfaces mid-stream as
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE when the runner process
+    dies on ``from google.protobuf import descriptor`` — so callers must
+    probe this BEFORE starting a query. Returns (ok, reason)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        from google.protobuf import runtime_version  # noqa: F401
+
+        return True, ""
+    except Exception as e:  # ImportError, or broken namespace pkg ValueError
+        return False, f"{type(e).__name__}: {e}"
+
+
+def stateful_running_totals_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``stateful_running_totals`` on the Spark 4 state-v2 API
+    (transformWithStateInPandas + StatefulProcessor) — identical state
+    semantics (integer micro6 accumulation, order-independent across
+    micro-batches), same output contract, same latest-emission selection.
+
+    This container has no protobuf runtime, so the v2 python runner cannot
+    start (see tws_available); in that case this raises RuntimeError UP
+    FRONT with the evidence, instead of Spark's opaque mid-stream
+    runner-crash. tests/test_streaming.py executes the parity assertions
+    whenever the runtime is present and the gate when it isn't — the v1
+    twin above stays the portable default either way.
+    """
+    ok, why = tws_available()
+    if not ok:
+        raise RuntimeError(
+            "transformWithStateInPandas needs a google.protobuf runtime "
+            "matching PySpark's generated StateMessage_pb2 (>= 6.33 here); "
+            f"probe failed with: {why}. Use stateful_running_totals (the "
+            "applyInPandasWithState twin) on this environment."
+        )
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("micros", T.LongType())]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        # same invariant as the v1 update fn: state holds INTEGER micro6
+        # units so the running sum is order-independent and bit-identical
+        # to the DECIMAL(38,6) oracle regardless of micro-batch boundaries
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._tot = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            from vector_database_spark.functions.vector import py_micro6
+
+            n, micros = self._tot.get() if self._tot.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                micros += sum(py_micro6(v) for v in pdf["value"])
+            self._tot.update((n, micros))
+            yield pd.DataFrame(
+                {"event_type": [key[0]], "n": [n], "total": [micros / 1e6]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    name = "stateful_v2_out_" + uuid.uuid4().hex[:8]
+    q = (
+        read_events_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .transformWithStateInPandas(
+            RunningTotals(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc())
+    return (
+        spark.table(name)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("event_type", "n", "total")
+    )
+
+
 def stateful_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """Custom stateful streaming operator: a running top-k (value, event_id)
     per event_type maintained in explicit state across micro-batches — a
@@ -344,10 +457,10 @@ def stateful_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
 
     Implementation note: written against applyInPandasWithState. The Spark
     4 successor API (transformWithStateInPandas) exists in this PySpark but
-    its driver worker hard-imports google.protobuf, which this container
-    ships broken (`cannot import name 'descriptor'`) — and installs are
-    out of scope — so the v1 API is the portable choice here; the operator
-    body would be identical in a StatefulProcessor.handleInputRows.
+    its python runner needs a protobuf runtime the container doesn't ship
+    (generated StateMessage_pb2 pins protobuf >= 6.33; see tws_available) —
+    so the v1 API is the portable choice here. The v2 form of this operator
+    family is implemented in stateful_running_totals_v2, gated up front.
     """
     out_schema = T.StructType(
         [
