@@ -138,6 +138,37 @@ def test_twophase_matches_exact_batch(emb):
     assert e == t
 
 
+def test_knn_batch_auto_branches_identical(emb):
+    """knn_batch_auto is a purely PHYSICAL dispatch: forcing each side of
+    the pair budget must give identical rows (ids, payloads, AND scores),
+    and the branch taken must match the budget rule."""
+    queries = _query_vecs(emb)
+    n_rows = emb.count()
+    # budget below the pair count → two-phase; far above → window plan
+    lo = knn.knn_batch_auto(
+        queries, emb, k=3, payload_cols=("label",),
+        pair_row_budget=0, rows_hint=n_rows,
+    )
+    hi = knn.knn_batch_auto(
+        queries, emb, k=3, payload_cols=("label",),
+        pair_row_budget=10**15, rows_hint=n_rows,
+    )
+    a = {(r["qid"], r["vec_id"], r["label"], r["score"]) for r in lo.collect()}
+    b = {(r["qid"], r["vec_id"], r["label"], r["score"]) for r in hi.collect()}
+    assert a == b and len(a) == 3 * len(queries)
+    # branch check via the physical plan: the two-phase path runs a python
+    # Arrow pass (MapInPandas / ArrowEvalPython); the window path does not
+    lo_plan = lo._jdf.queryExecution().executedPlan().toString()
+    hi_plan = hi._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in lo_plan
+    assert "MapInPandas" not in hi_plan
+    # default budget at fixture size (n_rows*10 pairs < 2M) → window plan
+    auto = knn.knn_batch_auto(
+        queries, emb, k=3, payload_cols=("label",), rows_hint=n_rows
+    )
+    assert "MapInPandas" not in auto._jdf.queryExecution().executedPlan().toString()
+
+
 def test_mmr_rerank_prefers_diversity(spark):
     # a is the exact query direction; b is a near-duplicate of a; c is a
     # diverse direction. With lam=0.3 the redundancy penalty dominates, so

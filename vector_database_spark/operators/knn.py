@@ -371,6 +371,74 @@ def knn_batch_local_topk(
     )
 
 
+def knn_batch_auto(
+    queries: list[tuple[int, list[float]]],
+    collection: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exclude_self: bool = True,
+    payload_cols: tuple[str, ...] = (),
+    pair_row_budget: int = 2_000_000,
+    rows_hint: int | None = None,
+) -> DataFrame:
+    """Batch k-NN with ADAPTIVE plan choice — the dispatcher a 100 TB
+    deployment actually wants, instead of the caller hand-picking between
+    :func:`knn_batch` (window plan) and :func:`knn_batch_local_topk`
+    (two-phase heap plan).
+
+    Cost model: the window plan shuffles every scored candidate —
+    ``n_rows × n_queries`` rows — before ranking; the two-phase plan
+    shuffles only ``k × P × n_queries`` heap survivors but pays a
+    Python/Arrow pass over the collection. Measured crossover on this
+    host (BENCH.json, STRESS.md): at 60k×10 = 0.6M pairs the window plan
+    wins (1.0s vs 1.9s — the Arrow pass dominates); at 500k×16 = 8M pairs
+    the two-phase plan wins 9× (3.9s vs 35.8s — the shuffle dominates, and
+    it only gets worse with scale). The default budget of 2M pair-rows
+    sits between those measured points.
+
+    ``rows_hint`` skips the sizing job — production callers pass the
+    table-metadata row count. Without it, ``collection.count()`` is used:
+    for a parquet scan Spark answers that from footer row counts without
+    reading data (sub-0.1s at sf0.1), and for derived inputs it is the
+    price of an informed plan choice, paid once.
+
+    Both branches emit identical rows (FULL-oracle determinism contract of
+    each plan — asserted equal in tests), so the dispatch is purely a
+    physical-plan decision, exactly like Catalyst choosing broadcast vs
+    shuffle join on size estimates.
+    """
+    n_rows = rows_hint if rows_hint is not None else collection.count()
+    if n_rows * max(len(queries), 1) > pair_row_budget:
+        return knn_batch_local_topk(
+            queries,
+            collection,
+            k=k,
+            id_col=id_col,
+            emb_col=emb_col,
+            exclude_self=exclude_self,
+            payload_cols=payload_cols,
+        )
+    spark = collection.sparkSession
+    # query vectors as literals in the COLLECTION's element type, so the
+    # window branch folds the exact same doubles q_knn_batch's oracle does
+    emb_type = collection.schema[emb_col].dataType
+    qdf = spark.createDataFrame(
+        [(int(qid), [float(x) for x in qv]) for qid, qv in queries],
+        "qid bigint, qv array<double>",
+    ).withColumn("qv", F.col("qv").cast(emb_type))
+    return knn_batch(
+        qdf,
+        collection,
+        k=k,
+        metric="cosine",
+        id_col=id_col,
+        emb_col=emb_col,
+        payload_cols=payload_cols,
+        exclude_self=exclude_self,
+    ).select("qid", id_col, *payload_cols, "score")
+
+
 def mmr_rerank(
     collection: DataFrame,
     query: list[float],

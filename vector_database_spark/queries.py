@@ -2223,6 +2223,26 @@ def q_knn_twophase(spark, sf_dir):
     return knn.knn_batch_local_topk(queries, emb, k=3, payload_cols=("label",))
 
 
+def q_knn_auto(spark, sf_dir):
+    """B5 with ADAPTIVE physical-plan choice (knn.knn_batch_auto): the
+    dispatcher sizes the scored-candidate shuffle (n_rows × n_queries)
+    and picks the window plan below the 2M-pair budget or the two-phase
+    heap plan above it — the same size-estimate dispatch Catalyst does
+    for broadcast vs shuffle joins, applied to batch k-NN. Both branches
+    carry the FULL q_knn_batch oracle contract, so the choice is purely
+    physical; at this fixture (≤60k × 10 = 0.6M pairs) it resolves to
+    the window plan, and tests assert branch equality on both sides of
+    the budget."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < 10)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    queries = [(r.vec_id, list(r.embedding)) for r in qrows]
+    return knn.knn_batch_auto(queries, emb, k=3, payload_cols=("label",))
+
+
 def q_text_search(spark, sf_dir):
     """Cross-modal lifecycle (§3.3, text_img.py:64-89): embed the corpus
     with the deterministic hash encoder (pandas UDF boundary), embed a
@@ -6477,6 +6497,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_matryoshka": q_matryoshka,
     "q_knn_ivfpq": q_knn_ivfpq,
     "q_knn_twophase": q_knn_twophase,
+    "q_knn_auto": q_knn_auto,
     "q_text_search": q_text_search,
     # Qdrant client API parity beyond search
     "q_recommend": q_recommend,
@@ -6698,6 +6719,7 @@ _R6_PRIORITY = (
     "q_knn_twophase",
     "q_incremental_dedup_indexed",   # new this round (r6 directive 5)
     "q_simhash_pairs_compound",      # new this round (r6 directive 6)
+    "q_knn_auto",                    # new this round (adaptive plan dispatch)
 )
 
 # Round 3 sampled 50 more (all green except q_loss_mask, whose array
@@ -6787,6 +6809,8 @@ ORACLES: dict[str, str] = {
     # two-phase plan, same result contract as q_knn_batch (micro-keyed
     # heaps reproduce the global round6 tie-break exactly — r6 directive 4)
     "q_knn_twophase": _SQL_KNN_BATCH,
+    # adaptive dispatch between the two plans above — same result contract
+    "q_knn_auto": _SQL_KNN_BATCH,
     "q_hard_negatives": _SQL_HARD_NEGATIVES,
     "q_training_triplets": _SQL_TRAINING_TRIPLETS,
     "q_knn_filtered": _SQL_KNN_FILTERED,
