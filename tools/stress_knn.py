@@ -70,8 +70,8 @@ def main() -> None:
         f"{N_QUERIES} query vectors × top-{K}, 64-d synthetic collection grown",
         "from the sf0.1 fixture (deterministic hash perturbation). local[32].",
         "",
-        "| rows | knn_batch (window) s | knn_batch_local_topk (two-phase) s | ids equal |",
-        "|---|---|---|---|",
+        "| rows | knn_batch (window) s | knn_batch_local_topk (two-phase) s | ids equal | knn_batch_auto s | branch picked |",
+        "|---|---|---|---|---|---|",
     ]
     for n in SIZES:
         path = f"/tmp/stress_emb_{n}"
@@ -98,7 +98,24 @@ def main() -> None:
 
         same = "True" if a_rows == b_rows else ("—" if a_rows is None else "False")
         t_window_s = f"{t_window:.2f}" if t_window is not None else "— (not run)"
-        lines.append(f"| {n:,} | {t_window_s} | {t_two:.2f} | {same} |")
+
+        # the adaptive dispatcher (rows_hint supplied, as a production
+        # caller with table metadata would): record which physical branch
+        # the 2M-pair budget picks at each size and that its rows agree
+        t0 = time.perf_counter()
+        c = knn.knn_batch_auto(queries_list, emb, k=K, rows_hint=n)
+        c_rows = {(r["qid"], r["vec_id"]) for r in c.collect()}
+        t_auto = time.perf_counter() - t0
+        branch = (
+            "two-phase"
+            if "MapInPandas" in c._jdf.queryExecution().executedPlan().toString()
+            else "window"
+        )
+        assert c_rows == b_rows, f"auto branch diverged at {n}"
+
+        lines.append(
+            f"| {n:,} | {t_window_s} | {t_two:.2f} | {same} | {t_auto:.2f} | {branch} |"
+        )
         print(lines[-1])
 
     lines += [
@@ -108,6 +125,11 @@ def main() -> None:
         "its scoring in one BLAS matmul per Arrow batch. The gap widens",
         "linearly with collection size — at cluster scale the window plan's",
         "shuffle is the bottleneck, the two-phase plan's shuffle is constant.",
+        "knn_batch_auto dispatches between them on estimated pair volume",
+        "(rows × queries vs a 2M budget) — the branch column shows the",
+        "flip happening between 100k (2M pairs, window) and 200k (4M,",
+        "two-phase), and the equality assert proves the choice is purely",
+        "physical.",
     ]
     from tools.stress_common import update_section
 
