@@ -303,11 +303,23 @@ def main() -> None:
     for t in ("documents", "orders", "lineitem", "events", "customer"):
         read_table(spark, sf_dir, t).write.mode("overwrite").format("noop").save()
 
+    # SPARK_GRAFT_BENCH_RUNS=N (default 1, the driver contract): per-query
+    # time becomes the MIN of N executions. This host is a shared VM whose
+    # throughput drifts run-to-run (same commit measured 62.4s / 73.8s /
+    # 82.1s across one afternoon, uniformly across queries, while
+    # numpy-bound probes held steady — CPU contention, not plans); min-of-N
+    # recovers the noise floor when a stable local number is needed.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1")))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best_t = float("inf")
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            best_t = min(best_t, time.perf_counter() - t0)
+        timings[name] = round(best_t, 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
