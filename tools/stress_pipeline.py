@@ -1,0 +1,214 @@
+#!/usr/bin/env python
+"""End-to-end training-data pipeline stress at 1M docs (appends to STRESS.md).
+
+The per-operator probes (stress_dedup/stress_text/stress_curation) show each
+stage scales alone; q_pipeline_e2e proves a SHORTER pipeline composes at
+fixture size. This probe runs the FULL corpus-build shape a 100 TB job runs —
+
+  quality filter → exact dedup → MinHash near-dup dedup → context-window
+  chunking → shard-keyed offset packing → partitioned shard export
+
+— as ONE composition on a hash-synthesized corpus with PLANTED exact and
+near duplicates, at several sizes, recording per-stage survivors and the
+stage/total wall clock, and ASSERTING the dedup stages caught every plant:
+
+  * docs have 12..70 tokens drawn from a 20k vocabulary (variable length so
+    the quality gate actually splits the corpus instead of passing/failing
+    everything — token count is the dominant quality feature here)
+  * exact plants: every 100th doc is copied verbatim at id+n (same text →
+    same md5 → exact_dedup must keep only the lowest id)
+  * near plants: every 100th doc (offset 50) is copied at id+2n with one
+    appended token (Jaccard n/(n+1) ≥ 0.92 > the 0.5 threshold → the
+    banded MinHash join must pair it with its source; survivors drop the
+    higher id)
+
+Export writes the packed chunks partitioned by pack shard — the layout a
+downstream trainer reads sequentially per shard.
+Usage: python tools/stress_pipeline.py
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql.window import Window  # noqa: E402
+
+from vector_database_spark.functions.vector import computed_once  # noqa: E402
+from vector_database_spark.operators import dedup, textanalysis, textops  # noqa: E402
+from vector_database_spark.session import get_spark  # noqa: E402
+
+SIZES = [200_000, 1_000_000]
+VOCAB = 20_000
+MIN_TOKENS, TOKEN_RANGE = 12, 59  # 12..70 tokens/doc
+
+
+def synth_docs(spark, n_docs: int, out: str):
+    """Variable-length docs + planted exact dups (id+n) and near dups
+    (id+2n, one extra token) — all hash expressions, no driver rows."""
+    base = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    (
+                        F.lit(MIN_TOKENS)
+                        + F.pmod(F.xxhash64(F.col("id"), F.lit(-1)), F.lit(TOKEN_RANGE))
+                    ).cast("int"),
+                ),
+                lambda j: F.concat(
+                    F.lit("t"), F.pmod(F.xxhash64(F.col("id"), j), F.lit(VOCAB))
+                ),
+            ),
+        ).alias("text"),
+    )
+    exact_dups = base.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + n_docs).alias("doc_id"), "text"
+    )
+    near_dups = base.filter(F.col("doc_id") % 100 == 50).select(
+        (F.col("doc_id") + 2 * n_docs).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    base.unionByName(exact_dups).unionByName(near_dups).write.mode(
+        "overwrite"
+    ).parquet(out)
+
+
+def main() -> None:
+    spark = get_spark("stress-pipeline")
+    lines = [
+        "quality filter → exact dedup → MinHash near-dup dedup → chunk →",
+        "shard-keyed pack → partitioned export, composed on a synthetic",
+        f"corpus (12..70 tokens/doc, {VOCAB:,}-token vocab) with 1% planted",
+        "exact AND 1% planted near duplicates. `caught` = planted dups",
+        "removed / planted dups whose SOURCE also reached the dedup stage",
+        "(boundary docs can orphan a near plant: its one extra token flips",
+        "the quality gate, the source is filtered, and the plant is then",
+        "genuinely unique — orphans are excluded from the denominator).",
+        "",
+        "| docs in | after quality | after exact | after near-dup | chunks |"
+        " bins | exact caught | near caught | wall s (qual/exact/near/pack+export/total) |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for n in SIZES:
+        path = f"/tmp/stress_pipe_{n}"
+        out_path = f"/tmp/stress_pipe_out_{n}"
+        synth_docs(spark, n, path)
+        docs = spark.read.parquet(path)
+        n_in = docs.count()
+
+        t0 = time.perf_counter()
+        # stage 1: quality gate (computed_once pins the folded feature so
+        # pushdown can't clone it — same guard as q_pipeline_e2e)
+        kept_ids = (
+            textanalysis.quality_score(docs)
+            .select("doc_id", computed_once(F.col("quality_micro")).alias("__qm"))
+            .filter(F.col("__qm") >= 500_000)
+            .select("doc_id")
+        )
+        kept = docs.join(kept_ids, "doc_id").persist()
+        n_q = kept.count()
+        t_q = time.perf_counter() - t0
+
+        # stage 2: exact dedup
+        t0 = time.perf_counter()
+        exact = dedup.exact_dedup(kept).select("doc_id", "text").persist()
+        n_e = exact.count()
+        t_e = time.perf_counter() - t0
+
+        # stage 3: near-dup dedup — banded MinHash candidates, Jaccard
+        # verify, drop the higher id of each surviving pair
+        t0 = time.perf_counter()
+        sigs = dedup.minhash_signatures(exact)
+        pairs = dedup.minhash_band_pairs(sigs)
+        verified = dedup.jaccard_verify(pairs, exact)
+        drop = verified.select(
+            F.greatest("id_a", "id_b").alias("doc_id")
+        ).distinct()
+        survivors = exact.join(drop, "doc_id", "left_anti").persist()
+        n_nd = survivors.count()
+        t_nd = time.perf_counter() - t0
+
+        # stage 4+5: chunk, shard-keyed pack, partitioned export
+        t0 = time.perf_counter()
+        chunks = textops.chunk_text(survivors)
+        w = (
+            Window.partitionBy("shard")
+            .orderBy("doc_id", "chunk_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        binned = chunks.withColumn(
+            "shard", textops.pack_shard(F.col("doc_id"))
+        ).withColumn(
+            "bin_id",
+            F.floor(
+                (F.sum("n_chunk_tokens").over(w) - F.col("n_chunk_tokens"))
+                / textops.SEQ_LEN
+            ),
+        )
+        binned.write.mode("overwrite").partitionBy("shard").parquet(out_path)
+        t_p = time.perf_counter() - t0
+        exported = spark.read.parquet(out_path)
+        n_chunks = exported.count()
+        n_bins = exported.select("shard", "bin_id").distinct().count()
+
+        # plant accounting: a plant is CATCHABLE only while its SOURCE is
+        # still in the corpus at that stage. Exact plants share their
+        # source's text, so the quality gate keeps or drops the pair
+        # together; near plants differ by one token, and right at the 0.5
+        # quality boundary that token can flip the gate (plant passes,
+        # source doesn't) — the orphaned plant is then genuinely unique
+        # and MUST survive. Catchability is therefore computed pairwise.
+        kept_ids_set = kept.select("doc_id")
+        catchable_exact = kept_ids_set.filter(
+            (F.col("doc_id") >= n) & (F.col("doc_id") < 2 * n)
+        ).count()
+        exact_survived = exact.filter(
+            (F.col("doc_id") >= n) & (F.col("doc_id") < 2 * n)
+        ).count()
+        near_plants = exact.filter(F.col("doc_id") >= 2 * n).select("doc_id")
+        near_sources = exact.select((F.col("doc_id") + 2 * n).alias("doc_id"))
+        catchable_near_ids = near_plants.join(near_sources, "doc_id")
+        catchable_near = catchable_near_ids.count()
+        near_survived = survivors.join(catchable_near_ids, "doc_id").count()
+        assert exact_survived == 0, f"{exact_survived} exact plants survived"
+        assert near_survived == 0, f"{near_survived} near plants survived"
+
+        total = t_q + t_e + t_nd + t_p
+        lines.append(
+            f"| {n_in:,} | {n_q:,} | {n_e:,} | {n_nd:,} | {n_chunks:,} |"
+            f" {n_bins:,} | {catchable_exact - exact_survived}/{catchable_exact}"
+            f" | {catchable_near - near_survived}/{catchable_near}"
+            f" | {t_q:.1f}/{t_e:.1f}/{t_nd:.1f}/{t_p:.1f}/{total:.1f} |"
+        )
+        print(lines[-1])
+        survivors.unpersist()
+        exact.unpersist()
+        kept.unpersist()
+        shutil.rmtree(out_path, ignore_errors=True)
+
+    lines += [
+        "",
+        "Near-dup dominates the wall clock (the candidate join is the only",
+        "super-scan stage; its scaling is profiled in 'MinHash near-dup",
+        "dedup at scale'); everything else is scan-speed map work or a",
+        "single keyed shuffle. The composition adds nothing beyond the sum",
+        "of its stages — no stage forces a re-read of an earlier one — and",
+        "the export lands partitioned by pack shard, the layout a trainer",
+        "streams sequentially per shard.",
+    ]
+    from tools.stress_common import update_section
+
+    update_section("End-to-end pipeline at 1M docs", "\n".join(lines))
+    print("updated STRESS.md section: End-to-end pipeline at 1M docs")
+
+
+if __name__ == "__main__":
+    main()
