@@ -1023,3 +1023,60 @@ def test_ivfpq_index_on_collection(spark, tmp_path):
         col.search_ivfpq(qv)
     col.build_ivfpq_index(n_centroids=4, m=4, ksub=8)
     assert len(col.search_ivfpq(qv, limit=5).collect()) == 5
+
+
+def test_search_auto_routes_and_degrades_to_exact(spark, tmp_path):
+    """search_auto serves from the highest-recall FRESH index and silently
+    degrades to the exact scan the moment a write stales every index —
+    never a stale answer, never a raise for this entry point."""
+    from vector_database_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "auto"))
+    col = cat.create_collection("routed", dim=8)
+    pts = spark.createDataFrame(
+        [
+            (i, [((i * 31 + j * 17) % 19) / 10.0 - 0.9 for j in range(8)], {"i": str(i)})
+            for i in range(120)
+        ],
+        "id long, embedding array<float>, payload map<string,string>",
+    )
+    col.upsert(pts)
+    qv = [((5 * 31 + j * 17) % 19) / 10.0 - 0.9 for j in range(8)]
+    exact = [
+        (r["id"], r["score"])
+        for r in col.search(qv, limit=5, with_payload=False).collect()
+    ]
+
+    # no index → exact route, identical rows
+    assert col.route_for_search() == "exact"
+    assert [(r["id"], r["score"]) for r in col.search_auto(qv, limit=5).collect()] == exact
+
+    # fresh IVF at full probe width (4 of 4 cells = exhaustive) → routed,
+    # and still exact-identical
+    col.build_ivf_index(n_centroids=4)
+    assert col.route_for_search() == "ivf"
+    assert [(r["id"], r["score"]) for r in col.search_auto(qv, limit=5).collect()] == exact
+
+    # NSW outranks IVF in the priority order; 120 rows / 2 buckets with the
+    # scale-aware beam is exhaustive per bucket → exact-identical again
+    col.build_nsw_index(n_buckets=2)
+    assert col.route_for_search() == "nsw"
+    assert [(r["id"], r["score"]) for r in col.search_auto(qv, limit=5).collect()] == exact
+
+    # a write stales BOTH indexes: search_nsw raises, search_auto degrades
+    col.upsert(
+        spark.createDataFrame(
+            [(999, [0.5] * 8, {"i": "999"})],
+            "id long, embedding array<float>, payload map<string,string>",
+        )
+    )
+    status = col.index_status()
+    assert status["nsw"]["exists"] and not status["nsw"]["fresh"]
+    assert status["ivf"]["exists"] and not status["ivf"]["fresh"]
+    assert col.route_for_search() == "exact"
+    got = [(r["id"], r["score"]) for r in col.search_auto(qv, limit=5).collect()]
+    fresh_exact = [
+        (r["id"], r["score"])
+        for r in col.search(qv, limit=5, with_payload=False).collect()
+    ]
+    assert got == fresh_exact

@@ -1374,6 +1374,75 @@ class VectorCollection:
             payload_cols=("payload",),
         )
 
+    # priority order for auto-routing: measured recall@5 on the bench
+    # fixture (BENCH_LOCAL.json ann_operating_points / recall_at_5) —
+    # nsw 1.0, lsh 0.90, ivf 0.88, ivfpq 0.82 at their default points
+    _INDEX_ROUTE_PRIORITY = ("nsw", "lsh", "ivf", "ivfpq")
+
+    def index_status(self) -> dict[str, dict]:
+        """Freshness of every persisted ANN index of this collection:
+        ``{kind: {"exists", "built_at_version", "fresh"}}``. An index is
+        fresh iff its pinned build version equals the collection's current
+        version (the same contract each ``search_<kind>`` enforces by
+        raising)."""
+        current = self.catalog._load()[self.info.name]["version"]
+        out: dict[str, dict] = {}
+        for kind, path in (
+            ("nsw", self._nsw_index_path),
+            ("lsh", self._lsh_index_path),
+            ("ivf", self._ivf_index_path),
+            ("ivfpq", self._ivfpq_index_path),
+        ):
+            meta_path = os.path.join(path, "_index_meta.json")
+            if not os.path.exists(meta_path):
+                out[kind] = {
+                    "exists": False, "built_at_version": None, "fresh": False
+                }
+                continue
+            with open(meta_path) as fh:
+                built = json.load(fh)["built_at_version"]
+            out[kind] = {
+                "exists": True,
+                "built_at_version": built,
+                "fresh": built == current,
+            }
+        return out
+
+    def route_for_search(self) -> str:
+        """Which physical search ``search_auto`` will run RIGHT NOW: the
+        highest-recall FRESH index ("nsw" > "lsh" > "ivf" > "ivfpq", the
+        bench-measured recall order), else "exact". Non-cosine collections
+        always route exact (every index family approximates the angular
+        metric)."""
+        if self.info.metric != "cosine":
+            return "exact"
+        status = self.index_status()
+        for kind in self._INDEX_ROUTE_PRIORITY:
+            if status[kind]["fresh"]:
+                return kind
+        return "exact"
+
+    def search_auto(self, query_vector: list[float], limit: int = 5) -> DataFrame:
+        """Top-k with AUTOMATIC physical routing: serve from the best fresh
+        ANN index and fall back to the exact TakeOrdered scan when no index
+        matches the current version.
+
+        This is the implicit dispatch a vector-DB *server* performs — the
+        reference client just calls ``search`` (vector_db_query.py:78-89)
+        and Qdrant serves it from HNSW whenever the index exists
+        (compose.yaml:2-12); here the routing decision is explicit,
+        inspectable (``route_for_search``), and version-safe: a write since
+        the last index build silently degrades to the exact scan instead of
+        serving stale results — the opposite failure mode of raising, which
+        ``search_<kind>`` keeps for callers who picked their index
+        deliberately. Returns (id, score) uniformly across routes."""
+        route = self.route_for_search()
+        if route == "exact":
+            out = self.search(query_vector, limit=limit, with_payload=False)
+        else:
+            out = getattr(self, f"search_{route}")(query_vector, limit=limit)
+        return out.select("id", "score")
+
     def search(
         self,
         query_vector: list[float],
