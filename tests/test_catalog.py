@@ -125,6 +125,30 @@ def test_search_batch(catalog, spark):
     assert by_q[200][0] == 2
 
 
+def test_search_batch_two_phase_branch_identical(catalog, spark):
+    """search_batch dispatches adaptively on cosine collections: forcing
+    the two-phase heap branch (pair_row_budget=0) must return the same
+    rows — ids, scores, AND map payloads through the Arrow pass — as the
+    default window branch."""
+    col = catalog.create_collection("c9b", dim=2)
+    col.upsert(
+        _points(
+            spark,
+            [(i, [1.0 + 0.01 * i, 0.5 - 0.01 * i], i % 3) for i in range(30)],
+        )
+    )
+    qs = [(100, [1.0, 0.0]), (200, [0.0, 1.0])]
+    window = col.search_batch(qs, limit=3)
+    heap = col.search_batch(qs, limit=3, pair_row_budget=0)
+    assert "MapInPandas" not in window._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in heap._jdf.queryExecution().executedPlan().toString()
+    w = {(r["qid"], r["id"], r["score"], tuple(sorted(r["payload"].items())))
+         for r in window.collect()}
+    h = {(r["qid"], r["id"], r["score"], tuple(sorted(r["payload"].items())))
+         for r in heap.collect()}
+    assert w == h and len(w) == 6
+
+
 def test_drop(catalog):
     catalog.create_collection("c6", dim=2)
     catalog.drop_collection("c6")

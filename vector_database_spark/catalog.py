@@ -998,19 +998,54 @@ class VectorCollection:
             self.catalog._save(cat)
 
     # -- query (SURVEY B1-B10) -----------------------------------------------
+    def _approx_live_rows(self) -> int:
+        """Cheap upper bound on live points for plan sizing: the RAW row
+        count across every version batch (parquet footer metadata — no
+        column data is read, unlike count(), which resolves latest-wins).
+        Superseded versions only shrink the live set, so as a dispatch
+        hint this errs exclusively toward the scale-safe branch."""
+        try:
+            return self.catalog.spark.read.parquet(self.path).count()
+        except Exception:  # no data written yet
+            return 0
+
     def search_batch(
-        self, queries: list[tuple[int, list[float]]], limit: int = 5
+        self,
+        queries: list[tuple[int, list[float]]],
+        limit: int = 5,
+        pair_row_budget: int = 2_000_000,
     ) -> DataFrame:
         """B5 on the collection API: top-k per query vector in one pass
-        (broadcast queries; one collection scan — see operators/knn.py)."""
+        (one collection scan — see operators/knn.py).
+
+        Cosine collections dispatch through :func:`knn_batch_auto`: below
+        ``pair_row_budget`` scored candidates the broadcast-queries window
+        plan runs; above it the two-phase heap plan bounds the shuffle to
+        k·P rows per query. The sizing hint is the raw footer row count
+        (an upper bound — see _approx_live_rows), so growth can only flip
+        the dispatch toward the scale-safe branch. Other metrics keep the
+        window plan (the heap kernel scores cosine)."""
+        spark = self.catalog.spark
+        df = self.df()
+        if self.info.metric == "cosine":
+            from vector_database_spark.operators.knn import knn_batch_auto
+
+            return knn_batch_auto(
+                queries,
+                df,
+                k=limit,
+                id_col="id",
+                payload_cols=("payload",),
+                exclude_self=False,
+                pair_row_budget=pair_row_budget,
+                rows_hint=self._approx_live_rows(),
+            )
         from vector_database_spark.operators.knn import knn_batch
 
-        spark = self.catalog.spark
         qdf = spark.createDataFrame(
             [(int(i), [float(x) for x in v]) for i, v in queries],
             "qid long, qv array<float>",
         )
-        df = self.df()
         return knn_batch(
             qdf,
             df,
