@@ -48,6 +48,9 @@ OPERATING_POINTS = [
     (500_000, [(32, 48), (32, 192), (32, None)]),
     # round-6 directive 2: >=3 operating points at 1M+ rows
     (1_000_000, [(64, 48), (64, 192), (64, None), (128, None)]),
+    # 2x past the directive: the auto default must keep holding as bucket
+    # count scales with the corpus (segment model — buckets ~ sqrt growth)
+    (2_000_000, [(128, None)]),
 ]
 
 
