@@ -1104,3 +1104,54 @@ def test_search_auto_routes_and_degrades_to_exact(spark, tmp_path):
         for r in col.search(qv, limit=5, with_payload=False).collect()
     ]
     assert got == fresh_exact
+
+
+def test_search_auto_batch_routes_nsw_and_degrades(spark, tmp_path):
+    """search_auto_batch serves a whole query batch from a fresh NSW index
+    in one pass (exhaustive beam at this size → exact-identical), and
+    degrades to the exact adaptive batch plan once a write stales it."""
+    from vector_database_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "ab"))
+    col = cat.create_collection("batched", dim=8)
+    pts = spark.createDataFrame(
+        [
+            (i, [((i * 31 + j * 17) % 19) / 10.0 - 0.9 for j in range(8)], {"i": str(i)})
+            for i in range(120)
+        ],
+        "id long, embedding array<float>, payload map<string,string>",
+    )
+    col.upsert(pts)
+    qs = [
+        (7, [((7 * 31 + j * 17) % 19) / 10.0 - 0.9 for j in range(8)]),
+        (11, [((11 * 31 + j * 17) % 19) / 10.0 - 0.9 for j in range(8)]),
+    ]
+    exact = {
+        (r["qid"], r["id"], r["score"])
+        for r in col.search_batch(qs, limit=5).select("qid", "id", "score").collect()
+    }
+
+    # exact route (no index): identical to search_batch
+    assert {
+        (r["qid"], r["id"], r["score"])
+        for r in col.search_auto_batch(qs, limit=5).collect()
+    } == exact
+
+    # fresh NSW: batch-served from the index; exhaustive per bucket at
+    # this size → exact-identical rows
+    col.build_nsw_index(n_buckets=2)
+    assert col.route_for_search() == "nsw"
+    assert {
+        (r["qid"], r["id"], r["score"])
+        for r in col.search_auto_batch(qs, limit=5).collect()
+    } == exact
+
+    # staling write → silent degradation to the exact plan, not a raise
+    col.upsert(
+        spark.createDataFrame(
+            [(999, [0.5] * 8, {"i": "999"})],
+            "id long, embedding array<float>, payload map<string,string>",
+        )
+    )
+    out = col.search_auto_batch(qs, limit=5).collect()
+    assert len(out) == 10

@@ -1478,6 +1478,35 @@ class VectorCollection:
             out = getattr(self, f"search_{route}")(query_vector, limit=limit)
         return out.select("id", "score")
 
+    def search_auto_batch(
+        self, queries: list[tuple[int, list[float]]], limit: int = 5
+    ) -> DataFrame:
+        """Batch twin of :meth:`search_auto`: N query vectors, top-k each,
+        with automatic physical routing. A FRESH NSW index serves the whole
+        batch in one pass (the persisted-graph beam search is batch-native
+        — one bucket scan answers every query); otherwise the exact
+        adaptive batch plan runs (:meth:`search_batch`, window vs two-phase
+        by size). The bucketed single-query indexes (lsh/ivf/ivfpq) are
+        NOT batch routes: their probe sets are per-query partition
+        predicates, so a batch would degenerate into per-query jobs —
+        exact dispatch is the better batch plan until an index family
+        supports multi-probe unioning. Returns (qid, id, score)."""
+        status = self.index_status()
+        if self.info.metric == "cosine" and status["nsw"]["fresh"]:
+            from vector_database_spark.operators import ann
+
+            return ann.nsw_search_index(
+                self.catalog.spark,
+                self._nsw_index_path,
+                [(int(i), [float(x) for x in v]) for i, v in queries],
+                k=limit,
+                id_col="id",
+                emb_col="embedding",
+            ).select("qid", "id", "score")
+        return self.search_batch(queries, limit=limit).select(
+            "qid", "id", "score"
+        )
+
     def search(
         self,
         query_vector: list[float],
