@@ -358,6 +358,7 @@ def main() -> None:
             {
                 "sf": sf_val,
                 "warmup_gen": WARMUP_GEN,
+                "bench_runs": n_runs,
                 "queries": timings,
                 "recall_at_5": recall,
                 # the ANN operating points the recall numbers were taken at
@@ -383,6 +384,8 @@ def main() -> None:
         "recall_at_5": recall,
         "sf": sf_val,
         "warmup_gen": WARMUP_GEN,
+        # >1 = per-query min-of-N (noise-floor mode); driver runs use 1
+        "bench_runs": n_runs,
     }
     line = json.dumps(compact)
     if len(line) > 1900:  # driver tail window is 2000 chars — never exceed
