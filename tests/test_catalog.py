@@ -1155,3 +1155,58 @@ def test_search_auto_batch_routes_nsw_and_degrades(spark, tmp_path):
     )
     out = col.search_auto_batch(qs, limit=5).collect()
     assert len(out) == 10
+
+
+def test_search_ivf_batch_equals_per_query(spark, tmp_path):
+    """Batch IVF (probe-set unioning, one index scan) must be row-identical
+    to per-query search_ivf at the same nprobe, the union filter must land
+    on the centroid_id PARTITION column, and a full probe width must equal
+    exact search — the batching is purely physical."""
+    from vector_database_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "ivfb"))
+    col = cat.create_collection("cells", dim=8)
+    pts = spark.createDataFrame(
+        [
+            (i, [((i * 31 + j * 17) % 19) / 10.0 - 0.9 for j in range(8)], {"i": str(i)})
+            for i in range(120)
+        ],
+        "id long, embedding array<float>, payload map<string,string>",
+    )
+    col.upsert(pts)
+    col.build_ivf_index(n_centroids=4)
+    qs = [
+        (7, [((7 * 31 + j * 17) % 19) / 10.0 - 0.9 for j in range(8)]),
+        (11, [((11 * 31 + j * 17) % 19) / 10.0 - 0.9 for j in range(8)]),
+    ]
+
+    batch = col.search_ivf_batch(qs, limit=5, nprobe=2)
+    got = {
+        qid: [(r["id"], r["score"]) for r in rows]
+        for qid, rows in _group_by_qid(batch.collect()).items()
+    }
+    for qid, qv in qs:
+        per = [(r["id"], r["score"]) for r in col.search_ivf(qv, limit=5, nprobe=2).collect()]
+        assert got[qid] == per, f"batch diverged from per-query for qid={qid}"
+
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "centroid_id" in plan.split("PartitionFilters")[1][:300]
+
+    # full probe width == exact search, per query
+    full = _group_by_qid(col.search_ivf_batch(qs, limit=5, nprobe=4).collect())
+    for qid, qv in qs:
+        exact = [(r["id"], r["score"]) for r in col.search(qv, limit=5).collect()]
+        assert [(r["id"], r["score"]) for r in full[qid]] == exact
+
+    # routing: no NSW index, fresh IVF → the auto batch rides the index
+    assert col.route_for_search() == "ivf"
+    routed = col.search_auto_batch(qs, limit=5)
+    assert "centroid_id" in routed._jdf.queryExecution().executedPlan().toString()
+
+
+def _group_by_qid(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r["qid"], []).append(r)
+    return out

@@ -1215,6 +1215,53 @@ class VectorCollection:
             payload_cols=("payload",),
         )
 
+    def search_ivf_batch(
+        self,
+        queries: list[tuple[int, list[float]]],
+        limit: int = 5,
+        nprobe: int = 4,
+    ) -> DataFrame:
+        """Batch search over the persisted IVF index: ONE scan of the
+        union of every query's probe cells (operators/ann.py::
+        ivf_knn_batch), map-side per-query probe filtering, row-identical
+        to per-query :meth:`search_ivf` at the same nprobe. Same
+        staleness contract. Returns (qid, id, payload, score)."""
+        import numpy as np
+
+        from vector_database_spark.operators import ann
+
+        if self.info.metric != "cosine":
+            raise ValueError(
+                f"search_ivf_batch requires a cosine collection; "
+                f"{self.info.name!r} uses metric={self.info.metric!r}"
+            )
+        meta_path = os.path.join(self._ivf_index_path, "_index_meta.json")
+        if not os.path.exists(meta_path):
+            raise ValueError(
+                f"collection {self.info.name!r} has no IVF index; "
+                "call build_ivf_index() first"
+            )
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        current_version = self.catalog._load()[self.info.name]["version"]
+        if meta["built_at_version"] != current_version:
+            raise ValueError(
+                f"IVF index of {self.info.name!r} was built at version "
+                f"{meta['built_at_version']} but the collection is at "
+                f"{current_version}; rebuild with build_ivf_index()"
+            )
+        assigned = self.catalog.spark.read.parquet(self._ivf_index_path)
+        return ann.ivf_knn_batch(
+            assigned,
+            np.asarray(meta["centroids"], dtype=float),
+            queries,
+            k=limit,
+            nprobe=nprobe,
+            id_col="id",
+            emb_col="embedding",
+            payload_cols=("payload",),
+        )
+
     # -- IVF+PQ composite index (FAISS "IVFxx,PQyy" production shape) -------
     @property
     def _ivfpq_index_path(self) -> str:
@@ -1484,13 +1531,13 @@ class VectorCollection:
         """Batch twin of :meth:`search_auto`: N query vectors, top-k each,
         with automatic physical routing. A FRESH NSW index serves the whole
         batch in one pass (the persisted-graph beam search is batch-native
-        — one bucket scan answers every query); otherwise the exact
-        adaptive batch plan runs (:meth:`search_batch`, window vs two-phase
-        by size). The bucketed single-query indexes (lsh/ivf/ivfpq) are
-        NOT batch routes: their probe sets are per-query partition
-        predicates, so a batch would degenerate into per-query jobs —
-        exact dispatch is the better batch plan until an index family
-        supports multi-probe unioning. Returns (qid, id, score)."""
+        — one bucket scan answers every query); a fresh IVF index serves it
+        via probe-set UNIONING (:meth:`search_ivf_batch` — one scan of the
+        union of all queries' cells, map-side per-query probe filters);
+        otherwise the exact adaptive batch plan runs (:meth:`search_batch`,
+        window vs two-phase by size). lsh/ivfpq stay single-query routes
+        (their probe structure hasn't been given a batch form). Returns
+        (qid, id, score)."""
         status = self.index_status()
         if self.info.metric == "cosine" and status["nsw"]["fresh"]:
             from vector_database_spark.operators import ann
@@ -1503,6 +1550,10 @@ class VectorCollection:
                 id_col="id",
                 emb_col="embedding",
             ).select("qid", "id", "score")
+        if self.info.metric == "cosine" and status["ivf"]["fresh"]:
+            return self.search_ivf_batch(queries, limit=limit).select(
+                "qid", "id", "score"
+            )
         return self.search_batch(queries, limit=limit).select(
             "qid", "id", "score"
         )

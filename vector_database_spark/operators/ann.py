@@ -369,6 +369,67 @@ def ivf_knn(
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
+def ivf_knn_batch(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    payload_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Batch IVF: answer N queries with ONE scan of the UNION of their
+    probe cells, instead of N per-query jobs.
+
+    Each query's ``nprobe`` nearest centroids are computed driver-side
+    (one tiny numpy matmul over the centroid table); the scan filter is
+    ``centroid_id IN union(all probe sets)`` — still a partition
+    predicate against the at-ingest layout, so the batch reads at most
+    ``|union|/n_centroids`` of the corpus once. Per-(candidate, query)
+    relevance is restored MAP-SIDE: the broadcast query row carries its
+    own probe list and an ``array_contains`` filter drops pairs whose
+    cell the query didn't probe, before any scoring. Results are row-
+    identical to running :func:`ivf_knn` per query at the same nprobe
+    (asserted in tests) — the batching is purely physical.
+    """
+    Q = np.asarray([[float(x) for x in q[1]] for q in queries], dtype=float)
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    cn = np.linalg.norm(centroids, axis=1)[None, :]
+    sims = (Q @ centroids.T) / (np.where(cn == 0, 1.0, cn) * np.where(qn == 0, 1.0, qn))
+    probes = [[int(i) for i in np.argsort(-s)[:nprobe]] for s in sims]
+    union = sorted({c for p in probes for c in p})
+
+    spark = assigned.sparkSession
+    qdf = spark.createDataFrame(
+        [
+            (int(qid), [float(x) for x in v], p)
+            for (qid, v), p in zip(queries, probes)
+        ],
+        "qid bigint, qv array<double>, probes array<int>",
+    )
+    cands = assigned.filter(F.col("centroid_id").isin(union))
+    joined = cands.crossJoin(F.broadcast(qdf)).filter(
+        F.array_contains(F.col("probes"), F.col("centroid_id").cast("int"))
+    )
+    scored = joined.select(
+        "qid",
+        id_col,
+        *payload_cols,
+        round6(cosine(F.col(emb_col), F.col("qv"))).alias("score"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 PQ_M = 8      # subspaces (64-d → 8 slices of 8)
 PQ_KSUB = 16  # centroids per subspace → 4-bit codes, 8 per vector
 
