@@ -2280,6 +2280,24 @@ def q_knn_ivf(spark, sf_dir):
     return ann.ivf_knn(assigned, centroids, RAW_QUERY_VEC, k=5, nprobe=8)
 
 
+def q_knn_ivf_batch(spark, sf_dir):
+    """B8 batch form: N queries answered by ONE scan of the union of
+    their IVF probe cells (ann.ivf_knn_batch) — map-side array_contains
+    restores each query's own probe set, so results are row-identical to
+    per-query ivf_knn at the same nprobe (asserted in tests/
+    test_catalog.py). Rows-only like every approximate operator; the same
+    16-centroid / nprobe-8 operating point as q_knn_ivf."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, centroids = ann.ivf_index(emb, n_centroids=16)
+    qrows = (
+        emb.filter(F.col("vec_id") < 4).select("vec_id", "embedding").collect()
+    )
+    queries = [(r.vec_id, list(r.embedding)) for r in qrows]
+    return ann.ivf_knn_batch(
+        assigned, centroids, queries, k=5, nprobe=8, payload_cols=("label",)
+    )
+
+
 def q_matryoshka(spark, sf_dir):
     """Matryoshka (MRL) two-stage search: 16-d prefix cosine builds a
     50-candidate shortlist (TakeOrdered), full 64-d cosine re-ranks to
@@ -6493,6 +6511,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dot_euclid": q_dot_euclid,
     "q_knn_lsh": q_knn_lsh,
     "q_knn_ivf": q_knn_ivf,
+    "q_knn_ivf_batch": q_knn_ivf_batch,
     "q_knn_pq": q_knn_pq,
     "q_matryoshka": q_matryoshka,
     "q_knn_ivfpq": q_knn_ivfpq,
@@ -6720,6 +6739,7 @@ _R6_PRIORITY = (
     "q_incremental_dedup_indexed",   # new this round (r6 directive 5)
     "q_simhash_pairs_compound",      # new this round (r6 directive 6)
     "q_knn_auto",                    # new this round (adaptive plan dispatch)
+    "q_knn_ivf_batch",               # new this round (probe-set unioning)
 )
 
 # Round 3 sampled 50 more (all green except q_loss_mask, whose array
