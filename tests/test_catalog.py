@@ -1210,3 +1210,45 @@ def _group_by_qid(rows):
     for r in rows:
         out.setdefault(r["qid"], []).append(r)
     return out
+
+
+def test_search_lsh_batch_equals_per_query(spark, tmp_path):
+    """Batch LSH (probe-bucket unioning, one index scan) must be
+    row-identical to per-query search_lsh, keep the (table, sig)
+    partition predicate, and be the batch route when LSH is the best
+    fresh index."""
+    from vector_database_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "lshb"))
+    col = cat.create_collection("buckets", dim=8)
+    pts = spark.createDataFrame(
+        [
+            (i, [((i * 31 + j * 17) % 19) / 10.0 - 0.9 for j in range(8)], {"i": str(i)})
+            for i in range(120)
+        ],
+        "id long, embedding array<float>, payload map<string,string>",
+    )
+    col.upsert(pts)
+    col.build_lsh_index(bits=6, tables=4)
+    qs = [
+        (7, [((7 * 31 + j * 17) % 19) / 10.0 - 0.9 for j in range(8)]),
+        (11, [((11 * 31 + j * 17) % 19) / 10.0 - 0.9 for j in range(8)]),
+    ]
+
+    batch = col.search_lsh_batch(qs, limit=5)
+    got = _group_by_qid(batch.collect())
+    for qid, qv in qs:
+        per = [(r["id"], r["score"]) for r in col.search_lsh(qv, limit=5).collect()]
+        assert [(r["id"], r["score"]) for r in got[qid]] == per
+
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    tail = plan.split("PartitionFilters")[1][:400]
+    assert "table" in tail and "sig" in tail
+
+    # routing: lsh outranks ivf for batches, nsw outranks lsh
+    col.build_ivf_index(n_centroids=4)
+    assert col.route_for_search() == "lsh"
+    routed = col.search_auto_batch(qs, limit=5)
+    routed_plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "probe_keys" in routed_plan or "sig" in routed_plan

@@ -1532,11 +1532,13 @@ class VectorCollection:
         with automatic physical routing. A FRESH NSW index serves the whole
         batch in one pass (the persisted-graph beam search is batch-native
         — one bucket scan answers every query); a fresh IVF index serves it
-        via probe-set UNIONING (:meth:`search_ivf_batch` — one scan of the
-        union of all queries' cells, map-side per-query probe filters);
+        via probe-set UNIONING (:meth:`search_lsh_batch` /
+        :meth:`search_ivf_batch` — one scan of the union of all queries'
+        buckets/cells, map-side per-query probe filters), in the same
+        recall priority as single-query routing (nsw > lsh > ivf);
         otherwise the exact adaptive batch plan runs (:meth:`search_batch`,
-        window vs two-phase by size). lsh/ivfpq stay single-query routes
-        (their probe structure hasn't been given a batch form). Returns
+        window vs two-phase by size). ivfpq stays a single-query route
+        (its ADC shortlist hasn't been given a batch form). Returns
         (qid, id, score)."""
         status = self.index_status()
         if self.info.metric == "cosine" and status["nsw"]["fresh"]:
@@ -1550,12 +1552,62 @@ class VectorCollection:
                 id_col="id",
                 emb_col="embedding",
             ).select("qid", "id", "score")
+        if self.info.metric == "cosine" and status["lsh"]["fresh"]:
+            return self.search_lsh_batch(queries, limit=limit).select(
+                "qid", "id", "score"
+            )
         if self.info.metric == "cosine" and status["ivf"]["fresh"]:
             return self.search_ivf_batch(queries, limit=limit).select(
                 "qid", "id", "score"
             )
         return self.search_batch(queries, limit=limit).select(
             "qid", "id", "score"
+        )
+
+    def search_lsh_batch(
+        self,
+        queries: list[tuple[int, list[float]]],
+        limit: int = 5,
+        max_hamming: int = 1,
+    ) -> DataFrame:
+        """Batch search over the persisted LSH index: ONE scan of the
+        union of every query's probe buckets (operators/ann.py::
+        lsh_knn_batch), map-side per-query probe filtering, row-identical
+        to per-query :meth:`search_lsh`. Same staleness contract.
+        Returns (qid, id, payload, score)."""
+        from vector_database_spark.operators import ann
+
+        if self.info.metric != "cosine":
+            raise ValueError(
+                f"search_lsh_batch requires a cosine collection; "
+                f"{self.info.name!r} uses metric={self.info.metric!r}"
+            )
+        meta_path = os.path.join(self._lsh_index_path, "_index_meta.json")
+        if not os.path.exists(meta_path):
+            raise ValueError(
+                f"collection {self.info.name!r} has no LSH index; "
+                "call build_lsh_index() first"
+            )
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        current_version = self.catalog._load()[self.info.name]["version"]
+        if meta["built_at_version"] != current_version:
+            raise ValueError(
+                f"LSH index of {self.info.name!r} was built at version "
+                f"{meta['built_at_version']} but the collection is at "
+                f"{current_version}; rebuild with build_lsh_index()"
+            )
+        return ann.lsh_knn_batch(
+            self.catalog.spark,
+            self._lsh_index_path,
+            queries,
+            k=limit,
+            bits=meta["bits"],
+            tables=meta["tables"],
+            max_hamming=max_hamming,
+            id_col="id",
+            emb_col="embedding",
+            payload_cols=("payload",),
         )
 
     def search(

@@ -249,6 +249,81 @@ def lsh_knn_pruned(
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
+def lsh_knn_batch(
+    spark,
+    path: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+    bits: int = LSH_BITS,
+    tables: int = LSH_TABLES,
+    max_hamming: int = 1,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    payload_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Batch LSH over the partitioned layout: ONE scan of the union of
+    every query's probe buckets, instead of N per-query jobs.
+
+    The scan predicate is per-table ``(table == t AND sig IN
+    union_of_probes_t)`` — still (table, sig) PARTITION pruning. Each
+    broadcast query row carries its own probe set as flat ``t·2^bits +
+    sig`` keys, and a map-side ``array_contains`` keeps only the
+    (candidate, query) pairs whose bucket THAT query probed; per-table
+    duplicate copies of a candidate dedupe per query before the exact
+    cosine re-rank. Row-identical to per-query :func:`lsh_knn_pruned` at
+    the same operating point (asserted in tests)."""
+    df = spark.read.parquet(path)
+    per_table_union: list[set] = [set() for _ in range(tables)]
+    qrows = []
+    for qid, qv in queries:
+        probes = _query_probes(
+            qv, bits=bits, tables=tables, max_hamming=max_hamming
+        )
+        keys: list[int] = []
+        for t, ps in enumerate(probes):
+            per_table_union[t].update(int(s) for s in ps)
+            keys += [t * (1 << bits) + int(s) for s in ps]
+        qrows.append((int(qid), [float(x) for x in qv], sorted(keys)))
+
+    pred = None
+    for t, union in enumerate(per_table_union):
+        if not union:
+            continue
+        term = (F.col("table") == t) & F.col("sig").isin(sorted(union))
+        pred = term if pred is None else (pred | term)
+    qdf = spark.createDataFrame(
+        qrows, "qid bigint, qv array<double>, probe_keys array<int>"
+    )
+    cands = df.filter(pred)
+    joined = (
+        cands.crossJoin(F.broadcast(qdf))
+        .filter(
+            F.array_contains(
+                F.col("probe_keys"),
+                F.col("table").cast("int") * (1 << bits)
+                + F.col("sig").cast("int"),
+            )
+        )
+        .dropDuplicates(["qid", id_col])
+    )
+    scored = joined.select(
+        "qid",
+        id_col,
+        *payload_cols,
+        round6(cosine(F.col(emb_col), F.col("qv"))).alias("score"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def lsh_similarity_join(
     embeddings: DataFrame,
     threshold_l2: float = 0.5,
