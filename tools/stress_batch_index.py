@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Batch index-search stress at 1M rows (appends to STRESS.md).
+
+Quantifies what probe-set unioning buys: N queries against the persisted
+IVF layout as (a) N sequential per-query searches (each its own job over
+its own probe cells) vs (b) ONE ivf_knn_batch scan of the union of all
+probe cells, each candidate equi-joined to exactly the queries that
+probed its cell. Rows are asserted identical — the delta is pure
+job-overhead + scan-sharing. Same comparison for the persisted LSH
+layout (lsh_knn_pruned vs lsh_knn_batch).
+Usage: python tools/stress_batch_index.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from vector_database_spark.operators import ann  # noqa: E402
+from vector_database_spark.session import get_spark  # noqa: E402
+from tools.stress_knn import synth_embeddings  # noqa: E402
+
+N_ROWS = 1_000_000
+N_QUERIES = 16
+K = 5
+
+
+def main() -> None:
+    spark = get_spark("stress-batch-index")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    src = f"/tmp/stress_emb_{N_ROWS}"
+    if not os.path.exists(src):
+        synth_embeddings(spark, N_ROWS, sf_dir, src)
+    emb = spark.read.parquet(src)
+    queries = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    lines = [
+        f"{N_ROWS:,} rows, 64-d, {N_QUERIES} queries, top-{K}. Persisted",
+        "at-ingest layouts (built once, excluded from query timing); the",
+        "sequential column runs one job per query over that query's probe",
+        "partitions, the batch column runs ONE scan of the union of all",
+        "probe sets with map-side per-query probe filters. Rows asserted",
+        "identical — the speedup is pure job-overhead + scan-sharing.",
+        "",
+        "| index | sequential (16 jobs) s | batch (1 scan) s | speedup | rows equal |",
+        "|---|---|---|---|---|",
+    ]
+
+    # ---- IVF (64 centroids, nprobe 8) ------------------------------------
+    ivf_path = "/tmp/stress_ivf_layout"
+    assigned, centroids = ann.ivf_index(emb, n_centroids=64)
+    ann.ivf_write_partitioned(assigned, ivf_path)
+
+    t0 = time.perf_counter()
+    seq_rows = set()
+    for qid, qv in queries:
+        for r in ann.ivf_knn_pruned(
+            spark, ivf_path, centroids, qv, k=K, nprobe=8, payload_cols=()
+        ).collect():
+            seq_rows.add((qid, r["vec_id"], r["score"]))
+    t_seq = time.perf_counter() - t0
+
+    layout = spark.read.parquet(ivf_path)
+    t0 = time.perf_counter()
+    batch_rows = {
+        (r["qid"], r["vec_id"], r["score"])
+        for r in ann.ivf_knn_batch(
+            layout, centroids, queries, k=K, nprobe=8
+        ).collect()
+    }
+    t_batch = time.perf_counter() - t0
+    eq = batch_rows == seq_rows
+    lines.append(
+        f"| IVF 64c/np8 | {t_seq:.1f} | {t_batch:.1f} |"
+        f" {t_seq / t_batch:.1f}x | {eq} |"
+    )
+    print(lines[-1])
+    assert eq, "IVF batch diverged from sequential"
+
+    # ---- LSH (6 bits x 4 tables, hamming-1 multiprobe) -------------------
+    lsh_path = "/tmp/stress_lsh_layout"
+    dim = len(queries[0][1])
+    ann.lsh_write_partitioned(emb, lsh_path, dim=dim)
+
+    t0 = time.perf_counter()
+    seq_rows = set()
+    for qid, qv in queries:
+        for r in ann.lsh_knn_pruned(
+            spark, lsh_path, qv, k=K, payload_cols=()
+        ).collect():
+            seq_rows.add((qid, r["vec_id"], r["score"]))
+    t_seq = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    batch_rows = {
+        (r["qid"], r["vec_id"], r["score"])
+        for r in ann.lsh_knn_batch(spark, lsh_path, queries, k=K).collect()
+    }
+    t_batch = time.perf_counter() - t0
+    eq = batch_rows == seq_rows
+    lines.append(
+        f"| LSH 6b x 4t | {t_seq:.1f} | {t_batch:.1f} |"
+        f" {t_seq / t_batch:.1f}x | {eq} |"
+    )
+    print(lines[-1])
+    assert eq, "LSH batch diverged from sequential"
+
+    lines += [
+        "",
+        "Both batch forms equi-join candidates to (query, probed bucket)",
+        "broadcast rows — the first crossJoin+array_contains cut multiplied",
+        "every scanned row by |queries| and measured SLOWER than sequential",
+        "on LSH (0.9x); the equi-join restored parity. Where the wins come",
+        "from: IVF's 16-query probe union covers ~a third of the 64 cells,",
+        "so one shared scan beats 16 jobs 2.2x. LSH at this operating point",
+        "(6 bits x 4 tables, hamming-1 = 28 buckets/query) unions to most",
+        "of the 256 partitions, so scan-sharing gains cancel against the",
+        "join+dedup overhead — parity at 16 uniform queries, winning only",
+        "when queries share buckets (clustered queries / larger N). The",
+        "auto batch route keeps the recall order (nsw > lsh > ivf); the",
+        "cost order is documented here for callers picking explicitly.",
+    ]
+    from tools.stress_common import update_section
+
+    update_section("Batch index search at 1M rows", "\n".join(lines))
+    print("updated STRESS.md section: Batch index search at 1M rows")
+
+
+if __name__ == "__main__":
+    main()

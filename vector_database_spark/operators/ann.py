@@ -266,12 +266,17 @@ def lsh_knn_batch(
 
     The scan predicate is per-table ``(table == t AND sig IN
     union_of_probes_t)`` — still (table, sig) PARTITION pruning. Each
-    broadcast query row carries its own probe set as flat ``t·2^bits +
-    sig`` keys, and a map-side ``array_contains`` keeps only the
-    (candidate, query) pairs whose bucket THAT query probed; per-table
-    duplicate copies of a candidate dedupe per query before the exact
-    cosine re-rank. Row-identical to per-query :func:`lsh_knn_pruned` at
-    the same operating point (asserted in tests)."""
+    (query, probed bucket) becomes ONE broadcast row keyed by the flat
+    ``t·2^bits + sig`` bucket id, and an EQUI-JOIN on that key pairs every
+    candidate with exactly the queries that probed its bucket — the first
+    cut used crossJoin + array_contains, which multiplies every scanned
+    row by |queries| before filtering and measured SLOWER than sequential
+    per-query search (tools/stress_batch_index.py; the LSH layout holds
+    ``tables`` copies per vector, so the blowup is 4·|queries|×).
+    Per-table duplicate copies of a candidate dedupe per query before the
+    exact cosine re-rank. Row-identical to per-query
+    :func:`lsh_knn_pruned` at the same operating point (asserted in
+    tests)."""
     df = spark.read.parquet(path)
     per_table_union: list[set] = [set() for _ in range(tables)]
     qrows = []
@@ -279,11 +284,12 @@ def lsh_knn_batch(
         probes = _query_probes(
             qv, bits=bits, tables=tables, max_hamming=max_hamming
         )
-        keys: list[int] = []
         for t, ps in enumerate(probes):
             per_table_union[t].update(int(s) for s in ps)
-            keys += [t * (1 << bits) + int(s) for s in ps]
-        qrows.append((int(qid), [float(x) for x in qv], sorted(keys)))
+            qrows += [
+                (int(qid), [float(x) for x in qv], t * (1 << bits) + int(s))
+                for s in ps
+            ]
 
     pred = None
     for t, union in enumerate(per_table_union):
@@ -292,19 +298,14 @@ def lsh_knn_batch(
         term = (F.col("table") == t) & F.col("sig").isin(sorted(union))
         pred = term if pred is None else (pred | term)
     qdf = spark.createDataFrame(
-        qrows, "qid bigint, qv array<double>, probe_keys array<int>"
+        qrows, "qid bigint, qv array<double>, __bucket int"
     )
-    cands = df.filter(pred)
-    joined = (
-        cands.crossJoin(F.broadcast(qdf))
-        .filter(
-            F.array_contains(
-                F.col("probe_keys"),
-                F.col("table").cast("int") * (1 << bits)
-                + F.col("sig").cast("int"),
-            )
-        )
-        .dropDuplicates(["qid", id_col])
+    cands = df.filter(pred).withColumn(
+        "__bucket",
+        F.col("table").cast("int") * (1 << bits) + F.col("sig").cast("int"),
+    )
+    joined = cands.join(F.broadcast(qdf), "__bucket").dropDuplicates(
+        ["qid", id_col]
     )
     scored = joined.select(
         "qid",
@@ -476,17 +477,25 @@ def ivf_knn_batch(
     union = sorted({c for p in probes for c in p})
 
     spark = assigned.sparkSession
+    # one broadcast row per (query, probed cell), equi-joined on the cell:
+    # an index row meets ONLY the queries that probed its cell. The first
+    # cut used crossJoin + array_contains, which multiplies every scanned
+    # row by |queries| before filtering — measured SLOWER than sequential
+    # per-query search on the LSH twin (tools/stress_batch_index.py).
     qdf = spark.createDataFrame(
         [
-            (int(qid), [float(x) for x in v], p)
+            (int(qid), [float(x) for x in v], int(c))
             for (qid, v), p in zip(queries, probes)
+            for c in p
         ],
-        "qid bigint, qv array<double>, probes array<int>",
+        "qid bigint, qv array<double>, centroid_id int",
     )
-    cands = assigned.filter(F.col("centroid_id").isin(union))
-    joined = cands.crossJoin(F.broadcast(qdf)).filter(
-        F.array_contains(F.col("probes"), F.col("centroid_id").cast("int"))
+    # filter BEFORE the cast: the isin lands on the raw partition column
+    # (partition pruning); the cast only normalizes the join key type
+    cands = assigned.filter(F.col("centroid_id").isin(union)).withColumn(
+        "centroid_id", F.col("centroid_id").cast("int")
     )
+    joined = cands.join(F.broadcast(qdf), "centroid_id")
     scored = joined.select(
         "qid",
         id_col,
