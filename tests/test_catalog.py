@@ -1252,3 +1252,43 @@ def test_search_lsh_batch_equals_per_query(spark, tmp_path):
     routed = col.search_auto_batch(qs, limit=5)
     routed_plan = routed._jdf.queryExecution().executedPlan().toString()
     assert "probe_keys" in routed_plan or "sig" in routed_plan
+
+
+def test_search_ivfpq_batch_equals_per_query(spark, tmp_path):
+    """Batch IVF+PQ (per-query ADC lookup tables on broadcast probe rows,
+    one code scan) must be row-identical to per-query search_ivfpq at the
+    same operating point, and exact at full probe width + wide shortlist."""
+    from vector_database_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "pqb"))
+    col = cat.create_collection("coded", dim=8)
+    pts = spark.createDataFrame(
+        [
+            (i, [((i * 31 + j * 17) % 19) / 10.0 - 0.9 for j in range(8)], {"i": str(i)})
+            for i in range(120)
+        ],
+        "id long, embedding array<float>, payload map<string,string>",
+    )
+    col.upsert(pts)
+    col.build_ivfpq_index(n_centroids=4, m=4, ksub=8)
+    qs = [
+        (7, [((7 * 31 + j * 17) % 19) / 10.0 - 0.9 for j in range(8)]),
+        (11, [((11 * 31 + j * 17) % 19) / 10.0 - 0.9 for j in range(8)]),
+    ]
+
+    batch = col.search_ivfpq_batch(qs, limit=5, nprobe=2, shortlist=20)
+    got = _group_by_qid(batch.collect())
+    for qid, qv in qs:
+        per = [
+            (r["id"], r["score"])
+            for r in col.search_ivfpq(qv, limit=5, nprobe=2, shortlist=20).collect()
+        ]
+        assert [(r["id"], r["score"]) for r in got[qid]] == per
+
+    # full probe width + wide shortlist == exact search, per query
+    full = _group_by_qid(
+        col.search_ivfpq_batch(qs, limit=5, nprobe=4, shortlist=200).collect()
+    )
+    for qid, qv in qs:
+        exact = [(r["id"], r["score"]) for r in col.search(qv, limit=5).collect()]
+        assert [(r["id"], r["score"]) for r in full[qid]] == exact

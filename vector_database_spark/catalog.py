@@ -1375,6 +1375,59 @@ class VectorCollection:
             payload_cols=("payload",),
         )
 
+    def search_ivfpq_batch(
+        self,
+        queries: list[tuple[int, list[float]]],
+        limit: int = 5,
+        nprobe: int = 8,
+        shortlist: int = 200,
+    ) -> DataFrame:
+        """Batch search over the persisted IVF+PQ index: ONE code scan of
+        the union of every query's probe cells, each broadcast (query,
+        cell) row carrying the query's own ADC lookup table (operators/
+        ann.py::ivfpq_knn_batch); per-query shortlists re-rank exactly by
+        the collection's cosine metric. Row-identical to per-query
+        :meth:`search_ivfpq`. Same staleness contract. Returns (qid, id,
+        payload, score)."""
+        import numpy as np
+
+        from vector_database_spark.operators import ann
+
+        if self.info.metric != "cosine":
+            raise ValueError(
+                f"search_ivfpq_batch requires a cosine collection; "
+                f"{self.info.name!r} uses metric={self.info.metric!r}"
+            )
+        meta_path = os.path.join(self._ivfpq_index_path, "_index_meta.json")
+        if not os.path.exists(meta_path):
+            raise ValueError(
+                f"collection {self.info.name!r} has no IVF+PQ index; "
+                "call build_ivfpq_index() first"
+            )
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        current_version = self.catalog._load()[self.info.name]["version"]
+        if meta["built_at_version"] != current_version:
+            raise ValueError(
+                f"IVF+PQ index of {self.info.name!r} was built at version "
+                f"{meta['built_at_version']} but the collection is at "
+                f"{current_version}; rebuild with build_ivfpq_index()"
+            )
+        return ann.ivfpq_knn_batch(
+            self.catalog.spark.read.parquet(self._ivfpq_index_path),
+            np.asarray(meta["centroids"], dtype=float),
+            np.asarray(meta["codebooks"], dtype=float),
+            self.df().select("id", "embedding", "payload"),
+            queries,
+            k=limit,
+            nprobe=nprobe,
+            shortlist=shortlist,
+            id_col="id",
+            emb_col="embedding",
+            payload_cols=("payload",),
+            rerank_metric="cosine",
+        )
+
     # -- multi-table LSH index (signatures at ingest) -----------------------
     @property
     def _lsh_index_path(self) -> str:
@@ -1535,10 +1588,10 @@ class VectorCollection:
         via probe-set UNIONING (:meth:`search_lsh_batch` /
         :meth:`search_ivf_batch` — one scan of the union of all queries'
         buckets/cells, map-side per-query probe filters), in the same
-        recall priority as single-query routing (nsw > lsh > ivf);
-        otherwise the exact adaptive batch plan runs (:meth:`search_batch`,
-        window vs two-phase by size). ivfpq stays a single-query route
-        (its ADC shortlist hasn't been given a batch form). Returns
+        recall priority as single-query routing (nsw > lsh > ivf > ivfpq;
+        ivfpq batches carry per-query ADC lookup tables on the broadcast
+        rows); otherwise the exact adaptive batch plan runs
+        (:meth:`search_batch`, window vs two-phase by size). Returns
         (qid, id, score)."""
         status = self.index_status()
         if self.info.metric == "cosine" and status["nsw"]["fresh"]:
@@ -1558,6 +1611,10 @@ class VectorCollection:
             )
         if self.info.metric == "cosine" and status["ivf"]["fresh"]:
             return self.search_ivf_batch(queries, limit=limit).select(
+                "qid", "id", "score"
+            )
+        if self.info.metric == "cosine" and status["ivfpq"]["fresh"]:
+            return self.search_ivfpq_batch(queries, limit=limit).select(
                 "qid", "id", "score"
             )
         return self.search_batch(queries, limit=limit).select(

@@ -693,6 +693,103 @@ def ivfpq_knn(
     )
 
 
+def ivfpq_knn_batch(
+    assigned_codes: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    embeddings: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+    nprobe: int = 8,
+    shortlist: int = 200,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    payload_cols: tuple[str, ...] = (),
+    rerank_metric: str = "euclid",
+) -> DataFrame:
+    """Batch IVF+PQ: N queries through ONE code scan of the union of
+    their probe cells (the :func:`ivf_knn_batch` equi-join pattern), each
+    broadcast (query, cell) row carrying the query's own m×ksub ADC
+    lookup table. Per-pair ADC cost is identical to the single-query
+    plan — ``zip_with(code, lut)`` sums the same doubles in the same
+    subspace order as :func:`pq_knn`'s literal-array expression — then a
+    per-query shortlist window and one broadcast re-rank join against the
+    float vectors score every query's shortlist exactly. Row-identical to
+    per-query :func:`ivfpq_knn` at the same operating point (asserted in
+    tests)."""
+    from vector_database_spark.functions.vector import l2_dist
+
+    Q = np.asarray([[float(x) for x in q[1]] for q in queries], dtype=float)
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    cn = np.linalg.norm(centroids, axis=1)[None, :]
+    sims = (Q @ centroids.T) / (np.where(cn == 0, 1.0, cn) * np.where(qn == 0, 1.0, qn))
+    probes = [[int(i) for i in np.argsort(-s)[:nprobe]] for s in sims]
+    union = sorted({c for p in probes for c in p})
+
+    m, ksub, dsub = codebooks.shape
+    luts = []
+    for qv in Q:
+        luts.append(
+            [
+                [
+                    float(x)
+                    for x in ((codebooks[j] - qv[j * dsub : (j + 1) * dsub][None, :]) ** 2).sum(axis=1)
+                ]
+                for j in range(m)
+            ]
+        )
+
+    spark = assigned_codes.sparkSession
+    qdf = spark.createDataFrame(
+        [
+            (int(qid), [float(x) for x in v], int(c), lut)
+            for ((qid, v), p, lut) in zip(queries, probes, luts)
+            for c in p
+        ],
+        "qid bigint, qv array<double>, centroid_id int, lut array<array<double>>",
+    )
+    cands = assigned_codes.filter(F.col("centroid_id").isin(union)).withColumn(
+        "centroid_id", F.col("centroid_id").cast("int")
+    )
+    joined = cands.join(F.broadcast(qdf), "centroid_id")
+    # same left-associative subspace-order sum of the same doubles as
+    # pq_knn's literal-LUT chain — ADC scores are bit-identical
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("code"),
+            F.col("lut"),
+            lambda c, l: F.element_at(l, c.cast("int") + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql.window import Window
+
+    w_short = Window.partitionBy("qid").orderBy(
+        F.col("adc").asc(), F.col(id_col).asc()
+    )
+    shortlisted = (
+        joined.select("qid", id_col, "qv", adc.alias("adc"))
+        .withColumn("rn", F.row_number().over(w_short))
+        .filter(F.col("rn") <= shortlist)
+        .select("qid", id_col, "qv")
+    )
+    rerank = embeddings.join(F.broadcast(shortlisted), id_col)
+    if rerank_metric == "cosine":
+        score = round6(cosine(F.col(emb_col), F.col("qv")))
+        order = F.col("score").desc()
+    else:
+        score = round6(l2_dist(F.col(emb_col), F.col("qv")))
+        order = F.col("score").asc()
+    w_k = Window.partitionBy("qid").orderBy(order, F.col(id_col).asc())
+    return (
+        rerank.select("qid", id_col, *payload_cols, score.alias("score"))
+        .withColumn("rn", F.row_number().over(w_k))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def pq_knn_rerank(
     encoded: DataFrame,
     codebooks: np.ndarray,
