@@ -86,6 +86,43 @@ def main() -> None:
     print(lines[-1])
     assert eq, "IVF batch diverged from sequential"
 
+    # ---- IVF+PQ (64 cells / nprobe 8 / 8x16 codes / shortlist 200) --------
+    books = ann.pq_train(emb)
+    codes = ann.pq_encode(
+        assigned.select("vec_id", "centroid_id", "embedding"),
+        books,
+        payload_cols=("centroid_id",),
+    )
+    pq_path = "/tmp/stress_ivfpq_layout"
+    ann.ivf_write_partitioned(codes, pq_path)
+    code_layout = spark.read.parquet(pq_path)
+
+    t0 = time.perf_counter()
+    seq_rows = set()
+    for qid, qv in queries:
+        for r in ann.ivfpq_knn(
+            code_layout, centroids, books, emb, qv, k=K, nprobe=8,
+            payload_cols=(),
+        ).collect():
+            seq_rows.add((qid, r["vec_id"], r["score"]))
+    t_seq = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    batch_rows = {
+        (r["qid"], r["vec_id"], r["score"])
+        for r in ann.ivfpq_knn_batch(
+            code_layout, centroids, books, emb, queries, k=K, nprobe=8
+        ).collect()
+    }
+    t_batch = time.perf_counter() - t0
+    eq = batch_rows == seq_rows
+    lines.append(
+        f"| IVF+PQ 64c/np8/sl200 | {t_seq:.1f} | {t_batch:.1f} |"
+        f" {t_seq / t_batch:.1f}x | {eq} |"
+    )
+    print(lines[-1])
+    assert eq, "IVF+PQ batch diverged from sequential"
+
     # ---- LSH (6 bits x 4 tables, hamming-1 multiprobe) -------------------
     lsh_path = "/tmp/stress_lsh_layout"
     dim = len(queries[0][1])
