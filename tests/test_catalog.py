@@ -1292,3 +1292,32 @@ def test_search_ivfpq_batch_equals_per_query(spark, tmp_path):
     for qid, qv in qs:
         exact = [(r["id"], r["score"]) for r in col.search(qv, limit=5).collect()]
         assert [(r["id"], r["score"]) for r in full[qid]] == exact
+
+
+def test_search_auto_batch_routes_ivfpq_when_only_index(spark, tmp_path):
+    """With IVF+PQ as the only fresh index, the batch router must take it
+    (the last index rung before exact) and return its rows."""
+    from vector_database_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "pqroute"))
+    col = cat.create_collection("only_pq", dim=8)
+    pts = spark.createDataFrame(
+        [
+            (i, [((i * 31 + j * 17) % 19) / 10.0 - 0.9 for j in range(8)], {"i": str(i)})
+            for i in range(120)
+        ],
+        "id long, embedding array<float>, payload map<string,string>",
+    )
+    col.upsert(pts)
+    col.build_ivfpq_index(n_centroids=4, m=4, ksub=8)
+    assert col.route_for_search() == "ivfpq"
+    qs = [(7, [((7 * 31 + j * 17) % 19) / 10.0 - 0.9 for j in range(8)])]
+    routed = {
+        (r["qid"], r["id"], r["score"])
+        for r in col.search_auto_batch(qs, limit=5).collect()
+    }
+    direct = {
+        (r["qid"], r["id"], r["score"])
+        for r in col.search_ivfpq_batch(qs, limit=5).collect()
+    }
+    assert routed == direct and len(routed) == 5
