@@ -303,13 +303,17 @@ def main() -> None:
     for t in ("documents", "orders", "lineitem", "events", "customer"):
         read_table(spark, sf_dir, t).write.mode("overwrite").format("noop").save()
 
-    # SPARK_GRAFT_BENCH_RUNS=N (default 1, the driver contract): per-query
-    # time becomes the MIN of N executions. This host is a shared VM whose
-    # throughput drifts run-to-run (same commit measured 62.4s / 73.8s /
-    # 82.1s across one afternoon, uniformly across queries, while
-    # numpy-bound probes held steady — CPU contention, not plans); min-of-N
-    # recovers the noise floor when a stable local number is needed.
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1")))
+    # SPARK_GRAFT_BENCH_RUNS=N (default 2 since round 7, VERDICT r6
+    # directive 2): per-query time becomes the MIN of N executions. This
+    # host is a shared VM whose throughput drifts run-to-run (same commit
+    # measured 62.4s / 73.8s / 82.1s across one afternoon, uniformly
+    # across queries, while numpy-bound probes held steady — CPU
+    # contention, not plans); min-of-N recovers the noise floor. r6's
+    # published single-run 75.1s vs the same commit's 62.4s min-of-2 made
+    # the driver-facing number the noisiest artifact in the repo — the
+    # ~60s extra wall time buys a comparable series. Set to 1 to get the
+    # old single-shot behavior while iterating.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         best_t = float("inf")
@@ -384,7 +388,7 @@ def main() -> None:
         "recall_at_5": recall,
         "sf": sf_val,
         "warmup_gen": WARMUP_GEN,
-        # >1 = per-query min-of-N (noise-floor mode); driver runs use 1
+        # >1 = per-query min-of-N (noise-floor mode); default 2 since r7
         "bench_runs": n_runs,
     }
     line = json.dumps(compact)

@@ -488,3 +488,107 @@ def test_lsh_signature_null_and_ragged_rows_degrade_to_null(spark):
     for t in range(ann.LSH_TABLES):
         assert rows[1][f"sig_{t}"] is None
         assert rows[2][f"sig_{t}"] is None
+
+
+def test_ivf_auto_defaults_scale_aware():
+    """Round-7 directive 1: IVF's operating point derives from the index
+    shape instead of a fixed constant (the NSW _auto_ef standard) —
+    nprobe targets a scan FRACTION (recall tracks scanned fraction
+    near-linearly on uniform vectors, STRESS.md IVF curve), n_centroids
+    follows the FAISS sqrt(N) rule."""
+    # nprobe: floor of 8, ceil(0.3 * n_centroids) above it, clamped
+    assert ann._auto_nprobe(None, 16) == 8
+    assert ann._auto_nprobe(None, 64) == 20
+    assert ann._auto_nprobe(None, 1000) == 300
+    assert ann._auto_nprobe(None, 4) == 4        # never exceeds the index
+    assert ann._auto_nprobe(3, 64) == 3          # explicit int pins
+    # n_centroids: sqrt(N) clamped to [16, 4096]
+    assert ann._auto_n_centroids(1_000_000) == 1000
+    assert ann._auto_n_centroids(100) == 16
+    assert ann._auto_n_centroids(10**9) == 4096
+
+
+def test_ivf_knn_auto_nprobe_equals_explicit_pin(emb):
+    """nprobe=None must be EXACTLY the derived explicit point — the auto
+    default is a parameter derivation, not a different algorithm."""
+    assigned, centroids = ann.ivf_index(emb, n_centroids=16)
+    assigned = assigned.cache()
+    qv = _query_vecs(emb, n=1)[0][1]
+    auto = [(r["vec_id"], r["score"]) for r in ann.ivf_knn(assigned, centroids, qv, k=5).collect()]
+    pinned = [
+        (r["vec_id"], r["score"])
+        for r in ann.ivf_knn(
+            assigned, centroids, qv, k=5, nprobe=ann._auto_nprobe(None, 16)
+        ).collect()
+    ]
+    assert auto == pinned and len(auto) == 5
+
+
+def test_ivf_index_auto_centroids_from_corpus(emb):
+    """n_centroids=None derives k from the corpus row count (sqrt(N)
+    clamped to the [16, 4096] envelope)."""
+    assigned, centroids = ann.ivf_index(emb, n_centroids=None)
+    n = emb.count()
+    assert len(centroids) == max(16, min(4096, int(n**0.5)))
+    # every row got a cell in the derived layout
+    assert assigned.filter(F.col("centroid_id").isNull()).count() == 0
+
+
+def test_batch_operators_empty_queries(spark, emb, tmp_path):
+    """An empty query batch returns an empty result with the output
+    schema — not a crash in the probe-union/norm steps (r6 ADVICE)."""
+    import numpy as np
+
+    assigned, centroids = ann.ivf_index(emb, n_centroids=8)
+    out = ann.ivf_knn_batch(assigned, centroids, [], k=5)
+    assert out.columns == ["qid", "vec_id", "score"] and out.count() == 0
+
+    out = ann.ivfpq_knn_batch(
+        assigned, centroids, np.zeros((8, 16, 8)), emb, [], k=5
+    )
+    assert out.columns == ["qid", "vec_id", "score"] and out.count() == 0
+
+    lsh_path = str(tmp_path / "lsh_empty")
+    ann.lsh_write_partitioned(
+        emb.select("vec_id", "embedding"), lsh_path, dim=64, payload_cols=()
+    )
+    out = ann.lsh_knn_batch(spark, lsh_path, [], k=5)
+    assert out.columns == ["qid", "vec_id", "score"] and out.count() == 0
+
+    out = ann.nsw_knn(emb, [], k=5, payload_cols=())
+    assert out.columns == ["qid", "vec_id", "score"] and out.count() == 0
+
+    out = knn.knn_batch_auto([], emb, k=3, payload_cols=("label",))
+    assert out.columns == ["qid", "vec_id", "label", "score"] and out.count() == 0
+    out = knn.knn_batch_local_topk([], emb, k=3)
+    assert out.columns == ["qid", "vec_id", "score"] and out.count() == 0
+
+
+def test_knn_batch_auto_float32_roundtrip_branch_identity(spark):
+    """Dispatch contract under NON-float32-representable queries (r6
+    ADVICE): the window branch folds query literals cast to the
+    collection's array<float> element type, so the dispatcher must
+    round-trip queries through that type before the two-phase kernel
+    scores them — otherwise the ~1e-7 float32 perturbation flips micro6
+    boundaries and the branches disagree exactly when the pair budget
+    flips the plan. Random doubles make a disagreement near-certain
+    without the round-trip (~6% of scores flip a micro boundary)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1.0, 1.0) for _ in range(8)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = [
+        (1000 + j, [rng.uniform(-1.0, 1.0) for _ in range(8)]) for j in range(4)
+    ]
+    lo = knn.knn_batch_auto(
+        queries, df, k=3, exclude_self=False, pair_row_budget=0, rows_hint=200
+    )
+    hi = knn.knn_batch_auto(
+        queries, df, k=3, exclude_self=False, pair_row_budget=10**15, rows_hint=200
+    )
+    a = {(r["qid"], r["vec_id"], r["score"]) for r in lo.collect()}
+    b = {(r["qid"], r["vec_id"], r["score"]) for r in hi.collect()}
+    assert a == b and len(a) == 12

@@ -1321,3 +1321,37 @@ def test_search_auto_batch_routes_ivfpq_when_only_index(spark, tmp_path):
         for r in col.search_ivfpq_batch(qs, limit=5).collect()
     }
     assert routed == direct and len(routed) == 5
+
+
+def test_search_nsw_auto_ef_matches_batch_route(spark, tmp_path):
+    """r6 ADVICE (medium): search_nsw pinned ef=48 while search_auto_batch's
+    NSW route used the scale-aware _auto_ef default, so the same query
+    could get different rows through the two surfaces. With ef=None
+    flowing through, the single-query surface and the batch route must be
+    row-identical (ids AND scores)."""
+    from vector_database_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat_efauto"))
+    cat.create_collection("efauto", dim=8)
+    col = cat.collection("efauto")
+    pts = spark.createDataFrame(
+        [
+            (i, [((i * 37 + j * 13) % 23) / 11.0 - 1.0 for j in range(8)], {"i": str(i)})
+            for i in range(300)
+        ],
+        "id long, embedding array<float>, payload map<string,string>",
+    )
+    col.upsert(pts)
+    col.build_nsw_index(n_buckets=2)
+    assert col.route_for_search() == "nsw"
+
+    qv = [((9 * 37 + j * 13) % 23) / 11.0 - 1.0 for j in range(8)]
+    single = [
+        (r["id"], r["score"])
+        for r in col.search_nsw(qv, limit=5).collect()
+    ]
+    batch = [
+        (r["id"], r["score"])
+        for r in col.search_auto_batch([(0, qv)], limit=5).collect()
+    ]
+    assert single == batch and len(single) == 5

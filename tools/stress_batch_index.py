@@ -151,6 +151,85 @@ def main() -> None:
     print(lines[-1])
     assert eq, "LSH batch diverged from sequential"
 
+    # ---- NSW persisted graph index (round-7 directive 4) ------------------
+    # The r6 NSW batch number came from a FRESH fused build; this is the
+    # production shape — the at-ingest layout (nsw_index_write), searched
+    # sequentially (16 single-query calls, each re-scanning every bucket)
+    # vs as ONE batch (one bucket pass beam-searches all 16 queries).
+    nsw_path = "/tmp/stress_nsw_layout"
+    if not os.path.exists(nsw_path):
+        ann.nsw_index_write(emb, nsw_path, n_buckets=64)
+
+    t0 = time.perf_counter()
+    seq_rows = set()
+    for qid, qv in queries:
+        for r in ann.nsw_search_index(
+            spark, nsw_path, [(qid, qv)], k=K
+        ).collect():
+            seq_rows.add((r["qid"], r["vec_id"], r["score"]))
+    t_seq = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    batch_rows = {
+        (r["qid"], r["vec_id"], r["score"])
+        for r in ann.nsw_search_index(spark, nsw_path, queries, k=K).collect()
+    }
+    t_batch = time.perf_counter() - t0
+    eq = batch_rows == seq_rows
+    lines.append(
+        f"| NSW 64 buckets, ef=auto, persisted | {t_seq:.1f} | {t_batch:.1f} |"
+        f" {t_seq / t_batch:.1f}x | {eq} |"
+    )
+    print(lines[-1])
+    assert eq, "NSW batch diverged from sequential"
+
+    # ---- clustered queries: where batch LSH WINS (round-7 directive 5) ---
+    # 16 near-duplicate queries (tiny deterministic perturbations of one
+    # corpus vector — a hot-query / dedup-probe workload): their probe
+    # sets mostly coincide, so the batch union covers a small fraction of
+    # the (table, sig) partitions and scan-sharing finally pays.
+    base_qv = queries[0][1]
+    clustered = [
+        (
+            10_000 + j,
+            [x + 1e-4 * ((j * 7 + i) % 5 - 2) for i, x in enumerate(base_qv)],
+        )
+        for j in range(N_QUERIES)
+    ]
+    tables_, bits_ = ann.LSH_TABLES, ann.LSH_BITS
+    def union_frac(qs):
+        per_t: list[set] = [set() for _ in range(tables_)]
+        for _, qv in qs:
+            for t, ps in enumerate(
+                ann._query_probes(qv, bits=bits_, tables=tables_, max_hamming=1)
+            ):
+                per_t[t].update(int(s) for s in ps)
+        return sum(len(u) for u in per_t) / (tables_ * (1 << bits_))
+
+    t0 = time.perf_counter()
+    seq_rows = set()
+    for qid, qv in clustered:
+        for r in ann.lsh_knn_pruned(
+            spark, lsh_path, qv, k=K, payload_cols=()
+        ).collect():
+            seq_rows.add((qid, r["vec_id"], r["score"]))
+    t_seq = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    batch_rows = {
+        (r["qid"], r["vec_id"], r["score"])
+        for r in ann.lsh_knn_batch(spark, lsh_path, clustered, k=K).collect()
+    }
+    t_batch = time.perf_counter() - t0
+    eq = batch_rows == seq_rows
+    lines.append(
+        f"| LSH 6b x 4t, clustered queries "
+        f"(probe union {union_frac(clustered):.0%} vs {union_frac(queries):.0%} uniform) "
+        f"| {t_seq:.1f} | {t_batch:.1f} | {t_seq / t_batch:.1f}x | {eq} |"
+    )
+    print(lines[-1])
+    assert eq, "clustered LSH batch diverged from sequential"
+
     lines += [
         "",
         "Both batch forms equi-join candidates to (query, probed bucket)",
@@ -158,11 +237,15 @@ def main() -> None:
         "every scanned row by |queries| and measured SLOWER than sequential",
         "on LSH (0.9x); the equi-join restored parity. Where the wins come",
         "from: IVF's 16-query probe union covers ~a third of the 64 cells,",
-        "so one shared scan beats 16 jobs 2.2x. LSH at this operating point",
+        "so one shared scan beats 16 jobs 2.2x. LSH at 16 UNIFORM queries",
         "(6 bits x 4 tables, hamming-1 = 28 buckets/query) unions to most",
         "of the 256 partitions, so scan-sharing gains cancel against the",
-        "join+dedup overhead — parity at 16 uniform queries, winning only",
-        "when queries share buckets (clustered queries / larger N). The",
+        "join+dedup overhead — parity; the clustered-query row is the",
+        "regime where batch LSH wins (near-duplicate probe sets union to a",
+        "sliver of the partitions — the hot-query workload). The NSW row",
+        "searches the persisted at-ingest graph layout: sequential pays a",
+        "full 64-bucket load per query, the batch amortizes ONE load over",
+        "all 16 beams — the largest batch win of the four families. The",
         "auto batch route keeps the recall order (nsw > lsh > ivf); the",
         "cost order is documented here for callers picking explicitly.",
     ]

@@ -136,7 +136,9 @@ def main() -> None:
     print("STRESS.md updated")
 
 
-IVF_POINTS = [(64, 4), (64, 8), (64, 16), (128, 8), (128, 16)]
+# nprobe None = the scale-aware auto default (ann._auto_nprobe: targets a
+# 0.3 scan fraction with a floor of 8 — round-7 directive 1)
+IVF_POINTS = [(64, 4), (64, 8), (64, 16), (64, None), (128, 8), (128, 16), (128, None)]
 IVF_CLUSTERED_POINTS = [(64, 2), (64, 4), (64, 8)]
 
 
@@ -187,6 +189,11 @@ def main_ivf() -> None:
         "are the worst case: clusters are arbitrary Voronoi cells, so recall",
         "rises almost linearly with scanned fraction; on clustered real",
         "embeddings the same nprobe reads far fewer wrong cells.",
+        "`auto(...)` rows are the round-7 scale-aware defaults: nprobe=None",
+        "derives max(8, ceil(0.3 * n_centroids)) (ann._auto_nprobe — the",
+        "_auto_ef standard applied to IVF), and the final row is the full",
+        "auto default: n_centroids=None derives sqrt(N) with KMeans trained",
+        "on a <=256*k-row seeded sample (the FAISS convention).",
         "",
         "| rows | centroids | nprobe | scan frac | recall@5 | query s (16q) | train s |",
         "|---|---|---|---|---|---|---|",
@@ -199,6 +206,8 @@ def main_ivf() -> None:
             assigned = assigned.localCheckpoint(eager=True)
             trained[n_cent] = (assigned, centroids, time.perf_counter() - t0)
         assigned, centroids, t_train = trained[n_cent]
+        np_eff = ann._auto_nprobe(nprobe, n_cent)
+        np_label = str(nprobe) if nprobe is not None else f"auto({np_eff})"
         t0 = time.perf_counter()
         hits = 0
         for qid, qv in queries:
@@ -212,10 +221,37 @@ def main_ivf() -> None:
         t_query = time.perf_counter() - t0
         recall = hits / (k * len(queries))
         lines.append(
-            f"| {n:,} | {n_cent} | {nprobe} | {nprobe / n_cent:.2f} "
+            f"| {n:,} | {n_cent} | {np_label} | {np_eff / n_cent:.2f} "
             f"| {recall:.2f} | {t_query:.1f} | {t_train:.1f} |"
         )
         print(lines[-1], flush=True)
+
+    # the FULL auto default (round-7 directive 1): n_centroids=None derives
+    # sqrt(N) with sample-bounded KMeans training, nprobe=None derives the
+    # scan-fraction point — the operating point a caller gets for free.
+    t0 = time.perf_counter()
+    assigned_a, centroids_a = ann.ivf_index(emb, n_centroids=None)
+    assigned_a = assigned_a.localCheckpoint(eager=True)
+    t_train = time.perf_counter() - t0
+    nc = len(centroids_a)
+    np_eff = ann._auto_nprobe(None, nc)
+    t0 = time.perf_counter()
+    hits = 0
+    for qid, qv in queries:
+        got = {
+            r["vec_id"]
+            for r in ann.ivf_knn(
+                assigned_a, centroids_a, qv, k=k, payload_cols=()
+            ).collect()
+        }
+        hits += len(truth[qid] & got)
+    t_query = time.perf_counter() - t0
+    recall = hits / (k * len(queries))
+    lines.append(
+        f"| {n:,} | auto({nc}) | auto({np_eff}) | {np_eff / nc:.2f} "
+        f"| {recall:.2f} | {t_query:.1f} | {t_train:.1f} |"
+    )
+    print(lines[-1], flush=True)
 
     # the realistic case: clustered embeddings — what IVF's Voronoi
     # partitioning is actually FOR. Same harness, clustered corpus.

@@ -1096,14 +1096,18 @@ class VectorCollection:
             json.dump({"built_at_version": current_version}, fh)
 
     def search_nsw(
-        self, query_vector: list[float], limit: int = 5, ef: int = 48
+        self, query_vector: list[float], limit: int = 5, ef: int | None = None
     ) -> DataFrame:
         """Approximate cosine top-k over the persisted NSW graph index:
         beam search per bucket partition, global merge — zero build cost
-        per query. Raises if no index exists or the collection has been
-        written since the index was built. Returns (qid, id, score); on a
-        small collection with a wide beam this equals exact search
-        (asserted in tests/test_catalog.py)."""
+        per query. ``ef=None`` (the default) lets the scale-aware beam
+        flow through (operators/ann.py::_auto_ef — max(48, 2·√bucket_rows),
+        chosen inside the per-bucket kernel), so single-query searches get
+        the same recall envelope as ``search_auto_batch``'s NSW route; an
+        explicit int pins the beam. Raises if no index exists or the
+        collection has been written since the index was built. Returns
+        (qid, id, score); on a small collection with a wide beam this
+        equals exact search (asserted in tests/test_catalog.py)."""
         from vector_database_spark.operators import ann
 
         if self.info.metric != "cosine":
@@ -1141,14 +1145,18 @@ class VectorCollection:
     def _ivf_index_path(self) -> str:
         return self.path + "__ivf"
 
-    def build_ivf_index(self, n_centroids: int = 16) -> None:
+    def build_ivf_index(self, n_centroids: int | None = None) -> None:
         """Materialize the IVF index for the CURRENT live state: KMeans
         centroids + a centroid_id-partitioned Parquet layout
         (operators/ann.py::ivf_index / ivf_write_partitioned), so nprobe
-        becomes partition pruning at search time. Centroids are persisted
-        in the index meta alongside the pinned collection version; the
-        same staleness contract as the NSW/LSH indexes applies. Cosine
-        only (probe order ranks centroids by cosine)."""
+        becomes partition pruning at search time. ``n_centroids=None``
+        (the default since round 7) derives k from the live row count
+        (√N, the FAISS rule) and bounds KMeans training to a ≤256·k-row
+        seeded sample — the scale-aware build; an explicit int pins the
+        layout. Centroids are persisted in the index meta alongside the
+        pinned collection version; the same staleness contract as the
+        NSW/LSH indexes applies. Cosine only (probe order ranks centroids
+        by cosine)."""
         from vector_database_spark.operators import ann
 
         if self.info.metric != "cosine":
@@ -1172,13 +1180,16 @@ class VectorCollection:
             )
 
     def search_ivf(
-        self, query_vector: list[float], limit: int = 5, nprobe: int = 4
+        self, query_vector: list[float], limit: int = 5, nprobe: int | None = None
     ) -> DataFrame:
         """Approximate cosine top-k over the persisted IVF index: the
         ``nprobe`` nearest centroids become a centroid_id PARTITION
         predicate (only those directories are read), exact cosine re-ranks
-        inside them. Raises if no index exists or the collection has been
-        written since the build. Returns (id, payload, score)."""
+        inside them. ``nprobe=None`` derives the probe count from the
+        index's centroid count and the target scan fraction
+        (operators/ann.py::_auto_nprobe) — the scale-aware default.
+        Raises if no index exists or the collection has been written
+        since the build. Returns (id, payload, score)."""
         import numpy as np
 
         from vector_database_spark.operators import ann
@@ -1219,7 +1230,7 @@ class VectorCollection:
         self,
         queries: list[tuple[int, list[float]]],
         limit: int = 5,
-        nprobe: int = 4,
+        nprobe: int | None = None,
     ) -> DataFrame:
         """Batch search over the persisted IVF index: ONE scan of the
         union of every query's probe cells (operators/ann.py::
@@ -1267,14 +1278,18 @@ class VectorCollection:
     def _ivfpq_index_path(self) -> str:
         return self.path + "__ivfpq"
 
-    def build_ivfpq_index(self, n_centroids: int = 16, m: int = 8, ksub: int = 16) -> None:
+    def build_ivfpq_index(
+        self, n_centroids: int | None = None, m: int = 8, ksub: int = 16
+    ) -> None:
         """Materialize the IVF+PQ composite index (Jégou et al. 2011 §V)
         for the CURRENT live state: KMeans cell assignment + per-row PQ
         codes, written partitioned by centroid_id so the query's nprobe
         cells are partition-pruned and the ADC pass reads only those
-        cells' ~m-byte codes. Centroids AND codebooks persist in the index
-        meta with the pinned collection version; same staleness contract
-        as the other index surfaces. Cosine only."""
+        cells' ~m-byte codes. ``n_centroids=None`` derives k from the
+        live row count with sample-bounded KMeans training, like
+        :meth:`build_ivf_index`. Centroids AND codebooks persist in the
+        index meta with the pinned collection version; same staleness
+        contract as the other index surfaces. Cosine only."""
         from vector_database_spark.operators import ann
 
         if self.info.metric != "cosine":
@@ -1312,7 +1327,7 @@ class VectorCollection:
         self,
         query_vector: list[float],
         limit: int = 5,
-        nprobe: int = 8,
+        nprobe: int | None = None,
         shortlist: int = 200,
     ) -> DataFrame:
         """Approximate cosine top-k over the persisted IVF+PQ index: route
@@ -1348,6 +1363,7 @@ class VectorCollection:
             )
         centroids = np.asarray(meta["centroids"], dtype=float)
         books = np.asarray(meta["codebooks"], dtype=float)
+        nprobe = ann._auto_nprobe(nprobe, len(centroids))
         q = np.asarray([float(x) for x in query_vector], dtype=float)
         cnorm = np.linalg.norm(centroids, axis=1) * np.linalg.norm(q)
         sims = centroids @ q / np.where(cnorm == 0, 1.0, cnorm)
@@ -1379,7 +1395,7 @@ class VectorCollection:
         self,
         queries: list[tuple[int, list[float]]],
         limit: int = 5,
-        nprobe: int = 8,
+        nprobe: int | None = None,
         shortlist: int = 200,
     ) -> DataFrame:
         """Batch search over the persisted IVF+PQ index: ONE code scan of

@@ -42,6 +42,42 @@ def _hyperplanes(dim: int, bits: int, seed: int = LSH_SEED) -> np.ndarray:
     return rng.randn(bits, dim)
 
 
+# Scale-aware IVF defaults (round-7 directive 1, mirroring NSW's _auto_ef):
+# a fixed nprobe constant is an operating point chosen for ONE corpus —
+# recall@5 at 1M uniform rows was 0.69 at the old nprobe=8/64c default
+# (STRESS.md IVF curve) because the scanned FRACTION, not the probe count,
+# is what recall tracks (the curve is near-linear in scan fraction on
+# uniform vectors, the ANN worst case). So the derived default targets a
+# scan fraction: nprobe = max(floor, ceil(frac · n_centroids)), which holds
+# recall@5 ≥ 0.85 on 1M uniform rows at the default 0.3 (measured row in
+# the STRESS.md curve) and is ~10× past what clustered corpora need (they
+# reach recall 1.00 at a 0.03 scan — pass an explicit nprobe to claim
+# that). n_centroids defaults to the FAISS √N rule when the corpus size is
+# known, clamped to [16, 4096]; KMeans then trains on a seeded sample of
+# ≤ 256·k rows (the FAISS training-budget convention) so index build cost
+# is bounded by the centroid count, not the corpus.
+IVF_NPROBE_FLOOR = 8
+IVF_TARGET_SCAN_FRAC = 0.3
+IVF_TRAIN_ROWS_PER_CENTROID = 256
+
+
+def _auto_nprobe(nprobe: int | None, n_centroids: int) -> int:
+    import math
+
+    if nprobe is not None:
+        return nprobe
+    return min(
+        n_centroids,
+        max(IVF_NPROBE_FLOOR, math.ceil(IVF_TARGET_SCAN_FRAC * n_centroids)),
+    )
+
+
+def _auto_n_centroids(n_rows: int) -> int:
+    import math
+
+    return max(16, min(4096, int(math.sqrt(max(n_rows, 1)))))
+
+
 def with_lsh_signature(
     embeddings: DataFrame,
     dim: int = 64,
@@ -278,6 +314,13 @@ def lsh_knn_batch(
     :func:`lsh_knn_pruned` at the same operating point (asserted in
     tests)."""
     df = spark.read.parquet(path)
+    if not queries:
+        return df.select(
+            F.lit(0).cast("long").alias("qid"),
+            id_col,
+            *payload_cols,
+            F.lit(0.0).alias("score"),
+        ).limit(0)
     per_table_union: list[set] = [set() for _ in range(tables)]
     qrows = []
     for qid, qv in queries:
@@ -368,13 +411,22 @@ def lsh_similarity_join(
 
 def ivf_index(
     embeddings: DataFrame,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     seed: int = LSH_SEED,
 ):
     """IVF coarse index: KMeans centroids + per-row nearest-centroid
     assignment. Returns (assigned_df, centroids ndarray).
+
+    ``n_centroids=None`` is SCALE mode: k derives from the corpus row
+    count (√N, the FAISS rule of thumb — :func:`_auto_n_centroids`) and
+    KMeans trains on a seeded sample of ≤ 256·k rows instead of the full
+    corpus, so build cost is bounded by the centroid count (the FAISS
+    training-budget convention; centroids from a quarter-million-row
+    sample are statistically identical to full-fit ones). An explicit
+    ``n_centroids`` keeps the original full-fit behavior — existing
+    operating points stay byte-identical.
 
     The MLlib boundary is the only place arrays convert to VectorUDT
     (SURVEY §7.3); the assignment column is then plain relational state.
@@ -383,7 +435,14 @@ def ivf_index(
     from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
 
     vecs = embeddings.withColumn("features", array_to_vector(F.col(emb_col).cast("array<double>")))
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(vecs)
+    train = vecs
+    if n_centroids is None:
+        n_rows = embeddings.count()
+        n_centroids = _auto_n_centroids(n_rows)
+        cap = IVF_TRAIN_ROWS_PER_CENTROID * n_centroids
+        if n_rows > cap:
+            train = vecs.sample(fraction=min(1.0, cap / n_rows), seed=seed)
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
     assigned = model.transform(vecs).withColumnRenamed("prediction", "centroid_id").drop(
         "features"
     )
@@ -404,7 +463,7 @@ def ivf_knn_pruned(
     centroids: np.ndarray,
     query_vector: list[float],
     k: int = 5,
-    nprobe: int = 4,
+    nprobe: int | None = None,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     payload_cols: tuple[str, ...] = ("label",),
@@ -423,16 +482,21 @@ def ivf_knn(
     centroids: np.ndarray,
     query_vector: list[float],
     k: int = 5,
-    nprobe: int = 4,
+    nprobe: int | None = None,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     payload_cols: tuple[str, ...] = ("label",),
 ) -> DataFrame:
     """Probe the ``nprobe`` nearest centroids, exact re-rank inside them.
 
-    At scale ``centroid_id`` is the partition column → partition pruning
-    reads nprobe/n_centroids of the data.
+    ``nprobe=None`` (the default since round 7) derives the probe count
+    from the centroid count and a target scan fraction
+    (:func:`_auto_nprobe`) — the scale-aware twin of NSW's ``_auto_ef``;
+    an explicit int pins the operating point. At scale ``centroid_id`` is
+    the partition column → partition pruning reads nprobe/n_centroids of
+    the data.
     """
+    nprobe = _auto_nprobe(nprobe, len(centroids))
     q = np.asarray(query_vector, dtype=float)
     cnorm = np.linalg.norm(centroids, axis=1) * np.linalg.norm(q)
     sims = centroids @ q / np.where(cnorm == 0, 1.0, cnorm)
@@ -450,7 +514,7 @@ def ivf_knn_batch(
     centroids: np.ndarray,
     queries: list[tuple[int, list[float]]],
     k: int = 5,
-    nprobe: int = 4,
+    nprobe: int | None = None,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     payload_cols: tuple[str, ...] = (),
@@ -463,12 +527,25 @@ def ivf_knn_batch(
     ``centroid_id IN union(all probe sets)`` — still a partition
     predicate against the at-ingest layout, so the batch reads at most
     ``|union|/n_centroids`` of the corpus once. Per-(candidate, query)
-    relevance is restored MAP-SIDE: the broadcast query row carries its
-    own probe list and an ``array_contains`` filter drops pairs whose
-    cell the query didn't probe, before any scoring. Results are row-
-    identical to running :func:`ivf_knn` per query at the same nprobe
-    (asserted in tests) — the batching is purely physical.
+    relevance is restored by the join shape itself: each (query, probed
+    cell) pair becomes ONE broadcast row, and the EQUI-JOIN on
+    ``centroid_id`` pairs every scanned index row with exactly the
+    queries that probed its cell — no pair ever materializes for an
+    unprobed cell (same pattern as :func:`lsh_knn_batch`; the first cut
+    crossJoined every scanned row against all |queries| and filtered
+    after, which measured SLOWER than sequential). ``nprobe=None``
+    derives the probe count from the centroid count (:func:`_auto_nprobe`).
+    Results are row-identical to running :func:`ivf_knn` per query at the
+    same nprobe (asserted in tests) — the batching is purely physical.
     """
+    if not queries:
+        return assigned.select(
+            F.lit(0).cast("long").alias("qid"),
+            id_col,
+            *payload_cols,
+            F.lit(0.0).alias("score"),
+        ).limit(0)
+    nprobe = _auto_nprobe(nprobe, len(centroids))
     Q = np.asarray([[float(x) for x in q[1]] for q in queries], dtype=float)
     qn = np.linalg.norm(Q, axis=1, keepdims=True)
     cn = np.linalg.norm(centroids, axis=1)[None, :]
@@ -649,7 +726,7 @@ def ivfpq_knn(
     embeddings: DataFrame,
     query_vector: list[float],
     k: int = 5,
-    nprobe: int = 8,
+    nprobe: int | None = None,
     shortlist: int = 200,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
@@ -667,9 +744,11 @@ def ivfpq_knn(
     the cell filter is partition PRUNING, the ADC pass reads
     nprobe/n_centroids of the code bytes, and the re-rank touches a
     constant ``shortlist`` float vectors — the full 100 TB search path
-    never reads more than a sliver of the data. Approximate → rows-only,
-    recall-gated in tests/test_ann.py.
+    never reads more than a sliver of the data. ``nprobe=None`` derives
+    the probe count from the centroid count (:func:`_auto_nprobe`).
+    Approximate → rows-only, recall-gated in tests/test_ann.py.
     """
+    nprobe = _auto_nprobe(nprobe, len(centroids))
     q = np.asarray(query_vector, dtype=float)
     cnorm = np.linalg.norm(centroids, axis=1) * np.linalg.norm(q)
     sims = centroids @ q / np.where(cnorm == 0, 1.0, cnorm)
@@ -700,7 +779,7 @@ def ivfpq_knn_batch(
     embeddings: DataFrame,
     queries: list[tuple[int, list[float]]],
     k: int = 5,
-    nprobe: int = 8,
+    nprobe: int | None = None,
     shortlist: int = 200,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
@@ -719,6 +798,14 @@ def ivfpq_knn_batch(
     tests)."""
     from vector_database_spark.functions.vector import l2_dist
 
+    if not queries:
+        return embeddings.select(
+            F.lit(0).cast("long").alias("qid"),
+            id_col,
+            *payload_cols,
+            F.lit(0.0).alias("score"),
+        ).limit(0)
+    nprobe = _auto_nprobe(nprobe, len(centroids))
     Q = np.asarray([[float(x) for x in q[1]] for q in queries], dtype=float)
     qn = np.linalg.norm(Q, axis=1, keepdims=True)
     cn = np.linalg.norm(centroids, axis=1)[None, :]
@@ -982,6 +1069,13 @@ def nsw_knn(
     Deterministic (insertion order + tie-breaks on id) but approximate →
     rows-only; recall gated in tests/test_ann.py. Scores are cosine
     similarities recomputed exactly for the returned candidates."""
+    if not queries:
+        return embeddings.select(
+            F.lit(0).cast("long").alias("qid"),
+            id_col,
+            *payload_cols,
+            F.lit(0.0).alias("score"),
+        ).limit(0)
     qids, qmat = _normalize_queries(queries)
     pay = list(payload_cols)
 
@@ -1061,6 +1155,11 @@ def nsw_search_index(
     so results are identical to nsw_knn over the same corpus. As in the
     fused operator, all buckets are searched (the layout is a parallelism
     unit, not a pruning key)."""
+    if not queries:
+        idx = spark.read.parquet(path)
+        return idx.select(
+            F.lit(0).cast("long").alias("qid"), id_col, F.lit(0.0).alias("score")
+        ).limit(0)
     qids, qmat = _normalize_queries(queries)
 
     def search(pdf):

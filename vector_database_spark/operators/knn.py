@@ -275,6 +275,13 @@ def knn_batch_local_topk(
     """
     import pandas as pd
 
+    if not queries:
+        return collection.select(
+            F.lit(0).cast("bigint").alias("qid"),
+            id_col,
+            *payload_cols,
+            F.lit(0.0).alias("score"),
+        ).limit(0)
     q_ids = [int(q[0]) for q in queries]
     q_vecs = [[float(x) for x in q[1]] for q in queries]
     pay_fields = [collection.schema[c] for c in payload_cols]
@@ -408,6 +415,37 @@ def knn_batch_auto(
     physical-plan decision, exactly like Catalyst choosing broadcast vs
     shuffle join on size estimates.
     """
+    if not queries:
+        return collection.select(
+            F.lit(0).cast("bigint").alias("qid"),
+            id_col,
+            *payload_cols,
+            F.lit(0.0).alias("score"),
+        ).limit(0)
+    # Round-trip query vectors through the collection's ELEMENT type
+    # before dispatching: the window branch casts its query literals to
+    # that type anyway (so Spark folds e.g. float32 doubles), but the
+    # two-phase heap kernel scores whatever doubles it is handed. For a
+    # query not exactly representable in the element type the ~1e-7
+    # perturbation could flip a micro6 boundary and break the
+    # "both branches emit identical rows" dispatch contract exactly when
+    # the pair budget flips the plan — so both branches now score the
+    # same rounded doubles.
+    from pyspark.sql.types import FloatType
+
+    elem = collection.schema[emb_col].dataType.elementType
+    if isinstance(elem, FloatType):
+        import numpy as np
+
+        queries = [
+            (
+                int(qid),
+                np.asarray([float(x) for x in qv], dtype=np.float32)
+                .astype(np.float64)
+                .tolist(),
+            )
+            for qid, qv in queries
+        ]
     n_rows = rows_hint if rows_hint is not None else collection.count()
     if n_rows * max(len(queries), 1) > pair_row_budget:
         return knn_batch_local_topk(

@@ -2282,11 +2282,13 @@ def q_knn_ivf(spark, sf_dir):
 
 def q_knn_ivf_batch(spark, sf_dir):
     """B8 batch form: N queries answered by ONE scan of the union of
-    their IVF probe cells (ann.ivf_knn_batch) — map-side array_contains
-    restores each query's own probe set, so results are row-identical to
-    per-query ivf_knn at the same nprobe (asserted in tests/
-    test_catalog.py). Rows-only like every approximate operator; the same
-    16-centroid / nprobe-8 operating point as q_knn_ivf."""
+    their IVF probe cells (ann.ivf_knn_batch) — each (query, probed cell)
+    pair is ONE broadcast row, and an equi-join on centroid_id pairs
+    every scanned index row with exactly the queries that probed its
+    cell, so results are row-identical to per-query ivf_knn at the same
+    nprobe (asserted in tests/test_catalog.py). Rows-only like every
+    approximate operator; the same 16-centroid / nprobe-8 operating point
+    as q_knn_ivf."""
     emb = _t(spark, sf_dir, "embeddings")
     assigned, centroids = ann.ivf_index(emb, n_centroids=16)
     qrows = (
@@ -6716,30 +6718,38 @@ _DRIVER_CONFIRMED_R1_R2 = frozenset({
     "q_doc_fingerprint", "q_minhash_signatures", "q_softmax_argmax",
 })
 
-# Round-6 priority (VERDICT r5 directive 3): queries last driver-confirmed
-# in ROUND 1 whose plans changed materially in round 4 (tokenize-once pins,
-# pair-scoring rewrite) lead the registry so a prefix-biased driver sample
-# re-confirms them; q_knn_twophase follows because it gains its FULL oracle
-# this round (directive 4) and needs a fresh hash_match row.
-_R6_PRIORITY = (
-    "q_pad_frame",
-    "q_too_long_filter",
-    "q_max_len_scan",
-    "q_split_train_val",
-    "q_inst_parse",
-    "q_mask_pad",
-    "q_dedup_exact",
-    "q_dedup_minhash",
-    "q_text_stats",
-    "q_join_enrich",
-    "q_event_window",
-    "q_json_extract",
-    "q_topk_global",
-    "q_knn_twophase",
-    "q_incremental_dedup_indexed",   # new this round (r6 directive 5)
-    "q_simhash_pairs_compound",      # new this round (r6 directive 6)
-    "q_knn_auto",                    # new this round (adaptive plan dispatch)
-    "q_knn_ivf_batch",               # new this round (probe-set unioning)
+# Round-7 priority (VERDICT r6 directive 3): the 25 oracled queries whose
+# last external driver confirmation is round 3 — computed as
+# _DRIVER_CONFIRMED_R3 minus every name in CORRECTNESS_r0{4,5,6}.json —
+# lead the registry so the prefix-biased driver sample re-confirms them.
+# Every name here HAS an oracle_sql() entry (rows-only names are excluded
+# by construction), so no sample slot burns on a `no_oracle` row.
+_R7_PRIORITY = (
+    "q_window_funcs",
+    "q_semdedup",
+    "q_semdedup_kmeans",
+    "q_kmeans_clusters",
+    "q_incremental_dedup",
+    "q_stream_dedup",
+    "q_stream_enrich",
+    "q_stream_session_window",
+    "q_corr_stats",
+    "q_scd2_intervals",
+    "q_span_corruption",
+    "q_cluster_canonical",
+    "q_asof_join",
+    "q_bigram_logprob",
+    "q_char_entropy",
+    "q_cohort_retention",
+    "q_corpus_report",
+    "q_downsample",
+    "q_gap_fill",
+    "q_pivot_events",
+    "q_range_join",
+    "q_score_threshold",
+    "q_ship_priority",
+    "q_sliding_window",
+    "q_topngram_fraction",
 )
 
 # Round 3 sampled 50 more (all green except q_loss_mask, whose array
@@ -6800,14 +6810,36 @@ _DRIVER_SAMPLED_R5 = frozenset({
     "q_winnow_fingerprint",
 })
 
+# Round 6's driver sample (CORRECTNESS_r06.json): 48 green + 2 rows-only —
+# the freshest external rows, so they rotate to the very back.
+_DRIVER_SAMPLED_R6 = frozenset({
+    "q_context_search", "q_dedup_clusters", "q_dedup_exact",
+    "q_dedup_minhash", "q_doc_fingerprint", "q_event_window", "q_filter_dsl",
+    "q_formula_boost", "q_funnel_steps", "q_geo_bbox", "q_gopher_rules",
+    "q_incremental_dedup_indexed", "q_inst_parse", "q_join_enrich",
+    "q_json_extract", "q_knn_auto", "q_knn_ivf_batch", "q_knn_ivfpq",
+    "q_knn_manhattan", "q_knn_twophase", "q_lang_id", "q_line_dedup",
+    "q_mask_pad", "q_matryoshka", "q_max_len_scan", "q_maxsim_multivector",
+    "q_minhash_signatures", "q_multivec_pool", "q_neardup_embedding",
+    "q_ngram_jaccard", "q_pad_frame", "q_perplexity_buckets",
+    "q_prefetch_rerank", "q_pricing_summary", "q_quality_score",
+    "q_random_sample", "q_recommend_sum_scores", "q_rescore_oversample",
+    "q_salted_agg", "q_session_window", "q_sessionize", "q_shard_export",
+    "q_simhash_pairs_compound", "q_split_train_val", "q_substring_dedup",
+    "q_temperature_mix", "q_text_stats", "q_token_count",
+    "q_too_long_filter", "q_topk_global",
+})
+
 _DRIVER_CONFIRMED = _DRIVER_CONFIRMED_R1_R2 | _DRIVER_CONFIRMED_R3
 
 
 def _registry_rank(k: str) -> tuple[int, int]:
-    if k in _R6_PRIORITY:
-        return (0, _R6_PRIORITY.index(k))
+    if k in _R7_PRIORITY:
+        return (0, _R7_PRIORITY.index(k))
+    if k in _DRIVER_SAMPLED_R6:
+        return (5, 0)  # freshest external rows: very back
     if k in _DRIVER_SAMPLED_R5:
-        return (4, 0)  # freshest external rows: very back
+        return (4, 0)
     if k in _DRIVER_SAMPLED_R4:
         return (3, 0)
     if k in _DRIVER_CONFIRMED_R3:
