@@ -96,6 +96,18 @@ BENCH_QUERIES = [
     "q_incremental_dedup",
     "q_hard_negatives",
     "q_corpus_report",
+    # round 7: the batch index-search family — the 100-TB serving shape
+    # (one scan answers N queries). Each entry is self-contained
+    # (index build + batch search), so the timing INCLUDES the one-time
+    # build the production path amortizes: ivf/ivfpq pay per-run KMeans/PQ
+    # training, nsw pays the graph build+write, lsh only the signature
+    # matmul. Recall annotations: row-identical to their per-query
+    # operators (asserted in tests), so the recall_at_5 block's
+    # q_knn_{lsh,ivf,ivfpq,nsw} numbers apply to the batch forms too.
+    "q_knn_ivf_batch",
+    "q_knn_lsh_batch",
+    "q_knn_nsw_batch",
+    "q_knn_ivfpq_batch",
 ]
 
 
@@ -368,11 +380,16 @@ def main() -> None:
                 # the ANN operating points the recall numbers were taken at
                 # (r6 directive 2: annotate recall with the chosen point)
                 "ann_operating_points": {
-                    "lsh": "4 tables x 6-bit hyperplanes, hamming-1 multiprobe",
-                    "ivf": "16 centroids, nprobe=8",
+                    "lsh": "8 tables x 6-bit hyperplanes, hamming-1 multiprobe",
+                    "ivf": "16 centroids, nprobe=8 (benched pin; "
+                           "nprobe=None auto-derives max(8, ceil(0.3*n_centroids)) "
+                           "since r7 — STRESS.md IVF curve)",
                     "pq": "8x16 codebooks, ADC shortlist-50, exact re-rank",
                     "nsw": "M=8, ef=auto: max(48, 2*sqrt(bucket_rows)) "
                            "(scale-aware default, STRESS.md 1M curve)",
+                    "batch": "q_knn_{ivf,lsh,nsw,ivfpq}_batch are row-identical "
+                             "to their per-query operators (tests), so the "
+                             "recall_at_5 entries above cover them",
                 },
                 "best_known_ratio": ratios,
                 "watch": watch,

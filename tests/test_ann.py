@@ -592,3 +592,26 @@ def test_knn_batch_auto_float32_roundtrip_branch_identity(spark):
     a = {(r["qid"], r["vec_id"], r["score"]) for r in lo.collect()}
     b = {(r["qid"], r["vec_id"], r["score"]) for r in hi.collect()}
     assert a == b and len(a) == 12
+
+
+def test_lsh_knn_batch_df_equals_persisted(spark, emb, tmp_path):
+    """lsh_knn_batch_df over the in-memory long form must be row-identical
+    to lsh_knn_batch over the persisted (table, sig) layout — they are the
+    same probe-union + equi-join plan over the same index rows."""
+    path = str(tmp_path / "lsh_df_twin")
+    ann.lsh_write_partitioned(emb, path, dim=64, payload_cols=("label",))
+    queries = _query_vecs(emb, n=4)
+    persisted = {
+        (r["qid"], r["vec_id"], r["label"], r["score"])
+        for r in ann.lsh_knn_batch(
+            spark, path, queries, k=5, payload_cols=("label",)
+        ).collect()
+    }
+    long_form = ann.lsh_long_form(emb, dim=64, payload_cols=("label",))
+    in_mem = {
+        (r["qid"], r["vec_id"], r["label"], r["score"])
+        for r in ann.lsh_knn_batch_df(
+            long_form, queries, k=5, payload_cols=("label",)
+        ).collect()
+    }
+    assert persisted == in_mem and len(in_mem) == 20

@@ -123,7 +123,7 @@ def main() -> None:
     print(lines[-1])
     assert eq, "IVF+PQ batch diverged from sequential"
 
-    # ---- LSH (6 bits x 4 tables, hamming-1 multiprobe) -------------------
+    # ---- LSH (6 bits x LSH_TABLES tables, hamming-1 multiprobe) ----------
     lsh_path = "/tmp/stress_lsh_layout"
     dim = len(queries[0][1])
     ann.lsh_write_partitioned(emb, lsh_path, dim=dim)
@@ -145,7 +145,7 @@ def main() -> None:
     t_batch = time.perf_counter() - t0
     eq = batch_rows == seq_rows
     lines.append(
-        f"| LSH 6b x 4t | {t_seq:.1f} | {t_batch:.1f} |"
+        f"| LSH 6b x {ann.LSH_TABLES}t | {t_seq:.1f} | {t_batch:.1f} |"
         f" {t_seq / t_batch:.1f}x | {eq} |"
     )
     print(lines[-1])
@@ -223,7 +223,7 @@ def main() -> None:
     t_batch = time.perf_counter() - t0
     eq = batch_rows == seq_rows
     lines.append(
-        f"| LSH 6b x 4t, clustered queries "
+        f"| LSH 6b x {ann.LSH_TABLES}t, clustered queries "
         f"(probe union {union_frac(clustered):.0%} vs {union_frac(queries):.0%} uniform) "
         f"| {t_seq:.1f} | {t_batch:.1f} | {t_seq / t_batch:.1f}x | {eq} |"
     )
@@ -238,8 +238,8 @@ def main() -> None:
         "on LSH (0.9x); the equi-join restored parity. Where the wins come",
         "from: IVF's 16-query probe union covers ~a third of the 64 cells,",
         "so one shared scan beats 16 jobs 2.2x. LSH at 16 UNIFORM queries",
-        "(6 bits x 4 tables, hamming-1 = 28 buckets/query) unions to most",
-        "of the 256 partitions, so scan-sharing gains cancel against the",
+        "(6 bits x 8 tables, hamming-1 = 56 buckets/query) unions to most",
+        "of the 512 partitions, so scan-sharing gains cancel against the",
         "join+dedup overhead — parity; the clustered-query row is the",
         "regime where batch LSH wins (near-duplicate probe sets union to a",
         "sliver of the partitions — the hot-query workload). The NSW row",

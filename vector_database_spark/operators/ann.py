@@ -233,6 +233,30 @@ def lsh_write_partitioned(
     (a single copy + OR filter over signature columns) still reads every
     row group. Probe cost per query: tables × (1 + multiprobe) partitions
     of ~N/2^bits rows each."""
+    lsh_long_form(
+        embeddings,
+        dim=dim,
+        bits=bits,
+        tables=tables,
+        id_col=id_col,
+        emb_col=emb_col,
+        payload_cols=payload_cols,
+    ).write.mode("overwrite").partitionBy("table", "sig").parquet(path)
+
+
+def lsh_long_form(
+    embeddings: DataFrame,
+    dim: int,
+    bits: int = LSH_BITS,
+    tables: int = LSH_TABLES,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    payload_cols: tuple[str, ...] = ("label",),
+) -> DataFrame:
+    """The (table, sig)-keyed long form of the multi-table LSH index —
+    one row copy per table — as a DataFrame: the in-memory twin of
+    :func:`lsh_write_partitioned`'s persisted layout (which is just this
+    written partitioned by (table, sig))."""
     tagged = with_lsh_signature(
         embeddings, dim=dim, bits=bits, tables=tables, emb_col=emb_col
     )
@@ -249,7 +273,7 @@ def lsh_write_partitioned(
     allt = frames[0]
     for fr in frames[1:]:
         allt = allt.unionByName(fr)
-    allt.write.mode("overwrite").partitionBy("table", "sig").parquet(path)
+    return allt
 
 
 def lsh_knn_pruned(
@@ -313,7 +337,37 @@ def lsh_knn_batch(
     exact cosine re-rank. Row-identical to per-query
     :func:`lsh_knn_pruned` at the same operating point (asserted in
     tests)."""
-    df = spark.read.parquet(path)
+    return lsh_knn_batch_df(
+        spark.read.parquet(path),
+        queries,
+        k=k,
+        bits=bits,
+        tables=tables,
+        max_hamming=max_hamming,
+        id_col=id_col,
+        emb_col=emb_col,
+        payload_cols=payload_cols,
+    )
+
+
+def lsh_knn_batch_df(
+    df: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+    bits: int = LSH_BITS,
+    tables: int = LSH_TABLES,
+    max_hamming: int = 1,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    payload_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """:func:`lsh_knn_batch` over an in-memory (table, sig) long-form
+    index DataFrame (:func:`lsh_long_form`) instead of the persisted
+    layout — same probe-union scan predicate and per-(query, bucket)
+    broadcast equi-join; the (table, sig) filter is a plain column
+    predicate here and PARTITION pruning when the input is the
+    at-ingest parquet layout."""
+    spark = df.sparkSession
     if not queries:
         return df.select(
             F.lit(0).cast("long").alias("qid"),

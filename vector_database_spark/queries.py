@@ -2300,6 +2300,75 @@ def q_knn_ivf_batch(spark, sf_dir):
     )
 
 
+def q_knn_lsh_batch(spark, sf_dir):
+    """B8 batch form, LSH family (round-7 directive 8): N queries through
+    ONE scan of the union of their per-table probe buckets
+    (ann.lsh_knn_batch_df over the (table, sig) long-form index) — the
+    same per-(query, bucket) broadcast equi-join as the persisted-layout
+    path, row-identical to per-query lsh_knn_pruned (asserted in tests).
+    Rows-only; recall equals q_knn_lsh's (identical probes + re-rank)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    long_form = ann.lsh_long_form(emb, dim=64, payload_cols=("label",))
+    qrows = (
+        emb.filter(F.col("vec_id") < 4).select("vec_id", "embedding").collect()
+    )
+    queries = [(r.vec_id, list(r.embedding)) for r in qrows]
+    return ann.lsh_knn_batch_df(
+        long_form, queries, k=5, payload_cols=("label",)
+    )
+
+
+def q_knn_nsw_batch(spark, sf_dir):
+    """B8 batch form, NSW family (round-7 directive 8): the PERSISTED
+    graph layout shape — ann.nsw_index_write materializes per-bucket
+    graphs (adjacency stored as id lists), ann.nsw_search_index answers
+    the whole 8-query batch in one bucket pass with zero build cost per
+    query. The layout is rewritten (mode=overwrite) each call so results
+    never come from a stale fixture. Rows-only; row-identical to the
+    fused q_knn_nsw operator over the same corpus (entry point + beam are
+    deterministic), recall gated with the NSW family in tests."""
+    import os as _os
+    import tempfile as _tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sf_tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+    path = _os.path.join(
+        _tempfile.gettempdir(), f"vdbs_nsw_batch_idx_{sf_tag}"
+    )
+    ann.nsw_index_write(emb.select("vec_id", "embedding"), path)
+    qrows = (
+        emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    )
+    queries = [(r.vec_id, list(r.embedding)) for r in qrows]
+    return ann.nsw_search_index(spark, path, queries, k=5)
+
+
+def q_knn_ivfpq_batch(spark, sf_dir):
+    """B8 batch form, IVF+PQ family (round-7 directive 8): N queries
+    through ONE ADC code scan of the union of their probe cells, each
+    broadcast (query, cell) row carrying the query's own lookup table
+    (ann.ivfpq_knn_batch); per-query shortlists re-rank exactly. Same
+    16-centroid / nprobe-8 / shortlist-200 operating point as
+    q_knn_ivfpq; row-identical to per-query ivfpq_knn (asserted in
+    tests). Rows-only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, centroids = ann.ivf_index(emb, n_centroids=16)
+    books = ann.pq_train(emb)
+    codes = ann.pq_encode(
+        assigned.select("vec_id", "centroid_id", "embedding"),
+        books,
+        payload_cols=("centroid_id",),
+    )
+    qrows = (
+        emb.filter(F.col("vec_id") < 4).select("vec_id", "embedding").collect()
+    )
+    queries = [(r.vec_id, list(r.embedding)) for r in qrows]
+    return ann.ivfpq_knn_batch(
+        codes, centroids, books, emb, queries, k=5, nprobe=8,
+        payload_cols=("label",),
+    )
+
+
 def q_matryoshka(spark, sf_dir):
     """Matryoshka (MRL) two-stage search: 16-d prefix cosine builds a
     50-candidate shortlist (TakeOrdered), full 64-d cosine re-ranks to
@@ -6514,6 +6583,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_knn_lsh": q_knn_lsh,
     "q_knn_ivf": q_knn_ivf,
     "q_knn_ivf_batch": q_knn_ivf_batch,
+    "q_knn_lsh_batch": q_knn_lsh_batch,
+    "q_knn_nsw_batch": q_knn_nsw_batch,
+    "q_knn_ivfpq_batch": q_knn_ivfpq_batch,
     "q_knn_pq": q_knn_pq,
     "q_matryoshka": q_matryoshka,
     "q_knn_ivfpq": q_knn_ivfpq,
@@ -6834,6 +6906,12 @@ _DRIVER_CONFIRMED = _DRIVER_CONFIRMED_R1_R2 | _DRIVER_CONFIRMED_R3
 
 
 def _registry_rank(k: str) -> tuple[int, int]:
+    # rows-only queries (no ORACLES entry) go BEHIND everything: a
+    # prefix-biased driver sample slot spent on them reads "no_oracle" —
+    # correct but useless (VERDICT r6 directive 3). The sort runs after
+    # ORACLES is defined, below.
+    if k not in ORACLES:
+        return (6, 0)
     if k in _R7_PRIORITY:
         return (0, _R7_PRIORITY.index(k))
     if k in _DRIVER_SAMPLED_R6:
@@ -6845,9 +6923,6 @@ def _registry_rank(k: str) -> tuple[int, int]:
     if k in _DRIVER_CONFIRMED_R3:
         return (2, 0)
     return (1, 0)  # R1/R2-only (or never): stalest rows lead
-
-
-QUERIES = {k: QUERIES[k] for k in sorted(QUERIES, key=_registry_rank)}
 
 ORACLES: dict[str, str] = {
     "q_upsert_latest_wins": _SQL_UPSERT,
@@ -7016,3 +7091,7 @@ ORACLES: dict[str, str] = {
     "q_stream_interval_join": _SQL_STREAM_INTERVAL_JOIN,
     "q_zorder_key": _SQL_ZORDER_KEY,
 }
+
+# Ordered AFTER ORACLES so _registry_rank can push rows-only names to the
+# back of the prefix-biased driver sample (see _registry_rank).
+QUERIES = {k: QUERIES[k] for k in sorted(QUERIES, key=_registry_rank)}

@@ -46,6 +46,18 @@ def get_spark(app_name: str = "vector_database_spark", cpus: int | None = None) 
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    # state-v2 protobuf shim (compat/pb_shim.py): when no real
+    # google.protobuf exists but the host vendors a pure-Python runtime,
+    # export the shim to python workers via spark.executorEnv.* — that is
+    # what feeds sc.environment → PythonFunction.envVars → the streaming
+    # runner's env (works in local mode too, unlike the JVM env, which is
+    # frozen at JVM launch). No-op when protobuf is installed for real.
+    from vector_database_spark.compat import pb_shim
+
+    for k, v in pb_shim.worker_env().items():
+        builder = builder.config(f"spark.executorEnv.{k}", v)
+        if k != "PYTHONPATH":  # flag the driver side too (tws_available)
+            os.environ.setdefault(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

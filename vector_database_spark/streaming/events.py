@@ -16,6 +16,7 @@ batch twin (operators/relational.py::event_window) exactly; in production
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -342,13 +343,37 @@ def tws_available() -> tuple[bool, str]:
     succeeds WITHOUT protobuf — the failure only surfaces mid-stream as
     STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE when the runner process
     dies on ``from google.protobuf import descriptor`` — so callers must
-    probe this BEFORE starting a query. Returns (ok, reason)."""
+    probe this BEFORE starting a query. Returns (ok, reason).
+
+    Since round 7 the probe also tries the vendored-runtime shim
+    (compat/pb_shim.py): a host-vendored pure-Python protobuf (the
+    google-cloud-sdk ships 6.32.0) satisfies the DRIVER side directly;
+    the python WORKERS additionally need the shim's sitecustomize dir on
+    PYTHONPATH *before the JVM launched* (pb_shim.worker_env —
+    tests/conftest.py sets it at import time), which this probe checks
+    via the ``SPARK_GRAFT_PB_SHIM`` env flag."""
     try:
         from google.protobuf import descriptor  # noqa: F401
         from google.protobuf import runtime_version  # noqa: F401
 
+        # real install, or the shim already active in this process AND
+        # exported to workers (env set pre-JVM by the caller's harness)
+        if "google.protobuf" in str(
+            getattr(descriptor, "__file__", "")
+        ) and "google-cloud-sdk" in str(getattr(descriptor, "__file__", "")):
+            if not os.environ.get("SPARK_GRAFT_PB_SHIM"):
+                return False, (
+                    "vendored protobuf importable in the driver but the "
+                    "worker-side shim env (SPARK_GRAFT_PB_SHIM + "
+                    "sitecustomize on PYTHONPATH) was not set before the "
+                    "JVM launched"
+                )
         return True, ""
     except Exception as e:  # ImportError, or broken namespace pkg ValueError
+        from vector_database_spark.compat import pb_shim
+
+        if os.environ.get("SPARK_GRAFT_PB_SHIM") and pb_shim.enable_driver():
+            return True, "vendored pure-Python protobuf via compat.pb_shim"
         return False, f"{type(e).__name__}: {e}"
 
 
@@ -415,24 +440,43 @@ def stateful_running_totals_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             pass
 
     name = "stateful_v2_out_" + uuid.uuid4().hex[:8]
-    q = (
-        read_events_stream(spark, sf_dir)
-        .groupBy("event_type")
-        .transformWithStateInPandas(
-            RunningTotals(),
-            outputStructType=out_schema,
-            outputMode="Update",
-            timeMode="None",
-        )
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .start()
+    # transformWithStateInPandas stores each state variable in its own
+    # COLUMN FAMILY; the default HDFSBackedStateStoreProvider supports a
+    # single family and rejects the query up front
+    # (STATE_STORE_MULTIPLE_COLUMN_FAMILIES_NOT_SUPPORTED), so v2 queries
+    # require the bundled RocksDB provider. Scoped set-and-restore: the
+    # conf is read at query start, and the v1 operators stay on the
+    # default provider.
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
     try:
-        q.processAllAvailable()
+        q = (
+            read_events_stream(spark, sf_dir)
+            .groupBy("event_type")
+            .transformWithStateInPandas(
+                RunningTotals(),
+                outputStructType=out_schema,
+                outputMode="Update",
+                timeMode="None",
+            )
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("event_type").orderBy(F.col("n").desc())
