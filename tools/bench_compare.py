@@ -75,6 +75,11 @@ COMPARE = [
     "q_hard_negatives",
     "q_semdedup_kmeans",
     "q_corpus_report",
+    # round-6 headliners (VERDICT r6 directive 7)
+    "q_knn_twophase",
+    "q_knn_auto",
+    "q_incremental_dedup_indexed",
+    "q_simhash_pairs_compound",
 ]
 
 SCALING = ["q_pricing_summary", "q_event_window", "q_normalize_scale", "q_dedup_exact"]
@@ -148,7 +153,9 @@ def main() -> None:
 The reference publishes no performance numbers (BASELINE.md), so the
 single-node comparison runs each oracle-backed headline query on DuckDB
 1.x (the correctness oracle) and this engine on local[32], sf0.1, same
-parquet inputs. Regenerated by `tools/bench_compare.py`; single run after
+parquet inputs. Regenerated by `tools/bench_compare.py` (round-7 vintage —
+includes the r6 headliners q_knn_twophase, q_knn_auto,
+q_incremental_dedup_indexed, q_simhash_pairs_compound); single run after
 warmup, noop sink for Spark / fetchall for DuckDB.
 
 | query | spark s | duckdb s | spark/duckdb |
