@@ -1355,3 +1355,35 @@ def test_search_nsw_auto_ef_matches_batch_route(spark, tmp_path):
         for r in col.search_auto_batch([(0, qv)], limit=5).collect()
     ]
     assert single == batch and len(single) == 5
+
+
+def test_ivf_auto_defaults_on_collection(spark, tmp_path):
+    """r7: build_ivf_index() with no args derives n_centroids from the
+    live row count (sqrt(N) clamped to >=16) and search_ivf() with no
+    nprobe derives the scan-fraction default — the collection surface of
+    operators/ann.py::_auto_n_centroids/_auto_nprobe."""
+    import json as _json
+    import os as _os
+
+    from vector_database_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat_ivfauto"))
+    cat.create_collection("ivfauto", dim=8)
+    col = cat.collection("ivfauto")
+    # prime modulus > N keeps every vector distinct (duplicate points can
+    # collapse KMeans clusters below k, which would mask the sqrt(N) rule)
+    pts = spark.createDataFrame(
+        [
+            (i, [((i * 977 + j * 131) % 1009) / 504.0 - 1.0 for j in range(8)], {"i": str(i)})
+            for i in range(300)
+        ],
+        "id long, embedding array<float>, payload map<string,string>",
+    )
+    col.upsert(pts)
+    col.build_ivf_index()
+    with open(_os.path.join(col._ivf_index_path, "_index_meta.json")) as fh:
+        centroids = _json.load(fh)["centroids"]
+    assert len(centroids) == max(16, int(300**0.5))  # sqrt(N) rule
+    qv = [((3 * 977 + j * 131) % 1009) / 504.0 - 1.0 for j in range(8)]
+    rows = col.search_ivf(qv, limit=5).collect()
+    assert len(rows) == 5

@@ -298,7 +298,7 @@ def main_ivf() -> None:
         )
         print(lines[-1], flush=True)
 
-    update_section("IVF operating curve at 1M rows (round 6)", "\n".join(lines))
+    update_section("IVF operating curve at 1M rows (rounds 6-7)", "\n".join(lines))
     print("STRESS.md updated")
 
 
