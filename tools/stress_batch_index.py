@@ -157,8 +157,9 @@ def main() -> None:
     # sequentially (16 single-query calls, each re-scanning every bucket)
     # vs as ONE batch (one bucket pass beam-searches all 16 queries).
     nsw_path = "/tmp/stress_nsw_layout"
-    if not os.path.exists(nsw_path):
-        ann.nsw_index_write(emb, nsw_path, n_buckets=64)
+    t0 = time.perf_counter()
+    ann.nsw_index_write(emb, nsw_path, n_buckets=64)
+    t_nsw_build = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     seq_rows = set()
@@ -177,8 +178,9 @@ def main() -> None:
     t_batch = time.perf_counter() - t0
     eq = batch_rows == seq_rows
     lines.append(
-        f"| NSW 64 buckets, ef=auto, persisted | {t_seq:.1f} | {t_batch:.1f} |"
-        f" {t_seq / t_batch:.1f}x | {eq} |"
+        f"| NSW 64 buckets, ef=auto, persisted "
+        f"(one-time build+write {t_nsw_build:.0f}s) "
+        f"| {t_seq:.1f} | {t_batch:.1f} | {t_seq / t_batch:.1f}x | {eq} |"
     )
     print(lines[-1])
     assert eq, "NSW batch diverged from sequential"
@@ -232,22 +234,29 @@ def main() -> None:
 
     lines += [
         "",
-        "Both batch forms equi-join candidates to (query, probed bucket)",
-        "broadcast rows — the first crossJoin+array_contains cut multiplied",
-        "every scanned row by |queries| and measured SLOWER than sequential",
-        "on LSH (0.9x); the equi-join restored parity. Where the wins come",
-        "from: IVF's 16-query probe union covers ~a third of the 64 cells,",
-        "so one shared scan beats 16 jobs 2.2x. LSH at 16 UNIFORM queries",
-        "(6 bits x 8 tables, hamming-1 = 56 buckets/query) unions to most",
-        "of the 512 partitions, so scan-sharing gains cancel against the",
-        "join+dedup overhead — parity; the clustered-query row is the",
-        "regime where batch LSH wins (near-duplicate probe sets union to a",
-        "sliver of the partitions — the hot-query workload). The NSW row",
-        "searches the persisted at-ingest graph layout: sequential pays a",
-        "full 64-bucket load per query, the batch amortizes ONE load over",
-        "all 16 beams — the largest batch win of the four families. The",
-        "auto batch route keeps the recall order (nsw > lsh > ivf); the",
-        "cost order is documented here for callers picking explicitly.",
+        'Every batch form equi-joins candidates to (query, probed bucket)',
+        'broadcast rows — the first crossJoin+array_contains cut multiplied',
+        'every scanned row by |queries| and measured SLOWER than sequential',
+        'on LSH (0.9x); the equi-join fixed that. Where the wins come from:',
+        "IVF's 16-query probe union covers ~a third of the 64 cells, so one",
+        'shared scan beats 16 jobs ~2x. LSH at 16 UNIFORM queries (6 bits x',
+        '8 tables, hamming-1 = 56 buckets/query) unions to ~82% of the 512',
+        "partitions, so scan-sharing only offsets the 16 jobs' fixed",
+        'overhead — parity-to-1.3x across runs; the clustered-query row',
+        '(r7 directive 5) is the regime where batch LSH WINS: near-duplicate',
+        'queries (the hot-query / dedup-probe workload) union to ~11% of the',
+        'partitions and the batch runs ~2x faster, rows still identical. The',
+        'NSW row (r7 directive 4) searches the persisted at-ingest graph',
+        'layout (nsw_index_write, one-time build cost in the row label):',
+        'sequential pays a full 64-bucket load + beam dispatch per query,',
+        'the batch amortizes ONE bucket pass over all 16 beams — the largest',
+        'batch win of the four families, and the shape search_auto_batch',
+        'serves from a fresh NSW index (asserted at 900k points in the',
+        'collection-lifecycle stress). No probe-union router fallback for',
+        'LSH: after the equi-join fix the batch form never loses, so routing',
+        'away from it buys nothing. The auto batch route keeps the recall',
+        'order (nsw > lsh > ivf); the cost order is documented here for',
+        'callers picking explicitly.',
     ]
     from tools.stress_common import update_section
 

@@ -136,6 +136,46 @@ def main() -> None:
     )
     assert exact2 == exact3, "compaction changed search results"
 
+    # ---- graph-index serving at scale (r7): the search_auto_batch shape --
+    # one-time NSW build over the live 900k points (64 buckets ≈ 14k
+    # rows/bucket — the segment-sized graphs the batch stress uses), then
+    # the AUTO router must pick it and serve a 16-query batch in one pass.
+    stage(
+        "build_nsw_index (64 buckets, one-time ingest cost)",
+        lambda: col.build_nsw_index(n_buckets=64) or "built",
+    )
+    assert col.route_for_search() == "nsw"
+    queries = [
+        (int(r["id"]), [float(x) for x in r["embedding"]])
+        for r in col.df().filter(F.col("id") % 60_000 == 3).limit(16).collect()
+    ]
+    batch_holder: dict = {}
+
+    def _run_batch():
+        rows = col.search_auto_batch(queries, limit=K).collect()
+        batch_holder["rows"] = rows
+        return f"{len(rows)} rows (16 x top-{K})"
+
+    stage("search_auto_batch (16 queries, NSW route)", _run_batch)
+    batch_rows = batch_holder["rows"]
+    by_q: dict[int, set] = {}
+    for r in batch_rows:
+        by_q.setdefault(r["qid"], set()).add(r["id"])
+    assert len(batch_rows) == K * len(queries)
+    assert set(by_q) == {qid for qid, _ in queries}
+    t0 = time.perf_counter()
+    hits = 0
+    for qid, q in queries:
+        exact_ids = {r["id"] for r in col.search(q, limit=K).collect()}
+        hits += len(exact_ids & by_q[qid])
+    t_exact16 = time.perf_counter() - t0
+    recall_b = hits / (K * len(queries))
+    lines.append(
+        f"| auto-batch recall vs 16 exact scans | {t_exact16:.1f} (exact) "
+        f"| {recall_b:.2f} @ ef=auto |"
+    )
+    print(lines[-1])
+
     lines += [
         "",
         "Upserts are append-only versioned Parquet (no rewrite until",
@@ -145,6 +185,13 @@ def main() -> None:
         "centroid partitions — its recall/speedup trade on worst-case",
         "uniform vectors is recorded above (clustered corpora hold recall",
         "1.00 at a 3% scan fraction — see the IVF operating curve).",
+        "The final stages are the serving shape at scale: the NSW graph",
+        "build is the one-time ingest cost (64 segment-sized buckets,",
+        "applyInPandas build, id-list adjacency persisted next to the",
+        "vectors), after which the auto router serves whole query batches",
+        "from the persisted layout in one bucket pass — wall clock and",
+        "recall recorded above; the 16.3x batch-vs-sequential split is in",
+        "'Batch index search at 1M rows'.",
     ]
     from tools.stress_common import update_section
 
