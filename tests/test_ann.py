@@ -615,3 +615,14 @@ def test_lsh_knn_batch_df_equals_persisted(spark, emb, tmp_path):
         ).collect()
     }
     assert persisted == in_mem and len(in_mem) == 20
+
+
+def test_auto_lsh_bits_rule():
+    """r7: the LSH layout width derives from corpus size so (table, sig)
+    partition directories stay near LSH_TARGET_BUCKET_ROWS instead of
+    growing N/64 — floor at the tuned fixture point, cap at 16."""
+    assert ann._auto_lsh_bits(500) == ann.LSH_BITS          # fixture floor
+    assert ann._auto_lsh_bits(4096) == ann.LSH_BITS
+    assert ann._auto_lsh_bits(1_000_000) == 8               # 1M -> ~4k/bucket
+    assert ann._auto_lsh_bits(2_000_000) == 9
+    assert ann._auto_lsh_bits(10**12) == 16                 # cap

@@ -1449,11 +1449,18 @@ class VectorCollection:
     def _lsh_index_path(self) -> str:
         return self.path + "__lsh"
 
-    def build_lsh_index(self, bits: int = 6, tables: int = 4) -> None:
+    def build_lsh_index(self, bits: int | None = None, tables: int = 4) -> None:
         """Materialize the multi-table LSH index for the CURRENT live
         state (operators/ann.py::lsh_write_partitioned): one row copy per
         table partitioned by (table, sig), so a query's probe set becomes
-        partition pruning. Same staleness contract as the NSW index: the
+        partition pruning. ``bits=None`` (the default since round 7)
+        derives the layout width from the live row count —
+        ``ceil(log2(N / 4096))`` clamped to [6, 16]
+        (operators/ann.py::_auto_lsh_bits) — so bucket/partition sizes
+        stay bounded as the collection grows instead of N/64; the chosen
+        value persists in the index meta, which every ``search_lsh*``
+        reads, so probes always match the layout. An explicit int pins
+        it. Same staleness contract as the NSW index: the
         pinned collection version is checked at search time and a later
         write raises until rebuild. Cosine only (random-hyperplane LSH
         approximates the angular metric)."""
@@ -1465,6 +1472,10 @@ class VectorCollection:
                 f"{self.info.name!r} uses metric={self.info.metric!r}"
             )
         current_version = self.catalog._load()[self.info.name]["version"]
+        if bits is None:
+            # layout width from the live size (footer-count upper bound —
+            # an overestimate can only widen the layout, never shrink it)
+            bits = ann._auto_lsh_bits(self._approx_live_rows())
         emb = self.df().select("id", "embedding", "payload")
         ann.lsh_write_partitioned(
             emb,

@@ -35,6 +35,27 @@ LSH_BITS = 6
 # tighter). The recall-vs-scan curve is recorded in STRESS.md; the table
 # count is the standard OR-construction recall lever.
 LSH_TABLES = 8
+# Scale-aware LAYOUT bits (round 7): a fixed bits=6 puts N/64 rows in
+# every (table, sig) partition directory — unbounded growth. bits=None on
+# the catalog's build_lsh_index derives ceil(log2(N / target)) so buckets
+# stay near LSH_TARGET_BUCKET_ROWS; measured at 1M uniform rows the
+# derived 8-bit layout holds recall@5 1.00 at h=1 while scanning a
+# quarter of the 6-bit layout (STRESS.md "Scale-aware LSH bits/hamming").
+# Recall starvation from extra bits is a small-corpus effect (the 500-row
+# sweep's 0.66) — the LSH_BITS floor keeps fixtures on the tuned point.
+# The chosen bits persist in the index meta, so probes always match the
+# layout; hamming escalation stays the per-query recall knob.
+LSH_TARGET_BUCKET_ROWS = 4096
+
+
+def _auto_lsh_bits(n_rows: int) -> int:
+    import math
+
+    if n_rows <= LSH_TARGET_BUCKET_ROWS:
+        return LSH_BITS
+    return max(
+        LSH_BITS, min(16, math.ceil(math.log2(n_rows / LSH_TARGET_BUCKET_ROWS)))
+    )
 
 
 def _hyperplanes(dim: int, bits: int, seed: int = LSH_SEED) -> np.ndarray:
