@@ -171,7 +171,7 @@ def ann_recall(spark, sf_dir: str, k: int = 5, n_queries: int = 10) -> dict[str,
             exact(qid, qv, "euclid")
             & {
                 r["vec_id"]
-                for r in ann.pq_knn_rerank(codes, books, emb, qv, k=k).collect()
+                for r in ann.pq_knn_rerank(codes, books, emb, qv, k=k, shortlist=200).collect()
             }
         )
         for qid, qv in queries
@@ -189,7 +189,7 @@ def ann_recall(spark, sf_dir: str, k: int = 5, n_queries: int = 10) -> dict[str,
             exact(qid, qv, "euclid")
             & {
                 r["vec_id"]
-                for r in ann.ivfpq_knn(codes_ivf, centroids, books, emb, qv, k=k).collect()
+                for r in ann.ivfpq_knn(codes_ivf, centroids, books, emb, qv, k=k, shortlist=200).collect()
             }
         )
         for qid, qv in queries

@@ -626,3 +626,42 @@ def test_auto_lsh_bits_rule():
     assert ann._auto_lsh_bits(1_000_000) == 8               # 1M -> ~4k/bucket
     assert ann._auto_lsh_bits(2_000_000) == 9
     assert ann._auto_lsh_bits(10**12) == 16                 # cap
+
+
+def test_auto_shortlist_rule():
+    """r7: the PQ re-rank shortlist derives from the ADC-scanned code
+    count — max(200, ceil(0.004 * scanned)) — instead of a fixed 200
+    (which measured recall 0.56 at 1M rows where 500 restores 1.00)."""
+    assert ann._auto_shortlist(None, 0) == 200
+    assert ann._auto_shortlist(None, 50_000) == 200          # floor
+    assert ann._auto_shortlist(None, 125_000) == 500         # 1M, np8/64c
+    assert ann._auto_shortlist(None, 1_000_000) == 4000
+    assert ann._auto_shortlist(123, 10**9) == 123            # explicit pins
+
+
+def test_ivfpq_auto_shortlist_equals_explicit_pin(emb):
+    """shortlist=None must be EXACTLY the derived explicit point — at
+    fixture size the scanned estimate sits on the 200 floor."""
+    assigned, centroids = ann.ivf_index(emb, n_centroids=16)
+    books = ann.pq_train(emb)
+    codes = ann.pq_encode(
+        assigned.select("vec_id", "centroid_id", "embedding"),
+        books,
+        payload_cols=("centroid_id",),
+    ).cache()
+    codes.count()
+    qv = _query_vecs(emb, n=1)[0][1]
+    auto = [
+        (r["vec_id"], r["score"])
+        for r in ann.ivfpq_knn(
+            codes, centroids, books, emb, qv, k=5, payload_cols=()
+        ).collect()
+    ]
+    pinned = [
+        (r["vec_id"], r["score"])
+        for r in ann.ivfpq_knn(
+            codes, centroids, books, emb, qv, k=5, shortlist=200,
+            payload_cols=(),
+        ).collect()
+    ]
+    assert auto == pinned and len(auto) == 5

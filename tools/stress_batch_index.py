@@ -117,7 +117,7 @@ def main() -> None:
     t_batch = time.perf_counter() - t0
     eq = batch_rows == seq_rows
     lines.append(
-        f"| IVF+PQ 64c/np8/sl200 | {t_seq:.1f} | {t_batch:.1f} |"
+        f"| IVF+PQ 64c/np8/sl=auto | {t_seq:.1f} | {t_batch:.1f} |"
         f" {t_seq / t_batch:.1f}x | {eq} |"
     )
     print(lines[-1])

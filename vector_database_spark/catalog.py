@@ -1328,7 +1328,7 @@ class VectorCollection:
         query_vector: list[float],
         limit: int = 5,
         nprobe: int | None = None,
-        shortlist: int = 200,
+        shortlist: int | None = None,
     ) -> DataFrame:
         """Approximate cosine top-k over the persisted IVF+PQ index: route
         to the ``nprobe`` nearest cells (centroid_id partition pruning),
@@ -1369,6 +1369,11 @@ class VectorCollection:
         sims = centroids @ q / np.where(cnorm == 0, 1.0, cnorm)
         probe = [int(i) for i in np.argsort(-sims)[:nprobe]]
         codes = self.catalog.spark.read.parquet(self._ivfpq_index_path)
+        if shortlist is None:
+            # scanned-code estimate from the layout's parquet footers
+            shortlist = ann._auto_shortlist(
+                None, int(codes.count() * nprobe / max(len(centroids), 1))
+            )
         cell_codes = codes.filter(F.col("centroid_id").isin(probe))
         cand = ann.pq_knn(
             cell_codes,
@@ -1396,7 +1401,7 @@ class VectorCollection:
         queries: list[tuple[int, list[float]]],
         limit: int = 5,
         nprobe: int | None = None,
-        shortlist: int = 200,
+        shortlist: int | None = None,
     ) -> DataFrame:
         """Batch search over the persisted IVF+PQ index: ONE code scan of
         the union of every query's probe cells, each broadcast (query,

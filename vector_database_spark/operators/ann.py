@@ -668,6 +668,31 @@ def ivf_knn_batch(
 
 PQ_M = 8      # subspaces (64-d → 8 slices of 8)
 PQ_KSUB = 16  # centroids per subspace → 4-bit codes, 8 per vector
+# Scale-aware re-rank shortlist (round 7): a FIXED shortlist already bit
+# twice — 100 → 200 when the fixture grew 4x (r4), and at 1M rows the
+# 200 default measured recall@5 0.56 while 500 restored 1.00 at the SAME
+# wall clock (STRESS.md "IVF+PQ shortlist curve"). The ADC ranking's
+# quantization error is constant, but the number of competitors inside
+# that error margin grows with the scanned-code count — so the honest
+# default is a FRACTION of what the ADC pass scanned, floored at the
+# fixture-tuned 200: shortlist = max(200, ceil(0.004 · n_scanned)).
+# 0.004 is the measured knee (recall 1.00 at 1M; half that was 0.56);
+# the re-rank stays a 0.4% sliver of the already-pruned scan, and small
+# corpora sit on the floor, so every fixture operating point is
+# unchanged. Explicit ints still pin.
+PQ_SHORTLIST_FLOOR = 200
+PQ_SHORTLIST_SCAN_FRAC = 0.004
+
+
+def _auto_shortlist(shortlist: int | None, n_scanned: int) -> int:
+    import math
+
+    if shortlist is not None:
+        return shortlist
+    return max(
+        PQ_SHORTLIST_FLOOR,
+        math.ceil(PQ_SHORTLIST_SCAN_FRAC * max(n_scanned, 0)),
+    )
 
 
 def pq_train(
@@ -802,7 +827,7 @@ def ivfpq_knn(
     query_vector: list[float],
     k: int = 5,
     nprobe: int | None = None,
-    shortlist: int = 200,
+    shortlist: int | None = None,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     payload_cols: tuple[str, ...] = ("label",),
@@ -824,6 +849,12 @@ def ivfpq_knn(
     Approximate → rows-only, recall-gated in tests/test_ann.py.
     """
     nprobe = _auto_nprobe(nprobe, len(centroids))
+    if shortlist is None:
+        # scanned-code estimate: footer row count x probed-cell fraction
+        # (a parquet count() answers from metadata without reading data)
+        shortlist = _auto_shortlist(
+            None, int(assigned_codes.count() * nprobe / max(len(centroids), 1))
+        )
     q = np.asarray(query_vector, dtype=float)
     cnorm = np.linalg.norm(centroids, axis=1) * np.linalg.norm(q)
     sims = centroids @ q / np.where(cnorm == 0, 1.0, cnorm)
@@ -855,7 +886,7 @@ def ivfpq_knn_batch(
     queries: list[tuple[int, list[float]]],
     k: int = 5,
     nprobe: int | None = None,
-    shortlist: int = 200,
+    shortlist: int | None = None,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     payload_cols: tuple[str, ...] = (),
@@ -881,6 +912,10 @@ def ivfpq_knn_batch(
             F.lit(0.0).alias("score"),
         ).limit(0)
     nprobe = _auto_nprobe(nprobe, len(centroids))
+    if shortlist is None:
+        shortlist = _auto_shortlist(
+            None, int(assigned_codes.count() * nprobe / max(len(centroids), 1))
+        )
     Q = np.asarray([[float(x) for x in q[1]] for q in queries], dtype=float)
     qn = np.linalg.norm(Q, axis=1, keepdims=True)
     cn = np.linalg.norm(centroids, axis=1)[None, :]
@@ -958,7 +993,7 @@ def pq_knn_rerank(
     embeddings: DataFrame,
     query_vector: list[float],
     k: int = 5,
-    shortlist: int = 200,
+    shortlist: int | None = None,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     payload_cols: tuple[str, ...] = ("label",),
@@ -967,17 +1002,19 @@ def pq_knn_rerank(
     ``shortlist`` (scanning 8-byte codes only), then the shortlist joins
     back to the float vectors for an exact L2 re-rank — the standard
     two-stage shape (Jégou et al. 2011 §IV). Only ``shortlist`` float
-    vectors are ever touched per query — a CONSTANT, not a data fraction,
-    so the re-rank cost is flat at any corpus size; the broadcast of the
-    candidate id set keeps the join shuffle-free. Default shortlist=200
-    (was 100): at sf0.1 — 4x the corpus the old default was tuned on —
-    the constant shortlist covers 4x less of the corpus and recall@5 had
-    sagged to ~0.6-0.7; 200 restores ~0.82-0.93 while the rerank stays a
-    constant 200 vectors/query (tests/test_ann.py gates the floor;
-    curve in STRESS.md).
+    vectors are ever touched per query; the broadcast of the candidate
+    id set keeps the join shuffle-free. ``shortlist=None`` (the default
+    since round 7) derives max(200, ceil(0.004 · scanned_codes)) — a
+    fixed shortlist bit twice as corpora grew (100 → 200 at r4; 200
+    measured recall 0.56 at 1M rows where 500 restores 1.00, STRESS.md
+    "IVF+PQ shortlist curve"), so the honest default is a constant
+    FRACTION of the ADC-scanned codes with the fixture-tuned 200 as the
+    floor. Explicit ints still pin (tests/test_ann.py gates the floor).
     """
     from vector_database_spark.operators import knn as knn_mod
 
+    if shortlist is None:
+        shortlist = _auto_shortlist(None, encoded.count())
     cand = pq_knn(
         encoded, codebooks, query_vector, k=shortlist, id_col=id_col, payload_cols=()
     ).select(id_col)

@@ -2364,7 +2364,7 @@ def q_knn_ivfpq_batch(spark, sf_dir):
     )
     queries = [(r.vec_id, list(r.embedding)) for r in qrows]
     return ann.ivfpq_knn_batch(
-        codes, centroids, books, emb, queries, k=5, nprobe=8,
+        codes, centroids, books, emb, queries, k=5, nprobe=8, shortlist=200,
         payload_cols=("label",),
     )
 
@@ -2415,7 +2415,8 @@ def q_knn_ivfpq(spark, sf_dir):
         books,
         payload_cols=("centroid_id",),
     )
-    return ann.ivfpq_knn(codes, centroids, books, emb, RAW_QUERY_VEC, k=5)
+    # explicit shortlist pin — same reason as q_knn_pq
+    return ann.ivfpq_knn(codes, centroids, books, emb, RAW_QUERY_VEC, k=5, shortlist=200)
 
 
 def q_knn_pq(spark, sf_dir):
@@ -2426,7 +2427,9 @@ def q_knn_pq(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     books = ann.pq_train(emb)
     codes = ann.pq_encode(emb, books)
-    return ann.pq_knn_rerank(codes, books, emb, RAW_QUERY_VEC, k=5)
+    # explicit shortlist pin: auto (=None) derives the same 200 at this
+    # fixture size but costs a count() pass over the DERIVED codes df
+    return ann.pq_knn_rerank(codes, books, emb, RAW_QUERY_VEC, k=5, shortlist=200)
 
 
 # ---------------------------------------------------------------------------
