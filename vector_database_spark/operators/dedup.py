@@ -179,16 +179,32 @@ def minhash_band_pairs(
 
 MAX_BITMASK_VOCAB = 4096  # 64 longs per set; beyond this use array_intersect
 
-# Broadcast the doc→token-set map in the verify stage only below this doc
-# count (~64 B/row packed masks → a few hundred MB). Above it the hint is
-# withheld so a planet-scale corpus can never OOM an executor on a forced
-# broadcast; AQE still converts to broadcast at runtime if the actual map
-# is small.
+# Broadcast the doc→token-set map in the verify stage only while the
+# ESTIMATED build side fits a bounded budget. The r1-r6 gate was a doc
+# COUNT (5M) calibrated for the packed-bitmask representation (~64 B/row);
+# the token-ARRAY representation (vocab > MAX_BITMASK_VOCAB) carries
+# ~0.5-1 KB/row, and at 2M pipeline docs (~1.3M after quality) the forced
+# broadcast died building the hash table ("Not enough memory to build and
+# broadcast", found by the r7 2M pipeline stress). The gate is therefore a
+# BYTE budget with a per-representation row estimate: the hint is withheld
+# past it and Catalyst/AQE pick shuffle joins (or a runtime broadcast if
+# the map turns out small) — an unconditional hint would OOM executors
+# before AQE could fall back.
+BROADCAST_VERIFY_MAX_BYTES = 256 * 1024 * 1024
+BITMASK_ROW_BYTES_BASE = 24          # id + set_size + row overhead
+ARRAY_VERIFY_ROW_BYTES = 768         # conservative distinct-token array row
+# legacy count cap, still the outer bound for tiny-row sides (id-only etc.)
 BROADCAST_VERIFY_MAX_DOCS = 5_000_000
 
 
-def _maybe_broadcast(df: DataFrame, n_rows: int) -> DataFrame:
-    return F.broadcast(df) if n_rows <= BROADCAST_VERIFY_MAX_DOCS else df
+def _maybe_broadcast(
+    df: DataFrame, n_rows: int, row_bytes: int | None = None
+) -> DataFrame:
+    if n_rows > BROADCAST_VERIFY_MAX_DOCS:
+        return df
+    if row_bytes is not None and n_rows * row_bytes > BROADCAST_VERIFY_MAX_BYTES:
+        return df
+    return F.broadcast(df)
 
 
 def _token_bitmasks(docs: DataFrame, text_col: str, id_col: str):
@@ -269,9 +285,10 @@ def jaccard_verify(
         for c in cols:
             term = F.bit_count(F.col(f"a_{c}").bitwiseAND(F.col(f"b_{c}")))
             inter = term if inter is None else inter + term
+        row_bytes = 8 * n_words + BITMASK_ROW_BYTES_BASE
         jac = (
-            candidate_pairs.join(_maybe_broadcast(a, n_docs), "id_a")
-            .join(_maybe_broadcast(b, n_docs), "id_b")
+            candidate_pairs.join(_maybe_broadcast(a, n_docs, row_bytes), "id_a")
+            .join(_maybe_broadcast(b, n_docs, row_bytes), "id_b")
             .withColumn("inter", inter.cast("long"))
         )
     else:
@@ -290,8 +307,10 @@ def jaccard_verify(
             F.col("set_size").alias("size_b"),
         )
         jac = (
-            candidate_pairs.join(_maybe_broadcast(a, n_docs), "id_a")
-            .join(_maybe_broadcast(b, n_docs), "id_b")
+            candidate_pairs.join(
+                _maybe_broadcast(a, n_docs, ARRAY_VERIFY_ROW_BYTES), "id_a"
+            )
+            .join(_maybe_broadcast(b, n_docs, ARRAY_VERIFY_ROW_BYTES), "id_b")
             .withColumn(
                 "inter", F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b"))).cast("long")
             )
@@ -442,7 +461,7 @@ def incremental_dedup(
     cands = (
         band_keys(corp_sigs, id_col)
         .withColumnRenamed("bid", "id_a")
-        .join(_maybe_broadcast(inc_bands, n_incoming), "band_key")
+        .join(_maybe_broadcast(inc_bands, n_incoming, 40), "band_key")
         .select("id_a", "id_b")
         .distinct()
     )
