@@ -1387,3 +1387,28 @@ def test_ivf_auto_defaults_on_collection(spark, tmp_path):
     qv = [((3 * 977 + j * 131) % 1009) / 504.0 - 1.0 for j in range(8)]
     rows = col.search_ivf(qv, limit=5).collect()
     assert len(rows) == 5
+
+
+def test_tombstone_broadcast_gate_branch_semantics(spark, tmp_path, monkeypatch):
+    """r7: the latest-wins tombstone join broadcasts only while the
+    tombstone LOG is small on disk (a delete-heavy collection grows it
+    without bound). Forcing the gate shut (budget 0) must leave the
+    SEMANTICS identical — the hint is a physical choice only."""
+    import vector_database_spark.catalog as cat_mod
+    from vector_database_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat_tomb"))
+    cat.create_collection("tomb", dim=2)
+    col = cat.collection("tomb")
+    pts = spark.createDataFrame(
+        [(i, [float(i), 1.0], {"i": str(i)}) for i in range(20)],
+        "id long, embedding array<float>, payload map<string,string>",
+    )
+    col.upsert(pts)
+    col.delete(point_ids=[3, 7, 11])
+    live_broadcast = sorted(r["id"] for r in col.df().collect())
+
+    monkeypatch.setattr(cat_mod, "TOMBSTONE_BROADCAST_MAX_BYTES", 0)
+    live_shuffle = sorted(r["id"] for r in col.df().collect())
+    assert live_broadcast == live_shuffle
+    assert 3 not in live_shuffle and len(live_shuffle) == 17

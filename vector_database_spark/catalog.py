@@ -40,6 +40,11 @@ from vector_database_spark.functions.vector import (
 
 VALID_METRICS = ("cosine", "dot", "euclid", "manhattan")
 
+# Broadcast the tombstone map in the latest-wins view only while its
+# on-disk log is below this (compressed parquet; in-memory expansion of an
+# (id, version) table is a small multiple). See _resolved_df.
+TOMBSTONE_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
+
 # reserved key in the catalog JSON holding {alias: collection}; never a
 # valid collection name (create_collection would collide with it otherwise)
 ALIASES_KEY = "__aliases__"
@@ -282,8 +287,10 @@ class VectorCollection:
         one small write, never a rewrite of the collection. Resolution: a
         point is live iff its latest write version is greater than its
         latest tombstone version (a later upsert resurrects the id). The
-        tombstone side is tiny relative to the collection, so the anti-join
-        broadcasts.
+        tombstone side broadcasts only while its on-disk log is small
+        (TOMBSTONE_BROADCAST_MAX_BYTES; delete-heavy collections grow it
+        without bound until compact() folds it — the hint is withheld past
+        the gate and AQE decides at runtime).
 
         ``as_of_version`` gives time travel for free from the same log
         (Delta-style VERSION AS OF): resolve considering only operations
@@ -309,11 +316,31 @@ class VectorCollection:
         if as_of_version is not None:
             tombs = tombs.filter(F.col("version") <= as_of_version)
         tombs = tombs.groupBy("id").agg(F.max("version").alias("__del_v"))
+        # broadcast only while the tombstone LOG is small: a delete-heavy
+        # collection grows this side without bound (compact() folds it),
+        # and a forced broadcast of a giant id set is the same failure the
+        # dedup verify stage hit at 2M docs (r7). The gate reads on-disk
+        # parquet bytes — a driver-side os.walk, no Spark job on the df()
+        # hot path; past it the hint is withheld and AQE still converts at
+        # runtime if the aggregated map turns out small.
+        if self._tombstone_log_bytes() <= TOMBSTONE_BROADCAST_MAX_BYTES:
+            tombs = F.broadcast(tombs)
         return (
-            rows.join(F.broadcast(tombs), "id", "left")
+            rows.join(tombs, "id", "left")
             .filter(F.col("__del_v").isNull() | (F.col("version") > F.col("__del_v")))
             .drop("__del_v")
         )
+
+    def _tombstone_log_bytes(self) -> int:
+        total = 0
+        for dp, _dirs, files in os.walk(self._tombstone_path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    try:
+                        total += os.path.getsize(os.path.join(dp, f))
+                    except OSError:
+                        pass
+        return total
 
     def df(self, as_of_version: int | None = None) -> DataFrame:
         """State of the collection: latest version of each live id, or the
