@@ -812,10 +812,13 @@ def line_dedup(
     segment each doc into fixed ``line_w``-token lines, strip lines whose
     corpus document-frequency reaches ``df_threshold``, return per-doc
     (n_lines, n_kept, n_removed, clean_hash). One shuffle for the DF
-    count, a broadcast anti-join for the strip, one shuffle to reassemble.
+    count, a size-gated broadcast anti-join for the strip (the repeated-
+    line set grows with the corpus — past the byte budget the hint is
+    withheld and AQE decides), one shuffle to reassemble.
     """
     from vector_database_spark.functions.text import tokenize_ws
 
+    n_docs_hint = docs.count()
     tk = tokenize_ws(F.col(text_col))
     starts = F.when(
         F.size(tk) > 0, F.sequence(F.lit(0), F.size(tk) - 1, F.lit(line_w))
@@ -835,7 +838,12 @@ def line_dedup(
         .filter(F.col("df") >= df_threshold)
         .select("line")
     )
-    kept = lines.join(F.broadcast(boiler), "line", "left_anti")
+    # boiler (distinct repeated lines) grows with the corpus: hint it
+    # only below the verify byte budget. Row estimate: ~8 lines/doc upper
+    # bound (line_w-token segments) at ~120 B per line row.
+    kept = lines.join(
+        _maybe_broadcast(boiler, n_docs_hint * 8, 120), "line", "left_anti"
+    )
     agg = kept.groupBy(id_col).agg(
         F.count("*").alias("n_kept"),
         F.md5(

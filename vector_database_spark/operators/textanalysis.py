@@ -214,6 +214,19 @@ def corpus_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
 BM25_K1 = 1.2
 BM25_B = 0.75
 
+# Broadcast VOCABULARY-sized statistics tables (per-token df, unigram LM
+# rows) only below this corpus size: vocabulary grows sublinearly but
+# unboundedly with the corpus (Heaps' law), and a forced broadcast of a
+# web-scale term table is the same failure class the dedup verify gate
+# fixed at 2M docs (r7). Past the gate the hint is withheld and AQE
+# converts at runtime if the aggregated table turns out small. The doc
+# count used for the gate is parquet-footer metadata for table inputs.
+VOCAB_BROADCAST_MAX_DOCS = 2_000_000
+
+
+def _hint_if_small_corpus(df: DataFrame, n_docs: int) -> DataFrame:
+    return F.broadcast(df) if n_docs <= VOCAB_BROADCAST_MAX_DOCS else df
+
 
 def tfidf(
     docs: DataFrame,
@@ -236,7 +249,7 @@ def tfidf(
         F.count("*").alias("df")
     )
     n_docs = docs.select(id_col).distinct().count()
-    out = tf.join(F.broadcast(df_), "token").select(
+    out = tf.join(_hint_if_small_corpus(df_, n_docs), "token").select(
         id_col,
         "token",
         "tf",
@@ -358,9 +371,14 @@ def bigram_logprob(
         .agg(F.count("*").alias("cb"))
     )
     up = uni.select(F.col("cur").alias("prev"), F.col("cu").alias("cp"))
+    # uni/up are VOCABULARY-sized: hint only below the corpus-size gate
+    # (the bi side was never hinted — the bigram table is larger still).
+    # One footer count is the price of the informed choice (knn_batch_auto
+    # precedent); `tot` stays hinted — it is one row at any scale.
+    n_docs = docs.count()
     scored = (
-        tp.join(F.broadcast(uni), "cur")
-        .join(F.broadcast(up), "prev", "left")
+        tp.join(_hint_if_small_corpus(uni, n_docs), "cur")
+        .join(_hint_if_small_corpus(up, n_docs), "prev", "left")
         .join(bi, ["prev", "cur"], "left")
         .crossJoin(F.broadcast(tot))
     )
