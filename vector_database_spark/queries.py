@@ -3944,6 +3944,10 @@ def _doc_unigram_logprob(docs: DataFrame) -> DataFrame:
     """Per-doc mean token log-prob under the corpus unigram LM —
     (doc_id, n_tokens, avg_logprob_micro). Shared by the keep-filter and
     the CCNet tercile-bucket queries."""
+    from vector_database_spark.operators.textanalysis import (
+        _hint_if_small_corpus,
+    )
+
     tok = explode_tokens(docs, ("doc_id",))
     counts = tok.groupBy("token").agg(F.count("*").alias("c"))
     tot = counts.agg(F.sum("c").alias("tot"))
@@ -3953,8 +3957,11 @@ def _doc_unigram_logprob(docs: DataFrame) -> DataFrame:
             "lp"
         ),
     )
+    # the unigram LM is VOCABULARY-sized — hint only below the corpus-size
+    # gate (footer-cheap count; tot stays hinted, it is one row anywhere)
+    n_docs = docs.count()
     per_doc = (
-        tok.join(F.broadcast(lm), "token")
+        tok.join(_hint_if_small_corpus(lm, n_docs), "token")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_tokens"),
