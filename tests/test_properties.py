@@ -453,3 +453,49 @@ def test_topngram_flags_planted_repetition(spark):
         out = {r["doc_id"]: r for r in q.q_topngram_fraction(spark, d).collect()}
     assert not out[1]["keep"] and out[1]["top2_frac_micro"] > 900_000
     assert out[2]["keep"]
+
+
+def test_auto_default_rules_properties():
+    """r7: the four scale-aware ANN defaults are total functions with the
+    invariants the operators rely on — floors/caps hold, explicit values
+    always pin, derived values are monotone in the driving quantity, and
+    every result is a valid operating point for its operator."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vector_database_spark.operators import ann
+
+    @settings(max_examples=300, deadline=None)
+    @given(n=st.integers(min_value=0, max_value=10**14))
+    def check_sizes(n):
+        bits = ann._auto_lsh_bits(n)
+        assert ann.LSH_BITS <= bits <= 16
+        cells = ann._auto_n_centroids(n)
+        assert 16 <= cells <= 4096
+        ef = ann._auto_ef(None, n)
+        assert ef >= ann.NSW_EF
+        sl = ann._auto_shortlist(None, n)
+        assert sl >= ann.PQ_SHORTLIST_FLOOR
+        # monotone: more data never derives a SMALLER operating point
+        if n > 0:
+            smaller = n // 2
+            assert ann._auto_lsh_bits(smaller) <= bits
+            assert ann._auto_n_centroids(smaller) <= cells
+            assert ann._auto_ef(None, smaller) <= ef
+            assert ann._auto_shortlist(None, smaller) <= sl
+
+    check_sizes()
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        cells=st.integers(min_value=1, max_value=10**6),
+        pin=st.integers(min_value=1, max_value=10**6),
+    )
+    def check_nprobe(cells, pin):
+        np_auto = ann._auto_nprobe(None, cells)
+        assert 1 <= np_auto <= cells          # always a probe-able point
+        assert ann._auto_nprobe(pin, cells) == pin  # explicit pins
+        if cells > 1:
+            assert ann._auto_nprobe(None, cells - 1) <= np_auto
+
+    check_nprobe()
