@@ -196,10 +196,13 @@ def main_ivf() -> None:
         'on a <=256*k-row seeded sample (the FAISS convention). Verdict on',
         'the r7 rows: the 64c auto default holds recall 0.88 >= 0.85 at a',
         '0.31 scan; the FULL auto default (sqrt(N) cells, auto nprobe)',
-        'reaches recall 0.99 at 1M and 0.95 at 2M rows AT THE SAME 0.30',
-        'scan fraction — finer cells rank true neighbors far better, which',
-        'is exactly why the sqrt(N) rule exists — for a one-time',
-        'sample-bounded train (23.9 s at 1M, 54.9 s at 2M). The one',
+        'holds recall 0.99 / 0.95 / 0.93 at 1M / 2M / 4M rows AT THE SAME',
+        '0.30 scan fraction — finer cells rank true neighbors far better,',
+        'which is exactly why the sqrt(N) rule exists — for a one-time',
+        'sample-bounded train (24 s / 58 s / 144 s). The gentle decay with',
+        "N is the uniform worst case's density effect (ever more",
+        'competitors inside the same cosine margin), not a rule failure;',
+        'clustered corpora (below) hold 1.00 at a 0.03 scan. The one',
         'sub-0.85 auto row (128c explicit, 0.80) is a PINNED centroid',
         'count: a caller who overrides n_centroids owns that trade; the',
         'derived default is the recommended operating point.',
@@ -262,38 +265,38 @@ def main_ivf() -> None:
     )
     print(lines[-1], flush=True)
 
-    # full-auto at 2x the scale: the derived defaults must keep holding as
-    # the corpus doubles (sqrt(2M)=1414 cells, nprobe re-derives with it)
-    n2 = 2_000_000
-    emb2 = synth_embeddings(spark, n2).localCheckpoint(eager=True)
-    queries2 = [
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in emb2.filter(F.col("vec_id") % (n2 // 16) == 0).collect()
-    ]
-    truth2 = _ground_truth(emb2, queries2, k)
-    t0 = time.perf_counter()
-    assigned2, centroids2 = ann.ivf_index(emb2, n_centroids=None)
-    assigned2 = assigned2.localCheckpoint(eager=True)
-    t_train = time.perf_counter() - t0
-    nc2 = len(centroids2)
-    np2 = ann._auto_nprobe(None, nc2)
-    t0 = time.perf_counter()
-    hits = 0
-    for qid, qv in queries2:
-        got = {
-            r["vec_id"]
-            for r in ann.ivf_knn(
-                assigned2, centroids2, qv, k=k, payload_cols=()
-            ).collect()
-        }
-        hits += len(truth2[qid] & got)
-    t_query = time.perf_counter() - t0
-    recall = hits / (k * len(queries2))
-    lines.append(
-        f"| {n2:,} | auto({nc2}) | auto({np2}) | {np2 / nc2:.2f} "
-        f"| {recall:.2f} | {t_query:.1f} | {t_train:.1f} |"
-    )
-    print(lines[-1], flush=True)
+    # full-auto at 2x and 4x the scale: the derived defaults must keep
+    # holding as the corpus grows (sqrt(N) cells, nprobe re-derives)
+    for n2 in (2_000_000, 4_000_000):
+        emb2 = synth_embeddings(spark, n2).localCheckpoint(eager=True)
+        queries2 = [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in emb2.filter(F.col("vec_id") % (n2 // 16) == 0).collect()
+        ]
+        truth2 = _ground_truth(emb2, queries2, k)
+        t0 = time.perf_counter()
+        assigned2, centroids2 = ann.ivf_index(emb2, n_centroids=None)
+        assigned2 = assigned2.localCheckpoint(eager=True)
+        t_train = time.perf_counter() - t0
+        nc2 = len(centroids2)
+        np2 = ann._auto_nprobe(None, nc2)
+        t0 = time.perf_counter()
+        hits = 0
+        for qid, qv in queries2:
+            got = {
+                r["vec_id"]
+                for r in ann.ivf_knn(
+                    assigned2, centroids2, qv, k=k, payload_cols=()
+                ).collect()
+            }
+            hits += len(truth2[qid] & got)
+        t_query = time.perf_counter() - t0
+        recall = hits / (k * len(queries2))
+        lines.append(
+            f"| {n2:,} | auto({nc2}) | auto({np2}) | {np2 / nc2:.2f} "
+            f"| {recall:.2f} | {t_query:.1f} | {t_train:.1f} |"
+        )
+        print(lines[-1], flush=True)
 
     # the realistic case: clustered embeddings — what IVF's Voronoi
     # partitioning is actually FOR. Same harness, clustered corpus.
