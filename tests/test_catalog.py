@@ -1412,3 +1412,72 @@ def test_tombstone_broadcast_gate_branch_semantics(spark, tmp_path, monkeypatch)
     live_shuffle = sorted(r["id"] for r in col.df().collect())
     assert live_broadcast == live_shuffle
     assert 3 not in live_shuffle and len(live_shuffle) == 17
+
+
+def test_ivf_refresh_incremental(spark, tmp_path):
+    """r7: refresh_ivf_index folds writes since the build into the index
+    WITHOUT a rebuild (segment append + superseded-id mask, pinned
+    centroids). Contract: after refresh the index is fresh, a search at
+    full probe coverage returns exactly the exact scan's ids (no stale
+    vector served, no deleted id resurfacing), and refresh is idempotent."""
+    import pytest as _pytest
+
+    from vector_database_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat_ivfrefresh"))
+    cat.create_collection("ivfr", dim=8)
+    col = cat.collection("ivfr")
+
+    def vec(i, bump=0.0):
+        return [((i * 977 + j * 131) % 1009) / 504.0 - 1.0 + bump for j in range(8)]
+
+    base = spark.createDataFrame(
+        [(i, vec(i), {"i": str(i)}) for i in range(400)],
+        "id long, embedding array<float>, payload map<string,string>",
+    )
+    col.upsert(base)
+    col.build_ivf_index(n_centroids=8)
+
+    # writes AFTER the build: 50 new points, 10 updated, 10 deleted
+    delta = spark.createDataFrame(
+        [(i, vec(i), {"i": str(i)}) for i in range(400, 450)]
+        + [(i, vec(i, bump=0.5), {"i": str(i)}) for i in range(10)],
+        "id long, embedding array<float>, payload map<string,string>",
+    )
+    col.upsert(delta)
+    col.delete(point_ids=list(range(390, 400)))
+
+    qv = vec(5, bump=0.5)  # the UPDATED vector of id 5
+    with _pytest.raises(ValueError, match="refresh_ivf_index"):
+        col.search_ivf(qv)
+    assert not col.index_status()["ivf"]["fresh"]
+
+    appended = col.refresh_ivf_index()
+    assert appended == 60  # 50 new + 10 updated live rows
+    assert col.index_status()["ivf"]["fresh"]
+
+    # full probe coverage == exact search over the LIVE collection
+    exact_ids = [r["id"] for r in col.search(qv, limit=5).collect()]
+    idx_ids = [r["id"] for r in col.search_ivf(qv, limit=5, nprobe=8).collect()]
+    assert idx_ids == exact_ids
+    assert idx_ids[0] == 5  # the updated point is served its NEW vector
+
+    # a deleted id never comes back, even searched by its own old vector
+    got = {
+        r["id"]
+        for r in col.search_ivf(vec(395), limit=10, nprobe=8).collect()
+    }
+    assert not (got & set(range(390, 400)))
+    # a NEW point is findable through the refreshed index
+    got_new = [r["id"] for r in col.search_ivf(vec(425), limit=1, nprobe=8).collect()]
+    assert got_new == [425]
+
+    # batch twin sees the same resolved layout
+    b = {
+        (r["qid"], r["id"])
+        for r in col.search_ivf_batch([(0, qv)], limit=5, nprobe=8).collect()
+    }
+    assert b == {(0, i) for i in exact_ids}
+
+    # idempotent: nothing new to fold
+    assert col.refresh_ivf_index() == 0

@@ -24,6 +24,11 @@ import json
 import os
 from dataclasses import dataclass
 
+# module-level on purpose: pandas_udf type hints resolve against the
+# DEFINING module's globals (postponed annotations) — a function-local
+# import breaks hint resolution in the worker (see .claude verify notes)
+import pandas as pd  # noqa: E402
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -1196,15 +1201,172 @@ class VectorCollection:
         assigned, centroids = ann.ivf_index(
             emb, n_centroids=n_centroids, id_col="id", emb_col="embedding"
         )
-        ann.ivf_write_partitioned(assigned, self._ivf_index_path)
+        # __seg 0 = the base build; refresh_ivf_index appends later write
+        # deltas as __seg 1, 2, ... with a superseded-id mask next to the
+        # layout (see refresh_ivf_index) — the segment+tombstone design
+        # every LSM-ish index uses
+        ann.ivf_write_partitioned(
+            assigned.withColumn("__seg", F.lit(0)), self._ivf_index_path
+        )
+        import shutil as _shutil
+
+        _shutil.rmtree(self._ivf_mask_path, ignore_errors=True)
         with open(os.path.join(self._ivf_index_path, "_index_meta.json"), "w") as fh:
             json.dump(
                 {
                     "built_at_version": current_version,
+                    # highest collection version this index correctly
+                    # serves; refresh advances it without a rebuild
+                    "covers_version": current_version,
+                    "next_seg": 1,
                     "centroids": [[float(x) for x in c] for c in centroids],
                 },
                 fh,
             )
+
+    @property
+    def _ivf_mask_path(self) -> str:
+        return self.path + "__ivf_mask"
+
+    def refresh_ivf_index(self) -> int:
+        """INCREMENTALLY fold the writes since the last build/refresh into
+        the persisted IVF index — the batch-engine twin of Qdrant's
+        background reindexing, instead of the full rebuild the staleness
+        contract otherwise demands.
+
+        Mechanics (segment + mask): live rows of every id written since
+        ``covers_version`` are assigned to the EXISTING centroids (one
+        Arrow-batched argmin over the pinned centroid matrix — no KMeans
+        retrain) and appended to the layout as a new ``__seg``; every
+        written-or-deleted id gets a (id, seg) row in a side MASK table,
+        meaning "rows of this id with __seg < seg are dead". Search reads
+        the layout, left-joins the (size-gated broadcast) mask aggregate
+        and keeps a row iff it is unmasked or belongs to the newest
+        segment for its id — so an updated point is served its NEW vector
+        and a deleted point disappears, with zero rewrite of existing
+        segments. Centroids are pinned, so partition pruning and probe
+        routing are unchanged; a corpus whose distribution drifts far from
+        the pinned centroids should eventually full-rebuild (the same
+        trade Qdrant's optimizer makes when it rewrites segments).
+
+        Returns the number of delta rows appended. No-op (returns 0)
+        when the index already covers the current version."""
+        import numpy as np
+
+        meta_path = os.path.join(self._ivf_index_path, "_index_meta.json")
+        if not os.path.exists(meta_path):
+            raise ValueError(
+                f"collection {self.info.name!r} has no IVF index; "
+                "call build_ivf_index() first"
+            )
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        current_version = self.catalog._load()[self.info.name]["version"]
+        covers = meta.get("covers_version", meta["built_at_version"])
+        if covers == current_version:
+            return 0
+        seg = int(meta.get("next_seg", 1))
+        spark = self.catalog.spark
+
+        # every id WRITTEN since covers supersedes its older index rows;
+        # every id DELETED since covers must vanish. Both come from the
+        # append-only logs, so the delta scan never touches old segments.
+        written = (
+            self._raw_df()
+            .filter(F.col("version") > covers)
+            .select("id")
+            .distinct()
+        )
+        superseded = written
+        if os.path.exists(self._tombstone_path):
+            deleted = (
+                spark.read.parquet(self._tombstone_path)
+                .filter(F.col("version") > covers)
+                .select("id")
+                .distinct()
+            )
+            superseded = superseded.unionByName(deleted).distinct()
+
+        # live rows of the written ids (latest-wins already resolved by
+        # df(); a deleted id simply has no live row) assigned to the
+        # PINNED centroids — euclidean argmin, the KMeans.transform rule
+        centroids = np.asarray(meta["centroids"], dtype=np.float64)
+
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("int")
+        def _assign(embs: pd.Series) -> pd.Series:
+            import numpy as _np
+            import pandas as _pd
+
+            if not len(embs):
+                return _pd.Series([], dtype="int32")
+            E = _np.stack([_np.asarray(v, dtype=_np.float64) for v in embs])
+            d = ((E[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+            return _pd.Series(d.argmin(axis=1).astype("int32"))
+
+        delta = (
+            self.df()
+            .join(written, "id")
+            .select(
+                "id",
+                "embedding",
+                "payload",
+                F.lit(seg).alias("__seg"),
+                _assign(F.col("embedding").cast("array<double>")).alias(
+                    "centroid_id"
+                ),
+            )
+        )
+        n_delta = delta.count()
+        if n_delta:
+            delta.write.mode("append").partitionBy("centroid_id").parquet(
+                self._ivf_index_path
+            )
+        superseded.select("id", F.lit(seg).alias("mask_seg")).write.mode(
+            "append"
+        ).parquet(self._ivf_mask_path)
+
+        meta["covers_version"] = current_version
+        meta["next_seg"] = seg + 1
+        with open(meta_path, "w") as fh:
+            json.dump(meta, fh)
+        return n_delta
+
+    def _ivf_layout_df(self) -> DataFrame:
+        """The IVF layout with refresh segments RESOLVED: superseded rows
+        (older __seg of a rewritten id, any row of a deleted id) are
+        dropped via the side mask — size-gated broadcast, same budget as
+        the tombstone join. Layouts from before the segment scheme (no
+        __seg column) read as segment 0."""
+        rows = self.catalog.spark.read.parquet(self._ivf_index_path)
+        if "__seg" not in rows.columns:
+            rows = rows.withColumn("__seg", F.lit(0))
+        if not os.path.exists(self._ivf_mask_path):
+            return rows
+        mask = (
+            self.catalog.spark.read.parquet(self._ivf_mask_path)
+            .groupBy("id")
+            .agg(F.max("mask_seg").alias("__mask_seg"))
+        )
+        mask_bytes = 0
+        for dp, _dirs, files in os.walk(self._ivf_mask_path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    try:
+                        mask_bytes += os.path.getsize(os.path.join(dp, f))
+                    except OSError:
+                        pass
+        if mask_bytes <= TOMBSTONE_BROADCAST_MAX_BYTES:
+            mask = F.broadcast(mask)
+        return (
+            rows.join(mask, "id", "left")
+            .filter(
+                F.col("__mask_seg").isNull()
+                | (F.col("__seg") >= F.col("__mask_seg"))
+            )
+            .drop("__mask_seg")
+        )
 
     def search_ivf(
         self, query_vector: list[float], limit: int = 5, nprobe: int | None = None
@@ -1215,15 +1377,32 @@ class VectorCollection:
         inside them. ``nprobe=None`` derives the probe count from the
         index's centroid count and the target scan fraction
         (operators/ann.py::_auto_nprobe) — the scale-aware default.
-        Raises if no index exists or the collection has been written
-        since the build. Returns (id, payload, score)."""
+        Raises if no index exists or the collection has been written past
+        what the index COVERS (a refresh_ivf_index advances coverage
+        without a rebuild). Returns (id, payload, score)."""
         import numpy as np
 
         from vector_database_spark.operators import ann
 
+        meta = self._ivf_meta_fresh("search_ivf")
+        return ann.ivf_knn(
+            self._ivf_layout_df(),
+            np.asarray(meta["centroids"], dtype=float),
+            [float(x) for x in query_vector],
+            k=limit,
+            nprobe=nprobe,
+            id_col="id",
+            emb_col="embedding",
+            payload_cols=("payload",),
+        )
+
+    def _ivf_meta_fresh(self, op: str) -> dict:
+        """Load the IVF index meta and enforce the coverage contract:
+        the index must cover the collection's current version (either the
+        base build or a later refresh_ivf_index)."""
         if self.info.metric != "cosine":
             raise ValueError(
-                f"search_ivf requires a cosine collection; "
+                f"{op} requires a cosine collection; "
                 f"{self.info.name!r} uses metric={self.info.metric!r}"
             )
         meta_path = os.path.join(self._ivf_index_path, "_index_meta.json")
@@ -1235,23 +1414,14 @@ class VectorCollection:
         with open(meta_path) as fh:
             meta = json.load(fh)
         current_version = self.catalog._load()[self.info.name]["version"]
-        if meta["built_at_version"] != current_version:
+        covers = meta.get("covers_version", meta["built_at_version"])
+        if covers != current_version:
             raise ValueError(
-                f"IVF index of {self.info.name!r} was built at version "
-                f"{meta['built_at_version']} but the collection is at "
-                f"{current_version}; rebuild with build_ivf_index()"
+                f"IVF index of {self.info.name!r} covers version "
+                f"{covers} but the collection is at {current_version}; "
+                "refresh_ivf_index() or rebuild with build_ivf_index()"
             )
-        return ann.ivf_knn_pruned(
-            self.catalog.spark,
-            self._ivf_index_path,
-            np.asarray(meta["centroids"], dtype=float),
-            [float(x) for x in query_vector],
-            k=limit,
-            nprobe=nprobe,
-            id_col="id",
-            emb_col="embedding",
-            payload_cols=("payload",),
-        )
+        return meta
 
     def search_ivf_batch(
         self,
@@ -1263,34 +1433,15 @@ class VectorCollection:
         union of every query's probe cells (operators/ann.py::
         ivf_knn_batch), map-side per-query probe filtering, row-identical
         to per-query :meth:`search_ivf` at the same nprobe. Same
-        staleness contract. Returns (qid, id, payload, score)."""
+        coverage contract (build or refresh). Returns (qid, id, payload,
+        score)."""
         import numpy as np
 
         from vector_database_spark.operators import ann
 
-        if self.info.metric != "cosine":
-            raise ValueError(
-                f"search_ivf_batch requires a cosine collection; "
-                f"{self.info.name!r} uses metric={self.info.metric!r}"
-            )
-        meta_path = os.path.join(self._ivf_index_path, "_index_meta.json")
-        if not os.path.exists(meta_path):
-            raise ValueError(
-                f"collection {self.info.name!r} has no IVF index; "
-                "call build_ivf_index() first"
-            )
-        with open(meta_path) as fh:
-            meta = json.load(fh)
-        current_version = self.catalog._load()[self.info.name]["version"]
-        if meta["built_at_version"] != current_version:
-            raise ValueError(
-                f"IVF index of {self.info.name!r} was built at version "
-                f"{meta['built_at_version']} but the collection is at "
-                f"{current_version}; rebuild with build_ivf_index()"
-            )
-        assigned = self.catalog.spark.read.parquet(self._ivf_index_path)
+        meta = self._ivf_meta_fresh("search_ivf_batch")
         return ann.ivf_knn_batch(
-            assigned,
+            self._ivf_layout_df(),
             np.asarray(meta["centroids"], dtype=float),
             queries,
             k=limit,
@@ -1576,9 +1727,9 @@ class VectorCollection:
     def index_status(self) -> dict[str, dict]:
         """Freshness of every persisted ANN index of this collection:
         ``{kind: {"exists", "built_at_version", "fresh"}}``. An index is
-        fresh iff its pinned build version equals the collection's current
-        version (the same contract each ``search_<kind>`` enforces by
-        raising)."""
+        fresh iff it COVERS the collection's current version — the pinned
+        build version, or (IVF) a later refresh_ivf_index coverage (the
+        same contract each ``search_<kind>`` enforces by raising)."""
         current = self.catalog._load()[self.info.name]["version"]
         out: dict[str, dict] = {}
         for kind, path in (
@@ -1594,11 +1745,13 @@ class VectorCollection:
                 }
                 continue
             with open(meta_path) as fh:
-                built = json.load(fh)["built_at_version"]
+                meta = json.load(fh)
+            built = meta["built_at_version"]
+            covers = meta.get("covers_version", built)
             out[kind] = {
                 "exists": True,
                 "built_at_version": built,
-                "fresh": built == current,
+                "fresh": covers == current,
             }
         return out
 
