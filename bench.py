@@ -108,6 +108,15 @@ BENCH_QUERIES = [
     "q_knn_lsh_batch",
     "q_knn_nsw_batch",
     "q_knn_ivfpq_batch",
+    # round 8: auto-default regression canaries — the SAME families with
+    # every operating point DERIVED (bits/n_centroids/nprobe/shortlist =
+    # None) instead of pinned, so an edit to any _auto_* formula moves a
+    # driver-visible wall-time + recall row instead of shifting production
+    # defaults silently. q_knn_nsw already runs ef=None (auto) above.
+    "q_knn_lsh_auto",
+    "q_knn_ivf_auto",
+    "q_knn_pq_auto",
+    "q_knn_ivfpq_auto",
 ]
 
 
@@ -202,9 +211,81 @@ def ann_recall(spark, sf_dir: str, k: int = 5, n_queries: int = 10) -> dict[str,
     hits = sum(len(exact(qid, qv) & by_q.get(qid, set())) for qid, qv in queries)
     out["q_knn_nsw"] = round(hits / total, 3)
 
+    # --- auto-default canaries (r8 directive 1): recall at the DERIVED
+    # operating points, published next to the pinned twins. The floors
+    # are the fixture-tuned values, so at bench scale each must be >= its
+    # pinned twin; a formula edit that moves a floor/curve moves these.
+    n_rows = emb.count()
+    auto_bits = ann._auto_lsh_bits(n_rows)
+    hits = sum(
+        len(
+            exact(qid, qv)
+            & {
+                r["vec_id"]
+                for r in ann.lsh_knn(emb, qv, k=k, bits=auto_bits).collect()
+            }
+        )
+        for qid, qv in queries
+    )
+    out["q_knn_lsh_auto"] = round(hits / total, 3)
+
+    assigned_a, centroids_a = ann.ivf_index(emb, n_centroids=None)
+    assigned_a = assigned_a.cache()
+    hits = sum(
+        len(
+            exact(qid, qv)
+            & {
+                r["vec_id"]
+                for r in ann.ivf_knn(
+                    assigned_a, centroids_a, qv, k=k, nprobe=None
+                ).collect()
+            }
+        )
+        for qid, qv in queries
+    )
+    out["q_knn_ivf_auto"] = round(hits / total, 3)
+
+    auto_shortlist = ann._auto_shortlist(None, n_rows)
+    hits = sum(
+        len(
+            exact(qid, qv, "euclid")
+            & {
+                r["vec_id"]
+                for r in ann.pq_knn_rerank(
+                    codes, books, emb, qv, k=k, shortlist=auto_shortlist
+                ).collect()
+            }
+        )
+        for qid, qv in queries
+    )
+    out["q_knn_pq_auto"] = round(hits / total, 3)
+
+    codes_ivf_a = ann.pq_encode(
+        assigned_a.select("vec_id", "centroid_id", "embedding"),
+        books,
+        payload_cols=("centroid_id",),
+    ).cache()
+    codes_ivf_a.count()
+    hits = sum(
+        len(
+            exact(qid, qv, "euclid")
+            & {
+                r["vec_id"]
+                for r in ann.ivfpq_knn(
+                    codes_ivf_a, centroids_a, books, emb, qv, k=k,
+                    nprobe=None, shortlist=None,
+                ).collect()
+            }
+        )
+        for qid, qv in queries
+    )
+    out["q_knn_ivfpq_auto"] = round(hits / total, 3)
+
     codes.unpersist()
     codes_ivf.unpersist()
+    codes_ivf_a.unpersist()
     assigned.unpersist()
+    assigned_a.unpersist()
     emb.unpersist()
     return out
 
@@ -390,6 +471,10 @@ def main() -> None:
                     "batch": "q_knn_{ivf,lsh,nsw,ivfpq}_batch are row-identical "
                              "to their per-query operators (tests), so the "
                              "recall_at_5 entries above cover them",
+                    "auto": "q_knn_*_auto run every operating point DERIVED "
+                            "(bits/n_centroids/nprobe/shortlist=None) — the "
+                            "r8 regression canaries for the _auto_* formulas; "
+                            "recall must be >= the pinned twins at bench scale",
                 },
                 "best_known_ratio": ratios,
                 "watch": watch,
@@ -402,7 +487,13 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "recall_at_5": recall,
+        # recall keys drop the "q_knn_" prefix on the driver line only
+        # (full keys in BENCH_LOCAL.json) — the r8 auto canaries grew the
+        # block to 9 entries and the line must stay under the driver's
+        # 2000-char stdout tail window
+        "recall_at_5": {
+            k.removeprefix("q_knn_"): v for k, v in recall.items()
+        },
         "sf": sf_val,
         "warmup_gen": WARMUP_GEN,
         # >1 = per-query min-of-N (noise-floor mode); default 2 since r7

@@ -460,13 +460,22 @@ def test_bench_ann_recall_harness(spark):
     import bench
 
     out = bench.ann_recall(spark, SF_SMALL)
-    assert set(out) == {"q_knn_lsh", "q_knn_ivf", "q_knn_pq", "q_knn_nsw", "q_knn_ivfpq"}
+    assert set(out) == {
+        "q_knn_lsh", "q_knn_ivf", "q_knn_pq", "q_knn_nsw", "q_knn_ivfpq",
+        # r8 auto-default canaries: the same families at DERIVED points
+        "q_knn_lsh_auto", "q_knn_ivf_auto", "q_knn_pq_auto",
+        "q_knn_ivfpq_auto",
+    }
     for name, r in out.items():
         assert 0.0 < r <= 1.0, f"{name} recall {r} out of range"
     # the sf0.001 operating points are the tuned ones — hold them to the
     # same floors the dedicated recall tests use
     assert out["q_knn_lsh"] >= 0.85
     assert out["q_knn_pq"] >= 0.9
+    # the auto canaries' floors ARE the fixture-tuned values, so at this
+    # scale each derived point must do at least as well as its pinned twin
+    assert out["q_knn_lsh_auto"] >= out["q_knn_lsh"] - 1e-9
+    assert out["q_knn_pq_auto"] >= out["q_knn_pq"] - 1e-9
 
 
 def test_lsh_signature_null_and_ragged_rows_degrade_to_null(spark):

@@ -1481,3 +1481,296 @@ def test_ivf_refresh_incremental(spark, tmp_path):
 
     # idempotent: nothing new to fold
     assert col.refresh_ivf_index() == 0
+
+
+def test_ivf_refresh_retry_does_not_duplicate(spark, tmp_path):
+    """r8 ADVICE: the refresh commit is three non-atomic steps; a crash
+    after the delta append used to leave a retried refresh APPENDING the
+    same rows under the same __seg (both copies pass the mask filter →
+    duplicate ids in search results). The seg-prefixed file-rename commit
+    makes a re-run of the same segment REPLACE it. Simulated here by
+    rolling the meta back to its pre-refresh state and refreshing again —
+    exactly what a crash between the delta write and the meta rewrite
+    leaves behind."""
+    import json as _json
+    import os as _os
+
+    from vector_database_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat_ivfretry"))
+    cat.create_collection("ivfr2", dim=8)
+    col = cat.collection("ivfr2")
+
+    def vec(i):
+        return [((i * 911 + j * 127) % 997) / 498.0 - 1.0 for j in range(8)]
+
+    base = spark.createDataFrame(
+        [(i, vec(i), {"i": str(i)}) for i in range(120)],
+        "id long, embedding array<float>, payload map<string,string>",
+    )
+    col.upsert(base)
+    col.build_ivf_index(n_centroids=4)
+    col.upsert(
+        spark.createDataFrame(
+            [(i, vec(i), {"i": str(i)}) for i in range(120, 140)],
+            "id long, embedding array<float>, payload map<string,string>",
+        )
+    )
+
+    meta_path = _os.path.join(col._ivf_index_path, "_index_meta.json")
+    with open(meta_path) as fh:
+        pre = _json.load(fh)
+    assert col.refresh_ivf_index() == 20
+
+    # crash-retry: meta never advanced, same segment re-folds
+    with open(meta_path) as fh:
+        post = _json.load(fh)
+    with open(meta_path, "w") as fh:
+        _json.dump(pre, fh)
+    assert col.refresh_ivf_index() == 20
+    with open(meta_path) as fh:
+        assert _json.load(fh) == post
+
+    layout = spark.read.parquet(col._ivf_index_path)
+    from pyspark.sql import functions as F
+
+    assert layout.filter(F.col("__seg") == pre["next_seg"]).count() == 20
+
+    got = [r["id"] for r in col.search_ivf(vec(130), limit=10, nprobe=4).collect()]
+    assert len(got) == len(set(got)), f"duplicate ids served: {got}"
+    exact = [r["id"] for r in col.search(vec(130), limit=10).collect()]
+    assert got == exact
+
+
+def test_ivf_refresh_refuses_legacy_layout(spark, tmp_path):
+    """r8 ADVICE: a pre-segment layout (meta without next_seg, base files
+    without __seg) must REFUSE refresh — appending seg-stamped files into
+    it leaves a mixed schema that plain spark.read.parquet resolves from
+    an arbitrary file, silently dropping the refreshed rows from search."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from vector_database_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat_ivflegacy"))
+    cat.create_collection("ivfleg", dim=8)
+    col = cat.collection("ivfleg")
+
+    def vec(i):
+        return [((i * 911 + j * 127) % 997) / 498.0 - 1.0 for j in range(8)]
+
+    col.upsert(
+        spark.createDataFrame(
+            [(i, vec(i), {"i": str(i)}) for i in range(60)],
+            "id long, embedding array<float>, payload map<string,string>",
+        )
+    )
+    col.build_ivf_index(n_centroids=4)
+    # devolve the meta to the pre-segment shape
+    meta_path = _os.path.join(col._ivf_index_path, "_index_meta.json")
+    with open(meta_path) as fh:
+        meta = _json.load(fh)
+    meta.pop("next_seg")
+    with open(meta_path, "w") as fh:
+        _json.dump(meta, fh)
+    col.upsert(
+        spark.createDataFrame(
+            [(99, vec(99), {"i": "99"})],
+            "id long, embedding array<float>, payload map<string,string>",
+        )
+    )
+    with _pytest.raises(ValueError, match="predates the segment scheme"):
+        col.refresh_ivf_index()
+
+
+def test_lsh_refresh_incremental(spark, tmp_path):
+    """r8 directive 4: refresh_lsh_index folds writes since the build into
+    the persisted (table, sig) layout WITHOUT a rebuild — delta rows hash
+    with the PINNED seeded hyperplanes into a new __seg, superseded ids
+    drop via the side mask. Contract: after refresh the index is fresh,
+    search_auto routes to it (covers_version honored), an updated point is
+    served its NEW vector, deleted ids are gone, new points are findable,
+    the batch twin sees the same resolved layout, and a second refresh is
+    a no-op. Also: a crash-retry of the same segment does not duplicate."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from vector_database_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat_lshrefresh"))
+    cat.create_collection("lshr", dim=8)
+    col = cat.collection("lshr")
+
+    def vec(i, bump=0.0):
+        return [((i * 977 + j * 131) % 1009) / 504.0 - 1.0 + bump for j in range(8)]
+
+    base = spark.createDataFrame(
+        [(i, vec(i), {"i": str(i)}) for i in range(400)],
+        "id long, embedding array<float>, payload map<string,string>",
+    )
+    col.upsert(base)
+    col.build_lsh_index(bits=6, tables=4)
+
+    delta = spark.createDataFrame(
+        [(i, vec(i), {"i": str(i)}) for i in range(400, 450)]
+        + [(i, vec(i, bump=0.5), {"i": str(i)}) for i in range(10)],
+        "id long, embedding array<float>, payload map<string,string>",
+    )
+    col.upsert(delta)
+    col.delete(point_ids=list(range(390, 400)))
+
+    qv = vec(5, bump=0.5)  # the UPDATED vector of id 5
+    with _pytest.raises(ValueError, match="refresh_lsh_index"):
+        col.search_lsh(qv)
+    assert not col.index_status()["lsh"]["fresh"]
+    assert col.route_for_search() == "exact"  # stale index never serves
+
+    appended = col.refresh_lsh_index()
+    assert appended == 60 * 4  # (50 new + 10 updated) x 4 table copies
+    assert col.index_status()["lsh"]["fresh"]
+    assert col.route_for_search() == "lsh"  # auto-routing honors coverage
+
+    # the updated point is served its NEW vector through the refreshed
+    # index (its own bucket is always probed — hashes are deterministic)
+    top = [r["id"] for r in col.search_lsh(qv, limit=1).collect()]
+    assert top == [5]
+    # search_auto serves the same refreshed layout
+    auto_top = [r["id"] for r in col.search_auto(qv, limit=1).collect()]
+    assert auto_top == [5]
+
+    # a deleted id never comes back, even searched by its own old vector
+    got = {
+        r["id"]
+        for r in col.search_lsh(vec(395), limit=10, max_hamming=2).collect()
+    }
+    assert not (got & set(range(390, 400)))
+    # a NEW point is findable through the refreshed index
+    got_new = [r["id"] for r in col.search_lsh(vec(425), limit=1).collect()]
+    assert got_new == [425]
+
+    # batch twin resolves the same layout
+    b = [
+        (r["qid"], r["id"])
+        for r in col.search_lsh_batch([(0, qv)], limit=1).collect()
+    ]
+    assert b == [(0, 5)]
+
+    # idempotent: nothing new to fold
+    assert col.refresh_lsh_index() == 0
+
+    # crash-retry of the same segment (meta rolled back) must not
+    # double-materialize rows
+    meta_path = _os.path.join(col._lsh_index_path, "_index_meta.json")
+    with open(meta_path) as fh:
+        post = _json.load(fh)
+    pre = dict(post, covers_version=post["built_at_version"], next_seg=1)
+    with open(meta_path, "w") as fh:
+        _json.dump(pre, fh)
+    assert col.refresh_lsh_index() == 60 * 4
+    res = [r["id"] for r in col.search_lsh(qv, limit=10).collect()]
+    assert len(res) == len(set(res)), f"duplicate ids served: {res}"
+
+
+def test_auto_compaction_policy(spark, tmp_path, monkeypatch):
+    """r8 directive 6: the log-structured layout's read amplification is
+    bounded automatically — after AUTO_COMPACT_MIN_BATCHES versions, an
+    update/delete-heavy collection (raw log >= 2x live rows) folds itself
+    on the next write, preserving latest-wins; append-only collections
+    never fold (raw == live, nothing to reclaim); snapshots and the
+    create_collection opt-out suspend the policy; and the amortizing
+    checked-at stamp limits the live count() to once per MIN_BATCHES."""
+    import json as _json
+    import os as _os
+
+    from vector_database_spark import catalog as cat_mod
+    from vector_database_spark.catalog import Catalog
+
+    monkeypatch.setattr(cat_mod, "AUTO_COMPACT_MIN_BATCHES", 4)
+
+    def vec(i, r=0):
+        return [float((i * 31 + j * 7 + r) % 11) + 1.0 for j in range(4)]
+
+    def pts(ids, r=0):
+        return spark.createDataFrame(
+            [(i, vec(i, r), {"r": str(r)}) for i in ids],
+            "id long, embedding array<float>, payload map<string,string>",
+        )
+
+    cat = Catalog(spark, str(tmp_path / "cat_autocompact"))
+
+    # -- update-heavy: fires once amplification crosses the ratio --------
+    col = cat.create_collection("hot", dim=4)
+    col.upsert(pts(range(20)))
+    fired_at = None
+    for r in range(1, 8):
+        col.upsert(pts(range(20), r=r))
+        info = cat._load()["hot"]
+        if info.get("compacted_at"):
+            fired_at = info["compacted_at"]
+            break
+    assert fired_at, "update-heavy collection never auto-compacted"
+    # latest-wins preserved across the fold
+    live = {r["id"]: r["payload"]["r"] for r in col.df().collect()}
+    assert len(live) == 20 and all(v == max(live.values()) for v in live.values())
+    # the fold actually reclaimed the superseded versions
+    assert col._approx_live_rows() == 20
+
+    # -- append-only: never fires (raw == live), but the evaluation is
+    # amortized via the checked-at stamp ---------------------------------
+    col2 = cat.create_collection("cold", dim=4)
+    for b in range(6):
+        col2.upsert(pts(range(b * 10, b * 10 + 10)))
+    info2 = cat._load()["cold"]
+    assert "compacted_at" not in info2
+    assert info2.get("auto_compact_checked_at", 0) > 0
+
+    # -- snapshots suspend the policy ------------------------------------
+    col3 = cat.create_collection("snapped", dim=4)
+    col3.upsert(pts(range(10)))
+    col3.create_snapshot("keep")
+    for r in range(1, 7):
+        col3.upsert(pts(range(10), r=r))
+    assert "compacted_at" not in cat._load()["snapped"]
+    # time travel to the snapshot still works — nothing was folded
+    assert col3.df(as_of_version=cat._load()["snapped"]["snapshots"]["keep"]).count() == 10
+
+    # -- explicit opt-out -------------------------------------------------
+    col4 = cat.create_collection("manual", dim=4, auto_compact=False)
+    for r in range(7):
+        col4.upsert(pts(range(10), r=r))
+    assert "compacted_at" not in cat._load()["manual"]
+
+
+def test_refresh_refuses_after_fold(spark, tmp_path, monkeypatch):
+    """r8: compact() (manual or auto) clears the tombstone log — a delete
+    between an index's coverage and the fold leaves NO trace the refresh
+    delta scan could find, so a refresh across a fold would serve stale
+    deleted ids. Both refreshes must refuse and demand a rebuild."""
+    import pytest as _pytest
+
+    from vector_database_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat_foldguard"))
+    col = cat.create_collection("fg", dim=4, auto_compact=False)
+
+    def vec(i):
+        return [float((i * 31 + j * 7) % 11) + 1.0 for j in range(4)]
+
+    col.upsert(
+        spark.createDataFrame(
+            [(i, vec(i), {"i": str(i)}) for i in range(50)],
+            "id long, embedding array<float>, payload map<string,string>",
+        )
+    )
+    col.build_ivf_index(n_centroids=4)
+    col.build_lsh_index(bits=6, tables=2)
+    col.delete(point_ids=[7])
+    col.compact()  # folds the tombstone the refresh would need
+    with _pytest.raises(ValueError, match="folded history"):
+        col.refresh_ivf_index()
+    with _pytest.raises(ValueError, match="folded history"):
+        col.refresh_lsh_index()

@@ -248,3 +248,107 @@ def test_connected_components_known_graph(spark):
         for r in connected_components(pairs, nodes=nodes).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_pb_shim_never_patches_a_real_protobuf(tmp_path):
+    """r8 directive 8 (pb_shim fence): in an environment where a REAL
+    google.protobuf is importable, neither pb_shim.enable_driver() nor the
+    worker sitecustomize may no-op its ValidateProtobufRuntimeVersion gate
+    or ship worker env — even with a stale SPARK_GRAFT_PB_SHIM exported.
+    Simulated in a SUBPROCESS with a fake 'real install' first on sys.path
+    (this process's protobuf IS the vendored one, so precedence can't be
+    probed in-process)."""
+    import os
+    import subprocess
+    import sys
+
+    real = tmp_path / "site-packages" / "google" / "protobuf"
+    real.mkdir(parents=True)
+    (tmp_path / "site-packages" / "google" / "__init__.py").write_text(
+        "__path__ = __import__('pkgutil').extend_path(__path__, __name__)\n"
+    )
+    (real / "__init__.py").write_text("")
+    (real / "runtime_version.py").write_text(
+        "SENTINEL = 'real-install'\n"
+        "def ValidateProtobufRuntimeVersion(*a, **k):\n"
+        "    return 'REAL-GATE-RAN'\n"
+    )
+    (real / "descriptor.py").write_text("_USE = 'real'\n")
+
+    probe = r"""
+import os, sys
+sys.path.insert(0, os.environ["FAKE_SITE"])   # the 'real install' wins
+sys.path.insert(0, os.environ["REPO"])
+from vector_database_spark.compat import pb_shim
+ok = pb_shim.enable_driver()
+from google.protobuf import runtime_version as rv
+assert ok, "enable_driver must report protobuf importable"
+assert getattr(rv, "SENTINEL", None) == "real-install", rv.__file__
+assert rv.ValidateProtobufRuntimeVersion() == "REAL-GATE-RAN", (
+    "enable_driver no-op'd a REAL install's version gate")
+assert pb_shim.worker_env() == {}, "worker_env must not ship the shim"
+
+# worker half: sitecustomize with a stale SPARK_GRAFT_PB_SHIM pointing at
+# the actual vendored dir must still leave the real gate intact
+vendored = pb_shim.find_vendored_protobuf()
+if vendored:
+    os.environ["SPARK_GRAFT_PB_SHIM"] = vendored
+    sc = os.path.join(os.path.dirname(pb_shim.__file__), "pb_shim_path",
+                      "sitecustomize.py")
+    exec(compile(open(sc).read(), sc, "exec"), {"__name__": "sitecustomize"})
+    assert rv.ValidateProtobufRuntimeVersion() == "REAL-GATE-RAN", (
+        "sitecustomize no-op'd a REAL install's version gate")
+print("FENCE-OK")
+"""
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("SPARK_GRAFT_PB_SHIM", "PYTHONPATH")
+    }
+    env["FAKE_SITE"] = str(tmp_path / "site-packages")
+    env["REPO"] = os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", probe], env=env, capture_output=True, text=True
+    )
+    assert out.returncode == 0, out.stderr
+    assert "FENCE-OK" in out.stdout
+
+
+def test_pb_shim_activates_only_without_real_protobuf(tmp_path):
+    """The complement: with NO protobuf importable, enable_driver activates
+    the vendored runtime (when the host ships one) and no-ops ONLY the
+    vendored module's gate — asserted on the module's __file__."""
+    import os
+    import subprocess
+    import sys
+
+    probe = r"""
+import os, sys
+sys.path.insert(0, os.environ["REPO"])
+from vector_database_spark.compat import pb_shim
+vendored = pb_shim.find_vendored_protobuf()
+if vendored is None:
+    print("NO-VENDORED")  # nothing to assert on this host
+    raise SystemExit(0)
+ok = pb_shim.enable_driver()
+assert ok
+from google.protobuf import runtime_version as rv
+assert str(rv.__file__).startswith(os.path.join(vendored, "")), rv.__file__
+assert rv.ValidateProtobufRuntimeVersion("x", 1, 2, 3) is None
+print("VENDORED-OK")
+"""
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("SPARK_GRAFT_PB_SHIM", "PYTHONPATH")
+    }
+    env["REPO"] = os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", probe], env=env, capture_output=True, text=True
+    )
+    assert out.returncode == 0, out.stderr
+    assert ("VENDORED-OK" in out.stdout) or ("NO-VENDORED" in out.stdout)

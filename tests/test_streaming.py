@@ -375,3 +375,32 @@ def test_points_feed_streams_into_collection(spark, tmp_path):
     assert got is not None and got["payload"]["label"] == "3"
     # micro-batches arrived as separate versions (log-structured ingest)
     assert col.info.version >= 2
+
+
+def test_tws_probe_requires_preexported_shim_env(monkeypatch):
+    """r8 ADVICE: with the VENDORED protobuf importable in the driver but
+    SPARK_GRAFT_PB_SHIM never exported before the JVM launched, the probe
+    must return ok=False (the python workers would die mid-stream with
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE). The r7 guard matched
+    the dotted substring "google.protobuf" against a filesystem PATH —
+    always False, so the branch was dead and the probe said ok=True."""
+    from vector_database_spark.compat import pb_shim
+
+    if not pb_shim.enable_driver():
+        import pytest
+
+        pytest.skip("no protobuf importable at all — guard unreachable")
+    from google.protobuf import descriptor
+
+    if "google-cloud-sdk" not in str(getattr(descriptor, "__file__", "")):
+        import pytest
+
+        pytest.skip("real protobuf install — the vendored guard is moot")
+    monkeypatch.delenv("SPARK_GRAFT_PB_SHIM", raising=False)
+    ok, why = se.tws_available()
+    assert not ok
+    assert "SPARK_GRAFT_PB_SHIM" in why
+
+    monkeypatch.setenv("SPARK_GRAFT_PB_SHIM", "1")
+    ok, _ = se.tws_available()
+    assert ok

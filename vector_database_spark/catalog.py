@@ -54,6 +54,23 @@ TOMBSTONE_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
 # valid collection name (create_collection would collide with it otherwise)
 ALIASES_KEY = "__aliases__"
 
+# Auto-compaction policy (r8 directive 6): the log-structured layout's
+# read cost grows with the RAW log (latest-wins windows every version
+# batch; tombstones anti-join on top) until compact() folds it — before
+# r8 that was a manual call, so an update/delete-heavy collection degraded
+# without bound. After every versioned write, once at least MIN_BATCHES
+# versions accumulated since the last fold, the collection pays ONE live
+# count() (amortized 1/MIN_BATCHES per write) and folds when the log
+# holds >= MIN_AMPLIFICATION x the live rows — i.e. when at least half of
+# what every read scans and shuffles is dead weight. Append-only
+# workloads (raw == live) never trigger it: rewriting data that is all
+# live buys nothing at any scale. Compaction forfeits time travel and
+# snapshots older than the fold, so collections with snapshots pinning
+# versions past the last fold are SKIPPED (drop the snapshot to re-enable)
+# and create_collection(auto_compact=False) opts out entirely.
+AUTO_COMPACT_MIN_BATCHES = 32
+AUTO_COMPACT_MIN_AMPLIFICATION = 2.0
+
 
 def collection_schema(payload_type: T.DataType | None = None) -> T.StructType:
     """Point schema: PointStruct(id, vector, payload) — vector_db.py:85-91."""
@@ -128,7 +145,12 @@ class Catalog:
         return name in self._collections(self._load())
 
     def create_collection(
-        self, name: str, dim: int, metric: str = "cosine", tenant_key: str | None = None
+        self,
+        name: str,
+        dim: int,
+        metric: str = "cosine",
+        tenant_key: str | None = None,
+        auto_compact: bool = True,
     ) -> "VectorCollection":
         """A1: named table with fixed vector dim + metric; no-op if exists
         (vector_db.py:20-24).
@@ -150,6 +172,10 @@ class Catalog:
                 cat[name] = {"dim": dim, "metric": metric, "version": 0}
                 if tenant_key is not None:
                     cat[name]["tenant_key"] = tenant_key
+                if not auto_compact:
+                    # stored only when opted OUT — absent means the default
+                    # policy, so pre-r8 catalogs pick it up unchanged
+                    cat[name]["auto_compact"] = False
                 self._save(cat)
             info = cat[name]
         if (
@@ -517,6 +543,9 @@ class VectorCollection:
                 raise
             self.catalog._set_version(self.info.name, version)
         self.info.version = version
+        # outside the lock: compact() re-acquires it, and the policy's
+        # occasional live count() must not serialize concurrent writers
+        self.maybe_auto_compact()
         return version
 
     def delete(self, point_ids=None, payload_filter=None) -> int:
@@ -555,6 +584,7 @@ class VectorCollection:
             ).parquet(self._tombstone_path)
             self.catalog._set_version(self.info.name, version)
         self.info.version = version
+        self.maybe_auto_compact()
         return version
 
     def set_payload(self, point_ids, payload: dict) -> int:
@@ -999,6 +1029,45 @@ class VectorCollection:
             self.upsert(snap)
         return self.info.version
 
+    def maybe_auto_compact(self) -> bool:
+        """Evaluate the auto-compaction policy and fold if it fires (see
+        the AUTO_COMPACT_* constants): at least MIN_BATCHES versions since
+        the last fold, no snapshot pinning history past it, and the raw
+        log holding >= MIN_AMPLIFICATION x the live rows. The live count
+        (the only non-footer-cheap part) is paid at most once per
+        MIN_BATCHES writes: a declined evaluation stamps
+        ``auto_compact_checked_at`` so the next MIN_BATCHES writes skip
+        the check entirely. Runs automatically at the end of every
+        upsert()/delete(); returns True iff a compaction happened —
+        callers that need the forfeited time travel create a snapshot
+        (which suspends the policy) or opt out at create_collection."""
+        info = self.catalog._load()[self.info.name]
+        if not info.get("auto_compact", True):
+            return False
+        version = info["version"]
+        compacted_at = info.get("compacted_at", 0)
+        checked_at = max(compacted_at, info.get("auto_compact_checked_at", 0))
+        if version - checked_at < AUTO_COMPACT_MIN_BATCHES:
+            return False
+        snaps = info.get("snapshots", {})
+        if any(v > compacted_at for v in snaps.values()):
+            # auto-folding would invalidate a restore point the user
+            # explicitly created; snapshots suspend the policy
+            return False
+        raw = self._approx_live_rows()  # footer metadata only
+        live = self.df().count() if raw else 0
+        if live and raw / live >= AUTO_COMPACT_MIN_AMPLIFICATION:
+            self.compact()
+            return True
+        # declined on the ratio (or the collection is empty/all-deleted —
+        # compacting an empty state has nothing to rewrite): amortize the
+        # count() by not re-evaluating for another MIN_BATCHES writes
+        with self.catalog._lock():
+            cat = self.catalog._load()
+            cat[self.info.name]["auto_compact_checked_at"] = version
+            self.catalog._save(cat)
+        return False
+
     def compact(self) -> None:
         """Fold the version history down to latest-wins minus tombstones
         (like Delta OPTIMIZE), preserving the bucketed layout and
@@ -1261,11 +1330,37 @@ class VectorCollection:
             )
         with open(meta_path) as fh:
             meta = json.load(fh)
-        current_version = self.catalog._load()[self.info.name]["version"]
+        if "next_seg" not in meta:
+            # pre-segment legacy layout: its base files have no __seg
+            # column, so appending seg-stamped delta files would leave a
+            # MIXED schema that spark.read.parquet (no mergeSchema)
+            # resolves from an arbitrary file — if it picks a base file,
+            # __seg is dropped, _ivf_layout_df stamps every row __seg=0
+            # and the mask filter silently drops the NEW rows (r8 ADVICE).
+            # One full build stamps __seg=0 everywhere and unlocks refresh.
+            raise ValueError(
+                f"IVF index of {self.info.name!r} predates the segment "
+                "scheme (meta has no next_seg); run build_ivf_index() "
+                "once before refresh_ivf_index()"
+            )
+        cat_info = self.catalog._load()[self.info.name]
+        current_version = cat_info["version"]
         covers = meta.get("covers_version", meta["built_at_version"])
         if covers == current_version:
             return 0
-        seg = int(meta.get("next_seg", 1))
+        if covers < cat_info.get("compacted_at", 0):
+            # compact() (manual or auto) folded the write/tombstone log the
+            # delta scan below would need: a delete between covers and the
+            # fold left no tombstone AND no raw row, so a refresh could
+            # never learn to mask it — stale ids would be served. Refuse;
+            # only a full rebuild sees the folded state correctly.
+            raise ValueError(
+                f"IVF index of {self.info.name!r} covers version {covers} "
+                f"but compact() folded history at "
+                f"{cat_info.get('compacted_at', 0)}; the deltas are no "
+                "longer reconstructible — rebuild with build_ivf_index()"
+            )
+        seg = int(meta["next_seg"])
         spark = self.catalog.spark
 
         # every id WRITTEN since covers supersedes its older index rows;
@@ -1294,6 +1389,18 @@ class VectorCollection:
 
         from pyspark.sql.functions import pandas_udf
 
+        # squared-distance expansion ||e||² − 2·E@Cᵀ + ||c||² — O(batch·k)
+        # memory via one BLAS matmul, the same kernel shape as the PQ/ADC
+        # scorers in operators/ann.py. The naive broadcast difference
+        # tensor ((E[:,None,:] − C[None,:,:])²) is O(batch·k·dim): with
+        # auto centroids (√N capped 4096) and a ~10k-row Arrow batch that
+        # is ~21 GB per batch — executor OOM on exactly the large
+        # collections refresh targets (r8 ADVICE). argmin is unchanged up
+        # to fp rounding of the identical quantity, which only moves a
+        # point between near-equidistant cells — search probes cells by
+        # query-time ranking, so placement ties don't affect correctness.
+        c_sq = (centroids * centroids).sum(axis=1)  # (k,)
+
         @pandas_udf("int")
         def _assign(embs: pd.Series) -> pd.Series:
             import numpy as _np
@@ -1302,7 +1409,7 @@ class VectorCollection:
             if not len(embs):
                 return _pd.Series([], dtype="int32")
             E = _np.stack([_np.asarray(v, dtype=_np.float64) for v in embs])
-            d = ((E[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+            d = (E * E).sum(axis=1)[:, None] - 2.0 * (E @ centroids.T) + c_sq[None, :]
             return _pd.Series(d.argmin(axis=1).astype("int32"))
 
         delta = (
@@ -1319,19 +1426,78 @@ class VectorCollection:
             )
         )
         n_delta = delta.count()
+        # IDEMPOTENT-per-segment commit (r8 ADVICE): the refresh is three
+        # non-atomic steps (delta files, mask files, meta rewrite). A crash
+        # after the delta lands leaves covers/next_seg unchanged, so a
+        # retry re-runs the SAME seg — with a bare mode=append that would
+        # double-materialize rows which BOTH pass the mask (__seg >= mask
+        # seg) and search would return duplicate ids. Instead each write
+        # stages to a scratch dir and file-renames into place under a
+        # seg-prefixed name, after deleting any same-seg leftovers from a
+        # crashed attempt — so re-running a segment replaces it. (Mask
+        # duplicates would be harmless under the max(mask_seg) aggregate,
+        # but they get the same treatment for bounded growth.)
         if n_delta:
-            delta.write.mode("append").partitionBy("centroid_id").parquet(
-                self._ivf_index_path
+            self._commit_seg_files(
+                delta.repartition("centroid_id"),
+                self._ivf_index_path,
+                seg,
+                partition_by=("centroid_id",),
             )
-        superseded.select("id", F.lit(seg).alias("mask_seg")).write.mode(
-            "append"
-        ).parquet(self._ivf_mask_path)
+        self._commit_seg_files(
+            superseded.select("id", F.lit(seg).alias("mask_seg")),
+            self._ivf_mask_path,
+            seg,
+        )
 
         meta["covers_version"] = current_version
         meta["next_seg"] = seg + 1
         with open(meta_path, "w") as fh:
             json.dump(meta, fh)
         return n_delta
+
+    def _commit_seg_files(
+        self,
+        df: DataFrame,
+        dest: str,
+        seg: int,
+        partition_by: tuple[str, ...] = (),
+    ) -> None:
+        """Write ``df`` into ``dest`` as segment ``seg`` idempotently:
+        stage to a scratch dir, delete any ``seg{seg}-*`` files a crashed
+        prior attempt left in ``dest``, then rename the staged part files
+        in under ``seg{seg}-`` names (same-filesystem os.replace). The
+        prefix makes a retried refresh REPLACE its segment instead of
+        appending a duplicate copy. Local-FS only, like the rest of the
+        catalog's metadata handling."""
+        import shutil as _shutil
+
+        staging = f"{dest}__stage_seg{seg}"
+        _shutil.rmtree(staging, ignore_errors=True)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staging)
+        prefix = f"seg{seg}-"
+        if os.path.isdir(dest):
+            for dp, _dirs, files in os.walk(dest):
+                for f in files:
+                    if f.startswith(prefix):
+                        try:
+                            os.remove(os.path.join(dp, f))
+                        except OSError:
+                            pass
+        for dp, _dirs, files in os.walk(staging):
+            rel = os.path.relpath(dp, staging)
+            out_dir = dest if rel == "." else os.path.join(dest, rel)
+            for f in files:
+                if not f.endswith(".parquet") or f.startswith(("_", ".")):
+                    continue
+                os.makedirs(out_dir, exist_ok=True)
+                os.replace(
+                    os.path.join(dp, f), os.path.join(out_dir, prefix + f)
+                )
+        _shutil.rmtree(staging, ignore_errors=True)
 
     def _ivf_layout_df(self) -> DataFrame:
         """The IVF layout with refresh segments RESOLVED: superseded rows
@@ -1342,6 +1508,15 @@ class VectorCollection:
         rows = self.catalog.spark.read.parquet(self._ivf_index_path)
         if "__seg" not in rows.columns:
             rows = rows.withColumn("__seg", F.lit(0))
+        else:
+            # defense in depth against mixed schemas (refresh refuses the
+            # legacy no-__seg layout, so this shouldn't trigger — but if
+            # schema inference ever resolves from a seg-stamped file while
+            # base files lack the column, base rows read NULL; they are
+            # segment 0 by construction)
+            rows = rows.withColumn(
+                "__seg", F.coalesce(F.col("__seg"), F.lit(0))
+            )
         if not os.path.exists(self._ivf_mask_path):
             return rows
         mask = (
@@ -1660,35 +1835,180 @@ class VectorCollection:
             # an overestimate can only widen the layout, never shrink it)
             bits = ann._auto_lsh_bits(self._approx_live_rows())
         emb = self.df().select("id", "embedding", "payload")
-        ann.lsh_write_partitioned(
+        # __seg 0 = the base build; refresh_lsh_index appends later write
+        # deltas as __seg 1, 2, ... hashed with the SAME seeded hyperplanes
+        # (pinned by (bits, tables) — deterministic), with a superseded-id
+        # mask beside the layout (the IVF segment+mask design, r8
+        # directive 4)
+        ann.lsh_long_form(
             emb,
-            self._lsh_index_path,
             dim=self.info.dim,
             bits=bits,
             tables=tables,
             id_col="id",
             emb_col="embedding",
             payload_cols=("payload",),
-        )
+        ).withColumn("__seg", F.lit(0)).write.mode("overwrite").partitionBy(
+            "table", "sig"
+        ).parquet(self._lsh_index_path)
+        import shutil as _shutil
+
+        _shutil.rmtree(self._lsh_mask_path, ignore_errors=True)
         with open(os.path.join(self._lsh_index_path, "_index_meta.json"), "w") as fh:
             json.dump(
-                {"built_at_version": current_version, "bits": bits, "tables": tables},
+                {
+                    "built_at_version": current_version,
+                    "covers_version": current_version,
+                    "next_seg": 1,
+                    "bits": bits,
+                    "tables": tables,
+                },
                 fh,
             )
 
-    def search_lsh(
-        self, query_vector: list[float], limit: int = 5, max_hamming: int = 1
-    ) -> DataFrame:
-        """Approximate cosine top-k over the persisted LSH index: the
-        per-table probe buckets are PARTITION predicates (only probed
-        directories are listed), candidates dedupe by id and re-rank with
-        exact cosine. Raises if no index exists or the collection has been
-        written since the build. Returns (id, payload, score)."""
+    @property
+    def _lsh_mask_path(self) -> str:
+        return self.path + "__lsh_mask"
+
+    def refresh_lsh_index(self) -> int:
+        """INCREMENTALLY fold the writes since the last build/refresh into
+        the persisted LSH index — the LSH twin of :meth:`refresh_ivf_index`
+        (r8 directive 4). The hyperplanes are a pure function of the
+        pinned (bits, tables) layout (seeded — operators/ann.py::
+        _hyperplanes), so delta rows hash into exactly the buckets probes
+        will look in; they append as a new ``__seg`` under their
+        (table, sig) partitions and every written-or-deleted id gets a
+        (id, seg) mask row. ``_lsh_layout_df`` resolves segments at search
+        exactly like the IVF layout. Unlike IVF there is no centroid-drift
+        caveat: the hyperplanes never depended on the data, so a refreshed
+        LSH index has the SAME recall properties as a rebuild at the same
+        bits — only the bucket-size balance drifts as N outgrows the
+        chosen width (rebuild when _auto_lsh_bits(N) would pick more
+        bits). Returns the number of delta rows appended (counting the
+        ``tables``× copies); 0 when already covered."""
         from vector_database_spark.operators import ann
 
+        meta_path = os.path.join(self._lsh_index_path, "_index_meta.json")
+        if not os.path.exists(meta_path):
+            raise ValueError(
+                f"collection {self.info.name!r} has no LSH index; "
+                "call build_lsh_index() first"
+            )
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        if "next_seg" not in meta:
+            raise ValueError(
+                f"LSH index of {self.info.name!r} predates the segment "
+                "scheme (meta has no next_seg); run build_lsh_index() "
+                "once before refresh_lsh_index()"
+            )
+        cat_info = self.catalog._load()[self.info.name]
+        current_version = cat_info["version"]
+        covers = meta.get("covers_version", meta["built_at_version"])
+        if covers == current_version:
+            return 0
+        if covers < cat_info.get("compacted_at", 0):
+            # same guard as refresh_ivf_index: a fold between the index's
+            # coverage and now erased the tombstones the mask needs
+            raise ValueError(
+                f"LSH index of {self.info.name!r} covers version {covers} "
+                f"but compact() folded history at "
+                f"{cat_info.get('compacted_at', 0)}; the deltas are no "
+                "longer reconstructible — rebuild with build_lsh_index()"
+            )
+        seg = int(meta["next_seg"])
+        spark = self.catalog.spark
+
+        written = (
+            self._raw_df()
+            .filter(F.col("version") > covers)
+            .select("id")
+            .distinct()
+        )
+        superseded = written
+        if os.path.exists(self._tombstone_path):
+            deleted = (
+                spark.read.parquet(self._tombstone_path)
+                .filter(F.col("version") > covers)
+                .select("id")
+                .distinct()
+            )
+            superseded = superseded.unionByName(deleted).distinct()
+
+        delta = ann.lsh_long_form(
+            self.df().join(written, "id").select("id", "embedding", "payload"),
+            dim=self.info.dim,
+            bits=int(meta["bits"]),
+            tables=int(meta["tables"]),
+            id_col="id",
+            emb_col="embedding",
+            payload_cols=("payload",),
+        ).withColumn("__seg", F.lit(seg))
+        n_delta = delta.count()
+        if n_delta:
+            self._commit_seg_files(
+                delta.repartition("table", "sig"),
+                self._lsh_index_path,
+                seg,
+                partition_by=("table", "sig"),
+            )
+        self._commit_seg_files(
+            superseded.select("id", F.lit(seg).alias("mask_seg")),
+            self._lsh_mask_path,
+            seg,
+        )
+
+        meta["covers_version"] = current_version
+        meta["next_seg"] = seg + 1
+        with open(meta_path, "w") as fh:
+            json.dump(meta, fh)
+        return n_delta
+
+    def _lsh_layout_df(self) -> DataFrame:
+        """The LSH layout with refresh segments RESOLVED — identical
+        mask semantics to :meth:`_ivf_layout_df` (superseded older-__seg
+        rows of a rewritten id and all rows of a deleted id drop out via
+        the size-gated-broadcast mask aggregate)."""
+        rows = self.catalog.spark.read.parquet(self._lsh_index_path)
+        if "__seg" not in rows.columns:
+            rows = rows.withColumn("__seg", F.lit(0))
+        else:
+            rows = rows.withColumn(
+                "__seg", F.coalesce(F.col("__seg"), F.lit(0))
+            )
+        if not os.path.exists(self._lsh_mask_path):
+            return rows
+        mask = (
+            self.catalog.spark.read.parquet(self._lsh_mask_path)
+            .groupBy("id")
+            .agg(F.max("mask_seg").alias("__mask_seg"))
+        )
+        mask_bytes = 0
+        for dp, _dirs, files in os.walk(self._lsh_mask_path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    try:
+                        mask_bytes += os.path.getsize(os.path.join(dp, f))
+                    except OSError:
+                        pass
+        if mask_bytes <= TOMBSTONE_BROADCAST_MAX_BYTES:
+            mask = F.broadcast(mask)
+        return (
+            rows.join(mask, "id", "left")
+            .filter(
+                F.col("__mask_seg").isNull()
+                | (F.col("__seg") >= F.col("__mask_seg"))
+            )
+            .drop("__mask_seg")
+        )
+
+    def _lsh_meta_fresh(self, op: str) -> dict:
+        """Load the LSH index meta and enforce the coverage contract (the
+        base build or a later refresh_lsh_index must cover the current
+        collection version)."""
         if self.info.metric != "cosine":
             raise ValueError(
-                f"search_lsh requires a cosine collection; "
+                f"{op} requires a cosine collection; "
                 f"{self.info.name!r} uses metric={self.info.metric!r}"
             )
         meta_path = os.path.join(self._lsh_index_path, "_index_meta.json")
@@ -1700,15 +2020,29 @@ class VectorCollection:
         with open(meta_path) as fh:
             meta = json.load(fh)
         current_version = self.catalog._load()[self.info.name]["version"]
-        if meta["built_at_version"] != current_version:
+        covers = meta.get("covers_version", meta["built_at_version"])
+        if covers != current_version:
             raise ValueError(
-                f"LSH index of {self.info.name!r} was built at version "
-                f"{meta['built_at_version']} but the collection is at "
-                f"{current_version}; rebuild with build_lsh_index()"
+                f"LSH index of {self.info.name!r} covers version "
+                f"{covers} but the collection is at {current_version}; "
+                "refresh_lsh_index() or rebuild with build_lsh_index()"
             )
-        return ann.lsh_knn_pruned(
-            self.catalog.spark,
-            self._lsh_index_path,
+        return meta
+
+    def search_lsh(
+        self, query_vector: list[float], limit: int = 5, max_hamming: int = 1
+    ) -> DataFrame:
+        """Approximate cosine top-k over the persisted LSH index: the
+        per-table probe buckets are PARTITION predicates (only probed
+        directories are listed), candidates dedupe by id and re-rank with
+        exact cosine. Raises if no index exists or the collection has been
+        written past what the index COVERS (a refresh_lsh_index advances
+        coverage without a rebuild). Returns (id, payload, score)."""
+        from vector_database_spark.operators import ann
+
+        meta = self._lsh_meta_fresh("search_lsh")
+        return ann.lsh_knn_pruned_df(
+            self._lsh_layout_df(),
             [float(x) for x in query_vector],
             k=limit,
             bits=meta["bits"],
@@ -1842,33 +2176,13 @@ class VectorCollection:
         """Batch search over the persisted LSH index: ONE scan of the
         union of every query's probe buckets (operators/ann.py::
         lsh_knn_batch), map-side per-query probe filtering, row-identical
-        to per-query :meth:`search_lsh`. Same staleness contract.
-        Returns (qid, id, payload, score)."""
+        to per-query :meth:`search_lsh`. Same coverage contract (build or
+        refresh). Returns (qid, id, payload, score)."""
         from vector_database_spark.operators import ann
 
-        if self.info.metric != "cosine":
-            raise ValueError(
-                f"search_lsh_batch requires a cosine collection; "
-                f"{self.info.name!r} uses metric={self.info.metric!r}"
-            )
-        meta_path = os.path.join(self._lsh_index_path, "_index_meta.json")
-        if not os.path.exists(meta_path):
-            raise ValueError(
-                f"collection {self.info.name!r} has no LSH index; "
-                "call build_lsh_index() first"
-            )
-        with open(meta_path) as fh:
-            meta = json.load(fh)
-        current_version = self.catalog._load()[self.info.name]["version"]
-        if meta["built_at_version"] != current_version:
-            raise ValueError(
-                f"LSH index of {self.info.name!r} was built at version "
-                f"{meta['built_at_version']} but the collection is at "
-                f"{current_version}; rebuild with build_lsh_index()"
-            )
-        return ann.lsh_knn_batch(
-            self.catalog.spark,
-            self._lsh_index_path,
+        meta = self._lsh_meta_fresh("search_lsh_batch")
+        return ann.lsh_knn_batch_df(
+            self._lsh_layout_df(),
             queries,
             k=limit,
             bits=meta["bits"],

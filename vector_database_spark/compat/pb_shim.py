@@ -64,7 +64,14 @@ def _activate(vendored: str) -> None:
         sys.path.append(vendored)  # append: a real install wins
     from google.protobuf import runtime_version as _rv
 
-    _rv.ValidateProtobufRuntimeVersion = lambda *a, **k: None
+    # fence (r8 directive 8): no-op the exact-pin gate ONLY on the vendored
+    # runtime this shim itself put on the path. enable_driver() already
+    # returns before calling here when a real protobuf imports, but if one
+    # ever wins the import race anyway, its version gate stays intact.
+    if str(getattr(_rv, "__file__", "")).startswith(
+        os.path.join(vendored, "")
+    ):
+        _rv.ValidateProtobufRuntimeVersion = lambda *a, **k: None
 
 
 def enable_driver() -> bool:

@@ -33,8 +33,16 @@ if _vendored and os.path.isdir(_vendored):
         from google.protobuf import runtime_version as _rv
 
         # 6.33-gencode vs 6.32-vendored-runtime: same-major, wire- and
-        # API-compatible; drop the exact-pin rejection (pb_shim docstring)
-        _rv.ValidateProtobufRuntimeVersion = lambda *a, **k: None
+        # API-compatible; drop the exact-pin rejection (pb_shim docstring).
+        # FENCED (r8 directive 8): only when the import actually resolved
+        # from the VENDORED dir — if a real install won by path order, its
+        # version gate must keep running (a stale SPARK_GRAFT_PB_SHIM in a
+        # future environment with a real runtime must not silently no-op
+        # the real install's compatibility check).
+        if str(getattr(_rv, "__file__", "")).startswith(
+            os.path.join(_vendored, "")
+        ):
+            _rv.ValidateProtobufRuntimeVersion = lambda *a, **k: None
         if os.environ.get("SPARK_GRAFT_PB_SHIM_DEBUG"):
             with open("/tmp/pb_shim_debug.log", "a") as _fh:
                 _fh.write("pid=%s activated rv=%r\n" % (os.getpid(), _rv.__file__))

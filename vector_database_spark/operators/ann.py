@@ -173,7 +173,7 @@ def lsh_knn(
     embeddings: DataFrame,
     query_vector: list[float],
     k: int = 5,
-    bits: int = LSH_BITS,
+    bits: int | None = LSH_BITS,
     tables: int = LSH_TABLES,
     max_hamming: int = 1,
     id_col: str = "vec_id",
@@ -188,7 +188,16 @@ def lsh_knn(
     query bucket) recovers quantization-boundary losses cheaply. The whole
     candidate predicate is one codegen'd filter — a single scan, no joins;
     with signatures materialized at ingest it becomes partition pruning.
+
+    ``bits=None`` derives the layout width from the corpus row count
+    (:func:`_auto_lsh_bits`, one footer-cheap count) — the same scale-aware
+    default the persisted-layout build uses (catalog.build_lsh_index);
+    the benched q_knn_lsh_auto canary runs this path so an edit to the
+    formula shifts a driver-visible recall number, not just a property
+    test (r8 directive 1).
     """
+    if bits is None:
+        bits = _auto_lsh_bits(embeddings.count())
     dim = len(query_vector)
     tagged = with_lsh_signature(embeddings, dim=dim, bits=bits, tables=tables, emb_col=emb_col)
     pred = None
@@ -310,12 +319,40 @@ def lsh_knn_pruned(
     payload_cols: tuple[str, ...] = ("label",),
 ) -> DataFrame:
     """lsh_knn against the partitioned layout written by
-    :func:`lsh_write_partitioned`: the per-table probe sets land on the
-    ``table``/``sig`` PARTITION columns (verify: PartitionFilters in
-    .explain), candidates are deduped by id (a row collides in several
-    tables), then exact cosine re-ranks — identical results to the fused
-    operator by construction (same probes, same re-rank)."""
-    df = spark.read.parquet(path)
+    :func:`lsh_write_partitioned` (see :func:`lsh_knn_pruned_df` for the
+    DataFrame form — the catalog passes its mask-resolved layout there)."""
+    return lsh_knn_pruned_df(
+        spark.read.parquet(path),
+        query_vector,
+        k=k,
+        bits=bits,
+        tables=tables,
+        max_hamming=max_hamming,
+        id_col=id_col,
+        emb_col=emb_col,
+        payload_cols=payload_cols,
+    )
+
+
+def lsh_knn_pruned_df(
+    df: DataFrame,
+    query_vector: list[float],
+    k: int = 5,
+    bits: int = LSH_BITS,
+    tables: int = LSH_TABLES,
+    max_hamming: int = 1,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    payload_cols: tuple[str, ...] = ("label",),
+) -> DataFrame:
+    """lsh_knn against a (table, sig) long-form layout DataFrame: the
+    per-table probe sets land on the ``table``/``sig`` columns — PARTITION
+    pruning when the input is the persisted layout (verify:
+    PartitionFilters in .explain; the predicate pushes through the
+    catalog's mask left-join since it references only the scan side) —
+    candidates are deduped by id (a row collides in several tables), then
+    exact cosine re-ranks — identical results to the fused operator by
+    construction (same probes, same re-rank)."""
     pred = None
     for t, probes in enumerate(
         _query_probes(query_vector, bits=bits, tables=tables, max_hamming=max_hamming)

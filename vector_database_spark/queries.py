@@ -2332,8 +2332,11 @@ def q_knn_nsw_batch(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     sf_tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+    # pid in the path: a fixed name raced overwrite-vs-read when two
+    # bench/test processes ran on the same host (r8 ADVICE); per-process
+    # paths make the rewrite private. Same-process reruns still reuse it.
     path = _os.path.join(
-        _tempfile.gettempdir(), f"vdbs_nsw_batch_idx_{sf_tag}"
+        _tempfile.gettempdir(), f"vdbs_nsw_batch_idx_{sf_tag}_{_os.getpid()}"
     )
     ann.nsw_index_write(emb.select("vec_id", "embedding"), path)
     qrows = (
@@ -2430,6 +2433,98 @@ def q_knn_pq(spark, sf_dir):
     # explicit shortlist pin: auto (=None) derives the same 200 at this
     # fixture size but costs a count() pass over the DERIVED codes df
     return ann.pq_knn_rerank(codes, books, emb, RAW_QUERY_VEC, k=5, shortlist=200)
+
+
+# -- auto-default regression canaries (r8 directive 1) ----------------------
+# Every ANN family derives its operating point from the data since r7
+# (_auto_lsh_bits / _auto_n_centroids / _auto_nprobe / _auto_shortlist /
+# _auto_ef), but the benched queries pin explicit constants — so an edit to
+# an _auto_* formula could silently shift PRODUCTION defaults with nothing
+# in BENCH/CORRECTNESS noticing (property tests pin the formulas' shape,
+# not their recall consequences). These canaries run the None→derive path
+# end-to-end; bench.py times them and records their recall@5 next to the
+# pinned twins (rows tagged *_auto in BENCH). At fixture scale each formula
+# intentionally derives at-or-near the pinned point (the floors are the
+# fixture-tuned values), so recall must be >= the pinned twin's; a formula
+# edit that moves the floor or the scale curve moves these rows first.
+# NSW needs no separate canary: q_knn_nsw already runs ef=None (auto).
+
+
+def q_knn_lsh_auto(spark, sf_dir):
+    """B8 auto canary: LSH with ``bits=None`` — the layout width derives
+    from the corpus row count (ann._auto_lsh_bits; ceil(log2(N/4096))
+    clamped [6,16]). Rows-only, like every approximate operator."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann.lsh_knn(emb, RAW_QUERY_VEC, k=5, bits=None)
+
+
+def q_knn_ivf_auto(spark, sf_dir):
+    """B8 auto canary: FULL-auto IVF — ``n_centroids=None`` (√N, KMeans
+    trained on a ≤256·k sample) and ``nprobe=None`` (target scan fraction,
+    ann._auto_nprobe). Exercises both derivations end-to-end; recall is
+    annotated in BENCH next to the pinned q_knn_ivf."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, centroids = ann.ivf_index(emb, n_centroids=None)
+    return ann.ivf_knn(assigned, centroids, RAW_QUERY_VEC, k=5, nprobe=None)
+
+
+def q_knn_pq_auto(spark, sf_dir):
+    """B8 auto canary: PQ re-rank with ``shortlist=None`` — the re-rank
+    width derives as a fraction of the scanned codes
+    (ann._auto_shortlist; max(200, ceil(0.004·N)) — the measured 1M-row
+    knee), paying the one count() pass the pinned twin avoids."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = ann.pq_train(emb)
+    codes = ann.pq_encode(emb, books)
+    return ann.pq_knn_rerank(codes, books, emb, RAW_QUERY_VEC, k=5, shortlist=None)
+
+
+def q_knn_ivfpq_auto(spark, sf_dir):
+    """B8 auto canary: FULL-auto IVF+PQ — auto centroid count, auto
+    nprobe, auto ADC shortlist, all derived from the data in one query."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, centroids = ann.ivf_index(emb, n_centroids=None)
+    books = ann.pq_train(emb)
+    codes = ann.pq_encode(
+        assigned.select("vec_id", "centroid_id", "embedding"),
+        books,
+        payload_cols=("centroid_id",),
+    )
+    return ann.ivfpq_knn(
+        codes, centroids, books, emb, RAW_QUERY_VEC, k=5,
+        nprobe=None, shortlist=None,
+    )
+
+
+def q_knn_ivf_batch_full(spark, sf_dir):
+    """Batch-ANN plumbing under a FULL oracle (r8 directive 3): IVF batch
+    search at ``nprobe = n_centroids`` scans every cell, so the result
+    provably equals exact batch k-NN (the same identity
+    tests/test_catalog.py asserts for the collection API) — which means
+    the per-(query, cell) broadcast equi-join, the probe-union scan and
+    the per-query window can carry q_knn_batch's DuckDB oracle verbatim.
+    The three rows-only batch entries (lsh/nsw/ivfpq) could never earn a
+    CORRECTNESS row; this one gives the batch execution shape a real
+    driver-side hash check. Self-matches are excluded AFTER the k+1
+    window (a query's self is at most ONE row, so the top-4 always
+    contains the top-3 non-self rows)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, centroids = ann.ivf_index(emb, n_centroids=16)
+    qrows = (
+        emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding").collect()
+    )
+    queries = [(r.vec_id, list(r.embedding)) for r in qrows]
+    ranked = ann.ivf_knn_batch(
+        assigned, centroids, queries, k=4, nprobe=16, payload_cols=("label",)
+    ).filter(F.col("vec_id") != F.col("qid"))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        ranked.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .select("qid", "vec_id", "label", "score")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -6593,10 +6688,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_knn_lsh": q_knn_lsh,
     "q_knn_ivf": q_knn_ivf,
     "q_knn_ivf_batch": q_knn_ivf_batch,
+    "q_knn_ivf_batch_full": q_knn_ivf_batch_full,
     "q_knn_lsh_batch": q_knn_lsh_batch,
     "q_knn_nsw_batch": q_knn_nsw_batch,
     "q_knn_ivfpq_batch": q_knn_ivfpq_batch,
     "q_knn_pq": q_knn_pq,
+    # r8 auto-default regression canaries (rows-only; benched with recall)
+    "q_knn_lsh_auto": q_knn_lsh_auto,
+    "q_knn_ivf_auto": q_knn_ivf_auto,
+    "q_knn_pq_auto": q_knn_pq_auto,
+    "q_knn_ivfpq_auto": q_knn_ivfpq_auto,
     "q_matryoshka": q_matryoshka,
     "q_knn_ivfpq": q_knn_ivfpq,
     "q_knn_twophase": q_knn_twophase,
@@ -6800,38 +6901,81 @@ _DRIVER_CONFIRMED_R1_R2 = frozenset({
     "q_doc_fingerprint", "q_minhash_signatures", "q_softmax_argmax",
 })
 
-# Round-7 priority (VERDICT r6 directive 3): the 25 oracled queries whose
-# last external driver confirmation is round 3 — computed as
-# _DRIVER_CONFIRMED_R3 minus every name in CORRECTNESS_r0{4,5,6}.json —
-# lead the registry so the prefix-biased driver sample re-confirms them.
-# Every name here HAS an oracle_sql() entry (rows-only names are excluded
-# by construction), so no sample slot burns on a `no_oracle` row.
-_R7_PRIORITY = (
-    "q_window_funcs",
-    "q_semdedup",
-    "q_semdedup_kmeans",
-    "q_kmeans_clusters",
-    "q_incremental_dedup",
-    "q_stream_dedup",
-    "q_stream_enrich",
-    "q_stream_session_window",
-    "q_corr_stats",
-    "q_scd2_intervals",
-    "q_span_corruption",
-    "q_cluster_canonical",
-    "q_asof_join",
-    "q_bigram_logprob",
-    "q_char_entropy",
-    "q_cohort_retention",
-    "q_corpus_report",
-    "q_downsample",
-    "q_gap_fill",
-    "q_pivot_events",
-    "q_range_join",
-    "q_score_threshold",
-    "q_ship_priority",
-    "q_sliding_window",
-    "q_topngram_fraction",
+# Round-8 priority (VERDICT r7 directive 2): this round's NEW oracled
+# query leads (it has never had a CORRECTNESS row), then every oracled
+# query whose LATEST driver sample is round 4 (the stalest confirmations
+# in the registry — 14 names, exactly the verdict's list), then the 47
+# whose latest sample is round 5, oldest-first within each group
+# (alphabetical — the rounds are the age signal, not the order within).
+# Computed from CORRECTNESS_r0{1..7}.json latest-round-per-name ∩ ORACLES;
+# every name here HAS an oracle_sql() entry, so no driver sample slot can
+# read `no_oracle`.
+_R8_PRIORITY = (
+    # new in r8: FULL-oracle batch-ANN plumbing check (directive 3)
+    "q_knn_ivf_batch_full",
+    # latest driver sample = round 4
+    "q_audio_features",
+    "q_batch_ids",
+    "q_frame_sample",
+    "q_label_precision",
+    "q_multimodal_meta",
+    "q_resize_image",
+    "q_stateful_topk",
+    "q_stateful_totals",
+    "q_stream_event_window",
+    "q_stream_interval_join",
+    "q_truncate_ids",
+    "q_udaf_median",
+    "q_udtf_ngrams",
+    "q_zorder_key",
+    # latest driver sample = round 5
+    "q_base64_decode",
+    "q_base64_encode",
+    "q_bm25",
+    "q_cast_list",
+    "q_chunk_text",
+    "q_count_filtered",
+    "q_dbsf_fusion",
+    "q_decode_lookup",
+    "q_decontaminate",
+    "q_delete_points",
+    "q_discovery_search",
+    "q_distance_matrix",
+    "q_embedding_outliers",
+    "q_encode_lookup",
+    "q_facet_counts",
+    "q_flatten",
+    "q_geo_radius",
+    "q_hamming_knn",
+    "q_hybrid_rrf",
+    "q_interleave_sources",
+    "q_knn_groups",
+    "q_label_centroids",
+    "q_match_text",
+    "q_named_vectors",
+    "q_normalize_scale",
+    "q_pack_sequences",
+    "q_pipeline_e2e",
+    "q_quantize_binary",
+    "q_quantize_int8",
+    "q_recommend",
+    "q_recommend_best_score",
+    "q_repetition_ratio",
+    "q_retrieval_metrics",
+    "q_retrieval_metrics_window",
+    "q_sample_stratified",
+    "q_scroll",
+    "q_scroll_ordered",
+    "q_scrub_pii",
+    "q_simhash",
+    "q_simhash_pairs",
+    "q_softmax_argmax",
+    "q_sparse_dot",
+    "q_tfidf",
+    "q_tokenize_ws",
+    "q_unigram_logprob",
+    "q_vocab_build",
+    "q_winnow_fingerprint",
 )
 
 # Round 3 sampled 50 more (all green except q_loss_mask, whose array
@@ -6912,6 +7056,26 @@ _DRIVER_SAMPLED_R6 = frozenset({
     "q_too_long_filter", "q_topk_global",
 })
 
+# Round 7's driver sample (CORRECTNESS_r07.json, 50 green) — the freshest
+# external rows, so they rotate to the very back.
+_DRIVER_SAMPLED_R7 = frozenset({
+    "q_asof_join", "q_bigram_logprob", "q_causal_mask", "q_channel_repeat",
+    "q_char_entropy", "q_cluster_canonical", "q_cohort_retention",
+    "q_collection_stats", "q_corpus_report", "q_corr_stats",
+    "q_cosine_normalize", "q_cube_orders", "q_date_parts",
+    "q_distinct_counts", "q_dot_euclid", "q_downsample", "q_gap_fill",
+    "q_hard_negatives", "q_incremental_dedup", "q_kmeans_clusters",
+    "q_knn_batch", "q_knn_filtered", "q_knn_raw_vector",
+    "q_knn_score_payload", "q_knn_top1", "q_knn_topk", "q_loss_mask",
+    "q_percentiles", "q_pivot_events", "q_range_join", "q_rollup_orders",
+    "q_scd2_intervals", "q_score_threshold", "q_semdedup",
+    "q_semdedup_kmeans", "q_semi_anti_join", "q_set_ops", "q_ship_priority",
+    "q_sim_self_join", "q_sliding_window", "q_span_corruption",
+    "q_sql_pricing", "q_stream_dedup", "q_stream_enrich",
+    "q_stream_session_window", "q_string_funcs", "q_topngram_fraction",
+    "q_training_triplets", "q_upsert_latest_wins", "q_window_funcs",
+})
+
 _DRIVER_CONFIRMED = _DRIVER_CONFIRMED_R1_R2 | _DRIVER_CONFIRMED_R3
 
 
@@ -6921,11 +7085,13 @@ def _registry_rank(k: str) -> tuple[int, int]:
     # correct but useless (VERDICT r6 directive 3). The sort runs after
     # ORACLES is defined, below.
     if k not in ORACLES:
-        return (6, 0)
-    if k in _R7_PRIORITY:
-        return (0, _R7_PRIORITY.index(k))
+        return (7, 0)
+    if k in _R8_PRIORITY:
+        return (0, _R8_PRIORITY.index(k))
+    if k in _DRIVER_SAMPLED_R7:
+        return (6, 0)  # freshest external rows: very back
     if k in _DRIVER_SAMPLED_R6:
-        return (5, 0)  # freshest external rows: very back
+        return (5, 0)
     if k in _DRIVER_SAMPLED_R5:
         return (4, 0)
     if k in _DRIVER_SAMPLED_R4:
@@ -6946,6 +7112,9 @@ ORACLES: dict[str, str] = {
     # two-phase plan, same result contract as q_knn_batch (micro-keyed
     # heaps reproduce the global round6 tie-break exactly — r6 directive 4)
     "q_knn_twophase": _SQL_KNN_BATCH,
+    # full-coverage IVF batch == exact batch k-NN (nprobe = n_centroids
+    # scans every cell), so the batch plumbing carries the same oracle
+    "q_knn_ivf_batch_full": _SQL_KNN_BATCH,
     # adaptive dispatch between the two plans above — same result contract
     "q_knn_auto": _SQL_KNN_BATCH,
     "q_hard_negatives": _SQL_HARD_NEGATIVES,

@@ -357,10 +357,17 @@ def tws_available() -> tuple[bool, str]:
         from google.protobuf import runtime_version  # noqa: F401
 
         # real install, or the shim already active in this process AND
-        # exported to workers (env set pre-JVM by the caller's harness)
-        if "google.protobuf" in str(
-            getattr(descriptor, "__file__", "")
-        ) and "google-cloud-sdk" in str(getattr(descriptor, "__file__", "")):
+        # exported to workers (env set pre-JVM by the caller's harness).
+        # Vendored-runtime detection is by FILESYSTEM PATH — the module
+        # file lives under .../google-cloud-sdk/.../google/protobuf/...
+        # (an r7 version of this guard also required the DOTTED substring
+        # "google.protobuf", which never occurs in a path, making the
+        # whole branch dead: a driver with the shim imported but no
+        # pre-JVM SPARK_GRAFT_PB_SHIM export probed ok=True and the
+        # streaming query died mid-run — exactly what this probe exists
+        # to prevent. r8 ADVICE fix; precedence test in
+        # tests/test_streaming.py.)
+        if "google-cloud-sdk" in str(getattr(descriptor, "__file__", "")):
             if not os.environ.get("SPARK_GRAFT_PB_SHIM"):
                 return False, (
                     "vendored protobuf importable in the driver but the "
