@@ -1774,3 +1774,60 @@ def test_refresh_refuses_after_fold(spark, tmp_path, monkeypatch):
         col.refresh_ivf_index()
     with _pytest.raises(ValueError, match="folded history"):
         col.refresh_lsh_index()
+
+
+def test_optimize_refreshes_rebuilds_and_reports(spark, tmp_path):
+    """r8: VectorCollection.optimize() is the one-call Qdrant-optimizer
+    twin — refreshable families (LSH/IVF) refresh incrementally, the
+    data-trained families (NSW/IVFPQ) rebuild with their persisted build
+    params, everything ends fresh, and the call is idempotent. After a
+    compact() fold, the refreshables rebuild too (their delta scan
+    refuses across the fold)."""
+    from vector_database_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat_optimize"))
+    col = cat.create_collection("opt", dim=8, auto_compact=False)
+
+    def vec(i, bump=0.0):
+        return [((i * 977 + j * 131) % 1009) / 504.0 - 1.0 + bump for j in range(8)]
+
+    def pts(ids, bump=0.0):
+        return spark.createDataFrame(
+            [(i, vec(i, bump), {"i": str(i)}) for i in ids],
+            "id long, embedding array<float>, payload map<string,string>",
+        )
+
+    col.upsert(pts(range(150)))
+    col.build_lsh_index(bits=6, tables=2)
+    col.build_ivf_index(n_centroids=4)
+    col.build_nsw_index(n_buckets=2)
+    col.build_ivfpq_index(n_centroids=4)
+
+    col.upsert(pts(range(150, 170)))
+    col.delete(point_ids=[3, 4])
+    assert col.route_for_search() == "exact"  # everything stale
+
+    report = col.optimize()
+    assert report == {
+        "nsw": "rebuilt",
+        "lsh": "refreshed",
+        "ivf": "refreshed",
+        "ivfpq": "rebuilt",
+        "compacted": False,
+    }
+    status = col.index_status()
+    assert all(status[k]["fresh"] for k in ("nsw", "lsh", "ivf", "ivfpq"))
+    # NSW rebuild reused its persisted params and serves the new state
+    top = [r["id"] for r in col.search_auto(vec(160), limit=1).collect()]
+    assert top == [160]
+    assert col.optimize() == {
+        "nsw": "fresh", "lsh": "fresh", "ivf": "fresh", "ivfpq": "fresh",
+        "compacted": False,
+    }
+
+    # across a fold: refreshables must REBUILD (delta scan refuses)
+    col.upsert(pts(range(170, 180)))
+    col.compact()
+    report = col.optimize()
+    assert report["lsh"] == "rebuilt" and report["ivf"] == "rebuilt"
+    assert col.route_for_search() != "exact"

@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Incremental index refresh vs full rebuild at 1M points (updates the
+STRESS.md "Incremental index refresh at 1M points" section — r8
+directive 4).
+
+Lifecycle: 1M-point collection -> build LSH + IVF indexes -> one write
+batch of 50k (25k brand-new ids + 25k updates) + 10k deletes ->
+refresh_<kind>_index vs build_<kind>_index, wall clock side by side.
+Semantics asserted, not assumed: after refresh, an updated probe id is
+served its NEW vector, a deleted id is gone, and a full-coverage IVF
+search equals the exact scan.
+
+Usage: python tools/stress_refresh.py [n_points] [delta]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from vector_database_spark.catalog import Catalog  # noqa: E402
+from vector_database_spark.session import get_spark  # noqa: E402
+from tools.stress_common import update_section  # noqa: E402
+
+DIM = 32
+K = 5
+
+
+def synth_points(spark, lo, hi, bump: float = 0.0):
+    return spark.range(lo, hi).select(
+        F.col("id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(DIM - 1)),
+            lambda j: (
+                F.pmod(F.xxhash64(F.col("id"), j), F.lit(1009)).cast("double")
+                / 504.0
+                - 1.0
+                + F.lit(bump)
+            )
+            + F.when(j == 0, 2.0).otherwise(0.0),
+        ).alias("embedding"),
+        F.create_map(F.lit("g"), (F.col("id") % 7).cast("string")).alias(
+            "payload"
+        ),
+    )
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    delta = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
+    spark = get_spark("stress_refresh")
+    root = tempfile.mkdtemp(prefix="vdbs_refresh_")
+    lines = []
+    try:
+        cat = Catalog(spark, root)
+        col = cat.create_collection("c", dim=DIM, auto_compact=False)
+        t0 = time.perf_counter()
+        col.upsert(synth_points(spark, 0, n))
+        lines.append(f"- ingest {n:,} points: {time.perf_counter()-t0:.1f}s")
+
+        t0 = time.perf_counter()
+        col.build_lsh_index()
+        t_lsh_build = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        col.build_ivf_index()
+        t_ivf_build = time.perf_counter() - t0
+
+        # the write batch: half new ids, half updates, plus deletes
+        half = delta // 2
+        col.upsert(
+            synth_points(spark, n, n + half).unionByName(
+                synth_points(spark, 0, half, bump=0.5)
+            )
+        )
+        col.delete(point_ids=list(range(n - 10_000, n)))
+
+        t0 = time.perf_counter()
+        appended_lsh = col.refresh_lsh_index()
+        t_lsh_refresh = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        appended_ivf = col.refresh_ivf_index()
+        t_ivf_refresh = time.perf_counter() - t0
+
+        # semantics through the refreshed indexes
+        qv = [
+            float(x)
+            for x in col.df()
+            .filter(F.col("id") == 3)
+            .collect()[0]["embedding"]
+        ]
+        top = [r["id"] for r in col.search_lsh(qv, limit=1).collect()]
+        assert top == [3], f"updated id not served by refreshed LSH: {top}"
+        meta_cells = len(col._ivf_meta_fresh("probe")["centroids"])
+        exact = [r["id"] for r in col.search(qv, limit=K).collect()]
+        full = [
+            r["id"]
+            for r in col.search_ivf(qv, limit=K, nprobe=meta_cells).collect()
+        ]
+        assert full == exact, "full-coverage IVF != exact after refresh"
+        deleted_probe = [
+            r["id"]
+            for r in col.search_lsh(
+                [float(x) for x in synth_points(spark, n - 5, n - 4).collect()[0]["embedding"]],
+                limit=10,
+                max_hamming=2,
+            ).collect()
+        ]
+        assert not set(deleted_probe) & set(range(n - 10_000, n)), "deleted id served"
+
+        # rebuild cost on the SAME post-write state, for the honest ratio
+        t0 = time.perf_counter()
+        col.build_lsh_index()
+        t_lsh_rebuild = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        col.build_ivf_index()
+        t_ivf_rebuild = time.perf_counter() - t0
+
+        lines += [
+            f"- build_lsh_index (auto bits): {t_lsh_build:.1f}s; "
+            f"build_ivf_index (sqrt-N auto): {t_ivf_build:.1f}s",
+            f"- write batch: {half:,} new + {half:,} updated + 10,000 deleted",
+            f"- refresh_lsh_index: **{t_lsh_refresh:.1f}s** "
+            f"({appended_lsh:,} segment rows incl. table copies) vs "
+            f"rebuild {t_lsh_rebuild:.1f}s — "
+            f"**{t_lsh_rebuild / max(t_lsh_refresh, 1e-9):.1f}x**",
+            f"- refresh_ivf_index: **{t_ivf_refresh:.1f}s** "
+            f"({appended_ivf:,} rows, pinned-centroid assignment) vs "
+            f"rebuild {t_ivf_rebuild:.1f}s — "
+            f"**{t_ivf_rebuild / max(t_ivf_refresh, 1e-9):.1f}x**",
+            "- asserted through the refreshed indexes: updated id served its",
+            "  NEW vector, deleted ids absent (hamming-2 probe), IVF at full",
+            "  probe coverage equals the exact scan",
+            "",
+            "The refresh cost scales with the WRITE BATCH (delta hashing /",
+            "assignment + one segment append + a mask append), not the",
+            "corpus — the rebuild re-scans and re-shuffles all N rows every",
+            "time. At 100x the corpus the ratio widens by ~100x for the same",
+            "batch size. Caveats: pinned IVF centroids drift from a shifting",
+            "distribution (full-rebuild cadence still needed, like Qdrant's",
+            "optimizer); LSH hyperplanes never depended on the data, but the",
+            "layout WIDTH (bits) is pinned, so rebuild when _auto_lsh_bits(N)",
+            "outgrows it; the segment mask join adds one size-gated broadcast",
+            "per search until the next rebuild folds segments.",
+        ]
+        update_section("Incremental index refresh at 1M points (r8)", "\n".join(lines))
+        print("STRESS.md updated")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

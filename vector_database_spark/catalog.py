@@ -1068,6 +1068,50 @@ class VectorCollection:
             self.catalog._save(cat)
         return False
 
+    def optimize(self) -> dict:
+        """Qdrant's background optimizer as ONE explicit, idempotent call
+        (the reference's Qdrant server compacts segments and reindexes in
+        the background — compose.yaml:2-12; a batch engine does it on
+        schedule): (1) bring every EXISTING stale ANN index back to
+        freshness — refresh incrementally where the family supports it
+        (LSH/IVF; falls back to rebuild if a fold broke delta
+        reconstruction or the layout predates segments), full rebuild
+        where it doesn't (NSW/IVFPQ), each rebuild reusing the persisted
+        caller build params (None stays None, so auto points re-derive at
+        the grown size); then (2) evaluate the write-log compaction policy
+        (maybe_auto_compact — snapshots and the opt-out are respected).
+        Index work runs BEFORE the fold on purpose: refresh needs the
+        intact log, and compact() mints no version, so refreshed indexes
+        stay fresh across it. Returns an action report:
+        ``{"compacted": bool, <kind>: "fresh"|"refreshed"|"rebuilt"}``."""
+        report: dict = {}
+        status = self.index_status()
+        for kind in self._INDEX_ROUTE_PRIORITY:
+            st = status[kind]
+            if not st["exists"]:
+                continue
+            if st["fresh"]:
+                report[kind] = "fresh"
+                continue
+            if kind in ("lsh", "ivf"):
+                try:
+                    getattr(self, f"refresh_{kind}_index")()
+                    report[kind] = "refreshed"
+                    continue
+                except ValueError:
+                    pass  # folded history / legacy layout → rebuild
+            meta_path = os.path.join(
+                getattr(self, f"_{kind}_index_path"), "_index_meta.json"
+            )
+            params = {}
+            if os.path.exists(meta_path):
+                with open(meta_path) as fh:
+                    params = json.load(fh).get("build_params", {})
+            getattr(self, f"build_{kind}_index")(**params)
+            report[kind] = "rebuilt"
+        report["compacted"] = self.maybe_auto_compact()
+        return report
+
     def compact(self) -> None:
         """Fold the version history down to latest-wins minus tombstones
         (like Delta OPTIMIZE), preserving the bucketed layout and
@@ -1083,12 +1127,22 @@ class VectorCollection:
         with self.catalog._lock():
             current = self._resolved_df()
             tmp = self.path + "__compact"
-            current.write.mode("overwrite").partitionBy(*self._partition_cols).parquet(
-                tmp
-            )
-            spark.read.parquet(tmp).write.mode("overwrite").partitionBy(
-                *self._partition_cols
-            ).parquet(self.path)
+            # range-repartition on (partition cols, id) so the folded
+            # layout is ~one file per (bucket, id-range) instead of
+            # tasks x buckets small files (the r8 lsh/ivf-write finding:
+            # 16k files -> 514 at 200k rows): compaction exists to bound
+            # read cost, and file count / footer reads are part of that
+            # cost — the log's append batches are allowed to fragment,
+            # the fold is not. Range (not hash-on-bucket) keeps a giant
+            # bucket spread over multiple write tasks, so the fold itself
+            # stays parallel at scale; total files ~= shuffle partitions.
+            fold_keys = [F.col(c) for c in self._partition_cols] + [F.col("id")]
+            current.repartitionByRange(*fold_keys).write.mode(
+                "overwrite"
+            ).partitionBy(*self._partition_cols).parquet(tmp)
+            spark.read.parquet(tmp).repartitionByRange(*fold_keys).write.mode(
+                "overwrite"
+            ).partitionBy(*self._partition_cols).parquet(self.path)
             # best-effort cleanup of the staging dir + now-folded tombstones
             import shutil
 
@@ -1194,7 +1248,18 @@ class VectorCollection:
             emb_col="embedding",
         )
         with open(os.path.join(self._nsw_index_path, "_index_meta.json"), "w") as fh:
-            json.dump({"built_at_version": current_version}, fh)
+            json.dump(
+                {
+                    "built_at_version": current_version,
+                    # caller args, so optimize() rebuilds the same point
+                    "build_params": {
+                        "n_buckets": n_buckets,
+                        "M": M,
+                        "ef_construction": ef_construction,
+                    },
+                },
+                fh,
+            )
 
     def search_nsw(
         self, query_vector: list[float], limit: int = 5, ef: int | None = None
@@ -1288,6 +1353,7 @@ class VectorCollection:
                     # serves; refresh advances it without a rebuild
                     "covers_version": current_version,
                     "next_seg": 1,
+                    "build_params": {"n_centroids": n_centroids},
                     "centroids": [[float(x) for x in c] for c in centroids],
                 },
                 fh,
@@ -1371,6 +1437,8 @@ class VectorCollection:
             .filter(F.col("version") > covers)
             .select("id")
             .distinct()
+            # pinned: feeds the live-rows join AND the mask write below
+            .localCheckpoint(eager=True)
         )
         superseded = written
         if os.path.exists(self._tombstone_path):
@@ -1412,18 +1480,18 @@ class VectorCollection:
             d = (E * E).sum(axis=1)[:, None] - 2.0 * (E @ centroids.T) + c_sq[None, :]
             return _pd.Series(d.argmin(axis=1).astype("int32"))
 
-        delta = (
-            self.df()
-            .join(written, "id")
-            .select(
-                "id",
-                "embedding",
-                "payload",
-                F.lit(seg).alias("__seg"),
-                _assign(F.col("embedding").cast("array<double>")).alias(
-                    "centroid_id"
-                ),
-            )
+        # pin the resolved delta rows once — the count + segment write
+        # below would otherwise re-execute the raw-log scan/join/window
+        # twice (same fix as refresh_lsh_index, r8)
+        live = self._live_rows_of(written).localCheckpoint(eager=True)
+        delta = live.select(
+            "id",
+            "embedding",
+            "payload",
+            F.lit(seg).alias("__seg"),
+            _assign(F.col("embedding").cast("array<double>")).alias(
+                "centroid_id"
+            ),
         )
         n_delta = delta.count()
         # IDEMPOTENT-per-segment commit (r8 ADVICE): the refresh is three
@@ -1498,6 +1566,34 @@ class VectorCollection:
                     os.path.join(dp, f), os.path.join(out_dir, prefix + f)
                 )
         _shutil.rmtree(staging, ignore_errors=True)
+
+    def _live_rows_of(self, ids: DataFrame) -> DataFrame:
+        """Latest-wins minus tombstones, RESTRICTED to the given ids
+        (a single-column id DataFrame): the raw log is id-joined BEFORE
+        the latest-wins window, so resolving a refresh delta scans the
+        write batch's ids instead of windowing the whole collection —
+        at 1M points that full window dominated refresh cost (r8: LSH
+        refresh 12.5s of which ~8s was df()'s collection-wide window;
+        the pre-filtered scan drops it to the delta's share). Returns
+        (id, embedding, payload)."""
+        raw = self._raw_df().join(ids, "id")
+        rows = latest_wins(raw, id_col="id", version_col="version")
+        if os.path.exists(self._tombstone_path):
+            tombs = (
+                self.catalog.spark.read.parquet(self._tombstone_path)
+                .join(ids, "id")
+                .groupBy("id")
+                .agg(F.max("version").alias("__del_v"))
+            )
+            rows = (
+                rows.join(tombs, "id", "left")
+                .filter(
+                    F.col("__del_v").isNull()
+                    | (F.col("version") > F.col("__del_v"))
+                )
+                .drop("__del_v")
+            )
+        return rows.select("id", "embedding", "payload")
 
     def _ivf_layout_df(self) -> DataFrame:
         """The IVF layout with refresh segments RESOLVED: superseded rows
@@ -1668,6 +1764,13 @@ class VectorCollection:
             json.dump(
                 {
                     "built_at_version": current_version,
+                    # caller args (n_centroids=None stays None: a rebuild
+                    # at a grown collection should re-derive sqrt-N)
+                    "build_params": {
+                        "n_centroids": n_centroids,
+                        "m": m,
+                        "ksub": ksub,
+                    },
                     "centroids": [[float(x) for x in c] for c in centroids],
                     "codebooks": [
                         [[float(x) for x in row] for row in book] for book in books
@@ -1830,6 +1933,7 @@ class VectorCollection:
                 f"{self.info.name!r} uses metric={self.info.metric!r}"
             )
         current_version = self.catalog._load()[self.info.name]["version"]
+        bits_arg = bits  # caller intent (None = auto), persisted for rebuilds
         if bits is None:
             # layout width from the live size (footer-count upper bound —
             # an overestimate can only widen the layout, never shrink it)
@@ -1848,9 +1952,9 @@ class VectorCollection:
             id_col="id",
             emb_col="embedding",
             payload_cols=("payload",),
-        ).withColumn("__seg", F.lit(0)).write.mode("overwrite").partitionBy(
-            "table", "sig"
-        ).parquet(self._lsh_index_path)
+        ).withColumn("__seg", F.lit(0)).repartition("table", "sig").write.mode(
+            "overwrite"
+        ).partitionBy("table", "sig").parquet(self._lsh_index_path)
         import shutil as _shutil
 
         _shutil.rmtree(self._lsh_mask_path, ignore_errors=True)
@@ -1862,6 +1966,7 @@ class VectorCollection:
                     "next_seg": 1,
                     "bits": bits,
                     "tables": tables,
+                    "build_params": {"bits": bits_arg, "tables": tables},
                 },
                 fh,
             )
@@ -1924,6 +2029,8 @@ class VectorCollection:
             .filter(F.col("version") > covers)
             .select("id")
             .distinct()
+            # pinned: feeds the live-rows join AND the mask write below
+            .localCheckpoint(eager=True)
         )
         superseded = written
         if os.path.exists(self._tombstone_path):
@@ -1935,8 +2042,15 @@ class VectorCollection:
             )
             superseded = superseded.unionByName(deleted).distinct()
 
+        # pin the resolved delta rows ONCE: lsh_long_form is a `tables`-way
+        # union whose every branch re-executes its input plan, and the
+        # count + segment write below add two more executions — without the
+        # checkpoint the raw-log scan/join/window ran ~6x and refresh
+        # measured barely faster than a rebuild (r8). Write-batch-sized
+        # materialization, the same trade the vocab ranking makes.
+        live = self._live_rows_of(written).localCheckpoint(eager=True)
         delta = ann.lsh_long_form(
-            self.df().join(written, "id").select("id", "embedding", "payload"),
+            live,
             dim=self.info.dim,
             bits=int(meta["bits"]),
             tables=int(meta["tables"]),

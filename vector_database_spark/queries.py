@@ -2443,10 +2443,14 @@ def q_knn_pq(spark, sf_dir):
 # in BENCH/CORRECTNESS noticing (property tests pin the formulas' shape,
 # not their recall consequences). These canaries run the None→derive path
 # end-to-end; bench.py times them and records their recall@5 next to the
-# pinned twins (rows tagged *_auto in BENCH). At fixture scale each formula
-# intentionally derives at-or-near the pinned point (the floors are the
-# fixture-tuned values), so recall must be >= the pinned twin's; a formula
-# edit that moves the floor or the scale curve moves these rows first.
+# pinned twins (rows tagged *_auto in BENCH). LSH/PQ derive exactly the
+# pinned floors at fixture scale, so their recall must MATCH the pins
+# (asserted in tests/test_ann.py); IVF/IVFPQ full-auto derive sqrt(N)
+# cells at a 0.3 target scan fraction vs the pins' 0.5, so their recall
+# sits below the pinned rows at 2k fixture rows by design (0.82/0.78 vs
+# 0.88/0.82 measured r8) — the cell fineness that recovers recall at the
+# same fraction needs >=1M rows (STRESS.md IVF curve: 0.99 at 0.30 scan).
+# Either way, an _auto_* edit now moves a driver-visible BENCH row first.
 # NSW needs no separate canary: q_knn_nsw already runs ef=None (auto).
 
 
