@@ -1831,3 +1831,139 @@ def test_optimize_refreshes_rebuilds_and_reports(spark, tmp_path):
     report = col.optimize()
     assert report["lsh"] == "rebuilt" and report["ivf"] == "rebuilt"
     assert col.route_for_search() != "exact"
+
+
+def test_partitioned_layouts_have_bounded_file_counts(spark, tmp_path):
+    """r8: the partitioned index writers and compact() repartition before
+    writing — without it every input task writes a file into every
+    partition dir (16,368 files at 200k rows measured; 514 with the fix).
+    Regression-pin the bound: files <= partition dirs + shuffle
+    partitions, not tasks x dirs."""
+    import os as _os
+
+    from vector_database_spark.catalog import Catalog
+
+    def parquet_files(root):
+        return sum(
+            1
+            for dp, _d, fs in _os.walk(root)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    cat = Catalog(spark, str(tmp_path / "cat_files"))
+    col = cat.create_collection("bf", dim=8, auto_compact=False)
+
+    def vec(i):
+        return [((i * 977 + j * 131) % 1009) / 504.0 - 1.0 for j in range(8)]
+
+    # many input partitions on purpose: the pathological write shape
+    pts = (
+        spark.range(4000)
+        .repartition(32)
+        .selectExpr(
+            "id",
+            "transform(sequence(0, 7), j -> cast(pmod(id * 977 + j * 131, 1009) as double) / 504.0 - 1.0) as embedding",
+            "map('i', cast(id as string)) as payload",
+        )
+    )
+    col.upsert(pts)
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    col.build_lsh_index(bits=6, tables=4)
+    n_dirs = sum(
+        1
+        for dp, _d, fs in _os.walk(col._lsh_index_path)
+        if any(f.endswith(".parquet") for f in fs)
+    )
+    n_files = parquet_files(col._lsh_index_path)
+    assert n_files <= n_dirs + shuffle_parts, (
+        f"LSH layout wrote {n_files} files over {n_dirs} partition dirs — "
+        "the pre-write repartition regressed"
+    )
+
+    col.build_ivf_index(n_centroids=8)
+    n_files = parquet_files(col._ivf_index_path)
+    assert n_files <= 8 + shuffle_parts
+
+    # compact: the folded collection layout is bounded too
+    col.upsert(pts)  # version churn so compact has something to fold
+    col.compact()
+    n_files = parquet_files(col.path)
+    assert n_files <= col.N_BUCKETS + shuffle_parts, (
+        f"compacted layout holds {n_files} files"
+    )
+    # and stays correct
+    assert col.count() == 4000
+
+
+def test_compact_and_policy_handle_all_deleted_collection(spark, tmp_path, monkeypatch):
+    """r8 review: an all-deleted collection is MAXIMUM amplification (every
+    read scans a fully-dead log), yet the policy skipped live==0 and manual
+    compact() crashed on the empty fold's schema inference. Both paths now
+    reclaim it: the fold drops the data dir + tombstones and later writes
+    start clean."""
+    from vector_database_spark import catalog as cat_mod
+    from vector_database_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat_alldead"))
+    col = cat.create_collection("dead", dim=4, auto_compact=False)
+
+    def pts(ids, r=0):
+        return spark.createDataFrame(
+            [(i, [float(i % 5 + 1)] * 4, {"r": str(r)}) for i in ids],
+            "id long, embedding array<float>, payload map<string,string>",
+        )
+
+    col.upsert(pts(range(30)))
+    col.delete(point_ids=list(range(30)))
+    col.compact()  # must not crash on the empty fold
+    assert col.count() == 0
+    assert col._approx_live_rows() == 0  # dead log actually reclaimed
+    # the collection keeps working after the empty fold
+    col.upsert(pts(range(5), r=1))
+    assert col.count() == 5
+
+    # policy path: live==0 triggers the fold instead of exempting it
+    monkeypatch.setattr(cat_mod, "AUTO_COMPACT_MIN_BATCHES", 2)
+    col2 = cat.create_collection("dead2", dim=4)
+    col2.upsert(pts(range(20)))
+    col2.upsert(pts(range(20), r=1))
+    col2.delete(point_ids=list(range(20)))
+    info = cat._load()["dead2"]
+    assert info.get("compacted_at"), "live==0 fold never fired"
+    assert col2.count() == 0
+
+
+def test_snapshot_pinned_at_fold_suspends_auto_compaction(spark, tmp_path, monkeypatch):
+    """r8 review: restore_snapshot accepts pinned == compacted_at, so a
+    snapshot created right after a fold is a LIVE restore point — the
+    policy must treat it as suspending (>= not >)."""
+    from vector_database_spark import catalog as cat_mod
+    from vector_database_spark.catalog import Catalog
+
+    monkeypatch.setattr(cat_mod, "AUTO_COMPACT_MIN_BATCHES", 2)
+    cat = Catalog(spark, str(tmp_path / "cat_snapfold"))
+    col = cat.create_collection("sf", dim=4)
+
+    def pts(ids, r=0):
+        return spark.createDataFrame(
+            [(i, [float(i % 5 + 1 + r)] * 4, {"r": str(r)}) for i in ids],
+            "id long, embedding array<float>, payload map<string,string>",
+        )
+
+    col.upsert(pts(range(10)))
+    for r in range(1, 4):
+        col.upsert(pts(range(10), r=r))
+    first_fold = cat._load()["sf"].get("compacted_at")
+    assert first_fold, "setup: the first fold should have fired"
+    # snapshot pinned EXACTLY at the fold version — restorable today
+    # (folds mint no version, so the pin equals compacted_at)
+    col.create_snapshot("at-fold")
+    assert cat._load()["sf"]["snapshots"]["at-fold"] == first_fold
+    for r in range(4, 10):
+        col.upsert(pts(range(10), r=r))
+    assert cat._load()["sf"].get("compacted_at") == first_fold, (
+        "a second fold fired and destroyed the pinned-at-fold snapshot"
+    )
+    col.restore_snapshot("at-fold")  # still valid

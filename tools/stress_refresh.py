@@ -114,6 +114,19 @@ def main() -> None:
         ]
         assert not set(deleted_probe) & set(range(n - 10_000, n)), "deleted id served"
 
+        # search cost THROUGH the refreshed (segment + mask) layout —
+        # the read-side tax of incremental maintenance, min-of-3
+        def timed(fn):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn().collect()
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        s_lsh_refreshed = timed(lambda: col.search_lsh(qv, limit=K))
+        s_ivf_refreshed = timed(lambda: col.search_ivf(qv, limit=K))
+
         # rebuild cost on the SAME post-write state, for the honest ratio
         t0 = time.perf_counter()
         col.build_lsh_index()
@@ -121,6 +134,9 @@ def main() -> None:
         t0 = time.perf_counter()
         col.build_ivf_index()
         t_ivf_rebuild = time.perf_counter() - t0
+
+        s_lsh_rebuilt = timed(lambda: col.search_lsh(qv, limit=K))
+        s_ivf_rebuilt = timed(lambda: col.search_ivf(qv, limit=K))
 
         lines += [
             f"- build_lsh_index (auto bits): {t_lsh_build:.1f}s; "
@@ -137,6 +153,10 @@ def main() -> None:
             "- asserted through the refreshed indexes: updated id served its",
             "  NEW vector, deleted ids absent (hamming-2 probe), IVF at full",
             "  probe coverage equals the exact scan",
+            f"- read-side tax of the segment+mask layout (search min-of-3): "
+            f"lsh {s_lsh_refreshed:.2f}s refreshed vs {s_lsh_rebuilt:.2f}s "
+            f"rebuilt; ivf {s_ivf_refreshed:.2f}s vs {s_ivf_rebuilt:.2f}s "
+            f"(mask join is a size-gated broadcast over the superseded ids)",
             "",
             "The refresh cost scales with the WRITE BATCH (delta hashing /",
             "assignment + one segment append + a mask append), not the",

@@ -363,8 +363,15 @@ class VectorCollection:
         )
 
     def _tombstone_log_bytes(self) -> int:
+        return self._dir_parquet_bytes(self._tombstone_path)
+
+    @staticmethod
+    def _dir_parquet_bytes(path: str) -> int:
+        """On-disk parquet bytes under ``path`` (driver-side os.walk — no
+        Spark job): the cheap size signal gating broadcast hints for the
+        tombstone log and the index refresh masks."""
         total = 0
-        for dp, _dirs, files in os.walk(self._tombstone_path):
+        for dp, _dirs, files in os.walk(path):
             for f in files:
                 if f.endswith(".parquet"):
                     try:
@@ -1050,18 +1057,26 @@ class VectorCollection:
         if version - checked_at < AUTO_COMPACT_MIN_BATCHES:
             return False
         snaps = info.get("snapshots", {})
-        if any(v > compacted_at for v in snaps.values()):
+        # >= not >: restore_snapshot accepts pinned == compacted_at as
+        # valid, so a snapshot pinned exactly at the last fold is a live
+        # restore point the next fold would destroy (r8 review)
+        if any(v >= compacted_at for v in snaps.values()):
             # auto-folding would invalidate a restore point the user
             # explicitly created; snapshots suspend the policy
             return False
         raw = self._approx_live_rows()  # footer metadata only
         live = self.df().count() if raw else 0
-        if live and raw / live >= AUTO_COMPACT_MIN_AMPLIFICATION:
+        if raw and (
+            live == 0 or raw / live >= AUTO_COMPACT_MIN_AMPLIFICATION
+        ):
+            # live == 0 is MAXIMUM amplification, not a no-op: every read
+            # still scans the full dead log + tombstones until the fold
+            # clears both (compact handles the empty fold — r8 review)
             self.compact()
             return True
-        # declined on the ratio (or the collection is empty/all-deleted —
-        # compacting an empty state has nothing to rewrite): amortize the
-        # count() by not re-evaluating for another MIN_BATCHES writes
+        # declined on the ratio (or the collection has no data at all):
+        # amortize the count() by not re-evaluating for another
+        # MIN_BATCHES writes
         with self.catalog._lock():
             cat = self.catalog._load()
             cat[self.info.name]["auto_compact_checked_at"] = version
@@ -1123,30 +1138,40 @@ class VectorCollection:
         between the snapshot read and the overwrite (or tombstone rmtree)
         would otherwise be silently lost / resurrect deleted ids.
         """
-        spark = self.catalog.spark
+        import shutil
+
         with self.catalog._lock():
             current = self._resolved_df()
             tmp = self.path + "__compact"
-            # range-repartition on (partition cols, id) so the folded
-            # layout is ~one file per (bucket, id-range) instead of
-            # tasks x buckets small files (the r8 lsh/ivf-write finding:
-            # 16k files -> 514 at 200k rows): compaction exists to bound
-            # read cost, and file count / footer reads are part of that
-            # cost — the log's append batches are allowed to fragment,
-            # the fold is not. Range (not hash-on-bucket) keeps a giant
-            # bucket spread over multiple write tasks, so the fold itself
-            # stays parallel at scale; total files ~= shuffle partitions.
-            fold_keys = [F.col(c) for c in self._partition_cols] + [F.col("id")]
-            current.repartitionByRange(*fold_keys).write.mode(
-                "overwrite"
-            ).partitionBy(*self._partition_cols).parquet(tmp)
-            spark.read.parquet(tmp).repartitionByRange(*fold_keys).write.mode(
-                "overwrite"
-            ).partitionBy(*self._partition_cols).parquet(self.path)
-            # best-effort cleanup of the staging dir + now-folded tombstones
-            import shutil
-
             shutil.rmtree(tmp, ignore_errors=True)
+            if current.isEmpty():
+                # all-deleted collection: the fold is "drop everything" —
+                # writing an empty frame and reading it back would crash
+                # on schema inference, and before r8 this state was also
+                # permanently exempt from auto-compaction, so the dead
+                # log grew forever with no working reclaim path (review)
+                shutil.rmtree(self.path, ignore_errors=True)
+            else:
+                # range-repartition on (partition cols, id) so the folded
+                # layout is ~one file per (bucket, id-range) instead of
+                # tasks x buckets small files (the r8 lsh/ivf-write
+                # finding: 16k files -> 514 at 200k rows): compaction
+                # exists to bound read cost, and file count / footer
+                # reads are part of that cost. Range (not hash-on-bucket)
+                # keeps a giant bucket spread over multiple write tasks.
+                # ONE write + a directory swap — the pre-r8 version wrote
+                # to tmp then re-shuffled and re-wrote into self.path (2x
+                # the full fold cost, and a routine cost now that the
+                # policy folds automatically); the os.rename swap is the
+                # local-FS analogue of a metastore pointer flip.
+                fold_keys = [F.col(c) for c in self._partition_cols] + [
+                    F.col("id")
+                ]
+                current.repartitionByRange(*fold_keys).write.mode(
+                    "overwrite"
+                ).partitionBy(*self._partition_cols).parquet(tmp)
+                shutil.rmtree(self.path, ignore_errors=True)
+                os.rename(tmp, self.path)
             shutil.rmtree(self._tombstone_path, ignore_errors=True)
             cat = self.catalog._load()
             cat[self.info.name]["compacted_at"] = cat[self.info.name]["version"]
@@ -1388,11 +1413,90 @@ class VectorCollection:
         when the index already covers the current version."""
         import numpy as np
 
-        meta_path = os.path.join(self._ivf_index_path, "_index_meta.json")
+        def build_delta(live: DataFrame, meta: dict, seg: int) -> DataFrame:
+            # live rows of the written ids assigned to the PINNED
+            # centroids — euclidean argmin, the KMeans.transform rule.
+            # Squared-distance expansion ||e||² − 2·E@Cᵀ + ||c||² —
+            # O(batch·k) memory via one BLAS matmul, the same kernel
+            # shape as the PQ/ADC scorers in operators/ann.py. The naive
+            # broadcast difference tensor ((E[:,None,:] − C[None,:,:])²)
+            # is O(batch·k·dim): with auto centroids (√N capped 4096)
+            # and a ~10k-row Arrow batch that is ~21 GB per batch —
+            # executor OOM on exactly the large collections refresh
+            # targets (r8 ADVICE). argmin is unchanged up to fp rounding
+            # of the identical quantity, which only moves a point between
+            # near-equidistant cells — search probes cells by query-time
+            # ranking, so placement ties don't affect correctness.
+            centroids = np.asarray(meta["centroids"], dtype=np.float64)
+            c_sq = (centroids * centroids).sum(axis=1)  # (k,)
+
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf("int")
+            def _assign(embs: pd.Series) -> pd.Series:
+                import numpy as _np
+                import pandas as _pd
+
+                if not len(embs):
+                    return _pd.Series([], dtype="int32")
+                E = _np.stack(
+                    [_np.asarray(v, dtype=_np.float64) for v in embs]
+                )
+                d = (
+                    (E * E).sum(axis=1)[:, None]
+                    - 2.0 * (E @ centroids.T)
+                    + c_sq[None, :]
+                )
+                return _pd.Series(d.argmin(axis=1).astype("int32"))
+
+            return live.select(
+                "id",
+                "embedding",
+                "payload",
+                F.lit(seg).alias("__seg"),
+                _assign(F.col("embedding").cast("array<double>")).alias(
+                    "centroid_id"
+                ),
+            )
+
+        return self._refresh_protocol(
+            "ivf",
+            self._ivf_index_path,
+            self._ivf_mask_path,
+            build_delta,
+            partition_by=("centroid_id",),
+        )
+
+    def _refresh_protocol(
+        self,
+        kind: str,
+        index_path: str,
+        mask_path: str,
+        build_delta,
+        partition_by: tuple[str, ...],
+    ) -> int:
+        """The segment-refresh protocol shared by refresh_ivf_index and
+        refresh_lsh_index (one copy of the guards and commit ordering —
+        r8 review): open + validate the meta, compute the written /
+        superseded id sets from the append-only logs (pinned eagerly so a
+        concurrent writer's auto-compact rmtree'ing the tombstone dir
+        mid-refresh cannot crash the mask write or silently drop deleted
+        ids from it), resolve the delta's live rows (pre-filtered
+        latest-wins, pinned once — the family delta builders and the
+        count + write would otherwise re-execute the scan several times),
+        commit the segment + mask idempotently (staged write +
+        seg-prefixed file renames, so a crash-retry REPLACES its segment
+        instead of double-materializing rows both of which pass the
+        mask), re-check the fold guard, then advance coverage.
+
+        ``build_delta(live, meta, seg)`` returns the family's seg-stamped
+        delta DataFrame."""
+        KIND = kind.upper()
+        meta_path = os.path.join(index_path, "_index_meta.json")
         if not os.path.exists(meta_path):
             raise ValueError(
-                f"collection {self.info.name!r} has no IVF index; "
-                "call build_ivf_index() first"
+                f"collection {self.info.name!r} has no {KIND} index; "
+                f"call build_{kind}_index() first"
             )
         with open(meta_path) as fh:
             meta = json.load(fh)
@@ -1401,13 +1505,13 @@ class VectorCollection:
             # column, so appending seg-stamped delta files would leave a
             # MIXED schema that spark.read.parquet (no mergeSchema)
             # resolves from an arbitrary file — if it picks a base file,
-            # __seg is dropped, _ivf_layout_df stamps every row __seg=0
-            # and the mask filter silently drops the NEW rows (r8 ADVICE).
-            # One full build stamps __seg=0 everywhere and unlocks refresh.
+            # __seg is dropped, the layout reader stamps every row
+            # __seg=0 and the mask filter silently drops the NEW rows
+            # (r8 ADVICE). One full build stamps __seg=0 and unlocks it.
             raise ValueError(
-                f"IVF index of {self.info.name!r} predates the segment "
-                "scheme (meta has no next_seg); run build_ivf_index() "
-                "once before refresh_ivf_index()"
+                f"{KIND} index of {self.info.name!r} predates the segment "
+                f"scheme (meta has no next_seg); run build_{kind}_index() "
+                f"once before refresh_{kind}_index()"
             )
         cat_info = self.catalog._load()[self.info.name]
         current_version = cat_info["version"]
@@ -1415,16 +1519,16 @@ class VectorCollection:
         if covers == current_version:
             return 0
         if covers < cat_info.get("compacted_at", 0):
-            # compact() (manual or auto) folded the write/tombstone log the
-            # delta scan below would need: a delete between covers and the
+            # compact() (manual or auto) folded the write/tombstone log
+            # the delta scan would need: a delete between covers and the
             # fold left no tombstone AND no raw row, so a refresh could
             # never learn to mask it — stale ids would be served. Refuse;
             # only a full rebuild sees the folded state correctly.
             raise ValueError(
-                f"IVF index of {self.info.name!r} covers version {covers} "
-                f"but compact() folded history at "
+                f"{KIND} index of {self.info.name!r} covers version "
+                f"{covers} but compact() folded history at "
                 f"{cat_info.get('compacted_at', 0)}; the deltas are no "
-                "longer reconstructible — rebuild with build_ivf_index()"
+                f"longer reconstructible — rebuild with build_{kind}_index()"
             )
         seg = int(meta["next_seg"])
         spark = self.catalog.spark
@@ -1437,7 +1541,6 @@ class VectorCollection:
             .filter(F.col("version") > covers)
             .select("id")
             .distinct()
-            # pinned: feeds the live-rows join AND the mask write below
             .localCheckpoint(eager=True)
         )
         superseded = written
@@ -1449,75 +1552,33 @@ class VectorCollection:
                 .distinct()
             )
             superseded = superseded.unionByName(deleted).distinct()
+        superseded = superseded.localCheckpoint(eager=True)
 
-        # live rows of the written ids (latest-wins already resolved by
-        # df(); a deleted id simply has no live row) assigned to the
-        # PINNED centroids — euclidean argmin, the KMeans.transform rule
-        centroids = np.asarray(meta["centroids"], dtype=np.float64)
-
-        from pyspark.sql.functions import pandas_udf
-
-        # squared-distance expansion ||e||² − 2·E@Cᵀ + ||c||² — O(batch·k)
-        # memory via one BLAS matmul, the same kernel shape as the PQ/ADC
-        # scorers in operators/ann.py. The naive broadcast difference
-        # tensor ((E[:,None,:] − C[None,:,:])²) is O(batch·k·dim): with
-        # auto centroids (√N capped 4096) and a ~10k-row Arrow batch that
-        # is ~21 GB per batch — executor OOM on exactly the large
-        # collections refresh targets (r8 ADVICE). argmin is unchanged up
-        # to fp rounding of the identical quantity, which only moves a
-        # point between near-equidistant cells — search probes cells by
-        # query-time ranking, so placement ties don't affect correctness.
-        c_sq = (centroids * centroids).sum(axis=1)  # (k,)
-
-        @pandas_udf("int")
-        def _assign(embs: pd.Series) -> pd.Series:
-            import numpy as _np
-            import pandas as _pd
-
-            if not len(embs):
-                return _pd.Series([], dtype="int32")
-            E = _np.stack([_np.asarray(v, dtype=_np.float64) for v in embs])
-            d = (E * E).sum(axis=1)[:, None] - 2.0 * (E @ centroids.T) + c_sq[None, :]
-            return _pd.Series(d.argmin(axis=1).astype("int32"))
-
-        # pin the resolved delta rows once — the count + segment write
-        # below would otherwise re-execute the raw-log scan/join/window
-        # twice (same fix as refresh_lsh_index, r8)
         live = self._live_rows_of(written).localCheckpoint(eager=True)
-        delta = live.select(
-            "id",
-            "embedding",
-            "payload",
-            F.lit(seg).alias("__seg"),
-            _assign(F.col("embedding").cast("array<double>")).alias(
-                "centroid_id"
-            ),
-        )
+        delta = build_delta(live, meta, seg)
         n_delta = delta.count()
-        # IDEMPOTENT-per-segment commit (r8 ADVICE): the refresh is three
-        # non-atomic steps (delta files, mask files, meta rewrite). A crash
-        # after the delta lands leaves covers/next_seg unchanged, so a
-        # retry re-runs the SAME seg — with a bare mode=append that would
-        # double-materialize rows which BOTH pass the mask (__seg >= mask
-        # seg) and search would return duplicate ids. Instead each write
-        # stages to a scratch dir and file-renames into place under a
-        # seg-prefixed name, after deleting any same-seg leftovers from a
-        # crashed attempt — so re-running a segment replaces it. (Mask
-        # duplicates would be harmless under the max(mask_seg) aggregate,
-        # but they get the same treatment for bounded growth.)
         if n_delta:
             self._commit_seg_files(
-                delta.repartition("centroid_id"),
-                self._ivf_index_path,
+                delta.repartition(*partition_by),
+                index_path,
                 seg,
-                partition_by=("centroid_id",),
+                partition_by=partition_by,
             )
         self._commit_seg_files(
             superseded.select("id", F.lit(seg).alias("mask_seg")),
-            self._ivf_mask_path,
+            mask_path,
             seg,
         )
 
+        # fold-guard re-check at commit time: if a concurrent writer's
+        # auto-compact fired after the up-front check, the segments just
+        # written are fine (masked per usual) but coverage must NOT
+        # advance — the delta scans above may predate the fold
+        if covers < self.catalog._load()[self.info.name].get("compacted_at", 0):
+            raise ValueError(
+                f"compact() folded history during a refresh of "
+                f"{self.info.name!r}; rebuild the index"
+            )
         meta["covers_version"] = current_version
         meta["next_seg"] = seg + 1
         with open(meta_path, "w") as fh:
@@ -1595,40 +1656,31 @@ class VectorCollection:
             )
         return rows.select("id", "embedding", "payload")
 
-    def _ivf_layout_df(self) -> DataFrame:
-        """The IVF layout with refresh segments RESOLVED: superseded rows
-        (older __seg of a rewritten id, any row of a deleted id) are
-        dropped via the side mask — size-gated broadcast, same budget as
-        the tombstone join. Layouts from before the segment scheme (no
-        __seg column) read as segment 0."""
-        rows = self.catalog.spark.read.parquet(self._ivf_index_path)
+    def _masked_layout_df(self, index_path: str, mask_path: str) -> DataFrame:
+        """A segment-stamped index layout with refresh segments RESOLVED:
+        superseded rows (older __seg of a rewritten id, any row of a
+        deleted id) drop via the side mask — size-gated broadcast, same
+        byte budget as the tombstone join. Shared by the IVF and LSH
+        layouts (one copy of the semantics — r8 review). Layouts from
+        before the segment scheme (no __seg column) read as segment 0;
+        NULL __seg coalesces to 0 as defense in depth against mixed
+        schemas (refresh refuses the legacy layout, so it shouldn't
+        trigger)."""
+        rows = self.catalog.spark.read.parquet(index_path)
         if "__seg" not in rows.columns:
             rows = rows.withColumn("__seg", F.lit(0))
         else:
-            # defense in depth against mixed schemas (refresh refuses the
-            # legacy no-__seg layout, so this shouldn't trigger — but if
-            # schema inference ever resolves from a seg-stamped file while
-            # base files lack the column, base rows read NULL; they are
-            # segment 0 by construction)
             rows = rows.withColumn(
                 "__seg", F.coalesce(F.col("__seg"), F.lit(0))
             )
-        if not os.path.exists(self._ivf_mask_path):
+        if not os.path.exists(mask_path):
             return rows
         mask = (
-            self.catalog.spark.read.parquet(self._ivf_mask_path)
+            self.catalog.spark.read.parquet(mask_path)
             .groupBy("id")
             .agg(F.max("mask_seg").alias("__mask_seg"))
         )
-        mask_bytes = 0
-        for dp, _dirs, files in os.walk(self._ivf_mask_path):
-            for f in files:
-                if f.endswith(".parquet"):
-                    try:
-                        mask_bytes += os.path.getsize(os.path.join(dp, f))
-                    except OSError:
-                        pass
-        if mask_bytes <= TOMBSTONE_BROADCAST_MAX_BYTES:
+        if self._dir_parquet_bytes(mask_path) <= TOMBSTONE_BROADCAST_MAX_BYTES:
             mask = F.broadcast(mask)
         return (
             rows.join(mask, "id", "left")
@@ -1638,6 +1690,9 @@ class VectorCollection:
             )
             .drop("__mask_seg")
         )
+
+    def _ivf_layout_df(self) -> DataFrame:
+        return self._masked_layout_df(self._ivf_index_path, self._ivf_mask_path)
 
     def search_ivf(
         self, query_vector: list[float], limit: int = 5, nprobe: int | None = None
@@ -1993,128 +2048,30 @@ class VectorCollection:
         ``tables``× copies); 0 when already covered."""
         from vector_database_spark.operators import ann
 
-        meta_path = os.path.join(self._lsh_index_path, "_index_meta.json")
-        if not os.path.exists(meta_path):
-            raise ValueError(
-                f"collection {self.info.name!r} has no LSH index; "
-                "call build_lsh_index() first"
-            )
-        with open(meta_path) as fh:
-            meta = json.load(fh)
-        if "next_seg" not in meta:
-            raise ValueError(
-                f"LSH index of {self.info.name!r} predates the segment "
-                "scheme (meta has no next_seg); run build_lsh_index() "
-                "once before refresh_lsh_index()"
-            )
-        cat_info = self.catalog._load()[self.info.name]
-        current_version = cat_info["version"]
-        covers = meta.get("covers_version", meta["built_at_version"])
-        if covers == current_version:
-            return 0
-        if covers < cat_info.get("compacted_at", 0):
-            # same guard as refresh_ivf_index: a fold between the index's
-            # coverage and now erased the tombstones the mask needs
-            raise ValueError(
-                f"LSH index of {self.info.name!r} covers version {covers} "
-                f"but compact() folded history at "
-                f"{cat_info.get('compacted_at', 0)}; the deltas are no "
-                "longer reconstructible — rebuild with build_lsh_index()"
-            )
-        seg = int(meta["next_seg"])
-        spark = self.catalog.spark
+        def build_delta(live: DataFrame, meta: dict, seg: int) -> DataFrame:
+            # lsh_long_form is a `tables`-way union whose every branch
+            # re-executes its input plan — the protocol hands us `live`
+            # already pinned, so the fan-out reads the checkpoint
+            return ann.lsh_long_form(
+                live,
+                dim=self.info.dim,
+                bits=int(meta["bits"]),
+                tables=int(meta["tables"]),
+                id_col="id",
+                emb_col="embedding",
+                payload_cols=("payload",),
+            ).withColumn("__seg", F.lit(seg))
 
-        written = (
-            self._raw_df()
-            .filter(F.col("version") > covers)
-            .select("id")
-            .distinct()
-            # pinned: feeds the live-rows join AND the mask write below
-            .localCheckpoint(eager=True)
-        )
-        superseded = written
-        if os.path.exists(self._tombstone_path):
-            deleted = (
-                spark.read.parquet(self._tombstone_path)
-                .filter(F.col("version") > covers)
-                .select("id")
-                .distinct()
-            )
-            superseded = superseded.unionByName(deleted).distinct()
-
-        # pin the resolved delta rows ONCE: lsh_long_form is a `tables`-way
-        # union whose every branch re-executes its input plan, and the
-        # count + segment write below add two more executions — without the
-        # checkpoint the raw-log scan/join/window ran ~6x and refresh
-        # measured barely faster than a rebuild (r8). Write-batch-sized
-        # materialization, the same trade the vocab ranking makes.
-        live = self._live_rows_of(written).localCheckpoint(eager=True)
-        delta = ann.lsh_long_form(
-            live,
-            dim=self.info.dim,
-            bits=int(meta["bits"]),
-            tables=int(meta["tables"]),
-            id_col="id",
-            emb_col="embedding",
-            payload_cols=("payload",),
-        ).withColumn("__seg", F.lit(seg))
-        n_delta = delta.count()
-        if n_delta:
-            self._commit_seg_files(
-                delta.repartition("table", "sig"),
-                self._lsh_index_path,
-                seg,
-                partition_by=("table", "sig"),
-            )
-        self._commit_seg_files(
-            superseded.select("id", F.lit(seg).alias("mask_seg")),
+        return self._refresh_protocol(
+            "lsh",
+            self._lsh_index_path,
             self._lsh_mask_path,
-            seg,
+            build_delta,
+            partition_by=("table", "sig"),
         )
-
-        meta["covers_version"] = current_version
-        meta["next_seg"] = seg + 1
-        with open(meta_path, "w") as fh:
-            json.dump(meta, fh)
-        return n_delta
 
     def _lsh_layout_df(self) -> DataFrame:
-        """The LSH layout with refresh segments RESOLVED — identical
-        mask semantics to :meth:`_ivf_layout_df` (superseded older-__seg
-        rows of a rewritten id and all rows of a deleted id drop out via
-        the size-gated-broadcast mask aggregate)."""
-        rows = self.catalog.spark.read.parquet(self._lsh_index_path)
-        if "__seg" not in rows.columns:
-            rows = rows.withColumn("__seg", F.lit(0))
-        else:
-            rows = rows.withColumn(
-                "__seg", F.coalesce(F.col("__seg"), F.lit(0))
-            )
-        if not os.path.exists(self._lsh_mask_path):
-            return rows
-        mask = (
-            self.catalog.spark.read.parquet(self._lsh_mask_path)
-            .groupBy("id")
-            .agg(F.max("mask_seg").alias("__mask_seg"))
-        )
-        mask_bytes = 0
-        for dp, _dirs, files in os.walk(self._lsh_mask_path):
-            for f in files:
-                if f.endswith(".parquet"):
-                    try:
-                        mask_bytes += os.path.getsize(os.path.join(dp, f))
-                    except OSError:
-                        pass
-        if mask_bytes <= TOMBSTONE_BROADCAST_MAX_BYTES:
-            mask = F.broadcast(mask)
-        return (
-            rows.join(mask, "id", "left")
-            .filter(
-                F.col("__mask_seg").isNull()
-                | (F.col("__seg") >= F.col("__mask_seg"))
-            )
-            .drop("__mask_seg")
-        )
+        return self._masked_layout_df(self._lsh_index_path, self._lsh_mask_path)
 
     def _lsh_meta_fresh(self, op: str) -> dict:
         """Load the LSH index meta and enforce the coverage contract (the

@@ -77,6 +77,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+_EXIT_CLEANUP_PATHS: set[str] = set()
+
+
+def _cleanup_at_exit(path: str) -> None:
+    """Remove a per-process scratch dir at interpreter exit (registered
+    once per path): pid-keyed temp layouts fixed the cross-process
+    overwrite race but would otherwise leak one copy per process run."""
+    if path in _EXIT_CLEANUP_PATHS:
+        return
+    _EXIT_CLEANUP_PATHS.add(path)
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+
+
 def _cos_sql(a: str, b: str) -> str:
     return f"round(list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])), 6)"
 
@@ -2334,10 +2350,13 @@ def q_knn_nsw_batch(spark, sf_dir):
     sf_tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
     # pid in the path: a fixed name raced overwrite-vs-read when two
     # bench/test processes ran on the same host (r8 ADVICE); per-process
-    # paths make the rewrite private. Same-process reruns still reuse it.
+    # paths make the rewrite private. Same-process reruns still reuse it,
+    # and an atexit hook removes it so repeated runs don't accumulate one
+    # index copy per process in the temp dir (r8 review).
     path = _os.path.join(
         _tempfile.gettempdir(), f"vdbs_nsw_batch_idx_{sf_tag}_{_os.getpid()}"
     )
+    _cleanup_at_exit(path)
     ann.nsw_index_write(emb.select("vec_id", "embedding"), path)
     qrows = (
         emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
