@@ -1854,9 +1854,6 @@ def test_partitioned_layouts_have_bounded_file_counts(spark, tmp_path):
     cat = Catalog(spark, str(tmp_path / "cat_files"))
     col = cat.create_collection("bf", dim=8, auto_compact=False)
 
-    def vec(i):
-        return [((i * 977 + j * 131) % 1009) / 504.0 - 1.0 for j in range(8)]
-
     # many input partitions on purpose: the pathological write shape
     pts = (
         spark.range(4000)
@@ -1967,3 +1964,70 @@ def test_snapshot_pinned_at_fold_suspends_auto_compaction(spark, tmp_path, monke
         "a second fold fired and destroyed the pinned-at-fold snapshot"
     )
     col.restore_snapshot("at-fold")  # still valid
+
+
+def test_empty_fold_drops_indexes_and_tombstone_only_log_folds(spark, tmp_path, monkeypatch):
+    """r8 review 2: (a) the all-deleted fold also drops ANN index/mask
+    dirs — they describe data that no longer exists, refresh correctly
+    refuses across the fold, and a rebuild has nothing to train on, so
+    keeping them left optimize() with no non-crashing path; (b) a
+    tombstone-only log (raw==0 but deletes keep appending) folds too —
+    every read joins that log; (c) index builds on an empty collection
+    fail fast with a clear error instead of an MLlib crash; (d) a fold
+    interrupted between its swap renames is recovered by the next read."""
+    import os as _os
+    import shutil as _shutil
+
+    import pytest as _pytest
+
+    from vector_database_spark import catalog as cat_mod
+    from vector_database_spark.catalog import Catalog
+
+    monkeypatch.setattr(cat_mod, "AUTO_COMPACT_MIN_BATCHES", 2)
+    cat = Catalog(spark, str(tmp_path / "cat_emptyfold"))
+    col = cat.create_collection("ef", dim=4)
+
+    def pts(ids, r=0):
+        return spark.createDataFrame(
+            [(i, [float(i % 5 + 1 + r)] * 4, {"r": str(r)}) for i in ids],
+            "id long, embedding array<float>, payload map<string,string>",
+        )
+
+    col.upsert(pts(range(40)))
+    col.build_ivf_index(n_centroids=4)
+    col.build_lsh_index(bits=6, tables=2)
+    col.delete(point_ids=list(range(40)))  # live==0
+    # second write crosses the MIN_BATCHES window → policy evaluates with
+    # raw>0, live==0 → the empty fold fires
+    col.delete(point_ids=[9_999])
+    info = cat._load()["ef"]
+    assert info.get("compacted_at"), "all-deleted fold never fired"
+    assert col.count() == 0
+    # (a) the stale indexes are GONE, search_auto degrades to exact-empty
+    assert not _os.path.exists(col._ivf_index_path)
+    assert not _os.path.exists(col._lsh_index_path)
+    assert col.index_status()["ivf"]["exists"] is False
+    assert col.route_for_search() == "exact"
+    assert col.optimize() == {"compacted": False}  # no crash, nothing to do
+    # (c) building on the empty state fails fast and clearly
+    with _pytest.raises(ValueError, match="no live points"):
+        col.build_ivf_index(n_centroids=4)
+
+    # (b) tombstone-only growth: deletes of absent ids after the fold —
+    # once the evaluation window re-opens, the policy folds the log away
+    # (raw==0 but the tombstone bytes are real read-side weight)
+    for i in range(3):
+        col.delete(point_ids=[10_000 + i])
+    assert cat._load()["ef"]["compacted_at"] > info["compacted_at"]
+    assert not _os.path.exists(col._tombstone_path), (
+        "tombstone-only log was not folded away"
+    )
+
+    # (d) interrupted-swap recovery: simulate a crash between the two
+    # renames (data path moved aside, folded layout still in __compact)
+    col.upsert(pts(range(10), r=2))
+    _shutil.copytree(col.path, col.path + "__compact")
+    _shutil.rmtree(col.path)
+    assert col.count() == 10  # _raw_df recovered the fold
+    assert _os.path.exists(col.path)
+    assert not _os.path.exists(col.path + "__compact")

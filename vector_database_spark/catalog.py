@@ -297,6 +297,11 @@ class VectorCollection:
     def _raw_df(self) -> DataFrame:
         spark = self.catalog.spark
         if not os.path.exists(self.path):
+            # a fold that crashed between its swap renames leaves the
+            # complete layout in __compact — finish it instead of reading
+            # the collection as empty (r8 review 2)
+            self._recover_interrupted_fold()
+        if not os.path.exists(self.path):
             empty = spark.createDataFrame([], collection_schema())
             empty = empty.withColumn("norm", F.lit(0.0)).withColumn("bucket", F.lit(0))
             if self.info.tenant_key is not None:
@@ -1059,24 +1064,38 @@ class VectorCollection:
         snaps = info.get("snapshots", {})
         # >= not >: restore_snapshot accepts pinned == compacted_at as
         # valid, so a snapshot pinned exactly at the last fold is a live
-        # restore point the next fold would destroy (r8 review)
+        # restore point the next fold would destroy (r8 review). This is
+        # a fast-path pre-check; compact(respect_snapshots=True) repeats
+        # it UNDER the fold's lock, closing the race with a concurrent
+        # create_snapshot between here and the fold.
         if any(v >= compacted_at for v in snaps.values()):
             # auto-folding would invalidate a restore point the user
             # explicitly created; snapshots suspend the policy
             return False
         raw = self._approx_live_rows()  # footer metadata only
-        live = self.df().count() if raw else 0
-        if raw and (
-            live == 0 or raw / live >= AUTO_COMPACT_MIN_AMPLIFICATION
-        ):
+        if raw == 0:
+            # no raw data — but a tombstone log can still grow without
+            # bound (deletes of absent ids, deletes after an empty fold):
+            # every read joins it, so fold it away too (r8 review 2)
+            if self._tombstone_log_bytes() > 0:
+                return self.compact(
+                    respect_snapshots=True, _live_rows_hint=0
+                )
+            with self.catalog._lock():
+                cat = self.catalog._load()
+                cat[self.info.name]["auto_compact_checked_at"] = version
+                self.catalog._save(cat)
+            return False
+        live = self.df().count()
+        if live == 0 or raw / live >= AUTO_COMPACT_MIN_AMPLIFICATION:
             # live == 0 is MAXIMUM amplification, not a no-op: every read
             # still scans the full dead log + tombstones until the fold
             # clears both (compact handles the empty fold — r8 review)
-            self.compact()
-            return True
-        # declined on the ratio (or the collection has no data at all):
-        # amortize the count() by not re-evaluating for another
-        # MIN_BATCHES writes
+            return self.compact(
+                respect_snapshots=True, _live_rows_hint=live
+            )
+        # declined on the ratio: amortize the count() by not
+        # re-evaluating for another MIN_BATCHES writes
         with self.catalog._lock():
             cat = self.catalog._load()
             cat[self.info.name]["auto_compact_checked_at"] = version
@@ -1127,30 +1146,106 @@ class VectorCollection:
         report["compacted"] = self.maybe_auto_compact()
         return report
 
-    def compact(self) -> None:
+    def _require_points(self, op: str) -> None:
+        """Fail fast with a clear error when an index build is attempted
+        on a collection with no live points: KMeans/graph construction on
+        zero rows would otherwise surface as an opaque MLlib/executor
+        error (r8 review 2). One resolved isEmpty probe — negligible next
+        to any index build."""
+        if self.df().isEmpty():
+            raise ValueError(
+                f"{op}: collection {self.info.name!r} has no live points; "
+                "nothing to index"
+            )
+
+    def _recover_interrupted_fold(self) -> None:
+        """Crash recovery for compact()'s directory swap: a fold that died
+        between its two renames leaves the data path missing (or renamed
+        aside) with the complete folded layout still in ``__compact``.
+        Called where the missing-path state is observed (_raw_df, compact)
+        — completes the swap instead of reading the collection as empty.
+        Cheap: two existence checks, only on the missing-path branch."""
+        tmp = self.path + "__compact"
+        if not os.path.exists(self.path) and os.path.isdir(tmp):
+            try:
+                os.rename(tmp, self.path)
+            except OSError:
+                # another reader/fold completed the recovery concurrently;
+                # fine as long as the data path exists now
+                if not os.path.exists(self.path):
+                    raise
+
+    def compact(
+        self,
+        respect_snapshots: bool = False,
+        _live_rows_hint: int | None = None,
+    ) -> bool:
         """Fold the version history down to latest-wins minus tombstones
         (like Delta OPTIMIZE), preserving the bucketed layout and
         materialized norms; clears the tombstone log. Stamps
         ``compacted_at`` so restores of snapshots older than the fold fail
-        loudly instead of reconstructing a partial state.
+        loudly instead of reconstructing a partial state. Returns True iff
+        the fold ran.
+
+        ``respect_snapshots=True`` (the auto-compaction policy's mode)
+        re-checks for live restore points UNDER the fold's lock and
+        declines instead of destroying one — a manual compact() keeps
+        folding regardless (the documented trade, surfaced loudly at
+        restore time). ``_live_rows_hint`` lets the policy pass the live
+        count it just computed so the fold doesn't re-resolve the whole
+        collection a second time just to learn emptiness.
 
         Runs under the catalog lock: a concurrent upsert/delete committed
         between the snapshot read and the overwrite (or tombstone rmtree)
-        would otherwise be silently lost / resurrect deleted ids.
-        """
+        would otherwise be silently lost / resurrect deleted ids. The
+        layout swap is two renames with a recovery hook
+        (_recover_interrupted_fold): a crash between them leaves the
+        folded layout intact in ``__compact`` and the next read or fold
+        completes the swap — no window where data is only in a dir a
+        later fold would blindly delete (r8 review 2)."""
         import shutil
 
         with self.catalog._lock():
+            self._recover_interrupted_fold()
+            if respect_snapshots:
+                info = self.catalog._load()[self.info.name]
+                compacted_at = info.get("compacted_at", 0)
+                if any(
+                    v >= compacted_at
+                    for v in info.get("snapshots", {}).values()
+                ):
+                    return False
             current = self._resolved_df()
             tmp = self.path + "__compact"
+            old = self.path + "__prefold"
             shutil.rmtree(tmp, ignore_errors=True)
-            if current.isEmpty():
+            shutil.rmtree(old, ignore_errors=True)
+            empty = (
+                _live_rows_hint == 0
+                if _live_rows_hint is not None
+                else current.isEmpty()
+            )
+            if empty:
                 # all-deleted collection: the fold is "drop everything" —
                 # writing an empty frame and reading it back would crash
                 # on schema inference, and before r8 this state was also
                 # permanently exempt from auto-compaction, so the dead
-                # log grew forever with no working reclaim path (review)
+                # log grew forever with no working reclaim path (review).
+                # The ANN index/mask dirs go too: they describe data that
+                # no longer exists, refresh would (correctly) refuse
+                # across the fold, and a rebuild on an empty collection
+                # has nothing to train on — dropping them routes
+                # search_auto to the exact scan of the empty state.
                 shutil.rmtree(self.path, ignore_errors=True)
+                for idx_path in (
+                    self._nsw_index_path,
+                    self._lsh_index_path,
+                    self._ivf_index_path,
+                    self._ivfpq_index_path,
+                    self._lsh_mask_path,
+                    self._ivf_mask_path,
+                ):
+                    shutil.rmtree(idx_path, ignore_errors=True)
             else:
                 # range-repartition on (partition cols, id) so the folded
                 # layout is ~one file per (bucket, id-range) instead of
@@ -1159,23 +1254,33 @@ class VectorCollection:
                 # exists to bound read cost, and file count / footer
                 # reads are part of that cost. Range (not hash-on-bucket)
                 # keeps a giant bucket spread over multiple write tasks.
-                # ONE write + a directory swap — the pre-r8 version wrote
-                # to tmp then re-shuffled and re-wrote into self.path (2x
-                # the full fold cost, and a routine cost now that the
-                # policy folds automatically); the os.rename swap is the
-                # local-FS analogue of a metastore pointer flip.
+                # ONE write + a rename-aside swap — the pre-r8 version
+                # wrote to tmp then re-shuffled and re-wrote into
+                # self.path (2x the full fold cost, a routine cost now
+                # that the policy folds automatically). Rename-aside (not
+                # rmtree-then-rename): the old layout survives until the
+                # new one is in place, so a crash at any point leaves a
+                # recoverable copy and the swap window is two renames.
                 fold_keys = [F.col(c) for c in self._partition_cols] + [
                     F.col("id")
                 ]
                 current.repartitionByRange(*fold_keys).write.mode(
                     "overwrite"
                 ).partitionBy(*self._partition_cols).parquet(tmp)
-                shutil.rmtree(self.path, ignore_errors=True)
-                os.rename(tmp, self.path)
+                os.rename(self.path, old)
+                try:
+                    os.rename(tmp, self.path)
+                except OSError:
+                    # a concurrent reader's _recover_interrupted_fold may
+                    # have completed the swap between our two renames
+                    if not os.path.exists(self.path):
+                        raise
+                shutil.rmtree(old, ignore_errors=True)
             shutil.rmtree(self._tombstone_path, ignore_errors=True)
             cat = self.catalog._load()
             cat[self.info.name]["compacted_at"] = cat[self.info.name]["version"]
             self.catalog._save(cat)
+        return True
 
     # -- query (SURVEY B1-B10) -----------------------------------------------
     def _approx_live_rows(self) -> int:
@@ -1261,6 +1366,7 @@ class VectorCollection:
                 f"build_nsw_index requires a cosine collection; "
                 f"{self.info.name!r} uses metric={self.info.metric!r}"
             )
+        self._require_points("build_nsw_index")
         current_version = self.catalog._load()[self.info.name]["version"]
         emb = self.df().select("id", "embedding")
         ann.nsw_index_write(
@@ -1355,6 +1461,7 @@ class VectorCollection:
                 f"build_ivf_index requires a cosine collection; "
                 f"{self.info.name!r} uses metric={self.info.metric!r}"
             )
+        self._require_points("build_ivf_index")
         current_version = self.catalog._load()[self.info.name]["version"]
         emb = self.df().select("id", "embedding", "payload")
         assigned, centroids = ann.ivf_index(
@@ -1801,6 +1908,7 @@ class VectorCollection:
                 f"build_ivfpq_index requires a cosine collection; "
                 f"{self.info.name!r} uses metric={self.info.metric!r}"
             )
+        self._require_points("build_ivfpq_index")
         current_version = self.catalog._load()[self.info.name]["version"]
         emb = self.df().select("id", "embedding")
         assigned, centroids = ann.ivf_index(
@@ -1987,6 +2095,7 @@ class VectorCollection:
                 f"build_lsh_index requires a cosine collection; "
                 f"{self.info.name!r} uses metric={self.info.metric!r}"
             )
+        self._require_points("build_lsh_index")
         current_version = self.catalog._load()[self.info.name]["version"]
         bits_arg = bits  # caller intent (None = auto), persisted for rebuilds
         if bits is None:
