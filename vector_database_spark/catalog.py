@@ -26,7 +26,8 @@ from dataclasses import dataclass
 
 # module-level on purpose: pandas_udf type hints resolve against the
 # DEFINING module's globals (postponed annotations) — a function-local
-# import breaks hint resolution in the worker (see .claude verify notes)
+# import breaks hint resolution in the worker (round-4 gotcha; see
+# operators/ann.py::with_lsh_signature)
 import pandas as pd  # noqa: E402
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1256,11 +1257,13 @@ class VectorCollection:
                 # keeps a giant bucket spread over multiple write tasks.
                 # ONE write + a rename-aside swap — the pre-r8 version
                 # wrote to tmp then re-shuffled and re-wrote into
-                # self.path (2x the full fold cost, a routine cost now
-                # that the policy folds automatically). Rename-aside (not
-                # rmtree-then-rename): the old layout survives until the
-                # new one is in place, so a crash at any point leaves a
-                # recoverable copy and the swap window is two renames.
+                # self.path (a second full write that scales with the
+                # data; at 1M the resolve dominates so the measured
+                # saving is modest, but the pass was pure waste at any
+                # size). Rename-aside (not rmtree-then-rename): the old
+                # layout survives until the new one is in place, so a
+                # crash at any point leaves a recoverable copy and the
+                # swap window is two renames.
                 fold_keys = [F.col(c) for c in self._partition_cols] + [
                     F.col("id")
                 ]
