@@ -2031,3 +2031,113 @@ def test_empty_fold_drops_indexes_and_tombstone_only_log_folds(spark, tmp_path, 
     assert col.count() == 10  # _raw_df recovered the fold
     assert _os.path.exists(col.path)
     assert not _os.path.exists(col.path + "__compact")
+
+
+def test_lifecycle_random_ops_serving_invariants(spark, tmp_path, monkeypatch):
+    """r8 capstone: a SEEDED random interleaving of every lifecycle op
+    (upsert / delete / index builds / refreshes / compact / optimize),
+    with auto-compaction folding aggressively mid-sequence, must keep the
+    serving invariants at EVERY step:
+
+      * count() equals the python-model live set
+      * search_auto never raises and never serves a non-live id
+        (deleted ids stay gone through segments, masks, folds, recovery)
+      * the exact scan finds a live point probed by its own vector
+      * a non-exact route implies the routed index actually serves
+
+    This is the interaction net the per-feature tests can't weave: folds
+    racing coverage, refreshes over masked segments, empty states, index
+    drops on the all-deleted fold."""
+    import random
+
+    from vector_database_spark import catalog as cat_mod
+    from vector_database_spark.catalog import Catalog
+
+    monkeypatch.setattr(cat_mod, "AUTO_COMPACT_MIN_BATCHES", 3)
+    rng = random.Random(42)
+    cat = Catalog(spark, str(tmp_path / "cat_randlife"))
+    col = cat.create_collection("rl", dim=6)
+    model: dict[int, int] = {}  # id -> revision
+
+    def vec(i, rev):
+        return [
+            ((i * 977 + j * 131 + rev * 7919) % 1009) / 504.0 - 1.0 + (2.0 if j == 0 else 0.0)
+            for j in range(6)
+        ]
+
+    def pts(pairs):
+        return spark.createDataFrame(
+            [(i, vec(i, r), {"rev": str(r)}) for i, r in pairs],
+            "id long, embedding array<float>, payload map<string,string>",
+        )
+
+    next_id = 0
+
+    def op_upsert():
+        nonlocal next_id
+        fresh = [(next_id + k, 0) for k in range(rng.randint(3, 12))]
+        next_id += len(fresh)
+        updates = [
+            (i, model[i] + 1)
+            for i in rng.sample(sorted(model), min(len(model), rng.randint(0, 6)))
+        ]
+        batch = fresh + updates
+        col.upsert(pts(batch))
+        model.update(dict(batch))
+
+    def op_delete():
+        if not model:
+            return
+        doomed = rng.sample(sorted(model), rng.randint(1, max(1, len(model) // 3)))
+        col.delete(point_ids=doomed)
+        for i in doomed:
+            model.pop(i)
+
+    def op_build():
+        if not model:
+            return
+        kind = rng.choice(["lsh", "ivf"])
+        if kind == "lsh":
+            col.build_lsh_index(bits=6, tables=2)
+        else:
+            col.build_ivf_index(n_centroids=4)
+
+    def op_refresh():
+        for kind in ("lsh", "ivf"):
+            try:
+                getattr(col, f"refresh_{kind}_index")()
+            except ValueError:
+                pass  # no index / legacy / folded — legitimate refusals
+
+    def op_compact():
+        col.compact()
+
+    def op_optimize():
+        col.optimize()
+
+    ops = [op_upsert, op_upsert, op_upsert, op_delete, op_delete,
+           op_build, op_refresh, op_compact, op_optimize]
+    op_upsert()  # seed some data
+    for step in range(24):
+        op = rng.choice(ops)
+        op()
+        # ---- invariants, every step --------------------------------------
+        assert col.count() == len(model), f"step {step}: count drift after {op.__name__}"
+        probe = vec(rng.randint(0, max(next_id - 1, 0)), 0)
+        got = [r["id"] for r in col.search_auto(probe, limit=5).collect()]
+        not_live = [i for i in got if i not in model]
+        assert not not_live, (
+            f"step {step}: search_auto served non-live ids {not_live} "
+            f"via route {col.route_for_search()} after {op.__name__}"
+        )
+        if model:
+            pick = rng.choice(sorted(model))
+            top = [
+                r["id"]
+                for r in col.search(vec(pick, model[pick]), limit=1).collect()
+            ]
+            assert top == [pick], f"step {step}: exact scan lost id {pick}"
+        route = col.route_for_search()
+        if route != "exact":
+            served = getattr(col, f"search_{route}")(probe, limit=3).collect()
+            assert all(r["id"] in model for r in served)

@@ -2519,6 +2519,45 @@ def q_knn_ivfpq_auto(spark, sf_dir):
     )
 
 
+def q_knn_ivfpq_batch_full(spark, sf_dir):
+    """Second FULL-oracle batch-ANN entry (after q_knn_ivf_batch_full):
+    IVF+PQ batch search at ``nprobe = n_centroids`` (every cell's codes
+    scanned) with a shortlist wider than the corpus (every candidate
+    survives the ADC stage) and the cosine re-rank metric — provably
+    equal to exact batch k-NN, so the per-(query, cell) LUT-carrying
+    broadcast rows, the zip_with ADC fold, the shortlist window AND the
+    re-rank join all sit under q_knn_batch's DuckDB oracle. Between this
+    and the IVF variant, the two structurally distinct batch execution
+    shapes (plain equi-join re-rank vs ADC+LUT+shortlist) both get
+    driver-side hash checks; LSH/NSW batch forms stay rows-only (their
+    probe sets never provably cover the corpus)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, centroids = ann.ivf_index(emb, n_centroids=16)
+    books = ann.pq_train(emb)
+    codes = ann.pq_encode(
+        assigned.select("vec_id", "centroid_id", "embedding"),
+        books,
+        payload_cols=("centroid_id",),
+    )
+    qrows = (
+        emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding").collect()
+    )
+    queries = [(r.vec_id, list(r.embedding)) for r in qrows]
+    ranked = ann.ivfpq_knn_batch(
+        codes, centroids, books, emb, queries, k=4,
+        nprobe=16, shortlist=1_000_000, payload_cols=("label",),
+        rerank_metric="cosine",
+    ).filter(F.col("vec_id") != F.col("qid"))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        ranked.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .select("qid", "vec_id", "label", "score")
+    )
+
+
 def q_knn_ivf_batch_full(spark, sf_dir):
     """Batch-ANN plumbing under a FULL oracle (r8 directive 3): IVF batch
     search at ``nprobe = n_centroids`` scans every cell, so the result
@@ -6712,6 +6751,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_knn_ivf": q_knn_ivf,
     "q_knn_ivf_batch": q_knn_ivf_batch,
     "q_knn_ivf_batch_full": q_knn_ivf_batch_full,
+    "q_knn_ivfpq_batch_full": q_knn_ivfpq_batch_full,
     "q_knn_lsh_batch": q_knn_lsh_batch,
     "q_knn_nsw_batch": q_knn_nsw_batch,
     "q_knn_ivfpq_batch": q_knn_ivfpq_batch,
@@ -6934,8 +6974,9 @@ _DRIVER_CONFIRMED_R1_R2 = frozenset({
 # every name here HAS an oracle_sql() entry, so no driver sample slot can
 # read `no_oracle`.
 _R8_PRIORITY = (
-    # new in r8: FULL-oracle batch-ANN plumbing check (directive 3)
+    # new in r8: FULL-oracle batch-ANN plumbing checks (directive 3)
     "q_knn_ivf_batch_full",
+    "q_knn_ivfpq_batch_full",
     # latest driver sample = round 4
     "q_audio_features",
     "q_batch_ids",
@@ -7136,8 +7177,11 @@ ORACLES: dict[str, str] = {
     # heaps reproduce the global round6 tie-break exactly — r6 directive 4)
     "q_knn_twophase": _SQL_KNN_BATCH,
     # full-coverage IVF batch == exact batch k-NN (nprobe = n_centroids
-    # scans every cell), so the batch plumbing carries the same oracle
+    # scans every cell), so the batch plumbing carries the same oracle;
+    # same for IVF+PQ at full nprobe + corpus-wide shortlist + cosine
+    # re-rank (the ADC stage passes every candidate through)
     "q_knn_ivf_batch_full": _SQL_KNN_BATCH,
+    "q_knn_ivfpq_batch_full": _SQL_KNN_BATCH,
     # adaptive dispatch between the two plans above — same result contract
     "q_knn_auto": _SQL_KNN_BATCH,
     "q_hard_negatives": _SQL_HARD_NEGATIVES,
