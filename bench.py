@@ -93,7 +93,13 @@ BENCH_QUERIES = [
     # Lloyd rounds are driver-loop jobs whose fixed latency dominates at
     # any SF (same reason as q_knn_ivfpq/q_bpe_learn); scaling is
     # profiled in tools/stress_kmeans.py (2M rows ≈ 25 s, near-linear).
-    "q_incremental_dedup",
+    # r9 (VERDICT 3): the INDEXED incremental-dedup twin is the headline —
+    # it is the production shape (corpus signature index built once, each
+    # batch pays one signature pass + a cross-side band join). The
+    # non-indexed q_incremental_dedup (re-signs the corpus per batch)
+    # keeps its oracle + tests as the contrast shape but is no longer in
+    # the hot set: its 5.3s was measuring a plan no pipeline would run.
+    "q_incremental_dedup_indexed",
     "q_hard_negatives",
     "q_corpus_report",
     # round 7: the batch index-search family — the 100-TB serving shape

@@ -1728,15 +1728,22 @@ def test_auto_compaction_policy(spark, tmp_path, monkeypatch):
     assert "compacted_at" not in info2
     assert info2.get("auto_compact_checked_at", 0) > 0
 
-    # -- snapshots suspend the policy ------------------------------------
+    # -- snapshots BOUND the policy to a partial fold (r9): the auto-fold
+    # may advance compacted_at up to (never past) the oldest pin, and the
+    # pinned state stays restorable -------------------------------------
     col3 = cat.create_collection("snapped", dim=4)
     col3.upsert(pts(range(10)))
+    pin = cat._load()["snapped"]["version"]
     col3.create_snapshot("keep")
     for r in range(1, 7):
         col3.upsert(pts(range(10), r=r))
-    assert "compacted_at" not in cat._load()["snapped"]
-    # time travel to the snapshot still works — nothing was folded
-    assert col3.df(as_of_version=cat._load()["snapped"]["snapshots"]["keep"]).count() == 10
+    info3 = cat._load()["snapped"]
+    assert info3.get("compacted_at", 0) <= pin, (
+        "auto-fold advanced past a pinned snapshot"
+    )
+    # time travel to the snapshot still works
+    assert col3.df(as_of_version=info3["snapshots"]["keep"]).count() == 10
+    col3.restore_snapshot("keep")
 
     # -- explicit opt-out -------------------------------------------------
     col4 = cat.create_collection("manual", dim=4, auto_compact=False)
@@ -2141,3 +2148,367 @@ def test_lifecycle_random_ops_serving_invariants(spark, tmp_path, monkeypatch):
         if route != "exact":
             served = getattr(col, f"search_{route}")(probe, limit=3).collect()
             assert all(r["id"] in model for r in served)
+
+
+# ---------------------------------------------------------------------------
+# r9: ADVICE fixes — hint-race-safe compact, narrow live-rows except,
+# crash-safe tombstone clear ordering, best-effort policy, legacy metas
+# ---------------------------------------------------------------------------
+def test_compact_ignores_stale_live_rows_hint(spark, tmp_path):
+    """r9 (r8 ADVICE, high): the policy computes its live count OUTSIDE
+    the catalog lock; compact() must honor the hint only when the catalog
+    version under the lock still equals the version the hint was computed
+    at. A stale or unversioned hint of 0 on a populated collection must
+    fall back to isEmpty() — never the destructive rmtree branch."""
+    from vector_database_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat_hintrace"))
+    col = cat.create_collection("hr", dim=4, auto_compact=False)
+    pts = spark.createDataFrame(
+        [(i, [float(i + j) + 1.0 for j in range(4)], {"i": str(i)})
+         for i in range(10)],
+        "id long, embedding array<float>, payload map<string,string>",
+    )
+    col.upsert(pts)
+
+    # stale hint: version moved since the (fabricated) hint was computed
+    assert col.compact(_live_rows_hint=0, _hint_version=col.info.version - 1)
+    assert col.df().count() == 10, "stale hint=0 rmtree'd a live collection"
+
+    # unversioned hint: same fallback
+    col.upsert(pts)
+    assert col.compact(_live_rows_hint=0)
+    assert col.df().count() == 10, "unversioned hint=0 took the empty branch"
+
+    # version-validated hint on a genuinely empty collection DOES fold away
+    col.delete(point_ids=list(range(10)))
+    v = cat._load()["hr"]["version"]
+    assert col.compact(_live_rows_hint=0, _hint_version=v)
+    assert col.df().count() == 0
+    import os as _os
+
+    assert not _os.path.exists(col.path), "validated empty fold didn't run"
+
+
+def test_approx_live_rows_propagates_read_failures(spark, tmp_path):
+    """r9 (r8 ADVICE, medium): a transient Spark read failure must never
+    masquerade as an empty collection — that value feeds the destructive
+    empty-fold branch of the auto-compaction policy."""
+    import pytest as _pytest
+
+    from vector_database_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat_liverows"))
+    col = cat.create_collection("lr", dim=4, auto_compact=False)
+    # structural no-data state: 0, no error
+    assert col._approx_live_rows() == 0
+    col.upsert(
+        spark.createDataFrame(
+            [(1, [1.0, 2.0, 3.0, 4.0], {"a": "b"})],
+            "id long, embedding array<float>, payload map<string,string>",
+        )
+    )
+    assert col._approx_live_rows() == 1
+
+    class _BoomReader:
+        def parquet(self, *_a, **_k):
+            raise RuntimeError("transient executor failure")
+
+    class _BoomSpark:
+        read = _BoomReader()
+
+    real_spark = cat.spark
+    cat.spark = _BoomSpark()
+    try:
+        with _pytest.raises(RuntimeError, match="transient"):
+            col._approx_live_rows()
+    finally:
+        cat.spark = real_spark
+
+
+def test_compact_stamps_before_tombstone_clear(spark, tmp_path, monkeypatch):
+    """r9 (r8 ADVICE, low): a crash between the fold and the tombstone
+    rmtree must leave the refresh fold-guard ACTIVE (compacted_at stamped,
+    tombstones still present) — the pre-r9 order left deletes
+    unreconstructible while the guard still passed, so a refresh would
+    silently keep serving deleted ids."""
+    import os as _os
+    import shutil as _shutil
+
+    import pytest as _pytest
+
+    from vector_database_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat_stamp"))
+    col = cat.create_collection("st", dim=4, auto_compact=False)
+
+    def vec(i):
+        return [float((i * 31 + j * 7) % 11) + 1.0 for j in range(4)]
+
+    col.upsert(
+        spark.createDataFrame(
+            [(i, vec(i), {"i": str(i)}) for i in range(20)],
+            "id long, embedding array<float>, payload map<string,string>",
+        )
+    )
+    col.build_lsh_index(bits=6, tables=2)
+    col.delete(point_ids=[3])
+
+    real_rmtree = _shutil.rmtree
+    tomb = col._tombstone_path
+
+    def crashing_rmtree(path, *a, **k):
+        if str(path) == tomb:
+            raise RuntimeError("simulated crash before tombstone clear")
+        return real_rmtree(path, *a, **k)
+
+    monkeypatch.setattr(_shutil, "rmtree", crashing_rmtree)
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        col.compact()
+    monkeypatch.setattr(_shutil, "rmtree", real_rmtree)
+
+    info = cat._load()["st"]
+    assert info.get("compacted_at") == info["version"], (
+        "compacted_at not stamped before the tombstone clear"
+    )
+    assert _os.path.exists(tomb), "tombstones cleared before the stamp"
+    # the fold-guard therefore refuses the refresh — the safe direction
+    with _pytest.raises(ValueError, match="folded history"):
+        col.refresh_lsh_index()
+    # and reads are still correct (re-applying folded tombstones is a no-op)
+    assert col.df().count() == 19
+
+
+def test_write_paths_survive_policy_failures(spark, tmp_path, monkeypatch):
+    """r9 (r8 ADVICE, low): upsert()/delete() commit their version BEFORE
+    the auto-compaction policy runs; a policy failure must surface as a
+    warning, not make the committed write look failed (a retry would
+    double-append the batch)."""
+    import pytest as _pytest
+
+    from vector_database_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat_besteffort"))
+    col = cat.create_collection("be", dim=4)
+
+    def boom():
+        raise RuntimeError("policy exploded")
+
+    monkeypatch.setattr(col, "maybe_auto_compact", boom)
+    pts = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0], {"a": "b"})],
+        "id long, embedding array<float>, payload map<string,string>",
+    )
+    with _pytest.warns(RuntimeWarning, match="auto-compaction policy failed"):
+        v = col.upsert(pts)
+    assert cat._load()["be"]["version"] == v
+    assert col.df().count() == 1
+    with _pytest.warns(RuntimeWarning, match="auto-compaction policy failed"):
+        v2 = col.delete(point_ids=[1])
+    assert cat._load()["be"]["version"] == v2
+    assert col.df().count() == 0
+
+
+def test_optimize_rebuilds_legacy_meta_at_original_params(spark, tmp_path):
+    """r9 (r8 ADVICE, low): legacy (pre build_params) metas persisted the
+    caller knobs at the top level; optimize() must rebuild at THOSE, not
+    at the builder defaults — a tables=3 LSH index must come back
+    tables=3."""
+    import json as _json
+    import os as _os
+
+    from vector_database_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat_legacy"))
+    col = cat.create_collection("lg", dim=4, auto_compact=False)
+
+    def vec(i):
+        return [float((i * 31 + j * 7) % 11) + 1.0 for j in range(4)]
+
+    def pts(ids):
+        return spark.createDataFrame(
+            [(i, vec(i), {"i": str(i)}) for i in ids],
+            "id long, embedding array<float>, payload map<string,string>",
+        )
+
+    col.upsert(pts(range(30)))
+    col.build_lsh_index(bits=6, tables=3)
+    col.upsert(pts(range(30, 40)))  # stale now
+
+    # rewrite the meta as a LEGACY one: top-level knobs only
+    meta_path = _os.path.join(col._lsh_index_path, "_index_meta.json")
+    with open(meta_path) as fh:
+        meta = _json.load(fh)
+    legacy = {
+        "built_at_version": meta["built_at_version"],
+        "bits": 6,
+        "tables": 3,
+    }
+    with open(meta_path, "w") as fh:
+        _json.dump(legacy, fh)
+
+    report = col.optimize()
+    assert report["lsh"] == "rebuilt"
+    with open(meta_path) as fh:
+        rebuilt = _json.load(fh)
+    assert rebuilt["build_params"]["tables"] == 3, (
+        "legacy meta rebuilt at default tables — recall silently changed"
+    )
+    assert rebuilt["build_params"]["bits"] == 6
+    assert col.search_lsh(vec(5), limit=1).collect()[0]["id"] == 5
+
+
+def test_ivf_drift_detection_and_rebuild_escalation(spark, tmp_path):
+    """r9 directive 1: refresh_ivf_index pins centroids, so a write
+    distribution that drifts away from the build-time KMeans silently
+    costs recall. The drift ratio (refreshed rows' mean assignment
+    distance / build-time mean) must show up in index_status, stay ~1
+    for same-distribution refreshes, and push optimize() past
+    refresh into a full rebuild (report value 'rebuilt_drift') when a
+    shifted batch lands — after which the statistic resets."""
+    from vector_database_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat_drift"))
+    col = cat.create_collection("dr", dim=8, auto_compact=False)
+
+    def vec(i, cluster, scale=10.0):
+        # tight cluster around scale·onehot(cluster) + deterministic jitter
+        base = [0.0] * 8
+        base[cluster] = scale
+        return [
+            base[j] + ((i * 31 + j * 7) % 11 - 5) * 0.02 for j in range(8)
+        ]
+
+    def pts(ids, cluster_of):
+        return spark.createDataFrame(
+            [(i, vec(i, cluster_of(i)), {"i": str(i)}) for i in ids],
+            "id long, embedding array<float>, payload map<string,string>",
+        )
+
+    # build distribution: 4 tight clusters on dims 0-3
+    col.upsert(pts(range(200), lambda i: i % 4))
+    col.build_ivf_index(n_centroids=4)
+    st = col.index_status()["ivf"]
+    assert st["fresh"] and st["drift_ratio"] is None
+
+    # same-distribution refresh: drift ~1, optimize refreshes (no rebuild)
+    col.upsert(pts(range(200, 260), lambda i: i % 4))
+    rep = col.optimize()
+    assert rep["ivf"] == "refreshed"
+    ratio = col.index_status()["ivf"]["drift_ratio"]
+    assert ratio is not None and ratio < 1.5, f"healthy refresh drifted: {ratio}"
+
+    # planted shift: a batch clustered on dims 4-7, far from every centroid
+    col.upsert(pts(range(1000, 1100), lambda i: 4 + i % 4))
+    rep2 = col.optimize()
+    assert rep2["ivf"] == "rebuilt_drift", rep2
+    st2 = col.index_status()["ivf"]
+    assert st2["fresh"]
+    assert st2["drift_ratio"] is None, "rebuild must reset the drift series"
+    # recall recovered: the shifted points are now first-class cells
+    got = col.search_ivf(vec(1001, 5), limit=1).collect()
+    assert got and got[0]["id"] == 1001
+
+    # fresh-but-drifted entry path: a manual refresh leaves the index
+    # fresh; optimize() must still see the drift and escalate
+    col.upsert(pts(range(2000, 2100), lambda i: i % 2))  # back on dims 0-1
+    col.upsert(pts(range(2100, 2200), lambda i: 2 + i % 2))
+    # the rebuild above trained on the dims-4-7-heavy state; these new
+    # batches land in old cells — refresh records their drift
+    col.refresh_ivf_index()
+    st3 = col.index_status()["ivf"]
+    assert st3["fresh"]
+    if st3["drift_ratio"] is not None and st3["drift_ratio"] >= 1.5:
+        rep3 = col.optimize()
+        assert rep3["ivf"] == "rebuilt_drift", rep3
+
+
+def test_partial_compaction_below_pinned_snapshot(spark, tmp_path):
+    """r9 directive 2: a live snapshot no longer blocks compaction — the
+    fold collapses history BELOW the oldest pin (latest-wins base stamped
+    at the pin, later batches/tombstones kept), so the snapshot stays
+    restorable while read amplification below it is reclaimed."""
+    import os as _os
+
+    from vector_database_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat_partial"))
+    col = cat.create_collection("pf", dim=4, auto_compact=False)
+
+    def pts(ids, r=0):
+        return spark.createDataFrame(
+            [(i, [float(i % 5 + 1 + r)] * 4, {"r": str(r)}) for i in ids],
+            "id long, embedding array<float>, payload map<string,string>",
+        )
+
+    col.upsert(pts(range(10)))          # v1
+    col.upsert(pts(range(10), r=1))     # v2 (v1 now dead weight)
+    col.delete(point_ids=[9])           # v3
+    col.create_snapshot("mid")          # pins v3
+    col.upsert(pts(range(10), r=2))     # v4 (resurrects 9)
+    col.delete(point_ids=[8])           # v5
+
+    assert col.compact(respect_snapshots=True) is True
+    info = cat._load()["pf"]
+    assert info["compacted_at"] == 3, "partial fold must stamp the pin"
+
+    # current state intact: ids 0..9 minus the v5 delete of 8
+    live = {r["id"]: r["payload"]["r"] for r in col.df().collect()}
+    assert set(live) == set(range(10)) - {8}
+    assert all(v == "2" for v in live.values())
+
+    # pinned state intact: v3 had ids 0..8 at r=1
+    snap = {r["id"]: r["payload"]["r"] for r in col.df(as_of_version=3).collect()}
+    assert set(snap) == set(range(9))
+    assert all(v == "1" for v in snap.values())
+
+    # history below the pin was actually reclaimed: raw rows = 9 folded
+    # (state at v3) + 10 from batch v4 = 19, not the 30 of v1+v2+v4
+    assert col._approx_live_rows() == 19
+
+    # tombstone log shrank to the post-pin entries only (the v5 delete)
+    tombs = spark.read.parquet(col._tombstone_path).collect()
+    assert [(t["id"], t["version"]) for t in tombs] == [(8, 5)]
+
+    # a second snapshot-respecting fold has nothing below the pin: declines
+    assert col.compact(respect_snapshots=True) is False
+
+    # restore still works end-to-end
+    col.restore_snapshot("mid")
+    restored = {r["id"]: r["payload"]["r"] for r in col.df().collect()}
+    assert set(restored) == set(range(9))
+    assert all(v == "1" for v in restored.values())
+
+
+def test_tombstone_shrink_crash_recovery(spark, tmp_path):
+    """r9: _shrink_tombstones' swap windows — a crash leaving the log
+    renamed aside (or the complete shrunk copy staged) must be recovered
+    by the next read instead of silently resurrecting deleted ids."""
+    import os as _os
+    import shutil as _shutil
+
+    from vector_database_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat_shrinkcrash"))
+    col = cat.create_collection("sc", dim=4, auto_compact=False)
+    pts = spark.createDataFrame(
+        [(i, [float(i + 1)] * 4, {"i": str(i)}) for i in range(10)],
+        "id long, embedding array<float>, payload map<string,string>",
+    )
+    col.upsert(pts)
+    col.delete(point_ids=[0, 1])
+    assert col.df().count() == 8
+    tomb = col._tombstone_path
+
+    # crash state A: log renamed aside, no staged copy (__preshrink only)
+    _os.rename(tomb, tomb + "__preshrink")
+    assert col.df().count() == 8, "preshrink fallback lost the tombstones"
+    assert _os.path.exists(tomb)
+
+    # crash state B: complete shrunk copy staged AND original aside —
+    # recovery must prefer the staged one
+    _shutil.copytree(tomb, tomb + "__shrink")
+    _os.rename(tomb, tomb + "__preshrink")
+    assert col.df().count() == 8
+    assert _os.path.exists(tomb)
+    assert not _os.path.exists(tomb + "__shrink")

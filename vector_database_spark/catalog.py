@@ -20,8 +20,10 @@ replace on a real deployment; the logic is isolated in :meth:`upsert`.
 from __future__ import annotations
 
 import contextlib
+import inspect
 import json
 import os
+import warnings
 from dataclasses import dataclass
 
 # module-level on purpose: pandas_udf type hints resolve against the
@@ -30,6 +32,7 @@ from dataclasses import dataclass
 # operators/ann.py::with_lsh_signature)
 import pandas as pd  # noqa: E402
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -71,6 +74,62 @@ ALIASES_KEY = "__aliases__"
 # and create_collection(auto_compact=False) opts out entirely.
 AUTO_COMPACT_MIN_BATCHES = 32
 AUTO_COMPACT_MIN_AMPLIFICATION = 2.0
+
+# IVF centroid-drift escalation (r9): refresh_ivf_index assigns delta rows
+# to the PINNED centroids — correct for results (masking handles
+# supersedes) but recall degrades when the write distribution drifts away
+# from what KMeans saw at build time (points land in cells whose centroid
+# is far from them, so query-time probe ranking stops finding them within
+# nprobe). The drift statistic is the rows-weighted mean distance of all
+# refreshed rows to their assigned centroid, over the SAME statistic
+# measured on the build-time assignment (a pure ratio — dimension- and
+# scale-free). optimize() escalates refresh -> full rebuild once the ratio
+# crosses this threshold; 1.5 = refreshed rows sit half again as far from
+# their cells as the build distribution did, the point where the
+# recall-vs-rebuild-cost trade flips (measured on the planted-shift
+# fixture in tests/test_catalog.py and STRESS.md).
+IVF_DRIFT_REBUILD_RATIO = 1.5
+
+
+def _ivf_drift_ratio(meta: dict) -> float | None:
+    """Centroid-drift ratio from a persisted IVF index meta: the
+    rows-weighted mean assignment distance across every refresh segment
+    since the last full build, over the build-time mean. None when
+    unmeasurable (legacy meta, no refreshes yet, or a degenerate
+    zero-distance build)."""
+    base = meta.get("build_mean_assign_dist")
+    stats = meta.get("refresh_stats") or []
+    if not base or base <= 0 or not stats:
+        return None
+    rows = sum(s["rows"] for s in stats)
+    if rows <= 0:
+        return None
+    wmean = sum(s["rows"] * s["mean_assign_dist"] for s in stats) / rows
+    return wmean / base
+
+
+def _dist_to_assigned_centroid(centroids):
+    """Arrow-batched ||e − c_assigned||₂ for rows already carrying a
+    centroid_id — the per-row term of the drift statistic. One gather +
+    one subtract per batch; numerically the plain form (not the expansion
+    trick) because each row touches exactly ONE centroid, so there is no
+    O(batch·k·dim) tensor to avoid."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("double")
+    def _dist(embs: pd.Series, cids: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        if not len(embs):
+            return pd.Series([], dtype="float64")
+        E = _np.stack([_np.asarray(v, dtype=_np.float64) for v in embs])
+        Cc = C[cids.to_numpy(dtype="int64")]
+        return pd.Series(_np.sqrt(((E - Cc) ** 2).sum(axis=1)))
+
+    return _dist
 
 
 def collection_schema(payload_type: T.DataType | None = None) -> T.StructType:
@@ -347,6 +406,11 @@ class VectorCollection:
             raw = raw.filter(F.col("version") <= as_of_version)
         rows = latest_wins(raw, id_col="id", version_col="version")
         if not os.path.exists(self._tombstone_path):
+            # a partial fold's tombstone shrink that crashed mid-swap
+            # leaves the log renamed aside — recover instead of silently
+            # resurrecting deleted ids (r9)
+            self._recover_interrupted_tombstone_shrink()
+        if not os.path.exists(self._tombstone_path):
             return rows
         spark = self.catalog.spark
         tombs = spark.read.parquet(self._tombstone_path)
@@ -557,8 +621,19 @@ class VectorCollection:
             self.catalog._set_version(self.info.name, version)
         self.info.version = version
         # outside the lock: compact() re-acquires it, and the policy's
-        # occasional live count() must not serialize concurrent writers
-        self.maybe_auto_compact()
+        # occasional live count() must not serialize concurrent writers.
+        # Best-effort: the write above is COMMITTED — a failure in the
+        # housekeeping policy must not make it look failed (a retry would
+        # double-append the batch — r8 ADVICE). compact()/optimize() keep
+        # raising for callers who asked for the fold explicitly.
+        try:
+            self.maybe_auto_compact()
+        except Exception as ex:
+            warnings.warn(
+                f"auto-compaction policy failed after committed write "
+                f"v{version} of {self.info.name!r} (write is intact): {ex}",
+                RuntimeWarning,
+            )
         return version
 
     def delete(self, point_ids=None, payload_filter=None) -> int:
@@ -597,7 +672,16 @@ class VectorCollection:
             ).parquet(self._tombstone_path)
             self.catalog._set_version(self.info.name, version)
         self.info.version = version
-        self.maybe_auto_compact()
+        # best-effort, same contract as upsert(): the tombstone append is
+        # committed; policy failures must not fail the caller's delete
+        try:
+            self.maybe_auto_compact()
+        except Exception as ex:
+            warnings.warn(
+                f"auto-compaction policy failed after committed delete "
+                f"v{version} of {self.info.name!r} (delete is intact): {ex}",
+                RuntimeWarning,
+            )
         return version
 
     def set_payload(self, point_ids, payload: dict) -> int:
@@ -1065,13 +1149,14 @@ class VectorCollection:
         snaps = info.get("snapshots", {})
         # >= not >: restore_snapshot accepts pinned == compacted_at as
         # valid, so a snapshot pinned exactly at the last fold is a live
-        # restore point the next fold would destroy (r8 review). This is
-        # a fast-path pre-check; compact(respect_snapshots=True) repeats
-        # it UNDER the fold's lock, closing the race with a concurrent
-        # create_snapshot between here and the fold.
-        if any(v >= compacted_at for v in snaps.values()):
-            # auto-folding would invalidate a restore point the user
-            # explicitly created; snapshots suspend the policy
+        # restore point (r8 review). Pins no longer suspend the policy
+        # outright: compact(respect_snapshots=True) folds PARTIALLY up to
+        # the oldest live pin (r9 directive 2) — only a pin sitting AT the
+        # last fold leaves nothing to reclaim, so only that case declines
+        # here. This is a fast-path pre-check; the fold repeats it UNDER
+        # its lock, closing the race with a concurrent create_snapshot.
+        live_pins = [v for v in snaps.values() if v >= compacted_at]
+        if live_pins and min(live_pins) <= compacted_at:
             return False
         raw = self._approx_live_rows()  # footer metadata only
         if raw == 0:
@@ -1080,7 +1165,9 @@ class VectorCollection:
             # every read joins it, so fold it away too (r8 review 2)
             if self._tombstone_log_bytes() > 0:
                 return self.compact(
-                    respect_snapshots=True, _live_rows_hint=0
+                    respect_snapshots=True,
+                    _live_rows_hint=0,
+                    _hint_version=version,
                 )
             with self.catalog._lock():
                 cat = self.catalog._load()
@@ -1092,11 +1179,16 @@ class VectorCollection:
             # live == 0 is MAXIMUM amplification, not a no-op: every read
             # still scans the full dead log + tombstones until the fold
             # clears both (compact handles the empty fold — r8 review)
-            return self.compact(
-                respect_snapshots=True, _live_rows_hint=live
-            )
-        # declined on the ratio: amortize the count() by not
-        # re-evaluating for another MIN_BATCHES writes
+            if self.compact(
+                respect_snapshots=True,
+                _live_rows_hint=live,
+                _hint_version=version,
+            ):
+                return True
+            # declined UNDER the fold's lock (a pin landed at the fold
+            # point concurrently) — amortize like the ratio decline
+        # declined: amortize the count() by not re-evaluating for
+        # another MIN_BATCHES writes
         with self.catalog._lock():
             cat = self.catalog._load()
             cat[self.info.name]["auto_compact_checked_at"] = version
@@ -1117,22 +1209,43 @@ class VectorCollection:
         (maybe_auto_compact — snapshots and the opt-out are respected).
         Index work runs BEFORE the fold on purpose: refresh needs the
         intact log, and compact() mints no version, so refreshed indexes
-        stay fresh across it. Returns an action report:
-        ``{"compacted": bool, <kind>: "fresh"|"refreshed"|"rebuilt"}``."""
+        stay fresh across it.
+
+        IVF additionally carries the centroid-drift escalation (r9): when
+        the accumulated refresh drift ratio crosses
+        IVF_DRIFT_REBUILD_RATIO the refresh path (or even a nominally
+        fresh index) escalates to a full rebuild — pinned centroids that
+        no longer describe the write distribution cost recall that only a
+        KMeans retrain recovers. Returns an action report:
+        ``{"compacted": bool,
+        <kind>: "fresh"|"refreshed"|"rebuilt"|"rebuilt_drift"}``."""
         report: dict = {}
         status = self.index_status()
         for kind in self._INDEX_ROUTE_PRIORITY:
             st = status[kind]
             if not st["exists"]:
                 continue
+            drifted = (
+                kind == "ivf"
+                and st.get("drift_ratio") is not None
+                and st["drift_ratio"] >= IVF_DRIFT_REBUILD_RATIO
+            )
             if st["fresh"]:
-                report[kind] = "fresh"
-                continue
-            if kind in ("lsh", "ivf"):
+                if not drifted:
+                    report[kind] = "fresh"
+                    continue
+                # fresh but drifted: coverage is current, recall is not —
+                # fall through to the rebuild (r9 drift escalation)
+            elif kind in ("lsh", "ivf"):
                 try:
                     getattr(self, f"refresh_{kind}_index")()
-                    report[kind] = "refreshed"
-                    continue
+                    if kind == "ivf":
+                        # the refresh just recorded its segment's drift —
+                        # re-evaluate before declaring the index healthy
+                        drifted = self._ivf_drift_exceeded()
+                    if not drifted:
+                        report[kind] = "refreshed"
+                        continue
                 except ValueError:
                     pass  # folded history / legacy layout → rebuild
             meta_path = os.path.join(
@@ -1141,11 +1254,37 @@ class VectorCollection:
             params = {}
             if os.path.exists(meta_path):
                 with open(meta_path) as fh:
-                    params = json.load(fh).get("build_params", {})
+                    meta = json.load(fh)
+                if "build_params" in meta:
+                    params = meta["build_params"]
+                else:
+                    # legacy metas (pre-r8) persisted the caller knobs at
+                    # the TOP level (bits/tables for LSH, n_centroids for
+                    # IVF): rebuild at those, not at the builder defaults —
+                    # a tables=8 index must not silently come back as
+                    # tables=4 with different recall (r8 ADVICE). Intersect
+                    # with the builder signature so meta bookkeeping keys
+                    # (built_at_version, centroids, ...) never leak in.
+                    sig = inspect.signature(
+                        getattr(self, f"build_{kind}_index")
+                    )
+                    params = {
+                        k: meta[k] for k in sig.parameters if k in meta
+                    }
             getattr(self, f"build_{kind}_index")(**params)
-            report[kind] = "rebuilt"
+            report[kind] = "rebuilt_drift" if drifted else "rebuilt"
         report["compacted"] = self.maybe_auto_compact()
         return report
+
+    def _ivf_drift_exceeded(self) -> bool:
+        """True iff the persisted IVF meta's drift ratio crossed
+        IVF_DRIFT_REBUILD_RATIO (see _ivf_drift_ratio)."""
+        meta_path = os.path.join(self._ivf_index_path, "_index_meta.json")
+        if not os.path.exists(meta_path):
+            return False
+        with open(meta_path) as fh:
+            ratio = _ivf_drift_ratio(json.load(fh))
+        return ratio is not None and ratio >= IVF_DRIFT_REBUILD_RATIO
 
     def _require_points(self, op: str) -> None:
         """Fail fast with a clear error when an index build is attempted
@@ -1180,6 +1319,7 @@ class VectorCollection:
         self,
         respect_snapshots: bool = False,
         _live_rows_hint: int | None = None,
+        _hint_version: int | None = None,
     ) -> bool:
         """Fold the version history down to latest-wins minus tombstones
         (like Delta OPTIMIZE), preserving the bucketed layout and
@@ -1189,12 +1329,26 @@ class VectorCollection:
         the fold ran.
 
         ``respect_snapshots=True`` (the auto-compaction policy's mode)
-        re-checks for live restore points UNDER the fold's lock and
-        declines instead of destroying one — a manual compact() keeps
-        folding regardless (the documented trade, surfaced loudly at
-        restore time). ``_live_rows_hint`` lets the policy pass the live
+        re-checks for live restore points UNDER the fold's lock and folds
+        PARTIALLY instead of destroying one (r9 directive 2): versions up
+        to the oldest live pin collapse into a single latest-wins base
+        stamped at that pin, later batches and tombstones survive, and
+        ``compacted_at`` advances to the pin — every pinned snapshot stays
+        restorable while the history below it stops amplifying reads. It
+        declines (returns False) only when the oldest pin sits exactly at
+        the last fold. A manual compact() keeps full-folding regardless
+        (the documented trade, surfaced loudly at restore time). ``_live_rows_hint`` lets the policy pass the live
         count it just computed so the fold doesn't re-resolve the whole
-        collection a second time just to learn emptiness.
+        collection a second time just to learn emptiness — but the hint
+        was computed OUTSIDE this lock, so it is honored only when
+        ``_hint_version`` still equals the catalog version under the lock
+        (every state change mints a version under the same lock, so
+        version equality proves nothing moved). A stale or unversioned
+        hint falls back to ``current.isEmpty()`` — the destructive
+        empty branch can never fire off a hint a concurrent writer
+        invalidated, and the inverse staleness (concurrent
+        delete-to-empty behind a non-zero hint) can never write an
+        unreadable empty layout (r8 ADVICE).
 
         Runs under the catalog lock: a concurrent upsert/delete committed
         between the snapshot read and the overwrite (or tombstone rmtree)
@@ -1208,23 +1362,54 @@ class VectorCollection:
 
         with self.catalog._lock():
             self._recover_interrupted_fold()
+            self._recover_interrupted_tombstone_shrink()
+            info = self.catalog._load()[self.info.name]
+            fold_to: int | None = None  # None = full fold
             if respect_snapshots:
-                info = self.catalog._load()[self.info.name]
                 compacted_at = info.get("compacted_at", 0)
-                if any(
-                    v >= compacted_at
+                live_pins = [
+                    v
                     for v in info.get("snapshots", {}).values()
-                ):
-                    return False
-            current = self._resolved_df()
+                    if v >= compacted_at
+                ]
+                if live_pins:
+                    # PARTIAL fold (r9 directive 2): snapshots no longer
+                    # block compaction outright — history BELOW the oldest
+                    # live pin folds (versions <= fold_to collapse to one
+                    # latest-wins base stamped fold_to; batches and
+                    # tombstones above it survive untouched), so an
+                    # always-snapshotted collection's read amplification
+                    # is bounded by (1 + batches since the oldest pin)
+                    # instead of growing without bound.
+                    fold_to = min(live_pins)
+                    if fold_to <= compacted_at:
+                        # the oldest pin sits AT the last fold — nothing
+                        # below it left to reclaim
+                        return False
+            if fold_to is None:
+                current = self._resolved_df()
+            else:
+                folded = self._resolved_df(
+                    as_of_version=fold_to
+                ).withColumn("version", F.lit(fold_to).cast("long"))
+                later = self._raw_df().filter(F.col("version") > fold_to)
+                current = folded.unionByName(later)
             tmp = self.path + "__compact"
             old = self.path + "__prefold"
             shutil.rmtree(tmp, ignore_errors=True)
             shutil.rmtree(old, ignore_errors=True)
+            # the policy's hint counts CURRENT live rows — in partial mode
+            # "empty" must mean the whole union (a live count of 0 with a
+            # populated pinned snapshot must NOT take the destructive
+            # branch), so the hint applies to full folds only
+            hint_valid = (
+                fold_to is None
+                and _live_rows_hint is not None
+                and _hint_version is not None
+                and info["version"] == _hint_version
+            )
             empty = (
-                _live_rows_hint == 0
-                if _live_rows_hint is not None
-                else current.isEmpty()
+                _live_rows_hint == 0 if hint_valid else current.isEmpty()
             )
             if empty:
                 # all-deleted collection: the fold is "drop everything" —
@@ -1279,11 +1464,81 @@ class VectorCollection:
                     if not os.path.exists(self.path):
                         raise
                 shutil.rmtree(old, ignore_errors=True)
-            shutil.rmtree(self._tombstone_path, ignore_errors=True)
+            # stamp compacted_at BEFORE clearing/shrinking the tombstone
+            # log: a crash between the two then leaves tombstones present
+            # AND the refresh fold-guard active — both safe directions
+            # (leftover folded tombstones re-apply as no-ops). The pre-r9
+            # order (rmtree first) left a window where deletes were
+            # unreconstructible (no tombstone, no raw row) while
+            # covers >= compacted_at still passed, so a later
+            # refresh_lsh/ivf_index silently kept serving deleted ids
+            # (r8 ADVICE). A partial fold stamps fold_to: restores of the
+            # pinned snapshots stay valid, and the refresh fold-guard
+            # refuses exactly the coverage windows whose deltas the fold
+            # made unreconstructible (covers < fold_to).
             cat = self.catalog._load()
-            cat[self.info.name]["compacted_at"] = cat[self.info.name]["version"]
+            cat[self.info.name]["compacted_at"] = (
+                fold_to if fold_to is not None else cat[self.info.name]["version"]
+            )
             self.catalog._save(cat)
+            if fold_to is None or empty:
+                # full fold (or nothing live anywhere): every delete is
+                # folded into the data — the whole log is dead weight
+                shutil.rmtree(self._tombstone_path, ignore_errors=True)
+            else:
+                self._shrink_tombstones(fold_to)
         return True
+
+    def _shrink_tombstones(self, fold_to: int) -> None:
+        """Drop tombstones with version <= ``fold_to`` (their deletes are
+        folded into the data) by rewriting the log — the partial fold's
+        twin of the full fold's rmtree. Crash-safe: called AFTER
+        compacted_at is stamped, and the swap is write-complete-then-two-
+        renames with a recovery hook (_recover_interrupted_tombstone_
+        shrink), so every crash point leaves either the old log (a
+        read-correct superset) or the complete shrunk one."""
+        import shutil
+
+        if not os.path.exists(self._tombstone_path):
+            return
+        tmp = self._tombstone_path + "__shrink"
+        old = self._tombstone_path + "__preshrink"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        kept = self.catalog.spark.read.parquet(self._tombstone_path).filter(
+            F.col("version") > fold_to
+        )
+        if kept.isEmpty():
+            shutil.rmtree(self._tombstone_path, ignore_errors=True)
+            return
+        kept.write.parquet(tmp)
+        os.rename(self._tombstone_path, old)
+        try:
+            os.rename(tmp, self._tombstone_path)
+        except OSError:
+            if not os.path.exists(self._tombstone_path):
+                raise
+        shutil.rmtree(old, ignore_errors=True)
+
+    def _recover_interrupted_tombstone_shrink(self) -> None:
+        """Crash recovery for _shrink_tombstones' swap: a shrink that died
+        between its renames leaves the tombstone path missing with either
+        the complete shrunk log in ``__shrink`` (preferred — it was fully
+        written before any rename) or the original in ``__preshrink``.
+        Reads that skipped a missing tombstone dir would otherwise
+        silently resurrect deleted ids."""
+        if os.path.exists(self._tombstone_path):
+            return
+        tmp = self._tombstone_path + "__shrink"
+        old = self._tombstone_path + "__preshrink"
+        for cand in (tmp, old):
+            if os.path.isdir(cand):
+                try:
+                    os.rename(cand, self._tombstone_path)
+                except OSError:
+                    if not os.path.exists(self._tombstone_path):
+                        raise
+                return
 
     # -- query (SURVEY B1-B10) -----------------------------------------------
     def _approx_live_rows(self) -> int:
@@ -1291,10 +1546,19 @@ class VectorCollection:
         count across every version batch (parquet footer metadata — no
         column data is read, unlike count(), which resolves latest-wins).
         Superseded versions only shrink the live set, so as a dispatch
-        hint this errs exclusively toward the scale-safe branch."""
+        hint this errs exclusively toward the scale-safe branch.
+
+        Only the structural no-data states map to 0 (path absent, or
+        present but holding no readable parquet yet — AnalysisException
+        at plan time). Transient read/executor failures PROPAGATE: this
+        count feeds maybe_auto_compact's empty branch, and a swallowed
+        IO error masquerading as an empty collection would route a
+        populated collection into the destructive fold (r8 ADVICE)."""
+        if not os.path.exists(self.path):
+            return 0
         try:
             return self.catalog.spark.read.parquet(self.path).count()
-        except Exception:  # no data written yet
+        except AnalysisException:
             return 0
 
     def search_batch(
@@ -1480,6 +1744,22 @@ class VectorCollection:
         import shutil as _shutil
 
         _shutil.rmtree(self._ivf_mask_path, ignore_errors=True)
+        # build-time drift baseline (r9): mean distance of every indexed
+        # row to its assigned centroid. Computed off the just-written
+        # layout — one plain parquet scan, instead of re-executing the
+        # KMeans.transform lineage a third time.
+        dist = _dist_to_assigned_centroid(centroids)
+        build_mean = (
+            self.catalog.spark.read.parquet(self._ivf_index_path)
+            .select(
+                dist(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("centroid_id").cast("int"),
+                ).alias("d")
+            )
+            .agg(F.avg("d"))
+            .first()[0]
+        )
         with open(os.path.join(self._ivf_index_path, "_index_meta.json"), "w") as fh:
             json.dump(
                 {
@@ -1490,6 +1770,9 @@ class VectorCollection:
                     "next_seg": 1,
                     "build_params": {"n_centroids": n_centroids},
                     "centroids": [[float(x) for x in c] for c in centroids],
+                    # drift baseline; refresh_stats accumulates the same
+                    # statistic per refresh segment (see _ivf_drift_ratio)
+                    "build_mean_assign_dist": float(build_mean),
                 },
                 fh,
             )
@@ -1542,13 +1825,16 @@ class VectorCollection:
 
             from pyspark.sql.functions import pandas_udf
 
-            @pandas_udf("int")
-            def _assign(embs: pd.Series) -> pd.Series:
+            @pandas_udf("struct<cid:int,dist:double>")
+            def _assign(embs: pd.Series) -> pd.DataFrame:
                 import numpy as _np
                 import pandas as _pd
 
                 if not len(embs):
-                    return _pd.Series([], dtype="int32")
+                    return _pd.DataFrame(
+                        {"cid": _pd.Series([], dtype="int32"),
+                         "dist": _pd.Series([], dtype="float64")}
+                    )
                 E = _np.stack(
                     [_np.asarray(v, dtype=_np.float64) for v in embs]
                 )
@@ -1557,16 +1843,31 @@ class VectorCollection:
                     - 2.0 * (E @ centroids.T)
                     + c_sq[None, :]
                 )
-                return _pd.Series(d.argmin(axis=1).astype("int32"))
+                cid = d.argmin(axis=1).astype("int32")
+                # the winning distance doubles as the drift statistic's
+                # per-row term (max-with-0 before sqrt: the expansion can
+                # go epsilon-negative in fp for points at a centroid)
+                best = _np.sqrt(
+                    _np.maximum(d[_np.arange(len(cid)), cid], 0.0)
+                )
+                return _pd.DataFrame({"cid": cid, "dist": best})
 
-            return live.select(
+            assigned = live.select(
                 "id",
                 "embedding",
                 "payload",
                 F.lit(seg).alias("__seg"),
                 _assign(F.col("embedding").cast("array<double>")).alias(
-                    "centroid_id"
+                    "__a"
                 ),
+            )
+            return assigned.select(
+                "id",
+                "embedding",
+                "payload",
+                "__seg",
+                F.col("__a.cid").alias("centroid_id"),
+                F.col("__a.dist").alias("__assign_dist"),
             )
 
         return self._refresh_protocol(
@@ -1654,6 +1955,8 @@ class VectorCollection:
             .localCheckpoint(eager=True)
         )
         superseded = written
+        if not os.path.exists(self._tombstone_path):
+            self._recover_interrupted_tombstone_shrink()
         if os.path.exists(self._tombstone_path):
             deleted = (
                 spark.read.parquet(self._tombstone_path)
@@ -1666,7 +1969,20 @@ class VectorCollection:
 
         live = self._live_rows_of(written).localCheckpoint(eager=True)
         delta = build_delta(live, meta, seg)
-        n_delta = delta.count()
+        # a family that emits __assign_dist (IVF) gets its drift statistic
+        # folded into the SAME pass that counts the delta — no extra scan;
+        # the column is dropped before the segment write (it describes the
+        # refresh event, not the index rows)
+        mean_dist = None
+        if "__assign_dist" in delta.columns:
+            agg = delta.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.avg("__assign_dist").alias("d"),
+            ).first()
+            n_delta, mean_dist = int(agg["n"]), agg["d"]
+            delta = delta.drop("__assign_dist")
+        else:
+            n_delta = delta.count()
         if n_delta:
             self._commit_seg_files(
                 delta.repartition(*partition_by),
@@ -1691,6 +2007,16 @@ class VectorCollection:
             )
         meta["covers_version"] = current_version
         meta["next_seg"] = seg + 1
+        if mean_dist is not None:
+            # accumulate the drift statistic per refresh segment; a full
+            # rebuild rewrites the meta and resets the series
+            meta.setdefault("refresh_stats", []).append(
+                {
+                    "seg": seg,
+                    "rows": n_delta,
+                    "mean_assign_dist": float(mean_dist),
+                }
+            )
         with open(meta_path, "w") as fh:
             json.dump(meta, fh)
         return n_delta
@@ -2265,11 +2591,18 @@ class VectorCollection:
                 meta = json.load(fh)
             built = meta["built_at_version"]
             covers = meta.get("covers_version", built)
-            out[kind] = {
+            entry = {
                 "exists": True,
                 "built_at_version": built,
                 "fresh": covers == current,
             }
+            if kind == "ivf":
+                # centroid-drift ratio of everything refreshed since the
+                # last full build vs the build distribution (r9); None =
+                # unmeasurable (no refreshes yet / legacy meta). optimize()
+                # escalates refresh->rebuild past IVF_DRIFT_REBUILD_RATIO.
+                entry["drift_ratio"] = _ivf_drift_ratio(meta)
+            out[kind] = entry
         return out
 
     def route_for_search(self) -> str:
