@@ -123,6 +123,11 @@ BENCH_QUERIES = [
     "q_knn_ivf_auto",
     "q_knn_pq_auto",
     "q_knn_ivfpq_auto",
+    # r9 (VERDICT 8): full-auto NSW — auto bucket count (ceil(N/25k),
+    # the Lucene-segment model) on top of the auto beam; the canary for
+    # ann._auto_nsw_buckets like the four rows above are for their
+    # respective _auto_* formulas
+    "q_knn_nsw_auto",
 ]
 
 
@@ -286,6 +291,12 @@ def ann_recall(spark, sf_dir: str, k: int = 5, n_queries: int = 10) -> dict[str,
         for qid, qv in queries
     )
     out["q_knn_ivfpq_auto"] = round(hits / total, 3)
+
+    by_q = {}
+    for r in ann.nsw_knn(emb, queries, k=k, n_buckets=None, ef=None).collect():
+        by_q.setdefault(r["qid"], set()).add(r["vec_id"])
+    hits = sum(len(exact(qid, qv) & by_q.get(qid, set())) for qid, qv in queries)
+    out["q_knn_nsw_auto"] = round(hits / total, 3)
 
     codes.unpersist()
     codes_ivf.unpersist()
@@ -473,7 +484,9 @@ def main() -> None:
                            "since r7 — STRESS.md IVF curve)",
                     "pq": "8x16 codebooks, ADC shortlist-50, exact re-rank",
                     "nsw": "M=8, ef=auto: max(48, 2*sqrt(bucket_rows)) "
-                           "(scale-aware default, STRESS.md 1M curve)",
+                           "(scale-aware default, STRESS.md 1M curve); "
+                           "q_knn_nsw_auto adds n_buckets=None "
+                           "(ceil(N/25k) capped 4096 — r9)",
                     "batch": "q_knn_{ivf,lsh,nsw,ivfpq}_batch are row-identical "
                              "to their per-query operators (tests), so the "
                              "recall_at_5 entries above cover them",

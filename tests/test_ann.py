@@ -465,6 +465,8 @@ def test_bench_ann_recall_harness(spark):
         # r8 auto-default canaries: the same families at DERIVED points
         "q_knn_lsh_auto", "q_knn_ivf_auto", "q_knn_pq_auto",
         "q_knn_ivfpq_auto",
+        # r9: full-auto NSW (auto bucket count + auto beam)
+        "q_knn_nsw_auto",
     }
     for name, r in out.items():
         assert 0.0 < r <= 1.0, f"{name} recall {r} out of range"
@@ -674,3 +676,65 @@ def test_ivfpq_auto_shortlist_equals_explicit_pin(emb):
         ).collect()
     ]
     assert auto == pinned and len(auto) == 5
+
+
+def test_auto_nsw_buckets_rule():
+    # r9 (VERDICT 8): n_buckets=None derives ceil(N / 25k) capped 4096 —
+    # per-bucket build time and executor memory stay bounded as N grows;
+    # an explicit int pins the layout
+    from vector_database_spark.operators.ann import (
+        NSW_BUCKET_TARGET_ROWS,
+        NSW_MAX_BUCKETS,
+        _auto_nsw_buckets,
+    )
+
+    assert _auto_nsw_buckets(7, 10**9) == 7           # explicit pin wins
+    assert _auto_nsw_buckets(None, 0) == 1
+    assert _auto_nsw_buckets(None, 10_000) == 1
+    assert _auto_nsw_buckets(None, NSW_BUCKET_TARGET_ROWS + 1) == 2
+    assert _auto_nsw_buckets(None, 1_000_000) == 40
+    assert _auto_nsw_buckets(None, 10**12) == NSW_MAX_BUCKETS
+
+
+def test_nsw_auto_buckets_end_to_end(emb):
+    # full-auto NSW (the q_knn_nsw_auto canary path): auto bucket count +
+    # auto beam, same recall gate as the pinned operator at fixture scale
+    queries = _query_vecs(emb, n=8)
+    by_q = {}
+    for r in ann.nsw_knn(emb, queries, k=5, n_buckets=None, ef=None).collect():
+        by_q.setdefault(r["qid"], []).append(r["vec_id"])
+    hits = total = 0
+    for qid, qv in queries:
+        exact = set(_exact_ids(emb, qv, 5))
+        hits += len(exact & set(by_q.get(qid, [])))
+        total += 5
+    assert hits / total >= 0.9, f"auto-bucket NSW recall@5 = {hits / total}"
+
+
+def test_nsw_batched_beam_matches_exact_on_wide_beam(spark):
+    # the r9 array-pool beam kernel: with a beam covering the whole
+    # bucket, graph search must equal exact cosine top-k (the same
+    # contract the scalar kernel honored) — catches pool-merge or
+    # termination-bound regressions exactly
+    import numpy as np
+
+    # distinct vectors (period >> n): clusters of exact duplicates can
+    # legitimately disconnect an NSW graph — not what this test gates
+    rng_rows = [
+        (i, [((i * 97 + j * 131) % 1009 - 504) / 504.0 + 0.001 for j in range(16)])
+        for i in range(300)
+    ]
+    emb = spark.createDataFrame(rng_rows, "vec_id long, embedding array<float>")
+    X = np.array([r[1] for r in rng_rows])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    queries = [(qi, rng_rows[qi * 13][1]) for qi in range(6)]
+    got = ann.nsw_knn(
+        emb, queries, k=5, n_buckets=1, ef=600, payload_cols=()
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append(r["vec_id"])
+    for qi, qv in queries:
+        q = np.asarray(qv); q = q / np.linalg.norm(q)
+        exact = np.argsort(-(Xn @ q), kind="stable")[:5].tolist()
+        assert sorted(by_q[qi]) == sorted(exact), f"qid {qi}"

@@ -160,11 +160,19 @@ def main() -> None:
             "a <= 4096-row sample (constant). So at 100x the only parts of",
             "IVF/IVFPQ/LSH build that grow are the LINEAR passes (signature/",
             "assignment/encode + the partitioned shuffle write). NSW build is",
-            "the per-bucket python graph loop: rows/bucket is held constant",
-            "(buckets = N / 15,625), so build time grows ~linearly in N and",
-            "parallelizes to the executor count; the knob that caps it is",
-            "n_buckets (more, smaller graphs = faster build, more merge work",
-            "per query — the measured recall stays 1.0 on the uniform fixture).",
+            "the per-bucket graph loop: rows/bucket is held constant",
+            "(n_buckets=None auto-derives ceil(N/25k) since r9), so build",
+            "time grows ~linearly in N and parallelizes to the executor",
+            "count; the knob that caps it is n_buckets (more, smaller graphs",
+            "= faster build, more merge work per query — the measured recall",
+            "stays 1.0 on the uniform fixture). r9 vectorized the insert",
+            "kernel (numpy pool-beam, chunked inserts — ann._nsw_search_multi):",
+            "single-graph A/B 2.05x (200k: 279s -> 136s, recall 0.68 -> 0.71);",
+            "under 32 CONCURRENT bucket tasks the table above shows 1.8x at 1M",
+            "(84.0 -> 47.2s) and 1.55x at 4M (260.3 -> 168.1s) — the residual",
+            "is memory-bandwidth contention across the per-bucket gather/matmul",
+            "kernels, i.e. the loop is now bandwidth- not interpreter-bound",
+            "at full task parallelism.",
             "NSW and IVFPQ stay REBUILD-ONLY for maintenance: neighbor lists",
             "and codebooks are trained on the data, so deltas cannot be folded",
             "in without degrading the structure (LSH/IVF refresh incrementally",

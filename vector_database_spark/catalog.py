@@ -1614,12 +1614,18 @@ class VectorCollection:
         return self.path + "__nsw"
 
     def build_nsw_index(
-        self, n_buckets: int = 4, M: int = 8, ef_construction: int = 64
+        self, n_buckets: int | None = None, M: int = 8, ef_construction: int = 64
     ) -> None:
         """Materialize the per-bucket NSW graph index for the CURRENT live
         state (operators/ann.py::nsw_index_write) — the HNSW-class index a
         Qdrant server builds internally (compose.yaml:2-12), as an explicit
-        ingest-time step. The index pins the collection version it was
+        ingest-time step. ``n_buckets=None`` (the default since r9)
+        derives the bucket count from the live row count
+        (ann._auto_nsw_buckets — ~25k rows/bucket, the Lucene-segment
+        model) so per-bucket build time and executor memory stay bounded
+        as the collection grows; an explicit int pins the layout, and the
+        persisted caller intent means optimize()'s rebuilds re-derive at
+        the grown size. The index pins the collection version it was
         built from; searching after later writes raises until a rebuild
         (an honest staleness contract — Qdrant reindexes in the
         background, a batch engine does it on schedule). The pinned

@@ -2519,6 +2519,21 @@ def q_knn_ivfpq_auto(spark, sf_dir):
     )
 
 
+def q_knn_nsw_auto(spark, sf_dir):
+    """B8 auto canary (r9, VERDICT 8): FULL-auto NSW — ``n_buckets=None``
+    (ann._auto_nsw_buckets: ceil(N / 25k) capped, the Lucene-segment
+    model bounding per-bucket build time and memory) on top of the
+    auto beam (``ef=None``) q_knn_nsw already runs. An edit to the
+    bucket formula moves this driver-visible wall-time + recall row
+    instead of shifting the persisted-index default silently."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id").isin(0, 7, 11)).collect()
+    ]
+    return ann.nsw_knn(emb, queries, k=5, n_buckets=None, ef=None)
+
+
 def q_knn_ivfpq_batch_full(spark, sf_dir):
     """Second FULL-oracle batch-ANN entry (after q_knn_ivf_batch_full):
     IVF+PQ batch search at ``nprobe = n_centroids`` (every cell's codes
@@ -6771,6 +6786,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_knn_ivf_auto": q_knn_ivf_auto,
     "q_knn_pq_auto": q_knn_pq_auto,
     "q_knn_ivfpq_auto": q_knn_ivfpq_auto,
+    "q_knn_nsw_auto": q_knn_nsw_auto,
     "q_matryoshka": q_matryoshka,
     "q_knn_ivfpq": q_knn_ivfpq,
     "q_knn_twophase": q_knn_twophase,
