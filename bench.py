@@ -99,6 +99,10 @@ BENCH_QUERIES = [
     # non-indexed q_incremental_dedup (re-signs the corpus per batch)
     # keeps its oracle + tests as the contrast shape but is no longer in
     # the hot set: its 5.3s was measuring a plan no pipeline would run.
+    # Like the batch-ANN rows, this self-contained timing INCLUDES the
+    # one-time signature-index build+persist the production path
+    # amortizes — the build-vs-per-batch split is in STRESS.md
+    # "Incremental batch-vs-corpus dedup" (tools/stress_incremental.py).
     "q_incremental_dedup_indexed",
     "q_hard_negatives",
     "q_corpus_report",

@@ -2512,3 +2512,101 @@ def test_tombstone_shrink_crash_recovery(spark, tmp_path):
     assert col.df().count() == 8
     assert _os.path.exists(tomb)
     assert not _os.path.exists(tomb + "__shrink")
+
+
+def test_lsh_width_outgrown_escalates_rebuild(spark, tmp_path, monkeypatch):
+    """r9: an AUTO-width LSH layout the collection has outgrown
+    (_auto_lsh_bits(live) > pinned bits) must escalate optimize()'s
+    refresh to a rebuild at the re-derived width ('rebuilt_width');
+    explicitly pinned widths never escalate — the caller's choice
+    stands. The formula itself is unit-tested in test_ann.py; this
+    gates the MECHANISM via a monkeypatched derivation."""
+    from vector_database_spark import operators
+    from vector_database_spark.catalog import Catalog
+    from vector_database_spark.operators import ann as ann_mod
+
+    cat = Catalog(spark, str(tmp_path / "cat_width"))
+    col = cat.create_collection("wd", dim=4, auto_compact=False)
+
+    def vec(i):
+        return [float((i * 31 + j * 7) % 11) + 1.0 for j in range(4)]
+
+    def pts(ids):
+        return spark.createDataFrame(
+            [(i, vec(i), {"i": str(i)}) for i in ids],
+            "id long, embedding array<float>, payload map<string,string>",
+        )
+
+    col.upsert(pts(range(40)))
+    col.build_lsh_index(bits=None, tables=2)  # auto width → floor (6)
+    import json as _json
+    import os as _os
+
+    meta_path = _os.path.join(col._lsh_index_path, "_index_meta.json")
+    with open(meta_path) as fh:
+        built_bits = _json.load(fh)["bits"]
+
+    # grown collection: the derivation now picks a wider layout
+    col.upsert(pts(range(40, 60)))
+    monkeypatch.setattr(ann_mod, "_auto_lsh_bits", lambda n: built_bits + 2)
+    rep = col.optimize()
+    assert rep["lsh"] == "rebuilt_width", rep
+    with open(meta_path) as fh:
+        meta = _json.load(fh)
+    assert meta["bits"] == built_bits + 2
+    assert meta["build_params"]["bits"] is None  # intent stays auto
+    # vec() repeats with period 11, so top-1 is the lowest-id exact
+    # duplicate of vec(50) — same direction, id tie-break
+    top = col.search_lsh(vec(50), limit=1).collect()[0]
+    assert top["id"] % 11 == 50 % 11
+
+    # pinned width: never escalates, refresh suffices
+    col2 = cat.create_collection("wd2", dim=4, auto_compact=False)
+    col2.upsert(pts(range(40)))
+    col2.build_lsh_index(bits=6, tables=2)
+    col2.upsert(pts(range(40, 60)))
+    rep2 = col2.optimize()
+    assert rep2["lsh"] == "refreshed", rep2
+
+
+def test_delete_snapshot_releases_history_for_partial_fold(spark, tmp_path):
+    """r9: delete_snapshot (Qdrant delete_snapshot parity) removes the
+    pin, and with it its hold on the compaction policy — the next
+    snapshot-respecting fold reclaims the history the pin was guarding."""
+    import pytest as _pytest
+
+    from vector_database_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat_delsnap"))
+    col = cat.create_collection("ds", dim=4, auto_compact=False)
+
+    def pts(ids, r=0):
+        return spark.createDataFrame(
+            [(i, [float(i % 5 + 1 + r)] * 4, {"r": str(r)}) for i in ids],
+            "id long, embedding array<float>, payload map<string,string>",
+        )
+
+    col.upsert(pts(range(10)))           # v1
+    col.create_snapshot("old")           # pins v1
+    col.upsert(pts(range(10), r=1))      # v2
+    col.upsert(pts(range(10), r=2))      # v3
+
+    # pinned at v1: the respecting fold stops AT the pin (v1 is the first
+    # batch, so it reclaims nothing) and stamps compacted_at there; once
+    # stamped, further respecting folds decline — v2/v3 churn is pinned
+    assert col.compact(respect_snapshots=True) is True
+    assert cat._load()["ds"]["compacted_at"] == 1
+    assert col.compact(respect_snapshots=True) is False
+    assert col._approx_live_rows() == 30  # v2+v3 still guarded by the pin
+
+    with _pytest.raises(KeyError):
+        col.delete_snapshot("nope")
+    col.delete_snapshot("old")
+    assert "old" not in col.list_snapshots()
+
+    # pin gone: the respecting fold now folds the whole history
+    assert col.compact(respect_snapshots=True) is True
+    assert cat._load()["ds"]["compacted_at"] == 3
+    assert col._approx_live_rows() == 10  # v1+v2 dead rows reclaimed
+    live = {r["id"]: r["payload"]["r"] for r in col.df().collect()}
+    assert set(live) == set(range(10)) and all(v == "2" for v in live.values())

@@ -287,15 +287,18 @@ def test_bigram_lm_unigram_lookups_broadcast(spark, sf):
     assert p.count("BroadcastHashJoin") >= 2
 
 
-def test_char_entropy_single_partial_agg_no_join(spark, sf):
-    # per-char counts are map-side (length-replace trick, no histogram
-    # shuffle); the one remaining agg is two-phase, and there is no join
+def test_char_entropy_map_only_no_shuffle(spark, sf):
+    # r9 (VERDICT 6): ONE Arrow-batched pass per doc (Counter histogram
+    # folded to entropy inside the UDF) — map-only: no join, no exchange
+    # of any kind, no aggregate; the Python boundary is vectorized
+    # (ArrowEvalPython), never row-at-a-time (BatchEvalPython)
     from vector_database_spark.queries import q_char_entropy
 
     p = plan_of(q_char_entropy(spark, sf))
-    assert "partial_sum" in p
     assert "Join" not in p
-    assert p.count("Exchange hashpartitioning") == 1
+    assert "Exchange" not in p
+    assert "ArrowEvalPython" in p
+    assert "BatchEvalPython" not in p
 
 
 def test_score_threshold_is_takeordered(spark, sf):

@@ -105,6 +105,33 @@ def main() -> None:
         final_on = read_cost(col2, qv)
         raw_rows = col2._approx_live_rows()
 
+        # ---- phase 3 (r9 directive 2): pinned snapshot — the policy
+        # folds PARTIALLY up to the pin instead of suspending, so an
+        # always-snapshotted collection's amplification below the pin is
+        # reclaimed while the restore point stays valid ------------------
+        col3 = cat.create_collection("pinned", dim=DIM)
+        col3.upsert(synth_points(spark, 0, n))
+        for b in range(1, 4):  # churn BELOW the future pin
+            col3.upsert(synth_points(spark, 0, BATCH, bump=0.01 * b))
+        col3.create_snapshot("pin")
+        pin_v = cat._load()["pinned"]["snapshots"]["pin"]
+        pre_pin_cost = read_cost(col3, qv)
+        fired3 = None
+        for b in range(4, n_batches + 1):
+            col3.upsert(synth_points(spark, 0, BATCH, bump=0.01 * b))
+            info3 = cat._load()["pinned"]
+            if fired3 is None and info3.get("compacted_at"):
+                fired3 = b
+        assert fired3, "partial fold never fired with a pinned snapshot"
+        post_pin_cost = read_cost(col3, qv)
+        info3 = cat._load()["pinned"]
+        assert info3["compacted_at"] == pin_v, (
+            "partial fold must stamp exactly the pin"
+        )
+        # the pinned state is still fully restorable after the fold
+        assert col3.df(as_of_version=pin_v).count() == n
+        raw3 = col3._approx_live_rows()
+
         lines = [
             f"1M live points (32-d), {BATCH:,}-row UPDATE batches of existing",
             "ids (pure amplification — live set constant). Exact-search wall",
@@ -123,6 +150,15 @@ def main() -> None:
             f"batch {fired_at}, search immediately after: "
             f"{on_curve[0][1]:.2f}s; at end of run: {final_on:.2f}s with "
             f"the raw log held at {raw_rows:,} rows",
+            f"- pinned snapshot (r9): with a snapshot pinned after 3 churn "
+            f"batches, the policy now folds PARTIALLY up to the pin "
+            f"(fired on batch {fired3}, compacted_at == the pin); the "
+            f"750k dead rows below the pin were reclaimed (raw log "
+            f"{raw3:,} rows = live + pin-to-head batches only), search "
+            f"{pre_pin_cost:.2f}s at the pin -> {post_pin_cost:.2f}s at "
+            f"end of run, and the snapshot restores intact. Amplification "
+            f"is thus bounded by (1 + batches since the OLDEST pin) "
+            f"instead of unbounded.",
             "",
             "Read cost tracks RAW log rows (window + anti-join over every",
             "batch), so unbounded update/delete churn degrades reads without",
@@ -132,7 +168,8 @@ def main() -> None:
             "window. Append-only collections never trigger it (raw == live,",
             "a rewrite reclaims nothing). Trade recorded at the trigger:",
             "compaction forfeits time travel/snapshots older than the fold —",
-            "collections with live snapshots are skipped, and",
+            "collections with live snapshots fold only BELOW their oldest",
+            "pin (r9 partial folds; a pin AT the last fold suspends), and",
             "refresh_{lsh,ivf}_index across a fold refuses (the tombstones",
             "it needs are gone) and demands a rebuild.",
         ]

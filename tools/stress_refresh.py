@@ -138,6 +138,36 @@ def main() -> None:
         s_lsh_rebuilt = timed(lambda: col.search_lsh(qv, limit=K))
         s_ivf_rebuilt = timed(lambda: col.search_ivf(qv, limit=K))
 
+        # --- r9 directive 1: centroid drift -> optimize() escalation ----
+        # a write batch from a SHIFTED distribution (bump 3.0 moves every
+        # component ~1.5 cell-widths) refreshes into the pinned centroids,
+        # the drift statistic crosses IVF_DRIFT_REBUILD_RATIO, and
+        # optimize() escalates to a KMeans rebuild; recall of shifted
+        # queries is recorded through the drifted index and after.
+        shift_lo = n + half
+        col.upsert(synth_points(spark, shift_lo, shift_lo + delta, bump=3.0))
+        t0 = time.perf_counter()
+        col.refresh_ivf_index()
+        t_drift_refresh = time.perf_counter() - t0
+        drift_ratio = col.index_status()["ivf"]["drift_ratio"]
+        qrows = synth_points(spark, shift_lo + 1, shift_lo + 9, bump=3.0).collect()
+
+        def ivf_recall():
+            hits = 0
+            for r in qrows:
+                q2 = [float(x) for x in r["embedding"]]
+                exact_ids = {x["id"] for x in col.search(q2, limit=K).collect()}
+                got = {x["id"] for x in col.search_ivf(q2, limit=K).collect()}
+                hits += len(exact_ids & got)
+            return hits / (K * len(qrows))
+
+        rec_drifted = ivf_recall()
+        t0 = time.perf_counter()
+        report = col.optimize()
+        t_optimize = time.perf_counter() - t0
+        assert report["ivf"] == "rebuilt_drift", report
+        rec_recovered = ivf_recall()
+
         lines += [
             f"- build_lsh_index (auto bits): {t_lsh_build:.1f}s; "
             f"build_ivf_index (sqrt-N auto): {t_ivf_build:.1f}s",
@@ -157,17 +187,36 @@ def main() -> None:
             f"lsh {s_lsh_refreshed:.2f}s refreshed vs {s_lsh_rebuilt:.2f}s "
             f"rebuilt; ivf {s_ivf_refreshed:.2f}s vs {s_ivf_rebuilt:.2f}s "
             f"(mask join is a size-gated broadcast over the superseded ids)",
+            f"- centroid-drift escalation (r9): a {delta:,}-row SHIFTED batch "
+            f"refreshed in {t_drift_refresh:.1f}s with drift ratio "
+            f"**{drift_ratio:.1f}** (threshold 1.5); optimize() escalated "
+            f"refresh->rebuild ('rebuilt_drift', {t_optimize:.1f}s incl. the "
+            f"LSH refresh), shifted-query recall@5 {rec_drifted:.2f} through "
+            f"the drifted index -> **{rec_recovered:.2f}** after the retrain "
+            f"— on this fully-shifted fixture recall holds even drifted "
+            f"(the shifted region concentrates in the few cells probe-"
+            f"ranking visits first); what the escalation buys is the retrain "
+            f"that re-subdivides those degenerate giant cells (scan cost) "
+            f"and re-balances mixed-distribution neighborhoods. "
+            f"index_status()['ivf']['drift_ratio'] is the monitoring hook",
             "",
             "The refresh cost scales with the WRITE BATCH (delta hashing /",
             "assignment + one segment append + a mask append), not the",
             "corpus — the rebuild re-scans and re-shuffles all N rows every",
             "time. At 100x the corpus the ratio widens by ~100x for the same",
             "batch size. Caveats: pinned IVF centroids drift from a shifting",
-            "distribution (full-rebuild cadence still needed, like Qdrant's",
-            "optimizer); LSH hyperplanes never depended on the data, but the",
-            "layout WIDTH (bits) is pinned, so rebuild when _auto_lsh_bits(N)",
-            "outgrows it; the segment mask join adds one size-gated broadcast",
-            "per search until the next rebuild folds segments.",
+            "distribution — since r9 the drift is MEASURED (rows-weighted",
+            "mean assignment distance of refreshed segments / build-time",
+            "mean, persisted per segment) and optimize() escalates to a",
+            "KMeans rebuild past 1.5x, so the rebuild cadence is now",
+            "triggered by the data instead of guessed (the row above);",
+            "LSH hyperplanes never depended on the data, but the",
+            "layout WIDTH (bits) is pinned — since r9 optimize() checks",
+            "_auto_lsh_bits(live) against an auto-built layout and escalates",
+            "to 'rebuilt_width' when the collection outgrows it (pinned",
+            "widths stay the caller's choice); the segment mask join adds",
+            "one size-gated broadcast per search until the next rebuild",
+            "folds segments.",
         ]
         update_section("Incremental index refresh at 1M points (r8)", "\n".join(lines))
         print("STRESS.md updated")

@@ -1088,6 +1088,22 @@ class VectorCollection:
         """{snapshot_name: pinned_version} (Qdrant list_snapshots)."""
         return dict(self.catalog._load()[self.info.name].get("snapshots", {}))
 
+    def delete_snapshot(self, name: str) -> None:
+        """Drop a restore point (Qdrant delete_snapshot). Zero data moves
+        — the pin is removed from the catalog, and with it its hold on
+        the compaction policy: partial folds (r9) stop at the OLDEST live
+        pin, so deleting the oldest snapshot is exactly how an operator
+        releases the history below it for reclamation on the next
+        evaluation. Raises KeyError for unknown names (symmetric with
+        restore_snapshot)."""
+        with self.catalog._lock():
+            cat = self.catalog._load()
+            snaps = cat[self.info.name].get("snapshots", {})
+            if name not in snaps:
+                raise KeyError(f"no such snapshot: {name}")
+            del snaps[name]
+            self.catalog._save(cat)
+
     def restore_snapshot(self, name: str) -> int:
         """Roll the collection back to a snapshot's state (Qdrant
         recover_snapshot). The restore is itself just more log: ids live now
@@ -1216,9 +1232,11 @@ class VectorCollection:
         IVF_DRIFT_REBUILD_RATIO the refresh path (or even a nominally
         fresh index) escalates to a full rebuild — pinned centroids that
         no longer describe the write distribution cost recall that only a
-        KMeans retrain recovers. Returns an action report:
-        ``{"compacted": bool,
-        <kind>: "fresh"|"refreshed"|"rebuilt"|"rebuilt_drift"}``."""
+        KMeans retrain recovers. LSH carries the analogous width
+        escalation (r9): an auto-width layout the collection outgrew
+        (_lsh_width_outgrown) rebuilds at the re-derived bits. Returns an
+        action report: ``{"compacted": bool, <kind>:
+        "fresh"|"refreshed"|"rebuilt"|"rebuilt_drift"|"rebuilt_width"}``."""
         report: dict = {}
         status = self.index_status()
         for kind in self._INDEX_ROUTE_PRIORITY:
@@ -1230,12 +1248,18 @@ class VectorCollection:
                 and st.get("drift_ratio") is not None
                 and st["drift_ratio"] >= IVF_DRIFT_REBUILD_RATIO
             )
+            # LSH's staleness mode (r9): an auto-width layout the
+            # collection has OUTGROWN — bucket sizes scale N/2^bits, so a
+            # width chosen at build size degrades probe cost as N grows.
+            # Checked here (one footer count), not in index_status, which
+            # sits on the per-search routing path.
+            outgrown = kind == "lsh" and self._lsh_width_outgrown()
             if st["fresh"]:
-                if not drifted:
+                if not (drifted or outgrown):
                     report[kind] = "fresh"
                     continue
-                # fresh but drifted: coverage is current, recall is not —
-                # fall through to the rebuild (r9 drift escalation)
+                # fresh but drifted/outgrown: coverage is current, recall
+                # or probe cost is not — fall through to the rebuild
             elif kind in ("lsh", "ivf"):
                 try:
                     getattr(self, f"refresh_{kind}_index")()
@@ -1243,7 +1267,7 @@ class VectorCollection:
                         # the refresh just recorded its segment's drift —
                         # re-evaluate before declaring the index healthy
                         drifted = self._ivf_drift_exceeded()
-                    if not drifted:
+                    if not (drifted or outgrown):
                         report[kind] = "refreshed"
                         continue
                 except ValueError:
@@ -1272,9 +1296,36 @@ class VectorCollection:
                         k: meta[k] for k in sig.parameters if k in meta
                     }
             getattr(self, f"build_{kind}_index")(**params)
-            report[kind] = "rebuilt_drift" if drifted else "rebuilt"
+            report[kind] = (
+                "rebuilt_drift"
+                if drifted
+                else ("rebuilt_width" if outgrown else "rebuilt")
+            )
         report["compacted"] = self.maybe_auto_compact()
         return report
+
+    def _lsh_width_outgrown(self) -> bool:
+        """True iff the persisted LSH layout was built AUTO-width
+        (build_params bits=None) and the collection outgrew it —
+        ann._auto_lsh_bits(live rows) now derives more bits than the
+        layout has. The LSH parallel of IVF centroid drift: hyperplanes
+        never depended on the data, but bucket sizes grow as N/2^bits,
+        so a width chosen at build size degrades probe cost without
+        bound. Explicitly pinned widths (and legacy metas, whose intent
+        is unknowable) never escalate — the caller's choice stands."""
+        meta_path = os.path.join(self._lsh_index_path, "_index_meta.json")
+        if not os.path.exists(meta_path):
+            return False
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        bp = meta.get("build_params")
+        if bp is None or bp.get("bits") is not None:
+            return False
+        from vector_database_spark.operators import ann
+
+        return ann._auto_lsh_bits(self._approx_live_rows()) > int(
+            meta.get("bits", 0)
+        )
 
     def _ivf_drift_exceeded(self) -> bool:
         """True iff the persisted IVF meta's drift ratio crossed
