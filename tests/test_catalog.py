@@ -2610,3 +2610,135 @@ def test_delete_snapshot_releases_history_for_partial_fold(spark, tmp_path):
     assert col._approx_live_rows() == 10  # v1+v2 dead rows reclaimed
     live = {r["id"]: r["payload"]["r"] for r in col.df().collect()}
     assert set(live) == set(range(10)) and all(v == "2" for v in live.values())
+
+
+def test_lifecycle_random_ops_with_snapshots(spark, tmp_path, monkeypatch):
+    """r9 capstone: the r8 lifecycle net extended with SNAPSHOT ops —
+    create/restore/delete_snapshot interleaved with writes, deletes and
+    folds, with auto-compaction folding aggressively (now PARTIALLY
+    around live pins). Invariants at every step:
+
+      * count() equals the python-model live set
+      * every tracked snapshot whose pin survived the folds time-travels
+        to EXACTLY its recorded state (ids and revisions) — the partial
+        fold must never corrupt pinned history
+      * a restore rolls the live state back to the recorded model
+      * a snapshot folded away by a manual full compact() raises loudly
+        on restore (never a silent partial state)
+      * search_auto never serves a non-live id
+    """
+    import random
+
+    from vector_database_spark import catalog as cat_mod
+    from vector_database_spark.catalog import Catalog
+
+    monkeypatch.setattr(cat_mod, "AUTO_COMPACT_MIN_BATCHES", 3)
+    rng = random.Random(1337)
+    cat = Catalog(spark, str(tmp_path / "cat_snaplife"))
+    col = cat.create_collection("sl", dim=6)
+    model: dict[int, int] = {}
+    snaps: dict[str, tuple[int, dict[int, int]]] = {}  # name -> (pin, model)
+    n_snaps = 0
+
+    def vec(i, rev):
+        return [
+            ((i * 977 + j * 131 + rev * 7919) % 1009) / 504.0 - 1.0
+            + (2.0 if j == 0 else 0.0)
+            for j in range(6)
+        ]
+
+    def pts(pairs):
+        return spark.createDataFrame(
+            [(i, vec(i, r), {"rev": str(r)}) for i, r in pairs],
+            "id long, embedding array<float>, payload map<string,string>",
+        )
+
+    next_id = 0
+
+    def op_upsert():
+        nonlocal next_id
+        fresh = [(next_id + k, 0) for k in range(rng.randint(3, 10))]
+        next_id += len(fresh)
+        updates = [
+            (i, model[i] + 1)
+            for i in rng.sample(sorted(model), min(len(model), rng.randint(0, 5)))
+        ]
+        batch = fresh + updates
+        col.upsert(pts(batch))
+        model.update(dict(batch))
+
+    def op_delete():
+        if not model:
+            return
+        doomed = rng.sample(sorted(model), rng.randint(1, max(1, len(model) // 3)))
+        col.delete(point_ids=doomed)
+        for i in doomed:
+            model.pop(i)
+
+    def op_snapshot():
+        nonlocal n_snaps
+        if len(snaps) >= 3:
+            return
+        name = f"s{n_snaps}"
+        n_snaps += 1
+        col.create_snapshot(name)
+        snaps[name] = (cat._load()["sl"]["version"], dict(model))
+
+    def op_restore():
+        if not snaps:
+            return
+        name = rng.choice(sorted(snaps))
+        pin, snap_model = snaps[name]
+        compacted_at = cat._load()["sl"].get("compacted_at", 0)
+        if pin < compacted_at:
+            import pytest as _pytest
+
+            with _pytest.raises(ValueError, match="folded away"):
+                col.restore_snapshot(name)
+            del snaps[name]
+            return
+        col.restore_snapshot(name)
+        model.clear()
+        model.update(snap_model)
+
+    def op_delete_snapshot():
+        if not snaps:
+            return
+        name = rng.choice(sorted(snaps))
+        col.delete_snapshot(name)
+        del snaps[name]
+
+    def op_compact_respecting():
+        col.compact(respect_snapshots=True)
+
+    def op_compact_full():
+        col.compact()  # may fold pinned history — restore must then raise
+
+    ops = [op_upsert, op_upsert, op_upsert, op_delete, op_snapshot,
+           op_snapshot, op_restore, op_delete_snapshot,
+           op_compact_respecting, op_compact_full]
+    op_upsert()
+    for step in range(22):
+        op = rng.choice(ops)
+        op()
+        # ---- invariants ---------------------------------------------------
+        assert col.count() == len(model), (
+            f"step {step}: count drift after {op.__name__}"
+        )
+        compacted_at = cat._load()["sl"].get("compacted_at", 0)
+        for name, (pin, snap_model) in sorted(snaps.items()):
+            if pin < compacted_at:
+                continue  # folded away — restore raises, checked in op
+            seen = {
+                r["id"]: int(r["payload"]["rev"])
+                for r in col.df(as_of_version=pin).collect()
+            }
+            assert seen == snap_model, (
+                f"step {step}: snapshot {name} (pin v{pin}) corrupted "
+                f"after {op.__name__}"
+            )
+        probe = vec(rng.randint(0, max(next_id - 1, 0)), 0)
+        got = [r["id"] for r in col.search_auto(probe, limit=5).collect()]
+        assert all(i in model for i in got), (
+            f"step {step}: search_auto served non-live ids after {op.__name__}"
+        )
