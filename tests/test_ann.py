@@ -738,3 +738,70 @@ def test_nsw_batched_beam_matches_exact_on_wide_beam(spark):
         q = np.asarray(qv); q = q / np.linalg.norm(q)
         exact = np.argsort(-(Xn @ q), kind="stable")[:5].tolist()
         assert sorted(by_q[qi]) == sorted(exact), f"qid {qi}"
+
+
+def test_nsw_multi_beam_batch_independence():
+    """r9 kernel property (pure numpy, no Spark): a beam's result must be
+    INDEPENDENT of its batch composition — the same query searched alone,
+    in a small batch, or in a large mixed batch returns the identical
+    [(dist, node)] list (beams share only the epoch matrix, never state),
+    results are ascending, bounded by ef, and distances equal 1 − x·q
+    recomputed exactly."""
+    import numpy as np
+
+    from vector_database_spark.operators.ann import (
+        _adj_matrix,
+        _nsw_build,
+        _nsw_search_multi,
+    )
+
+    rng = np.random.default_rng(313)
+    X = rng.standard_normal((800, 24))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    adj = _nsw_build(X, M=6, ef=32)
+    A, deg = _adj_matrix(adj)
+    Q = rng.standard_normal((24, 24))
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+
+    solo = []
+    scratch = None
+    for qi in range(Q.shape[0]):
+        res, scratch = _nsw_search_multi(X, A, deg, Q[qi : qi + 1], 48, 0, scratch)
+        solo.append(res[0])
+    batched, _ = _nsw_search_multi(X, A, deg, Q, 48, 0, None)
+    for qi in range(Q.shape[0]):
+        assert batched[qi] == solo[qi], f"beam {qi} depends on batch shape"
+        ds = [d for d, _ in batched[qi]]
+        assert ds == sorted(ds) and len(ds) <= 48
+        for d, v in batched[qi]:
+            assert abs(d - (1.0 - float(X[v] @ Q[qi]))) < 1e-12
+
+    # split the batch at an odd boundary: same invariant
+    left, _ = _nsw_search_multi(X, A, deg, Q[:7], 48, 0, None)
+    right, _ = _nsw_search_multi(X, A, deg, Q[7:], 48, 0, None)
+    assert left + right == batched
+
+
+def test_nsw_multi_beam_full_coverage_equals_exact():
+    """With ef >= the whole (connected) graph, every beam's pool is the
+    complete reachable set — top-k must equal brute-force cosine top-k."""
+    import numpy as np
+
+    from vector_database_spark.operators.ann import (
+        _adj_matrix,
+        _nsw_build,
+        _nsw_search_multi,
+    )
+
+    rng = np.random.default_rng(77)
+    X = rng.standard_normal((250, 16))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    adj = _nsw_build(X, M=6, ef=32)
+    A, deg = _adj_matrix(adj)
+    Q = rng.standard_normal((10, 16))
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    res, _ = _nsw_search_multi(X, A, deg, Q, 600, 0, None)
+    for qi in range(10):
+        got = [v for _, v in res[qi][:5]]
+        exact = np.argsort(1.0 - X @ Q[qi], kind="stable")[:5].tolist()
+        assert got == exact, f"beam {qi}: {got} != {exact}"
