@@ -2742,3 +2742,103 @@ def test_lifecycle_random_ops_with_snapshots(spark, tmp_path, monkeypatch):
         assert all(i in model for i in got), (
             f"step {step}: search_auto served non-live ids after {op.__name__}"
         )
+
+
+def test_partial_fold_crash_sweep_every_fs_op(spark, tmp_path, monkeypatch):
+    """r9: inject a crash at EVERY python-level filesystem mutation
+    (os.rename / os.replace / shutil.rmtree under the catalog root)
+    during a snapshot-respecting PARTIAL fold — the newest, most
+    rename-heavy path (data swap + catalog stamp + tombstone shrink).
+    After each simulated crash the collection must read correctly (live
+    set AND pinned time travel — the recovery hooks fire on the next
+    read), and a retried fold completes and stays correct. Spark's own
+    parquet task commits are Java-side and atomic via staging dirs —
+    out of scope; the recovery hooks prefer COMPLETE directories,
+    which an interrupted Spark write never impersonates."""
+    import os as _os
+    import shutil as _shutil
+
+    from vector_database_spark.catalog import Catalog
+
+    def build_source(root):
+        cat = Catalog(spark, root)
+        col = cat.create_collection("cs", dim=4, auto_compact=False)
+
+        def pts(ids, r=0):
+            return spark.createDataFrame(
+                [(i, [float(i % 5 + 1 + r)] * 4, {"r": str(r)}) for i in ids],
+                "id long, embedding array<float>, payload map<string,string>",
+            )
+
+        col.upsert(pts(range(10)))          # v1
+        col.upsert(pts(range(10), r=1))     # v2
+        col.delete(point_ids=[9])           # v3
+        col.create_snapshot("pin")          # pins v3 (9 live rows, r=1)
+        col.upsert(pts(range(10), r=2))     # v4
+        col.delete(point_ids=[8])           # v5
+        return cat
+
+    src = str(tmp_path / "src")
+    build_source(src)
+
+    class Boom(RuntimeError):
+        pass
+
+    real_rename, real_replace, real_rmtree = _os.rename, _os.replace, _shutil.rmtree
+
+    def verify(cat, expect_compacted=None):
+        col = cat.collection("cs")
+        live = {r["id"]: r["payload"]["r"] for r in col.df().collect()}
+        assert set(live) == set(range(10)) - {8}
+        assert all(v == "2" for v in live.values())
+        snap = {r["id"]: r["payload"]["r"] for r in col.df(as_of_version=3).collect()}
+        assert set(snap) == set(range(9)) and all(v == "1" for v in snap.values())
+        if expect_compacted is not None:
+            assert cat._load()["cs"].get("compacted_at", 0) == expect_compacted
+
+    def run_with_crash(root, crash_at):
+        """Run the fold failing at the crash_at-th fs op under root;
+        returns ops seen (crash_at > ops => clean run)."""
+        seen = [0]
+
+        def guard(fn):
+            def wrapped(path, *a, **k):
+                if str(path).startswith(root):
+                    seen[0] += 1
+                    if seen[0] == crash_at:
+                        raise Boom(f"simulated crash at fs op {crash_at}")
+                return fn(path, *a, **k)
+
+            return wrapped
+
+        monkeypatch.setattr(_os, "rename", guard(real_rename))
+        monkeypatch.setattr(_os, "replace", guard(real_replace))
+        monkeypatch.setattr(_shutil, "rmtree", guard(real_rmtree))
+        try:
+            cat = Catalog(spark, root)
+            try:
+                cat.collection("cs").compact(respect_snapshots=True)
+            except Boom:
+                pass
+        finally:
+            monkeypatch.setattr(_os, "rename", real_rename)
+            monkeypatch.setattr(_os, "replace", real_replace)
+            monkeypatch.setattr(_shutil, "rmtree", real_rmtree)
+        return seen[0]
+
+    # dry run on a scratch copy to count the ops
+    scratch = str(tmp_path / "dry")
+    _shutil.copytree(src, scratch)
+    n_ops = run_with_crash(scratch, crash_at=10**9)
+    assert n_ops >= 6, f"expected a rename-heavy fold, saw {n_ops} fs ops"
+
+    for k in range(1, n_ops + 1):
+        root = str(tmp_path / f"crash{k}")
+        _shutil.copytree(src, root)
+        run_with_crash(root, crash_at=k)
+        cat = Catalog(spark, root)
+        verify(cat)  # reads correct straight through the crash state
+        # retry completes (or legitimately declines if the crash landed
+        # AFTER the stamp — the fold already happened) and stays correct
+        cat.collection("cs").compact(respect_snapshots=True)
+        verify(cat, expect_compacted=3)
