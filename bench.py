@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     # round 2c: substring dedup, Gopher rules, event analytics
     "q_substring_dedup",
     "q_gopher_rules",
+    # r9: DSIR hashed-n-gram importance weights (domain data selection)
+    "q_dsir_select",
     "q_funnel_steps",
     "q_scd2_intervals",
     "q_bigram_logprob",

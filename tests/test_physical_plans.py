@@ -506,3 +506,15 @@ def test_exact_neardup_pair_join_is_parallel(spark, sf):
 
     p = plan_of(q_neardup_embedding(spark, sf))
     assert "roundrobinpartitioning" in p.lower(), "pair join input not split"
+
+
+def test_dsir_select_bucket_table_broadcasts(spark, sf):
+    # r9: the DSIR bucket table is <= 8192 rows regardless of corpus size
+    # — it must reach the gram stream as a broadcast join, never a
+    # sort-merge shuffle; no python UDF anywhere in the plan
+    from vector_database_spark.queries import q_dsir_select
+
+    p = plan_of(q_dsir_select(spark, sf))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -3757,6 +3757,143 @@ FROM b
 """
 
 
+# DSIR-style data selection (r9): hashed n-gram importance weights
+_DSIR_BUCKETS = 8192
+_DSIR_SEED = 131
+_DSIR_TARGET_SOURCE = "src0"
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — public method): score
+    every raw-pool document by its hashed-n-gram importance log-weight
+    toward a target domain (here the docs with source='src0'). Features
+    are unigrams + bigrams hashed into 8192 buckets (portable md5 hash,
+    oracle-identical in DuckDB); each bucket's log-ratio uses add-one
+    smoothing, ln((ct+1)/(Nt+B)) − ln((cr+1)/(Nr+B)); a doc's weight is
+    the mean log-ratio over its grams, and selected = weight > 0 (more
+    target-like than pool-like). DSIR proper then samples ∝ exp(weight);
+    the deterministic weight + threshold IS the oracle-checkable core —
+    plug any sampler on top.
+
+    Scale shape: ONE shuffle builds the bucket table, which is ≤ B=8192
+    rows REGARDLESS of corpus size (map-side combine compresses the gram
+    stream before the exchange), then broadcasts onto the gram stream;
+    per-doc scoring is a partial agg on doc_id. The totals the smoothing
+    needs come from a global window OVER THE BUCKET TABLE (≤ 8192 rows —
+    bounded at any corpus size), not a separate agg branch that would
+    re-execute the gram pipeline a third time; the md5-hash gram stream
+    itself is round-robin parallelized (the sf fixtures are single-file
+    scans — knn.with_min_parallelism). No UDF anywhere; the gram arrays
+    are pinned before exploding (functions/text.py note). Determinism:
+    per-bucket log-ratio round6'd (ln of integer ratios — irrational),
+    DECIMAL(38,6) sum, micro6 mean."""
+    from vector_database_spark.operators.knn import with_min_parallelism
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokenize_ws(F.col("text"))
+    pinned = with_min_parallelism(
+        docs.select("doc_id", "source", "text")
+    ).select(
+        "doc_id",
+        (F.col("source") == _DSIR_TARGET_SOURCE).alias("is_target"),
+        computed_once(F.concat(toks, bigrams(toks))).alias("__g"),
+    )
+    grams = pinned.select(
+        "doc_id", "is_target", F.explode("__g").alias("gram")
+    )
+    bucketed = grams.select(
+        "doc_id",
+        "is_target",
+        F.pmod(
+            seeded_hash(F.col("gram"), _DSIR_SEED), F.lit(_DSIR_BUCKETS)
+        ).alias("b"),
+    )
+    counts = bucketed.groupBy("b").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("is_target"), 1).otherwise(0)).alias("cr"),
+    )
+    B = float(_DSIR_BUCKETS)
+    wall = Window.partitionBy()  # over the ≤8192-row bucket table only
+    lr = counts.select(
+        "b",
+        round6(
+            F.log(
+                (F.col("ct") + 1).cast("double")
+                / (F.sum("ct").over(wall).cast("double") + F.lit(B))
+            )
+            - F.log(
+                (F.col("cr") + 1).cast("double")
+                / (F.sum("cr").over(wall).cast("double") + F.lit(B))
+            )
+        ).alias("lr"),
+    )
+    per_doc = (
+        bucketed.filter(~F.col("is_target"))
+        .join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.col("lr").cast("decimal(38,6)")).cast("double").alias(
+                "slr"
+            ),
+        )
+    )
+    w = micro6(F.col("slr") / F.col("n_grams").cast("double"))
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        w.alias("dsir_weight_micro"),
+        (w > 0).alias("selected"),
+    )
+
+
+_SQL_DSIR_SELECT = f"""
+WITH t0 AS (
+  SELECT doc_id, source = '{_DSIR_TARGET_SOURCE}' AS is_target,
+         {_TOKS_SQL} AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, is_target,
+         unnest(list_concat(toks,
+           list_transform(range(len(toks) - 1),
+                          i -> toks[i + 1] || ' ' || toks[i + 2]))) AS gram
+  FROM t0
+),
+bk AS (
+  SELECT doc_id, is_target,
+         {seeded_hash_sql('gram', _DSIR_SEED)} % {_DSIR_BUCKETS} AS b
+  FROM g
+),
+c AS (
+  SELECT b,
+         sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+         sum(CASE WHEN NOT is_target THEN 1 ELSE 0 END) AS cr
+  FROM bk GROUP BY b
+),
+tt AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM c),
+lr AS (
+  SELECT b,
+         round(ln(CAST(ct + 1 AS DOUBLE) / (CAST(nt AS DOUBLE) + {_DSIR_BUCKETS}.0))
+             - ln(CAST(cr + 1 AS DOUBLE) / (CAST(nr AS DOUBLE) + {_DSIR_BUCKETS}.0)),
+               6) AS lr
+  FROM c, tt
+),
+d AS (
+  SELECT doc_id, count(*) AS n,
+         CAST(sum(CAST(lr AS DECIMAL(38,6))) AS DOUBLE) AS slr
+  FROM bk JOIN lr USING (b)
+  WHERE NOT is_target
+  GROUP BY doc_id
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_grams,
+       {_micro_sql('slr / CAST(n AS DOUBLE)')} AS dsir_weight_micro,
+       {_micro_sql('slr / CAST(n AS DOUBLE)')} > 0 AS selected
+FROM d
+"""
+
+
 # ---------------------------------------------------------------------------
 # round-2c: grouped search, recommend strategies, score fusion
 # ---------------------------------------------------------------------------
@@ -6821,6 +6958,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_scroll_ordered": q_scroll_ordered,
     "q_scrub_pii": q_scrub_pii,
     "q_repetition_ratio": q_repetition_ratio,
+    "q_dsir_select": q_dsir_select,
     "q_knn_groups": q_knn_groups,
     "q_recommend_best_score": q_recommend_best_score,
     "q_recommend_sum_scores": q_recommend_sum_scores,
@@ -6990,83 +7128,58 @@ _DRIVER_CONFIRMED_R1_R2 = frozenset({
     "q_doc_fingerprint", "q_minhash_signatures", "q_softmax_argmax",
 })
 
-# Round-8 priority (VERDICT r7 directive 2): this round's NEW oracled
-# query leads (it has never had a CORRECTNESS row), then every oracled
-# query whose LATEST driver sample is round 4 (the stalest confirmations
-# in the registry — 14 names, exactly the verdict's list), then the 47
-# whose latest sample is round 5, oldest-first within each group
-# (alphabetical — the rounds are the age signal, not the order within).
-# Computed from CORRECTNESS_r0{1..7}.json latest-round-per-name ∩ ORACLES;
-# every name here HAS an oracle_sql() entry, so no driver sample slot can
-# read `no_oracle`.
-_R8_PRIORITY = (
-    # new in r8: FULL-oracle batch-ANN plumbing checks (directive 3)
-    "q_knn_ivf_batch_full",
-    "q_knn_ivfpq_batch_full",
-    # latest driver sample = round 4
-    "q_audio_features",
-    "q_batch_ids",
-    "q_frame_sample",
-    "q_label_precision",
-    "q_multimodal_meta",
-    "q_resize_image",
-    "q_stateful_topk",
-    "q_stateful_totals",
-    "q_stream_event_window",
-    "q_stream_interval_join",
-    "q_truncate_ids",
-    "q_udaf_median",
-    "q_udtf_ngrams",
-    "q_zorder_key",
-    # latest driver sample = round 5
-    "q_base64_decode",
-    "q_base64_encode",
-    "q_bm25",
-    "q_cast_list",
-    "q_chunk_text",
-    "q_count_filtered",
-    "q_dbsf_fusion",
-    "q_decode_lookup",
-    "q_decontaminate",
-    "q_delete_points",
-    "q_discovery_search",
-    "q_distance_matrix",
-    "q_embedding_outliers",
-    "q_encode_lookup",
-    "q_facet_counts",
-    "q_flatten",
-    "q_geo_radius",
-    "q_hamming_knn",
-    "q_hybrid_rrf",
-    "q_interleave_sources",
-    "q_knn_groups",
-    "q_label_centroids",
-    "q_match_text",
-    "q_named_vectors",
-    "q_normalize_scale",
-    "q_pack_sequences",
-    "q_pipeline_e2e",
-    "q_quantize_binary",
-    "q_quantize_int8",
-    "q_recommend",
-    "q_recommend_best_score",
-    "q_repetition_ratio",
-    "q_retrieval_metrics",
-    "q_retrieval_metrics_window",
-    "q_sample_stratified",
-    "q_scroll",
-    "q_scroll_ordered",
-    "q_scrub_pii",
-    "q_simhash",
-    "q_simhash_pairs",
-    "q_softmax_argmax",
-    "q_sparse_dot",
-    "q_tfidf",
-    "q_tokenize_ws",
-    "q_unigram_logprob",
-    "q_vocab_build",
-    "q_winnow_fingerprint",
+# Round-9 priority (continuing the r7/r8 rotation discipline): the two
+# queries this round CHANGED lead — q_char_entropy (implementation
+# rewritten to the single-pass pandas-UDF histogram; its r7 confirmation
+# predates the rewrite) and q_incremental_dedup_indexed (promoted to the
+# bench headline) — then every oracled query whose LATEST driver sample
+# is round 5 (the stalest group, 13 names), then the round-6 group,
+# alphabetical within each. Computed from CORRECTNESS_r0{1..8}.json
+# latest-round-per-name ∩ ORACLES; every name here HAS an oracle_sql()
+# entry, so no driver sample slot can read `no_oracle`.
+_R9_PRIORITY = (
+    # brand-new oracled query this round (never had a CORRECTNESS row)
+    "q_dsir_select",
+    "q_char_entropy", "q_incremental_dedup_indexed", "q_sample_stratified",
+    "q_scroll", "q_scroll_ordered", "q_scrub_pii", "q_simhash",
+    "q_simhash_pairs", "q_softmax_argmax", "q_sparse_dot", "q_tfidf",
+    "q_tokenize_ws", "q_unigram_logprob", "q_vocab_build",
+    "q_winnow_fingerprint", "q_context_search", "q_dedup_clusters",
+    "q_dedup_exact", "q_dedup_minhash", "q_doc_fingerprint",
+    "q_event_window", "q_filter_dsl", "q_formula_boost", "q_funnel_steps",
+    "q_geo_bbox", "q_gopher_rules", "q_inst_parse", "q_join_enrich",
+    "q_json_extract", "q_knn_auto", "q_knn_manhattan", "q_knn_twophase",
+    "q_lang_id", "q_line_dedup", "q_mask_pad", "q_matryoshka",
+    "q_max_len_scan", "q_maxsim_multivector", "q_minhash_signatures",
+    "q_multivec_pool", "q_neardup_embedding", "q_ngram_jaccard",
+    "q_pad_frame", "q_perplexity_buckets", "q_prefetch_rerank",
+    "q_pricing_summary", "q_quality_score", "q_random_sample",
+    "q_recommend_sum_scores", "q_rescore_oversample", "q_salted_agg",
+    "q_session_window", "q_sessionize", "q_shard_export",
+    "q_simhash_pairs_compound", "q_split_train_val", "q_substring_dedup",
+    "q_temperature_mix", "q_text_stats", "q_token_count",
+    "q_too_long_filter", "q_topk_global",
 )
+
+# Round 8's driver sample (CORRECTNESS_r08.json, 50 green) — the freshest
+# external rows, so they rotate to the very back.
+_DRIVER_SAMPLED_R8 = frozenset({
+    "q_audio_features", "q_base64_decode", "q_base64_encode", "q_batch_ids",
+    "q_bm25", "q_cast_list", "q_chunk_text", "q_count_filtered",
+    "q_dbsf_fusion", "q_decode_lookup", "q_decontaminate", "q_delete_points",
+    "q_discovery_search", "q_distance_matrix", "q_embedding_outliers",
+    "q_encode_lookup", "q_facet_counts", "q_flatten", "q_frame_sample",
+    "q_geo_radius", "q_hamming_knn", "q_hybrid_rrf", "q_interleave_sources",
+    "q_knn_groups", "q_knn_ivf_batch_full", "q_knn_ivfpq_batch_full",
+    "q_label_centroids", "q_label_precision", "q_match_text",
+    "q_multimodal_meta", "q_named_vectors", "q_normalize_scale",
+    "q_pack_sequences", "q_pipeline_e2e", "q_quantize_binary",
+    "q_quantize_int8", "q_recommend", "q_recommend_best_score",
+    "q_repetition_ratio", "q_resize_image", "q_retrieval_metrics",
+    "q_retrieval_metrics_window", "q_stateful_topk", "q_stateful_totals",
+    "q_stream_event_window", "q_stream_interval_join", "q_truncate_ids",
+    "q_udaf_median", "q_udtf_ngrams", "q_zorder_key",
+})
 
 # Round 3 sampled 50 more (all green except q_loss_mask, whose array
 # serialization is fixed this round and which therefore stays in the
@@ -7175,11 +7288,13 @@ def _registry_rank(k: str) -> tuple[int, int]:
     # correct but useless (VERDICT r6 directive 3). The sort runs after
     # ORACLES is defined, below.
     if k not in ORACLES:
-        return (7, 0)
-    if k in _R8_PRIORITY:
-        return (0, _R8_PRIORITY.index(k))
+        return (8, 0)
+    if k in _R9_PRIORITY:
+        return (0, _R9_PRIORITY.index(k))
+    if k in _DRIVER_SAMPLED_R8:
+        return (7, 0)  # freshest external rows: very back
     if k in _DRIVER_SAMPLED_R7:
-        return (6, 0)  # freshest external rows: very back
+        return (6, 0)
     if k in _DRIVER_SAMPLED_R6:
         return (5, 0)
     if k in _DRIVER_SAMPLED_R5:
@@ -7290,6 +7405,7 @@ ORACLES: dict[str, str] = {
     "q_scroll_ordered": _SQL_SCROLL_ORDERED,
     "q_scrub_pii": _SQL_SCRUB_PII,
     "q_repetition_ratio": _SQL_REPETITION,
+    "q_dsir_select": _SQL_DSIR_SELECT,
     "q_knn_groups": _SQL_KNN_GROUPS,
     "q_recommend_best_score": _SQL_RECOMMEND_BEST_SCORE,
     "q_recommend_sum_scores": _SQL_RECOMMEND_SUM_SCORES,
