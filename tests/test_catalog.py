@@ -2842,3 +2842,57 @@ def test_partial_fold_crash_sweep_every_fs_op(spark, tmp_path, monkeypatch):
         # AFTER the stamp — the fold already happened) and stays correct
         cat.collection("cs").compact(respect_snapshots=True)
         verify(cat, expect_compacted=3)
+
+
+def test_ivf_cells_outgrown_escalates_rebuild(spark, tmp_path, monkeypatch):
+    """r9: an AUTO-sized IVF index whose collection has outgrown its
+    cell count (_auto_n_centroids(live) >= 2x built k) must escalate
+    optimize()'s refresh to a rebuild at the re-derived k — the growth
+    mode the drift ratio cannot see (same-distribution writes keep
+    drift ~1 while per-cell scan cost balloons). Pinned cell counts
+    never escalate."""
+    import json as _json
+    import os as _os
+
+    from vector_database_spark.catalog import Catalog
+    from vector_database_spark.operators import ann as ann_mod
+
+    cat = Catalog(spark, str(tmp_path / "cat_cells"))
+    col = cat.create_collection("cl", dim=4, auto_compact=False)
+
+    def vec(i):
+        # distinct per id (period 1009 >> n): KMeans can only produce as
+        # many centroids as there are distinct points
+        return [((i * 97 + j * 131) % 1009) / 504.0 + 0.01 for j in range(4)]
+
+    def pts(ids):
+        return spark.createDataFrame(
+            [(i, vec(i), {"i": str(i)}) for i in ids],
+            "id long, embedding array<float>, payload map<string,string>",
+        )
+
+    col.upsert(pts(range(60)))
+    col.build_ivf_index(n_centroids=None)  # auto → _auto_n_centroids(60)
+    meta_path = _os.path.join(col._ivf_index_path, "_index_meta.json")
+    with open(meta_path) as fh:
+        built_k = len(_json.load(fh)["centroids"])
+
+    # same-distribution growth: drift stays ~1, but the derivation now
+    # wants >= 2x the cells
+    col.upsert(pts(range(60, 100)))
+    monkeypatch.setattr(ann_mod, "_auto_n_centroids", lambda n: 2 * built_k)
+    rep = col.optimize()
+    assert rep["ivf"] == "rebuilt_width", rep
+    with open(meta_path) as fh:
+        meta = _json.load(fh)
+    assert len(meta["centroids"]) == 2 * built_k
+    assert meta["build_params"]["n_centroids"] is None  # intent stays auto
+    monkeypatch.undo()
+
+    # pinned cell count: refresh suffices, never escalates
+    col2 = cat.create_collection("cl2", dim=4, auto_compact=False)
+    col2.upsert(pts(range(60)))
+    col2.build_ivf_index(n_centroids=4)
+    col2.upsert(pts(range(60, 100)))
+    rep2 = col2.optimize()
+    assert rep2["ivf"] == "refreshed", rep2

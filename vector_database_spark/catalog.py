@@ -1232,10 +1232,14 @@ class VectorCollection:
         IVF_DRIFT_REBUILD_RATIO the refresh path (or even a nominally
         fresh index) escalates to a full rebuild — pinned centroids that
         no longer describe the write distribution cost recall that only a
-        KMeans retrain recovers. LSH carries the analogous width
-        escalation (r9): an auto-width layout the collection outgrew
-        (_lsh_width_outgrown) rebuilds at the re-derived bits. Returns an
-        action report: ``{"compacted": bool, <kind>:
+        KMeans retrain recovers. LSH and IVF carry the analogous
+        layout-outgrowth escalation (r9): an auto-sized layout the
+        collection outgrew — LSH bits below _auto_lsh_bits(live), IVF
+        cells at half _auto_n_centroids(live) — rebuilds at the
+        re-derived size ('rebuilt_width'); this is the growth mode the
+        drift ratio cannot see (same-distribution growth keeps drift ~1
+        while per-cell scan cost balloons). Returns an action report:
+        ``{"compacted": bool, <kind>:
         "fresh"|"refreshed"|"rebuilt"|"rebuilt_drift"|"rebuilt_width"}``."""
         report: dict = {}
         status = self.index_status()
@@ -1248,12 +1252,17 @@ class VectorCollection:
                 and st.get("drift_ratio") is not None
                 and st["drift_ratio"] >= IVF_DRIFT_REBUILD_RATIO
             )
-            # LSH's staleness mode (r9): an auto-width layout the
-            # collection has OUTGROWN — bucket sizes scale N/2^bits, so a
-            # width chosen at build size degrades probe cost as N grows.
-            # Checked here (one footer count), not in index_status, which
-            # sits on the per-search routing path.
-            outgrown = kind == "lsh" and self._lsh_width_outgrown()
+            # Layout-outgrowth staleness (r9): an auto-sized layout the
+            # collection has OUTGROWN — LSH bucket sizes scale N/2^bits
+            # and IVF cell sizes scale N/k, so a width/cell-count chosen
+            # at build size degrades probe cost as N grows (and for IVF
+            # the drift ratio can NOT catch it: same-distribution growth
+            # keeps the ratio ~1 while cells balloon). Checked here (one
+            # footer count), not in index_status, which sits on the
+            # per-search routing path.
+            outgrown = (kind == "lsh" and self._lsh_width_outgrown()) or (
+                kind == "ivf" and self._ivf_cells_outgrown()
+            )
             if st["fresh"]:
                 if not (drifted or outgrown):
                     report[kind] = "fresh"
@@ -1326,6 +1335,32 @@ class VectorCollection:
         return ann._auto_lsh_bits(self._approx_live_rows()) > int(
             meta.get("bits", 0)
         )
+
+    def _ivf_cells_outgrown(self) -> bool:
+        """True iff the persisted IVF index was built AUTO-sized
+        (build_params n_centroids=None) and the collection has outgrown
+        its cell count — _auto_n_centroids(live rows) now derives at
+        least 2× the built k. The 2× hysteresis (k ∝ √N, so it means N
+        grew ≥4×) keeps steady growth from thrashing rebuilds; pinned
+        cell counts and legacy metas never escalate. This is the growth
+        mode the drift ratio cannot see: same-distribution writes keep
+        refreshed rows as close to the pinned centroids as the build
+        was, while every cell's row count — and with it the scan cost of
+        each probe — balloons."""
+        meta_path = os.path.join(self._ivf_index_path, "_index_meta.json")
+        if not os.path.exists(meta_path):
+            return False
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        bp = meta.get("build_params")
+        if bp is None or bp.get("n_centroids") is not None:
+            return False
+        built_k = len(meta.get("centroids", []))
+        if built_k <= 0:
+            return False
+        from vector_database_spark.operators import ann
+
+        return ann._auto_n_centroids(self._approx_live_rows()) >= 2 * built_k
 
     def _ivf_drift_exceeded(self) -> bool:
         """True iff the persisted IVF meta's drift ratio crossed
