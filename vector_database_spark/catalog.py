@@ -1346,7 +1346,12 @@ class VectorCollection:
         mode the drift ratio cannot see: same-distribution writes keep
         refreshed rows as close to the pinned centroids as the build
         was, while every cell's row count — and with it the scan cost of
-        each probe — balloons."""
+        each probe — balloons. Sizing uses the raw footer count (an
+        upper bound on live rows): with auto-compaction bounding raw at
+        ~2× live, the √N derivation inflates ≤ √2 — under the 2×
+        hysteresis, so churn cannot thrash rebuilds; an opted-out,
+        never-folded collection may escalate early, which only re-trains
+        sooner than strictly needed."""
         meta_path = os.path.join(self._ivf_index_path, "_index_meta.json")
         if not os.path.exists(meta_path):
             return False
