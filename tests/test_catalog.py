@@ -2506,12 +2506,24 @@ def test_tombstone_shrink_crash_recovery(spark, tmp_path):
     assert _os.path.exists(tomb)
 
     # crash state B: complete shrunk copy staged AND original aside —
-    # recovery must prefer the staged one
+    # recovery must prefer the staged one AND delete the sibling aside
+    # (a zombie __preshrink would outlive a later full fold's rmtree of
+    # the live log and get resurrected as the log the fold destroyed)
     _shutil.copytree(tomb, tomb + "__shrink")
     _os.rename(tomb, tomb + "__preshrink")
     assert col.df().count() == 8
     assert _os.path.exists(tomb)
     assert not _os.path.exists(tomb + "__shrink")
+    assert not _os.path.exists(tomb + "__preshrink"), (
+        "sibling aside dir survived recovery — zombie tombstone log"
+    )
+    # and the zombie scenario end-to-end: full fold then a fresh read
+    # must NOT resurrect any aside copy
+    _shutil.copytree(tomb, tomb + "__preshrink")
+    col.compact()  # full fold clears the live log (and the asides)
+    assert col.df().count() == 8
+    assert not _os.path.exists(tomb), "full fold left a tombstone log"
+    assert not _os.path.exists(tomb + "__preshrink")
 
 
 def test_lsh_width_outgrown_escalates_rebuild(spark, tmp_path, monkeypatch):

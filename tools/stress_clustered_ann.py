@@ -174,11 +174,12 @@ def run_fixture(spark, name, X, labels, lines):
         f"| {name} | IVFPQ auto | {r_ivfpq:.2f} | cells as IVF | {time.time() - t0:.0f}s |"
     )
 
-    # --- NSW auto-ef --------------------------------------------------------
+    # --- NSW full-auto (bucket count AND beam derived) ----------------------
     t0 = time.time()
     qlist = [(qi, [float(x) for x in q]) for qi, q in enumerate(Q)]
+    n_buckets = ann._auto_nsw_buckets(None, n)
     got = ann.nsw_knn(
-        emb, qlist, k=K, n_buckets=8, ef=None, id_col="vec_id",
+        emb, qlist, k=K, n_buckets=None, ef=None, id_col="vec_id",
         emb_col="embedding", payload_cols=(),
     ).collect()
     by_q: dict[int, set] = {}
@@ -188,7 +189,7 @@ def run_fixture(spark, name, X, labels, lines):
         K * len(Q)
     )
     lines.append(
-        f"| {name} | NSW auto-ef (8 id-hash buckets) | {r_nsw:.2f} | "
+        f"| {name} | NSW full-auto ({n_buckets} id-hash buckets, auto ef) | {r_nsw:.2f} | "
         f"uniform by construction (id-hash) | {time.time() - t0:.0f}s |"
     )
     emb.unpersist()

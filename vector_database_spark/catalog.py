@@ -1234,9 +1234,11 @@ class VectorCollection:
         no longer describe the write distribution cost recall that only a
         KMeans retrain recovers. LSH and IVF carry the analogous
         layout-outgrowth escalation (r9): an auto-sized layout the
-        collection outgrew — LSH bits below _auto_lsh_bits(live), IVF
-        cells at half _auto_n_centroids(live) — rebuilds at the
-        re-derived size ('rebuilt_width'); this is the growth mode the
+        collection outgrew — LSH two bits under _auto_lsh_bits, IVF
+        cells at half _auto_n_centroids (both ≡ N grew ≥4×, hysteresis
+        absorbing the raw-count upper bound) — rebuilds at the
+        re-derived size ('rebuilt_width'), skipping the pointless
+        refresh whose segments the rebuild would discard; this is the growth mode the
         drift ratio cannot see (same-distribution growth keeps drift ~1
         while per-cell scan cost balloons). Returns an action report:
         ``{"compacted": bool, <kind>:
@@ -1269,14 +1271,18 @@ class VectorCollection:
                     continue
                 # fresh but drifted/outgrown: coverage is current, recall
                 # or probe cost is not — fall through to the rebuild
-            elif kind in ("lsh", "ivf"):
+            elif kind in ("lsh", "ivf") and not outgrown:
+                # outgrown skips the refresh entirely: its segments would
+                # be discarded by the rebuild two lines later, and a
+                # refresh pass is exactly the large-collection cost the
+                # escalation exists to respend on a retrain (r9 review)
                 try:
                     getattr(self, f"refresh_{kind}_index")()
                     if kind == "ivf":
                         # the refresh just recorded its segment's drift —
                         # re-evaluate before declaring the index healthy
                         drifted = self._ivf_drift_exceeded()
-                    if not (drifted or outgrown):
+                    if not drifted:
                         report[kind] = "refreshed"
                         continue
                 except ValueError:
@@ -1316,12 +1322,17 @@ class VectorCollection:
     def _lsh_width_outgrown(self) -> bool:
         """True iff the persisted LSH layout was built AUTO-width
         (build_params bits=None) and the collection outgrew it —
-        ann._auto_lsh_bits(live rows) now derives more bits than the
-        layout has. The LSH parallel of IVF centroid drift: hyperplanes
+        ann._auto_lsh_bits now derives at least TWO bits more than the
+        layout has. The LSH parallel of IVF cell outgrowth: hyperplanes
         never depended on the data, but bucket sizes grow as N/2^bits,
         so a width chosen at build size degrades probe cost without
-        bound. Explicitly pinned widths (and legacy metas, whose intent
-        is unknowable) never escalate — the caller's choice stands."""
+        bound. The +2 hysteresis mirrors the IVF check's 2× (bits are
+        log2, so it means N grew ≥4×) and absorbs the raw-footer-count
+        upper bound this sizes from: auto-compaction bounds raw at ~2×
+        live, i.e. ≤ +1 bit of inflation, so pure update churn can
+        never trigger a spurious full rebuild (r9 review). Explicitly
+        pinned widths (and legacy metas, whose intent is unknowable)
+        never escalate — the caller's choice stands."""
         meta_path = os.path.join(self._lsh_index_path, "_index_meta.json")
         if not os.path.exists(meta_path):
             return False
@@ -1332,8 +1343,8 @@ class VectorCollection:
             return False
         from vector_database_spark.operators import ann
 
-        return ann._auto_lsh_bits(self._approx_live_rows()) > int(
-            meta.get("bits", 0)
+        return ann._auto_lsh_bits(self._approx_live_rows()) >= (
+            int(meta.get("bits", 0)) + 2
         )
 
     def _ivf_cells_outgrown(self) -> bool:
@@ -1617,19 +1628,31 @@ class VectorCollection:
         the complete shrunk log in ``__shrink`` (preferred — it was fully
         written before any rename) or the original in ``__preshrink``.
         Reads that skipped a missing tombstone dir would otherwise
-        silently resurrect deleted ids."""
-        if os.path.exists(self._tombstone_path):
-            return
+        silently resurrect deleted ids.
+
+        After recovering one candidate the OTHER aside dir is deleted
+        (r9 review): a leftover ``__preshrink`` would outlive a LATER
+        full fold's rmtree of the live log and get zombie-recovered as
+        the tombstone log the fold intentionally destroyed — read-
+        correct (folded tombstones re-apply as no-ops) but re-joined on
+        every read forever."""
+        import shutil
+
         tmp = self._tombstone_path + "__shrink"
         old = self._tombstone_path + "__preshrink"
-        for cand in (tmp, old):
-            if os.path.isdir(cand):
-                try:
-                    os.rename(cand, self._tombstone_path)
-                except OSError:
-                    if not os.path.exists(self._tombstone_path):
-                        raise
-                return
+        if not os.path.exists(self._tombstone_path):
+            for cand in (tmp, old):
+                if os.path.isdir(cand):
+                    try:
+                        os.rename(cand, self._tombstone_path)
+                    except OSError:
+                        if not os.path.exists(self._tombstone_path):
+                            raise
+                    break
+            else:
+                return  # nothing to recover, nothing to clean
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
 
     # -- query (SURVEY B1-B10) -----------------------------------------------
     def _approx_live_rows(self) -> int:

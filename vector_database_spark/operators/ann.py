@@ -1121,6 +1121,15 @@ def _auto_nsw_buckets(n_buckets: int | None, n_rows: int) -> int:
     return min(max(1, math.ceil(n_rows / NSW_BUCKET_TARGET_ROWS)), NSW_MAX_BUCKETS)
 
 
+def _resolve_nsw_buckets(n_buckets: int | None, embeddings: DataFrame) -> int:
+    """_auto_nsw_buckets against a DataFrame: pays the (footer-cheap)
+    count ONLY when deriving — pinned callers never run a job. The one
+    place the count-if-None guard lives (r9 review)."""
+    if n_buckets is not None:
+        return n_buckets
+    return _auto_nsw_buckets(None, embeddings.count())
+
+
 def _auto_ef(ef: int | None, n_bucket: int) -> int:
     import math
 
@@ -1454,7 +1463,7 @@ def nsw_knn(
     # n_buckets=None: bucket count from the corpus size (one footer-cheap
     # count) so per-bucket build time and memory stay bounded — see
     # _auto_nsw_buckets; the q_knn_nsw_auto bench canary runs this path
-    n_buckets = _auto_nsw_buckets(n_buckets, embeddings.count() if n_buckets is None else 0)
+    n_buckets = _resolve_nsw_buckets(n_buckets, embeddings)
     qids, qmat = _normalize_queries(queries)
     pay = list(payload_cols)
 
@@ -1509,9 +1518,7 @@ def nsw_index_write(
         pdf["neighbors"] = [[int(ids[j]) for j in row] for row in adj]
         return pdf
 
-    n_buckets = _auto_nsw_buckets(
-        n_buckets, embeddings.count() if n_buckets is None else 0
-    )
+    n_buckets = _resolve_nsw_buckets(n_buckets, embeddings)
     bucketed = embeddings.select(
         id_col, emb_col, (F.pmod(F.xxhash64(F.col(id_col)), n_buckets)).alias("_b")
     )
