@@ -2526,6 +2526,128 @@ def test_tombstone_shrink_crash_recovery(spark, tmp_path):
     assert not _os.path.exists(tomb + "__preshrink")
 
 
+def test_write_paths_recover_crashed_swaps_before_appending(spark, tmp_path):
+    """r9 review: the append-side twins of the read-side recovery hooks.
+    (a) upsert into a fold-crashed collection (self.path missing, full
+    layout aside in __compact) must finish the swap FIRST — a plain
+    append would recreate the path holding only the new batch and
+    permanently orphan every pre-crash row. (b) delete into a
+    shrink-crashed tombstone log must likewise recover the aside log
+    before appending, or the pre-crash tombstones stop applying
+    (deleted ids resurrect) until a later fold zombie-recovers them."""
+    import os as _os
+
+    from vector_database_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat_writecrash"))
+    col = cat.create_collection("wc", dim=4, auto_compact=False)
+
+    def pts(ids):
+        return spark.createDataFrame(
+            [(i, [float(i + 1)] * 4, {"i": str(i)}) for i in ids],
+            "id long, embedding array<float>, payload map<string,string>",
+        )
+
+    col.upsert(pts(range(10)))
+    # (a) fold crash: data path renamed aside mid-swap
+    _os.rename(col.path, col.path + "__compact")
+    col.upsert(pts(range(100, 105)))
+    assert col.df().count() == 15, "upsert orphaned the crashed fold's rows"
+    assert not _os.path.exists(col.path + "__compact")
+
+    # (b) shrink crash: tombstone log renamed aside mid-swap
+    col.delete(point_ids=[0, 1])
+    assert col.df().count() == 13
+    tomb = col._tombstone_path
+    _os.rename(tomb, tomb + "__preshrink")
+    col.delete(point_ids=[100])
+    assert col.df().count() == 12, (
+        "delete recreated the tombstone log and resurrected ids 0/1"
+    )
+    assert not _os.path.exists(tomb + "__preshrink")
+
+
+def test_auto_compact_policy_cannot_destroy_fold_crashed_collection(
+    spark, tmp_path, monkeypatch
+):
+    """r9 review: _approx_live_rows must attempt fold recovery on the
+    missing-path branch. Without it the policy reads a fold-crashed (but
+    fully recoverable) collection as raw==0, and — because recovery
+    mints no catalog version — compact()'s hint-version guard passes,
+    firing the destructive empty branch on a populated collection."""
+    import os as _os
+
+    from vector_database_spark import catalog as cat_mod
+    from vector_database_spark.catalog import Catalog
+
+    monkeypatch.setattr(cat_mod, "AUTO_COMPACT_MIN_BATCHES", 1)
+    cat = Catalog(spark, str(tmp_path / "cat_foldcrash_policy"))
+    col = cat.create_collection("fp", dim=4)  # auto_compact ON
+    pts = spark.createDataFrame(
+        [(i, [float(i + 1)] * 4, {"i": str(i)}) for i in range(10)],
+        "id long, embedding array<float>, payload map<string,string>",
+    )
+    col.upsert(pts)
+    col.delete(point_ids=[0])  # a tombstone log, so raw==0 would fold
+    # fold crash state observed by the NEXT policy evaluation
+    _os.rename(col.path, col.path + "__compact")
+    assert col._approx_live_rows() > 0, (
+        "missing-path count did not recover the crashed fold"
+    )
+    assert _os.path.exists(col.path)
+    # end-to-end: another delete triggers the policy; data must survive
+    _os.rename(col.path, col.path + "__compact")
+    col.delete(point_ids=[1])
+    assert col.df().count() == 8, "policy destroyed a recoverable collection"
+
+
+def test_ivf_drift_escalation_requires_volume(spark, tmp_path):
+    """r9 review: the drift ratio weights refresh segments only against
+    each other, so ONE junk outlier row yields ratio >> threshold — and
+    since a rebuild resets the series, every later outlier would force
+    another full KMeans retrain. Escalation must wait for a non-trivial
+    refreshed volume (IVF_DRIFT_MIN_ROWS and 1% of build_rows); the
+    ratio itself stays visible in index_status for monitoring."""
+    from vector_database_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat_driftvol"))
+    col = cat.create_collection("dv", dim=8, auto_compact=False)
+
+    def vec(i, cluster, scale=10.0):
+        base = [0.0] * 8
+        base[cluster] = scale
+        return [
+            base[j] + ((i * 31 + j * 7) % 11 - 5) * 0.02 for j in range(8)
+        ]
+
+    def pts(rows):
+        return spark.createDataFrame(
+            [(i, v, {"i": str(i)}) for i, v in rows],
+            "id long, embedding array<float>, payload map<string,string>",
+        )
+
+    col.upsert(pts([(i, vec(i, i % 4)) for i in range(200)]))
+    col.build_ivf_index(n_centroids=4)
+
+    # one far outlier: enormous per-row drift, trivial volume
+    col.upsert(pts([(9999, [100.0] * 8)]))
+    rep = col.optimize()
+    assert rep["ivf"] == "refreshed", (
+        f"single outlier forced a rebuild: {rep}"
+    )
+    st = col.index_status()["ivf"]
+    assert st["drift_ratio"] is not None and st["drift_ratio"] >= 1.5, (
+        "monitoring ratio must stay visible below the volume floor"
+    )
+    assert st["drift_rows"] == 1
+
+    # a real shifted batch (>= 64 rows and >= 1% of build) escalates
+    col.upsert(pts([(i, vec(i, 4 + i % 4)) for i in range(1000, 1100)]))
+    rep2 = col.optimize()
+    assert rep2["ivf"] == "rebuilt_drift", rep2
+    assert col.index_status()["ivf"]["drift_ratio"] is None
+
+
 def test_lsh_width_outgrown_escalates_rebuild(spark, tmp_path, monkeypatch):
     """r9: an AUTO-width LSH layout the collection has outgrown
     (_auto_lsh_bits(live) > pinned bits) must escalate optimize()'s

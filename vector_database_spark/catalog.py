@@ -90,6 +90,19 @@ AUTO_COMPACT_MIN_AMPLIFICATION = 2.0
 # fixture in tests/test_catalog.py and STRESS.md).
 IVF_DRIFT_REBUILD_RATIO = 1.5
 
+# Volume floor under the escalation (r9 review): the drift ratio weights
+# refresh segments only against EACH OTHER, so one anomalous upserted row
+# (a junk embedding far from every centroid) yields ratio >> threshold at
+# rows=1 — and since a rebuild resets the stat series, every subsequent
+# outlier would re-trigger another full KMeans retrain of an arbitrarily
+# large collection. Escalation therefore also requires the refreshed
+# volume to be non-trivial: at least IVF_DRIFT_MIN_ROWS rows AND at least
+# IVF_DRIFT_MIN_FRACTION of the build-time row count. Below the floor the
+# ratio still shows in index_status (monitoring is unconditional); only
+# the rebuild trigger waits for evidence at scale.
+IVF_DRIFT_MIN_ROWS = 64
+IVF_DRIFT_MIN_FRACTION = 0.01
+
 
 def _ivf_drift_ratio(meta: dict) -> float | None:
     """Centroid-drift ratio from a persisted IVF index meta: the
@@ -106,6 +119,19 @@ def _ivf_drift_ratio(meta: dict) -> float | None:
         return None
     wmean = sum(s["rows"] * s["mean_assign_dist"] for s in stats) / rows
     return wmean / base
+
+
+def _ivf_drift_volume_ok(meta: dict) -> bool:
+    """True iff enough rows have been refreshed since the last build for
+    the drift ratio to be trustworthy evidence of a SHIFTED DISTRIBUTION
+    rather than a few outliers (see IVF_DRIFT_MIN_ROWS/_FRACTION).
+    Legacy metas without build_rows use the absolute floor only."""
+    rows = sum(s["rows"] for s in (meta.get("refresh_stats") or []))
+    floor = IVF_DRIFT_MIN_ROWS
+    build_rows = meta.get("build_rows")
+    if build_rows:
+        floor = max(floor, int(IVF_DRIFT_MIN_FRACTION * build_rows))
+    return rows >= floor
 
 
 def _dist_to_assigned_centroid(centroids):
@@ -579,6 +605,13 @@ class VectorCollection:
         # stamped N+1, making latest-wins nondeterministic. flock serializes
         # writers on this host; a metastore/Delta log replaces it at scale.
         with self.catalog._lock():
+            # a fold that crashed mid-swap leaves self.path missing with
+            # the complete layout aside in __compact; an append here would
+            # RECREATE the path holding only this batch, permanently
+            # blocking the read-side recovery and orphaning every
+            # pre-crash row until the next fold deletes them (r9 review).
+            # Finish the swap first — two existence checks when healthy.
+            self._recover_interrupted_fold()
             version = self.catalog._load()[self.info.name]["version"] + 1
             batch = points.select(
                 F.col("id").cast("long").alias("id"),
@@ -654,6 +687,14 @@ class VectorCollection:
             raise ValueError("exactly one of point_ids / payload_filter required")
         spark = self.catalog.spark
         with self.catalog._lock():
+            # same hazard as upsert's fold recovery, on the tombstone log:
+            # a shrink that crashed mid-swap leaves the log renamed aside;
+            # appending here would recreate the dir holding only this
+            # delete, blocking the read-side recovery forever — the
+            # pre-crash tombstones stop applying (deleted ids resurrect)
+            # until a later full fold zombie-recovers the aside (r9
+            # review). Finish the swap first.
+            self._recover_interrupted_tombstone_shrink()
             version = self.catalog._load()[self.info.name]["version"] + 1
             if isinstance(point_ids, DataFrame):
                 doomed = point_ids.select(F.col(point_ids.columns[0]).cast("long").alias("id"))
@@ -1142,7 +1183,9 @@ class VectorCollection:
             self.upsert(snap)
         return self.info.version
 
-    def maybe_auto_compact(self) -> bool:
+    def maybe_auto_compact(
+        self, _raw_rows: int | None = None, _raw_version: int | None = None
+    ) -> bool:
         """Evaluate the auto-compaction policy and fold if it fires (see
         the AUTO_COMPACT_* constants): at least MIN_BATCHES versions since
         the last fold, no snapshot pinning history past it, and the raw
@@ -1174,7 +1217,15 @@ class VectorCollection:
         live_pins = [v for v in snaps.values() if v >= compacted_at]
         if live_pins and min(live_pins) <= compacted_at:
             return False
-        raw = self._approx_live_rows()  # footer metadata only
+        # footer metadata only; optimize() passes its already-paid count,
+        # honored only while the catalog version it was captured at still
+        # holds (a concurrent write invalidates it — same staleness
+        # discipline as compact()'s _hint_version)
+        raw = (
+            _raw_rows
+            if _raw_rows is not None and _raw_version == version
+            else self._approx_live_rows()
+        )
         if raw == 0:
             # no raw data — but a tombstone log can still grow without
             # bound (deletes of absent ids, deletes after an empty fold):
@@ -1245,15 +1296,24 @@ class VectorCollection:
         "fresh"|"refreshed"|"rebuilt"|"rebuilt_drift"|"rebuilt_width"}``."""
         report: dict = {}
         status = self.index_status()
+        # ONE raw footer count shared by the sizing checks and the
+        # compaction policy (r9 review: this was previously paid up to
+        # three times per optimize() — once per outgrowth check, once in
+        # the policy). The catalog version is captured BEFORE the count:
+        # if a concurrent write lands after the capture the versions
+        # can only diverge, so maybe_auto_compact's guard rejects the
+        # precomputed value instead of trusting a stale one.
+        raw_version = self.catalog._load()[self.info.name]["version"]
+        raw_rows = self._approx_live_rows()
         for kind in self._INDEX_ROUTE_PRIORITY:
             st = status[kind]
             if not st["exists"]:
                 continue
-            drifted = (
-                kind == "ivf"
-                and st.get("drift_ratio") is not None
-                and st["drift_ratio"] >= IVF_DRIFT_REBUILD_RATIO
-            )
+            # volume-floored (r9 review): index_status's drift_ratio is
+            # unconditional monitoring; the REBUILD trigger additionally
+            # requires _ivf_drift_volume_ok so an outlier row can't force
+            # (and, post-reset, keep re-forcing) a full KMeans retrain
+            drifted = kind == "ivf" and self._ivf_drift_exceeded()
             # Layout-outgrowth staleness (r9): an auto-sized layout the
             # collection has OUTGROWN — LSH bucket sizes scale N/2^bits
             # and IVF cell sizes scale N/k, so a width/cell-count chosen
@@ -1262,9 +1322,9 @@ class VectorCollection:
             # keeps the ratio ~1 while cells balloon). Checked here (one
             # footer count), not in index_status, which sits on the
             # per-search routing path.
-            outgrown = (kind == "lsh" and self._lsh_width_outgrown()) or (
-                kind == "ivf" and self._ivf_cells_outgrown()
-            )
+            outgrown = (
+                kind == "lsh" and self._lsh_width_outgrown(raw_rows)
+            ) or (kind == "ivf" and self._ivf_cells_outgrown(raw_rows))
             if st["fresh"]:
                 if not (drifted or outgrown):
                     report[kind] = "fresh"
@@ -1316,10 +1376,12 @@ class VectorCollection:
                 if drifted
                 else ("rebuilt_width" if outgrown else "rebuilt")
             )
-        report["compacted"] = self.maybe_auto_compact()
+        report["compacted"] = self.maybe_auto_compact(
+            _raw_rows=raw_rows, _raw_version=raw_version
+        )
         return report
 
-    def _lsh_width_outgrown(self) -> bool:
+    def _lsh_width_outgrown(self, raw_rows: int | None = None) -> bool:
         """True iff the persisted LSH layout was built AUTO-width
         (build_params bits=None) and the collection outgrew it —
         ann._auto_lsh_bits now derives at least TWO bits more than the
@@ -1343,11 +1405,10 @@ class VectorCollection:
             return False
         from vector_database_spark.operators import ann
 
-        return ann._auto_lsh_bits(self._approx_live_rows()) >= (
-            int(meta.get("bits", 0)) + 2
-        )
+        rows = raw_rows if raw_rows is not None else self._approx_live_rows()
+        return ann._auto_lsh_bits(rows) >= (int(meta.get("bits", 0)) + 2)
 
-    def _ivf_cells_outgrown(self) -> bool:
+    def _ivf_cells_outgrown(self, raw_rows: int | None = None) -> bool:
         """True iff the persisted IVF index was built AUTO-sized
         (build_params n_centroids=None) and the collection has outgrown
         its cell count — _auto_n_centroids(live rows) now derives at
@@ -1376,17 +1437,25 @@ class VectorCollection:
             return False
         from vector_database_spark.operators import ann
 
-        return ann._auto_n_centroids(self._approx_live_rows()) >= 2 * built_k
+        rows = raw_rows if raw_rows is not None else self._approx_live_rows()
+        return ann._auto_n_centroids(rows) >= 2 * built_k
 
     def _ivf_drift_exceeded(self) -> bool:
         """True iff the persisted IVF meta's drift ratio crossed
-        IVF_DRIFT_REBUILD_RATIO (see _ivf_drift_ratio)."""
+        IVF_DRIFT_REBUILD_RATIO on a non-trivial refreshed volume
+        (_ivf_drift_volume_ok — a handful of outlier rows must not force
+        a full KMeans retrain of a large collection, r9 review)."""
         meta_path = os.path.join(self._ivf_index_path, "_index_meta.json")
         if not os.path.exists(meta_path):
             return False
         with open(meta_path) as fh:
-            ratio = _ivf_drift_ratio(json.load(fh))
-        return ratio is not None and ratio >= IVF_DRIFT_REBUILD_RATIO
+            meta = json.load(fh)
+        ratio = _ivf_drift_ratio(meta)
+        return (
+            ratio is not None
+            and ratio >= IVF_DRIFT_REBUILD_RATIO
+            and _ivf_drift_volume_ok(meta)
+        )
 
     def _require_points(self, op: str) -> None:
         """Fail fast with a clear error when an index build is attempted
@@ -1400,22 +1469,30 @@ class VectorCollection:
                 "nothing to index"
             )
 
-    def _recover_interrupted_fold(self) -> None:
+    def _recover_interrupted_fold(self) -> bool:
         """Crash recovery for compact()'s directory swap: a fold that died
         between its two renames leaves the data path missing (or renamed
         aside) with the complete folded layout still in ``__compact``.
-        Called where the missing-path state is observed (_raw_df, compact)
-        — completes the swap instead of reading the collection as empty.
-        Cheap: two existence checks, only on the missing-path branch."""
+        Called where the missing-path state is observed (_raw_df, compact,
+        upsert, _approx_live_rows) — completes the swap instead of reading
+        the collection as empty. Cheap: two existence checks, only on the
+        missing-path branch. Returns True iff it actually renamed a
+        directory back into place: recovery mints NO catalog version, so
+        compact()'s stale-hint version guard cannot see it — the caller
+        must invalidate any live-rows hint computed before the recovery
+        (r9 review)."""
         tmp = self.path + "__compact"
         if not os.path.exists(self.path) and os.path.isdir(tmp):
             try:
                 os.rename(tmp, self.path)
+                return True
             except OSError:
                 # another reader/fold completed the recovery concurrently;
                 # fine as long as the data path exists now
                 if not os.path.exists(self.path):
                     raise
+                return True
+        return False
 
     def compact(
         self,
@@ -1463,8 +1540,14 @@ class VectorCollection:
         import shutil
 
         with self.catalog._lock():
-            self._recover_interrupted_fold()
+            # recovery mints NO catalog version: if it just renamed the
+            # crashed fold's layout back into place, any live-rows hint the
+            # policy computed beforehand described the missing-path state —
+            # version equality can't prove otherwise, so drop the hint
+            recovered = self._recover_interrupted_fold()
             self._recover_interrupted_tombstone_shrink()
+            if recovered:
+                _live_rows_hint = _hint_version = None
             info = self.catalog._load()[self.info.name]
             fold_to: int | None = None  # None = full fold
             if respect_snapshots:
@@ -1667,7 +1750,16 @@ class VectorCollection:
         at plan time). Transient read/executor failures PROPAGATE: this
         count feeds maybe_auto_compact's empty branch, and a swallowed
         IO error masquerading as an empty collection would route a
-        populated collection into the destructive fold (r8 ADVICE)."""
+        populated collection into the destructive fold (r8 ADVICE).
+
+        A missing path is NOT immediately structural: a fold that crashed
+        mid-swap leaves the complete layout aside in __compact — recover
+        it first (mirroring _raw_df) so a crashed fold can never make the
+        policy read a populated collection as empty (r9 review: recovery
+        mints no version, so compact()'s hint-version guard alone cannot
+        catch a hint computed against the missing-path state)."""
+        if not os.path.exists(self.path):
+            self._recover_interrupted_fold()
         if not os.path.exists(self.path):
             return 0
         try:
@@ -1869,7 +1961,7 @@ class VectorCollection:
         # layout — one plain parquet scan, instead of re-executing the
         # KMeans.transform lineage a third time.
         dist = _dist_to_assigned_centroid(centroids)
-        build_mean = (
+        build_mean, build_rows = (
             self.catalog.spark.read.parquet(self._ivf_index_path)
             .select(
                 dist(
@@ -1877,8 +1969,8 @@ class VectorCollection:
                     F.col("centroid_id").cast("int"),
                 ).alias("d")
             )
-            .agg(F.avg("d"))
-            .first()[0]
+            .agg(F.avg("d"), F.count(F.lit(1)))
+            .first()
         )
         with open(os.path.join(self._ivf_index_path, "_index_meta.json"), "w") as fh:
             json.dump(
@@ -1893,6 +1985,8 @@ class VectorCollection:
                     # drift baseline; refresh_stats accumulates the same
                     # statistic per refresh segment (see _ivf_drift_ratio)
                     "build_mean_assign_dist": float(build_mean),
+                    # sizes the escalation's volume floor (_ivf_drift_volume_ok)
+                    "build_rows": int(build_rows),
                 },
                 fh,
             )
@@ -2720,8 +2814,14 @@ class VectorCollection:
                 # centroid-drift ratio of everything refreshed since the
                 # last full build vs the build distribution (r9); None =
                 # unmeasurable (no refreshes yet / legacy meta). optimize()
-                # escalates refresh->rebuild past IVF_DRIFT_REBUILD_RATIO.
+                # escalates refresh->rebuild past IVF_DRIFT_REBUILD_RATIO
+                # — but only on a non-trivial refreshed volume
+                # (drift_rows vs the _ivf_drift_volume_ok floor, r9
+                # review); the ratio itself is unconditional monitoring.
                 entry["drift_ratio"] = _ivf_drift_ratio(meta)
+                entry["drift_rows"] = sum(
+                    s["rows"] for s in (meta.get("refresh_stats") or [])
+                )
             out[kind] = entry
         return out
 

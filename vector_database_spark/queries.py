@@ -5541,11 +5541,21 @@ def q_char_entropy(spark, sf_dir):
     ~0.4s at sf0.1). The exploded-histogram shuffle alternative was
     measured WORSE earlier (5.6s at sf0.1: per-char row explosion).
 
-    Determinism contract unchanged: each term p·ln p is HALF_UP-rounded
-    to 6dp (Decimal.quantize ≡ Spark round() ≡ the oracle's round()),
-    terms sum exactly in Decimal (≡ DECIMAL(38,6)), and the result is
-    py_micro6 (≡ micro6). p and ln are IEEE double ops; CPython's libm
-    log matches DuckDB's ln bit-for-bit on this host (both glibc)."""
+    Determinism contract: each term p·ln p is rounded to 6dp by
+    replicating DuckDB's round(x, 6) EXACTLY — half-away-from-zero on
+    the SCALED double x*1e6 (std::round semantics), implemented as
+    Decimal(x*1e6).quantize(1, HALF_UP) on the exact binary value.
+    Rounding the UNSCALED exact double instead (the first r9 cut) is
+    NOT the same operation: a probe over 450k boundary-adversarial
+    values found 23.5k 1-micro disagreements (e.g. the double nearest
+    -5e-07 scales to exactly -0.5 and rounds away, while its exact
+    binary value sits inside the boundary) — see tools/ probe note in
+    ROUND_NOTES. Per-term micros sum exactly in int (≡ the oracle's
+    DECIMAL(38,6) sum), and the final /1e6 + py_micro6 matches the
+    oracle's CAST(... AS DOUBLE) + micro6 (both correctly-rounded IEEE
+    ops on identical inputs). p and ln are IEEE double ops; CPython's
+    libm log matches DuckDB's ln bit-for-bit on this host (both
+    glibc)."""
     from vector_database_spark.functions.vector import py_micro6
 
     docs = _t(spark, sf_dir, "documents")
@@ -5556,17 +5566,19 @@ def q_char_entropy(spark, sf_dir):
         from collections import Counter
         from decimal import ROUND_HALF_UP, Decimal
 
-        q6 = Decimal("0.000001")
+        one = Decimal(1)
         out = []
         for t in texts:
             n = len(t)
-            total = Decimal(0)
+            total_micro = 0
             for c in Counter(t).values():
                 p = c / n
-                total += Decimal(p * math.log(p)).quantize(
-                    q6, rounding=ROUND_HALF_UP
+                total_micro += int(
+                    Decimal(p * math.log(p) * 1e6).quantize(
+                        one, rounding=ROUND_HALF_UP
+                    )
                 )
-            out.append(py_micro6(float(-total)))
+            out.append(py_micro6(-total_micro / 1e6))
         return pd.Series(out, dtype="int64")
 
     # empty docs excluded on BOTH sides (log(0/0) has no value to agree on)
