@@ -67,6 +67,9 @@ BENCH_QUERIES = [
     "q_gopher_rules",
     # r9: DSIR hashed-n-gram importance weights (domain data selection)
     "q_dsir_select",
+    # r9: BPE round-1 pair statistics (FULL oracle; the corpus-pass cost
+    # of tokenizer training — the merge loop itself is driver-side)
+    "q_bpe_pair_counts",
     "q_funnel_steps",
     "q_scd2_intervals",
     "q_bigram_logprob",

@@ -239,6 +239,18 @@ def test_gopher_rules_is_map_only(spark, sf):
     assert "Exchange" not in p
 
 
+def test_bpe_pair_counts_two_combined_aggs_pruned_scan(spark, sf):
+    # BPE round-1 statistics: word count then pair sum, BOTH map-side
+    # combined (partial_count / partial_sum), pair explosion running on
+    # the distinct-word table between them; the scan reads text only
+    from vector_database_spark.queries import q_bpe_pair_counts
+
+    p = plan_of(q_bpe_pair_counts(spark, sf))
+    assert "partial_count" in p and "partial_sum" in p
+    assert "ReadSchema: struct<text:string>" in p
+    assert "CartesianProduct" not in p
+
+
 def test_substring_dedup_aggs_are_partial(spark, sf):
     # both shuffles (window-hash attribution, per-doc verdict) must have
     # map-side partial aggregation; nothing in the plan is quadratic

@@ -247,6 +247,70 @@ def test_bpe_learn_matches_reference(spark, duck):
     assert got == want
 
 
+def test_bpe_incremental_trainer_matches_distributed_and_reference(spark, duck):
+    """operators/bpe.py::learn_bpe (compressed-dict driver trainer, the
+    large-vocabulary path) must produce the IDENTICAL merge sequence to
+    textops.bpe_learn (per-round distributed) and the from-scratch
+    reference — same corpus, same determinism contract."""
+    from tests.conftest import SF_SMALL
+    from vector_database_spark.operators import bpe
+    from vector_database_spark.sources.tables import read_table
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    inc = bpe.learn_bpe(docs, n_merges=12)
+    assert inc == textops.bpe_learn(docs, n_merges=12)
+    assert inc == _ref_bpe(_word_counts(duck), 12)
+
+
+def test_bpe_incremental_deep_merges_match_reference(duck):
+    """The 48-merge regime (multi-char symbols dominate the pair table)
+    — exercises the incremental count maintenance far past where the
+    in-plan trainer is run; pure driver code, no Spark session."""
+    from vector_database_spark.operators import bpe
+
+    wc = _word_counts(duck)
+    assert bpe.train_bpe_from_freq(list(wc.items()), 48) == _ref_bpe(wc, 48)
+
+
+def test_bpe_incremental_randomized_vs_reference():
+    """Small-alphabet random dicts stress repeat-pair words ('aaaa' —
+    overlap counting and same-pass merge adjacency) and early-stop; the
+    incremental trainer must equal the from-scratch recount at every
+    depth, in any dict order."""
+    import random
+
+    from vector_database_spark.operators import bpe
+
+    rng = random.Random(1234)
+    for trial in range(8):
+        wc = {
+            "".join(rng.choice("abcd") for _ in range(rng.randint(1, 6))): rng.randint(1, 9)
+            for _ in range(rng.randint(3, 40))
+        }
+        n = rng.randint(1, 30)
+        got = bpe.train_bpe_from_freq(list(wc.items()), n)
+        want = _ref_bpe(wc, n)
+        assert got == want, (trial, wc, n)
+        # dict-order independence: reversed insertion, same sequence
+        rev = bpe.train_bpe_from_freq(list(reversed(list(wc.items()))), n)
+        assert rev == want, (trial, "reversed", n)
+
+
+def test_bpe_incremental_max_words_cap(spark):
+    """max_words keeps the most frequent words (count DESC, word ASC
+    tie-break) — the capped dict trains deterministically and equals the
+    reference trained on the same truncated dict."""
+    from vector_database_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "low low low low low lowest lowest newer newer wider")],
+        "doc_id long, text string",
+    )
+    merges = bpe.learn_bpe(docs, n_merges=3, max_words=2)
+    # top-2: low(5), lowest(2) ('lowest' < 'newer' breaks the count tie)
+    assert merges == _ref_bpe({"low": 5, "lowest": 2}, 3)
+
+
 def test_bpe_learn_known_answer(spark):
     # 'low' x5, 'lowest' x2: first merges are driven by the shared prefix
     docs = spark.createDataFrame(

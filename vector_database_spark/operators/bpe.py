@@ -1,0 +1,193 @@
+"""BPE trainer, compressed-dict incremental form — the LARGE-vocabulary
+twin of operators/textops.py::bpe_learn (same Sennrich et al. 2016
+semantics, same determinism contract, different scale trade).
+
+textops.bpe_learn runs every merge round as TWO distributed jobs (pair
+count + argmax) over the word-type table — perfect for bounded rounds,
+impossible for a production tokenizer (32k merges = 64k Spark jobs).
+This module flips the bound: ONE distributed pass builds the
+word-frequency dict (map-side-combined groupBy; a 100 TB corpus has a
+bounded word-type table, and ``max_words`` caps the driver collect for
+adversarial corpora while keeping the frequency mass that decides
+merges), then the merge loop runs driver-side with INCREMENTAL
+pair-count maintenance — each round touches only the words containing
+the merged pair (occurrence-indexed), never rescans the dict. This is
+the shape HF tokenizers / subword-nmt actually train with; thousands of
+merges cost zero additional cluster jobs.
+
+Determinism contract (shared with bpe_learn, asserted equal in
+tests/test_textops.py): argmax tie-breaks (count DESC, left ASC, right
+ASC); per-word application merges all occurrences left-to-right in one
+pass; training stops below MIN_PAIR_COUNT. Iterative → rows-only for
+the driver gate; the round-1 statistics are relational and carry a FULL
+DuckDB oracle (queries.py::q_bpe_pair_counts). Encoding is
+textops.bpe_encode (word-type-deduped, broadcast-joined) — one encoder,
+both trainers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_database_spark.functions.text import explode_tokens
+from vector_database_spark.operators.textops import BPE_EOW as END_OF_WORD
+
+# merging a pair seen once generalizes nothing (mirrors textops
+# MIN_FREQUENCY and bpe_learn's min_pair_count): stop early below it
+MIN_PAIR_COUNT = 2
+# driver-collect bound for the compressed dict: keep the most frequent
+# distinct words (ties broken by word for determinism). 1M words x ~16B
+# is ~tens of MB on the driver — far below any practical vocabulary.
+DEFAULT_MAX_WORDS = 1_000_000
+
+
+def word_freq(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt) over the whitespace-lowered token stream — the ONE
+    corpus-wide pass of BPE training. Map-side combined groupBy; output
+    is bounded by the distinct-word count."""
+    return (
+        explode_tokens(docs, keep=(), text_col=text_col, alias="word")
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def pair_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adjacent symbol-pair counts of the INITIAL (character) alphabet,
+    weighted by word frequency — exactly round 1 of BPE training, as a
+    relational plan (FULL oracle in queries.py::q_bpe_pair_counts).
+
+    Shape: word-freq groupBy (map-side combined), then per-word pair
+    explosion over the DISTINCT-word table — the expensive explode runs
+    on the compressed dict, not the corpus — then a second combined
+    groupBy on (left_sym, right_sym). The last character pairs with the
+    END_OF_WORD marker, so `e + </w>` (word-final e) counts separately
+    from `e + r` (medial), as in Sennrich et al.
+    """
+    wf = word_freq(docs, text_col)
+    w = F.col("word")
+    pairs = wf.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length(w)),
+                lambda i: F.struct(
+                    F.substring(w, i, F.lit(1)).alias("left_sym"),
+                    F.when(
+                        i < F.length(w), F.substring(w, i + 1, F.lit(1))
+                    )
+                    .otherwise(F.lit(END_OF_WORD))
+                    .alias("right_sym"),
+                ),
+            )
+        ).alias("p"),
+        F.col("cnt"),
+    )
+    return pairs.groupBy(
+        F.col("p.left_sym").alias("left_sym"),
+        F.col("p.right_sym").alias("right_sym"),
+    ).agg(F.sum("cnt").cast("long").alias("pair_cnt"))
+
+
+def train_bpe_from_freq(
+    freq: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """Learn up to ``n_merges`` BPE merges from a (word, count) dict —
+    the pure driver-side core, input already corpus-compressed. Returns
+    bpe_learn's exact row shape [(rank, left, right, merged,
+    pair_count)] so the two trainers are drop-in interchangeable (and
+    directly comparable in tests).
+
+    Incremental: pair counts and a pair→word-index occurrence index are
+    maintained across rounds; a merge re-segments ONLY the words that
+    contain the merged pair and applies count deltas for their changed
+    neighborhoods. tests/test_textops.py proves equality with both the
+    from-scratch reference recount and the distributed bpe_learn. Ties
+    break (count DESC, left ASC, right ASC) — deterministic regardless
+    of dict or hash order."""
+    words: list[list[str]] = []
+    counts: list[int] = []
+    for w, c in freq:
+        if w:
+            words.append(list(w) + [END_OF_WORD])
+            counts.append(int(c))
+
+    pair_cnt: dict[tuple[str, str], int] = {}
+    occ: dict[tuple[str, str], set[int]] = {}
+
+    def _add(widx: int, sign: int) -> None:
+        syms, c = words[widx], counts[widx] * sign
+        for a, b in zip(syms, syms[1:]):
+            p = (a, b)
+            pair_cnt[p] = pair_cnt.get(p, 0) + c
+            if sign > 0:
+                occ.setdefault(p, set()).add(widx)
+            # negative pass: occurrence sets are pruned lazily at pop
+            # time (a stale index entry just re-checks the word)
+
+    for i in range(len(words)):
+        _add(i, +1)
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        best: tuple[str, str] | None = None
+        best_c = 0
+        for p, c in pair_cnt.items():
+            if c > best_c or (c == best_c and best is not None and p < best):
+                best, best_c = p, c
+        if best is None or best_c < MIN_PAIR_COUNT:
+            break
+        joined = best[0] + best[1]
+        merges.append((rank, best[0], best[1], joined, best_c))
+        for widx in sorted(occ.get(best, ())):
+            syms = words[widx]
+            # zip-scan membership check: the occurrence index is lazy
+            if not any(
+                a == best[0] and b == best[1] for a, b in zip(syms, syms[1:])
+            ):
+                continue
+            _add(widx, -1)
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == best[0]
+                    and syms[i + 1] == best[1]
+                ):
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[widx] = out
+            _add(widx, +1)
+        # fully merged away: drop so the argmax scan shrinks over time
+        pair_cnt.pop(best, None)
+        occ.pop(best, None)
+        for p in [p for p, c in pair_cnt.items() if c <= 0]:
+            pair_cnt.pop(p, None)
+            occ.pop(p, None)
+    return merges
+
+
+def learn_bpe(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    max_words: int = DEFAULT_MAX_WORDS,
+) -> list[tuple[int, str, str, str, int]]:
+    """End-to-end training: distributed word-freq pass, top-``max_words``
+    cap (count DESC, word ASC — deterministic), driver merge loop. The
+    collect is bounded by max_words — the documented compressed-dict
+    contract, not a corpus materialization."""
+    wf = word_freq(docs, text_col)
+    rows = (
+        wf.orderBy(F.col("cnt").desc(), F.col("word").asc())
+        .limit(int(max_words))
+        .collect()
+    )
+    return train_bpe_from_freq([(r["word"], r["cnt"]) for r in rows], n_merges)
+
+

@@ -5618,6 +5618,71 @@ FROM ent
 """
 
 
+def q_bpe_pair_counts(spark, sf_dir):
+    """BPE training round 1 as a relational plan: adjacent symbol-pair
+    counts of the initial character alphabet, weighted by word frequency
+    (Sennrich et al. 2016; operators/bpe.py::pair_counts). Top 50 by
+    (count DESC, left, right) — (left, right) is unique after the
+    groupBy, so the order is total and the limit deterministic.
+
+    Scale shape: the corpus is touched ONCE (map-side-combined word
+    count); the per-word pair explosion runs on the distinct-word table.
+    FULL oracle — integer counts only."""
+    from vector_database_spark.operators import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        bpe.pair_counts(docs)
+        .orderBy(
+            F.col("pair_cnt").desc(),
+            F.col("left_sym").asc(),
+            F.col("right_sym").asc(),
+        )
+        .limit(50)
+    )
+
+
+_SQL_BPE_PAIR_COUNTS = f"""
+WITH tok AS (SELECT unnest({_TOKS_SQL}) AS w FROM documents),
+wf AS (SELECT w, count(*) AS cnt FROM tok WHERE w <> '' GROUP BY w),
+pairs AS (
+  SELECT substr(w, CAST(i AS INT), 1) AS left_sym,
+         CASE WHEN i < length(w) THEN substr(w, CAST(i AS INT) + 1, 1)
+              ELSE '</w>' END AS right_sym,
+         cnt
+  FROM (SELECT w, cnt, unnest(range(1, length(w) + 1)) AS i FROM wf)
+)
+SELECT left_sym, right_sym, CAST(sum(cnt) AS BIGINT) AS pair_cnt
+FROM pairs GROUP BY left_sym, right_sym
+ORDER BY pair_cnt DESC, left_sym, right_sym LIMIT 50
+"""
+
+def q_bpe_train_incremental(spark, sf_dir):
+    """Learned BPE merge table via the compressed-dict INCREMENTAL
+    trainer (operators/bpe.py::learn_bpe): one distributed word-freq
+    pass, then the driver merge loop with incremental pair-count
+    maintenance — the production path for real tokenizer vocabularies
+    (32k merges cost zero additional cluster jobs, where q_bpe_learn's
+    per-round distributed form pays two jobs per merge). Same
+    determinism contract as bpe_learn — tests/test_textops.py asserts
+    the two trainers produce the IDENTICAL merge sequence.
+
+    48 merges here (vs q_bpe_learn's 20) to exercise the deeper-merge
+    regime where multi-char symbols dominate the pair table. Rows-only
+    BY DESIGN: training is iterative (each merge's statistics depend on
+    the previous re-segmentation), which SQL cannot express closed-form;
+    the round-1 statistics carry the FULL oracle via
+    q_bpe_pair_counts."""
+    from vector_database_spark.operators import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe.learn_bpe(docs, n_merges=48)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank INT, left STRING, right STRING, merged STRING, pair_count LONG",
+    ).orderBy("merge_rank")
+
+
 def q_stream_interval_join(spark, sf_dir):
     """Stream-stream interval join (view→click attribution within 30
     minutes), both sides watermarked — the join state stays bounded by
@@ -6994,6 +7059,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_clusters": q_dedup_clusters,
     "q_temperature_mix": q_temperature_mix,
     "q_gopher_rules": q_gopher_rules,
+    "q_bpe_pair_counts": q_bpe_pair_counts,
+    "q_bpe_train_incremental": q_bpe_train_incremental,
     "q_substring_dedup": q_substring_dedup,
     "q_prefetch_rerank": q_prefetch_rerank,
     "q_funnel_steps": q_funnel_steps,
@@ -7150,8 +7217,8 @@ _DRIVER_CONFIRMED_R1_R2 = frozenset({
 # latest-round-per-name ∩ ORACLES; every name here HAS an oracle_sql()
 # entry, so no driver sample slot can read `no_oracle`.
 _R9_PRIORITY = (
-    # brand-new oracled query this round (never had a CORRECTNESS row)
-    "q_dsir_select",
+    # brand-new oracled queries this round (never had a CORRECTNESS row)
+    "q_dsir_select", "q_bpe_pair_counts",
     "q_char_entropy", "q_incremental_dedup_indexed", "q_sample_stratified",
     "q_scroll", "q_scroll_ordered", "q_scrub_pii", "q_simhash",
     "q_simhash_pairs", "q_softmax_argmax", "q_sparse_dot", "q_tfidf",
@@ -7448,6 +7515,7 @@ ORACLES: dict[str, str] = {
     "q_scd2_intervals": _SQL_SCD2_INTERVALS,
     "q_bigram_logprob": _SQL_BIGRAM_LOGPROB,
     "q_char_entropy": _SQL_CHAR_ENTROPY,
+    "q_bpe_pair_counts": _SQL_BPE_PAIR_COUNTS,
     "q_score_threshold": _SQL_SCORE_THRESHOLD,
     "q_stream_session_window": _SQL_STREAM_SESSION_WINDOW,
     "q_stream_dedup": _SQL_STREAM_DEDUP,
