@@ -302,6 +302,79 @@ def test_time_travel_versions(catalog, spark):
     assert col.df(as_of_version=0).count() == 0
 
 
+def test_concurrent_lifecycle_fuzz_version_order_replay(spark, tmp_path):
+    """Randomized CONCURRENT lifecycle fuzz (r9 session 2): three handles
+    interleave upserts/deletes/compact/optimize on one collection on an
+    overlapping id pool. Because every state mutation mints its version
+    INSIDE the flock critical section (and compact/optimize are
+    content-neutral for live state), the minted version sequence IS the
+    true serialization order — so a single-threaded replay of the ops in
+    version order predicts the exact final live state, however the
+    threads actually interleaved. Catches lost updates, torn latest-wins
+    resolution, duplicate version mints, and folds that drop concurrent
+    commits. flock is per-open-fd, so same-process threads exercise the
+    identical lock path a second process would."""
+    import random
+    from concurrent.futures import ThreadPoolExecutor
+
+    from vector_database_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat_confuzz"))
+    cat.create_collection("cf", dim=2)  # auto_compact ON — part of the fuzz
+
+    def pts(tags):  # [(id, tag)] → frame; payload tag identifies the op
+        return spark.createDataFrame(
+            [(i, [1.0, float(i + 1)], {"tag": t}) for i, t in tags],
+            "id long, embedding array<float>, payload map<string,string>",
+        )
+
+    events = []  # (version, kind, payload) — appended AFTER the op returns
+
+    def work(seed):
+        rng = random.Random(seed)
+        col = cat.collection("cf")
+        out = []
+        for opno in range(6):
+            roll = rng.random()
+            if roll < 0.6:
+                ids = rng.sample(range(12), rng.randint(1, 3))
+                tag = f"t{seed}-{opno}"
+                v = col.upsert(pts([(i, tag) for i in ids]))
+                out.append((v, "upsert", [(i, tag) for i in ids]))
+            elif roll < 0.85:
+                ids = rng.sample(range(12), rng.randint(1, 2))
+                v = col.delete(point_ids=ids)
+                out.append((v, "delete", ids))
+            elif roll < 0.95:
+                col.compact()
+            else:
+                col.optimize()
+        return out
+
+    with ThreadPoolExecutor(3) as ex:
+        futs = [ex.submit(work, s) for s in (11, 22, 33)]
+        for f in futs:
+            events.extend(f.result())
+
+    versions = [v for v, _, _ in events]
+    assert len(set(versions)) == len(versions), "duplicate version minted"
+
+    # replay in version order → exact expected live state
+    model: dict[int, str] = {}
+    for v, kind, payload in sorted(events):
+        if kind == "upsert":
+            for i, tag in payload:
+                model[i] = tag
+        else:
+            for i in payload:
+                model.pop(i, None)
+    got = {
+        r["id"]: r["payload"]["tag"]
+        for r in cat.collection("cf").df().select("id", "payload").collect()
+    }
+    assert got == model, f"live state diverged from version-order replay"
+
+
 def test_concurrent_upserts_mint_distinct_versions(catalog, spark):
     """Two handles upserting concurrently must never mint the same version
     (the flock critical section around mint→write→bump)."""

@@ -74,9 +74,40 @@ def main() -> None:
             f"learn={t_learn:.1f}s encode={t_encode:.1f}s subwords={total_subwords:,}"
         )
 
+    # incremental (compressed-dict) trainer at PRODUCTION merge depths on
+    # the 1M-doc corpus: one word-freq collect, then the driver loop with
+    # heap argmax — zero additional cluster jobs per merge. Merge-sequence
+    # prefix must equal the distributed trainer's (BPE merges are
+    # prefix-stable in n_merges).
+    from vector_database_spark.operators import bpe
+
+    t0 = time.perf_counter()
+    wf_rows = [
+        (r["word"], r["cnt"])
+        for r in bpe.word_freq(docs)
+        .orderBy(F.col("cnt").desc(), F.col("word").asc())
+        .limit(bpe.DEFAULT_MAX_WORDS)
+        .collect()
+    ]
+    t_collect = time.perf_counter() - t0
+    inc_rows = []
+    for depth in (1000, 8000):
+        t0 = time.perf_counter()
+        inc = bpe.train_bpe_from_freq(wf_rows, depth)
+        t_train = time.perf_counter() - t0
+        inc_rows.append((depth, len(inc), t_collect, t_train))
+        print(
+            f"incremental depth={depth}: merges={len(inc)} "
+            f"collect={t_collect:.1f}s train={t_train:.1f}s"
+        )
+    assert inc[: len(merges)] == merges, "trainer prefix disagreement"
+
     body = "\n".join(
         f"| {n:,} | {ty:,} | {m} | {tl:.1f} | {te:.1f} | {sw:,} |"
         for n, ty, m, tl, te, sw in rows
+    )
+    inc_body = "\n".join(
+        f"| {d:,} | {m:,} | {tc:.1f} | {tt:.1f} |" for d, m, tc, tt in inc_rows
     )
     update_section(
         "BPE learn/encode scaling (word-type-bound loop)",
@@ -89,7 +120,17 @@ def main() -> None:
         "ZERO shuffles (join fallback for >2M-type vocabularies is\n"
         "equivalence-tested).\n\n"
         "| docs | word types | merges | learn s | encode s | subwords |\n"
-        "|---|---|---|---|---|---|\n" + body,
+        "|---|---|---|---|---|---|\n" + body + "\n\n"
+        "Incremental trainer (operators/bpe.py, r9) at PRODUCTION merge\n"
+        "depths on the SAME 1M-doc corpus: ONE word-freq collect, then\n"
+        "the driver loop (occurrence-indexed deltas + lazy-deletion heap\n"
+        "argmax) — zero cluster jobs per merge, where the in-plan trainer\n"
+        "above pays 2 jobs/merge (10 merges ≈ 6.6s => 32k merges would be\n"
+        "~6 hours of round-trips; the incremental path makes vocabulary\n"
+        "depth a driver-CPU cost instead). Merge-sequence prefix asserted\n"
+        "equal to the distributed trainer's.\n\n"
+        "| merge depth | merges learned | wf collect s | train s |\n"
+        "|---|---|---|---|\n" + inc_body,
     )
     print("STRESS.md updated")
 

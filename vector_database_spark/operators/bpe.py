@@ -102,10 +102,17 @@ def train_bpe_from_freq(
     Incremental: pair counts and a pair→word-index occurrence index are
     maintained across rounds; a merge re-segments ONLY the words that
     contain the merged pair and applies count deltas for their changed
-    neighborhoods. tests/test_textops.py proves equality with both the
+    neighborhoods. The argmax is a LAZY-DELETION HEAP, not a dict scan —
+    every count change pushes a fresh (−count, left, right) entry and
+    pops discard entries whose count no longer matches the live dict, so
+    a round costs O(touched-neighborhoods · log P) instead of O(P); at
+    32k merges a per-round full-dict scan would dominate end-to-end
+    time. tests/test_textops.py proves equality with both the
     from-scratch reference recount and the distributed bpe_learn. Ties
-    break (count DESC, left ASC, right ASC) — deterministic regardless
-    of dict or hash order."""
+    break (count DESC, left ASC, right ASC) — the heap orders by exactly
+    that triple — deterministic regardless of dict or hash order."""
+    import heapq
+
     words: list[list[str]] = []
     counts: list[int] = []
     for w, c in freq:
@@ -115,27 +122,44 @@ def train_bpe_from_freq(
 
     pair_cnt: dict[tuple[str, str], int] = {}
     occ: dict[tuple[str, str], set[int]] = {}
+    heap: list[tuple[int, str, str]] = []
 
-    def _add(widx: int, sign: int) -> None:
+    def _add(widx: int, sign: int, push: bool = True) -> None:
         syms, c = words[widx], counts[widx] * sign
         for a, b in zip(syms, syms[1:]):
             p = (a, b)
-            pair_cnt[p] = pair_cnt.get(p, 0) + c
+            nc = pair_cnt.get(p, 0) + c
+            if nc <= 0:
+                pair_cnt.pop(p, None)
+                continue
+            pair_cnt[p] = nc
             if sign > 0:
                 occ.setdefault(p, set()).add(widx)
-            # negative pass: occurrence sets are pruned lazily at pop
-            # time (a stale index entry just re-checks the word)
+            # push on EVERY change (decreases too): a pair whose count
+            # only dropped would otherwise have nothing but stale higher
+            # entries in the heap and become invisible to the argmax.
+            # Entries reflecting transient mid-update counts are
+            # discarded at pop time (count mismatch vs the live dict).
+            if push:
+                heapq.heappush(heap, (-nc, a, b))
 
     for i in range(len(words)):
-        _add(i, +1)
+        _add(i, +1, push=False)
+    heap = [(-c, p[0], p[1]) for p, c in pair_cnt.items()]
+    heapq.heapify(heap)
 
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         best: tuple[str, str] | None = None
         best_c = 0
-        for p, c in pair_cnt.items():
-            if c > best_c or (c == best_c and best is not None and p < best):
-                best, best_c = p, c
+        while heap:
+            negc, a, b = heap[0]
+            cur = pair_cnt.get((a, b), 0)
+            if cur != -negc:
+                heapq.heappop(heap)  # stale: count moved since the push
+                continue
+            best, best_c = (a, b), cur
+            break
         if best is None or best_c < MIN_PAIR_COUNT:
             break
         joined = best[0] + best[1]
@@ -163,12 +187,11 @@ def train_bpe_from_freq(
                     i += 1
             words[widx] = out
             _add(widx, +1)
-        # fully merged away: drop so the argmax scan shrinks over time
+        # the merged pair is fully replaced in every word that held it;
+        # its dict entry goes now and its heap entries die lazily at pop
+        # (zero/negative counts for OTHER pairs are pruned inline in _add)
         pair_cnt.pop(best, None)
         occ.pop(best, None)
-        for p in [p for p, c in pair_cnt.items() if c <= 0]:
-            pair_cnt.pop(p, None)
-            occ.pop(p, None)
     return merges
 
 

