@@ -296,6 +296,51 @@ def test_bpe_incremental_randomized_vs_reference():
         assert rev == want, (trial, "reversed", n)
 
 
+def test_bpe_encode_greedy_equals_ordered(spark):
+    """strategy='greedy' (rank-greedy, depth-independent — the deep-table
+    path) must segment identically to the ordered merge replay on a
+    sequentially-trained table: a learned pair over a merged symbol
+    always ranks after the merges that formed it, so lowest-rank-first
+    replays the training order. Checked on the corpus AND on randomized
+    small-alphabet tables (repeat-pair words stress the all-occurrence
+    left-to-right pass)."""
+    import random
+
+    from tests.conftest import SF_SMALL
+    from vector_database_spark.operators import bpe
+    from vector_database_spark.sources.tables import read_table
+
+    docs = read_table(spark, SF_SMALL, "documents").filter(F.col("doc_id") < 60)
+    merges = textops.bpe_learn(docs, n_merges=12)
+    a = {
+        r["doc_id"]: r["subwords"]
+        for r in textops.bpe_encode(docs, merges).collect()
+    }
+    b = {
+        r["doc_id"]: r["subwords"]
+        for r in textops.bpe_encode(docs, merges, strategy="greedy").collect()
+    }
+    assert a == b
+
+    # randomized trained tables, driver-side application equivalence
+    rng = random.Random(99)
+    for trial in range(6):
+        wc = {
+            "".join(rng.choice("abc") for _ in range(rng.randint(1, 7))): rng.randint(1, 9)
+            for _ in range(rng.randint(3, 30))
+        }
+        table = bpe.train_bpe_from_freq(list(wc.items()), rng.randint(1, 25))
+        df = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(wc)], "doc_id long, text string"
+        )
+        x = {r["doc_id"]: r["subwords"] for r in textops.bpe_encode(df, table).collect()}
+        y = {
+            r["doc_id"]: r["subwords"]
+            for r in textops.bpe_encode(df, table, strategy="greedy").collect()
+        }
+        assert x == y, (trial, wc, table)
+
+
 def test_bpe_incremental_max_words_cap(spark):
     """max_words keeps the most frequent words (count DESC, word ASC
     tie-break) — the capped dict trains deterministically and equals the

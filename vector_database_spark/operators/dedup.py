@@ -334,21 +334,6 @@ def jaccard_verify(
 _live_sigs = None
 
 
-def register_sig_cache(df) -> None:
-    """Enroll a caller-persisted signature index into the one-call-live
-    cache lifecycle: the NEXT dedup operator call releases it alongside
-    its own caches. For callers (e.g. registry queries) that build a
-    ``corpus_sigs`` index, hand it to :func:`incremental_dedup`, and have
-    no later point at which to unpersist it themselves."""
-    global _live_sigs
-    if _live_sigs is None:
-        _live_sigs = [df]
-    elif isinstance(_live_sigs, list):
-        _live_sigs.append(df)
-    else:
-        _live_sigs = [_live_sigs, df]
-
-
 def _release_sig_caches() -> None:
     """Release the previous call's signature cache(s). One call's caches
     are live at a time per session (the DataFrame analogue of dropping a

@@ -295,6 +295,22 @@ def pack_sequences(
 BPE_EOW = "</w>"  # end-of-word marker (Sennrich et al. 2016 §3.2)
 
 
+def word_freq(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt) over the whitespace-lowered token stream — the ONE
+    corpus-wide pass both BPE trainers start from (bpe_learn here and
+    operators/bpe.py::learn_bpe). Shared on purpose: the two trainers
+    are tested to produce IDENTICAL merge sequences, and that contract
+    starts with an identical word-frequency input — a tokenization or
+    empty-word-filter change must hit both or neither. Map-side combined
+    groupBy; output bounded by the distinct-word count."""
+    return (
+        explode_tokens(docs, (), text_col, alias="word")
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def bpe_learn(
     docs: DataFrame,
     n_merges: int = 20,
@@ -324,12 +340,7 @@ def bpe_learn(
     (transformer_sample.py:398-409) is frequency-pruned whole words; BPE
     is the subword upgrade every modern LLM tokenizer actually uses.
     """
-    words = (
-        explode_tokens(docs, (), text_col, alias="word")
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("wc"))
-    )
+    words = word_freq(docs, text_col).withColumnRenamed("cnt", "wc")
     # word -> initial symbol sequence: chars + end-of-word marker
     # (split at every inter-char position: not at start, must be followed
     # by a char — the (?=.) guard keeps end-of-string from producing a
@@ -383,11 +394,12 @@ def bpe_encode(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_types_max: int = 2_000_000,
+    strategy: str = "ordered",
 ) -> DataFrame:
-    """Apply learned BPE merges (from :func:`bpe_learn`) to encode the
-    corpus into subword sequences. Two physical strategies, chosen by
-    vocabulary size (the same conditional-broadcast policy as the MinHash
-    verify stage):
+    """Apply learned BPE merges (from :func:`bpe_learn` or
+    operators/bpe.py::learn_bpe) to encode the corpus into subword
+    sequences. Two physical strategies, chosen by vocabulary size (the
+    same conditional-broadcast policy as the MinHash verify stage):
 
     * word types <= ``broadcast_types_max`` (every real tokenizer —
       vocabularies are 10^4..10^6): the word->pieces map is computed once
@@ -399,6 +411,23 @@ def bpe_encode(
       pieces table -> ordered reassembly (one shuffle on the doc id),
       which never materializes the type map on the driver.
 
+    ``strategy`` picks the per-word-type application algorithm —
+    orthogonal to the physical plan above:
+
+    * ``"ordered"`` (default): replay the merge list in rank order, one
+      left-to-right pass per merge — O(n_merges · len) per type. Right
+      for the shallow in-plan tables bpe_learn produces.
+    * ``"greedy"``: repeatedly merge the LOWEST-RANK pair present —
+      O(len²) per type, INDEPENDENT of table depth. Required for
+      production-depth tables (8k-32k merges from the incremental
+      trainer), where the ordered replay pays the whole vocabulary per
+      word type. For tables trained by sequential BPE the two are
+      provably identical (a learned pair over a merged symbol always
+      ranks after the merges that formed it, so the greedy's
+      lowest-rank-first order replays the training order exactly) —
+      equivalence-tested in tests/test_textops.py; an arbitrary
+      hand-built table holds no such guarantee.
+
     Output: (id, subwords ARRAY<STRING>, n_subwords) — subwords carry the
     </w> end-of-word markers, so ``concat(subwords)`` round-trips the
     original words.
@@ -406,18 +435,56 @@ def bpe_encode(
     from pyspark.sql.functions import pandas_udf
 
     ranked = [(left, right, merged) for _, left, right, merged, _ in merges]
+    if strategy not in ("ordered", "greedy"):
+        raise ValueError(f"unknown bpe_encode strategy: {strategy!r}")
 
-    def _encode_one(w: str) -> list[str]:
-        sym = list(w) + [BPE_EOW]
-        for left, right, merged in ranked:
-            out: list[str] = []
-            for x in sym:
-                if out and out[-1] == left and x == right:
-                    out[-1] = merged
-                else:
-                    out.append(x)
-            sym = out
-        return sym
+    if strategy == "greedy":
+        ranks = {(left, right): k for k, (left, right, _m) in enumerate(ranked)}
+
+        def _encode_one(w: str) -> list[str]:
+            sym = list(w) + [BPE_EOW]
+            while len(sym) > 1:
+                best = min(
+                    (
+                        (ranks[p], p)
+                        for p in zip(sym, sym[1:])
+                        if p in ranks
+                    ),
+                    default=None,
+                )
+                if best is None:
+                    break
+                left, right = best[1]
+                merged = left + right
+                out: list[str] = []
+                i = 0
+                while i < len(sym):
+                    if (
+                        i + 1 < len(sym)
+                        and sym[i] == left
+                        and sym[i + 1] == right
+                    ):
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(sym[i])
+                        i += 1
+                sym = out
+            return sym
+
+    else:
+
+        def _encode_one(w: str) -> list[str]:
+            sym = list(w) + [BPE_EOW]
+            for left, right, merged in ranked:
+                out: list[str] = []
+                for x in sym:
+                    if out and out[-1] == left and x == right:
+                        out[-1] = merged
+                    else:
+                        out.append(x)
+                sym = out
+            return sym
 
     @pandas_udf("array<string>")
     def encode_word(words: pd.Series) -> pd.Series:

@@ -983,7 +983,7 @@ def q_incremental_dedup(spark, sf_dir):
 # sf_dir: the index a production pipeline maintains AT INGEST exists
 # before any batch arrives, so the benched per-batch cost must not
 # re-pay the corpus pass on every call. Lifecycle is owned here (NOT
-# register_sig_cache — the next dedup call's rotation would release it);
+# dedup's one-call-live rotation, which would release it on the next call);
 # a session change invalidates the entry (persisted blocks die with the
 # session). Tiny: NUM_HASHES longs per corpus doc.
 _CORP_SIG_MEMO: dict[str, DataFrame] = {}
