@@ -70,6 +70,12 @@ BENCH_QUERIES = [
     # r9: BPE round-1 pair statistics (FULL oracle; the corpus-pass cost
     # of tokenizer training — the merge loop itself is driver-side)
     "q_bpe_pair_counts",
+    # r9 session 3: unigram-LM tokenizer — the seed statistics (FULL
+    # oracle, the relational corpus pass) and the full EM+prune train
+    # (rows-only; ~15 word-type-table jobs whose fixed latency dominates
+    # at bench SF — the memoized model also feeds q_unigram_encode)
+    "q_unigram_seed_vocab",
+    "q_unigram_train",
     "q_funnel_steps",
     "q_scd2_intervals",
     "q_bigram_logprob",

@@ -251,6 +251,18 @@ def test_bpe_pair_counts_two_combined_aggs_pruned_scan(spark, sf):
     assert "CartesianProduct" not in p
 
 
+def test_unigram_seed_vocab_combined_aggs_pruned_scan(spark, sf):
+    # unigram seed statistics share the BPE round-1 shape: word count
+    # then substring sum, both map-side combined, the substring
+    # explosion on the distinct-word table; the scan reads text only
+    from vector_database_spark.queries import q_unigram_seed_vocab
+
+    p = plan_of(q_unigram_seed_vocab(spark, sf))
+    assert "partial_count" in p and "partial_sum" in p
+    assert "ReadSchema: struct<text:string>" in p
+    assert "CartesianProduct" not in p
+
+
 def test_substring_dedup_aggs_are_partial(spark, sf):
     # both shuffles (window-hash attribution, per-doc verdict) must have
     # map-side partial aggregation; nothing in the plan is quadratic

@@ -1,0 +1,189 @@
+"""Unigram-LM tokenizer tests (operators/unigram_lm.py; Kudo 2018).
+
+Verification strategy mirrors the BPE pair: kernel-level known answers
+(expected counts vs brute-force segmentation enumeration), algorithmic
+invariants (EM monotone likelihood, coverage floor, prune semantics),
+end-to-end determinism under re-partitioning, and encode round-trips.
+Training is iterative → rows-only at the driver gate; the seed
+statistics carry the FULL oracle (q_unigram_seed_vocab, swept in
+tests/test_oracle_parity.py like every other oracled query).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_database_spark.operators import unigram_lm as ug
+
+
+@pytest.fixture()
+def tiny_docs(spark):
+    rows = [
+        (0, "aba abba aba cab"),
+        (1, "abba aba bac cab"),
+        (2, "cab aba abba abc"),
+        (3, "bbb aaa aba abba"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _enumerate_segmentations(word, pieces, max_len):
+    """All segmentations of word into pieces (brute force)."""
+    if word == "":
+        return [[]]
+    out = []
+    for l in range(1, min(max_len, len(word)) + 1):
+        head = word[:l]
+        if head in pieces:
+            for rest in _enumerate_segmentations(word[l:], pieces, max_len):
+                out.append([head] + rest)
+    return out
+
+
+def test_expected_counts_match_enumeration():
+    """Forward-backward expected counts == direct posterior-weighted
+    enumeration over ALL segmentations, for every piece."""
+    lp = {
+        "a": math.log(0.3),
+        "b": math.log(0.2),
+        "ab": math.log(0.25),
+        "ba": math.log(0.15),
+        "aba": math.log(0.1),
+    }
+    word, cnt, max_len = "ababa", 7, 3
+    contrib, ll_micro = ug._fb_word(word, cnt, lp, max_len)
+
+    segs = _enumerate_segmentations(word, set(lp), max_len)
+    probs = [math.exp(sum(lp[p] for p in s)) for s in segs]
+    z = sum(probs)
+    assert ll_micro == round(math.log(z) * cnt * 1_000_000)
+    for piece in lp:
+        expected = (
+            sum(pr * s.count(piece) for s, pr in zip(segs, probs)) / z * cnt
+        )
+        got = contrib.get(piece, 0) / ug._NANO
+        # per-occurrence nano quantization → within a few nanos
+        assert abs(got - expected) < 1e-6, piece
+
+
+def test_viterbi_is_argmax_of_enumeration():
+    lp = {
+        "a": math.log(0.35),
+        "b": math.log(0.25),
+        "ab": math.log(0.2),
+        "bb": math.log(0.2),
+    }
+    for word in ("abab", "abbb", "aabb", "babab"):
+        segs = _enumerate_segmentations(word, set(lp), 2)
+        best = max(segs, key=lambda s: sum(lp[p] for p in s))
+        got, score = ug._viterbi(word, lp, 2)
+        assert math.isclose(score, sum(lp[p] for p in best))
+        assert math.isclose(sum(lp[p] for p in got), score)
+    assert ug._viterbi("axb", lp, 2) == (None, ug.NEG_INF)
+
+
+def test_em_monotone_likelihood(tiny_docs):
+    """Corpus log-likelihood is non-decreasing across EM iterations
+    (the EM guarantee; quantization slack 1e-3 in log space)."""
+    from vector_database_spark.operators.textops import word_freq
+
+    wf = word_freq(tiny_docs).persist()
+    try:
+        pieces, logp = ug._seed_from_wf(wf, 24, 3)
+        lls = []
+        for _ in range(4):
+            counts, ll = ug._em_pass(wf, pieces, logp, 3)
+            lls.append(ll / ug._MICRO)
+            pieces, logp = ug._m_step(pieces, counts)
+        for prev, cur in zip(lls, lls[1:]):
+            assert cur >= prev - 1e-3, lls
+    finally:
+        wf.unpersist()
+
+
+def test_m_step_drops_dead_multichar_keeps_singles():
+    pieces = ["a", "b", "ab", "ba"]
+    counts = [5 * ug._NANO, 0, 3 * ug._NANO, 0]
+    kept, logp = ug._m_step(pieces, counts)
+    assert kept == ["a", "b", "ab"]  # 'ba' dead → dropped; 'b' floored
+    probs = [math.exp(v) for v in logp]
+    assert math.isclose(sum(probs), 1.0, rel_tol=1e-9)
+
+
+def test_train_coverage_floor_and_target(tiny_docs):
+    model = ug.train_unigram(
+        tiny_docs, vocab_size=6, max_piece_len=3, seed_size=40
+    )
+    pieces = [p for p, _ in model]
+    # every corpus character survives (coverage floor)
+    assert {"a", "b", "c"} <= set(pieces)
+    assert len(pieces) <= max(6, 3)
+    # probabilities normalize (post-EM fixpoint)
+    assert math.isclose(sum(math.exp(v) for _, v in model), 1.0, rel_tol=1e-6)
+    # sorted-by-piece contract
+    assert pieces == sorted(pieces)
+
+
+def test_train_deterministic_under_repartition(spark, tiny_docs):
+    m1 = ug.train_unigram(tiny_docs, vocab_size=8, max_piece_len=3)
+    m2 = ug.train_unigram(
+        tiny_docs.repartition(7), vocab_size=8, max_piece_len=3
+    )
+    assert [p for p, _ in m1] == [p for p, _ in m2]
+    # bit-identical logprobs — the integer-nanos contract
+    assert m1 == m2
+
+
+def test_encode_roundtrip_and_oov(spark, tiny_docs):
+    model = ug.train_unigram(tiny_docs, vocab_size=8, max_piece_len=3)
+    enc = ug.unigram_encode(tiny_docs, model)
+    rows = {r["doc_id"]: r for r in enc.collect()}
+    texts = {r["doc_id"]: r["text"] for r in tiny_docs.collect()}
+    for did, r in rows.items():
+        assert r["n_pieces"] == len(r["pieces"])
+        assert "".join(r["pieces"]) == "".join(texts[did].lower().split())
+    # OOV characters pass through as single-char pieces
+    oov = spark.createDataFrame([(9, "abz zq")], "doc_id long, text string")
+    r = ug.unigram_encode(oov, model).collect()[0]
+    assert "".join(r["pieces"]) == "abzzq"
+    assert "z" in r["pieces"] and "q" in r["pieces"]
+
+
+def test_seed_pieces_counts(spark):
+    docs = spark.createDataFrame(
+        [(0, "ab ab b")], "doc_id long, text string"
+    )
+    got = {
+        r["piece"]: r["piece_cnt"]
+        for r in ug.seed_pieces(docs, max_piece_len=2).collect()
+    }
+    # 'ab' x2 words: a=2, b=2(from ab)+1(solo b)=3, ab=2
+    assert got == {"a": 2, "b": 3, "ab": 2}
+
+
+def test_prune_keeps_high_loss_pieces(tiny_docs):
+    """The prune drops the multi-char piece whose removal costs the
+    least corpus likelihood, never a single character."""
+    from vector_database_spark.operators.textops import word_freq
+
+    wf = word_freq(tiny_docs).persist()
+    try:
+        pieces, logp = ug._seed_from_wf(wf, 24, 3)
+        for _ in range(2):
+            counts, _ = ug._em_pass(wf, pieces, logp, 3)
+            pieces, logp = ug._m_step(pieces, counts)
+        n_singles = sum(1 for p in pieces if len(p) == 1)
+        keep_n = n_singles + 2
+        kept, _ = ug._prune(wf, pieces, logp, keep_n, 3)
+        assert len(kept) <= keep_n
+        assert {p for p in pieces if len(p) == 1} <= set(kept)
+        # kept multi-char pieces actually appear in the corpus ('aba'
+        # and 'abba' dominate the fixture)
+        for p in kept:
+            if len(p) > 1:
+                assert p in "abaabbacababcbbbaaa"
+    finally:
+        wf.unpersist()

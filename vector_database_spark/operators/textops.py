@@ -486,9 +486,33 @@ def bpe_encode(
                 sym = out
             return sym
 
+    return _apply_word_encoder(
+        docs, _encode_one, text_col, id_col, broadcast_types_max
+    )
+
+
+def _apply_word_encoder(
+    docs: DataFrame,
+    encode_one,
+    text_col: str,
+    id_col: str,
+    broadcast_types_max: int,
+    out_col: str = "subwords",
+    n_col: str = "n_subwords",
+) -> DataFrame:
+    """Physical plumbing shared by every word-level subword encoder
+    (bpe_encode here; operators/unigram_lm.py::unigram_encode): apply
+    ``encode_one(word) -> list[str]`` over the corpus with the
+    conditional-broadcast strategy documented on :func:`bpe_encode` —
+    word types <= ``broadcast_types_max`` get a collected word->pieces
+    map broadcast into one map-side pandas UDF (zero shuffles); larger
+    vocabularies take the positional explode -> broadcast join ->
+    ordered reassembly path (one shuffle on the doc id)."""
+    from pyspark.sql.functions import pandas_udf
+
     @pandas_udf("array<string>")
     def encode_word(words: pd.Series) -> pd.Series:
-        return words.map(_encode_one)
+        return words.map(encode_one)
 
     toks = explode_tokens(docs, (id_col,), text_col, alias="word", pos=True).filter(
         F.col("word") != ""
@@ -524,16 +548,14 @@ def bpe_encode(
                     return out
                 for w in tokens:
                     if w:
-                        out.extend(m.get(w) or _encode_one(w))
+                        out.extend(m.get(w) or encode_one(w))
                 return out
 
             return token_arrays.map(one)
 
         return docs.select(
-            id_col, encode_doc(tokenize_ws(F.col(text_col))).alias("subwords")
-        ).select(
-            id_col, "subwords", F.size("subwords").cast("long").alias("n_subwords")
-        )
+            id_col, encode_doc(tokenize_ws(F.col(text_col))).alias(out_col)
+        ).select(id_col, out_col, F.size(out_col).cast("long").alias(n_col))
 
     types.unpersist()
     typed = types.select("word", encode_word(F.col("word")).alias("pieces"))
@@ -543,7 +565,7 @@ def bpe_encode(
             F.array_sort(
                 F.collect_list(F.struct("pos", "pieces"))
             ).getField("pieces")
-        ).alias("subwords")
+        ).alias(out_col)
     )
     # left join from the full doc set: token-less docs (empty/whitespace/
     # null text) keep an empty subword row, matching the broadcast path
@@ -553,12 +575,12 @@ def bpe_encode(
         .select(
             id_col,
             F.coalesce(
-                F.col("subwords"), F.array().cast("array<string>")
-            ).alias("subwords"),
+                F.col(out_col), F.array().cast("array<string>")
+            ).alias(out_col),
         )
         .select(
             id_col,
-            "subwords",
-            F.size("subwords").cast("long").alias("n_subwords"),
+            out_col,
+            F.size(out_col).cast("long").alias(n_col),
         )
     )
