@@ -152,6 +152,65 @@ def test_encode_roundtrip_and_oov(spark, tiny_docs):
     assert "z" in r["pieces"] and "q" in r["pieces"]
 
 
+def test_sample_encode_roundtrip_determinism_and_sharpening(spark, tiny_docs):
+    model = ug.train_unigram(tiny_docs, vocab_size=8, max_piece_len=3)
+    s1 = ug.unigram_sample_encode(tiny_docs, model, alpha=0.5, seed=7)
+    s2 = ug.unigram_sample_encode(
+        tiny_docs.repartition(5), model, alpha=0.5, seed=7
+    )
+    r1 = {r["doc_id"]: list(r["pieces"]) for r in s1.collect()}
+    r2 = {r["doc_id"]: list(r["pieces"]) for r in s2.collect()}
+    assert r1 == r2  # seed-deterministic, partitioning-independent
+    texts = {r["doc_id"]: r["text"] for r in tiny_docs.collect()}
+    for did, pieces in r1.items():
+        assert "".join(pieces) == "".join(texts[did].lower().split())
+    # a different seed must change at least one sampled segmentation
+    r3 = {
+        r["doc_id"]: list(r["pieces"])
+        for r in ug.unigram_sample_encode(
+            tiny_docs, model, alpha=0.5, seed=8
+        ).collect()
+    }
+    assert r3 != r1
+    # alpha -> large sharpens to the Viterbi path (== unigram_encode)
+    hard = {
+        r["doc_id"]: list(r["pieces"])
+        for r in ug.unigram_sample_encode(
+            tiny_docs, model, alpha=100.0, seed=7
+        ).collect()
+    }
+    vit = {
+        r["doc_id"]: list(r["pieces"])
+        for r in ug.unigram_encode(tiny_docs, model).collect()
+    }
+    assert hard == vit
+
+
+def test_ffbs_samples_posterior():
+    """At alpha=1 the FFBS empirical segmentation frequencies match the
+    true posterior over all segmentations (chi-square-loose check)."""
+    import numpy as np
+
+    lp = {
+        "a": math.log(0.4),
+        "b": math.log(0.3),
+        "ab": math.log(0.2),
+        "ba": math.log(0.1),
+    }
+    word, max_len, n_draws = "aba", 2, 4000
+    segs = _enumerate_segmentations(word, set(lp), max_len)
+    probs = [math.exp(sum(lp[p] for p in s)) for s in segs]
+    z = sum(probs)
+    rng = np.random.default_rng(123)
+    counts = {tuple(s): 0 for s in segs}
+    for _ in range(n_draws):
+        counts[tuple(ug._ffbs_word(word, lp, max_len, 1.0, rng))] += 1
+    for s, pr in zip(segs, probs):
+        expect = pr / z
+        got = counts[tuple(s)] / n_draws
+        assert abs(got - expect) < 0.04, (s, got, expect)
+
+
 def test_seed_pieces_counts(spark):
     docs = spark.createDataFrame(
         [(0, "ab ab b")], "doc_id long, text string"

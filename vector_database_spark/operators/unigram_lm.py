@@ -438,6 +438,124 @@ def train_unigram(
 # ---------------------------------------------------------------------------
 
 
+def _ffbs_word(word: str, lp: dict, max_len: int, alpha: float, rng):
+    """Forward-filtering backward-sampling: draw ONE segmentation of
+    ``word`` from P(seg | word)^alpha (normalized) — Kudo 2018 §3.3
+    subword regularization. alpha -> inf sharpens to the Viterbi path;
+    alpha = 1 samples the true posterior. Returns None if the word has
+    no segmentation under ``lp``."""
+    n = len(word)
+    scaled = {p: v * alpha for p, v in lp.items()}
+    alpha_f = _forward(word, scaled, max_len)
+    if alpha_f[n] == NEG_INF:
+        return None
+    out: list[str] = []
+    i = n
+    while i > 0:
+        # candidate last pieces of word[:i], P(j) ∝ exp(αlp + alpha_f[j])
+        opts: list[tuple[int, str]] = []
+        weights: list[float] = []
+        for l in range(1, min(max_len, i) + 1):
+            j = i - l
+            a = alpha_f[j]
+            if a == NEG_INF:
+                continue
+            v = scaled.get(word[j:i])
+            if v is None:
+                continue
+            opts.append((j, word[j:i]))
+            weights.append(math.exp(a + v - alpha_f[i]))
+        total = sum(weights)
+        r = rng.random() * total
+        acc = 0.0
+        pick = len(opts) - 1
+        for k, w in enumerate(weights):
+            acc += w
+            if r <= acc:
+                pick = k
+                break
+        j, piece = opts[pick]
+        out.append(piece)
+        i = j
+    out.reverse()
+    return out
+
+
+def unigram_sample_encode(
+    docs: DataFrame,
+    model: list[tuple[str, float]],
+    alpha: float = 0.2,
+    seed: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sampled subword segmentation — subword REGULARIZATION (Kudo 2018
+    §3.3; SentencePiece ``enable_sampling``): each token OCCURRENCE
+    independently draws a segmentation from P(seg|word)^alpha via
+    forward-filtering backward-sampling, the on-the-fly augmentation a
+    training pipeline applies per epoch. Unlike :func:`unigram_encode`
+    this cannot dedupe by word type (independence per occurrence is the
+    point), so it runs as one Arrow-batched mapInPandas over the corpus
+    — map-only, no shuffle.
+
+    Deterministic for a fixed ``seed``: each occurrence's RNG is seeded
+    by (seed, doc_id, position), independent of partitioning or batch
+    boundaries. OOV characters pass through as single-char pieces (same
+    contract as unigram_encode), so concat(pieces) always round-trips.
+    Output: (id, pieces ARRAY<STRING>, n_pieces)."""
+    import numpy as np
+    import pandas as pd
+
+    lp = dict(model)
+    max_len = max((len(p) for p in lp), default=1)
+    sc = docs.sparkSession.sparkContext
+    bc = sc.broadcast(lp)
+    a = float(alpha)
+    s = int(seed)
+
+    def gen(batches):
+        lpb = bc.value
+
+        def one(doc_id, text):
+            pieces: list[str] = []
+            if text:
+                for k, w in enumerate(str(text).lower().split()):
+                    rng = np.random.default_rng([s, int(doc_id), k])
+                    segs = _ffbs_word(w, lpb, max_len, a, rng)
+                    if segs is None:
+                        # sample the known spans, pass OOV chars through
+                        run = ""
+                        segs = []
+                        for ch in w:
+                            if ch in lpb:
+                                run += ch
+                            else:
+                                if run:
+                                    segs.extend(
+                                        _ffbs_word(run, lpb, max_len, a, rng)
+                                    )
+                                    run = ""
+                                segs.append(ch)
+                        if run:
+                            segs.extend(_ffbs_word(run, lpb, max_len, a, rng))
+                    pieces.extend(segs)
+            return pieces
+
+        for pdf in batches:
+            out = [one(d, t) for d, t in zip(pdf[id_col], pdf[text_col])]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "pieces": out,
+                    "n_pieces": [len(p) for p in out],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        gen, f"{id_col} long, pieces array<string>, n_pieces long"
+    )
+
+
 def unigram_encode(
     docs: DataFrame,
     model: list[tuple[str, float]],

@@ -5806,6 +5806,25 @@ def q_unigram_encode(spark, sf_dir):
     )
 
 
+def q_unigram_sample_encode(spark, sf_dir):
+    """Sampled subword segmentation (subword regularization, Kudo 2018
+    §3.3; operators/unigram_lm.py::unigram_sample_encode): each token
+    occurrence independently draws a segmentation from P(seg|word)^α by
+    forward-filtering backward-sampling — the per-epoch augmentation a
+    training pipeline applies. One Arrow-batched mapInPandas, map-only.
+    Rows-only (stochastic by purpose, but seed-deterministic: the RNG is
+    keyed (seed, doc_id, position), so the result is stable across
+    partitionings — pinned with the α→∞ ≡ Viterbi sharpening check in
+    tests/test_unigram.py)."""
+    from vector_database_spark.operators import unigram_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    model = _unigram_model(spark, sf_dir)
+    return unigram_lm.unigram_sample_encode(
+        docs, model, alpha=0.2, seed=42
+    ).orderBy("doc_id")
+
+
 def q_stream_interval_join(spark, sf_dir):
     """Stream-stream interval join (view→click attribution within 30
     minutes), both sides watermarked — the join state stays bounded by
@@ -7187,6 +7206,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_unigram_seed_vocab": q_unigram_seed_vocab,
     "q_unigram_train": q_unigram_train,
     "q_unigram_encode": q_unigram_encode,
+    "q_unigram_sample_encode": q_unigram_sample_encode,
     "q_substring_dedup": q_substring_dedup,
     "q_prefetch_rerank": q_prefetch_rerank,
     "q_funnel_steps": q_funnel_steps,
