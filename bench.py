@@ -73,7 +73,9 @@ BENCH_QUERIES = [
     # r9 session 3: unigram-LM tokenizer — the seed statistics (FULL
     # oracle, the relational corpus pass) and the full EM+prune train
     # (rows-only; ~15 word-type-table jobs whose fixed latency dominates
-    # at bench SF — the memoized model also feeds q_unigram_encode)
+    # at bench SF). The model memo is cleared before every timed run
+    # (pre_run below) so min-of-N measures the actual train, not a
+    # replay of the cache that serves the driver's encode queries.
     "q_unigram_seed_vocab",
     "q_unigram_train",
     "q_funnel_steps",
@@ -439,10 +441,20 @@ def main() -> None:
     # ~60s extra wall time buys a comparable series. Set to 1 to get the
     # old single-shot behavior while iterating.
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # per-run setup for queries whose module-level memo would otherwise
+    # turn min-of-N into a no-op replay: q_unigram_train's model memo is
+    # cleared before EVERY timed run so the recorded time is the full
+    # EM+prune train, not a createDataFrame over the cache (the memo
+    # still serves the driver's back-to-back encode queries)
+    from vector_database_spark import queries as _qmod
+
+    pre_run = {"q_unigram_train": _qmod._UNIGRAM_MEMO.clear}
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         best_t = float("inf")
         for _ in range(n_runs):
+            if name in pre_run:
+                pre_run[name]()
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
                 "noop"

@@ -186,6 +186,26 @@ def test_sample_encode_roundtrip_determinism_and_sharpening(spark, tiny_docs):
     assert hard == vit
 
 
+def test_sample_encode_unicode_ws_matches_viterbi_tokenization(spark, tiny_docs):
+    """U+00A0 is whitespace to Python str.split() but NOT to the
+    engine's Java \\s+ tokenizer — both encoders must agree (sampled
+    encoding tokenizes Spark-side through the same tokenize_ws), and
+    the non-breaking space must survive as an OOV piece, not vanish."""
+    model = ug.train_unigram(tiny_docs, vocab_size=8, max_piece_len=3)
+    docs = spark.createDataFrame(
+        [(0, "aba cab ab")], "doc_id long, text string"
+    )
+    sam = ug.unigram_sample_encode(docs, model, alpha=100.0, seed=1).collect()[0]
+    vit = ug.unigram_encode(docs, model).collect()[0]
+    assert list(sam["pieces"]) == list(vit["pieces"])
+    assert "".join(sam["pieces"]) == "aba cabab"
+    assert " " in sam["pieces"]
+    # negative ids must seed cleanly (SeedSequence masking)
+    neg = spark.createDataFrame([(-5, "aba cab")], "doc_id long, text string")
+    r = ug.unigram_sample_encode(neg, model, alpha=0.5, seed=1).collect()[0]
+    assert "".join(r["pieces"]) == "abacab"
+
+
 def test_ffbs_samples_posterior():
     """At alpha=1 the FFBS empirical segmentation frequencies match the
     true posterior over all segmentations (chi-square-loose check)."""
@@ -204,11 +224,32 @@ def test_ffbs_samples_posterior():
     rng = np.random.default_rng(123)
     counts = {tuple(s): 0 for s in segs}
     for _ in range(n_draws):
-        counts[tuple(ug._ffbs_word(word, lp, max_len, 1.0, rng))] += 1
+        # alpha=1: the pre-scaled dict IS the log-prob dict
+        counts[tuple(ug._ffbs_word(word, lp, max_len, rng))] += 1
     for s, pr in zip(segs, probs):
         expect = pr / z
         got = counts[tuple(s)] / n_draws
         assert abs(got - expect) < 0.04, (s, got, expect)
+
+
+def test_em_pass_survives_int64_overflow_counts(spark):
+    """Word frequencies large enough that integer-nanos expected counts
+    exceed int64 (~9.2e9 occurrences) must aggregate exactly — the pass
+    travels as DECIMAL(38,0), not BIGINT."""
+    big = 20_000_000_000  # 2e10 · 1e9 nanos ≈ 2e19 > 2^63-1
+    wf = spark.createDataFrame(
+        [("ab", big), ("b", 3)], "word string, cnt long"
+    )
+    pieces = ["a", "ab", "b"]
+    logp = [math.log(0.3), math.log(0.4), math.log(0.3)]
+    counts, ll = ug._em_pass(wf, pieces, logp, 2)
+    assert counts[1] > 2**63  # 'ab' used by most of the 2e10 mass
+    assert sum(counts) > 0 and ll < 0
+    # M-step digests the unbounded ints fine
+    kept, new_logp = ug._m_step(pieces, counts)
+    assert math.isclose(
+        sum(math.exp(v) for v in new_logp), 1.0, rel_tol=1e-9
+    )
 
 
 def test_seed_pieces_counts(spark):

@@ -432,8 +432,6 @@ def bpe_encode(
     </w> end-of-word markers, so ``concat(subwords)`` round-trips the
     original words.
     """
-    from pyspark.sql.functions import pandas_udf
-
     ranked = [(left, right, merged) for _, left, right, merged, _ in merges]
     if strategy not in ("ordered", "greedy"):
         raise ValueError(f"unknown bpe_encode strategy: {strategy!r}")

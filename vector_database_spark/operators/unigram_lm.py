@@ -236,11 +236,24 @@ def seed_pieces(
 # ---------------------------------------------------------------------------
 
 
-def _em_pass(wf: DataFrame, pieces: list, logp: list, max_len: int):
-    """ONE distributed E-step over the word-type table: mapInPandas
-    emits per-batch (piece_id, nanos) partials — already combined inside
-    the batch — plus a pid=-1 log-likelihood row; a map-side-combined
-    integer sum reduces them. Returns (counts_nanos, loglik_micro)."""
+def _type_table_pass(
+    wf: DataFrame, pieces: list, logp: list, max_len: int, kernel
+):
+    """ONE distributed statistics pass over the word-type table — the
+    plumbing both the E-step and the prune's Viterbi-usage pass share:
+    mapInPandas applies ``kernel(word, cnt, lp, max_len) -> (dict
+    piece -> int, int extra)`` per word type, combines partials inside
+    the batch, emits one (piece_id, value) row per touched piece plus a
+    pid=-1 row carrying the summed ``extra`` (the E-step's
+    log-likelihood; 0 for usage), and a map-side-combined sum reduces
+    them. Values travel as DECIMAL(38,0), not BIGINT: per-piece
+    integer-nanos totals scale with corpus frequency and would overflow
+    int64 around word counts of ~9.2e9 (well below the 100 TB design
+    point) — decimal keeps the reduction exact to 38 digits and the
+    driver converts back to unbounded Python ints. Returns
+    (values: list[int] aligned with pieces, extra_total: int)."""
+    from decimal import Decimal
+
     import pandas as pd
 
     spark = wf.sparkSession
@@ -252,35 +265,45 @@ def _em_pass(wf: DataFrame, pieces: list, logp: list, max_len: int):
     def gen(batches):
         lp, pid = bc.value
         acc: dict[int, int] = {}
-        ll = 0
+        extra = 0
         for pdf in batches:
             for w, c in zip(pdf["word"], pdf["cnt"]):
-                contrib, z = _fb_word(w, int(c), lp, ml)
+                contrib, e = kernel(w, int(c), lp, ml)
                 if contrib is None:
                     continue
-                ll += z
-                for p, nanos in contrib.items():
+                extra += e
+                for p, v in contrib.items():
                     i = pid[p]
-                    acc[i] = acc.get(i, 0) + nanos
+                    acc[i] = acc.get(i, 0) + v
         yield pd.DataFrame(
-            {"pid": list(acc.keys()) + [-1], "nanos": list(acc.values()) + [ll]}
+            {
+                "pid": list(acc.keys()) + [-1],
+                "val": [Decimal(v) for v in acc.values()] + [Decimal(extra)],
+            }
         )
 
     rows = (
-        wf.mapInPandas(gen, "pid int, nanos long")
+        wf.mapInPandas(gen, "pid int, val decimal(38,0)")
         .groupBy("pid")
-        .agg(F.sum("nanos").alias("nanos"))
+        .agg(F.sum("val").alias("val"))
         .collect()
     )
-    counts = [0] * len(pieces)
-    ll_total = 0
+    values = [0] * len(pieces)
+    extra_total = 0
     for r in rows:
         if r["pid"] < 0:
-            ll_total = r["nanos"]
+            extra_total = int(r["val"])
         else:
-            counts[r["pid"]] = r["nanos"]
+            values[r["pid"]] = int(r["val"])
     bc.unpersist()
-    return counts, ll_total
+    return values, extra_total
+
+
+def _em_pass(wf: DataFrame, pieces: list, logp: list, max_len: int):
+    """ONE distributed E-step: forward-backward expected counts (integer
+    nanos) + corpus log-likelihood (integer micros). Returns
+    (counts_nanos, loglik_micro)."""
+    return _type_table_pass(wf, pieces, logp, max_len, _fb_word)
 
 
 def _m_step(pieces: list, counts: list):
@@ -301,40 +324,22 @@ def _m_step(pieces: list, counts: list):
     return keep_p, [math.log(c) - log_total for c in keep_c]
 
 
+def _usage_kernel(word: str, cnt: int, lp: dict, max_len: int):
+    """Per-word kernel for the prune pass: freq-weighted Viterbi piece
+    usage (exact integers; no extra slot)."""
+    segs, _ = _viterbi(word, lp, max_len)
+    if segs is None:
+        return None, 0
+    contrib: dict[str, int] = {}
+    for p in segs:
+        contrib[p] = contrib.get(p, 0) + cnt
+    return contrib, 0
+
+
 def _viterbi_usage(wf: DataFrame, pieces: list, logp: list, max_len: int):
-    """Freq-weighted Viterbi piece-usage counts (integers — exact), one
-    distributed job, same shape as the E-step."""
-    import pandas as pd
-
-    spark = wf.sparkSession
-    bc = spark.sparkContext.broadcast(
-        (dict(zip(pieces, logp)), {p: i for i, p in enumerate(pieces)})
-    )
-    ml = int(max_len)
-
-    def gen(batches):
-        lp, pid = bc.value
-        acc: dict[int, int] = {}
-        for pdf in batches:
-            for w, c in zip(pdf["word"], pdf["cnt"]):
-                segs, _ = _viterbi(w, lp, ml)
-                if segs is None:
-                    continue
-                for p in segs:
-                    i = pid[p]
-                    acc[i] = acc.get(i, 0) + int(c)
-        yield pd.DataFrame({"pid": list(acc.keys()), "n": list(acc.values())})
-
-    rows = (
-        wf.mapInPandas(gen, "pid int, n long")
-        .groupBy("pid")
-        .agg(F.sum("n").alias("n"))
-        .collect()
-    )
-    usage = [0] * len(pieces)
-    for r in rows:
-        usage[r["pid"]] = r["n"]
-    bc.unpersist()
+    """Freq-weighted Viterbi piece-usage counts, one distributed job,
+    same plumbing as the E-step (_type_table_pass)."""
+    usage, _ = _type_table_pass(wf, pieces, logp, max_len, _usage_kernel)
     return usage
 
 
@@ -438,14 +443,40 @@ def train_unigram(
 # ---------------------------------------------------------------------------
 
 
-def _ffbs_word(word: str, lp: dict, max_len: int, alpha: float, rng):
+def _segment_oov_tolerant(word: str, lp: dict, segment_fn):
+    """Shared OOV fallback for both encoders: try ``segment_fn(word)``
+    (returns a piece list or None for an unreachable lattice); on OOV
+    characters, segment each run of KNOWN characters and pass unknown
+    characters through as single-char pieces, so concat(pieces) always
+    round-trips. Known-char runs are always segmentable because the
+    membership test is the single-char key itself (``ch in lp``)."""
+    segs = segment_fn(word)
+    if segs is not None:
+        return segs
+    out: list[str] = []
+    run = ""
+    for ch in word:
+        if ch in lp:
+            run += ch
+        else:
+            if run:
+                out.extend(segment_fn(run))
+                run = ""
+            out.append(ch)
+    if run:
+        out.extend(segment_fn(run))
+    return out
+
+
+def _ffbs_word(word: str, scaled: dict, max_len: int, rng):
     """Forward-filtering backward-sampling: draw ONE segmentation of
     ``word`` from P(seg | word)^alpha (normalized) — Kudo 2018 §3.3
-    subword regularization. alpha -> inf sharpens to the Viterbi path;
-    alpha = 1 samples the true posterior. Returns None if the word has
-    no segmentation under ``lp``."""
+    subword regularization. ``scaled`` holds the PRE-multiplied
+    alpha·logprob per piece (scale once per job, not per token — the
+    vocabulary is 10^4..10^6 entries). alpha -> inf sharpens to the
+    Viterbi path; alpha = 1 samples the true posterior. Returns None if
+    the word has no segmentation under ``scaled``."""
     n = len(word)
-    scaled = {p: v * alpha for p, v in lp.items()}
     alpha_f = _forward(word, scaled, max_len)
     if alpha_f[n] == NEG_INF:
         return None
@@ -500,49 +531,53 @@ def unigram_sample_encode(
 
     Deterministic for a fixed ``seed``: each occurrence's RNG is seeded
     by (seed, doc_id, position), independent of partitioning or batch
-    boundaries. OOV characters pass through as single-char pieces (same
+    boundaries (negative ids are masked to the non-negative range
+    SeedSequence requires). Tokenization happens Spark-side through the
+    same ``tokenize_ws`` expression every other text operator and the
+    DuckDB oracles use — Python's ``str.split()`` disagrees with Java's
+    ``\\s+`` on Unicode whitespace and would silently drop those
+    characters. OOV characters pass through as single-char pieces (same
     contract as unigram_encode), so concat(pieces) always round-trips.
     Output: (id, pieces ARRAY<STRING>, n_pieces)."""
     import numpy as np
     import pandas as pd
 
+    from vector_database_spark.operators.textops import tokenize_ws
+
     lp = dict(model)
     max_len = max((len(p) for p in lp), default=1)
     sc = docs.sparkSession.sparkContext
-    bc = sc.broadcast(lp)
-    a = float(alpha)
+    # pre-scale ONCE: _ffbs_word takes alpha·logp, and rebuilding a
+    # 10^4..10^6-entry dict per token occurrence would dominate the pass
+    bc = sc.broadcast({p: v * float(alpha) for p, v in lp.items()})
     s = int(seed)
+    _MASK = (1 << 63) - 1
 
     def gen(batches):
-        lpb = bc.value
+        scaled = bc.value
 
-        def one(doc_id, text):
+        def one(doc_id, tokens):
             pieces: list[str] = []
-            if text:
-                for k, w in enumerate(str(text).lower().split()):
-                    rng = np.random.default_rng([s, int(doc_id), k])
-                    segs = _ffbs_word(w, lpb, max_len, a, rng)
-                    if segs is None:
-                        # sample the known spans, pass OOV chars through
-                        run = ""
-                        segs = []
-                        for ch in w:
-                            if ch in lpb:
-                                run += ch
-                            else:
-                                if run:
-                                    segs.extend(
-                                        _ffbs_word(run, lpb, max_len, a, rng)
-                                    )
-                                    run = ""
-                                segs.append(ch)
-                        if run:
-                            segs.extend(_ffbs_word(run, lpb, max_len, a, rng))
-                    pieces.extend(segs)
+            if tokens is not None:
+                k = 0
+                for w in tokens:
+                    if not w:
+                        continue
+                    rng = np.random.default_rng(
+                        [s, int(doc_id) & _MASK, k]
+                    )
+                    pieces.extend(
+                        _segment_oov_tolerant(
+                            w,
+                            scaled,
+                            lambda r: _ffbs_word(r, scaled, max_len, rng),
+                        )
+                    )
+                    k += 1
             return pieces
 
         for pdf in batches:
-            out = [one(d, t) for d, t in zip(pdf[id_col], pdf[text_col])]
+            out = [one(d, t) for d, t in zip(pdf[id_col], pdf["__toks"])]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
@@ -551,9 +586,9 @@ def unigram_sample_encode(
                 }
             )
 
-    return docs.select(id_col, text_col).mapInPandas(
-        gen, f"{id_col} long, pieces array<string>, n_pieces long"
-    )
+    return docs.select(
+        id_col, tokenize_ws(F.col(text_col)).alias("__toks")
+    ).mapInPandas(gen, f"{id_col} long, pieces array<string>, n_pieces long")
 
 
 def unigram_encode(
@@ -574,24 +609,9 @@ def unigram_encode(
     max_len = max((len(p) for p in lp), default=1)
 
     def _encode_one(w: str) -> list[str]:
-        segs, _ = _viterbi(w, lp, max_len)
-        if segs is not None:
-            return segs
-        # OOV characters break the lattice: segment the known spans,
-        # pass unknown chars through verbatim
-        out: list[str] = []
-        run = ""
-        for ch in w:
-            if ch in lp:
-                run += ch
-            else:
-                if run:
-                    out.extend(_viterbi(run, lp, max_len)[0])
-                    run = ""
-                out.append(ch)
-        if run:
-            out.extend(_viterbi(run, lp, max_len)[0])
-        return out
+        return _segment_oov_tolerant(
+            w, lp, lambda r: _viterbi(r, lp, max_len)[0]
+        )
 
     return _apply_word_encoder(
         docs,
