@@ -78,6 +78,9 @@ BENCH_QUERIES = [
     # replay of the cache that serves the driver's encode queries.
     "q_unigram_seed_vocab",
     "q_unigram_train",
+    # r9 session 3: val-vs-train OOV rate (FULL oracle) — the vocabulary
+    # coverage statistic that gates committing a trained tokenizer
+    "q_oov_rate",
     "q_funnel_steps",
     "q_scd2_intervals",
     "q_bigram_logprob",

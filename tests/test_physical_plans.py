@@ -263,6 +263,17 @@ def test_unigram_seed_vocab_combined_aggs_pruned_scan(spark, sf):
     assert "CartesianProduct" not in p
 
 
+def test_oov_rate_anti_join_no_cartesian(spark, sf):
+    # val tokens anti-join the distinct train vocab on the word key;
+    # both aggs map-side combined, nothing quadratic, text+doc_id scan
+    from vector_database_spark.queries import q_oov_rate
+
+    p = plan_of(q_oov_rate(spark, sf))
+    assert "LeftAnti" in p
+    assert "partial_count" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
 def test_substring_dedup_aggs_are_partial(spark, sf):
     # both shuffles (window-hash attribution, per-doc verdict) must have
     # map-side partial aggregation; nothing in the plan is quadratic

@@ -5806,6 +5806,78 @@ def q_unigram_encode(spark, sf_dir):
     )
 
 
+def q_oov_rate(spark, sf_dir):
+    """Out-of-vocabulary rate of the val split against the train
+    split's word vocabulary — the coverage statistic a tokenizer/vocab
+    pipeline watches before committing a trained vocabulary (high OOV =
+    retrain trigger; pairs with the unigram/BPE trainers the way IVF's
+    drift_ratio pairs with refresh). Per val doc: token count, tokens
+    unseen in train, rate in integer micros (FIXTURES rule 6).
+
+    Scale shape: the train vocabulary is ONE distinct over the exploded
+    train split (map-side combined), the val check is a left-anti join
+    on the word — both shuffles key on the word, no driver
+    materialization, and AQE broadcast-gates the vocab side when small.
+    FULL oracle — integer counts + micro ratio."""
+    docs = _t(spark, sf_dir, "documents")
+    split = textops.hash_split(docs)
+    train_vocab = (
+        explode_tokens(split.filter(F.col("split") == "train"), (), "text", alias="word")
+        .filter(F.col("word") != "")
+        .select("word")
+        .distinct()
+    )
+    val_toks = explode_tokens(
+        split.filter(F.col("split") == "val"), ("doc_id",), "text", alias="word"
+    ).filter(F.col("word") != "")
+    totals = val_toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    oov = (
+        val_toks.join(train_vocab, "word", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_oov"))
+    )
+    return (
+        totals.join(oov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_oov"), F.lit(0)).cast("long").alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate_micro",
+            micro6(F.coalesce(F.col("n_oov"), F.lit(0)) / F.col("n_tokens")),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SQL_OOV_RATE = f"""
+WITH split AS (
+  SELECT doc_id, text,
+         (doc_id * {textops.SPLIT_MULT}) % {textops.SPLIT_MOD} % 10 < 9 AS is_train
+  FROM documents
+),
+tr AS (
+  SELECT DISTINCT unnest({_TOKS_SQL}) AS w FROM split WHERE is_train
+),
+vt AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS w FROM split WHERE NOT is_train
+),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN w NOT IN (SELECT w FROM tr WHERE w <> '')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+  FROM vt WHERE w <> '' GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_oov,
+       {_micro_sql("CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)")} AS oov_rate_micro
+FROM agg ORDER BY doc_id
+"""
+
+
 def q_unigram_sample_encode(spark, sf_dir):
     """Sampled subword segmentation (subword regularization, Kudo 2018
     §3.3; operators/unigram_lm.py::unigram_sample_encode): each token
@@ -7207,6 +7279,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_unigram_train": q_unigram_train,
     "q_unigram_encode": q_unigram_encode,
     "q_unigram_sample_encode": q_unigram_sample_encode,
+    "q_oov_rate": q_oov_rate,
     "q_substring_dedup": q_substring_dedup,
     "q_prefetch_rerank": q_prefetch_rerank,
     "q_funnel_steps": q_funnel_steps,
@@ -7364,7 +7437,7 @@ _DRIVER_CONFIRMED_R1_R2 = frozenset({
 # entry, so no driver sample slot can read `no_oracle`.
 _R9_PRIORITY = (
     # brand-new oracled queries this round (never had a CORRECTNESS row)
-    "q_unigram_seed_vocab", "q_dsir_select", "q_bpe_pair_counts",
+    "q_unigram_seed_vocab", "q_oov_rate", "q_dsir_select", "q_bpe_pair_counts",
     "q_char_entropy", "q_incremental_dedup_indexed", "q_incremental_dedup",
     "q_sample_stratified",
     "q_scroll", "q_scroll_ordered", "q_scrub_pii", "q_simhash",
@@ -7664,6 +7737,7 @@ ORACLES: dict[str, str] = {
     "q_char_entropy": _SQL_CHAR_ENTROPY,
     "q_bpe_pair_counts": _SQL_BPE_PAIR_COUNTS,
     "q_unigram_seed_vocab": _SQL_UNIGRAM_SEED_VOCAB,
+    "q_oov_rate": _SQL_OOV_RATE,
     "q_score_threshold": _SQL_SCORE_THRESHOLD,
     "q_stream_session_window": _SQL_STREAM_SESSION_WINDOW,
     "q_stream_dedup": _SQL_STREAM_DEDUP,
