@@ -252,6 +252,52 @@ def test_em_pass_survives_int64_overflow_counts(spark):
     )
 
 
+def test_kernels_match_enumeration_randomized():
+    """Property test over random vocabularies and words: the
+    forward-backward expected counts and Viterbi score both agree with
+    brute-force enumeration of every segmentation."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = "ab"
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        word=st.text(alphabet=alphabet, min_size=1, max_size=7),
+        extra=st.lists(
+            st.text(alphabet=alphabet, min_size=2, max_size=3),
+            max_size=4,
+            unique=True,
+        ),
+        data=st.data(),
+    )
+    def check(word, extra, data):
+        pieces = sorted(set(alphabet) | set(extra))
+        raw = [
+            data.draw(st.floats(min_value=0.05, max_value=1.0))
+            for _ in pieces
+        ]
+        z0 = sum(raw)
+        lp = {p: math.log(r / z0) for p, r in zip(pieces, raw)}
+        max_len = max(len(p) for p in pieces)
+
+        segs = _enumerate_segmentations(word, set(lp), max_len)
+        probs = [math.exp(sum(lp[p] for p in s)) for s in segs]
+        z = sum(probs)
+
+        contrib, ll = ug._fb_word(word, 3, lp, max_len)
+        assert ll == round(math.log(z) * 3 * ug._MICRO)
+        for piece in lp:
+            expect = sum(pr * s.count(piece) for s, pr in zip(segs, probs)) / z * 3
+            assert abs(contrib.get(piece, 0) / ug._NANO - expect) < 1e-6
+
+        best = max(probs)
+        _, score = ug._viterbi(word, lp, max_len)
+        assert math.isclose(math.exp(score), best, rel_tol=1e-9)
+
+    check()
+
+
 def test_seed_pieces_counts(spark):
     docs = spark.createDataFrame(
         [(0, "ab ab b")], "doc_id long, text string"
