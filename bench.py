@@ -88,6 +88,9 @@ BENCH_QUERIES = [
     "q_ship_priority",
     # round 3: clustered semantic dedup + composite/adaptive retrieval
     "q_semdedup",
+    # r9 session 3: batch-vs-corpus semantic dedup (FULL oracle) — the
+    # incremental shape of q_semdedup, cross-side bucket pairs only
+    "q_incremental_semdedup",
     "q_matryoshka",
     # q_knn_ivfpq's ~4s is KMeans+PQ training repeated per run, not scan
     # cost — recall-gated in tests/test_ann.py and profiled in STRESS.md;

@@ -326,6 +326,43 @@ def test_semdedup_finds_all_planted_copies(spark, emb):
     assert pairs <= exact
 
 
+def test_semdedup_incremental_finds_planted_no_batch_pairs(spark, emb):
+    from vector_database_spark.operators import dedup
+
+    corpus = emb.filter(F.col("vec_id") >= 50).select("vec_id", "embedding")
+    fresh = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 7000).alias("vec_id"), "embedding"
+    )
+    planted = emb.filter(
+        (F.col("vec_id") >= 50) & (F.col("vec_id") < 70)
+    ).select((F.col("vec_id") + 8000).alias("vec_id"), "embedding")
+    batch = fresh.unionByName(planted)
+    rows = dedup.semdedup_incremental(batch, corpus).collect()
+    pairs = {(r["batch_id"], r["corpus_id"]) for r in rows}
+    # every planted corpus copy must surface against its original
+    for i in range(50, 70):
+        assert (i + 8000, i) in pairs
+    # CROSS-side only: batch ids never appear on the corpus side and
+    # vice versa (no batch² or corpus² candidates)
+    assert all(b >= 7000 and c < 7000 for b, c in pairs)
+    # scores agree with the exact self-join operator on the union
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in dedup.embedding_neardup_pairs(
+            batch.unionByName(corpus)
+        ).collect()
+    }
+    for r in rows:
+        key = tuple(sorted((r["batch_id"], r["corpus_id"])))
+        assert exact[key] == r["cos"]
+    # plan: equi-join on the bucket key, nothing quadratic
+    p = (
+        dedup.semdedup_incremental(batch, corpus)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
 def test_semdedup_plan_shuffles_on_bucket_not_cartesian(spark, emb):
     from vector_database_spark.operators import dedup
 

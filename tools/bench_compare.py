@@ -51,6 +51,10 @@ COMPARE = [
     "q_scd2_intervals",
     "q_bigram_logprob",
     "q_char_entropy",
+    "q_bpe_pair_counts",
+    "q_unigram_seed_vocab",
+    "q_oov_rate",
+    "q_dsir_select",
     "q_prefetch_rerank",
     "q_ship_priority",
     "q_topngram_fraction",

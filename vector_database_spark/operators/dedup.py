@@ -786,6 +786,55 @@ def semdedup_pairs(
     return scored.filter(F.col("cos") >= threshold).orderBy("id_a", "id_b")
 
 
+def semdedup_incremental(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = COSINE_NEARDUP_THRESHOLD,
+    dim: int = 64,
+    n_bucket_words: int = 1,
+) -> DataFrame:
+    """Batch-vs-corpus SemDeDup — the INCREMENTAL shape of
+    :func:`semdedup_pairs`, completing the family next to
+    incremental_dedup's MinHash twin: which incoming vectors are
+    semantic near-dups of vectors already in the corpus? Both sides
+    bucket by the deterministic sign pattern (identical in both
+    engines → FULL oracle, queries.q_incremental_semdedup) and ONLY
+    cross-side bucket pairs verify cosine — candidates never
+    materialize batch² or corpus²; per-batch cost is one bucket pass
+    over the batch plus the bucket join against the (re-bucketed)
+    corpus. Norm tagging keeps the per-pair score to one fold
+    (_pair_sides rationale). Output: (batch_id, corpus_id, cos)."""
+    words = _sign_bucket_words(F.col(emb_col), dim=dim, n_words=n_bucket_words)
+    keys = [f"__sb{k}" for k in range(len(words))]
+
+    def tag(df: DataFrame, out_id: str, e: str, n: str) -> DataFrame:
+        # computed_once on the bucket words: same substituted-fold hazard
+        # as semdedup_pairs (the equi-join infers isnotnull on the keys)
+        t = df.select(
+            F.col(id_col),
+            F.col(emb_col),
+            *[computed_once(w).alias(k) for w, k in zip(words, keys)],
+        ).withColumn("__n", l2_norm(F.col(emb_col)))
+        return t.select(
+            *keys,
+            F.col(id_col).alias(out_id),
+            F.col(emb_col).alias(e),
+            F.col("__n").alias(n),
+        )
+
+    a = tag(batch, "batch_id", "eb", "nb")
+    b = tag(corpus, "corpus_id", "ec", "nc")
+    cos = F.try_divide(dot(F.col("eb"), F.col("ec")), F.col("nb") * F.col("nc"))
+    scored = a.join(b, keys).select(
+        "batch_id", "corpus_id", round6(computed_once(cos)).alias("cos")
+    )
+    return scored.filter(F.col("cos") >= threshold).orderBy(
+        "batch_id", "corpus_id"
+    )
+
+
 def line_dedup(
     docs: DataFrame,
     text_col: str = "text",

@@ -1242,6 +1242,62 @@ ORDER BY id_a, id_b
 """
 
 
+def q_incremental_semdedup(spark, sf_dir):
+    """Batch-vs-corpus semantic dedup (dedup.semdedup_incremental): the
+    incremental shape of q_semdedup, completing the family next to
+    q_incremental_dedup_indexed's MinHash twin — which INCOMING vectors
+    semantically duplicate the existing corpus? 50 corpus vectors are
+    planted into the batch (ids +30000) and must all surface; the 400
+    re-idd batch vectors (+20000) are genuine arrivals. Sign-bucket
+    partitioning keeps the FULL oracle (deterministic in both engines);
+    only cross-side bucket pairs pay a cosine — never batch² or
+    corpus²."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 400).select("vec_id", "embedding")
+    batch = (
+        emb.filter(F.col("vec_id") < 400)
+        .select((F.col("vec_id") + 20000).alias("vec_id"), "embedding")
+        .unionByName(
+            emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 450)).select(
+                (F.col("vec_id") + 30000).alias("vec_id"), "embedding"
+            )
+        )
+    )
+    return dedup.semdedup_incremental(batch, corpus)
+
+
+_SQL_INCREMENTAL_SEMDEDUP = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 400
+),
+batch AS (
+  SELECT vec_id + 20000 AS vec_id, embedding FROM embeddings WHERE vec_id < 400
+  UNION ALL
+  SELECT vec_id + 30000, embedding FROM embeddings
+  WHERE vec_id >= 400 AND vec_id < 450
+),
+sb AS (
+  SELECT vec_id, embedding,
+         CAST(list_sum(list_transform(range(0, 32),
+              j -> CASE WHEN CAST(embedding AS DOUBLE[])[j + 1] > 0.0
+                        THEN 2.0 ** j ELSE 0.0 END)) AS BIGINT) AS b0
+  FROM batch
+),
+sc AS (
+  SELECT vec_id, embedding,
+         CAST(list_sum(list_transform(range(0, 32),
+              j -> CASE WHEN CAST(embedding AS DOUBLE[])[j + 1] > 0.0
+                        THEN 2.0 ** j ELSE 0.0 END)) AS BIGINT) AS b0
+  FROM corpus
+)
+SELECT b.vec_id AS batch_id, c.vec_id AS corpus_id,
+       {_cos_sql('b.embedding', 'c.embedding')} AS cos
+FROM sb b JOIN sc c ON b.b0 = c.b0
+WHERE {_cos_sql('b.embedding', 'c.embedding')} >= {dedup.COSINE_NEARDUP_THRESHOLD}
+ORDER BY batch_id, corpus_id
+"""
+
+
 def q_kmeans_clusters(spark, sf_dir):
     """Distributed Lloyd's k-means (k=8, 3 rounds) in EXACT integer
     micro-unit arithmetic — the cluster-curation primitive behind
@@ -7329,6 +7385,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_neardup_embedding": q_neardup_embedding,
     "q_semdedup": q_semdedup,
+    "q_incremental_semdedup": q_incremental_semdedup,
     "q_kmeans_clusters": q_kmeans_clusters,
     "q_semdedup_kmeans": q_semdedup_kmeans,
     # text analysis
@@ -7437,7 +7494,8 @@ _DRIVER_CONFIRMED_R1_R2 = frozenset({
 # entry, so no driver sample slot can read `no_oracle`.
 _R9_PRIORITY = (
     # brand-new oracled queries this round (never had a CORRECTNESS row)
-    "q_unigram_seed_vocab", "q_oov_rate", "q_dsir_select", "q_bpe_pair_counts",
+    "q_unigram_seed_vocab", "q_oov_rate", "q_incremental_semdedup",
+    "q_dsir_select", "q_bpe_pair_counts",
     "q_char_entropy", "q_incremental_dedup_indexed", "q_incremental_dedup",
     "q_sample_stratified",
     "q_scroll", "q_scroll_ordered", "q_scrub_pii", "q_simhash",
@@ -7658,6 +7716,7 @@ ORACLES: dict[str, str] = {
     "q_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "q_neardup_embedding": _SQL_NEARDUP_EMBEDDING,
     "q_semdedup": _SQL_SEMDEDUP,
+    "q_incremental_semdedup": _SQL_INCREMENTAL_SEMDEDUP,
     "q_kmeans_clusters": _SQL_KMEANS_CLUSTERS,
     "q_semdedup_kmeans": _SQL_SEMDEDUP_KMEANS,
     "q_text_stats": _SQL_TEXT_STATS,
