@@ -86,6 +86,8 @@ COMPARE = [
     "q_simhash_pairs_compound",
     # r8: the FULL-oracle batch-ANN plumbing entry
     "q_knn_ivf_batch_full",
+    # r9 session 3: incremental semantic dedup (batch vs corpus)
+    "q_incremental_semdedup",
 ]
 
 SCALING = ["q_pricing_summary", "q_event_window", "q_normalize_scale", "q_dedup_exact"]
@@ -159,11 +161,11 @@ def main() -> None:
 The reference publishes no performance numbers (BASELINE.md), so the
 single-node comparison runs each oracle-backed headline query on DuckDB
 1.x (the correctness oracle) and this engine on local[32], sf0.1, same
-parquet inputs. Regenerated by `tools/bench_compare.py` (round-8 vintage —
-includes the r6 headliners q_knn_twophase, q_knn_auto,
-q_incremental_dedup_indexed, q_simhash_pairs_compound and the r8
-q_knn_ivf_batch_full); single run after
-warmup, noop sink for Spark / fetchall for DuckDB.
+parquet inputs. Regenerated by `tools/bench_compare.py` (round-9 vintage —
+adds the r9 tokenizer/curation oracles q_bpe_pair_counts,
+q_unigram_seed_vocab, q_oov_rate, q_dsir_select and the incremental
+semantic dedup q_incremental_semdedup next to the r6/r8 headliners);
+single run after warmup, noop sink for Spark / fetchall for DuckDB.
 
 | query | spark s | duckdb s | spark/duckdb |
 |---|---|---|---|

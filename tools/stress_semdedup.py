@@ -98,6 +98,55 @@ def main() -> None:
         "| rows | planted | found | total pairs | bucketed s | exact s |\n"
         "|---|---|---|---|---|---|\n" + body,
     )
+
+    # ---- incremental shape: one arriving batch vs a standing corpus ----
+    BATCH_NOVEL, BATCH_COPIES = 9_000, 1_000
+    inc_rows = []
+    for n in (100_000, 1_000_000):
+        corpus = synth_embeddings(spark, n).localCheckpoint(eager=True)
+        # novel arrivals: ids far past the corpus (distinct hash stream);
+        # planted: verbatim copies of corpus ids 1..1000 (id +10M)
+        novel = synth_embeddings(spark, 2 * n + BATCH_NOVEL).filter(
+            F.col("vec_id") >= 2 * n
+        )
+        copies = corpus.filter(
+            (F.col("vec_id") >= 1) & (F.col("vec_id") <= BATCH_COPIES)
+        ).select((F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding")
+        batch = novel.unionByName(copies).localCheckpoint(eager=True)
+
+        t0 = time.perf_counter()
+        got = {
+            (r["batch_id"], r["corpus_id"])
+            for r in dedup.semdedup_incremental(batch, corpus).collect()
+        }
+        t_inc = time.perf_counter() - t0
+        found = sum(
+            1 for i in range(1, BATCH_COPIES + 1) if (i + 10_000_000, i) in got
+        )
+        inc_rows.append((n, found, len(got), t_inc))
+        print(
+            f"corpus={n:,}: planted={BATCH_COPIES} found={found} "
+            f"pairs={len(got)} incremental={t_inc:.1f}s"
+        )
+        assert found == BATCH_COPIES, "planted recall must be 100%"
+
+    inc_body = "\n".join(
+        f"| {n:,} | {BATCH_NOVEL + BATCH_COPIES:,} | {fo}/{BATCH_COPIES} | {tot:,} | {t:.1f} |"
+        for n, fo, tot, t in inc_rows
+    )
+    update_section(
+        "Incremental semantic dedup (batch vs corpus)",
+        "dedup.semdedup_incremental: a 10k-vector arriving batch (1,000\n"
+        "verbatim copies of corpus vectors planted) checked against a\n"
+        "standing corpus — cross-side sign-bucket pairs only, so the\n"
+        "candidate count tracks the batch, never corpus². The corpus-side\n"
+        "bucket projection is recomputed cold here (one map pass over the\n"
+        "corpus — the wall-clock driver at 1M); a production pipeline\n"
+        "keeps the corpus bucketed at rest (the catalog's LSH layout is\n"
+        "exactly that shape), leaving only the batch-side work.\n\n"
+        "| corpus rows | batch | planted found | cross pairs | s |\n"
+        "|---|---|---|---|---|\n" + inc_body,
+    )
     print("STRESS.md updated")
 
 
