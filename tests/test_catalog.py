@@ -37,6 +37,44 @@ def test_create_exists_idempotent(catalog):
         catalog.create_collection("c1", dim=8)
 
 
+def test_near_duplicates_flags_incoming_dups_only(catalog, spark):
+    """Ingest-time semantic dedup against the live view: a planted copy
+    of a live vector is flagged, a fresh direction is not, and the
+    documented anti-join recipe upserts only the fresh points."""
+    from pyspark.sql import functions as F
+
+    col = catalog.create_collection("cdup", dim=4)
+    col.upsert(
+        _points(
+            spark,
+            [(1, [1, 0, 0, 0], "a"), (2, [0, 1, 0, 0], "b"),
+             (3, [0.6, 0.8, 0, 0], "c")],
+        )
+    )
+    batch = _points(
+        spark,
+        [(10, [1, 0, 0, 0], "copy-of-1"),       # exact dup of live id 1
+         (11, [0, 0, 0.8, 0.6], "fresh"),       # new direction
+         # near-dup of id 1 with the SAME sign pattern (only comp 0
+         # positive) — a positive perturbation would flip a sign bit and
+         # land one bucket away, the documented recall trade
+         (12, [0.99, 0, -0.1, 0], "near-1")],   # cos vs id 1 ≈ 0.995
+    )
+    dups = col.near_duplicates(batch)
+    got = {(r["batch_id"], r["corpus_id"]) for r in dups.collect()}
+    assert (10, 1) in got
+    assert (12, 1) in got  # same sign bucket, cos above threshold
+    assert all(b != 11 for b, _ in got)
+    assert all(c in (1, 2, 3) for _, c in got)  # corpus side only
+    # the recipe from the docstring
+    fresh = batch.join(
+        dups.select(F.col("batch_id").alias("id")).distinct(), "id", "left_anti"
+    )
+    col.upsert(fresh)
+    assert col.count() == 4  # 3 live + only the fresh arrival
+    assert col.get(11) is not None and col.get(10) is None
+
+
 def test_dim_validation_on_upsert(catalog, spark):
     col = catalog.create_collection("c2", dim=4)
     with pytest.raises(ValueError, match="dimension mismatch"):

@@ -805,6 +805,45 @@ class VectorCollection:
             joined.select("id", "embedding", F.col("_old_payload").alias("payload"))
         )
 
+    def near_duplicates(
+        self,
+        points: DataFrame,
+        threshold: float | None = None,
+        n_bucket_words: int = 1,
+    ) -> DataFrame:
+        """Ingest-time semantic dedup: which INCOMING points are
+        embedding near-duplicates of points already live in the
+        collection? Returns (batch_id, corpus_id, cos) via
+        dedup.semdedup_incremental over the live view — deterministic
+        sign-bucket partitioning, cosine verified on CROSS-side bucket
+        pairs only (never batch² or corpus²), so the per-batch cost is
+        one bucket pass over the batch plus the bucket join against the
+        collection scan. Policy stays with the caller (drop, merge
+        payloads, or upsert anyway):
+
+            dups = col.near_duplicates(batch)
+            fresh = batch.join(
+                dups.select(F.col("batch_id").alias("id")).distinct(),
+                "id", "left_anti")
+            col.upsert(fresh)
+
+        ``threshold`` defaults to the dedup module's cosine near-dup
+        threshold; raise ``n_bucket_words`` for >32-d sign selectivity
+        on skewed embedding models (semdedup_pairs docstring)."""
+        from vector_database_spark.operators import dedup as _dedup
+
+        thr = (
+            _dedup.COSINE_NEARDUP_THRESHOLD if threshold is None else threshold
+        )
+        return _dedup.semdedup_incremental(
+            points.select("id", "embedding"),
+            self.df().select("id", "embedding"),
+            id_col="id",
+            threshold=thr,
+            dim=self.info.dim,
+            n_bucket_words=n_bucket_words,
+        )
+
     def scroll(
         self,
         limit: int = 100,
