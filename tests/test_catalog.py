@@ -75,6 +75,52 @@ def test_near_duplicates_flags_incoming_dups_only(catalog, spark):
     assert col.get(11) is not None and col.get(10) is None
 
 
+def test_near_duplicates_indexed_probes_lsh_layout(catalog, spark):
+    """use_index=True: the batch hashes with the index's pinned
+    hyperplanes and joins the persisted (table, sig) layout — exact
+    duplicates collide in EVERY table so they are always found; the
+    coverage contract raises on a stale index."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    col = catalog.create_collection("cdupix", dim=4)
+    rows = [(i, [float(i % 3 + 1), float(i % 5), -1.0, 0.5], str(i)) for i in range(40)]
+    col.upsert(_points(spark, rows))
+    col.build_lsh_index()
+    batch = _points(
+        spark,
+        [(100, [1.0, 0.0, -1.0, 0.5], "copy-of-3?"),  # dup of id pattern
+         (101, [9.0, 9.0, 9.0, 9.0], "fresh")],
+    )
+    # make planted copies verbatim from live rows
+    copies = col.df().filter(F.col("id") < 5).select(
+        (F.col("id") + 200).alias("id"), "embedding",
+        F.col("payload"),
+    )
+    batch = batch.unionByName(copies)
+    dups = col.near_duplicates(batch, use_index=True)
+    got = {(r["batch_id"], r["corpus_id"]) for r in dups.collect()}
+    for i in range(5):
+        assert (i + 200, i) in got  # exact copies always collide
+    # every reported pair verified: cos >= threshold against the scan path
+    from vector_database_spark.operators import dedup as _dedup
+
+    for r in dups.collect():
+        assert r["cos"] >= _dedup.COSINE_NEARDUP_THRESHOLD
+    # staleness: a write after the build invalidates the probe
+    col.upsert(_points(spark, [(300, [0.5, 0.5, 0.5, 0.5], "w")]))
+    with _pytest.raises(Exception, match="stale|refresh|rebuild"):
+        col.near_duplicates(batch, use_index=True).collect()
+    # refresh re-covers; the planted copies are still found
+    col.refresh_lsh_index()
+    got2 = {
+        (r["batch_id"], r["corpus_id"])
+        for r in col.near_duplicates(batch, use_index=True).collect()
+    }
+    for i in range(5):
+        assert (i + 200, i) in got2
+
+
 def test_dim_validation_on_upsert(catalog, spark):
     col = catalog.create_collection("c2", dim=4)
     with pytest.raises(ValueError, match="dimension mismatch"):

@@ -810,6 +810,7 @@ class VectorCollection:
         points: DataFrame,
         threshold: float | None = None,
         n_bucket_words: int = 1,
+        use_index: bool = False,
     ) -> DataFrame:
         """Ingest-time semantic dedup: which INCOMING points are
         embedding near-duplicates of points already live in the
@@ -829,12 +830,26 @@ class VectorCollection:
 
         ``threshold`` defaults to the dedup module's cosine near-dup
         threshold; raise ``n_bucket_words`` for >32-d sign selectivity
-        on skewed embedding models (semdedup_pairs docstring)."""
+        on skewed embedding models (semdedup_pairs docstring).
+
+        ``use_index=True`` is the SCALE path: instead of scanning the
+        live view per batch, the batch's LSH signatures (hashed with the
+        index's pinned hyperplanes) join the PERSISTED (table, sig)
+        layout — the probe reads matching sig partitions only, so a
+        batch against a 100 TB collection costs the batch hash plus the
+        probed buckets, not a corpus scan. Requires a current
+        build_lsh_index/refresh_lsh_index (the usual coverage contract).
+        Recall: exact duplicates always collide in every table; near-dup
+        recall follows the multi-table OR (wider auto layouts trade it
+        for selectivity) — the sign-bucket scan path is the
+        deterministic-recall alternative."""
         from vector_database_spark.operators import dedup as _dedup
 
         thr = (
             _dedup.COSINE_NEARDUP_THRESHOLD if threshold is None else threshold
         )
+        if use_index:
+            return self._near_duplicates_indexed(points, thr)
         return _dedup.semdedup_incremental(
             points.select("id", "embedding"),
             self.df().select("id", "embedding"),
@@ -842,6 +857,55 @@ class VectorCollection:
             threshold=thr,
             dim=self.info.dim,
             n_bucket_words=n_bucket_words,
+        )
+
+    def _near_duplicates_indexed(
+        self, points: DataFrame, threshold: float
+    ) -> DataFrame:
+        """near_duplicates over the persisted LSH layout: batch rows
+        hash with the index's PINNED seeded hyperplanes into the same
+        (table, sig) long form, join the layout on the key (partition
+        pruning at scale), candidates dedupe across tables, cosine
+        verifies. DataFrame-native end to end — the batch never touches
+        the driver (unlike search_lsh_batch's literal query rows, a
+        dedup batch can be millions of rows)."""
+        from vector_database_spark.functions.vector import computed_once
+        from vector_database_spark.operators import ann
+
+        meta = self._lsh_meta_fresh("near_duplicates")
+        batch_sigs = ann.lsh_long_form(
+            points.select("id", "embedding"),
+            dim=self.info.dim,
+            bits=meta["bits"],
+            tables=meta["tables"],
+            id_col="id",
+            emb_col="embedding",
+            payload_cols=(),
+        ).select(
+            "table",
+            "sig",
+            F.col("id").alias("batch_id"),
+            F.col("embedding").alias("__eb"),
+        )
+        layout = self._lsh_layout_df().select(
+            "table",
+            "sig",
+            F.col("id").alias("corpus_id"),
+            F.col("embedding").alias("__ec"),
+        )
+        cand = (
+            batch_sigs.join(layout, ["table", "sig"])
+            .dropDuplicates(["batch_id", "corpus_id"])
+            .select(
+                "batch_id",
+                "corpus_id",
+                round6(
+                    computed_once(cosine(F.col("__eb"), F.col("__ec")))
+                ).alias("cos"),
+            )
+        )
+        return cand.filter(F.col("cos") >= threshold).orderBy(
+            "batch_id", "corpus_id"
         )
 
     def scroll(
