@@ -49,9 +49,22 @@ def synth_embeddings(spark, n: int):
 
 
 def main() -> None:
+    # phase selector: all | pairs | incremental | indexed — each phase
+    # updates its own STRESS.md section, so they can run (and be re-run)
+    # independently; the full sweep exceeds a 10-minute budget otherwise
+    phase = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_spark("stress_semdedup")
     spark.sparkContext.setLogLevel("ERROR")
+    if phase in ("all", "pairs"):
+        _pairs_phase(spark)
+    if phase in ("all", "incremental"):
+        _incremental_phase(spark)
+    if phase in ("all", "indexed"):
+        _indexed_phase(spark)
+    print("STRESS.md updated")
 
+
+def _pairs_phase(spark) -> None:
     rows = []
     for n, run_exact in ((20_000, True), (100_000, False), (500_000, False)):
         emb = synth_embeddings(spark, n).localCheckpoint(eager=True)
@@ -99,8 +112,12 @@ def main() -> None:
         "|---|---|---|---|---|---|\n" + body,
     )
 
+
+BATCH_NOVEL, BATCH_COPIES = 9_000, 1_000
+
+
+def _incremental_phase(spark) -> None:
     # ---- incremental shape: one arriving batch vs a standing corpus ----
-    BATCH_NOVEL, BATCH_COPIES = 9_000, 1_000
     inc_rows = []
     for n in (100_000, 1_000_000):
         corpus = synth_embeddings(spark, n).localCheckpoint(eager=True)
@@ -141,13 +158,92 @@ def main() -> None:
         "standing corpus — cross-side sign-bucket pairs only, so the\n"
         "candidate count tracks the batch, never corpus². The corpus-side\n"
         "bucket projection is recomputed cold here (one map pass over the\n"
-        "corpus — the wall-clock driver at 1M); a production pipeline\n"
-        "keeps the corpus bucketed at rest (the catalog's LSH layout is\n"
-        "exactly that shape), leaving only the batch-side work.\n\n"
+        "corpus — the wall-clock driver at 1M); the at-rest alternative is\n"
+        "the next section's persisted-index probe.\n\n"
         "| corpus rows | batch | planted found | cross pairs | s |\n"
         "|---|---|---|---|---|\n" + inc_body,
     )
-    print("STRESS.md updated")
+
+
+def _indexed_phase(spark) -> None:
+    # ---- the at-rest shape: probe the persisted catalog LSH layout ----
+    # (near_duplicates(use_index=True) — the batch hashes with the pinned
+    # hyperplanes and joins the (table, sig) partitions; no corpus scan)
+    import shutil
+    import tempfile
+
+    from vector_database_spark.catalog import Catalog
+
+    n = 1_000_000
+    root = tempfile.mkdtemp(prefix=f"stress_semdedup_ix_{os.getpid()}_")
+    try:
+        cat = Catalog(spark, root)
+        col = cat.create_collection("c", dim=64, auto_compact=False)
+        corpus = synth_embeddings(spark, n)
+        t0 = time.perf_counter()
+        col.upsert(
+            corpus.select(
+                F.col("vec_id").alias("id"),
+                "embedding",
+                F.create_map(F.lit("k"), F.lit("v")).alias("payload"),
+            )
+        )
+        t_ingest = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        col.build_lsh_index()
+        t_build = time.perf_counter() - t0
+
+        novel = synth_embeddings(spark, 2 * n + BATCH_NOVEL).filter(
+            F.col("vec_id") >= 2 * n
+        )
+        copies = corpus.filter(
+            (F.col("vec_id") >= 1) & (F.col("vec_id") <= BATCH_COPIES)
+        ).select((F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding")
+        batch = (
+            novel.unionByName(copies)
+            .select(F.col("vec_id").alias("id"), "embedding")
+            .localCheckpoint(eager=True)
+        )
+        t0 = time.perf_counter()
+        got_ix = {
+            (r["batch_id"], r["corpus_id"])
+            for r in col.near_duplicates(batch, use_index=True).collect()
+        }
+        t_probe = time.perf_counter() - t0
+        found_ix = sum(
+            1
+            for i in range(1, BATCH_COPIES + 1)
+            if (i + 10_000_000, i) in got_ix
+        )
+        print(
+            f"indexed probe at {n:,}: ingest={t_ingest:.1f}s "
+            f"build_lsh={t_build:.1f}s probe={t_probe:.1f}s "
+            f"planted={found_ix}/{BATCH_COPIES} pairs={len(got_ix)}"
+        )
+        assert found_ix == BATCH_COPIES, "exact copies collide in every table"
+        update_section(
+            "Incremental semantic dedup — at-rest index probe",
+            f"near_duplicates(use_index=True) on a 1M-point collection:\n"
+            f"one-time ingest {t_ingest:.1f}s + build_lsh_index "
+            f"{t_build:.1f}s,\nthen the 10k-batch probe costs "
+            f"**{t_probe:.1f}s** ({found_ix}/{BATCH_COPIES}\nplanted exact "
+            f"copies found — they collide in every table;\n"
+            f"{len(got_ix):,} verified pairs). Norm-tagged single-fold\n"
+            f"scoring cut this 2.4× (226s with per-pair cosine folds).\n\n"
+            f"Honest crossover vs the scan variant (2.0s at this corpus):\n"
+            f"the probe verifies ~batch × tables × bucket-rows candidates\n"
+            f"(10k × 4 × ~3.9k ≈ 156M folds here) but NEVER scans the\n"
+            f"corpus, and the auto layout width holds bucket rows ~4096 as\n"
+            f"the collection grows — probe cost is ~FLAT in corpus size\n"
+            f"while the sign-bucket scan's one map pass grows linearly\n"
+            f"(~2s/1M rows). Extrapolated crossover ≈ 50-100M rows; below\n"
+            f"it use the default scan path, above it (the 100 TB regime)\n"
+            f"the probe is the only shape that doesn't touch the corpus,\n"
+            f"and refresh_lsh_index keeps coverage at O(write batch)\n"
+            f"between folds.",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 if __name__ == "__main__":

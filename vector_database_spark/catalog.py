@@ -832,16 +832,20 @@ class VectorCollection:
         threshold; raise ``n_bucket_words`` for >32-d sign selectivity
         on skewed embedding models (semdedup_pairs docstring).
 
-        ``use_index=True`` is the SCALE path: instead of scanning the
-        live view per batch, the batch's LSH signatures (hashed with the
-        index's pinned hyperplanes) join the PERSISTED (table, sig)
-        layout — the probe reads matching sig partitions only, so a
-        batch against a 100 TB collection costs the batch hash plus the
-        probed buckets, not a corpus scan. Requires a current
-        build_lsh_index/refresh_lsh_index (the usual coverage contract).
-        Recall: exact duplicates always collide in every table; near-dup
-        recall follows the multi-table OR (wider auto layouts trade it
-        for selectivity) — the sign-bucket scan path is the
+        ``use_index=True`` is the LARGE-corpus path: instead of scanning
+        the live view per batch, the batch's LSH signatures (hashed with
+        the index's pinned hyperplanes) join the PERSISTED (table, sig)
+        layout — the probe reads matching sig partitions only, never the
+        corpus. Its cost is the candidate verification, ~batch × tables
+        × bucket-rows folds, which the auto layout width holds ~FLAT in
+        corpus size, while the scan path's map pass grows linearly —
+        measured crossover ≈ 50-100M rows (STRESS.md "at-rest index
+        probe": at 1M the scan wins 2.0s vs 95.6s; at 100 TB only the
+        probe shape is runnable). Requires a current build_lsh_index/
+        refresh_lsh_index (the usual coverage contract). Recall: exact
+        duplicates always collide in every table; near-dup recall
+        follows the multi-table OR (wider auto layouts trade it for
+        selectivity) — the sign-bucket scan path is the
         deterministic-recall alternative."""
         from vector_database_spark.operators import dedup as _dedup
 
@@ -873,39 +877,55 @@ class VectorCollection:
         from vector_database_spark.operators import ann
 
         meta = self._lsh_meta_fresh("near_duplicates")
+        # norms tagged ONCE PER ROW on each side (the _pair_sides lesson:
+        # a per-pair cosine() pays 3 folds; try_divide(dot, nb*nc) pays 1)
         batch_sigs = ann.lsh_long_form(
-            points.select("id", "embedding"),
+            points.select(
+                "id", "embedding", l2_norm(F.col("embedding")).alias("__nb")
+            ),
             dim=self.info.dim,
             bits=meta["bits"],
             tables=meta["tables"],
             id_col="id",
             emb_col="embedding",
-            payload_cols=(),
+            payload_cols=("__nb",),
         ).select(
             "table",
             "sig",
             F.col("id").alias("batch_id"),
             F.col("embedding").alias("__eb"),
+            "__nb",
         )
         layout = self._lsh_layout_df().select(
             "table",
             "sig",
             F.col("id").alias("corpus_id"),
             F.col("embedding").alias("__ec"),
+            l2_norm(F.col("embedding")).alias("__nc"),
         )
-        cand = (
-            batch_sigs.join(layout, ["table", "sig"])
+        # ORDER MATTERS twice here. (1) Score + threshold BEFORE the pair
+        # dedupe: a pair colliding in several tables is a duplicate
+        # candidate, but deduping first would shuffle every candidate WITH
+        # both embedding arrays (~0.6 KB/row — measured tens of GB at a
+        # 1M-corpus/10k-batch probe); filtering first means the
+        # dropDuplicates shuffle carries only the (id, id, cos) survivors.
+        # (2) The multi-table re-score is map-side CPU on candidates —
+        # the honest LSH probe cost, bounded by tables × bucket rows per
+        # batch row (auto layout width keeps bucket rows ~4096, so the
+        # probe cost is ~flat in corpus size while the scan variant's
+        # grows with it).
+        cos = F.try_divide(
+            dot(F.col("__eb"), F.col("__ec")), F.col("__nb") * F.col("__nc")
+        )
+        cand = batch_sigs.join(layout, ["table", "sig"]).select(
+            "batch_id",
+            "corpus_id",
+            round6(computed_once(cos)).alias("cos"),
+        )
+        return (
+            cand.filter(F.col("cos") >= threshold)
             .dropDuplicates(["batch_id", "corpus_id"])
-            .select(
-                "batch_id",
-                "corpus_id",
-                round6(
-                    computed_once(cosine(F.col("__eb"), F.col("__ec")))
-                ).alias("cos"),
-            )
-        )
-        return cand.filter(F.col("cos") >= threshold).orderBy(
-            "batch_id", "corpus_id"
+            .orderBy("batch_id", "corpus_id")
         )
 
     def scroll(
