@@ -377,6 +377,62 @@ def test_points_feed_streams_into_collection(spark, tmp_path):
     assert col.info.version >= 2
 
 
+def test_streaming_dedup_on_ingest_drops_semantic_dups(spark, tmp_path):
+    """Streaming ingest with SEMANTIC dedup-on-ingest: each micro-batch
+    is checked against the live collection (near_duplicates) and only
+    fresh points upsert — the composition a crawl-ingest pipeline runs.
+    The feed is driven twice: the second pass replays the same points,
+    so every one of them must be flagged against the now-live corpus
+    and the collection must not grow."""
+    from vector_database_spark.catalog import Catalog
+    from vector_database_spark.sources import points_jsonl
+
+    points_jsonl.register(spark)
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.create_collection("dedup_feed", dim=8, metric="cosine")
+    col = cat.collection("dedup_feed")
+
+    def sink(batch_df, epoch_id):
+        pts = batch_df.select(
+            "id", F.col("vector").alias("embedding"), "payload"
+        )
+        if not pts.take(1):
+            return
+        if col.count() > 0:
+            dups = col.near_duplicates(pts)
+            pts = pts.join(
+                dups.select(F.col("batch_id").alias("id")).distinct(),
+                "id",
+                "left_anti",
+            )
+        if pts.take(1):
+            col.upsert(pts)
+
+    def run_feed():
+        q = (
+            spark.readStream.format("points_feed")
+            .option("batch_points", "100")
+            .option("max_points", "300")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_feed()
+    n_first = col.count()
+    assert n_first > 0
+    v_first = col.info.version
+    # replay: every point is now a semantic dup of a live point (the
+    # feed is deterministic) — nothing fresh remains, nothing upserts
+    run_feed()
+    assert col.count() == n_first
+    assert cat.collection("dedup_feed").info.version == v_first
+
+
 def test_tws_probe_requires_preexported_shim_env(monkeypatch):
     """r8 ADVICE: with the VENDORED protobuf importable in the driver but
     SPARK_GRAFT_PB_SHIM never exported before the JVM launched, the probe
