@@ -73,6 +73,17 @@ def test_near_duplicates_flags_incoming_dups_only(catalog, spark):
     col.upsert(fresh)
     assert col.count() == 4  # 3 live + only the fresh arrival
     assert col.get(11) is not None and col.get(10) is None
+    # SELF-PAIRS are reported (documented): an exact same-id replay is a
+    # duplicate; update-friendly pipelines filter batch_id != corpus_id
+    replay = _points(spark, [(1, [1, 0, 0, 0], "a")])
+    self_pairs = {
+        (r["batch_id"], r["corpus_id"])
+        for r in col.near_duplicates(replay).collect()
+    }
+    assert (1, 1) in self_pairs
+    # the indexed path refuses scan-only knobs instead of ignoring them
+    with pytest.raises(ValueError, match="n_bucket_words"):
+        col.near_duplicates(replay, n_bucket_words=2, use_index=True)
 
 
 def test_near_duplicates_indexed_probes_lsh_layout(catalog, spark):

@@ -263,13 +263,14 @@ def test_unigram_seed_vocab_combined_aggs_pruned_scan(spark, sf):
     assert "CartesianProduct" not in p
 
 
-def test_oov_rate_anti_join_no_cartesian(spark, sf):
-    # val tokens anti-join the distinct train vocab on the word key;
-    # both aggs map-side combined, nothing quadratic, text+doc_id scan
+def test_oov_rate_single_val_explode_no_cartesian(spark, sf):
+    # the val split is exploded ONCE and left-joins the presence-flagged
+    # vocab (a totals/anti-join pair would tokenize the val split twice);
+    # aggs map-side combined, nothing quadratic
     from vector_database_spark.queries import q_oov_rate
 
     p = plan_of(q_oov_rate(spark, sf))
-    assert "LeftAnti" in p
+    assert p.count("Generate") == 2  # one train explode + ONE val explode
     assert "partial_count" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 

@@ -1,11 +1,11 @@
 """Tokenizer artifact persistence (operators/tokenizer_store.py):
-exact round-trips, encode equality through a reload, crash-swap
-recovery, kind/version guards."""
+exact round-trips, encode equality through a reload, crash-state
+recovery of the versioned-pointer layout, reader grace window,
+kind/version guards."""
 
 from __future__ import annotations
 
 import os
-import shutil
 
 import pytest
 
@@ -74,25 +74,48 @@ def test_overwrite_replaces_and_kind_guard(spark, tiny_docs, tmp_path):
         ts.load_unigram(spark, str(tmp_path / "absent"))
 
 
-def test_crashed_swap_falls_back_to_aside(spark, tiny_docs, tmp_path):
-    """A crash between 'old moves aside' and 'new lands' leaves only
-    the .old dir — the loader must still serve the previous model."""
+def test_previous_version_survives_one_save_for_readers(spark, tiny_docs, tmp_path):
+    """A reader that resolved the pointer just before a re-save must
+    still find its (immutable) version dir afterwards; two saves later
+    it is reclaimed."""
+    path = str(tmp_path / "tok")
+    m1 = ug.train_unigram(tiny_docs, vocab_size=6, max_piece_len=3)
+    m2 = ug.train_unigram(tiny_docs, vocab_size=8, max_piece_len=3)
+    ts.save_unigram(spark, path, m1)
+    v1 = ts._resolve(path)  # what an in-flight reader holds
+    ts.save_unigram(spark, path, m2)
+    # grace window: the reader's dir is intact and self-consistent
+    assert os.path.exists(os.path.join(v1, "meta.json"))
+    assert ts.load_unigram(spark, path) == m2
+    ts.save_unigram(spark, path, m1)
+    assert not os.path.exists(v1)  # reclaimed after the grace window
+
+
+def test_crash_before_pointer_swap_serves_old_then_heals(spark, tiny_docs, tmp_path):
+    """Crash AFTER the version dir renamed but BEFORE the pointer swap:
+    CURRENT still names the old complete artifact; the next save cleans
+    the orphan."""
     path = str(tmp_path / "tok")
     m1 = ug.train_unigram(tiny_docs, vocab_size=6, max_piece_len=3)
     ts.save_unigram(spark, path, m1)
-    # simulate the torn swap
-    os.rename(path, path + ".old")
-    assert ts.load_unigram(spark, path) == m1
-    # and a subsequent save heals it: aside cleared, final current
+    # simulate the torn save: a fully-written orphan version dir with no
+    # pointer update (copy the current artifact as the orphan)
+    import shutil
+
+    cur = ts._resolve(path)
+    orphan = os.path.join(path, "v99")
+    shutil.copytree(cur, orphan)
+    assert ts.load_unigram(spark, path) == m1  # pointer wins, orphan ignored
     m2 = ug.train_unigram(tiny_docs, vocab_size=8, max_piece_len=3)
-    ts.save_unigram(spark, path, m2)
+    ts.save_unigram(spark, path, m2)  # picks v100, cleans the orphan
     assert ts.load_unigram(spark, path) == m2
-    assert not os.path.exists(path + ".old")
+    assert not os.path.exists(orphan)
 
 
-def test_stale_staging_dir_is_replaced(spark, tiny_docs, tmp_path):
+def test_stale_staging_from_any_pid_is_swept(spark, tiny_docs, tmp_path):
     path = str(tmp_path / "tok")
-    stale = f"{path}.staging-{os.getpid()}"
+    os.makedirs(path)
+    stale = os.path.join(path, ".staging-424242")  # some dead pid
     os.makedirs(stale)
     with open(os.path.join(stale, "junk"), "w") as f:
         f.write("crashed save leftovers")
@@ -100,4 +123,3 @@ def test_stale_staging_dir_is_replaced(spark, tiny_docs, tmp_path):
     ts.save_unigram(spark, path, m1)
     assert ts.load_unigram(spark, path) == m1
     assert not os.path.exists(stale)
-    shutil.rmtree(path)

@@ -53,6 +53,10 @@ def main() -> None:
     # updates its own STRESS.md section, so they can run (and be re-run)
     # independently; the full sweep exceeds a 10-minute budget otherwise
     phase = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if phase not in ("all", "pairs", "incremental", "indexed"):
+        raise SystemExit(
+            f"unknown phase {phase!r}: pick all|pairs|incremental|indexed"
+        )
     spark = get_spark("stress_semdedup")
     spark.sparkContext.setLogLevel("ERROR")
     if phase in ("all", "pairs"):

@@ -828,6 +828,14 @@ class VectorCollection:
                 "id", "left_anti")
             col.upsert(fresh)
 
+        SELF-PAIRS ARE REPORTED: a batch row whose id is already live
+        and whose embedding still matches surfaces as (id, id, cos) —
+        exact replays are duplicates too (the streaming replay test
+        depends on this). The recipe above therefore ALSO drops
+        same-id UPDATES whose new embedding stays near the old one; an
+        update-friendly pipeline must exclude them first:
+        ``dups.filter(F.col("batch_id") != F.col("corpus_id"))``.
+
         ``threshold`` defaults to the dedup module's cosine near-dup
         threshold; raise ``n_bucket_words`` for >32-d sign selectivity
         on skewed embedding models (semdedup_pairs docstring).
@@ -853,6 +861,13 @@ class VectorCollection:
             _dedup.COSINE_NEARDUP_THRESHOLD if threshold is None else threshold
         )
         if use_index:
+            if n_bucket_words != 1:
+                raise ValueError(
+                    "n_bucket_words applies to the sign-bucket scan path "
+                    "only; the indexed probe uses the persisted LSH "
+                    "layout's own (bits, tables) — rebuild the index to "
+                    "change its selectivity"
+                )
             return self._near_duplicates_indexed(points, thr)
         return _dedup.semdedup_incremental(
             points.select("id", "embedding"),
@@ -896,12 +911,16 @@ class VectorCollection:
             F.col("embedding").alias("__eb"),
             "__nb",
         )
-        layout = self._lsh_layout_df().select(
-            "table",
-            "sig",
-            F.col("id").alias("corpus_id"),
-            F.col("embedding").alias("__ec"),
-            l2_norm(F.col("embedding")).alias("__nc"),
+        from vector_database_spark.operators.dedup import norm_side
+
+        layout = norm_side(
+            self._lsh_layout_df(),
+            "id",
+            "embedding",
+            "corpus_id",
+            "__ec",
+            "__nc",
+            extra=("table", "sig"),
         )
         # ORDER MATTERS twice here. (1) Score + threshold BEFORE the pair
         # dedupe: a pair colliding in several tables is a duplicate

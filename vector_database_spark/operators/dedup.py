@@ -673,23 +673,36 @@ def ngram_jaccard_pairs(
     )
 
 
+def norm_side(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    out_id: str,
+    e_alias: str,
+    n_alias: str,
+    extra=(),
+) -> DataFrame:
+    """One side of a pair-scoring join, L2 norm computed ONCE PER ROW —
+    the single-fold discipline every pair-scoring site must follow
+    (try_divide(dot, na*nb) is bit-identical to cosine(ea, eb): same
+    sqrt(a·a)*sqrt(b·b) doubles in the same order, but N instead of N²
+    work for two of the three folds; 2.7x measured on 64M pairs,
+    STRESS.md "Pair scoring"). Shared by _pair_sides,
+    semdedup_incremental and catalog._near_duplicates_indexed."""
+    return df.select(
+        *extra,
+        F.col(id_col).alias(out_id),
+        F.col(emb_col).alias(e_alias),
+        l2_norm(F.col(emb_col)).alias(n_alias),
+    )
+
+
 def _pair_sides(tagged: DataFrame, id_col: str, emb_col: str, extra=()):
-    """(a, b, cos_expr) for a pair-verify join: each side tagged with its
-    norm ONCE PER ROW, so the per-pair score is a single fold —
-    try_divide(dot, na*nb) is bit-identical to cosine(ea, eb) (same
-    sqrt(a·a)*sqrt(b·b) doubles in the same order) but does N instead of
-    N² work for two of the three folds (2.7x measured on 64M pairs,
-    STRESS.md "Pair scoring")."""
-    tagged = tagged.withColumn("__n", l2_norm(F.col(emb_col)))
+    """(a, b, cos_expr) for a self-join pair verify — norm_side applied
+    to both projections of one tagged frame."""
+    a = norm_side(tagged, id_col, emb_col, "id_a", "ea", "na", extra)
+    b = norm_side(tagged, id_col, emb_col, "id_b", "eb", "nb", extra)
     cross = dot(F.col("ea"), F.col("eb"))
-    a = tagged.select(
-        *extra, F.col(id_col).alias("id_a"), F.col(emb_col).alias("ea"),
-        F.col("__n").alias("na"),
-    )
-    b = tagged.select(
-        *extra, F.col(id_col).alias("id_b"), F.col(emb_col).alias("eb"),
-        F.col("__n").alias("nb"),
-    )
     return a, b, F.try_divide(cross, F.col("na") * F.col("nb"))
 
 
@@ -812,17 +825,12 @@ def semdedup_incremental(
     def tag(df: DataFrame, out_id: str, e: str, n: str) -> DataFrame:
         # computed_once on the bucket words: same substituted-fold hazard
         # as semdedup_pairs (the equi-join infers isnotnull on the keys)
-        t = df.select(
+        bucketed = df.select(
             F.col(id_col),
             F.col(emb_col),
             *[computed_once(w).alias(k) for w, k in zip(words, keys)],
-        ).withColumn("__n", l2_norm(F.col(emb_col)))
-        return t.select(
-            *keys,
-            F.col(id_col).alias(out_id),
-            F.col(emb_col).alias(e),
-            F.col("__n").alias(n),
         )
+        return norm_side(bucketed, id_col, emb_col, out_id, e, n, extra=keys)
 
     a = tag(batch, "batch_id", "eb", "nb")
     b = tag(corpus, "corpus_id", "ec", "nc")

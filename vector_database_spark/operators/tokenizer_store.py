@@ -6,19 +6,33 @@ operators/bpe.py::learn_bpe, operators/textops.py::bpe_learn) return
 driver-side model objects, which is the right shape for a training JOB
 but not for a PIPELINE — production encodes in many later processes
 (batch encode jobs, streaming ingest, serving) against one frozen
-artifact. This module is that artifact: a parquet payload plus a JSON
-meta, written staged-then-renamed so a crash mid-save can never leave a
-half-written model where a reader finds it (the same discipline as the
-catalog's index commits, catalog.py::_refresh_protocol — simplified to
-the single-writer case a model registry is).
+artifact.
+
+Layout — versioned immutable dirs behind an atomic pointer, so readers
+are safe both against WRITER CRASHES and against reads CONCURRENT with
+a re-save (a meta/payload pair is never read across two versions):
+
+    <path>/CURRENT            text file naming the live version ("v3")
+    <path>/v3/meta.json       {kind, format_version, params, n}
+    <path>/v3/payload/…       the model rows (parquet; schema per kind)
+    <path>/v2/…               the PREVIOUS version, kept one save as a
+                              grace window for in-flight readers
+    <path>/.staging-*         in-progress saves; ALL swept on every save
+                              (any pid — a crashed save never leaks)
+
+A save stages the full version dir, renames it to v<N>, atomically
+replaces CURRENT (os.replace), then deletes every version other than
+the new one and the one CURRENT previously named. Crash at any point
+leaves CURRENT naming a complete artifact. Single WRITER at a time is
+the caller's contract (a model registry is); readers need no
+coordination and survive one concurrent save (their version dir
+outlives it), which is the operational case — re-saves are rare
+trainer runs, loads are everywhere.
 
 Round-trip is EXACT: unigram log-probs are IEEE doubles and parquet
 stores them bit-for-bit, so an encode against a reloaded model is
 asserted identical to an encode against the in-memory one
-(tests/test_tokenizer_store.py). Layout:
-
-    <path>/meta.json                {kind, format_version, params, n}
-    <path>/payload/…parquet         the model rows (schema per kind)
+(tests/test_tokenizer_store.py).
 
 Reference parity: the reference persists its word vocab with the torch
 checkpoint (transformer_sample.py:414-433); here the tokenizer is a
@@ -27,6 +41,7 @@ first-class engine artifact independent of any model checkpoint.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
@@ -34,6 +49,7 @@ import shutil
 from pyspark.sql import SparkSession
 
 FORMAT_VERSION = 1
+_CURRENT = "CURRENT"
 _META = "meta.json"
 _PAYLOAD = "payload"
 
@@ -43,41 +59,29 @@ _BPE_SCHEMA = (
 )
 
 
-def _swap_in(staging: str, path: str) -> None:
-    """Atomically promote a fully-written staging dir to ``path``.
-    Crash-safe for readers: the old artifact moves aside BEFORE the new
-    one lands, and _resolve() falls back to the aside if a crash strikes
-    between the two renames."""
-    aside = path + ".old"
-    # complete a previously-torn swap FIRST: if only the aside survives,
-    # restoring it before anything is deleted keeps a readable artifact
-    # through every intermediate state of THIS swap too
-    if not os.path.exists(path) and os.path.exists(aside):
-        os.rename(aside, path)
-    if os.path.exists(aside):
-        shutil.rmtree(aside)
-    if os.path.exists(path):
-        os.rename(path, aside)
-    os.rename(staging, path)
-    if os.path.exists(aside):
-        shutil.rmtree(aside)
+def _current_version(path: str) -> str | None:
+    try:
+        with open(os.path.join(path, _CURRENT)) as f:
+            return f.read().strip()
+    except FileNotFoundError:
+        return None
 
 
 def _resolve(path: str) -> str:
-    """The readable artifact dir: ``path``, or the ``.old`` aside a
-    crashed swap left behind."""
-    if os.path.exists(os.path.join(path, _META)):
-        return path
-    aside = path + ".old"
-    if os.path.exists(os.path.join(aside, _META)):
-        return aside
-    raise FileNotFoundError(f"no tokenizer artifact at {path}")
+    """The live artifact dir (immutable once the pointer names it)."""
+    cur = _current_version(path)
+    if cur is None:
+        raise FileNotFoundError(f"no tokenizer artifact at {path}")
+    return os.path.join(path, cur)
 
 
 def _save(spark, path, kind, schema, rows, params) -> None:
-    staging = f"{path}.staging-{os.getpid()}"
-    if os.path.exists(staging):
-        shutil.rmtree(staging)
+    os.makedirs(path, exist_ok=True)
+    # sweep EVERY stale staging dir, not just this pid's — a crashed
+    # save from any earlier process must not leak a model copy forever
+    for stale in glob.glob(os.path.join(path, ".staging-*")):
+        shutil.rmtree(stale, ignore_errors=True)
+    staging = os.path.join(path, f".staging-{os.getpid()}")
     os.makedirs(staging)
     spark.createDataFrame(rows, schema).coalesce(1).write.mode(
         "overwrite"
@@ -90,7 +94,26 @@ def _save(spark, path, kind, schema, rows, params) -> None:
     }
     with open(os.path.join(staging, _META), "w") as f:
         json.dump(meta, f)
-    _swap_in(staging, path)
+
+    prev = _current_version(path)
+    versions = [
+        int(d[1:])
+        for d in os.listdir(path)
+        if d.startswith("v") and d[1:].isdigit()
+    ]
+    new = f"v{max(versions, default=0) + 1}"
+    os.rename(staging, os.path.join(path, new))
+    tmp = os.path.join(path, _CURRENT + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(new)
+    os.replace(tmp, os.path.join(path, _CURRENT))  # atomic pointer swap
+    # keep the new version + the one the pointer previously named (the
+    # in-flight-reader grace window); everything else — older versions
+    # and orphans from crashed pointer swaps — goes
+    keep = {new, prev}
+    for d in os.listdir(path):
+        if d.startswith("v") and d[1:].isdigit() and d not in keep:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
 
 
 def _load(spark, path, kind):
@@ -148,6 +171,6 @@ def load_bpe(spark: SparkSession, path: str) -> list[tuple[int, str, str, str, i
 
 
 def describe(path: str) -> dict:
-    """The artifact's meta (kind, params, n) without loading rows."""
+    """The live artifact's meta (kind, params, n) without loading rows."""
     with open(os.path.join(_resolve(path), _META)) as f:
         return json.load(f)

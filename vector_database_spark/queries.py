@@ -5871,10 +5871,12 @@ def q_oov_rate(spark, sf_dir):
     unseen in train, rate in integer micros (FIXTURES rule 6).
 
     Scale shape: the train vocabulary is ONE distinct over the exploded
-    train split (map-side combined), the val check is a left-anti join
-    on the word — both shuffles key on the word, no driver
-    materialization, and AQE broadcast-gates the vocab side when small.
-    FULL oracle — integer counts + micro ratio."""
+    train split (map-side combined); the val side is exploded ONCE and
+    left-joins the vocab with a presence flag, so one groupBy computes
+    both n_tokens and n_oov (a totals/anti-join pair would scan and
+    explode the val split twice). Both shuffles key on the word, no
+    driver materialization, AQE broadcast-gates the vocab side when
+    small. FULL oracle — integer counts + micro ratio."""
     docs = _t(spark, sf_dir, "documents")
     split = textops.hash_split(docs)
     train_vocab = (
@@ -5882,28 +5884,22 @@ def q_oov_rate(spark, sf_dir):
         .filter(F.col("word") != "")
         .select("word")
         .distinct()
+        .withColumn("__known", F.lit(1))
     )
     val_toks = explode_tokens(
         split.filter(F.col("split") == "val"), ("doc_id",), "text", alias="word"
     ).filter(F.col("word") != "")
-    totals = val_toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens")
-    )
-    oov = (
-        val_toks.join(train_vocab, "word", "left_anti")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_oov"))
-    )
     return (
-        totals.join(oov, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.coalesce(F.col("n_oov"), F.lit(0)).cast("long").alias("n_oov"),
+        val_toks.join(train_vocab, "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("__known").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
         )
         .withColumn(
-            "oov_rate_micro",
-            micro6(F.coalesce(F.col("n_oov"), F.lit(0)) / F.col("n_tokens")),
+            "oov_rate_micro", micro6(F.col("n_oov") / F.col("n_tokens"))
         )
         .orderBy("doc_id")
     )
