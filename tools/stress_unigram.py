@@ -39,8 +39,14 @@ MAX_PIECE_LEN = 6
 
 
 def main() -> None:
+    phase = sys.argv[1] if len(sys.argv) > 1 else "scaling"
+    if phase not in ("scaling", "wide"):
+        raise SystemExit(f"unknown phase {phase!r}: pick scaling|wide")
     spark = get_spark("stress_unigram")
     spark.sparkContext.setLogLevel("ERROR")
+    if phase == "wide":
+        _wide_phase(spark)
+        return
 
     rows = []
     models = {}
@@ -111,6 +117,43 @@ def main() -> None:
         "types saturate; the corpus-size-dependent phases are the word\n"
         f"count inside train and the encode). Learned-vocab overlap\n"
         f"100k vs 1M = {overlap:.3f}.",
+    )
+
+
+def _wide_phase(spark) -> None:
+    """Production vocab width at 1M docs: 8,000-piece target from a
+    32,000-piece seed (the tokenizer sizes real pipelines train). The
+    E-step cost is ~vocab-independent (per-word substring probes are
+    dict lookups); what widens with the seed is the vocab-sized
+    broadcast and the driver-side prune scoring — both bounded."""
+    n = 1_000_000
+    docs = synth_docs(spark, n).localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    model = unigram_lm.train_unigram(
+        docs, vocab_size=8_000, max_piece_len=8, seed_size=32_000
+    )
+    t_train = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    enc = unigram_lm.unigram_encode(docs, model)
+    n_pieces = enc.agg(F.sum("n_pieces")).collect()[0][0]
+    t_encode = time.perf_counter() - t0
+    print(
+        f"wide: 1M docs vocab={len(model)} train={t_train:.1f}s "
+        f"encode={t_encode:.1f}s pieces={n_pieces:,}"
+    )
+    update_section(
+        "Unigram-LM trainer at production vocab width",
+        "Same 1M-doc/50k-type corpus as the scaling rows, but trained to\n"
+        "an 8,000-piece vocabulary from a 32,000-piece seed with max\n"
+        "piece length 8 — the width real tokenizer pipelines train.\n\n"
+        f"| docs | seed | target | final vocab | train s | encode s | total pieces |\n"
+        f"|---|---|---|---|---|---|---|\n"
+        f"| 1,000,000 | 32,000 | 8,000 | {len(model):,} | {t_train:.1f} "
+        f"| {t_encode:.1f} | {n_pieces:,} |\n\n"
+        "The E-step is ~vocab-independent (per-word substring probes are\n"
+        "dict lookups bounded by max piece length), so widening the seed\n"
+        "8× costs roughly the extra prune rounds plus the vocab-sized\n"
+        "broadcast — not 8× the cluster work.",
     )
 
 
