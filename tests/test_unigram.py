@@ -298,6 +298,20 @@ def test_kernels_match_enumeration_randomized():
     check()
 
 
+def test_fertility_invariants(spark):
+    """q_unigram_fertility: pieces segment words (never merge across
+    them) so fertility >= 1; pieces cover exactly the non-space chars
+    so chars/piece <= max piece length."""
+    from vector_database_spark.queries import _unigram_model, q_unigram_fertility
+
+    rows = q_unigram_fertility(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["fertility_micro"] >= 1_000_000
+        assert 1_000_000 <= r["chars_per_piece_micro"] <= 6_000_000
+        assert r["pieces"] >= r["words"] > 0
+
+
 def test_seed_pieces_counts(spark):
     docs = spark.createDataFrame(
         [(0, "ab ab b")], "doc_id long, text string"

@@ -5862,6 +5862,50 @@ def q_unigram_encode(spark, sf_dir):
     )
 
 
+def q_unigram_fertility(spark, sf_dir):
+    """Tokenizer evaluation: fertility (pieces per whitespace word) and
+    compression (characters per piece) of the trained unigram model,
+    per language — the quality numbers a tokenizer ships with (and the
+    regression metric a retrain is judged by, next to q_oov_rate's
+    coverage). One encode pass (word-type-deduped Viterbi) joined to
+    per-doc word counts, one groupBy on lang; ratios in integer micros.
+    Rows-only (depends on the trained model — same boundary as
+    q_unigram_encode)."""
+    from vector_database_spark.operators import unigram_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    enc = unigram_lm.unigram_encode(docs, _unigram_model(spark, sf_dir))
+    stats = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.filter(tokenize_ws(F.col("text")), lambda w: w != "")).alias(
+            "n_words"
+        ),
+        F.length(F.regexp_replace(F.lower("text"), r"\s+", "")).alias(
+            "n_chars"
+        ),
+    )
+    return (
+        enc.join(stats, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_pieces").cast("long").alias("pieces"),
+            F.sum("n_words").cast("long").alias("words"),
+            F.sum("n_chars").cast("long").alias("chars"),
+        )
+        .select(
+            "lang",
+            "pieces",
+            "words",
+            micro6(F.col("pieces") / F.col("words")).alias("fertility_micro"),
+            micro6(F.col("chars") / F.col("pieces")).alias(
+                "chars_per_piece_micro"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_oov_rate(spark, sf_dir):
     """Out-of-vocabulary rate of the val split against the train
     split's word vocabulary — the coverage statistic a tokenizer/vocab
@@ -7332,6 +7376,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_unigram_encode": q_unigram_encode,
     "q_unigram_sample_encode": q_unigram_sample_encode,
     "q_oov_rate": q_oov_rate,
+    "q_unigram_fertility": q_unigram_fertility,
     "q_substring_dedup": q_substring_dedup,
     "q_prefetch_rerank": q_prefetch_rerank,
     "q_funnel_steps": q_funnel_steps,
