@@ -499,3 +499,76 @@ def test_auto_default_rules_properties():
             assert ann._auto_nprobe(None, cells - 1) <= np_auto
 
     check_nprobe()
+
+
+def _tiny_vocab_docs(spark, n_docs=400, vocab=40, toks=10):
+    """Deterministic low-vocab corpus (the boilerplate-heavy shape that
+    makes fixed 2-rows-per-band banding go near-quadratic) + planted
+    exact copies (i -> i+5000) and high-Jaccard near-copies (i -> i+7000,
+    one token appended to 19 distinct = J ~ 0.905)."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(n_docs):
+        toks_i = rng.sample(range(vocab), toks)
+        rows.append((i, " ".join(f"t{t}" for t in toks_i)))
+    planted_exact = [(i + 5000, txt) for i, txt in rows[:20]]
+    wide = []
+    for i in range(40):
+        toks_i = rng.sample(range(vocab), 19)
+        txt = " ".join(f"t{t}" for t in toks_i)
+        wide.append((i + 6000, txt))
+        if i < 20:
+            wide.append((i + 7000, txt + " zz"))
+    return spark.createDataFrame(
+        rows + planted_exact + wide, "doc_id long, text string"
+    )
+
+
+def test_minhash_auto_escalates_and_keeps_planted_recall(spark):
+    """r9 directive 4: the candidate-volume probe escalates banding on a
+    degenerate corpus, the escalated volume is BOUNDED (monotone drop
+    down the ladder), and recall on planted duplicates holds — exact
+    copies at 100% (J=1 collides in every band at every level),
+    high-Jaccard near-copies within the documented escalation trade."""
+    import warnings
+
+    docs = _tiny_vocab_docs(spark)
+    stats: dict = {}
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.minhash_neardup_pairs_auto(
+                docs, max_candidates=800, stats=stats
+            ).collect()
+        }
+    assert stats["level"] > 0  # escalation actually engaged
+    assert any("escalated banding" in str(w.message) for w in caught)
+    vols = stats["volumes"]
+    assert vols[0] > 800  # level 0 was over budget...
+    assert vols[-1] < vols[0]  # ...and the ladder shrank the volume
+    for i in range(20):  # exact copies: never lost
+        assert (i, i + 5000) in pairs
+    near_found = sum((i + 6000, i + 7000) in pairs for i in range(20))
+    assert near_found >= 18  # J~0.905 at the escalated level: >=90%
+
+
+def test_minhash_auto_below_budget_identical_to_fixed(spark):
+    """Below the candidate budget the auto operator must be bit-identical
+    to minhash_neardup_pairs — the q_dedup_minhash_auto oracle contract."""
+    docs = _tiny_vocab_docs(spark)
+    stats: dict = {}
+    auto = {
+        (r["id_a"], r["id_b"], r["jaccard_micro"])
+        for r in dedup.minhash_neardup_pairs_auto(
+            docs, max_candidates=10_000_000, stats=stats
+        ).collect()
+    }
+    assert stats["level"] == 0
+    fixed = {
+        (r["id_a"], r["id_b"], r["jaccard_micro"])
+        for r in dedup.minhash_neardup_pairs(docs).collect()
+    }
+    assert auto == fixed

@@ -351,9 +351,26 @@ def test_bpe_incremental_max_words_cap(spark):
         [(1, "low low low low low lowest lowest newer newer wider")],
         "doc_id long, text string",
     )
-    merges = bpe.learn_bpe(docs, n_merges=3, max_words=2)
+    stats = {}
+    with pytest.warns(UserWarning, match=r"dropped the 2 least frequent"):
+        merges = bpe.learn_bpe(docs, n_merges=3, max_words=2, stats=stats)
     # top-2: low(5), lowest(2) ('lowest' < 'newer' breaks the count tie)
     assert merges == _ref_bpe({"low": 5, "lowest": 2}, 3)
+    # the cap is not silent (no-silent-caps rule): exact counts surface
+    assert stats == {
+        "word_types_total": 4,
+        "word_types_kept": 2,
+        "word_types_dropped": 2,
+    }
+    # an uncapped run neither warns nor reports drops
+    import warnings as _warnings
+
+    stats2 = {}
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        bpe.learn_bpe(docs, n_merges=1, stats=stats2)
+    assert stats2["word_types_dropped"] == 0
+    assert stats2["word_types_total"] == stats2["word_types_kept"] == 4
 
 
 def test_bpe_learn_known_answer(spark):

@@ -123,3 +123,23 @@ def test_stale_staging_from_any_pid_is_swept(spark, tiny_docs, tmp_path):
     ts.save_unigram(spark, path, m1)
     assert ts.load_unigram(spark, path) == m1
     assert not os.path.exists(stale)
+
+
+def test_save_sweeps_dead_staging_but_spares_live_writers(spark, tmp_path):
+    """The staging sweep removes dirs from DEAD pids (crashed saves) but
+    leaves a dir whose pid is still alive — a concurrent-writer contract
+    violation should fail loudly at the victim's own rename, not have
+    its staging dir silently yanked by us."""
+    path = str(tmp_path / "tok")
+    os.makedirs(path)
+    dead = os.path.join(path, ".staging-999999999")  # pid cannot exist
+    live = os.path.join(path, ".staging-1")  # pid 1 is always alive
+    orphan = os.path.join(path, ".staging-xyz")  # non-pid orphan: swept
+    for d in (dead, live, orphan):
+        os.makedirs(d)
+    ts.save_unigram(spark, path, [("a", -0.5)], params={})
+    assert not os.path.exists(dead)
+    assert not os.path.exists(orphan)
+    assert os.path.exists(live)  # the live writer keeps its dir
+    # the save itself completed and reads back fine
+    assert ts.load_unigram(spark, path) == [("a", -0.5)]

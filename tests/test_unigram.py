@@ -302,9 +302,11 @@ def test_fertility_invariants(spark):
     """q_unigram_fertility: pieces segment words (never merge across
     them) so fertility >= 1; pieces cover exactly the non-space chars
     so chars/piece <= max piece length."""
-    from vector_database_spark.queries import _unigram_model, q_unigram_fertility
+    from vector_database_spark.queries import q_unigram_fertility
 
-    rows = q_unigram_fertility(spark, "/root/testdata/sf0.001").collect()
+    from tests.conftest import SF_SMALL
+
+    rows = q_unigram_fertility(spark, SF_SMALL).collect()
     assert rows
     for r in rows:
         assert r["fertility_micro"] >= 1_000_000
@@ -347,3 +349,40 @@ def test_prune_keeps_high_loss_pieces(tiny_docs):
                 assert p in "abaabbacababcbbbaaa"
     finally:
         wf.unpersist()
+
+
+def test_train_unigram_empty_corpus_raises_clearly(spark):
+    """An empty or whitespace-only corpus raises a clear ValueError, not
+    an obscure 'math domain error' from log(0) in the seed step."""
+    for rows in ([], [(0, ""), (1, "   \t  ")]):
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        with pytest.raises(ValueError, match="empty corpus"):
+            ug.train_unigram(docs, vocab_size=8)
+
+
+def test_sample_encode_preserves_id_column_type(spark):
+    """unigram_sample_encode round-trips a NON-long id column (string
+    ids) — the mapInPandas schema derives from the input, and the
+    occurrence RNG seeds through a stable digest, so determinism holds
+    under any partitioning."""
+    model = [("a", -0.5), ("b", -1.0), ("ab", -0.7)]
+    docs = spark.createDataFrame(
+        [("doc-x", "ab ab"), ("doc-y", "ba")], "doc_id string, text string"
+    )
+    out = ug.unigram_sample_encode(docs, model, alpha=0.5, seed=3)
+    assert dict(out.dtypes)["doc_id"] == "string"
+    got = {r["doc_id"]: r["pieces"] for r in out.collect()}
+    assert set(got) == {"doc-x", "doc-y"}
+    for pieces in got.values():
+        assert all(p in {"a", "b", "ab"} for p in pieces)
+    # deterministic for a fixed seed regardless of partitioning
+    again = {
+        r["doc_id"]: r["pieces"]
+        for r in ug.unigram_sample_encode(
+            docs.repartition(7), model, alpha=0.5, seed=3
+        ).collect()
+    }
+    assert got == again
+    # and round-trips: concat(pieces) rebuilds the non-space chars
+    assert "".join(got["doc-x"]) == "abab"
+    assert "".join(got["doc-y"]) == "ba"

@@ -192,17 +192,49 @@ def learn_bpe(
     n_merges: int,
     text_col: str = "text",
     max_words: int = DEFAULT_MAX_WORDS,
+    stats: dict | None = None,
 ) -> list[tuple[int, str, str, str, int]]:
     """End-to-end training: distributed word-freq pass, top-``max_words``
     cap (count DESC, word ASC — deterministic), driver merge loop. The
     collect is bounded by max_words — the documented compressed-dict
-    contract, not a corpus materialization."""
-    wf = word_freq(docs, text_col)
-    rows = (
-        wf.orderBy(F.col("cnt").desc(), F.col("word").asc())
-        .limit(int(max_words))
-        .collect()
-    )
+    contract, not a corpus materialization.
+
+    The cap is NOT silent: when the corpus holds more word types than
+    ``max_words``, a ``UserWarning`` reports how many (rare-tail) types
+    were dropped, and passing a ``stats`` dict returns the exact counts
+    (``word_types_total`` / ``word_types_kept`` /
+    ``word_types_dropped``) for pipelines that log metrics. The dropped
+    mass is the frequency TAIL (the cap keeps count-DESC), which is why
+    the merge sequence is insensitive to it on natural corpora — but the
+    caller deserves the number, not an assumption."""
+    import warnings
+
+    wf = word_freq(docs, text_col).persist()
+    try:
+        total = wf.count()
+        rows = (
+            wf.orderBy(F.col("cnt").desc(), F.col("word").asc())
+            .limit(int(max_words))
+            .collect()
+        )
+    finally:
+        wf.unpersist()
+    dropped = max(0, total - len(rows))
+    if stats is not None:
+        stats.update(
+            word_types_total=total,
+            word_types_kept=len(rows),
+            word_types_dropped=dropped,
+        )
+    if dropped:
+        warnings.warn(
+            f"learn_bpe: corpus has {total} word types; the "
+            f"max_words={int(max_words)} compressed-dict cap dropped the "
+            f"{dropped} least frequent (merge decisions keep the "
+            "frequency mass; raise max_words to include the tail)",
+            UserWarning,
+            stacklevel=2,
+        )
     return train_bpe_from_freq([(r["word"], r["cnt"]) for r in rows], n_merges)
 
 

@@ -77,9 +77,22 @@ def _resolve(path: str) -> str:
 
 def _save(spark, path, kind, schema, rows, params) -> None:
     os.makedirs(path, exist_ok=True)
-    # sweep EVERY stale staging dir, not just this pid's — a crashed
-    # save from any earlier process must not leak a model copy forever
+    # sweep stale staging dirs — a crashed save from an earlier process
+    # must not leak a model copy forever. A dir whose pid is still ALIVE
+    # is skipped: single-writer is the caller's contract, but if it is
+    # violated the victim should fail at its own os.rename (loud, its
+    # problem), not have its staging dir yanked mid-save by us (silent,
+    # confusing). Non-numeric suffixes (never ours) are always swept.
     for stale in glob.glob(os.path.join(path, ".staging-*")):
+        pid_part = os.path.basename(stale)[len(".staging-"):]
+        if pid_part.isdigit() and int(pid_part) != os.getpid():
+            try:
+                os.kill(int(pid_part), 0)
+                continue  # writer still alive — leave its dir alone
+            except ProcessLookupError:
+                pass  # dead pid: genuinely stale
+            except PermissionError:
+                continue  # alive but not ours to signal
         shutil.rmtree(stale, ignore_errors=True)
     staging = os.path.join(path, f".staging-{os.getpid()}")
     os.makedirs(staging)

@@ -391,6 +391,12 @@ def _seed_from_wf(
         [(r["piece"], int(r["piece_cnt"])) for r in singles]
         + [(r["piece"], int(r["piece_cnt"])) for r in multis]
     )
+    if not rows:
+        raise ValueError(
+            "cannot train a tokenizer on an empty corpus: the word-"
+            "frequency table has no pieces (all documents empty or "
+            "whitespace-only)"
+        )
     log_total = math.log(sum(c for _, c in rows))
     return [p for p, _ in rows], [math.log(c) - log_total for _, c in rows]
 
@@ -552,6 +558,19 @@ def unigram_sample_encode(
     bc = sc.broadcast({p: v * float(alpha) for p, v in lp.items()})
     s = int(seed)
     _MASK = (1 << 63) - 1
+    # the id column round-trips with its ORIGINAL type (string/int ids
+    # included); integral ids seed the occurrence RNG directly, anything
+    # else through a stable digest — both partition-independent
+    id_type = docs.schema[id_col].dataType.simpleString()
+
+    def _id_seed(doc_id):
+        try:
+            return int(doc_id) & _MASK
+        except (TypeError, ValueError):
+            import hashlib
+
+            digest = hashlib.md5(str(doc_id).encode("utf-8")).digest()
+            return int.from_bytes(digest[:8], "big") & _MASK
 
     def gen(batches):
         scaled = bc.value
@@ -564,7 +583,7 @@ def unigram_sample_encode(
                     if not w:
                         continue
                     rng = np.random.default_rng(
-                        [s, int(doc_id) & _MASK, k]
+                        [s, _id_seed(doc_id), k]
                     )
                     pieces.extend(
                         _segment_oov_tolerant(
@@ -588,7 +607,9 @@ def unigram_sample_encode(
 
     return docs.select(
         id_col, tokenize_ws(F.col(text_col)).alias("__toks")
-    ).mapInPandas(gen, f"{id_col} long, pieces array<string>, n_pieces long")
+    ).mapInPandas(
+        gen, f"{id_col} {id_type}, pieces array<string>, n_pieces long"
+    )
 
 
 def unigram_encode(

@@ -918,6 +918,27 @@ def q_dedup_minhash(spark, sf_dir):
     return dedup.minhash_neardup_pairs(_docs_with_near_dups(spark, sf_dir))
 
 
+def q_dedup_minhash_auto(spark, sf_dir):
+    """F2 with candidate-volume-adaptive banding (r9 directive 4): the
+    Σ C(n,2) band-bucket probe walks the 2→4→8 rows-per-band escalation
+    ladder before the verify join materializes anything. At the driver's
+    oracle sf the volume sits far below the budget (327k at sf0.01 vs
+    the 2M default), so the plan and result are BIT-IDENTICAL to
+    q_dedup_minhash and the same FULL oracle applies — the escalation
+    canary pattern of q_knn_auto. At sf0.1 the synthetic worst-case
+    corpus escalates (24.5M → 5.7M candidates at the widest level, with
+    the saturation warning); tests/test_ann.py pins planted-near-dup
+    recall through the escalated levels."""
+    import warnings
+
+    with warnings.catch_warnings():
+        # bench/driver runs hit the sf0.1 saturation warning by design
+        warnings.simplefilter("ignore", UserWarning)
+        return dedup.minhash_neardup_pairs_auto(
+            _docs_with_near_dups(spark, sf_dir)
+        )
+
+
 _SQL_DEDUP_MINHASH = f"""
 WITH {_SQL_DOCS_NEAR_DUPS},
 {_sig_cte},
@@ -7420,6 +7441,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_minhash_signatures": q_minhash_signatures,
     "q_dedup_minhash": q_dedup_minhash,
+    "q_dedup_minhash_auto": q_dedup_minhash_auto,
     "q_incremental_dedup": q_incremental_dedup,
     "q_incremental_dedup_indexed": q_incremental_dedup_indexed,
     "q_simhash": q_simhash,
@@ -7750,6 +7772,10 @@ ORACLES: dict[str, str] = {
     "q_dedup_exact": _SQL_DEDUP_EXACT,
     "q_minhash_signatures": _SQL_MINHASH_SIGS,
     "q_dedup_minhash": _SQL_DEDUP_MINHASH,
+    # volume-adaptive banding: below the escalation budget (always true
+    # at the driver's sf — measured 327k vs 2M at sf0.01) the plan is
+    # bit-identical to q_dedup_minhash, so the same oracle applies
+    "q_dedup_minhash_auto": _SQL_DEDUP_MINHASH,
     "q_incremental_dedup": _SQL_INCREMENTAL_DEDUP,
     # index-path variant: same inputs, same result contract (r6 directive 5)
     "q_incremental_dedup_indexed": _SQL_INCREMENTAL_DEDUP,
