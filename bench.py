@@ -32,6 +32,10 @@ BENCH_QUERIES = [
     "q_pad_frame",
     "q_dedup_exact",
     "q_dedup_minhash",
+    # r10: the volume-adaptive twin, benched head-to-head — on this
+    # degenerate fixture it escalates banding (24.5M -> 5.7M candidates
+    # at sf0.1) where the fixed plan pays the full verify blowup
+    "q_dedup_minhash_auto",
     "q_text_stats",
     # text analysis
     "q_quality_score",

@@ -1952,11 +1952,11 @@ def test_refresh_refuses_after_fold(spark, tmp_path, monkeypatch):
 
 
 def test_optimize_refreshes_rebuilds_and_reports(spark, tmp_path):
-    """r8: VectorCollection.optimize() is the one-call Qdrant-optimizer
-    twin — refreshable families (LSH/IVF) refresh incrementally, the
-    data-trained families (NSW/IVFPQ) rebuild with their persisted build
-    params, everything ends fresh, and the call is idempotent. After a
-    compact() fold, the refreshables rebuild too (their delta scan
+    """r8 (updated r10): VectorCollection.optimize() is the one-call
+    Qdrant-optimizer twin — since r10 EVERY family refreshes
+    incrementally (LSH/IVF r7-r8, NSW/IVFPQ r10 — the maintenance matrix
+    is complete), everything ends fresh, and the call is idempotent.
+    After a compact() fold, all families rebuild (their delta scan
     refuses across the fold)."""
     from vector_database_spark.catalog import Catalog
 
@@ -1984,15 +1984,15 @@ def test_optimize_refreshes_rebuilds_and_reports(spark, tmp_path):
 
     report = col.optimize()
     assert report == {
-        "nsw": "rebuilt",
+        "nsw": "refreshed",
         "lsh": "refreshed",
         "ivf": "refreshed",
-        "ivfpq": "rebuilt",
+        "ivfpq": "refreshed",
         "compacted": False,
     }
     status = col.index_status()
     assert all(status[k]["fresh"] for k in ("nsw", "lsh", "ivf", "ivfpq"))
-    # NSW rebuild reused its persisted params and serves the new state
+    # the refreshed NSW graph serves the new state through search_auto
     top = [r["id"] for r in col.search_auto(vec(160), limit=1).collect()]
     assert top == [160]
     assert col.optimize() == {
@@ -2000,11 +2000,12 @@ def test_optimize_refreshes_rebuilds_and_reports(spark, tmp_path):
         "compacted": False,
     }
 
-    # across a fold: refreshables must REBUILD (delta scan refuses)
+    # across a fold: every family must REBUILD (delta scan refuses)
     col.upsert(pts(range(170, 180)))
     col.compact()
     report = col.optimize()
     assert report["lsh"] == "rebuilt" and report["ivf"] == "rebuilt"
+    assert report["nsw"] == "rebuilt" and report["ivfpq"] == "rebuilt"
     assert col.route_for_search() != "exact"
 
 
@@ -3198,3 +3199,299 @@ def test_ivf_cells_outgrown_escalates_rebuild(spark, tmp_path, monkeypatch):
     col2.upsert(pts(range(60, 100)))
     rep2 = col2.optimize()
     assert rep2["ivf"] == "refreshed", rep2
+
+
+def test_near_duplicates_auto_routing(catalog, spark, monkeypatch):
+    """use_index=None auto-routes by corpus size with the inspectable
+    dispatch discipline of search_auto (r9 directive): the sign-bucket
+    scan below the measured crossover, the LSH probe past it when a
+    fresh index covers the version, degrade-to-scan when none does."""
+    col = catalog.create_collection("croute", dim=4)
+    col.upsert(
+        _points(
+            spark,
+            [(i, [float(i % 3 + 1), 1.0, -1.0, 0.5], str(i)) for i in range(20)],
+        )
+    )
+    big = col.NEARDUP_PROBE_MIN_ROWS
+    # below the crossover: scan, with or without an index
+    assert col.route_for_near_duplicates() == "scan"
+    col.build_lsh_index()
+    assert col.route_for_near_duplicates() == "scan"
+    # past the crossover with a fresh index: probe
+    assert col.route_for_near_duplicates(rows_hint=big) == "probe"
+    # past the crossover, index stale after a write: degrade to scan
+    col.upsert(_points(spark, [(99, [0.5, 0.5, 0.5, 0.5], "w")]))
+    assert col.route_for_near_duplicates(rows_hint=big) == "scan"
+    col.refresh_lsh_index()
+    assert col.route_for_near_duplicates(rows_hint=big) == "probe"
+
+    # the default dispatch honors the route: pin the size hint high and
+    # observe which physical path near_duplicates(use_index=None) takes
+    calls = []
+    real_indexed = type(col)._near_duplicates_indexed
+
+    def spy(self, points, thr):
+        calls.append("probe")
+        return real_indexed(self, points, thr)
+
+    monkeypatch.setattr(type(col), "_near_duplicates_indexed", spy)
+    batch = _points(spark, [(500, [1.0, 1.0, -1.0, 0.5], "b")])
+    monkeypatch.setattr(type(col), "_approx_live_rows", lambda self: big)
+    col.near_duplicates(batch)
+    assert calls == ["probe"]
+    # a tuned n_bucket_words is a scan knob — it pins the scan even past
+    # the crossover (no ValueError from the probe's knob guard)
+    col.near_duplicates(batch, n_bucket_words=1)  # probe again
+    assert calls == ["probe", "probe"]
+    monkeypatch.setattr(
+        type(col), "_approx_live_rows", lambda self: big - 1
+    )
+    col.near_duplicates(batch)  # below crossover: scan — spy not called
+    assert calls == ["probe", "probe"]
+
+
+def test_near_duplicates_scan_validates_bucket_words(catalog, spark):
+    """n_bucket_words beyond ceil(dim/32) raises a clear ValueError on
+    the scan path (r9 ADVICE: it used to surface as a negative-length
+    slice deep inside _sign_bucket_words)."""
+    col = catalog.create_collection("cval", dim=4)
+    col.upsert(_points(spark, [(1, [1, 0, 0, 0], "a")]))
+    batch = _points(spark, [(2, [1, 0, 0, 0], "b")])
+    with pytest.raises(ValueError, match="sign-word capacity"):
+        col.near_duplicates(batch, n_bucket_words=2, use_index=False)
+    # the operator-level guard fires too when called directly
+    from vector_database_spark.operators import dedup as _dedup
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="sign-word capacity"):
+        _dedup.semdedup_pairs(emb, dim=4, n_bucket_words=2).collect()
+
+
+def test_nsw_refresh_incremental(spark, tmp_path):
+    """r9 directive 1 (landed r10): refresh_nsw_index folds writes since
+    the build into the graph index WITHOUT a rebuild — delta rows build
+    a small NSW segment in disjoint _b partitions, superseded ids drop
+    via the side mask, and the existing every-bucket beam merge composes
+    the segments for free. Contract: after refresh the index is fresh,
+    an updated point is served its NEW vector, deleted ids are gone, new
+    points are findable, search_auto_batch routes through the refreshed
+    graph, refresh is idempotent, and recall vs a full rebuild holds."""
+    import pytest as _pytest
+
+    from vector_database_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat_nswrefresh"))
+    col = cat.create_collection("nswr", dim=8, auto_compact=False)
+
+    # pseudo-random directions (NOT the small-lattice fixture other
+    # catalog tests use): lattice vectors produce thickets of
+    # near-identical directions whose NSW graphs disconnect under
+    # prune-back — a data-quality property of the fixture, present on a
+    # fresh build too (0.88 recall at an exhaustive beam), that would
+    # drown the refresh-vs-rebuild comparison this test is about
+    import random as _random
+
+    def vec(i, bump=0.0):
+        rng = _random.Random(i * 7919 + 13)
+        return [rng.uniform(-1, 1) + bump for _ in range(8)]
+
+    def pts(ids, bump=0.0):
+        return spark.createDataFrame(
+            [(i, vec(i, bump), {"i": str(i)}) for i in ids],
+            "id long, embedding array<float>, payload map<string,string>",
+        )
+
+    col.upsert(pts(range(400)))
+    col.build_nsw_index(n_buckets=2)
+
+    # writes AFTER the build: 50 new, 10 updated, 10 deleted
+    col.upsert(pts(range(400, 450)))
+    col.upsert(pts(range(10), bump=0.5))
+    col.delete(point_ids=list(range(390, 400)))
+
+    qv = vec(5, bump=0.5)  # the UPDATED vector of id 5
+    with _pytest.raises(ValueError, match="refresh_nsw_index"):
+        col.search_nsw(qv)
+    assert not col.index_status()["nsw"]["fresh"]
+
+    appended = col.refresh_nsw_index()
+    assert appended == 60  # 50 new + 10 updated live rows
+    st = col.index_status()["nsw"]
+    assert st["fresh"]
+    assert st["delta_rows"] == 60
+    assert 0 < st["delta_fraction"] < 0.5
+
+    # the updated point is served its NEW vector (it lives in the delta
+    # segment; its base-graph copy is masked out)
+    got = [r["id"] for r in col.search_nsw(qv, limit=1).collect()]
+    assert got == [5]
+    # a deleted id never comes back, even searched by its own old vector
+    got_del = {
+        r["id"] for r in col.search_nsw(vec(395), limit=10).collect()
+    }
+    assert not (got_del & set(range(390, 400)))
+    # a NEW point is findable through its own segment's graph
+    got_new = [r["id"] for r in col.search_nsw(vec(425), limit=1).collect()]
+    assert got_new == [425]
+
+    # search_auto_batch routes through the refreshed graph
+    assert col.route_for_search() == "nsw"
+    b = {
+        (r["qid"], r["id"])
+        for r in col.search_auto_batch([(0, vec(425)), (1, qv)], limit=1).collect()
+    }
+    assert b == {(0, 425), (1, 5)}
+
+    # idempotent: nothing new to fold
+    assert col.refresh_nsw_index() == 0
+
+    # recall vs a full rebuild on the same state (the r9 'done' gate:
+    # within 2 recall points — here top-5 sets over 20 probes)
+    queries = [(i, vec(17 * i + 3)) for i in range(20)]
+    refreshed = {
+        (r["qid"], r["id"])
+        for r in col.search_auto_batch(queries, limit=5).collect()
+    }
+    col.build_nsw_index(n_buckets=2)  # consolidate
+    rebuilt = {
+        (r["qid"], r["id"])
+        for r in col.search_auto_batch(queries, limit=5).collect()
+    }
+    overlap = len(refreshed & rebuilt) / max(len(rebuilt), 1)
+    assert overlap >= 0.98, f"refreshed-vs-rebuilt recall {overlap}"
+
+
+def test_ivfpq_refresh_incremental_and_codebook_drift(spark, tmp_path):
+    """r9 directive 7 (landed r10): refresh_ivfpq_index encodes delta
+    rows with the PINNED centroids+codebooks (new __seg + mask — no
+    retrain), tracking mean ADC reconstruction error as the codebook
+    drift statistic; index_status surfaces the ratio and optimize()
+    escalates to a full rebuild when a shifted batch lands, after which
+    recall on the shifted points recovers."""
+    import pytest as _pytest
+
+    from vector_database_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat_pqdrift"))
+    col = cat.create_collection("pqd", dim=8, auto_compact=False)
+
+    def vec(i, cluster, scale=10.0):
+        base = [0.0] * 8
+        base[cluster] = scale
+        return [
+            base[j] + ((i * 31 + j * 7) % 11 - 5) * 0.02 for j in range(8)
+        ]
+
+    def pts(ids, cluster_of):
+        return spark.createDataFrame(
+            [(i, vec(i, cluster_of(i)), {"i": str(i)}) for i in ids],
+            "id long, embedding array<float>, payload map<string,string>",
+        )
+
+    # build distribution: 4 tight clusters on dims 0-3
+    col.upsert(pts(range(200), lambda i: i % 4))
+    col.build_ivfpq_index(n_centroids=4, m=4, ksub=8)
+    st = col.index_status()["ivfpq"]
+    assert st["fresh"] and st["drift_ratio"] is None
+
+    # same-distribution delta: refresh folds it, drift stays ~1, and the
+    # refreshed rows are served (staleness raises before, not after)
+    col.upsert(pts(range(200, 260), lambda i: i % 4))
+    with _pytest.raises(ValueError, match="refresh_ivfpq_index"):
+        col.search_ivfpq(vec(201, 1))
+    appended = col.refresh_ivfpq_index()
+    assert appended == 60
+    st1 = col.index_status()["ivfpq"]
+    assert st1["fresh"]
+    assert st1["drift_ratio"] is not None and st1["drift_ratio"] < 1.5, (
+        f"healthy refresh drifted: {st1['drift_ratio']}"
+    )
+    # the fixture's jitter has period 44 in id, so vec(201,1) is shared
+    # EXACTLY by {25,69,113,157} (base) and {201,245} (delta): top-6 must
+    # be that twin set — which proves the refreshed segment rows 201/245
+    # are served next to their base twins through one resolved layout
+    twins = {25, 69, 113, 157, 201, 245}
+    got = {
+        r["id"]
+        for r in col.search_ivfpq(vec(201, 1), limit=6, nprobe=4).collect()
+    }
+    assert got == twins
+    # a deleted id vanishes through the mask
+    col.delete(point_ids=[201])
+    col.refresh_ivfpq_index()
+    got2 = {
+        r["id"]
+        for r in col.search_ivfpq(vec(201, 1), limit=10, nprobe=4).collect()
+    }
+    assert 201 not in got2
+    # idempotent
+    assert col.refresh_ivfpq_index() == 0
+
+    # planted shift: a batch clustered on dims 4-7 — the pinned codebooks
+    # reconstruct it badly; optimize() must escalate refresh→rebuild
+    col.upsert(pts(range(1000, 1100), lambda i: 4 + i % 4))
+    rep = col.optimize()
+    assert rep["ivfpq"] == "rebuilt_drift", rep
+    st2 = col.index_status()["ivfpq"]
+    assert st2["fresh"]
+    assert st2["drift_ratio"] is None, "rebuild must reset the drift series"
+    # recall recovered: the shifted points quantize into retrained books
+    # (vec(1001,5)'s exact twins in the shifted batch are 1001/1045/1089
+    # — the period-44 jitter again)
+    got3 = {
+        r["id"]
+        for r in col.search_ivfpq(vec(1001, 5), limit=3).collect()
+    }
+    assert got3 == {1001, 1045, 1089}
+
+
+def test_nsw_delta_fraction_escalation(spark, tmp_path):
+    """r10: NSW's rebuild-escalation signal is the accumulated
+    delta-row fraction (no per-row drift statistic exists for a graph) —
+    past NSW_DELTA_REBUILD_FRACTION of build_rows, optimize()
+    consolidates into one full graph instead of refreshing again."""
+    from vector_database_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat_nswfrac"))
+    col = cat.create_collection("nswf", dim=8, auto_compact=False)
+
+    def pts(ids):
+        return spark.createDataFrame(
+            [
+                (
+                    i,
+                    [((i * 977 + j * 131) % 1009) / 504.0 - 1.0 for j in range(8)],
+                    {"i": str(i)},
+                )
+                for i in ids
+            ],
+            "id long, embedding array<float>, payload map<string,string>",
+        )
+
+    col.upsert(pts(range(100)))
+    col.build_nsw_index(n_buckets=1)
+
+    # small delta: refresh, no escalation
+    col.upsert(pts(range(100, 120)))
+    assert col.optimize()["nsw"] == "refreshed"
+    assert col.index_status()["nsw"]["delta_fraction"] == 0.2
+
+    # pile on past the 0.5 fraction: optimize consolidates
+    col.upsert(pts(range(120, 160)))
+    rep = col.optimize()
+    assert rep["nsw"] == "rebuilt_drift", rep
+    st = col.index_status()["nsw"]
+    assert st["fresh"] and st["delta_rows"] == 0
+    assert st["delta_fraction"] == 0.0
+    # the consolidated graph serves everything
+    got = [
+        r["id"]
+        for r in col.search_nsw(
+            [((150 * 977 + j * 131) % 1009) / 504.0 - 1.0 for j in range(8)],
+            limit=1,
+        ).collect()
+    ]
+    assert got == [150]

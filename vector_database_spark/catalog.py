@@ -103,6 +103,15 @@ IVF_DRIFT_REBUILD_RATIO = 1.5
 IVF_DRIFT_MIN_ROWS = 64
 IVF_DRIFT_MIN_FRACTION = 0.01
 
+# NSW refresh escalation (r10): past this fraction of the base build's
+# rows living in delta segments (or masked out from under it), optimize()
+# consolidates into one full graph rebuild. 0.5 keeps refresh O(batch)
+# for the common write ratios while bounding the recall decay the
+# multi-segment beam pays (small delta graphs have short beams; masked
+# base nodes leave routing holes) — measured within 2 recall points of a
+# full rebuild at a 10% delta (tests/test_catalog.py, STRESS.md).
+NSW_DELTA_REBUILD_FRACTION = 0.5
+
 
 def _ivf_drift_ratio(meta: dict) -> float | None:
     """Centroid-drift ratio from a persisted IVF index meta: the
@@ -111,7 +120,14 @@ def _ivf_drift_ratio(meta: dict) -> float | None:
     unmeasurable (legacy meta, no refreshes yet, or a degenerate
     zero-distance build)."""
     base = meta.get("build_mean_assign_dist")
-    stats = meta.get("refresh_stats") or []
+    # entries without the mean (empty-delta refreshes record rows only)
+    # carry no signal — skip them rather than KeyError (r10: the
+    # protocol now records {seg, rows} for every family/refresh)
+    stats = [
+        s
+        for s in (meta.get("refresh_stats") or [])
+        if s.get("mean_assign_dist") is not None
+    ]
     if not base or base <= 0 or not stats:
         return None
     rows = sum(s["rows"] for s in stats)
@@ -156,6 +172,58 @@ def _dist_to_assigned_centroid(centroids):
         return pd.Series(_np.sqrt(((E - Cc) ** 2).sum(axis=1)))
 
     return _dist
+
+
+def _assign_pinned_centroids(live, centroids) -> "DataFrame":
+    """Assign rows to PINNED centroids — the shared refresh kernel of
+    refresh_ivf_index and refresh_ivfpq_index: euclidean argmin (the
+    KMeans.transform rule) via the squared-distance expansion
+    ||e||² − 2·E@Cᵀ + ||c||² — O(batch·k) memory in one BLAS matmul, the
+    same kernel shape as the PQ/ADC scorers in operators/ann.py. The
+    naive broadcast difference tensor ((E[:,None,:] − C[None,:,:])²) is
+    O(batch·k·dim): with auto centroids (√N capped 4096) and a ~10k-row
+    Arrow batch that is ~21 GB per batch — executor OOM on exactly the
+    large collections refresh targets (r8 ADVICE). argmin is unchanged
+    up to fp rounding of the identical quantity, which only moves a
+    point between near-equidistant cells — search probes cells by
+    query-time ranking, so placement ties don't affect correctness.
+
+    Returns the input columns + ``centroid_id`` INT +
+    ``__assign_dist`` DOUBLE (the winning distance — IVF's drift term;
+    the IVFPQ refresh recomputes its own recon-err statistic and drops
+    this one)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)  # (k,)
+
+    @pandas_udf("struct<cid:int,dist:double>")
+    def _assign(embs: pd.Series) -> pd.DataFrame:
+        import numpy as _np
+        import pandas as _pd
+
+        if not len(embs):
+            return _pd.DataFrame(
+                {"cid": _pd.Series([], dtype="int32"),
+                 "dist": _pd.Series([], dtype="float64")}
+            )
+        E = _np.stack([_np.asarray(v, dtype=_np.float64) for v in embs])
+        d = (E * E).sum(axis=1)[:, None] - 2.0 * (E @ C.T) + c_sq[None, :]
+        cid = d.argmin(axis=1).astype("int32")
+        # max-with-0 before sqrt: the expansion can go epsilon-negative
+        # in fp for points sitting exactly at a centroid
+        best = _np.sqrt(_np.maximum(d[_np.arange(len(cid)), cid], 0.0))
+        return _pd.DataFrame({"cid": cid, "dist": best})
+
+    out = live.withColumn(
+        "__a", _assign(F.col("embedding").cast("array<double>"))
+    )
+    return out.select(
+        *live.columns,
+        F.col("__a.cid").alias("centroid_id"),
+        F.col("__a.dist").alias("__assign_dist"),
+    )
 
 
 def collection_schema(payload_type: T.DataType | None = None) -> T.StructType:
@@ -805,12 +873,37 @@ class VectorCollection:
             joined.select("id", "embedding", F.col("_old_payload").alias("payload"))
         )
 
+    # Measured scan-vs-probe crossover for near_duplicates (STRESS.md
+    # "at-rest index probe": scan wins 2.0s vs 95.6s at 1M; the scan's
+    # map pass grows linearly with the corpus while the probe stays
+    # ~flat — crossover ≈ 50-100M rows). Auto-routing flips to the probe
+    # at the LOW end of the band: past it the scan only gets worse, and
+    # the footer-count hint is an upper bound, so growth errs probe-ward.
+    NEARDUP_PROBE_MIN_ROWS = 50_000_000
+
+    def route_for_near_duplicates(self, rows_hint: int | None = None) -> str:
+        """Which physical plan ``near_duplicates(use_index=None)`` will
+        run RIGHT NOW: ``"probe"`` (persisted LSH layout) iff a FRESH
+        LSH index covers the current version AND the corpus footer row
+        count is past the measured scan-vs-probe crossover
+        (NEARDUP_PROBE_MIN_ROWS); else ``"scan"`` (sign-bucket pass over
+        the live view — the deterministic-recall plan, and the faster
+        one below the crossover). Same inspectable-dispatch discipline
+        as :meth:`route_for_search`."""
+        if rows_hint is None:
+            rows_hint = self._approx_live_rows()
+        if rows_hint < self.NEARDUP_PROBE_MIN_ROWS:
+            return "scan"
+        if self.info.metric != "cosine":
+            return "scan"
+        return "probe" if self.index_status()["lsh"]["fresh"] else "scan"
+
     def near_duplicates(
         self,
         points: DataFrame,
         threshold: float | None = None,
         n_bucket_words: int = 1,
-        use_index: bool = False,
+        use_index: bool | None = None,
     ) -> DataFrame:
         """Ingest-time semantic dedup: which INCOMING points are
         embedding near-duplicates of points already live in the
@@ -840,6 +933,16 @@ class VectorCollection:
         threshold; raise ``n_bucket_words`` for >32-d sign selectivity
         on skewed embedding models (semdedup_pairs docstring).
 
+        ``use_index=None`` (the default) AUTO-ROUTES by corpus size —
+        :meth:`route_for_near_duplicates`: the scan below the measured
+        crossover (NEARDUP_PROBE_MIN_ROWS, from the STRESS "at-rest
+        index probe" series), the indexed probe past it when a fresh
+        LSH index covers the current version (falling back to the scan
+        when none does, mirroring search_auto's degrade-not-raise).
+        A non-default ``n_bucket_words`` is a SCAN-path tuning knob and
+        pins the scan. Explicit ``True``/``False`` override the routing
+        (True keeps the raise-if-stale contract for deliberate callers).
+
         ``use_index=True`` is the LARGE-corpus path: instead of scanning
         the live view per batch, the batch's LSH signatures (hashed with
         the index's pinned hyperplanes) join the PERSISTED (table, sig)
@@ -860,6 +963,12 @@ class VectorCollection:
         thr = (
             _dedup.COSINE_NEARDUP_THRESHOLD if threshold is None else threshold
         )
+        if use_index is None:
+            # a tuned n_bucket_words is a scan-path knob — honor it
+            use_index = (
+                n_bucket_words == 1
+                and self.route_for_near_duplicates() == "probe"
+            )
         if use_index:
             if n_bucket_words != 1:
                 raise ValueError(
@@ -869,6 +978,13 @@ class VectorCollection:
                     "change its selectivity"
                 )
             return self._near_duplicates_indexed(points, thr)
+        max_words = (self.info.dim + 31) // 32
+        if n_bucket_words > max_words:
+            raise ValueError(
+                f"n_bucket_words={n_bucket_words} exceeds the "
+                f"{self.info.dim}-d collection's sign-word capacity "
+                f"({max_words} = ceil(dim/32))"
+            )
         return _dedup.semdedup_incremental(
             points.select("id", "embedding"),
             self.df().select("id", "embedding"),
@@ -1454,8 +1570,12 @@ class VectorCollection:
             # volume-floored (r9 review): index_status's drift_ratio is
             # unconditional monitoring; the REBUILD trigger additionally
             # requires _ivf_drift_volume_ok so an outlier row can't force
-            # (and, post-reset, keep re-forcing) a full KMeans retrain
-            drifted = kind == "ivf" and self._ivf_drift_exceeded()
+            # (and, post-reset, keep re-forcing) a full KMeans retrain.
+            # r10: IVFPQ carries the same ratio over its ADC recon-error
+            # statistic (pinned codebooks under distribution shift), and
+            # NSW the delta-fraction analogue (graph quality decays as
+            # masked nodes + small delta graphs accumulate).
+            drifted = self._index_drift_exceeded(kind)
             # Layout-outgrowth staleness (r9): an auto-sized layout the
             # collection has OUTGROWN — LSH bucket sizes scale N/2^bits
             # and IVF cell sizes scale N/k, so a width/cell-count chosen
@@ -1473,17 +1593,18 @@ class VectorCollection:
                     continue
                 # fresh but drifted/outgrown: coverage is current, recall
                 # or probe cost is not — fall through to the rebuild
-            elif kind in ("lsh", "ivf") and not outgrown:
+            elif not outgrown:
+                # every family refreshes incrementally since r10 (IVF/LSH
+                # r7-r8, NSW/IVFPQ r10 — the maintenance matrix is full).
                 # outgrown skips the refresh entirely: its segments would
                 # be discarded by the rebuild two lines later, and a
                 # refresh pass is exactly the large-collection cost the
                 # escalation exists to respend on a retrain (r9 review)
                 try:
                     getattr(self, f"refresh_{kind}_index")()
-                    if kind == "ivf":
-                        # the refresh just recorded its segment's drift —
-                        # re-evaluate before declaring the index healthy
-                        drifted = self._ivf_drift_exceeded()
+                    # the refresh just recorded its segment's stats —
+                    # re-evaluate before declaring the index healthy
+                    drifted = self._index_drift_exceeded(kind)
                     if not drifted:
                         report[kind] = "refreshed"
                         continue
@@ -1587,7 +1708,22 @@ class VectorCollection:
         IVF_DRIFT_REBUILD_RATIO on a non-trivial refreshed volume
         (_ivf_drift_volume_ok — a handful of outlier rows must not force
         a full KMeans retrain of a large collection, r9 review)."""
-        meta_path = os.path.join(self._ivf_index_path, "_index_meta.json")
+        return self._meta_drift_exceeded(self._ivf_index_path)
+
+    def _ivfpq_drift_exceeded(self) -> bool:
+        """IVFPQ codebook drift (r10, mirroring the r9 IVF pattern): the
+        persisted meta's build-vs-refresh ratio of mean ADC
+        reconstruction error, same threshold and volume floor. Pinned
+        codebooks quantize a shifted write distribution WORSE — recall
+        decays with no coverage signal; past the ratio only a retrain
+        (build_ivfpq_index, which optimize() runs) recovers it."""
+        return self._meta_drift_exceeded(self._ivfpq_index_path)
+
+    def _meta_drift_exceeded(self, index_path: str) -> bool:
+        """Shared drift-escalation predicate over a persisted index meta
+        (IVF: centroid-assign distance; IVFPQ: ADC reconstruction error —
+        same keys, see build_ivfpq_index's drift_stat marker)."""
+        meta_path = os.path.join(index_path, "_index_meta.json")
         if not os.path.exists(meta_path):
             return False
         with open(meta_path) as fh:
@@ -1598,6 +1734,39 @@ class VectorCollection:
             and ratio >= IVF_DRIFT_REBUILD_RATIO
             and _ivf_drift_volume_ok(meta)
         )
+
+    def _nsw_delta_exceeded(self) -> bool:
+        """NSW's rebuild-escalation signal (r10): the accumulated
+        refreshed-row fraction vs the base build. Delta segments are
+        small independent graphs and masked-out base nodes leave holes
+        the beam must route around — both decay recall gradually, and
+        neither has a per-row drift statistic (graph quality is global).
+        The row fraction is the honest proxy: past
+        NSW_DELTA_REBUILD_FRACTION of build_rows, optimize() re-trains
+        one consolidated graph instead of refreshing again."""
+        meta_path = os.path.join(self._nsw_index_path, "_index_meta.json")
+        if not os.path.exists(meta_path):
+            return False
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        build_rows = meta.get("build_rows")
+        if not build_rows:
+            return False  # legacy meta: no baseline to compare against
+        refreshed = sum(s["rows"] for s in (meta.get("refresh_stats") or []))
+        return refreshed >= NSW_DELTA_REBUILD_FRACTION * build_rows
+
+    def _index_drift_exceeded(self, kind: str) -> bool:
+        """optimize()'s per-family quality-escalation dispatch: drift
+        ratio for IVF (centroids) and IVFPQ (codebooks), delta fraction
+        for NSW, never for LSH (seeded hyperplanes are data-independent
+        — only coverage and width can stale, both handled elsewhere)."""
+        if kind == "ivf":
+            return self._ivf_drift_exceeded()
+        if kind == "ivfpq":
+            return self._ivfpq_drift_exceeded()
+        if kind == "nsw":
+            return self._nsw_delta_exceeded()
+        return False
 
     def _require_points(self, op: str) -> None:
         """Fail fast with a clear error when an index build is attempted
@@ -1990,25 +2159,44 @@ class VectorCollection:
         self._require_points("build_nsw_index")
         current_version = self.catalog._load()[self.info.name]["version"]
         emb = self.df().select("id", "embedding")
-        ann.nsw_index_write(
+        # __seg 0 = the base graphs; refresh_nsw_index appends DELTA
+        # graphs as later segments in disjoint _b partitions (the Lucene
+        # multi-segment model — every bucket is searched and merged, so
+        # a segment's buckets compose for free; see nsw_search_layout)
+        built = ann.nsw_graph_rows(
             emb,
-            self._nsw_index_path,
             n_buckets=n_buckets,
             M=M,
             ef_construction=ef_construction,
             id_col="id",
             emb_col="embedding",
+        ).withColumn("__seg", F.lit(0))
+        built.write.mode("overwrite").partitionBy("_b").parquet(
+            self._nsw_index_path
+        )
+        import shutil as _shutil
+
+        _shutil.rmtree(self._nsw_mask_path, ignore_errors=True)
+        build_rows = int(
+            self.catalog.spark.read.parquet(self._nsw_index_path).count()
         )
         with open(os.path.join(self._nsw_index_path, "_index_meta.json"), "w") as fh:
             json.dump(
                 {
                     "built_at_version": current_version,
+                    "covers_version": current_version,
+                    "next_seg": 1,
                     # caller args, so optimize() rebuilds the same point
                     "build_params": {
                         "n_buckets": n_buckets,
                         "M": M,
                         "ef_construction": ef_construction,
                     },
+                    # sizes the delta-fraction escalation
+                    # (_nsw_delta_exceeded): graph quality decays as
+                    # masked-out base nodes and small delta graphs
+                    # accumulate, so optimize() retrains past the ratio
+                    "build_rows": build_rows,
                 },
                 fh,
             )
@@ -2028,9 +2216,30 @@ class VectorCollection:
         equals exact search (asserted in tests/test_catalog.py)."""
         from vector_database_spark.operators import ann
 
+        self._nsw_meta_fresh("search_nsw")
+        return ann.nsw_search_layout(
+            self._nsw_layout_df(),
+            [(0, [float(x) for x in query_vector])],
+            k=limit,
+            ef=ef,
+            id_col="id",
+            emb_col="embedding",
+        )
+
+    @property
+    def _nsw_mask_path(self) -> str:
+        return self.path + "__nsw_mask"
+
+    def _nsw_layout_df(self) -> DataFrame:
+        return self._masked_layout_df(self._nsw_index_path, self._nsw_mask_path)
+
+    def _nsw_meta_fresh(self, op: str) -> dict:
+        """Load the NSW index meta and enforce the coverage contract:
+        base build or a later refresh_nsw_index must cover the current
+        collection version (the same contract as the other families)."""
         if self.info.metric != "cosine":
             raise ValueError(
-                f"search_nsw requires a cosine collection; "
+                f"{op} requires a cosine collection; "
                 f"{self.info.name!r} uses metric={self.info.metric!r}"
             )
         meta_path = os.path.join(self._nsw_index_path, "_index_meta.json")
@@ -2040,22 +2249,68 @@ class VectorCollection:
                 "call build_nsw_index() first"
             )
         with open(meta_path) as fh:
-            built_at = json.load(fh)["built_at_version"]
+            meta = json.load(fh)
         current_version = self.catalog._load()[self.info.name]["version"]
-        if built_at != current_version:
+        covers = meta.get("covers_version", meta["built_at_version"])
+        if covers != current_version:
             raise ValueError(
-                f"NSW index of {self.info.name!r} was built at version "
-                f"{built_at} but the collection is at {current_version}; "
-                "rebuild with build_nsw_index()"
+                f"NSW index of {self.info.name!r} covers version "
+                f"{covers} but the collection is at {current_version}; "
+                "refresh_nsw_index() or rebuild with build_nsw_index()"
             )
-        return ann.nsw_search_index(
-            self.catalog.spark,
+        return meta
+
+    # a refresh segment's delta graphs land in their own _b partitions:
+    # segment s's buckets live at [s·STRIDE, (s+1)·STRIDE) — disjoint from
+    # every other segment's by construction, far wider than any auto
+    # bucket count (NSW_MAX_BUCKETS << STRIDE)
+    _NSW_SEG_BUCKET_STRIDE = 1_000_000
+
+    def refresh_nsw_index(self) -> int:
+        """INCREMENTALLY fold the writes since the last build/refresh
+        into the persisted NSW index (r9 directive 1 — the last
+        rebuild-only family): live rows of every id written since
+        ``covers_version`` build a SMALL NSW graph of their own, appended
+        as a new segment whose buckets occupy a disjoint ``_b`` range;
+        superseded ids mask out exactly as in the IVF/LSH refreshes.
+        Search needs no new machinery at all: nsw_search_layout already
+        beams EVERY bucket and merges (the layout is a parallelism unit,
+        not a pruning key), so delta-segment buckets join the same merge
+        — the Lucene per-segment-HNSW model. Masked-out base rows drop
+        BEFORE graph reconstruction; the beam routes around the missing
+        nodes (adjacency stores ids, the position map skips absent ones),
+        costing a little recall on large deltas — which is why
+        optimize() escalates to a full rebuild past
+        NSW_DELTA_REBUILD_FRACTION (the graph-quality analogue of the
+        IVF drift escalation). Returns the number of delta rows."""
+        from vector_database_spark.operators import ann
+
+        def build_delta(live: DataFrame, meta: dict, seg: int) -> DataFrame:
+            bp = meta.get("build_params") or {}
+            return ann.nsw_graph_rows(
+                live.select("id", "embedding"),
+                # the delta's bucket count always auto-derives from the
+                # DELTA row count (~25k rows/bucket): a pinned base
+                # n_buckets describes the BASE corpus size — reusing it
+                # for a small delta would shatter the delta into
+                # near-empty graphs with no beam to speak of
+                n_buckets=None,
+                M=bp.get("M", 8),
+                ef_construction=bp.get("ef_construction", 64),
+                id_col="id",
+                emb_col="embedding",
+                bucket_offset=seg * self._NSW_SEG_BUCKET_STRIDE,
+            ).withColumn("__seg", F.lit(seg)).localCheckpoint(eager=False)
+            # ^ checkpointed lazily: the protocol counts the delta AND
+            # writes it — without the pin the applyInPandas graph build
+            # (the expensive part of an NSW refresh) would run twice
+
+        return self._refresh_protocol(
+            "nsw",
             self._nsw_index_path,
-            [(0, [float(x) for x in query_vector])],
-            k=limit,
-            ef=ef,
-            id_col="id",
-            emb_col="embedding",
+            self._nsw_mask_path,
+            build_delta,
+            partition_by=("_b",),
         )
 
     # -- IVF index (coarse quantization, nprobe = partition pruning) --------
@@ -2163,67 +2418,17 @@ class VectorCollection:
         import numpy as np
 
         def build_delta(live: DataFrame, meta: dict, seg: int) -> DataFrame:
-            # live rows of the written ids assigned to the PINNED
-            # centroids — euclidean argmin, the KMeans.transform rule.
-            # Squared-distance expansion ||e||² − 2·E@Cᵀ + ||c||² —
-            # O(batch·k) memory via one BLAS matmul, the same kernel
-            # shape as the PQ/ADC scorers in operators/ann.py. The naive
-            # broadcast difference tensor ((E[:,None,:] − C[None,:,:])²)
-            # is O(batch·k·dim): with auto centroids (√N capped 4096)
-            # and a ~10k-row Arrow batch that is ~21 GB per batch —
-            # executor OOM on exactly the large collections refresh
-            # targets (r8 ADVICE). argmin is unchanged up to fp rounding
-            # of the identical quantity, which only moves a point between
-            # near-equidistant cells — search probes cells by query-time
-            # ranking, so placement ties don't affect correctness.
             centroids = np.asarray(meta["centroids"], dtype=np.float64)
-            c_sq = (centroids * centroids).sum(axis=1)  # (k,)
-
-            from pyspark.sql.functions import pandas_udf
-
-            @pandas_udf("struct<cid:int,dist:double>")
-            def _assign(embs: pd.Series) -> pd.DataFrame:
-                import numpy as _np
-                import pandas as _pd
-
-                if not len(embs):
-                    return _pd.DataFrame(
-                        {"cid": _pd.Series([], dtype="int32"),
-                         "dist": _pd.Series([], dtype="float64")}
-                    )
-                E = _np.stack(
-                    [_np.asarray(v, dtype=_np.float64) for v in embs]
-                )
-                d = (
-                    (E * E).sum(axis=1)[:, None]
-                    - 2.0 * (E @ centroids.T)
-                    + c_sq[None, :]
-                )
-                cid = d.argmin(axis=1).astype("int32")
-                # the winning distance doubles as the drift statistic's
-                # per-row term (max-with-0 before sqrt: the expansion can
-                # go epsilon-negative in fp for points at a centroid)
-                best = _np.sqrt(
-                    _np.maximum(d[_np.arange(len(cid)), cid], 0.0)
-                )
-                return _pd.DataFrame({"cid": cid, "dist": best})
-
-            assigned = live.select(
-                "id",
-                "embedding",
-                "payload",
-                F.lit(seg).alias("__seg"),
-                _assign(F.col("embedding").cast("array<double>")).alias(
-                    "__a"
-                ),
+            assigned = _assign_pinned_centroids(
+                live.select("id", "embedding", "payload"), centroids
             )
             return assigned.select(
                 "id",
                 "embedding",
                 "payload",
-                "__seg",
-                F.col("__a.cid").alias("centroid_id"),
-                F.col("__a.dist").alias("__assign_dist"),
+                F.lit(seg).alias("__seg"),
+                "centroid_id",
+                "__assign_dist",
             )
 
         return self._refresh_protocol(
@@ -2363,16 +2568,15 @@ class VectorCollection:
             )
         meta["covers_version"] = current_version
         meta["next_seg"] = seg + 1
+        # accumulate per-segment stats; a full rebuild rewrites the meta
+        # and resets the series. rows is recorded for EVERY family (it
+        # sizes the NSW delta-fraction escalation and the drift volume
+        # floor); the mean drift statistic only where the family emits
+        # one (IVF assign distance, IVFPQ reconstruction error)
+        stat: dict = {"seg": seg, "rows": n_delta}
         if mean_dist is not None:
-            # accumulate the drift statistic per refresh segment; a full
-            # rebuild rewrites the meta and resets the series
-            meta.setdefault("refresh_stats", []).append(
-                {
-                    "seg": seg,
-                    "rows": n_delta,
-                    "mean_assign_dist": float(mean_dist),
-                }
-            )
+            stat["mean_assign_dist"] = float(mean_dist)
+        meta.setdefault("refresh_stats", []).append(stat)
         with open(meta_path, "w") as fh:
             json.dump(meta, fh)
         return n_delta
@@ -2606,12 +2810,35 @@ class VectorCollection:
             id_col="id",
             emb_col="embedding",
             payload_cols=("centroid_id",),
-        )
-        ann.ivf_write_partitioned(codes, self._ivfpq_index_path)
+            with_recon_err=True,
+        ).persist()
+        try:
+            # build-time drift baseline (r10, mirroring IVF's r9 pattern):
+            # mean ADC reconstruction error ||e − decode(code)||₂ over the
+            # whole build. A write distribution the codebooks never saw
+            # reconstructs WORSE; refresh_ivfpq_index accumulates the same
+            # statistic per segment and optimize() escalates past
+            # IVF_DRIFT_REBUILD_RATIO (shared threshold) on non-trivial
+            # refreshed volume.
+            agg = codes.agg(
+                F.avg("__recon_err").alias("d"), F.count(F.lit(1)).alias("n")
+            ).first()
+            build_mean, build_rows = float(agg["d"]), int(agg["n"])
+            ann.ivf_write_partitioned(
+                codes.drop("__recon_err").withColumn("__seg", F.lit(0)),
+                self._ivfpq_index_path,
+            )
+        finally:
+            codes.unpersist()
+        import shutil as _shutil
+
+        _shutil.rmtree(self._ivfpq_mask_path, ignore_errors=True)
         with open(os.path.join(self._ivfpq_index_path, "_index_meta.json"), "w") as fh:
             json.dump(
                 {
                     "built_at_version": current_version,
+                    "covers_version": current_version,
+                    "next_seg": 1,
                     # caller args (n_centroids=None stays None: a rebuild
                     # at a grown collection should re-derive sqrt-N)
                     "build_params": {
@@ -2623,9 +2850,99 @@ class VectorCollection:
                     "codebooks": [
                         [[float(x) for x in row] for row in book] for book in books
                     ],
+                    # drift baseline: the stat here is PQ reconstruction
+                    # error (not centroid-assign distance), stored under
+                    # the family-generic keys so _ivf_drift_ratio /
+                    # _ivf_drift_volume_ok apply unchanged
+                    "drift_stat": "pq_recon_err",
+                    "build_mean_assign_dist": build_mean,
+                    "build_rows": build_rows,
                 },
                 fh,
             )
+
+    @property
+    def _ivfpq_mask_path(self) -> str:
+        return self.path + "__ivfpq_mask"
+
+    def _ivfpq_layout_df(self) -> DataFrame:
+        return self._masked_layout_df(
+            self._ivfpq_index_path, self._ivfpq_mask_path
+        )
+
+    def _ivfpq_meta_fresh(self, op: str) -> dict:
+        """Load the IVF+PQ index meta and enforce the coverage contract
+        (base build or a later refresh_ivfpq_index)."""
+        if self.info.metric != "cosine":
+            raise ValueError(
+                f"{op} requires a cosine collection; "
+                f"{self.info.name!r} uses metric={self.info.metric!r}"
+            )
+        meta_path = os.path.join(self._ivfpq_index_path, "_index_meta.json")
+        if not os.path.exists(meta_path):
+            raise ValueError(
+                f"collection {self.info.name!r} has no IVF+PQ index; "
+                "call build_ivfpq_index() first"
+            )
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        current_version = self.catalog._load()[self.info.name]["version"]
+        covers = meta.get("covers_version", meta["built_at_version"])
+        if covers != current_version:
+            raise ValueError(
+                f"IVF+PQ index of {self.info.name!r} covers version "
+                f"{covers} but the collection is at {current_version}; "
+                "refresh_ivfpq_index() or rebuild with build_ivfpq_index()"
+            )
+        return meta
+
+    def refresh_ivfpq_index(self) -> int:
+        """INCREMENTALLY fold the writes since the last build/refresh
+        into the persisted IVF+PQ index (r10 — with refresh_nsw_index
+        this completes the maintenance matrix: no family is rebuild-only
+        anymore): live rows of every id written since ``covers_version``
+        are assigned to the PINNED coarse centroids (the same BLAS argmin
+        as the IVF refresh) and PQ-encoded with the PINNED codebooks,
+        appended as a new ``__seg``; superseded ids mask exactly as in
+        the other families. Per delta row the pass also computes the ADC
+        reconstruction error under the pinned codebooks — the codebook
+        drift statistic ( _refresh_protocol folds its mean into
+        refresh_stats; optimize() escalates refresh→rebuild past the
+        shared ratio when pinned codebooks stop describing the write
+        distribution). Returns the number of delta rows."""
+        import numpy as np
+
+        from vector_database_spark.operators import ann
+
+        def build_delta(live: DataFrame, meta: dict, seg: int) -> DataFrame:
+            centroids = np.asarray(meta["centroids"], dtype=np.float64)
+            books = np.asarray(meta["codebooks"], dtype=np.float64)
+            assigned = _assign_pinned_centroids(live, centroids)
+            codes = ann.pq_encode(
+                assigned.select("id", "centroid_id", "embedding"),
+                books,
+                id_col="id",
+                emb_col="embedding",
+                payload_cols=("centroid_id",),
+                with_recon_err=True,
+            )
+            # __recon_err is THIS family's drift statistic — hand it to
+            # the protocol under the generic stat column name
+            return codes.select(
+                "id",
+                "centroid_id",
+                "code",
+                F.lit(seg).alias("__seg"),
+                F.col("__recon_err").alias("__assign_dist"),
+            )
+
+        return self._refresh_protocol(
+            "ivfpq",
+            self._ivfpq_index_path,
+            self._ivfpq_mask_path,
+            build_delta,
+            partition_by=("centroid_id",),
+        )
 
     def search_ivfpq(
         self,
@@ -2645,26 +2962,7 @@ class VectorCollection:
 
         from vector_database_spark.operators import ann, knn
 
-        if self.info.metric != "cosine":
-            raise ValueError(
-                f"search_ivfpq requires a cosine collection; "
-                f"{self.info.name!r} uses metric={self.info.metric!r}"
-            )
-        meta_path = os.path.join(self._ivfpq_index_path, "_index_meta.json")
-        if not os.path.exists(meta_path):
-            raise ValueError(
-                f"collection {self.info.name!r} has no IVF+PQ index; "
-                "call build_ivfpq_index() first"
-            )
-        with open(meta_path) as fh:
-            meta = json.load(fh)
-        current_version = self.catalog._load()[self.info.name]["version"]
-        if meta["built_at_version"] != current_version:
-            raise ValueError(
-                f"IVF+PQ index of {self.info.name!r} was built at version "
-                f"{meta['built_at_version']} but the collection is at "
-                f"{current_version}; rebuild with build_ivfpq_index()"
-            )
+        meta = self._ivfpq_meta_fresh("search_ivfpq")
         centroids = np.asarray(meta["centroids"], dtype=float)
         books = np.asarray(meta["codebooks"], dtype=float)
         nprobe = ann._auto_nprobe(nprobe, len(centroids))
@@ -2672,7 +2970,7 @@ class VectorCollection:
         cnorm = np.linalg.norm(centroids, axis=1) * np.linalg.norm(q)
         sims = centroids @ q / np.where(cnorm == 0, 1.0, cnorm)
         probe = [int(i) for i in np.argsort(-sims)[:nprobe]]
-        codes = self.catalog.spark.read.parquet(self._ivfpq_index_path)
+        codes = self._ivfpq_layout_df()
         if shortlist is None:
             # scanned-code estimate from the layout's parquet footers
             shortlist = ann._auto_shortlist(
@@ -2718,28 +3016,9 @@ class VectorCollection:
 
         from vector_database_spark.operators import ann
 
-        if self.info.metric != "cosine":
-            raise ValueError(
-                f"search_ivfpq_batch requires a cosine collection; "
-                f"{self.info.name!r} uses metric={self.info.metric!r}"
-            )
-        meta_path = os.path.join(self._ivfpq_index_path, "_index_meta.json")
-        if not os.path.exists(meta_path):
-            raise ValueError(
-                f"collection {self.info.name!r} has no IVF+PQ index; "
-                "call build_ivfpq_index() first"
-            )
-        with open(meta_path) as fh:
-            meta = json.load(fh)
-        current_version = self.catalog._load()[self.info.name]["version"]
-        if meta["built_at_version"] != current_version:
-            raise ValueError(
-                f"IVF+PQ index of {self.info.name!r} was built at version "
-                f"{meta['built_at_version']} but the collection is at "
-                f"{current_version}; rebuild with build_ivfpq_index()"
-            )
+        meta = self._ivfpq_meta_fresh("search_ivfpq_batch")
         return ann.ivfpq_knn_batch(
-            self.catalog.spark.read.parquet(self._ivfpq_index_path),
+            self._ivfpq_layout_df(),
             np.asarray(meta["centroids"], dtype=float),
             np.asarray(meta["codebooks"], dtype=float),
             self.df().select("id", "embedding", "payload"),
@@ -2952,17 +3231,30 @@ class VectorCollection:
                 "built_at_version": built,
                 "fresh": covers == current,
             }
-            if kind == "ivf":
-                # centroid-drift ratio of everything refreshed since the
-                # last full build vs the build distribution (r9); None =
-                # unmeasurable (no refreshes yet / legacy meta). optimize()
-                # escalates refresh->rebuild past IVF_DRIFT_REBUILD_RATIO
-                # — but only on a non-trivial refreshed volume
-                # (drift_rows vs the _ivf_drift_volume_ok floor, r9
-                # review); the ratio itself is unconditional monitoring.
+            if kind in ("ivf", "ivfpq"):
+                # drift ratio of everything refreshed since the last full
+                # build vs the build distribution — centroid-assign
+                # distance for IVF (r9), ADC reconstruction error for
+                # IVFPQ (r10); None = unmeasurable (no refreshes yet /
+                # legacy meta). optimize() escalates refresh->rebuild
+                # past IVF_DRIFT_REBUILD_RATIO — but only on a
+                # non-trivial refreshed volume (drift_rows vs the
+                # _ivf_drift_volume_ok floor, r9 review); the ratio
+                # itself is unconditional monitoring.
                 entry["drift_ratio"] = _ivf_drift_ratio(meta)
                 entry["drift_rows"] = sum(
                     s["rows"] for s in (meta.get("refresh_stats") or [])
+                )
+            if kind == "nsw":
+                # delta fraction vs the base graph (r10): optimize()
+                # consolidates past NSW_DELTA_REBUILD_FRACTION
+                refreshed = sum(
+                    s["rows"] for s in (meta.get("refresh_stats") or [])
+                )
+                entry["delta_rows"] = refreshed
+                build_rows = meta.get("build_rows")
+                entry["delta_fraction"] = (
+                    refreshed / build_rows if build_rows else None
                 )
             out[kind] = entry
         return out
@@ -3021,9 +3313,8 @@ class VectorCollection:
         if self.info.metric == "cosine" and status["nsw"]["fresh"]:
             from vector_database_spark.operators import ann
 
-            return ann.nsw_search_index(
-                self.catalog.spark,
-                self._nsw_index_path,
+            return ann.nsw_search_layout(
+                self._nsw_layout_df(),
                 [(int(i), [float(x) for x in v]) for i, v in queries],
                 k=limit,
                 id_col="id",

@@ -804,10 +804,19 @@ def pq_encode(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     payload_cols: tuple[str, ...] = ("label",),
+    with_recon_err: bool = False,
 ) -> DataFrame:
     """Encode every vector to ``m`` nibble codes (nearest centroid per
     subspace) — 64 float32 bytes → 8 code bytes, 32x smaller. Distributed
     mapInPandas with one vectorized argmin per Arrow batch.
+
+    ``with_recon_err=True`` additionally emits ``__recon_err`` — the
+    row's L2 reconstruction error ||e − decode(code)||₂, i.e. the sqrt
+    of the summed per-subspace winning distances the argmin already
+    computed (zero extra passes). This is the PQ drift statistic: a
+    write distribution the codebooks were not trained on reconstructs
+    WORSE, and the build-vs-refresh ratio of this mean is the codebook
+    analogue of IVF's centroid-drift ratio (catalog.py r10).
     """
 
     m, ksub, dsub = codebooks.shape
@@ -819,20 +828,27 @@ def pq_encode(
                 continue
             X = np.asarray([list(e) for e in pdf[emb_col]], dtype=np.float64)
             codes = np.empty((len(X), m), dtype=np.int32)
+            err2 = np.zeros(len(X), dtype=np.float64)
             for j in range(m):
                 S = X[:, j * dsub : (j + 1) * dsub]
                 d2 = ((S[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
                 codes[:, j] = d2.argmin(axis=1)
+                if with_recon_err:
+                    err2 += d2[np.arange(len(X)), codes[:, j]]
             out = {id_col: pdf[id_col]}
             for c in payload_cols:
                 out[c] = pdf[c]
             out["code"] = list(codes.tolist())
+            if with_recon_err:
+                # fp can go epsilon-negative for exactly-representable rows
+                out["__recon_err"] = np.sqrt(np.maximum(err2, 0.0))
             yield pd.DataFrame(out)
 
     fields = ", ".join(
         [f"{id_col} bigint"]
         + [f"{c} {dict(embeddings.dtypes)[c]}" for c in payload_cols]
         + ["code array<int>"]
+        + (["__recon_err double"] if with_recon_err else [])
     )
     return embeddings.select(id_col, *payload_cols, emb_col).mapInPandas(encode, fields)
 
@@ -1490,6 +1506,46 @@ def nsw_knn(
     ).orderBy("qid", F.col("score").desc(), F.col(id_col).asc())
 
 
+def nsw_graph_rows(
+    embeddings: DataFrame,
+    n_buckets: int | None = 4,
+    M: int = NSW_M,
+    ef_construction: int = NSW_EF_CONSTRUCTION,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    bucket_offset: int = 0,
+) -> DataFrame:
+    """Build the per-bucket NSW graphs as ROWS (id, embedding, _b,
+    neighbors ARRAY<BIGINT>) without writing — the shared kernel of
+    :func:`nsw_index_write` (base build) and the catalog's
+    refresh_nsw_index (delta SEGMENTS: ``bucket_offset`` shifts the
+    bucket ids so a refresh's graphs land in fresh ``_b`` partitions
+    that never collide with earlier segments'). Neighbor lists store
+    ids (not positions), so the layout survives re-reads in any row
+    order and the search kernel silently drops references to rows a
+    later mask filtered out."""
+
+    def build(pdf):
+        pdf, X = _bucket_arrays(pdf, id_col, emb_col)
+        adj = _nsw_build(X, M=M, ef=ef_construction)
+        ids = pdf[id_col].to_numpy()
+        pdf = pdf.copy()
+        pdf["neighbors"] = [[int(ids[j]) for j in row] for row in adj]
+        return pdf
+
+    n_buckets = _resolve_nsw_buckets(n_buckets, embeddings)
+    bucketed = embeddings.select(
+        id_col,
+        emb_col,
+        (
+            F.pmod(F.xxhash64(F.col(id_col)), n_buckets)
+            + F.lit(int(bucket_offset))
+        ).cast("int").alias("_b"),
+    )
+    out_schema = f"{id_col} long, {emb_col} array<float>, _b int, neighbors array<long>"
+    return bucketed.groupBy("_b").applyInPandas(build, out_schema)
+
+
 def nsw_index_write(
     embeddings: DataFrame,
     path: str,
@@ -1509,21 +1565,14 @@ def nsw_index_write(
     query's neighbors can live in ANY bucket — the partitioning is for
     parallelism and per-executor memory sizing, not pruning), with the
     per-bucket work bounded by the beam, not the bucket size."""
-
-    def build(pdf):
-        pdf, X = _bucket_arrays(pdf, id_col, emb_col)
-        adj = _nsw_build(X, M=M, ef=ef_construction)
-        ids = pdf[id_col].to_numpy()
-        pdf = pdf.copy()
-        pdf["neighbors"] = [[int(ids[j]) for j in row] for row in adj]
-        return pdf
-
-    n_buckets = _resolve_nsw_buckets(n_buckets, embeddings)
-    bucketed = embeddings.select(
-        id_col, emb_col, (F.pmod(F.xxhash64(F.col(id_col)), n_buckets)).alias("_b")
+    built = nsw_graph_rows(
+        embeddings,
+        n_buckets=n_buckets,
+        M=M,
+        ef_construction=ef_construction,
+        id_col=id_col,
+        emb_col=emb_col,
     )
-    out_schema = f"{id_col} long, {emb_col} array<float>, _b int, neighbors array<long>"
-    built = bucketed.groupBy("_b").applyInPandas(build, out_schema)
     built.write.mode("overwrite").partitionBy("_b").parquet(path)
 
 
@@ -1536,17 +1585,42 @@ def nsw_search_index(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
 ) -> DataFrame:
-    """Beam-search a persisted NSW index (written by nsw_index_write):
-    each bucket partition loads its (vectors, adjacency) columns, maps
-    stored neighbor ids back to positions, and runs the same beam as the
-    fused operator — paying ZERO build cost per query batch. Entry point
-    is the bucket's minimum id (the fused build's first-inserted node),
-    so results are identical to nsw_knn over the same corpus. As in the
-    fused operator, all buckets are searched (the layout is a parallelism
-    unit, not a pruning key)."""
+    """Beam-search a persisted NSW index (written by nsw_index_write) —
+    :func:`nsw_search_layout` over the raw parquet layout."""
+    return nsw_search_layout(
+        spark.read.parquet(path),
+        queries,
+        k=k,
+        ef=ef,
+        id_col=id_col,
+        emb_col=emb_col,
+    )
+
+
+def nsw_search_layout(
+    layout: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+    ef: int | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Beam-search an NSW graph LAYOUT (any DataFrame of (id, embedding,
+    _b, neighbors) rows — raw parquet, or the catalog's masked multi-
+    segment view): each bucket partition loads its (vectors, adjacency)
+    columns, maps stored neighbor ids back to positions, and runs the
+    same beam as the fused operator — paying ZERO build cost per query
+    batch. Entry point is the bucket's minimum id (the fused build's
+    first-inserted node), so results are identical to nsw_knn over the
+    same corpus. All buckets are searched and their top-k merge (the
+    layout is a parallelism unit, not a pruning key) — which is exactly
+    why refresh SEGMENTS compose: a delta segment's buckets are just
+    more buckets in the same merge, the Lucene multi-segment search
+    model. Neighbor ids referencing rows the mask removed are dropped
+    at position-mapping time; the beam simply routes around them (the
+    documented small-delta recall trade, gated in tests)."""
     if not queries:
-        idx = spark.read.parquet(path)
-        return idx.select(
+        return layout.select(
             F.lit(0).cast("long").alias("qid"), id_col, F.lit(0.0).alias("score")
         ).limit(0)
     qids, qmat = _normalize_queries(queries)
@@ -1562,8 +1636,9 @@ def nsw_search_index(
             pdf, X, adj, qids, qmat, k, _auto_ef(ef, len(pdf)), id_col
         )
 
-    idx = spark.read.parquet(path)
-    per = idx.groupBy("_b").applyInPandas(search, f"qid long, {id_col} long, score double")
+    per = layout.select(id_col, emb_col, "_b", "neighbors").groupBy(
+        "_b"
+    ).applyInPandas(search, f"qid long, {id_col} long, score double")
     return _merge_bucket_topk(per, k, id_col).select(
         "qid", id_col, round6(F.col("score")).alias("score")
     ).orderBy("qid", F.col("score").desc(), F.col(id_col).asc())

@@ -441,27 +441,47 @@ def minhash_neardup_pairs_auto(
 
     global _live_sigs
     _release_sig_caches()
+    # two-tier signature computation: the FIRST level's 8 hashes cost
+    # the same corpus pass as the fixed operator, so the common
+    # below-budget case pays only one cheap key-table probe on top;
+    # only an actual escalation pays the second (widest) signature pass
+    # — always hashing 32 made the no-escalation case ~2x slower for
+    # nothing (measured in tools/stress_minhash_auto.py while building
+    # this). Levels 1+ re-band PREFIXES of the 32-hash table (h0..h15
+    # for 16), so one widening covers the whole ladder.
+    first_nh, first_nb = MINHASH_ESCALATION_LEVELS[0]
     widest = MINHASH_ESCALATION_LEVELS[-1][0]
-    sigs = minhash_signatures(docs, text_col, id_col, num_hashes=widest).persist()
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes=first_nh).persist()
     _live_sigs = sigs
-    volumes: list[int] = []
-    chosen = MINHASH_ESCALATION_LEVELS[-1]
-    for nh, nb in MINHASH_ESCALATION_LEVELS:
-        vol = minhash_candidate_volume(sigs, id_col, nh, nb)
-        volumes.append(vol)
-        if vol <= max_candidates:
-            chosen = (nh, nb)
-            break
-    else:
-        warnings.warn(
-            "minhash_neardup_pairs_auto: candidate volume "
-            f"{volumes[-1]} still exceeds max_candidates={max_candidates} "
-            f"at the widest banding level {chosen} — the corpus is "
-            "near-dup-saturated (the pair OUTPUT itself is that large); "
-            "consider line_dedup/exact_dedup first",
-            UserWarning,
-            stacklevel=2,
-        )
+    volumes: list[int] = [
+        minhash_candidate_volume(sigs, id_col, first_nh, first_nb)
+    ]
+    chosen = (first_nh, first_nb)
+    if volumes[0] > max_candidates:
+        wide = minhash_signatures(
+            docs, text_col, id_col, num_hashes=widest
+        ).persist()
+        sigs.unpersist()
+        sigs = wide
+        _live_sigs = sigs
+        chosen = MINHASH_ESCALATION_LEVELS[-1]
+        for nh, nb in MINHASH_ESCALATION_LEVELS[1:]:
+            vol = minhash_candidate_volume(sigs, id_col, nh, nb)
+            volumes.append(vol)
+            if vol <= max_candidates:
+                chosen = (nh, nb)
+                break
+        else:
+            warnings.warn(
+                "minhash_neardup_pairs_auto: candidate volume "
+                f"{volumes[-1]} still exceeds max_candidates="
+                f"{max_candidates} at the widest banding level {chosen} "
+                "— the corpus is near-dup-saturated (the pair OUTPUT "
+                "itself is that large); consider line_dedup/exact_dedup "
+                "first",
+                UserWarning,
+                stacklevel=2,
+            )
     level = len(volumes) - 1
     if level > 0:
         warnings.warn(

@@ -7546,33 +7546,23 @@ _DRIVER_CONFIRMED_R1_R2 = frozenset({
     "q_doc_fingerprint", "q_minhash_signatures", "q_softmax_argmax",
 })
 
-# Round-9 priority (continuing the r7/r8 rotation discipline): the two
-# queries this round CHANGED lead — q_char_entropy (implementation
-# rewritten to the single-pass pandas-UDF histogram; its r7 confirmation
-# predates the rewrite) and q_incremental_dedup_indexed (promoted to the
-# bench headline) — then every oracled query whose LATEST driver sample
-# is round 5 (the stalest group, 13 names), then the round-6 group,
-# alphabetical within each. Computed from CORRECTNESS_r0{1..8}.json
-# latest-round-per-name ∩ ORACLES; every name here HAS an oracle_sql()
-# entry, so no driver sample slot can read `no_oracle`.
-_R9_PRIORITY = (
-    # brand-new oracled queries this round (never had a CORRECTNESS row)
-    "q_unigram_seed_vocab", "q_oov_rate", "q_incremental_semdedup",
-    "q_dsir_select", "q_bpe_pair_counts",
-    "q_char_entropy", "q_incremental_dedup_indexed", "q_incremental_dedup",
-    "q_sample_stratified",
-    "q_scroll", "q_scroll_ordered", "q_scrub_pii", "q_simhash",
-    "q_simhash_pairs", "q_softmax_argmax", "q_sparse_dot", "q_tfidf",
-    "q_tokenize_ws", "q_unigram_logprob", "q_vocab_build",
-    "q_winnow_fingerprint", "q_context_search", "q_dedup_clusters",
-    "q_dedup_exact", "q_dedup_minhash", "q_doc_fingerprint",
-    "q_event_window", "q_filter_dsl", "q_formula_boost", "q_funnel_steps",
-    "q_geo_bbox", "q_gopher_rules", "q_inst_parse", "q_join_enrich",
-    "q_json_extract", "q_knn_auto", "q_knn_manhattan", "q_knn_twophase",
-    "q_lang_id", "q_line_dedup", "q_mask_pad", "q_matryoshka",
-    "q_max_len_scan", "q_maxsim_multivector", "q_minhash_signatures",
-    "q_multivec_pool", "q_neardup_embedding", "q_ngram_jaccard",
-    "q_pad_frame", "q_perplexity_buckets", "q_prefetch_rerank",
+# Round-10 priority (continuing the rotation discipline): the brand-new
+# oracled query leads (q_dedup_minhash_auto — never had a CORRECTNESS
+# row), then every oracled query whose LATEST driver sample is round
+# 4/5 (the stalest groups), then the round-6 group, alphabetical within
+# each. Computed from CORRECTNESS_r0{1..9}.json latest-round-per-name ∩
+# ORACLES; rows-only names (q_knn_lsh/ivf/nsw/pq etc.) are excluded by
+# _registry_rank's no-oracle rule regardless.
+_R10_PRIORITY = (
+    # brand-new oracled query this round
+    "q_dedup_minhash_auto",
+    # latest driver sample round 4 (oracled members)
+    "q_bpe_encode", "q_bpe_learn", "q_hll_distinct", "q_kll_quantiles",
+    "q_retrieval_metrics_twophase", "q_theta_overlap",
+    # round 5
+    "q_mmr_rerank", "q_text_search",
+    # round 6
+    "q_knn_ivf_batch", "q_knn_ivfpq", "q_prefetch_rerank",
     "q_pricing_summary", "q_quality_score", "q_random_sample",
     "q_recommend_sum_scores", "q_rescore_oversample", "q_salted_agg",
     "q_session_window", "q_sessionize", "q_shard_export",
@@ -7581,8 +7571,27 @@ _R9_PRIORITY = (
     "q_too_long_filter", "q_topk_global",
 )
 
-# Round 8's driver sample (CORRECTNESS_r08.json, 50 green) — the freshest
+# Round 9's driver sample (CORRECTNESS_r09.json, 50 green) — the freshest
 # external rows, so they rotate to the very back.
+_DRIVER_SAMPLED_R9 = frozenset({
+    "q_bpe_pair_counts", "q_char_entropy", "q_context_search",
+    "q_dedup_clusters", "q_dedup_exact", "q_dedup_minhash",
+    "q_doc_fingerprint", "q_dsir_select", "q_event_window", "q_filter_dsl",
+    "q_formula_boost", "q_funnel_steps", "q_geo_bbox", "q_gopher_rules",
+    "q_incremental_dedup", "q_incremental_dedup_indexed",
+    "q_incremental_semdedup", "q_inst_parse", "q_join_enrich",
+    "q_json_extract", "q_knn_auto", "q_knn_manhattan", "q_knn_twophase",
+    "q_lang_id", "q_line_dedup", "q_mask_pad", "q_matryoshka",
+    "q_max_len_scan", "q_maxsim_multivector", "q_minhash_signatures",
+    "q_multivec_pool", "q_neardup_embedding", "q_ngram_jaccard",
+    "q_oov_rate", "q_pad_frame", "q_perplexity_buckets",
+    "q_sample_stratified", "q_scroll", "q_scroll_ordered", "q_scrub_pii",
+    "q_simhash", "q_simhash_pairs", "q_softmax_argmax", "q_sparse_dot",
+    "q_tfidf", "q_tokenize_ws", "q_unigram_logprob",
+    "q_unigram_seed_vocab", "q_vocab_build", "q_winnow_fingerprint",
+})
+
+# Round 8's driver sample (CORRECTNESS_r08.json, 50 green).
 _DRIVER_SAMPLED_R8 = frozenset({
     "q_audio_features", "q_base64_decode", "q_base64_encode", "q_batch_ids",
     "q_bm25", "q_cast_list", "q_chunk_text", "q_count_filtered",
@@ -7708,11 +7717,13 @@ def _registry_rank(k: str) -> tuple[int, int]:
     # correct but useless (VERDICT r6 directive 3). The sort runs after
     # ORACLES is defined, below.
     if k not in ORACLES:
-        return (8, 0)
-    if k in _R9_PRIORITY:
-        return (0, _R9_PRIORITY.index(k))
+        return (9, 0)
+    if k in _R10_PRIORITY:
+        return (0, _R10_PRIORITY.index(k))
+    if k in _DRIVER_SAMPLED_R9:
+        return (8, 0)  # freshest external rows: very back
     if k in _DRIVER_SAMPLED_R8:
-        return (7, 0)  # freshest external rows: very back
+        return (7, 0)
     if k in _DRIVER_SAMPLED_R7:
         return (6, 0)
     if k in _DRIVER_SAMPLED_R6:
