@@ -143,23 +143,55 @@ def main() -> None:
         col.refresh_ivfpq_index()
         t_drift_refresh = time.perf_counter() - t0
         drift_ratio = col.index_status()["ivfpq"]["drift_ratio"]
-        qrows = synth_points(spark, shift_lo + 1, shift_lo + 9, bump=3.0).collect()
 
-        def pq_recall():
-            hits = 0
-            for r in qrows:
-                q2 = [float(x) for x in r["embedding"]]
-                exact_ids = {x["id"] for x in col.search(q2, limit=K).collect()}
-                got = {x["id"] for x in col.search_ivfpq(q2, limit=K).collect()}
-                hits += len(exact_ids & got)
-            return hits / (K * len(qrows))
+        # Codebook quality is measured DIRECTLY here: the mean ADC
+        # reconstruction error of the SHIFTED rows under the pinned vs
+        # the retrained codebooks (the statistic the escalation manages).
+        # k-NN recall@5 cannot see codebook quality on this synthetic at
+        # 1M: all 100k shifted rows quantize to a handful of shared codes
+        # (the cluster is tighter than any 16-way subspace codebook can
+        # subdivide), so the shortlist is pure id-asc tie-break at ANY
+        # width — the recall-recovery contract is pinned instead in
+        # tests/test_catalog.py::test_ivfpq_refresh_incremental_and_
+        # codebook_drift at a resolution where k-NN is meaningful.
+        import json as _json
+        import os as _os
 
-        rec_drifted = pq_recall()
+        import numpy as _np
+
+        from vector_database_spark.operators import ann as _ann
+
+        shifted = col.df().filter(F.col("id") >= shift_lo).select(
+            "id", "embedding"
+        )
+
+        def shifted_recon_err():
+            meta_path = _os.path.join(
+                col._ivfpq_index_path, "_index_meta.json"
+            )
+            with open(meta_path) as fh:
+                meta = _json.load(fh)
+            books = _np.asarray(meta["codebooks"], dtype=_np.float64)
+            row = (
+                _ann.pq_encode(
+                    shifted,
+                    books,
+                    id_col="id",
+                    emb_col="embedding",
+                    payload_cols=(),
+                    with_recon_err=True,
+                )
+                .agg(F.avg("__recon_err").alias("d"))
+                .first()
+            )
+            return float(row["d"]), float(meta["build_mean_assign_dist"])
+
+        err_pinned, base_pinned = shifted_recon_err()
         t0 = time.perf_counter()
         report = col.optimize()
         t_optimize = time.perf_counter() - t0
         assert report["ivfpq"] == "rebuilt_drift", report
-        rec_recovered = pq_recall()
+        err_retrained, base_retrained = shifted_recon_err()
 
         lines += [
             f"- build_nsw_index (auto buckets): {t_nsw_build:.1f}s; "
@@ -185,9 +217,19 @@ def main() -> None:
             f"batch refreshed in {t_drift_refresh:.1f}s with ADC recon-error "
             f"ratio **{drift_ratio:.1f}** (threshold 1.5); optimize() "
             f"escalated refresh->rebuild ('rebuilt_drift', {t_optimize:.1f}s "
-            f"total), shifted-query recall@5 {rec_drifted:.2f} through the "
-            f"drifted codebooks -> **{rec_recovered:.2f}** after the retrain. "
-            f"index_status()['ivfpq']['drift_ratio'] is the monitoring hook",
+            f"total). Codebook quality measured directly: mean recon error "
+            f"of the shifted rows {err_pinned:.3f} under the PINNED books "
+            f"({err_pinned/max(base_pinned,1e-12):.1f}x their build mean) -> "
+            f"**{err_retrained:.3f}** under the retrained books "
+            f"({err_retrained/max(base_retrained,1e-12):.1f}x the new build "
+            f"mean) — the retrain gives the shifted region its own "
+            f"codewords. (k-NN recall@5 cannot see codebook quality on "
+            f"this synthetic: the 100k shifted rows are tighter than any "
+            f"16-way subspace codebook subdivides, so every shortlist is "
+            f"id-asc tie-break; the recall-recovery contract is pinned in "
+            f"tests/test_catalog.py at a resolution where k-NN is "
+            f"meaningful.) index_status()['ivfpq']['drift_ratio'] is the "
+            f"monitoring hook",
             "",
             "NSW refresh cost scales with the DELTA (a small graph build over",
             "the write batch + mask append); the rebuild re-inserts all N",

@@ -2262,9 +2262,12 @@ class VectorCollection:
 
     # a refresh segment's delta graphs land in their own _b partitions:
     # segment s's buckets live at [s·STRIDE, (s+1)·STRIDE) — disjoint from
-    # every other segment's by construction, far wider than any auto
-    # bucket count (NSW_MAX_BUCKETS << STRIDE)
-    _NSW_SEG_BUCKET_STRIDE = 1_000_000
+    # every other segment's by construction, wider than any bucket count
+    # (NSW_MAX_BUCKETS = 4096 << STRIDE) while keeping seg·STRIDE inside
+    # the INT _b column for ~200k segments (the delta-fraction escalation
+    # consolidates long before that, but an opted-out caller shouldn't
+    # hit a silent int overflow either)
+    _NSW_SEG_BUCKET_STRIDE = 10_000
 
     def refresh_nsw_index(self) -> int:
         """INCREMENTALLY fold the writes since the last build/refresh
@@ -2972,9 +2975,15 @@ class VectorCollection:
         probe = [int(i) for i in np.argsort(-sims)[:nprobe]]
         codes = self._ivfpq_layout_df()
         if shortlist is None:
-            # scanned-code estimate from the layout's parquet footers
+            # scanned-code estimate from the layout's parquet footers —
+            # deliberately the RAW (unmasked) count: footer metadata only,
+            # no mask join per search; superseded rows inflate it, which
+            # only widens the shortlist (the scale-safe direction)
+            raw_codes = self.catalog.spark.read.parquet(
+                self._ivfpq_index_path
+            ).count()
             shortlist = ann._auto_shortlist(
-                None, int(codes.count() * nprobe / max(len(centroids), 1))
+                None, int(raw_codes * nprobe / max(len(centroids), 1))
             )
         cell_codes = codes.filter(F.col("centroid_id").isin(probe))
         cand = ann.pq_knn(
