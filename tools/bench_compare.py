@@ -88,6 +88,8 @@ COMPARE = [
     "q_knn_ivf_batch_full",
     # r9 session 3: incremental semantic dedup (batch vs corpus)
     "q_incremental_semdedup",
+    # r10: volume-adaptive MinHash banding (same oracle as the fixed plan)
+    "q_dedup_minhash_auto",
 ]
 
 SCALING = ["q_pricing_summary", "q_event_window", "q_normalize_scale", "q_dedup_exact"]
@@ -161,10 +163,10 @@ def main() -> None:
 The reference publishes no performance numbers (BASELINE.md), so the
 single-node comparison runs each oracle-backed headline query on DuckDB
 1.x (the correctness oracle) and this engine on local[32], sf0.1, same
-parquet inputs. Regenerated by `tools/bench_compare.py` (round-9 vintage —
-adds the r9 tokenizer/curation oracles q_bpe_pair_counts,
-q_unigram_seed_vocab, q_oov_rate, q_dsir_select and the incremental
-semantic dedup q_incremental_semdedup next to the r6/r8 headliners);
+parquet inputs. Regenerated by `tools/bench_compare.py` (round-10
+vintage — adds the volume-adaptive q_dedup_minhash_auto next to the r9
+tokenizer/curation oracles q_bpe_pair_counts, q_unigram_seed_vocab,
+q_oov_rate, q_dsir_select and q_incremental_semdedup);
 single run after warmup, noop sink for Spark / fetchall for DuckDB.
 
 | query | spark s | duckdb s | spark/duckdb |
