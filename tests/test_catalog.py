@@ -3495,3 +3495,75 @@ def test_nsw_delta_fraction_escalation(spark, tmp_path):
         ).collect()
     ]
     assert got == [150]
+
+
+def test_multi_segment_refresh_chains(spark, tmp_path):
+    """Two sequential refreshes per family (r10): the layout then holds
+    base + seg1 + seg2, an id updated in seg1 and AGAIN in seg2 is
+    served only its newest vector, seg1-only rows survive seg2, and a
+    delete folded in seg2 kills a row that seg1 itself introduced."""
+    import random as _random
+
+    from vector_database_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat_multiseg"))
+    col = cat.create_collection("ms", dim=8, auto_compact=False)
+
+    def vec(i, salt=0):
+        rng = _random.Random(i * 9973 + salt * 131 + 7)
+        return [rng.uniform(-1, 1) for _ in range(8)]
+
+    def pts(rows):
+        return spark.createDataFrame(
+            [(i, v, {"i": str(i)}) for i, v in rows],
+            "id long, embedding array<float>, payload map<string,string>",
+        )
+
+    col.upsert(pts([(i, vec(i)) for i in range(300)]))
+    col.build_nsw_index(n_buckets=2)
+    col.build_ivfpq_index(n_centroids=4, m=4, ksub=8)
+
+    # seg1: new ids 300-319, update id 7, introduce id 500
+    col.upsert(
+        pts([(i, vec(i)) for i in range(300, 320)]
+            + [(7, vec(7, salt=1)), (500, vec(500))])
+    )
+    assert col.refresh_nsw_index() == 22
+    assert col.refresh_ivfpq_index() == 22
+
+    # seg2: update id 7 AGAIN, delete the seg1-born id 500, add 600
+    col.upsert(pts([(7, vec(7, salt=2)), (600, vec(600))]))
+    col.delete(point_ids=[500])
+    assert col.refresh_nsw_index() == 2
+    assert col.refresh_ivfpq_index() == 2
+
+    for search in (
+        lambda q, k: col.search_nsw(q, limit=k),
+        lambda q, k: col.search_ivfpq(q, limit=k, nprobe=4),
+    ):
+        # id 7 serves ONLY its seg2 vector: exact probe of each vintage
+        assert [r["id"] for r in search(vec(7, salt=2), 1).collect()] == [7]
+        got_old = {
+            (r["id"], r["score"]) for r in search(vec(7, salt=1), 3).collect()
+        }
+        assert not any(i == 7 and s >= 0.999999 for i, s in got_old), (
+            "seg1 copy of id 7 still served"
+        )
+        # a seg1-only row (310) and a seg2 row (600) are both findable
+        assert [r["id"] for r in search(vec(310), 1).collect()] == [310]
+        assert [r["id"] for r in search(vec(600), 1).collect()] == [600]
+        # the seg1-born id deleted in the seg2 window is gone
+        got_del = {r["id"] for r in search(vec(500), 10).collect()}
+        assert 500 not in got_del
+
+    # the three-segment NSW layout really is three bucket groups
+    from pyspark.sql import functions as F
+
+    segs = {
+        r["__seg"]
+        for r in col._nsw_layout_df().select("__seg").distinct().collect()
+    }
+    assert segs == {0, 1, 2}
+    # consolidation folds it back to one
+    col.build_nsw_index(n_buckets=2)
+    assert col.index_status()["nsw"]["delta_rows"] == 0
