@@ -3567,3 +3567,91 @@ def test_multi_segment_refresh_chains(spark, tmp_path):
     # consolidation folds it back to one
     col.build_nsw_index(n_buckets=2)
     assert col.index_status()["nsw"]["delta_rows"] == 0
+
+
+def test_nsw_delete_churn_triggers_consolidation(spark, tmp_path):
+    """r10 review: delete-only churn appends ZERO delta rows but masks
+    base graph nodes out — the escalation signal must count superseded
+    ids, or a delete-heavy workload erodes the graph forever without a
+    consolidation ever firing."""
+    from vector_database_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat_nswdel"))
+    col = cat.create_collection("nswd", dim=8, auto_compact=False)
+
+    def pts(ids):
+        return spark.createDataFrame(
+            [
+                (
+                    i,
+                    [((i * 977 + j * 131) % 1009) / 504.0 - 1.0 for j in range(8)],
+                    {"i": str(i)},
+                )
+                for i in ids
+            ],
+            "id long, embedding array<float>, payload map<string,string>",
+        )
+
+    col.upsert(pts(range(100)))
+    col.build_nsw_index(n_buckets=1)
+
+    # delete 30%: refresh appends nothing, but churn is visible
+    col.delete(point_ids=list(range(30)))
+    assert col.optimize()["nsw"] == "refreshed"
+    st = col.index_status()["nsw"]
+    assert st["delta_rows"] == 0
+    assert st["delta_fraction"] == 0.3
+
+    # delete past the 0.5 fraction: optimize consolidates
+    col.delete(point_ids=list(range(30, 60)))
+    rep = col.optimize()
+    assert rep["nsw"] == "rebuilt_drift", rep
+    st2 = col.index_status()["nsw"]
+    assert st2["fresh"] and st2["delta_fraction"] == 0.0
+
+
+def test_nsw_refresh_respects_pinned_wide_bucket_layout(spark, tmp_path):
+    """r10 review: a base build PINNED past the default segment stride
+    (n_buckets >= 10,000) widens the stride, so delta-segment buckets
+    stay disjoint from base buckets — a collision would merge two
+    disconnected graphs into one beam group and silently lose the
+    delta rows. (12,000 buckets over 150 rows = almost all empty; the
+    layout only materializes non-empty ones.)"""
+    from pyspark.sql import functions as F
+
+    from vector_database_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat_nswwide"))
+    col = cat.create_collection("nsww", dim=8, auto_compact=False)
+
+    def vec(i, bump=0.0):
+        return [((i * 977 + j * 131) % 1009) / 504.0 - 1.0 + bump for j in range(8)]
+
+    col.upsert(
+        spark.createDataFrame(
+            [(i, vec(i), {"i": str(i)}) for i in range(150)],
+            "id long, embedding array<float>, payload map<string,string>",
+        )
+    )
+    col.build_nsw_index(n_buckets=12_000)
+    col.upsert(
+        spark.createDataFrame(
+            [(500, vec(500, bump=0.25), {"i": "500"})],
+            "id long, embedding array<float>, payload map<string,string>",
+        )
+    )
+    assert col.refresh_nsw_index() == 1
+    # the delta bucket sits at seg * max(stride, pinned) >= 12,000 —
+    # beyond every possible base bucket id
+    seg_buckets = {
+        r["_b"]
+        for r in col._nsw_layout_df()
+        .filter(F.col("__seg") == 1)
+        .select("_b")
+        .distinct()
+        .collect()
+    }
+    assert seg_buckets and min(seg_buckets) >= 12_000
+    # and the delta row is actually served
+    got = [r["id"] for r in col.search_nsw(vec(500, bump=0.25), limit=1).collect()]
+    assert got == [500]

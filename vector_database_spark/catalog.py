@@ -889,14 +889,25 @@ class VectorCollection:
         (NEARDUP_PROBE_MIN_ROWS); else ``"scan"`` (sign-bucket pass over
         the live view — the deterministic-recall plan, and the faster
         one below the crossover). Same inspectable-dispatch discipline
-        as :meth:`route_for_search`."""
-        if rows_hint is None:
-            rows_hint = self._approx_live_rows()
-        if rows_hint < self.NEARDUP_PROBE_MIN_ROWS:
-            return "scan"
+        as :meth:`route_for_search`.
+
+        Check order matters for the per-micro-batch ingest loop (the
+        method's primary documented caller): metric and LSH freshness
+        are pure JSON reads, so a collection with NO fresh index — the
+        common small-collection state — routes with ZERO Spark jobs;
+        only a fresh-index candidate pays the footer count (r10 review:
+        the count ran first and taxed every default call). Ingest loops
+        that track their own size can pass ``rows_hint`` to skip even
+        that."""
         if self.info.metric != "cosine":
             return "scan"
-        return "probe" if self.index_status()["lsh"]["fresh"] else "scan"
+        if not self.index_status()["lsh"]["fresh"]:
+            return "scan"
+        if rows_hint is None:
+            rows_hint = self._approx_live_rows()
+        return (
+            "probe" if rows_hint >= self.NEARDUP_PROBE_MIN_ROWS else "scan"
+        )
 
     def near_duplicates(
         self,
@@ -904,6 +915,7 @@ class VectorCollection:
         threshold: float | None = None,
         n_bucket_words: int = 1,
         use_index: bool | None = None,
+        rows_hint: int | None = None,
     ) -> DataFrame:
         """Ingest-time semantic dedup: which INCOMING points are
         embedding near-duplicates of points already live in the
@@ -941,7 +953,9 @@ class VectorCollection:
         when none does, mirroring search_auto's degrade-not-raise).
         A non-default ``n_bucket_words`` is a SCAN-path tuning knob and
         pins the scan. Explicit ``True``/``False`` override the routing
-        (True keeps the raise-if-stale contract for deliberate callers).
+        (True keeps the raise-if-stale contract for deliberate callers);
+        ``rows_hint`` lets an ingest loop that tracks its own corpus
+        size skip the routing footer count entirely.
 
         ``use_index=True`` is the LARGE-corpus path: instead of scanning
         the live view per batch, the batch's LSH signatures (hashed with
@@ -967,7 +981,7 @@ class VectorCollection:
             # a tuned n_bucket_words is a scan-path knob — honor it
             use_index = (
                 n_bucket_words == 1
-                and self.route_for_near_duplicates() == "probe"
+                and self.route_for_near_duplicates(rows_hint) == "probe"
             )
         if use_index:
             if n_bucket_words != 1:
@@ -1525,10 +1539,11 @@ class VectorCollection:
         (the reference's Qdrant server compacts segments and reindexes in
         the background — compose.yaml:2-12; a batch engine does it on
         schedule): (1) bring every EXISTING stale ANN index back to
-        freshness — refresh incrementally where the family supports it
-        (LSH/IVF; falls back to rebuild if a fold broke delta
-        reconstruction or the layout predates segments), full rebuild
-        where it doesn't (NSW/IVFPQ), each rebuild reusing the persisted
+        freshness — since r10 EVERY family refreshes incrementally
+        (LSH/IVF r7-r8, NSW/IVFPQ r10), falling back to a full rebuild
+        when a fold broke delta reconstruction, the layout predates
+        segments, or a quality escalation fires (drift / delta fraction
+        / width outgrowth below), each rebuild reusing the persisted
         caller build params (None stays None, so auto points re-derive at
         the grown size); then (2) evaluate the write-log compaction policy
         (maybe_auto_compact — snapshots and the opt-out are respected).
@@ -1737,13 +1752,17 @@ class VectorCollection:
 
     def _nsw_delta_exceeded(self) -> bool:
         """NSW's rebuild-escalation signal (r10): the accumulated
-        refreshed-row fraction vs the base build. Delta segments are
-        small independent graphs and masked-out base nodes leave holes
-        the beam must route around — both decay recall gradually, and
+        CHURN fraction vs the base build. Delta segments are small
+        independent graphs and masked-out base nodes leave holes the
+        beam must route around — both decay recall gradually, and
         neither has a per-row drift statistic (graph quality is global).
-        The row fraction is the honest proxy: past
-        NSW_DELTA_REBUILD_FRACTION of build_rows, optimize() re-trains
-        one consolidated graph instead of refreshing again."""
+        Per segment the signal is max(rows, superseded): superseded
+        covers delete-only churn (mask holes with zero delta rows —
+        rows alone would never fire, r10 review), rows covers
+        insert-heavy growth on early-r10 metas that predate the
+        superseded field. Past NSW_DELTA_REBUILD_FRACTION of
+        build_rows, optimize() re-trains one consolidated graph instead
+        of refreshing again."""
         meta_path = os.path.join(self._nsw_index_path, "_index_meta.json")
         if not os.path.exists(meta_path):
             return False
@@ -1752,8 +1771,11 @@ class VectorCollection:
         build_rows = meta.get("build_rows")
         if not build_rows:
             return False  # legacy meta: no baseline to compare against
-        refreshed = sum(s["rows"] for s in (meta.get("refresh_stats") or []))
-        return refreshed >= NSW_DELTA_REBUILD_FRACTION * build_rows
+        churn = sum(
+            max(s["rows"], s.get("superseded", 0))
+            for s in (meta.get("refresh_stats") or [])
+        )
+        return churn >= NSW_DELTA_REBUILD_FRACTION * build_rows
 
     def _index_drift_exceeded(self, kind: str) -> bool:
         """optimize()'s per-family quality-escalation dispatch: drift
@@ -2261,13 +2283,25 @@ class VectorCollection:
         return meta
 
     # a refresh segment's delta graphs land in their own _b partitions:
-    # segment s's buckets live at [s·STRIDE, (s+1)·STRIDE) — disjoint from
-    # every other segment's by construction, wider than any bucket count
-    # (NSW_MAX_BUCKETS = 4096 << STRIDE) while keeping seg·STRIDE inside
-    # the INT _b column for ~200k segments (the delta-fraction escalation
-    # consolidates long before that, but an opted-out caller shouldn't
-    # hit a silent int overflow either)
+    # segment s's buckets live at [s·STRIDE, (s+1)·STRIDE) — disjoint
+    # from every other segment's by construction. The FLOOR is wider
+    # than any auto bucket count (NSW_MAX_BUCKETS = 4096) while keeping
+    # seg·STRIDE inside the INT _b column for ~200k segments (the
+    # delta-fraction escalation consolidates long before that, but an
+    # opted-out caller shouldn't hit a silent int overflow either); a
+    # base build PINNED past the floor widens the stride to match
+    # (_nsw_seg_stride), else segment 1's buckets would collide with
+    # base buckets >= 10,000 and the merged applyInPandas group would
+    # hold two disconnected graphs the beam can't cross (r10 review)
     _NSW_SEG_BUCKET_STRIDE = 10_000
+
+    def _nsw_seg_stride(self, meta: dict) -> int:
+        """Deterministic per-index segment stride: the floor, widened to
+        a pinned base n_buckets when the caller exceeded it. Derived
+        from the persisted build_params so a crash-retried refresh of
+        the same segment always lands in the same bucket range."""
+        pinned = (meta.get("build_params") or {}).get("n_buckets") or 0
+        return max(self._NSW_SEG_BUCKET_STRIDE, int(pinned))
 
     def refresh_nsw_index(self) -> int:
         """INCREMENTALLY fold the writes since the last build/refresh
@@ -2302,7 +2336,7 @@ class VectorCollection:
                 ef_construction=bp.get("ef_construction", 64),
                 id_col="id",
                 emb_col="embedding",
-                bucket_offset=seg * self._NSW_SEG_BUCKET_STRIDE,
+                bucket_offset=seg * self._nsw_seg_stride(meta),
             ).withColumn("__seg", F.lit(seg)).localCheckpoint(eager=False)
             # ^ checkpointed lazily: the protocol counts the delta AND
             # writes it — without the pin the applyInPandas graph build
@@ -2572,11 +2606,20 @@ class VectorCollection:
         meta["covers_version"] = current_version
         meta["next_seg"] = seg + 1
         # accumulate per-segment stats; a full rebuild rewrites the meta
-        # and resets the series. rows is recorded for EVERY family (it
-        # sizes the NSW delta-fraction escalation and the drift volume
-        # floor); the mean drift statistic only where the family emits
-        # one (IVF assign distance, IVFPQ reconstruction error)
-        stat: dict = {"seg": seg, "rows": n_delta}
+        # and resets the series. rows AND superseded are recorded for
+        # EVERY family: rows sizes the drift volume floor, superseded
+        # (the written ∪ deleted id count — an upper bound on nodes the
+        # mask removed from earlier segments) drives the NSW
+        # delta-fraction escalation, which would otherwise be blind to
+        # delete-only churn (masks punch holes in the base graph without
+        # appending a single delta row — r10 review). The mean drift
+        # statistic only where the family emits one (IVF assign
+        # distance, IVFPQ reconstruction error).
+        stat: dict = {
+            "seg": seg,
+            "rows": n_delta,
+            "superseded": int(superseded.count()),
+        }
         if mean_dist is not None:
             stat["mean_assign_dist"] = float(mean_dist)
         meta.setdefault("refresh_stats", []).append(stat)
@@ -3255,15 +3298,19 @@ class VectorCollection:
                     s["rows"] for s in (meta.get("refresh_stats") or [])
                 )
             if kind == "nsw":
-                # delta fraction vs the base graph (r10): optimize()
-                # consolidates past NSW_DELTA_REBUILD_FRACTION
-                refreshed = sum(
-                    s["rows"] for s in (meta.get("refresh_stats") or [])
+                # churn fraction vs the base graph (r10): optimize()
+                # consolidates past NSW_DELTA_REBUILD_FRACTION. Per
+                # segment the churn is max(rows, superseded) so
+                # delete-only masking counts too (r10 review)
+                stats_list = meta.get("refresh_stats") or []
+                entry["delta_rows"] = sum(s["rows"] for s in stats_list)
+                churn = sum(
+                    max(s["rows"], s.get("superseded", 0))
+                    for s in stats_list
                 )
-                entry["delta_rows"] = refreshed
                 build_rows = meta.get("build_rows")
                 entry["delta_fraction"] = (
-                    refreshed / build_rows if build_rows else None
+                    churn / build_rows if build_rows else None
                 )
             out[kind] = entry
         return out

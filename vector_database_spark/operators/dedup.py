@@ -478,43 +478,54 @@ def minhash_neardup_pairs_auto(
     widest = MINHASH_ESCALATION_LEVELS[-1][0]
     # the (id, token) pair table feeds BOTH signature passes when an
     # escalation widens — persist it so the explode+distinct shuffle
-    # (the dominant cost of a signature pass) is paid once, not twice
+    # (the dominant cost of a signature pass) is paid once, not twice.
+    # Its cache lives ONLY through signature materialization (released
+    # in the finally below, not held until the next dedup call): the
+    # band join and verify read the persisted sigs and the raw docs, so
+    # keeping a corpus-scale token cache past this block would spend
+    # executor memory on nothing in exactly the common no-escalation
+    # case (r10 review).
     toks = _doc_tokens(docs, text_col, id_col).persist()
-    aggs8 = [
-        F.min(seeded_hash(F.col("token"), i)).alias(f"h{i}")
-        for i in range(first_nh)
-    ]
-    sigs = toks.groupBy(id_col).agg(*aggs8).persist()
-    _live_sigs = [toks, sigs]
-    volumes: list[int] = [
-        minhash_candidate_volume(sigs, id_col, first_nh, first_nb)
-    ]
-    chosen = (first_nh, first_nb)
-    if volumes[0] > max_candidates:
-        wide = _wide_minhash_signatures(
-            toks, id_col, num_hashes=widest
-        ).persist()
-        sigs.unpersist()
-        sigs = wide
-        _live_sigs = [toks, sigs]
-        chosen = MINHASH_ESCALATION_LEVELS[-1]
-        for nh, nb in MINHASH_ESCALATION_LEVELS[1:]:
-            vol = minhash_candidate_volume(sigs, id_col, nh, nb)
-            volumes.append(vol)
-            if vol <= max_candidates:
-                chosen = (nh, nb)
-                break
-        else:
-            warnings.warn(
-                "minhash_neardup_pairs_auto: candidate volume "
-                f"{volumes[-1]} still exceeds max_candidates="
-                f"{max_candidates} at the widest banding level {chosen} "
-                "— the corpus is near-dup-saturated (the pair OUTPUT "
-                "itself is that large); consider line_dedup/exact_dedup "
-                "first",
-                UserWarning,
-                stacklevel=2,
-            )
+    try:
+        aggs8 = [
+            F.min(seeded_hash(F.col("token"), i)).alias(f"h{i}")
+            for i in range(first_nh)
+        ]
+        sigs = toks.groupBy(id_col).agg(*aggs8).persist()
+        _live_sigs = sigs
+        volumes: list[int] = [
+            minhash_candidate_volume(sigs, id_col, first_nh, first_nb)
+        ]
+        chosen = (first_nh, first_nb)
+        if volumes[0] > max_candidates:
+            wide = _wide_minhash_signatures(
+                toks, id_col, num_hashes=widest
+            ).persist()
+            sigs.unpersist()
+            sigs = wide
+            _live_sigs = sigs
+            chosen = MINHASH_ESCALATION_LEVELS[-1]
+            for nh, nb in MINHASH_ESCALATION_LEVELS[1:]:
+                vol = minhash_candidate_volume(sigs, id_col, nh, nb)
+                volumes.append(vol)
+                if vol <= max_candidates:
+                    chosen = (nh, nb)
+                    break
+            else:
+                warnings.warn(
+                    "minhash_neardup_pairs_auto: candidate volume "
+                    f"{volumes[-1]} still exceeds max_candidates="
+                    f"{max_candidates} at the widest banding level "
+                    f"{chosen} — the corpus is near-dup-saturated (the "
+                    "pair OUTPUT itself is that large); consider "
+                    "line_dedup/exact_dedup first",
+                    UserWarning,
+                    stacklevel=2,
+                )
+    finally:
+        # the probes above materialized the chosen signature table;
+        # the token cache has no further reader
+        toks.unpersist()
     level = len(volumes) - 1
     if level > 0:
         warnings.warn(

@@ -85,14 +85,21 @@ def _save(spark, path, kind, schema, rows, params) -> None:
     # confusing). Non-numeric suffixes (never ours) are always swept.
     for stale in glob.glob(os.path.join(path, ".staging-*")):
         pid_part = os.path.basename(stale)[len(".staging-"):]
-        if pid_part.isdigit() and int(pid_part) != os.getpid():
+        # only a PLAUSIBLE pid (positive, fits the kernel range) can be
+        # a live writer: pid 0 would signal our own process group (os
+        # .kill(0,0) always "succeeds" → dir leaked forever) and an
+        # oversized numeric suffix would raise OverflowError out of
+        # os.kill and brick every later save (r10 review) — both are
+        # names we never generate, so they sweep like any other orphan
+        if pid_part.isdigit() and 0 < int(pid_part) <= 2**22 \
+                and int(pid_part) != os.getpid():
             try:
                 os.kill(int(pid_part), 0)
                 continue  # writer still alive — leave its dir alone
             except ProcessLookupError:
                 pass  # dead pid: genuinely stale
-            except PermissionError:
-                continue  # alive but not ours to signal
+            except (PermissionError, OverflowError):
+                continue  # alive-but-foreign (or unsignalable): skip
         shutil.rmtree(stale, ignore_errors=True)
     staging = os.path.join(path, f".staging-{os.getpid()}")
     os.makedirs(staging)
