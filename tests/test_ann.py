@@ -842,3 +842,33 @@ def test_nsw_multi_beam_full_coverage_equals_exact():
         got = [v for _, v in res[qi][:5]]
         exact = np.argsort(1.0 - X @ Q[qi], kind="stable")[:5].tolist()
         assert got == exact, f"beam {qi}: {got} != {exact}"
+
+
+def test_nsw_duplicate_vector_tie_breaks_by_id_at_k1(spark):
+    """r10: the per-bucket top-k truncation must rank by the recomputed
+    exact score with an id tie-break (the merge's total order) — the
+    beam kernel scores its entry via a vector dot but neighbors via a
+    BLAS matmul, which differ by an ulp on IDENTICAL vectors, so
+    duplicate-vector ties used to order arbitrarily and k=1 could
+    return the higher id while k=5 returned the lower one first."""
+    import numpy as np
+
+    from vector_database_spark.operators import ann
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(40, 8)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    # ids 0 and 900: the SAME vector — the tie must resolve to id 0
+    rows.append((900, [float(x) for x in vecs[0]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [(7, [float(x) for x in vecs[0]])]
+    for k in (1, 3):
+        got = [
+            r["vec_id"]
+            for r in ann.nsw_knn(
+                df, q, k=k, n_buckets=1, payload_cols=()
+            ).collect()
+        ]
+        assert got[0] == 0, f"k={k}: tie broke to {got[0]}, not the min id"
+        if k >= 2:
+            assert got[1] == 900  # the duplicate follows immediately

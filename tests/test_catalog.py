@@ -3655,3 +3655,28 @@ def test_nsw_refresh_respects_pinned_wide_bucket_layout(spark, tmp_path):
     # and the delta row is actually served
     got = [r["id"] for r in col.search_nsw(vec(500, bump=0.25), limit=1).collect()]
     assert got == [500]
+
+
+def test_index_refresh_cycle_canary(spark):
+    """The registry's maintenance-matrix canary (q_index_refresh_cycle):
+    all four families refresh incrementally, end fresh, serve the
+    updated vector and drop the deleted id — the driver-visible proof
+    of the r10 refresh matrix."""
+    from tests.conftest import SF_SMALL
+    from vector_database_spark.queries import q_index_refresh_cycle
+
+    rows = {
+        r["kind"]: (
+            r["refreshed_rows"],
+            r["fresh"],
+            r["updated_served"],
+            r["deleted_absent"],
+        )
+        for r in q_index_refresh_cycle(spark, SF_SMALL).collect()
+    }
+    assert rows == {
+        "ivf": (15, True, True, True),
+        "ivfpq": (15, True, True, True),
+        "lsh": (30, True, True, True),  # one row copy per table (tables=2)
+        "nsw": (15, True, True, True),
+    }

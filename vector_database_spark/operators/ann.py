@@ -1270,7 +1270,18 @@ def _normalize_queries(queries: list[tuple[int, list[float]]]):
 def _search_bucket(pdf, X, adj, qids, qmat, k: int, ef: int, id_col: str):
     """Beam-search every query against one bucket's graph through the
     batched kernel (chunks of 64 concurrent beams — r9); exact cosine
-    (normalized dot) recomputed for emitted candidates."""
+    (normalized dot) recomputed for emitted candidates.
+
+    The per-bucket top-k TRUNCATION ranks by the RECOMPUTED score with
+    an id tie-break — the same total order _merge_bucket_topk applies —
+    not by the kernel's internal beam distances (r10): the kernel
+    scores its entry node through a vector dot but neighbor batches
+    through a BLAS matmul, and the two can differ by an ulp on
+    IDENTICAL vectors, so duplicate-vector ties would otherwise order
+    arbitrarily and the bucket could truncate away the lower id the
+    global merge is contractually supposed to prefer. Scoring the whole
+    ≤ef pool instead of k rows is one small matmul per query —
+    negligible next to the beam."""
     A, deg = _adj_matrix(adj)
     ids = pdf[id_col].to_numpy()
     rows = []
@@ -1283,8 +1294,14 @@ def _search_bucket(pdf, X, adj, qids, qmat, k: int, ef: int, id_col: str):
         )
         for bi, found in enumerate(found_all):
             qi, qv = qids[s + bi], Qc[bi]
-            for _, node in found[:k]:
-                rows.append((qi, int(ids[node]), float(X[node] @ qv)))
+            if not found:
+                continue
+            nodes = np.fromiter((v for _, v in found), dtype=np.int64)
+            scores = X[nodes] @ qv
+            node_ids = ids[nodes]
+            order = np.lexsort((node_ids, -scores))[:k]
+            for j in order:
+                rows.append((qi, int(node_ids[j]), float(scores[j])))
     return pd.DataFrame(rows, columns=["qid", id_col, "score"])
 
 

@@ -2644,6 +2644,101 @@ def q_knn_nsw_auto(spark, sf_dir):
     return ann.nsw_knn(emb, queries, k=5, n_buckets=None, ef=None)
 
 
+def q_index_refresh_cycle(spark, sf_dir):
+    """A20 maintenance-matrix canary (r10, driver-visible): the full
+    incremental-maintenance lifecycle EVERY index family now supports —
+    build at a base state, land a write batch (new + updated + deleted
+    ids), ``refresh_<kind>_index()`` WITHOUT a rebuild, then prove the
+    refreshed index through its own search path. One row per family:
+
+        (kind, refreshed_rows, fresh, updated_served, deleted_absent)
+
+    refreshed_rows is the family's delta-segment row count: 15 for
+    IVF/IVFPQ/NSW (10 new + 5 updated live rows fold into one segment)
+    and 30 for LSH, whose layout carries one row copy per table
+    (tables=2 here); ``updated_served`` asserts the
+    updated id's NEW vector wins top-1 through the refreshed index
+    (its base copy is masked); ``deleted_absent`` asserts a deleted id
+    never resurfaces even probed by its own old vector. Rows-only by
+    nature — an engine lifecycle, not a relational expression — but
+    fully deterministic (seeded builds, fixed fixture split), so the
+    driver's rows-only check pins the row count and schema every
+    sample. The per-family cost contract behind this canary is
+    measured in STRESS.md ("NSW + IVFPQ incremental refresh at 1M",
+    "Incremental index refresh at 1M")."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from vector_database_spark.catalog import Catalog
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        "embedding",
+        F.create_map(
+            F.lit("label"), F.col("label").cast("string")
+        ).alias("payload"),
+    )
+    sf_tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+    root = _os.path.join(
+        _tempfile.gettempdir(),
+        f"vdbs_refresh_cycle_{sf_tag}_{_os.getpid()}",
+    )
+    _cleanup_at_exit(root)
+    import shutil as _shutil
+
+    _shutil.rmtree(root, ignore_errors=True)  # same-process rerun: fresh
+    cat = Catalog(spark, root)
+    col = cat.create_collection(
+        "cycle", dim=64, auto_compact=False
+    )
+    col.upsert(base)
+    col.build_nsw_index(n_buckets=2)
+    col.build_lsh_index(bits=6, tables=2)
+    col.build_ivf_index(n_centroids=8)
+    col.build_ivfpq_index(n_centroids=8, m=8, ksub=16)
+
+    # the write batch: 10 new ids carrying reversed vectors, 5 updates
+    # (ids 0-4 flip to their reversed embedding), 5 deletes (ids 5-9)
+    flipped = base.withColumn("embedding", F.reverse("embedding"))
+    delta = (
+        flipped.filter(F.col("id") < 10)
+        .withColumn("id", F.col("id") + 100000)
+        .unionByName(flipped.filter(F.col("id") < 5))
+    )
+    col.upsert(delta)
+    col.delete(point_ids=[5, 6, 7, 8, 9])
+
+    updated_q = [
+        float(x)
+        for x in flipped.filter(F.col("id") == 0).collect()[0]["embedding"]
+    ]
+    deleted_q = [
+        float(x)
+        for x in base.filter(F.col("id") == 5).collect()[0]["embedding"]
+    ]
+    rows = []
+    for kind in ("ivf", "ivfpq", "lsh", "nsw"):
+        appended = getattr(col, f"refresh_{kind}_index")()
+        fresh = bool(col.index_status()[kind]["fresh"])
+        top = getattr(col, f"search_{kind}")(updated_q, limit=1).collect()
+        updated_served = bool(top and top[0]["id"] == 0)
+        got = {
+            r["id"]
+            for r in getattr(col, f"search_{kind}")(
+                deleted_q, limit=10
+            ).collect()
+        }
+        rows.append(
+            (kind, int(appended), fresh, updated_served, 5 not in got)
+        )
+    return spark.createDataFrame(
+        rows,
+        "kind string, refreshed_rows long, fresh boolean, "
+        "updated_served boolean, deleted_absent boolean",
+    ).orderBy("kind")
+
+
 def q_knn_ivfpq_batch_full(spark, sf_dir):
     """Second FULL-oracle batch-ANN entry (after q_knn_ivf_batch_full):
     IVF+PQ batch search at ``nprobe = n_centroids`` (every cell's codes
@@ -7511,6 +7606,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bpe_encode": q_bpe_encode,
     # graph-index ANN (rows-only: approximate)
     "q_knn_nsw": q_knn_nsw,
+    # index maintenance lifecycle canary (rows-only: engine lifecycle,
+    # deterministic — r10, the completed refresh matrix driver-visible)
+    "q_index_refresh_cycle": q_index_refresh_cycle,
     # physical layout
     "q_zorder_key": q_zorder_key,
 }
