@@ -3508,6 +3508,9 @@ def test_multi_segment_refresh_chains(spark, tmp_path):
 
     cat = Catalog(spark, str(tmp_path / "cat_multiseg"))
     col = cat.create_collection("ms", dim=8, auto_compact=False)
+    persistent_before = (
+        spark._jsparkSession.sparkContext().getPersistentRDDs().size()
+    )
 
     def vec(i, salt=0):
         rng = _random.Random(i * 9973 + salt * 131 + 7)
@@ -3567,6 +3570,19 @@ def test_multi_segment_refresh_chains(spark, tmp_path):
     # consolidation folds it back to one
     col.build_nsw_index(n_buckets=2)
     assert col.index_status()["nsw"]["delta_rows"] == 0
+
+    # ADVICE r10: the refresh protocol must RELEASE its localCheckpoint
+    # pins (written/superseded/live + the NSW delta graph) — four
+    # refreshes ran above, so any leak shows up as lingering persistent
+    # RDDs. A long-lived ingest session refreshing on a cadence would
+    # otherwise accumulate executor storage without bound.
+    n_persistent = (
+        spark._jsparkSession.sparkContext().getPersistentRDDs().size()
+    )
+    assert n_persistent <= persistent_before, (
+        f"refresh chain leaked {n_persistent - persistent_before} "
+        "persistent RDDs (checkpoint pins not released)"
+    )
 
 
 def test_nsw_delete_churn_triggers_consolidation(spark, tmp_path):

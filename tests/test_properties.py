@@ -572,3 +572,28 @@ def test_minhash_auto_below_budget_identical_to_fixed(spark):
         for r in dedup.minhash_neardup_pairs(docs).collect()
     }
     assert auto == fixed
+
+
+def test_q_dedup_minhash_auto_raises_on_oracle_scale_escalation(
+    spark, monkeypatch
+):
+    """The q_dedup_minhash_auto wrapper must fail LOUDLY (not as a bare
+    oracle diff) if escalation ever fires at an oracle-scale sf — the
+    DuckDB oracle is only valid at level 0 (ADVICE r10). Escalation is
+    simulated by stubbing the operator; at real oracle sfs the level-0
+    volume sits far under the default budget."""
+    import pytest
+
+    from vector_database_spark import queries
+    from vector_database_spark.operators import dedup as dedup_mod
+
+    def fake_auto(docs, stats=None, **kw):
+        if stats is not None:
+            stats.update(level=1, num_hashes=16, bands=4)
+        return docs
+
+    monkeypatch.setattr(dedup_mod, "minhash_neardup_pairs_auto", fake_auto)
+    with pytest.raises(RuntimeError, match="oracle-scale"):
+        queries.q_dedup_minhash_auto(spark, "/root/testdata/sf0.001")
+    # non-oracle sf: escalation is by design, no raise
+    queries.q_dedup_minhash_auto(spark, "/root/testdata/sf0.1")

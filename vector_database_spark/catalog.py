@@ -226,6 +226,30 @@ def _assign_pinned_centroids(live, centroids) -> "DataFrame":
     )
 
 
+def _release_local_checkpoints(*dfs: "DataFrame | None") -> None:
+    """Release the executor storage behind ``localCheckpoint``ed
+    DataFrames (ADVICE r10: refresh_nsw_index's per-refresh delta graphs
+    accumulated blocks for the life of the session — so did the shared
+    protocol's written/superseded/live pins). ``df.unpersist()`` is a
+    no-op for checkpoints (the blocks belong to the internal RDD the
+    LogicalRDD leaf wraps, not to the Dataset), so this walks each
+    analyzed plan's leaves and unpersists every LogicalRDD it finds —
+    which also covers derived frames (a ``.drop()`` over a checkpoint)
+    and deltas built ON a checkpointed input. Only ever called on frames
+    the refresh protocol itself pinned, after their last reader."""
+    for df in dfs:
+        if df is None:
+            continue
+        try:
+            leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+            for i in range(leaves.size()):
+                leaf = leaves.apply(i)
+                if leaf.getClass().getSimpleName() == "LogicalRDD":
+                    leaf.rdd().unpersist(False)
+        except Exception:  # best-effort: a release must never fail a refresh
+            pass
+
+
 def collection_schema(payload_type: T.DataType | None = None) -> T.StructType:
     """Point schema: PointStruct(id, vector, payload) — vector_db.py:85-91."""
     payload_type = payload_type or T.MapType(T.StringType(), T.StringType())
@@ -1449,10 +1473,13 @@ class VectorCollection:
             .join(snap.select("id"), "id", "left_anti")
             .localCheckpoint(eager=True)
         )
-        if not doomed.isEmpty():
-            self.delete(point_ids=doomed)
-        if not snap.isEmpty():
-            self.upsert(snap)
+        try:
+            if not doomed.isEmpty():
+                self.delete(point_ids=doomed)
+            if not snap.isEmpty():
+                self.upsert(snap)
+        finally:
+            _release_local_checkpoints(doomed)
         return self.info.version
 
     def maybe_auto_compact(
@@ -2545,87 +2572,98 @@ class VectorCollection:
         # every id WRITTEN since covers supersedes its older index rows;
         # every id DELETED since covers must vanish. Both come from the
         # append-only logs, so the delta scan never touches old segments.
-        written = (
-            self._raw_df()
-            .filter(F.col("version") > covers)
-            .select("id")
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        superseded = written
-        if not os.path.exists(self._tombstone_path):
-            self._recover_interrupted_tombstone_shrink()
-        if os.path.exists(self._tombstone_path):
-            deleted = (
-                spark.read.parquet(self._tombstone_path)
+        # All the pins below are released in the finally (ADVICE r10:
+        # repeated refreshes in one long session accumulated checkpoint
+        # blocks on executors — the NSW delta graphs worst of all).
+        written = superseded = live = delta = None
+        try:
+            written = (
+                self._raw_df()
                 .filter(F.col("version") > covers)
                 .select("id")
                 .distinct()
+                .localCheckpoint(eager=True)
             )
-            superseded = superseded.unionByName(deleted).distinct()
-        superseded = superseded.localCheckpoint(eager=True)
+            superseded = written
+            if not os.path.exists(self._tombstone_path):
+                self._recover_interrupted_tombstone_shrink()
+            if os.path.exists(self._tombstone_path):
+                deleted = (
+                    spark.read.parquet(self._tombstone_path)
+                    .filter(F.col("version") > covers)
+                    .select("id")
+                    .distinct()
+                )
+                superseded = superseded.unionByName(deleted).distinct()
+            superseded = superseded.localCheckpoint(eager=True)
 
-        live = self._live_rows_of(written).localCheckpoint(eager=True)
-        delta = build_delta(live, meta, seg)
-        # a family that emits __assign_dist (IVF) gets its drift statistic
-        # folded into the SAME pass that counts the delta — no extra scan;
-        # the column is dropped before the segment write (it describes the
-        # refresh event, not the index rows)
-        mean_dist = None
-        if "__assign_dist" in delta.columns:
-            agg = delta.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.avg("__assign_dist").alias("d"),
-            ).first()
-            n_delta, mean_dist = int(agg["n"]), agg["d"]
-            delta = delta.drop("__assign_dist")
-        else:
-            n_delta = delta.count()
-        if n_delta:
+            live = self._live_rows_of(written).localCheckpoint(eager=True)
+            delta = build_delta(live, meta, seg)
+            # a family that emits __assign_dist (IVF) gets its drift
+            # statistic folded into the SAME pass that counts the delta —
+            # no extra scan; the column is dropped before the segment
+            # write (it describes the refresh event, not the index rows)
+            mean_dist = None
+            if "__assign_dist" in delta.columns:
+                agg = delta.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.avg("__assign_dist").alias("d"),
+                ).first()
+                n_delta, mean_dist = int(agg["n"]), agg["d"]
+                delta = delta.drop("__assign_dist")
+            else:
+                n_delta = delta.count()
+            if n_delta:
+                self._commit_seg_files(
+                    delta.repartition(*partition_by),
+                    index_path,
+                    seg,
+                    partition_by=partition_by,
+                )
             self._commit_seg_files(
-                delta.repartition(*partition_by),
-                index_path,
+                superseded.select("id", F.lit(seg).alias("mask_seg")),
+                mask_path,
                 seg,
-                partition_by=partition_by,
             )
-        self._commit_seg_files(
-            superseded.select("id", F.lit(seg).alias("mask_seg")),
-            mask_path,
-            seg,
-        )
 
-        # fold-guard re-check at commit time: if a concurrent writer's
-        # auto-compact fired after the up-front check, the segments just
-        # written are fine (masked per usual) but coverage must NOT
-        # advance — the delta scans above may predate the fold
-        if covers < self.catalog._load()[self.info.name].get("compacted_at", 0):
-            raise ValueError(
-                f"compact() folded history during a refresh of "
-                f"{self.info.name!r}; rebuild the index"
-            )
-        meta["covers_version"] = current_version
-        meta["next_seg"] = seg + 1
-        # accumulate per-segment stats; a full rebuild rewrites the meta
-        # and resets the series. rows AND superseded are recorded for
-        # EVERY family: rows sizes the drift volume floor, superseded
-        # (the written ∪ deleted id count — an upper bound on nodes the
-        # mask removed from earlier segments) drives the NSW
-        # delta-fraction escalation, which would otherwise be blind to
-        # delete-only churn (masks punch holes in the base graph without
-        # appending a single delta row — r10 review). The mean drift
-        # statistic only where the family emits one (IVF assign
-        # distance, IVFPQ reconstruction error).
-        stat: dict = {
-            "seg": seg,
-            "rows": n_delta,
-            "superseded": int(superseded.count()),
-        }
-        if mean_dist is not None:
-            stat["mean_assign_dist"] = float(mean_dist)
-        meta.setdefault("refresh_stats", []).append(stat)
-        with open(meta_path, "w") as fh:
-            json.dump(meta, fh)
-        return n_delta
+            # fold-guard re-check at commit time: if a concurrent writer's
+            # auto-compact fired after the up-front check, the segments just
+            # written are fine (masked per usual) but coverage must NOT
+            # advance — the delta scans above may predate the fold
+            if covers < self.catalog._load()[self.info.name].get(
+                "compacted_at", 0
+            ):
+                raise ValueError(
+                    f"compact() folded history during a refresh of "
+                    f"{self.info.name!r}; rebuild the index"
+                )
+            meta["covers_version"] = current_version
+            meta["next_seg"] = seg + 1
+            # accumulate per-segment stats; a full rebuild rewrites the
+            # meta and resets the series. rows AND superseded are recorded
+            # for EVERY family: rows sizes the drift volume floor,
+            # superseded (the written ∪ deleted id count — an upper bound
+            # on nodes the mask removed from earlier segments) drives the
+            # NSW delta-fraction escalation, which would otherwise be
+            # blind to delete-only churn (masks punch holes in the base
+            # graph without appending a single delta row — r10 review).
+            # The mean drift statistic only where the family emits one
+            # (IVF assign distance, IVFPQ reconstruction error).
+            stat: dict = {
+                "seg": seg,
+                "rows": n_delta,
+                "superseded": int(superseded.count()),
+            }
+            if mean_dist is not None:
+                stat["mean_assign_dist"] = float(mean_dist)
+            meta.setdefault("refresh_stats", []).append(stat)
+            with open(meta_path, "w") as fh:
+                json.dump(meta, fh)
+            return n_delta
+        finally:
+            # delta first: its plan may lean on live's checkpoint, but the
+            # leaf walk is order-insensitive and unpersist is idempotent
+            _release_local_checkpoints(delta, live, superseded, written)
 
     def _commit_seg_files(
         self,
@@ -3069,9 +3107,24 @@ class VectorCollection:
         from vector_database_spark.operators import ann
 
         meta = self._ivfpq_meta_fresh("search_ivfpq_batch")
+        centroids = np.asarray(meta["centroids"], dtype=float)
+        if shortlist is None:
+            # mirror the single-query sizing (r10 fix, extended to the
+            # batch path per ADVICE r10): ivfpq_knn_batch's own auto-
+            # shortlist would count() the MASKED multi-segment layout —
+            # a mask join per batch call. The raw parquet footer count is
+            # metadata-only; superseded rows inflate it, which only
+            # widens the shortlist (the scale-safe direction).
+            raw_codes = self.catalog.spark.read.parquet(
+                self._ivfpq_index_path
+            ).count()
+            nprobe = ann._auto_nprobe(nprobe, len(centroids))
+            shortlist = ann._auto_shortlist(
+                None, int(raw_codes * nprobe / max(len(centroids), 1))
+            )
         return ann.ivfpq_knn_batch(
             self._ivfpq_layout_df(),
-            np.asarray(meta["centroids"], dtype=float),
+            centroids,
             np.asarray(meta["codebooks"], dtype=float),
             self.df().select("id", "embedding", "payload"),
             queries,

@@ -45,6 +45,7 @@ import glob
 import json
 import os
 import shutil
+import time
 
 from pyspark.sql import SparkSession
 
@@ -52,6 +53,11 @@ FORMAT_VERSION = 1
 _CURRENT = "CURRENT"
 _META = "meta.json"
 _PAYLOAD = "payload"
+# staging dirs older than this are swept even when their pid is alive:
+# a real save completes in seconds, so a dir this old under a live pid
+# means the pid was recycled by an unrelated process (ADVICE r10) —
+# generous enough that no real writer ever trips it
+_STAGING_MAX_AGE_SEC = 6 * 3600
 
 _UNIGRAM_SCHEMA = "piece STRING, logprob DOUBLE"
 _BPE_SCHEMA = (
@@ -83,15 +89,25 @@ def _save(spark, path, kind, schema, rows, params) -> None:
     # violated the victim should fail at its own os.rename (loud, its
     # problem), not have its staging dir yanked mid-save by us (silent,
     # confusing). Non-numeric suffixes (never ours) are always swept.
+    # pid liveness alone cannot distinguish a live writer from a RECYCLED
+    # pid on a long-lived unrelated process (ADVICE r10), so an age
+    # cutoff backstops it: a real save completes in seconds, so a
+    # staging dir older than _STAGING_MAX_AGE_SEC is an orphan no matter
+    # what os.kill says about its pid.
+    now = time.time()
     for stale in glob.glob(os.path.join(path, ".staging-*")):
         pid_part = os.path.basename(stale)[len(".staging-"):]
+        try:
+            fresh = now - os.stat(stale).st_mtime < _STAGING_MAX_AGE_SEC
+        except OSError:
+            fresh = False  # vanished/unstatable: sweep attempt is a no-op
         # only a PLAUSIBLE pid (positive, fits the kernel range) can be
         # a live writer: pid 0 would signal our own process group (os
         # .kill(0,0) always "succeeds" → dir leaked forever) and an
         # oversized numeric suffix would raise OverflowError out of
         # os.kill and brick every later save (r10 review) — both are
         # names we never generate, so they sweep like any other orphan
-        if pid_part.isdigit() and 0 < int(pid_part) <= 2**22 \
+        if fresh and pid_part.isdigit() and 0 < int(pid_part) <= 2**22 \
                 and int(pid_part) != os.getpid():
             try:
                 os.kill(int(pid_part), 0)

@@ -928,15 +928,33 @@ def q_dedup_minhash_auto(spark, sf_dir):
     canary pattern of q_knn_auto. At sf0.1 the synthetic worst-case
     corpus escalates (24.5M → 5.7M candidates at the widest level, with
     the saturation warning); tests/test_ann.py pins planted-near-dup
-    recall through the escalated levels."""
-    import warnings
+    recall through the escalated levels.
 
-    with warnings.catch_warnings():
-        # bench/driver runs hit the sf0.1 saturation warning by design
-        warnings.simplefilter("ignore", UserWarning)
-        return dedup.minhash_neardup_pairs_auto(
-            _docs_with_near_dups(spark, sf_dir)
+    r11 (ADVICE r10): the oracle contract is only valid while the plan
+    stays at level 0, so instead of suppressing the escalation warning
+    (which would let a future budget/fixture change surface as a bare
+    oracle diff) the wrapper inspects the operator's stats and raises
+    loudly if escalation ever fires at an oracle-scale sf (<= 0.01 —
+    the driver compares against DuckDB at sf0.01 and smokes at
+    sf0.001). At bench scale (sf0.1+) escalation is by design and the
+    operator's own UserWarning reports the chosen level."""
+    stats: dict = {}
+    out = dedup.minhash_neardup_pairs_auto(
+        _docs_with_near_dups(spark, sf_dir), stats=stats
+    )
+    sf_tail = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        oracle_scale = float(sf_tail) <= 0.01
+    except ValueError:
+        oracle_scale = False
+    if oracle_scale and stats.get("level", 0) != 0:
+        raise RuntimeError(
+            "q_dedup_minhash_auto escalated banding at an oracle-scale sf "
+            f"(sf_dir={sf_dir!r}, stats={stats!r}): the DuckDB oracle is "
+            "only valid at level 0 — the candidate budget or the fixture "
+            "changed; re-pin DEFAULT_MAX_CANDIDATES or drop the oracle"
         )
+    return out
 
 
 _SQL_DEDUP_MINHASH = f"""
