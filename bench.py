@@ -166,179 +166,13 @@ BENCH_QUERIES = [
 
 
 def ann_recall(spark, sf_dir: str, k: int = 5, n_queries: int = 10) -> dict[str, float]:
-    """recall@5 vs the exact operator for every approximate query in the
-    registry (same operating points as q_knn_lsh/ivf/pq/nsw/ivfpq), so the
-    bench records the recall/latency trade alongside wall time — a faster
-    ANN number is meaningless if it was bought by dropping recall."""
-    from pyspark.sql import functions as F
+    """recall@5 per approximate query, published next to the wall times —
+    moved to operators/recall.py in r11 so the q_ann_recall_gate registry
+    canary and the bench share ONE implementation (this delegator keeps
+    the bench.ann_recall name tests and docs reference)."""
+    from vector_database_spark.operators.recall import ann_recall as _impl
 
-    from vector_database_spark.operators import ann, knn
-    from vector_database_spark.sources.tables import read_table
-
-    emb = read_table(spark, sf_dir, "embeddings").cache()
-    queries = [
-        (r["vec_id"], [float(x) for x in r["embedding"]])
-        for r in emb.filter(F.col("vec_id") < n_queries).collect()
-    ]
-
-    # exact baselines computed ONCE per (query, metric) — three operators
-    # share the cosine ground truth, two share euclid; recomputing per
-    # operator would run 30 redundant exact-scan jobs
-    exact_by_metric: dict[str, dict[int, set]] = {}
-
-    def exact(qid, qv, metric="cosine"):
-        per = exact_by_metric.setdefault(metric, {})
-        if qid not in per:
-            per[qid] = {
-                r["vec_id"] for r in knn.knn(emb, qv, k=k, metric=metric).collect()
-            }
-        return per[qid]
-
-    out: dict[str, float] = {}
-    total = k * len(queries)
-
-    hits = sum(
-        len(exact(qid, qv) & {r["vec_id"] for r in ann.lsh_knn(emb, qv, k=k).collect()})
-        for qid, qv in queries
-    )
-    out["q_knn_lsh"] = round(hits / total, 3)
-
-    assigned, centroids = ann.ivf_index(emb, n_centroids=16)
-    assigned = assigned.cache()
-    hits = sum(
-        len(
-            exact(qid, qv)
-            & {
-                r["vec_id"]
-                for r in ann.ivf_knn(assigned, centroids, qv, k=k, nprobe=8).collect()
-            }
-        )
-        for qid, qv in queries
-    )
-    out["q_knn_ivf"] = round(hits / total, 3)
-
-    books = ann.pq_train(emb)
-    codes = ann.pq_encode(emb, books).cache()
-    codes.count()
-    hits = sum(
-        len(
-            exact(qid, qv, "euclid")
-            & {
-                r["vec_id"]
-                for r in ann.pq_knn_rerank(codes, books, emb, qv, k=k, shortlist=200).collect()
-            }
-        )
-        for qid, qv in queries
-    )
-    out["q_knn_pq"] = round(hits / total, 3)
-
-    codes_ivf = ann.pq_encode(
-        assigned.select("vec_id", "centroid_id", "embedding"),
-        books,
-        payload_cols=("centroid_id",),
-    ).cache()
-    codes_ivf.count()
-    hits = sum(
-        len(
-            exact(qid, qv, "euclid")
-            & {
-                r["vec_id"]
-                for r in ann.ivfpq_knn(codes_ivf, centroids, books, emb, qv, k=k, shortlist=200).collect()
-            }
-        )
-        for qid, qv in queries
-    )
-    out["q_knn_ivfpq"] = round(hits / total, 3)
-
-    by_q: dict[int, set] = {}
-    for r in ann.nsw_knn(emb, queries, k=k).collect():
-        by_q.setdefault(r["qid"], set()).add(r["vec_id"])
-    hits = sum(len(exact(qid, qv) & by_q.get(qid, set())) for qid, qv in queries)
-    out["q_knn_nsw"] = round(hits / total, 3)
-
-    # --- auto-default canaries (r8 directive 1): recall at the DERIVED
-    # operating points, published next to the pinned twins. The floors
-    # are the fixture-tuned values, so at bench scale each must be >= its
-    # pinned twin; a formula edit that moves a floor/curve moves these.
-    n_rows = emb.count()
-    auto_bits = ann._auto_lsh_bits(n_rows)
-    hits = sum(
-        len(
-            exact(qid, qv)
-            & {
-                r["vec_id"]
-                for r in ann.lsh_knn(emb, qv, k=k, bits=auto_bits).collect()
-            }
-        )
-        for qid, qv in queries
-    )
-    out["q_knn_lsh_auto"] = round(hits / total, 3)
-
-    assigned_a, centroids_a = ann.ivf_index(emb, n_centroids=None)
-    assigned_a = assigned_a.cache()
-    hits = sum(
-        len(
-            exact(qid, qv)
-            & {
-                r["vec_id"]
-                for r in ann.ivf_knn(
-                    assigned_a, centroids_a, qv, k=k, nprobe=None
-                ).collect()
-            }
-        )
-        for qid, qv in queries
-    )
-    out["q_knn_ivf_auto"] = round(hits / total, 3)
-
-    auto_shortlist = ann._auto_shortlist(None, n_rows)
-    hits = sum(
-        len(
-            exact(qid, qv, "euclid")
-            & {
-                r["vec_id"]
-                for r in ann.pq_knn_rerank(
-                    codes, books, emb, qv, k=k, shortlist=auto_shortlist
-                ).collect()
-            }
-        )
-        for qid, qv in queries
-    )
-    out["q_knn_pq_auto"] = round(hits / total, 3)
-
-    codes_ivf_a = ann.pq_encode(
-        assigned_a.select("vec_id", "centroid_id", "embedding"),
-        books,
-        payload_cols=("centroid_id",),
-    ).cache()
-    codes_ivf_a.count()
-    hits = sum(
-        len(
-            exact(qid, qv, "euclid")
-            & {
-                r["vec_id"]
-                for r in ann.ivfpq_knn(
-                    codes_ivf_a, centroids_a, books, emb, qv, k=k,
-                    nprobe=None, shortlist=None,
-                ).collect()
-            }
-        )
-        for qid, qv in queries
-    )
-    out["q_knn_ivfpq_auto"] = round(hits / total, 3)
-
-    by_q = {}
-    for r in ann.nsw_knn(emb, queries, k=k, n_buckets=None, ef=None).collect():
-        by_q.setdefault(r["qid"], set()).add(r["vec_id"])
-    hits = sum(len(exact(qid, qv) & by_q.get(qid, set())) for qid, qv in queries)
-    out["q_knn_nsw_auto"] = round(hits / total, 3)
-
-    codes.unpersist()
-    codes_ivf.unpersist()
-    codes_ivf_a.unpersist()
-    assigned.unpersist()
-    assigned_a.unpersist()
-    emb.unpersist()
-    return out
+    return _impl(spark, sf_dir, k=k, n_queries=n_queries)
 
 
 # Timing-regime generation. Bumped whenever the warmup OR the per-query

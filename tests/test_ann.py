@@ -517,6 +517,23 @@ def test_bench_ann_recall_harness(spark):
     assert out["q_knn_pq_auto"] >= out["q_knn_pq"] - 1e-9
 
 
+def test_ann_recall_gate_all_rows_present(spark):
+    """r10 verdict directive 6: the q_ann_recall_gate registry canary
+    emits one row per (family, operating point) CLEARING its floor — all
+    10 present means every ANN recall gate passed; a regression drops a
+    row, which the driver's rows-only check records. Healthy state
+    asserted here so the canary itself is pinned green at fixture
+    scale."""
+    from vector_database_spark.operators.recall import RECALL_FLOORS
+    from vector_database_spark.queries import QUERIES
+
+    rows = QUERIES["q_ann_recall_gate"](spark, SF_SMALL).collect()
+    assert [r["family"] for r in rows] == sorted(RECALL_FLOORS)
+    for r in rows:
+        assert r["recall_micro"] >= r["floor_micro"], r
+        assert 0 < r["recall_micro"] <= 1_000_000, r
+
+
 def test_lsh_signature_null_and_ragged_rows_degrade_to_null(spark):
     # the Arrow-batched signature kernel must not fail the whole batch on
     # a NULL or wrong-length embedding — those rows get NULL signatures

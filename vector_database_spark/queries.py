@@ -2757,6 +2757,28 @@ def q_index_refresh_cycle(spark, sf_dir):
     ).orderBy("kind")
 
 
+def q_ann_recall_gate(spark, sf_dir):
+    """B8 recall canary (r10 verdict directive 6, driver-visible): the
+    approximate-search family is rows-only by design, so a recall
+    regression could previously only fail a LOCAL pytest — the driver's
+    CORRECTNESS artifact stayed green. This emits one row per
+    (family, operating point) whose measured recall@5 clears its floor
+    (operators/recall.py::RECALL_FLOORS — tuned with >=6 points of
+    headroom against measured sf0.001/sf0.01 values):
+
+        (family, recall_micro, floor_micro)
+
+    All 10 rows present = every ANN gate passed; a regression DROPS its
+    family's row, moving the rows-only row count the driver records
+    every sampled round — the same canary pattern as
+    q_index_refresh_cycle for the maintenance matrix. Deterministic:
+    seeded hyperplanes/KMeans, fixed query ids, exact baselines shared
+    per (query, metric)."""
+    from vector_database_spark.operators.recall import recall_gate_rows
+
+    return recall_gate_rows(spark, sf_dir)
+
+
 def q_knn_ivfpq_batch_full(spark, sf_dir):
     """Second FULL-oracle batch-ANN entry (after q_knn_ivf_batch_full):
     IVF+PQ batch search at ``nprobe = n_centroids`` (every cell's codes
@@ -7627,6 +7649,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # index maintenance lifecycle canary (rows-only: engine lifecycle,
     # deterministic — r10, the completed refresh matrix driver-visible)
     "q_index_refresh_cycle": q_index_refresh_cycle,
+    # r11: driver-visible ANN recall canary (rows-only; see docstring)
+    "q_ann_recall_gate": q_ann_recall_gate,
     # physical layout
     "q_zorder_key": q_zorder_key,
 }
@@ -7662,30 +7686,35 @@ _DRIVER_CONFIRMED_R1_R2 = frozenset({
     "q_doc_fingerprint", "q_minhash_signatures", "q_softmax_argmax",
 })
 
-# Round-10 priority (continuing the rotation discipline): the brand-new
-# oracled query leads (q_dedup_minhash_auto — never had a CORRECTNESS
-# row), then every oracled query whose LATEST driver sample is round
-# 4/5 (the stalest groups), then the round-6 group, alphabetical within
-# each. Computed from CORRECTNESS_r0{1..9}.json latest-round-per-name ∩
-# ORACLES; rows-only names (q_knn_lsh/ivf/nsw/pq etc.) are excluded by
-# _registry_rank's no-oracle rule regardless.
-_R10_PRIORITY = (
-    # brand-new oracled query this round
-    "q_dedup_minhash_auto",
-    # latest driver sample round 4 (oracled members)
-    "q_bpe_encode", "q_bpe_learn", "q_hll_distinct", "q_kll_quantiles",
-    "q_retrieval_metrics_twophase", "q_theta_overlap",
-    # round 5
-    "q_mmr_rerank", "q_text_search",
-    # round 6
-    "q_knn_ivf_batch", "q_knn_ivfpq", "q_prefetch_rerank",
+# Round-11 rotation note: no explicit priority tuple anymore. The union
+# of driver samples r1-r10 covers all 167 oracles (VERDICT r10), and the
+# r7..r10 samples alone partition the full oracle set (17+50+50+50), so
+# every oracled query's LATEST external confirmation is round 7 or
+# later — ordering is now purely staleness-by-latest-sample-round via
+# the _DRIVER_SAMPLED_R* tiers below (stalest leads the prefix-biased
+# sample). The r10 priority tuple's 10 remaining names turned out to be
+# rows-only (the no-oracle rule had always pre-empted them).
+
+# Round 10's driver sample (CORRECTNESS_r10.json, 50 green) — the
+# freshest external rows, so they rotate to the very back.
+_DRIVER_SAMPLED_R10 = frozenset({
+    "q_bigram_logprob", "q_causal_mask", "q_cluster_canonical",
+    "q_cohort_retention", "q_collection_stats", "q_corr_stats",
+    "q_cosine_normalize", "q_dedup_minhash_auto", "q_dot_euclid",
+    "q_gap_fill", "q_hard_negatives", "q_kmeans_clusters", "q_knn_batch",
+    "q_knn_filtered", "q_knn_raw_vector", "q_knn_score_payload",
+    "q_knn_top1", "q_knn_topk", "q_loss_mask", "q_prefetch_rerank",
     "q_pricing_summary", "q_quality_score", "q_random_sample",
     "q_recommend_sum_scores", "q_rescore_oversample", "q_salted_agg",
-    "q_session_window", "q_sessionize", "q_shard_export",
-    "q_simhash_pairs_compound", "q_split_train_val", "q_substring_dedup",
-    "q_temperature_mix", "q_text_stats", "q_token_count",
-    "q_too_long_filter", "q_topk_global",
-)
+    "q_scd2_intervals", "q_score_threshold", "q_semdedup",
+    "q_semdedup_kmeans", "q_session_window", "q_sessionize",
+    "q_shard_export", "q_ship_priority", "q_sim_self_join",
+    "q_simhash_pairs_compound", "q_span_corruption", "q_split_train_val",
+    "q_stream_dedup", "q_stream_enrich", "q_stream_session_window",
+    "q_substring_dedup", "q_temperature_mix", "q_text_stats",
+    "q_token_count", "q_too_long_filter", "q_topk_global",
+    "q_topngram_fraction", "q_training_triplets", "q_upsert_latest_wins",
+})
 
 # Round 9's driver sample (CORRECTNESS_r09.json, 50 green) — the freshest
 # external rows, so they rotate to the very back.
@@ -7833,11 +7862,11 @@ def _registry_rank(k: str) -> tuple[int, int]:
     # correct but useless (VERDICT r6 directive 3). The sort runs after
     # ORACLES is defined, below.
     if k not in ORACLES:
-        return (9, 0)
-    if k in _R10_PRIORITY:
-        return (0, _R10_PRIORITY.index(k))
+        return (10, 0)
+    if k in _DRIVER_SAMPLED_R10:
+        return (9, 0)  # freshest external rows: very back
     if k in _DRIVER_SAMPLED_R9:
-        return (8, 0)  # freshest external rows: very back
+        return (8, 0)
     if k in _DRIVER_SAMPLED_R8:
         return (7, 0)
     if k in _DRIVER_SAMPLED_R7:
