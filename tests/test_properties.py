@@ -545,7 +545,7 @@ def test_minhash_auto_escalates_and_keeps_planted_recall(spark):
             ).collect()
         }
     assert stats["level"] > 0  # escalation actually engaged
-    assert any("escalated banding" in str(w.message) for w in caught)
+    assert any("escalated to" in str(w.message) for w in caught)
     vols = stats["volumes"]
     assert vols[0] > 800  # level 0 was over budget...
     assert vols[-1] < vols[0]  # ...and the ladder shrank the volume
@@ -553,6 +553,56 @@ def test_minhash_auto_escalates_and_keeps_planted_recall(spark):
         assert (i, i + 5000) in pairs
     near_found = sum((i + 6000, i + 7000) in pairs for i in range(20))
     assert near_found >= 18  # J~0.905 at the escalated level: >=90%
+
+
+def test_minhash_auto_df_prefilter_keeps_mid_jaccard_recall(spark):
+    """r10 verdict directive 3: on a boilerplate-heavy corpus the
+    escalation ladder's DF prefilter rung (drop tokens with df > 50%)
+    must bound candidates WITHOUT widening bands — planted 0.72-Jaccard
+    pairs (3 boilerplate + 1 content edit on 25 tokens, the mid-Jaccard
+    range band-widening loses: 96% -> 49% -> 14%) stay >= 95% found.
+    Dropping the shared boilerplate RAISES the pairs' effective Jaccard
+    (their edits were mostly IN the dropped tokens: filtered-J 9/11 =
+    0.82 vs raw 0.72) while unrelated template siblings fall apart."""
+    import random
+    import warnings
+
+    rng = random.Random(7)
+    pool = [f"b{i}" for i in range(25)]  # each doc takes 15 -> df 60%
+    cvocab = [f"c{i}" for i in range(500)]
+    rows = []
+    for i in range(1500):
+        rows.append((i, " ".join(rng.sample(pool, 15) + rng.sample(cvocab, 10))))
+    planted = []
+    for i in range(60):
+        base = rows[i][1].split()
+        bo, co = base[:15], base[15:]
+        new_bo = bo[:-3] + rng.sample([t for t in pool if t not in bo], 3)
+        new_co = co[:-1] + [f"c{500 + i}"]
+        planted.append((i + 10000, " ".join(new_bo + new_co)))
+    docs = spark.createDataFrame(rows + planted, "doc_id long, text string")
+
+    stats: dict = {}
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.minhash_neardup_pairs_auto(
+                docs, max_candidates=20_000, stats=stats
+            ).collect()
+        }
+    # the rung engaged: level 1, banding UNCHANGED, boilerplate dropped,
+    # and the volume bound held (measured 178k -> ~2.8k)
+    assert stats["level"] == 1
+    assert (stats["num_hashes"], stats["bands"]) == (8, 4)
+    assert stats["df_dropped_tokens"] == 25
+    assert stats["volumes"][0] > 20_000
+    assert stats["volumes"][-1] <= 20_000
+    assert any(
+        "mid-Jaccard recall preserved" in str(w.message) for w in caught
+    )
+    found = sum((i, i + 10000) in pairs for i in range(60))
+    assert found >= 57, f"planted 0.72-J recall {found}/60 < 95%"
 
 
 def test_minhash_auto_below_budget_identical_to_fixed(spark):

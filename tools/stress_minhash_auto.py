@@ -145,6 +145,110 @@ def main() -> None:
     )
     print("updated STRESS.md section: MinHash banding escalation")
 
+    boilerplate_mix(spark)
+
+
+def synth_boilerplate_mix(spark, n_docs: int, out: str, n_pool=25, n_bo=15,
+                          n_content=10, content_vocab=5000):
+    """Template-farm corpus: every doc carries ``n_bo`` of ``n_pool``
+    shared boilerplate tokens (df = n_bo/n_pool = 60% each — above the
+    DF prefilter cutoff) + ``n_content`` content tokens from a wide
+    vocabulary. 1% planted near-dups at ~0.72 raw Jaccard: 3 boilerplate
+    + 1 content token replaced — edits concentrated where real template
+    near-dups differ, and exactly the mid-Jaccard range band-widening
+    loses (banding collision at raw J=0.72: 96% at (8,4) -> 72% at
+    (16,4) -> 27% at (32,4)). Generated driver-side (a 100k-row text
+    fixture is ~17 MB — the corpus under test distributes; its
+    generator need not)."""
+    import random
+
+    rng = random.Random(13)
+    pool = [f"b{i}" for i in range(n_pool)]
+    rows = []
+    dup_rows = []
+    for i in range(n_docs):
+        bo = rng.sample(pool, n_bo)
+        co = [f"c{rng.randrange(content_vocab)}" for _ in range(n_content)]
+        rows.append((i, " ".join(bo + co)))
+        if i % 100 == 0:
+            new_bo = bo[:-3] + rng.sample([t for t in pool if t not in bo], 3)
+            new_co = co[:-1] + [f"cx{i}"]
+            dup_rows.append((i + n_docs, " ".join(new_bo + new_co)))
+    spark.createDataFrame(
+        rows + dup_rows, "doc_id long, text string"
+    ).repartition(32).write.mode("overwrite").parquet(out)
+
+
+def boilerplate_mix(spark) -> None:
+    """r10 verdict directive 3 acceptance: on the boilerplate corpus the
+    DF prefilter rung bounds candidates at UNCHANGED (8,4) banding and
+    planted 0.7-0.8-J pairs stay >= 95% found, vs the pre-r11 ladder
+    (band-widening only — simulated by disabling the rung) which loses
+    them."""
+    n = 100_000
+    path = f"/tmp/stress_minhash_boiler_{n}"
+    synth_boilerplate_mix(spark, n, path)
+    docs = spark.read.parquet(path)
+    expected = (n + 99) // 100
+    budget = dedup.DEFAULT_MAX_CANDIDATES
+
+    lines = [
+        "100k-doc template farm: 15-of-25 shared boilerplate tokens per",
+        "doc (df 60% each) + 10 content tokens from a 5000-token",
+        "vocabulary; 1% planted near-dups at ~0.72 RAW Jaccard (3",
+        "boilerplate + 1 content edits — the mid-Jaccard range widening",
+        "loses). 'auto' = the r11 ladder (DF prefilter rung first);",
+        "'widen-only' = the pre-r11 ladder, rung disabled.",
+        "",
+        "| plan | level | hashes x bands | df dropped | candidates | wall s | planted 0.72-J found |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for label, fraction in (("auto", None), ("widen-only", 2.0)):
+        old = dedup.MINHASH_DF_PREFILTER_FRACTION
+        if fraction is not None:
+            dedup.MINHASH_DF_PREFILTER_FRACTION = fraction
+        try:
+            stats: dict = {}
+            t0 = time.perf_counter()
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", UserWarning)
+                out = dedup.minhash_neardup_pairs_auto(
+                    docs, max_candidates=budget, stats=stats
+                ).persist()
+            out.count()
+            wall = time.perf_counter() - t0
+            pf = planted_found(out, n)
+            out.unpersist()
+        finally:
+            dedup.MINHASH_DF_PREFILTER_FRACTION = old
+        lines.append(
+            f"| {label} | {stats['level']} | {stats['num_hashes']}x"
+            f"{stats['bands']} | {stats.get('df_dropped_tokens', 0)} | "
+            f"{stats['volumes'][-1]:,} | {wall:.1f} | {pf}/{expected} |"
+        )
+        print(lines[-1])
+
+    lines += [
+        "",
+        "Reading: the boilerplate tokens pin the same min-hashes onto",
+        "most of the corpus, so level-0 volume explodes; the DF rung",
+        "re-signs WITHOUT them (edits in dropped tokens stop counting",
+        "against the pair, so the planted pairs' effective Jaccard",
+        "RISES) and the volume collapses at unchanged (8,4) banding —",
+        "mid-Jaccard recall preserved. The widen-only ladder pays the",
+        "documented cliff on the same pairs. Trade stated in",
+        "dedup.MINHASH_DF_PREFILTER_FRACTION's doc: boilerplate-ONLY",
+        "similarity (identical template, disjoint content) stops being",
+        "a candidate by design.",
+    ]
+    from tools.stress_common import update_section
+
+    update_section(
+        "MinHash DF prefilter rung on a boilerplate corpus (r11)",
+        "\n".join(lines),
+    )
+    print("updated STRESS.md section: MinHash DF prefilter rung")
+
 
 if __name__ == "__main__":
     main()

@@ -387,6 +387,26 @@ MINHASH_ESCALATION_LEVELS = ((8, 4), (16, 4), (32, 4))
 # dominates end-to-end time (measured on the sf0.1 synthetic worst case:
 # ~11M candidates for 122k docs ≈ 90×).
 DEFAULT_MAX_CANDIDATES = 2_000_000
+# Document-frequency prefilter rung (r10 verdict directive 3): BEFORE
+# widening bands, the escalation ladder tries re-signing with tokens
+# present in more than this fraction of documents REMOVED. Boilerplate
+# tokens are why template-heavy corpora saturate the band join: a token
+# in most documents pins the same min-hash onto all of them. Dropping
+# it raises the filtered-set Jaccard of true near-dup pairs (their
+# shared boilerplate contributed equally to both sides) while pushing
+# unrelated template-siblings apart — so the rung prunes candidates
+# WITHOUT the mid-Jaccard recall cliff band-widening costs (0.7-J
+# banding collision stays ~0.95 at (8,4) instead of 49%/14% at 16/32
+# hashes — stress_minhash_auto.py "boilerplate corpus" section).
+# Documented trade: pairs whose similarity lives ONLY in boilerplate
+# (identical templates, disjoint content — full-token Jaccard can still
+# clear 0.5) stop being candidates BY DESIGN, the same call the
+# RefinedWeb/DataComp-style curation pipelines make when they strip
+# boilerplate before near-dup detection. The set of droppable tokens is
+# bounded by construction: at most avg_doc_len/fraction tokens can have
+# df > fraction·N (Σ df = N·avg_len), so the drop list always
+# broadcasts.
+MINHASH_DF_PREFILTER_FRACTION = 0.5
 
 
 def _wide_minhash_signatures(
@@ -456,12 +476,27 @@ def minhash_neardup_pairs_auto(
     oracle at the driver's sf, which never escalates there). Escalation
     is NOT silent: a UserWarning reports the chosen level and volumes,
     and ``stats`` (optional dict) returns {level, num_hashes, bands,
-    volumes} for pipelines that log metrics.
+    volumes, df_dropped_tokens} for pipelines that log metrics.
+
+    Ladder (r11 — the DF prefilter rung lands between the oracle level
+    and band-widening, r10 verdict directive 3):
+
+      0. (8, 4) over the full token sets — the oracle level.
+      1. (8, 4) over token sets MINUS tokens present in more than
+         MINHASH_DF_PREFILTER_FRACTION of docs (skipped when nothing
+         exceeds the cutoff — e.g. flat-DF corpora). Same banding
+         probability curve as level 0, so mid-Jaccard recall is KEPT;
+         what it spends is boilerplate-only similarity (module constant
+         doc). Docs whose every token is boilerplate keep their full
+         sets (they must still find their exact duplicates).
+      2+ (16, 4) then (32, 4) band-widening over the level-1 token
+         sets — the last resort that does trade mid-Jaccard recall
+         (0.7-J collision 96% → 49% → 14%).
 
     Scale shape: probes are key-table aggregations (docs × 4 rows), the
-    verify join runs once at the chosen level; nothing quadratic ever
-    materializes beyond the accepted budget — the knob the r9 verdict
-    flagged as MinHash's missing auto-escalation."""
+    DF drop list is bounded by avg_doc_len/fraction (always broadcasts),
+    the verify join runs once at the chosen level; nothing quadratic
+    ever materializes beyond the accepted budget."""
     import warnings
 
     global _live_sigs
@@ -469,11 +504,12 @@ def minhash_neardup_pairs_auto(
     # two-tier signature computation: the FIRST level's 8 hashes cost
     # the same corpus pass as the fixed operator, so the common
     # below-budget case pays only one cheap key-table probe on top;
-    # only an actual escalation pays the second (widest) signature pass
-    # — always hashing 32 made the no-escalation case ~2x slower for
-    # nothing (measured in tools/stress_minhash_auto.py while building
-    # this). Levels 1+ re-band PREFIXES of the 32-hash table (h0..h15
-    # for 16), so one widening covers the whole ladder.
+    # only an actual escalation pays the DF analysis and the second
+    # (widest) signature pass — always hashing 32 made the
+    # no-escalation case ~2x slower for nothing (measured in
+    # tools/stress_minhash_auto.py while building this). Escalated
+    # levels re-band PREFIXES of the 32-hash table (h0..h15 for 16), so
+    # one widening covers the whole ladder.
     first_nh, first_nb = MINHASH_ESCALATION_LEVELS[0]
     widest = MINHASH_ESCALATION_LEVELS[-1][0]
     # the (id, token) pair table feeds BOTH signature passes when an
@@ -486,6 +522,8 @@ def minhash_neardup_pairs_auto(
     # executor memory on nothing in exactly the common no-escalation
     # case (r10 review).
     toks = _doc_tokens(docs, text_col, id_col).persist()
+    filt_toks = None
+    df_dropped = 0
     try:
         aggs8 = [
             F.min(seeded_hash(F.col("token"), i)).alias(f"h{i}")
@@ -498,14 +536,52 @@ def minhash_neardup_pairs_auto(
         ]
         chosen = (first_nh, first_nb)
         if volumes[0] > max_candidates:
+            # RUNG 1 — DF prefilter: re-sign with boilerplate tokens
+            # (df > fraction·N) removed. sigs is cached, so the doc
+            # count is free; the df aggregation is one combinable
+            # groupBy on the already-persisted token table.
+            n_docs = sigs.count()
+            high_df = (
+                toks.groupBy("token")
+                .agg(F.count("*").alias("df"))
+                .filter(
+                    F.col("df")
+                    > int(MINHASH_DF_PREFILTER_FRACTION * n_docs)
+                )
+                .select("token")
+                .persist()
+            )
+            df_dropped = high_df.count()
+            sig_toks = toks
+            if df_dropped:
+                kept = toks.join(F.broadcast(high_df), "token", "left_anti")
+                # empty-set fallback: a doc made ENTIRELY of boilerplate
+                # must keep its full set — its exact duplicates are
+                # found via identical (full) signatures, and silently
+                # emitting no signature would drop it from dedup
+                covered = kept.select(id_col).distinct()
+                orphans = toks.join(
+                    sigs.select(id_col).join(covered, id_col, "left_anti"),
+                    id_col,
+                    "left_semi",
+                )
+                filt_toks = kept.unionByName(orphans).persist()
+                sig_toks = filt_toks
+            high_df.unpersist()
             wide = _wide_minhash_signatures(
-                toks, id_col, num_hashes=widest
+                sig_toks, id_col, num_hashes=widest
             ).persist()
             sigs.unpersist()
             sigs = wide
             _live_sigs = sigs
-            chosen = MINHASH_ESCALATION_LEVELS[-1]
-            for nh, nb in MINHASH_ESCALATION_LEVELS[1:]:
+            # the post-0 ladder: the DF rung keeps level-0 banding (its
+            # probe only differs when the filter dropped something),
+            # then band-widening as the last resort
+            ladder = ([(first_nh, first_nb)] if df_dropped else []) + list(
+                MINHASH_ESCALATION_LEVELS[1:]
+            )
+            chosen = ladder[-1]
+            for nh, nb in ladder:
                 vol = minhash_candidate_volume(sigs, id_col, nh, nb)
                 volumes.append(vol)
                 if vol <= max_candidates:
@@ -524,16 +600,31 @@ def minhash_neardup_pairs_auto(
                 )
     finally:
         # the probes above materialized the chosen signature table;
-        # the token cache has no further reader
+        # the token caches have no further reader
         toks.unpersist()
+        if filt_toks is not None:
+            filt_toks.unpersist()
     level = len(volumes) - 1
     if level > 0:
+        df_note = (
+            f"DF prefilter dropped {df_dropped} boilerplate tokens "
+            f"(df > {MINHASH_DF_PREFILTER_FRACTION:.0%} of docs); "
+            if df_dropped
+            else "DF prefilter found nothing above the cutoff; "
+        )
+        recall_note = (
+            "banding stayed (8, 4) — mid-Jaccard recall preserved, "
+            "boilerplate-only similarity dropped by design"
+            if chosen == (first_nh, first_nb)
+            else "bands WIDENED — mid-Jaccard recall narrows "
+            "(module constant doc)"
+        )
         warnings.warn(
-            f"minhash_neardup_pairs_auto: escalated banding to "
+            f"minhash_neardup_pairs_auto: escalated to "
             f"{chosen[0]} hashes × {chosen[1]} bands (level {level}): "
             f"volumes per level {volumes} vs budget {max_candidates}. "
-            "Exact/near-exact duplicates are unaffected; mid-Jaccard "
-            "recall narrows (module constant doc)",
+            f"{df_note}{recall_note}. Exact/near-exact duplicates are "
+            "unaffected at every level",
             UserWarning,
             stacklevel=2,
         )
@@ -544,6 +635,7 @@ def minhash_neardup_pairs_auto(
             bands=chosen[1],
             volumes=list(volumes),
             max_candidates=max_candidates,
+            df_dropped_tokens=df_dropped,
         )
     cands = minhash_band_pairs(sigs, id_col, num_hashes=chosen[0], bands=chosen[1])
     return jaccard_verify(cands, docs, text_col, id_col)
