@@ -3479,10 +3479,11 @@ def test_nsw_delta_fraction_escalation(spark, tmp_path):
     assert col.optimize()["nsw"] == "refreshed"
     assert col.index_status()["nsw"]["delta_fraction"] == 0.2
 
-    # pile on past the 0.5 fraction: optimize consolidates
+    # pile on past the 0.5 fraction: optimize consolidates (r11 — the
+    # segment merge replaced the full rebuild on this escalation path)
     col.upsert(pts(range(120, 160)))
     rep = col.optimize()
-    assert rep["nsw"] == "rebuilt_drift", rep
+    assert rep["nsw"] == "consolidated", rep
     st = col.index_status()["nsw"]
     assert st["fresh"] and st["delta_rows"] == 0
     assert st["delta_fraction"] == 0.0
@@ -3618,12 +3619,132 @@ def test_nsw_delete_churn_triggers_consolidation(spark, tmp_path):
     assert st["delta_rows"] == 0
     assert st["delta_fraction"] == 0.3
 
-    # delete past the 0.5 fraction: optimize consolidates
+    # delete past the 0.5 fraction: optimize CONSOLIDATES (r11 — the
+    # segment merge replaced the full rebuild on this escalation path)
     col.delete(point_ids=list(range(30, 60)))
     rep = col.optimize()
-    assert rep["nsw"] == "rebuilt_drift", rep
+    assert rep["nsw"] == "consolidated", rep
     st2 = col.index_status()["nsw"]
     assert st2["fresh"] and st2["delta_fraction"] == 0.0
+    # the consolidated graph is mask-free and serves correctly: survivors
+    # findable by their own vectors, deleted ids gone
+    def v(i):
+        return [((i * 977 + j * 131) % 1009) / 504.0 - 1.0 for j in range(8)]
+
+    assert [r["id"] for r in col.search_nsw(v(80), limit=1).collect()] == [80]
+    got = {r["id"] for r in col.search_nsw(v(10), limit=10).collect()}
+    assert got.isdisjoint(set(range(60)))
+
+
+def test_nsw_consolidation_merges_segments_and_matches_rebuild(
+    spark, tmp_path
+):
+    """r10 verdict directive 5: past the delta-fraction escalation,
+    optimize() CONSOLIDATES the NSW segments (re-insert delta rows into
+    the kept base graphs) instead of re-training all N. Contract: the
+    post state is structurally a rebuild's (one __seg=0 layout over the
+    base bucket range, masks gone, escalation reset), updated ids serve
+    their newest vector, deleted ids are gone, every live id is findable
+    by its own vector, and recall on a probe set matches a from-scratch
+    rebuild of the same corpus within 2 points."""
+    import os
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from vector_database_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat_nswcons"))
+    col = cat.create_collection("nswc", dim=8, auto_compact=False)
+
+    def vec(i, bump=0.0):
+        rng = _random.Random(i * 7919 + 13)
+        return [rng.uniform(-1, 1) + bump for _ in range(8)]
+
+    def pts(ids, bump=0.0):
+        return spark.createDataFrame(
+            [(i, vec(i, bump), {"i": str(i)}) for i in ids],
+            "id long, embedding array<float>, payload map<string,string>",
+        )
+
+    col.upsert(pts(range(400)))
+    col.build_nsw_index(n_buckets=2)
+
+    # churn past 0.5 of build_rows across two refresh segments:
+    # 150 new + 60 updated + 20 deleted = 230/400
+    col.upsert(pts(range(400, 500)))
+    col.upsert(pts(range(60), bump=0.4))
+    assert col.refresh_nsw_index() == 160
+    col.upsert(pts(range(500, 550)))
+    col.delete(point_ids=list(range(380, 400)))
+    assert col.refresh_nsw_index() == 50
+
+    rep = col.optimize()
+    assert rep["nsw"] == "consolidated", rep
+
+    # structurally a rebuild: one segment, base bucket range, no masks
+    layout = col._nsw_layout_df()
+    assert {r["__seg"] for r in layout.select("__seg").distinct().collect()} == {0}
+    assert {
+        r["_b"] for r in layout.select("_b").distinct().collect()
+    } <= {0, 1}
+    assert not os.path.exists(col._nsw_mask_path)
+    st = col.index_status()["nsw"]
+    assert st["fresh"] and st["delta_fraction"] == 0.0
+    n_live = col.df().count()
+    assert layout.count() == n_live == 530
+
+    # served correctly: updated id's NEW vector wins, deleted gone,
+    # delta-born ids findable
+    assert [r["id"] for r in col.search_nsw(vec(7, 0.4), limit=1).collect()] == [7]
+    got = {r["id"] for r in col.search_nsw(vec(385), limit=10).collect()}
+    assert 385 not in got
+    assert [r["id"] for r in col.search_nsw(vec(520), limit=1).collect()] == [520]
+
+    # recall vs a from-scratch rebuild of the same corpus: probe 25
+    # live ids by their own vectors, top-5 overlap within 2 points
+    probes = [(i, vec(i, 0.4) if i < 60 else vec(i)) for i in range(0, 500, 20)]
+
+    def recall(c):
+        hits = 0
+        for qid, qv in probes:
+            ids = {r["id"] for r in c.search_nsw(qv, limit=5).collect()}
+            e = F.col("embedding").cast("array<double>")
+            dot = F.aggregate(
+                F.zip_with(
+                    e,
+                    F.array(*[F.lit(float(x)) for x in qv]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            nrm = F.sqrt(
+                F.aggregate(
+                    F.zip_with(e, e, lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+            exact = {
+                r["id"]
+                for r in c.df()
+                .select("id", (dot / nrm).alias("cos"))
+                .orderBy(F.col("cos").desc())
+                .limit(5)
+                .collect()
+            }
+            hits += len(ids & exact)
+        return hits / (5 * len(probes))
+
+    rec_consolidated = recall(col)
+    col2 = cat.create_collection("nswc2", dim=8, auto_compact=False)
+    col2.upsert(col.df().select("id", "embedding", "payload"))
+    col2.build_nsw_index(n_buckets=2)
+    rec_rebuilt = recall(col2)
+    assert rec_consolidated >= rec_rebuilt - 0.02, (
+        f"consolidated recall {rec_consolidated} vs rebuild {rec_rebuilt}"
+    )
 
 
 def test_nsw_refresh_respects_pinned_wide_bucket_layout(spark, tmp_path):

@@ -1591,9 +1591,12 @@ class VectorCollection:
         re-derived size ('rebuilt_width'), skipping the pointless
         refresh whose segments the rebuild would discard; this is the growth mode the
         drift ratio cannot see (same-distribution growth keeps drift ~1
-        while per-cell scan cost balloons). Returns an action report:
-        ``{"compacted": bool, <kind>:
-        "fresh"|"refreshed"|"rebuilt"|"rebuilt_drift"|"rebuilt_width"}``."""
+        while per-cell scan cost balloons). NSW's delta-fraction
+        escalation CONSOLIDATES (segment merge — r11 directive 5)
+        instead of rebuilding, falling back to the rebuild only when the
+        merge can't run. Returns an action report: ``{"compacted": bool,
+        <kind>: "fresh"|"refreshed"|"consolidated"|"rebuilt"|
+        "rebuilt_drift"|"rebuilt_width"}``."""
         report: dict = {}
         status = self.index_status()
         # ONE raw footer count shared by the sizing checks and the
@@ -1652,6 +1655,21 @@ class VectorCollection:
                         continue
                 except ValueError:
                     pass  # folded history / legacy layout → rebuild
+            if kind == "nsw" and drifted and not outgrown:
+                # NSW's quality escalation CONSOLIDATES instead of
+                # rebuilding (r11, verdict directive 5): the Lucene
+                # merge-policy analogue keeps healthy base adjacency and
+                # re-inserts only delta rows + mask-damaged nodes —
+                # <50% of the full re-train at the 0.5 delta fraction
+                # that triggers this path. Falls through to the rebuild
+                # only if consolidation can't run (stale after a failed
+                # refresh above, or no live base rows to merge into).
+                try:
+                    self.consolidate_nsw_index()
+                    report[kind] = "consolidated"
+                    continue
+                except ValueError:
+                    pass
             meta_path = os.path.join(
                 getattr(self, f"_{kind}_index_path"), "_index_meta.json"
             )
@@ -2376,6 +2394,69 @@ class VectorCollection:
             build_delta,
             partition_by=("_b",),
         )
+
+    def consolidate_nsw_index(self) -> int:
+        """Fold the NSW delta segments back into the base graphs WITHOUT
+        a full rebuild — the Lucene merge-policy analogue (r10 verdict
+        directive 5). optimize() calls this when accumulated churn
+        crosses NSW_DELTA_REBUILD_FRACTION: a full rebuild at that point
+        re-trains 100% of the corpus (the most expensive build of any
+        family — ~70s/1M), while consolidation keeps every healthy base
+        node's adjacency and re-inserts only the delta rows plus the
+        base nodes the masks damaged (operators/ann.py::
+        nsw_merge_graph_rows) — <50% of rebuild cost at 0.5 delta
+        fraction, recall within the rebuild's envelope (STRESS.md "NSW
+        consolidation vs rebuild").
+
+        Requires a FRESH index (optimize refreshes first; a stale call
+        raises the usual coverage error). Post-state matches a rebuild's:
+        one __seg=0 layout over the base bucket range, masks cleared,
+        refresh_stats reset, build_rows re-measured — so the
+        delta-fraction escalation restarts from zero. The layout swap is
+        staged-then-rename (the merge READS the old layout, so an
+        in-place overwrite would be read-under-write); a crash between
+        the swap steps leaves no index dir and search raises its
+        explicit no-index error — the same worst case as a crashed
+        build_nsw_index overwrite. Returns the consolidated row count."""
+        from vector_database_spark.operators import ann
+
+        meta = self._nsw_meta_fresh("consolidate_nsw_index")
+        bp = meta.get("build_params") or {}
+        merged = ann.nsw_merge_graph_rows(
+            self._nsw_layout_df(),
+            M=bp.get("M", 8),
+            ef_construction=bp.get("ef_construction", 64),
+            id_col="id",
+            emb_col="embedding",
+        ).withColumn("__seg", F.lit(0))
+        staging = self._nsw_index_path + "__consolidate_stage"
+        import shutil as _shutil
+
+        _shutil.rmtree(staging, ignore_errors=True)
+        merged.write.mode("overwrite").partitionBy("_b").parquet(staging)
+        rows = int(self.catalog.spark.read.parquet(staging).count())
+        _shutil.rmtree(self._nsw_index_path, ignore_errors=True)
+        os.rename(staging, self._nsw_index_path)
+        _shutil.rmtree(self._nsw_mask_path, ignore_errors=True)
+        current_version = self.catalog._load()[self.info.name]["version"]
+        with open(
+            os.path.join(self._nsw_index_path, "_index_meta.json"), "w"
+        ) as fh:
+            json.dump(
+                {
+                    "built_at_version": meta.get(
+                        "built_at_version", current_version
+                    ),
+                    "covers_version": current_version,
+                    "next_seg": 1,
+                    # the CALLER's build intent is preserved — a later
+                    # width-based rebuild still re-derives auto points
+                    "build_params": bp,
+                    "build_rows": rows,
+                },
+                fh,
+            )
+        return rows
 
     # -- IVF index (coarse quantization, nprobe = partition pruning) --------
     @property

@@ -1191,6 +1191,22 @@ def _nsw_build(X: "np.ndarray", M: int, ef: int, m_max: int | None = None):
     # node 0 is the always-pre-visited entry point — harmless.
     A = np.zeros((n, m_max + 1), dtype=np.int32)
     deg = np.zeros(n, dtype=np.int32)
+    _nsw_insert_from(X, A, deg, start=1, M=M, ef=ef, m_max=m_max)
+    return [A[i, : deg[i]].tolist() for i in range(n)]
+
+
+def _nsw_insert_from(X, A, deg, start: int, M: int, ef: int, m_max: int):
+    """Insert nodes ``start..n-1`` of X into the graph held in (A, deg)
+    over nodes ``0..start-1``, in place — the insertion loop of
+    :func:`_nsw_build`, factored out (r11) so segment CONSOLIDATION can
+    re-insert only a delta's rows into an existing base graph instead of
+    rebuilding all N. ``start=1`` with zeroed (A, deg) is exactly the
+    from-scratch build (node 0 of an empty graph has nothing to search,
+    it just waits to be linked to). Same determinism contract: fixed
+    sequential warmup while the graph is tiny, then 64-chunk batched
+    beams against the graph frozen at the chunk start, chunk-mates
+    unioned via the exact intra-chunk distance matmul."""
+    n = X.shape[0]
     visited_gen = np.zeros(n, dtype=np.int64)
     ef_b = max(ef, M)
 
@@ -1212,12 +1228,14 @@ def _nsw_build(X: "np.ndarray", M: int, ef: int, m_max: int | None = None):
                 deg[j] = dj
 
     warm = min(n, 256)
-    for i in range(1, warm):
+    i = start
+    while i < warm:
         # gen=i: each search is one fresh visited generation, so the
         # array never needs clearing
         found = _nsw_search(X, A, deg, X[i], ef_b, 0, visited_gen, i)
         wire(i, [j for _, j in found[:M]])
-    i, chunk, scratch = warm, 64, None
+        i += 1
+    chunk, scratch = 64, None
     while i < n:
         B = min(chunk, n - i)
         Qc = X[i : i + B]
@@ -1234,7 +1252,6 @@ def _nsw_build(X: "np.ndarray", M: int, ef: int, m_max: int | None = None):
                 )
             wire(i + b, [j for _, j in cands[:M]])
         i += B
-    return [A[i, : deg[i]].tolist() for i in range(n)]
 
 
 def _adj_matrix(adj: list[list[int]]):
@@ -1561,6 +1578,154 @@ def nsw_graph_rows(
     )
     out_schema = f"{id_col} long, {emb_col} array<float>, _b int, neighbors array<long>"
     return bucketed.groupBy("_b").applyInPandas(build, out_schema)
+
+
+def nsw_merge_graph_rows(
+    layout: DataFrame,
+    M: int = NSW_M,
+    ef_construction: int = NSW_EF_CONSTRUCTION,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """CONSOLIDATE a masked multi-segment NSW layout into single-segment
+    base graphs — the Lucene merge-policy analogue (r10 verdict
+    directive 5): instead of rebuilding all N rows when accumulated
+    churn degrades the graph, each base bucket's EXISTING adjacency is
+    kept and only the delta segments' live rows (plus base nodes the
+    masks damaged) re-insert into it via the same chunked beam kernel
+    the build uses (:func:`_nsw_insert_from`). At 0.5 delta fraction
+    this re-inserts ~1/3 of the corpus instead of re-training 100%.
+
+    Input: live rows of a segmented layout (the catalog's masked view —
+    (id, embedding, _b, neighbors, __seg), one row per live id).
+    Output: (id, embedding, _b, neighbors) rows over the BASE bucket
+    range only, mask fully baked in — the caller stamps ``__seg = 0``
+    and swaps the layout.
+
+    Mechanics per home bucket (base rows keep their ``_b``; delta rows
+    hash to ``pmod(xxhash64(id), n_base_buckets)`` — the same rule the
+    base build used, so an updated id returns to its old bucket):
+
+    - base adjacency is filtered to surviving ids (masked-out neighbor
+      references — which search today routes around — are dropped for
+      good);
+    - a base node that LOST neighbors to the mask and fell under degree
+      M//2 is DEMOTED and re-inserted like a delta row: deletions damage
+      exactly the nodes whose links died, and re-inserting them restores
+      their connectivity without touching the healthy majority (this is
+      what bounds the recall gap to a rebuild under delete-heavy churn).
+      The threshold is M//2, not M: mean NSW degree sits near 1.4·M (not
+      m_max), so an M threshold demoted ~57% of survivors after a 27%
+      mask — nearly a rebuild (measured while building this, 90% of
+      rebuild cost) — while every insertion also BACKLINKS into ~M
+      surviving nodes, re-healing moderate damage for free; only
+      genuinely gutted nodes (< M//2 links left) need the re-insert;
+    - kept base nodes occupy insertion positions 0..n0-1 in id order
+      (the build's deterministic order), re-inserted rows follow in id
+      order — deterministic end to end.
+
+    A home bucket whose base rows all died builds from scratch (the
+    degenerate case IS a rebuild, locally).
+
+    Two levers keep the <50%-of-rebuild contract honest (profiled at the
+    1M stress shape while building this):
+
+    - insert beam = max(2·M, ef_construction // 2): re-inserting into a
+      COMPLETE graph needs a narrower beam than from-scratch
+      construction, where early inserts shape the topology the rest
+      depends on — the finished base already routes candidates well.
+      Halved beam = ~2× faster inserts at equal merged-graph recall
+      (gated in the stress tool and test_catalog's rebuild-parity test).
+    - groups are pre-partitioned 4×wider than the bucket count so the
+      applyInPandas stage doesn't stack several ~7s bucket kernels onto
+      one shuffle partition (40 buckets into 32 default partitions put
+      3 on the straggler — a wave of pure wait)."""
+    base_max = (
+        layout.filter(F.col("__seg") == 0).agg(F.max("_b").alias("m")).collect()[0]["m"]
+    )
+    if base_max is None:
+        raise ValueError(
+            "nsw_merge_graph_rows: no live base rows — consolidation "
+            "has nothing to merge into; run a full rebuild"
+        )
+    nb = int(base_max) + 1
+    m_max = 2 * M
+    ef_insert = max(2 * M, ef_construction // 2)
+
+    homed = layout.select(
+        id_col,
+        emb_col,
+        "neighbors",
+        "__seg",
+        F.when(F.col("__seg") == 0, F.col("_b"))
+        .otherwise(F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)))
+        .cast("int")
+        .alias("__home"),
+    ).repartition(min(4 * nb, 4096), "__home")
+
+    def merge(pdf):
+        home = int(pdf["__home"].iloc[0])
+        base = (
+            pdf[pdf["__seg"] == 0]
+            .sort_values(id_col, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        delta = pdf[pdf["__seg"] > 0]
+        surv = {int(v) for v in base[id_col].to_numpy()}
+        # pass 1: demotion — a base node the masks gutted (under M//2
+        # surviving links) re-inserts; moderately damaged nodes keep
+        # their links and are re-healed by insertion backlinks
+        demote_floor = max(1, M // 2)
+        demote = np.zeros(len(base), dtype=bool)
+        for i, row in enumerate(base["neighbors"].to_numpy()):
+            kept_n = sum(1 for nb_ in row if int(nb_) in surv)
+            if kept_n < len(row) and kept_n < demote_floor:
+                demote[i] = True
+        kept = base[~demote].reset_index(drop=True)
+        kept_ids = kept[id_col].to_numpy()
+        pos = {int(v): i for i, v in enumerate(kept_ids)}
+        # pass 2: kept adjacency → positions, edges into dead/demoted
+        # ids dropped (re-insertion re-wires them bidirectionally)
+        adj0 = [
+            [pos[int(nb_)] for nb_ in row if int(nb_) in pos]
+            for row in kept["neighbors"].to_numpy()
+        ]
+        ins = (
+            pd.concat([base[demote], delta])
+            .sort_values(id_col, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        all_pdf = pd.concat(
+            [kept[[id_col, emb_col]], ins[[id_col, emb_col]]]
+        ).reset_index(drop=True)
+        X = np.stack(all_pdf[emb_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        X = X / np.where(norms == 0, 1.0, norms)
+        n, n0 = len(all_pdf), len(kept)
+        if n0 == 0:
+            # degenerate local rebuild: construction beam, not the
+            # narrowed insert beam — there is no base topology to lean on
+            adj = _nsw_build(X, M=M, ef=ef_construction)
+        else:
+            A = np.zeros((n, m_max + 1), dtype=np.int32)
+            deg = np.zeros(n, dtype=np.int32)
+            for i, row in enumerate(adj0):
+                A[i, : len(row)] = row
+                deg[i] = len(row)
+            _nsw_insert_from(
+                X, A, deg, start=n0, M=M, ef=ef_insert, m_max=m_max
+            )
+            adj = [A[i, : deg[i]].tolist() for i in range(n)]
+        ids_all = all_pdf[id_col].to_numpy()
+        out = all_pdf.copy()
+        out["_b"] = home
+        out["neighbors"] = [[int(ids_all[j]) for j in row] for row in adj]
+        return out
+
+    out_schema = (
+        f"{id_col} long, {emb_col} array<float>, _b int, neighbors array<long>"
+    )
+    return homed.groupBy("__home").applyInPandas(merge, out_schema)
 
 
 def nsw_index_write(
