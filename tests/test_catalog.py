@@ -3747,6 +3747,88 @@ def test_nsw_consolidation_merges_segments_and_matches_rebuild(
     )
 
 
+def test_flat_layout_mask_consolidation(spark, tmp_path):
+    """r11: the non-graph families shed mask/segment debt WITHOUT
+    retraining — once a family's side mask reaches half its layout
+    (footer counts), optimize() rewrites the masked view mask-free
+    ('consolidated'). Pinned centroids/hyperplanes/codebooks and the
+    accumulated drift evidence survive verbatim; searches are
+    identical; later refreshes keep working (segment ids never
+    reused)."""
+    import json
+    import os
+    import random as _random
+
+    from vector_database_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat_flatcons"))
+    col = cat.create_collection("fc", dim=8, auto_compact=False)
+
+    def vec(i, salt=0):
+        rng = _random.Random(i * 7919 + salt * 31 + 13)
+        return [rng.uniform(-1, 1) for _ in range(8)]
+
+    def pts(ids, salt=0):
+        return spark.createDataFrame(
+            [(i, vec(i, salt), {"i": str(i)}) for i in ids],
+            "id long, embedding array<float>, payload map<string,string>",
+        )
+
+    col.upsert(pts(range(100)))
+    col.build_ivf_index(n_centroids=4)
+    col.build_lsh_index(bits=6, tables=2)
+    col.build_ivfpq_index(n_centroids=4, m=4, ksub=8)
+
+    # two same-vector rewrite waves of 60 ids: per family the mask holds
+    # 120 rows against a 220-row layout (0.55 >= the 0.5 trigger) while
+    # drift stays ~1 (identical vectors) — so optimize() must pick the
+    # no-retrain consolidation, not a drift rebuild
+    for _ in range(2):
+        col.upsert(pts(range(60)))
+        assert col.refresh_ivf_index() == 60
+        assert col.refresh_lsh_index() == 120  # tables=2: one copy each
+        assert col.refresh_ivfpq_index() == 60
+
+    drift_before = {
+        k: col.index_status()[k].get("drift_ratio") for k in ("ivf", "ivfpq")
+    }
+    rep = col.optimize()
+    for kind in ("ivf", "lsh", "ivfpq"):
+        assert rep[kind] == "consolidated", rep
+        assert not os.path.exists(getattr(col, f"_{kind}_mask_path"))
+        with open(
+            os.path.join(
+                getattr(col, f"_{kind}_index_path"), "_index_meta.json"
+            )
+        ) as fh:
+            meta = json.load(fh)
+        assert len(meta.get("consolidations", [])) == 1
+        # drift evidence survives the compaction (it wasn't paid down)
+        if kind in ("ivf", "ivfpq"):
+            assert len(meta.get("refresh_stats", [])) == 2
+    after = {
+        k: col.index_status()[k].get("drift_ratio") for k in ("ivf", "ivfpq")
+    }
+    assert after == drift_before
+    # layouts hold exactly the live rows, searches stay correct
+    assert col._ivf_layout_df().count() == 100
+    assert col._ivfpq_layout_df().count() == 100
+    assert col._lsh_layout_df().count() == 200  # 2 tables x 100 live
+    for search in (
+        lambda q: col.search_ivf(q, limit=1, nprobe=4),
+        lambda q: col.search_lsh(q, limit=1),
+        lambda q: col.search_ivfpq(q, limit=1, nprobe=4),
+    ):
+        assert [r["id"] for r in search(vec(7)).collect()] == [7]
+        assert [r["id"] for r in search(vec(80)).collect()] == [80]
+    # a later write still refreshes into fresh segment ids
+    col.upsert(pts([500]))
+    assert col.refresh_ivf_index() == 1
+    assert [
+        r["id"] for r in col.search_ivf(vec(500), limit=1, nprobe=4).collect()
+    ] == [500]
+
+
 def test_nsw_refresh_respects_pinned_wide_bucket_layout(spark, tmp_path):
     """r10 review: a base build PINNED past the default segment stride
     (n_buckets >= 10,000) widens the stride, so delta-segment buckets

@@ -111,6 +111,18 @@ IVF_DRIFT_MIN_FRACTION = 0.01
 # base nodes leave routing holes) — measured within 2 recall points of a
 # full rebuild at a 10% delta (tests/test_catalog.py, STRESS.md).
 NSW_DELTA_REBUILD_FRACTION = 0.5
+# Layout-compaction trigger for the NON-graph index families (r11): a
+# long-lived collection refreshing on a cadence accumulates mask rows
+# and delta segments without bound — every search pays the mask join
+# (and loses its broadcast once the mask dir outgrows the byte gate),
+# every layout read lists more segment files. IVF/LSH/IVFPQ quality
+# does NOT decay with segments (pinned centroids/hyperplanes/codebooks
+# route identically), so unlike NSW nothing needs re-training or
+# re-linking: optimize() folds the masked layout back to a mask-free
+# one (one read+write pass, no KMeans/PQ/graph work) once the mask's
+# footer row count reaches this fraction of the layout's. Footer counts
+# only — the check never scans data.
+LAYOUT_MASK_CONSOLIDATE_FRACTION = 0.5
 
 
 def _ivf_drift_ratio(meta: dict) -> float | None:
@@ -1594,7 +1606,13 @@ class VectorCollection:
         while per-cell scan cost balloons). NSW's delta-fraction
         escalation CONSOLIDATES (segment merge — r11 directive 5)
         instead of rebuilding, falling back to the rebuild only when the
-        merge can't run. Returns an action report: ``{"compacted": bool,
+        merge can't run; the non-graph families (IVF/LSH/IVFPQ) get the
+        flat-layout sibling (r11): once a family's side mask grows past
+        LAYOUT_MASK_CONSOLIDATE_FRACTION of its layout, the masked view
+        is rewritten mask-free with NO retraining — pure search-cost
+        debt shed (the mask join, the segment file accretion) while the
+        pinned quantizers and their drift evidence survive verbatim.
+        Returns an action report: ``{"compacted": bool,
         <kind>: "fresh"|"refreshed"|"consolidated"|"rebuilt"|
         "rebuilt_drift"|"rebuilt_width"}``."""
         report: dict = {}
@@ -1634,7 +1652,16 @@ class VectorCollection:
             ) or (kind == "ivf" and self._ivf_cells_outgrown(raw_rows))
             if st["fresh"]:
                 if not (drifted or outgrown):
-                    report[kind] = "fresh"
+                    # healthy index — but a mask grown past the layout
+                    # fraction is pure search-cost debt the non-graph
+                    # families can shed without retraining (r11)
+                    if kind in self._LAYOUT_PARTITION_BY and (
+                        self._mask_consolidation_due(kind)
+                    ):
+                        self._consolidate_layout(kind)
+                        report[kind] = "consolidated"
+                    else:
+                        report[kind] = "fresh"
                     continue
                 # fresh but drifted/outgrown: coverage is current, recall
                 # or probe cost is not — fall through to the rebuild
@@ -1651,7 +1678,13 @@ class VectorCollection:
                     # re-evaluate before declaring the index healthy
                     drifted = self._index_drift_exceeded(kind)
                     if not drifted:
-                        report[kind] = "refreshed"
+                        if kind in self._LAYOUT_PARTITION_BY and (
+                            self._mask_consolidation_due(kind)
+                        ):
+                            self._consolidate_layout(kind)
+                            report[kind] = "consolidated"
+                        else:
+                            report[kind] = "refreshed"
                         continue
                 except ValueError:
                     pass  # folded history / legacy layout → rebuild
@@ -2851,6 +2884,111 @@ class VectorCollection:
             )
             .drop("__mask_seg")
         )
+
+    # partitioning of each non-graph family's persisted layout — the
+    # shared no-retrain compaction below rewrites with the same keys
+    _LAYOUT_PARTITION_BY = {
+        "ivf": ("centroid_id",),
+        "ivfpq": ("centroid_id",),
+        "lsh": ("table", "sig"),
+    }
+
+    def _mask_consolidation_due(self, kind: str) -> bool:
+        """True when ``kind``'s side mask has grown to
+        LAYOUT_MASK_CONSOLIDATE_FRACTION of its layout (footer row
+        counts only — metadata reads, never a scan). Mask rows are one
+        per (id, seg) refresh event, so repeatedly-rewritten ids count
+        more than once: an over-estimate that only consolidates
+        EARLIER, the safe direction (each mask row is also real search
+        join cost)."""
+        index_path = getattr(self, f"_{kind}_index_path")
+        mask_path = getattr(self, f"_{kind}_mask_path")
+        if not os.path.isdir(mask_path) or not os.path.isdir(index_path):
+            return False
+        spark = self.catalog.spark
+        try:
+            mask_rows = spark.read.parquet(mask_path).count()
+            layout_rows = spark.read.parquet(index_path).count()
+        except AnalysisException:
+            return False
+        # the mask holds one row per (id, seg); the LSH layout holds
+        # `tables` copies per id — normalize to per-id units or the
+        # multi-table families would need tables x the churn to trigger
+        if kind == "lsh":
+            meta_file = os.path.join(index_path, "_index_meta.json")
+            try:
+                with open(meta_file) as fh:
+                    layout_rows //= max(int(json.load(fh).get("tables", 1)), 1)
+            except (OSError, ValueError):
+                pass
+        return mask_rows >= LAYOUT_MASK_CONSOLIDATE_FRACTION * max(
+            layout_rows, 1
+        )
+
+    def _consolidate_layout(self, kind: str) -> int:
+        """Fold a non-graph family's delta segments and side mask back
+        into a mask-free layout WITHOUT re-training (r11 — the
+        flat-layout sibling of :meth:`consolidate_nsw_index`): the
+        masked view (dead rows dropped, newest segment per id kept) is
+        rewritten under the family's own partitioning and atomically
+        swapped in, the mask dir deleted. Pinned centroids / codebooks /
+        hyperplanes are untouched, so search routing is IDENTICAL —
+        what changes is cost: the per-search mask join disappears (and
+        with it the risk of the mask outgrowing its broadcast byte
+        gate), and the layout stops accreting small segment files.
+
+        The meta is preserved VERBATIM apart from a ``consolidations``
+        audit entry — in particular ``refresh_stats`` and
+        ``build_rows`` survive: for IVF/IVFPQ those carry the centroid/
+        codebook DRIFT evidence, which consolidation does NOT pay down
+        (the pinned quantizers still describe the write distribution
+        exactly as well or badly as before), so resetting them would
+        blind the drift escalation across compactions. ``next_seg``
+        also keeps incrementing — segment ids are never reused.
+        Requires a FRESH index (optimize() refreshes first). Returns
+        the consolidated row count."""
+        getattr(self, f"_{kind}_meta_fresh")(f"consolidate_{kind}_index")
+        index_path = getattr(self, f"_{kind}_index_path")
+        mask_path = getattr(self, f"_{kind}_mask_path")
+        partition_by = self._LAYOUT_PARTITION_BY[kind]
+        meta_file = os.path.join(index_path, "_index_meta.json")
+        with open(meta_file) as fh:
+            meta = json.load(fh)
+        live = self._masked_layout_df(index_path, mask_path)
+        staging = index_path + "__consolidate_stage"
+        import shutil as _shutil
+
+        _shutil.rmtree(staging, ignore_errors=True)
+        live.write.mode("overwrite").partitionBy(*partition_by).parquet(
+            staging
+        )
+        rows = int(self.catalog.spark.read.parquet(staging).count())
+        _shutil.rmtree(index_path, ignore_errors=True)
+        os.rename(staging, index_path)
+        _shutil.rmtree(mask_path, ignore_errors=True)
+        meta.setdefault("consolidations", []).append(
+            {
+                "at_version": self.catalog._load()[self.info.name][
+                    "version"
+                ],
+                "rows": rows,
+            }
+        )
+        with open(os.path.join(index_path, "_index_meta.json"), "w") as fh:
+            json.dump(meta, fh)
+        return rows
+
+    def consolidate_ivf_index(self) -> int:
+        """No-retrain IVF layout compaction — see _consolidate_layout."""
+        return self._consolidate_layout("ivf")
+
+    def consolidate_ivfpq_index(self) -> int:
+        """No-retrain IVF+PQ layout compaction — see _consolidate_layout."""
+        return self._consolidate_layout("ivfpq")
+
+    def consolidate_lsh_index(self) -> int:
+        """No-retrain LSH layout compaction — see _consolidate_layout."""
+        return self._consolidate_layout("lsh")
 
     def _ivf_layout_df(self) -> DataFrame:
         return self._masked_layout_df(self._ivf_index_path, self._ivf_mask_path)
