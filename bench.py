@@ -40,8 +40,13 @@ BENCH_QUERIES = [
     # twin below — is 9x faster at sf1.0 (1.4x scaling). Benching the
     # shape no pipeline should run just re-measured a documented cliff.
     # r10: the volume-adaptive twin is the headline dedup row — on this
-    # degenerate fixture it escalates banding (24.5M -> 5.7M candidates
-    # at sf0.1) where the fixed plan pays the full verify blowup
+    # degenerate fixture it escalates (r11 ladder: 24.5M -> 21.5M at the
+    # DF rung, whose 30 dropped tokens can't fix a small-VOCAB
+    # saturation, -> 5.0M at the widest banding) where the fixed plan
+    # pays the full verify blowup; the extra ~2s vs the r10 ladder is
+    # the rung's probe + filtered-token build, the price of mid-Jaccard
+    # recall on the corpora the rung IS effective on (boilerplate —
+    # STRESS 'MinHash DF prefilter rung': 991/1000 vs 225/1000)
     "q_dedup_minhash_auto",
     "q_text_stats",
     # text analysis

@@ -889,3 +889,52 @@ def test_nsw_duplicate_vector_tie_breaks_by_id_at_k1(spark):
         assert got[0] == 0, f"k={k}: tie broke to {got[0]}, not the min id"
         if k >= 2:
             assert got[1] == 900  # the duplicate follows immediately
+
+
+def test_nsw_merge_cascade_demotes_orphaned_kept_nodes(spark):
+    """r11 review: demotion must CASCADE — a base node that lost nothing
+    to the mask directly, but whose every neighbor is demoted, would
+    otherwise keep zero outgoing links (and, wiring being bidirectional,
+    zero incoming) and silently disconnect from the merged graph.
+
+    Hand-built bucket: node 1 links only to 2 and 3; nodes 2 and 3 lost
+    most of their links to masked-out ids (4, 5, 6 absent from the live
+    layout) so both demote at floor M//2=2; node 1 must then demote in
+    the cascade's second pass and re-insert — found by its own vector
+    afterwards."""
+    import math
+
+    def vec(seed):
+        return [math.sin(seed * 1.7 + j) for j in range(8)]
+
+    rows = [
+        (1, vec(1), 0, [2, 3], 0),
+        (2, vec(2), 0, [4, 5, 6, 1], 0),
+        (3, vec(3), 0, [4, 5, 6, 1], 0),
+        # healthy far-away clique keeps the bucket's kept-set non-empty
+        (10, vec(10), 0, [11, 12], 0),
+        (11, vec(11), 0, [10, 12], 0),
+        (12, vec(12), 0, [10, 11], 0),
+        # one delta row so the merge has an insert side
+        (20, vec(20), 1000, [21], 1),
+    ]
+    layout = spark.createDataFrame(
+        rows,
+        "vec_id long, embedding array<float>, _b int, "
+        "neighbors array<long>, __seg int",
+    )
+    merged = ann.nsw_merge_graph_rows(layout, M=4).collect()
+    by_id = {r["vec_id"]: list(r["neighbors"]) for r in merged}
+    assert set(by_id) == {1, 2, 3, 10, 11, 12, 20}
+    # no emitted node is edgeless, and node 1 specifically is connected
+    assert all(len(nb) > 0 for nb in by_id.values()), by_id
+    # and the beam finds node 1 by its own vector through the merged graph
+    got = ann.nsw_search_layout(
+        spark.createDataFrame(
+            [(r["vec_id"], r["embedding"], 0, r["neighbors"]) for r in merged],
+            "vec_id long, embedding array<float>, _b int, neighbors array<long>",
+        ),
+        [(0, vec(1))],
+        k=1,
+    ).collect()
+    assert [r["vec_id"] for r in got] == [1]

@@ -605,6 +605,42 @@ def test_minhash_auto_df_prefilter_keeps_mid_jaccard_recall(spark):
     assert found >= 57, f"planted 0.72-J recall {found}/60 < 95%"
 
 
+def test_minhash_df_rung_boundary_pair_survives(spark):
+    """r11 review: a near-exact pair straddling the all-boilerplate
+    boundary — doc A pure boilerplate, doc B = A + one content token
+    (J = 15/16) — must survive the DF rung. The first cut's empty-set
+    fallback kept A's full 15 tokens but shrank B to its single content
+    token, so the pair shared no signature tokens; the
+    MINHASH_DF_MIN_CONTENT_TOKENS floor makes both sides fall back to
+    full sets together."""
+    import random
+    import warnings
+
+    rng = random.Random(3)
+    pool = [f"b{i}" for i in range(25)]
+    cvocab = [f"c{i}" for i in range(500)]
+    rows = []
+    for i in range(1500):
+        rows.append((i, " ".join(rng.sample(pool, 15) + rng.sample(cvocab, 10))))
+    # the boundary pair: A = 15 boilerplate tokens only, B = A + "cxx"
+    a_toks = rng.sample(pool, 15)
+    rows.append((20000, " ".join(a_toks)))
+    rows.append((20001, " ".join(a_toks + ["cxx"])))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    stats: dict = {}
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", UserWarning)
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.minhash_neardup_pairs_auto(
+                docs, max_candidates=20_000, stats=stats
+            ).collect()
+        }
+    assert stats["level"] == 1 and stats["df_dropped_tokens"] == 25
+    assert (20000, 20001) in pairs, "boundary near-exact pair lost"
+
+
 def test_minhash_auto_below_budget_identical_to_fixed(spark):
     """Below the candidate budget the auto operator must be bit-identical
     to minhash_neardup_pairs — the q_dedup_minhash_auto oracle contract."""
@@ -637,13 +673,32 @@ def test_q_dedup_minhash_auto_raises_on_oracle_scale_escalation(
     from vector_database_spark import queries
     from vector_database_spark.operators import dedup as dedup_mod
 
+    fake_n_docs = {"n": 1000}
+
     def fake_auto(docs, stats=None, **kw):
         if stats is not None:
-            stats.update(level=1, num_hashes=16, bands=4)
+            stats.update(
+                level=1, num_hashes=16, bands=4, n_docs=fake_n_docs["n"]
+            )
         return docs
 
     monkeypatch.setattr(dedup_mod, "minhash_neardup_pairs_auto", fake_auto)
+    # the odd-path cases below never touch the filesystem
+    monkeypatch.setattr(
+        queries,
+        "_docs_with_near_dups",
+        lambda _spark, _sf: spark.createDataFrame(
+            [(0, "x")], "doc_id long, text string"
+        ),
+    )
     with pytest.raises(RuntimeError, match="oracle-scale"):
         queries.q_dedup_minhash_auto(spark, "/root/testdata/sf0.001")
     # non-oracle sf: escalation is by design, no raise
     queries.q_dedup_minhash_auto(spark, "/root/testdata/sf0.1")
+    # un-parseable path must not fail OPEN (r11 review): the corpus-size
+    # fallback catches an oracle-scale corpus behind a renamed dir...
+    with pytest.raises(RuntimeError, match="oracle-scale"):
+        queries.q_dedup_minhash_auto(spark, "/root/testdata/sf0.001-copy")
+    # ...while a genuinely large corpus behind an odd path stays allowed
+    fake_n_docs["n"] = 120_000
+    queries.q_dedup_minhash_auto(spark, "/root/testdata/sf0.001-copy")

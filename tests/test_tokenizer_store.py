@@ -251,3 +251,38 @@ def test_save_hf_wordlevel_guards(spark):
     )
     with pytest.raises(ValueError, match="unk_token"):
         ts.save_hf_wordlevel(no_unk, "/tmp/never_written.json", specials=("[PAD]",))
+
+
+def test_load_hf_wordlevel_merges_added_tokens(spark, tmp_path):
+    """r11 review: specials registered ONLY in added_tokens (the
+    tokenizer.add_special_tokens() serialization shape) must load; a
+    contradictory id must raise, not silently pick a side."""
+    import json
+
+    art = {
+        "version": "1.0",
+        "truncation": None,
+        "padding": None,
+        "added_tokens": [
+            {"id": 0, "content": "[UNK]", "special": True},
+            {"id": 1, "content": "[PAD]", "special": True},
+        ],
+        "normalizer": None,
+        "pre_tokenizer": {"type": "Whitespace"},
+        "post_processor": None,
+        "decoder": None,
+        # model.vocab deliberately lacks the specials
+        "model": {"type": "WordLevel", "vocab": {"hello": 2, "world": 3},
+                  "unk_token": "[UNK]"},
+    }
+    p = str(tmp_path / "added_only.json")
+    json.dump(art, open(p, "w"))
+    vocab = {r["token"]: r["token_id"] for r in ts.load_hf_wordlevel(spark, p).collect()}
+    assert vocab == {"[UNK]": 0, "[PAD]": 1, "hello": 2, "world": 3}
+
+    art["added_tokens"][0]["id"] = 5  # contradicts nothing yet...
+    art["model"]["vocab"]["[UNK]"] = 0  # ...now it does
+    p2 = str(tmp_path / "conflict.json")
+    json.dump(art, open(p2, "w"))
+    with pytest.raises(ValueError, match="contradicts"):
+        ts.load_hf_wordlevel(spark, p2)

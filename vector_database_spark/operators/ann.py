@@ -1674,13 +1674,30 @@ def nsw_merge_graph_rows(
         surv = {int(v) for v in base[id_col].to_numpy()}
         # pass 1: demotion — a base node the masks gutted (under M//2
         # surviving links) re-inserts; moderately damaged nodes keep
-        # their links and are re-healed by insertion backlinks
+        # their links and are re-healed by insertion backlinks. Iterated
+        # to a FIXPOINT (r11 review): demoting a node removes its edges
+        # from the kept graph, which can gut a neighbor that lost
+        # nothing to the mask directly — without the cascade such a
+        # node would keep zero outgoing links (and, wiring being
+        # bidirectional, zero incoming) and silently disconnect. The
+        # cascade converges in a handful of passes (each demotes at
+        # least one node or stops); total demotion degenerates to a
+        # local from-scratch rebuild, which is then the correct plan.
         demote_floor = max(1, M // 2)
+        neigh_rows = base["neighbors"].to_numpy()
         demote = np.zeros(len(base), dtype=bool)
-        for i, row in enumerate(base["neighbors"].to_numpy()):
-            kept_n = sum(1 for nb_ in row if int(nb_) in surv)
-            if kept_n < len(row) and kept_n < demote_floor:
-                demote[i] = True
+        live_ids = set(surv)
+        changed = True
+        while changed:
+            changed = False
+            for i, row in enumerate(neigh_rows):
+                if demote[i]:
+                    continue
+                kept_n = sum(1 for nb_ in row if int(nb_) in live_ids)
+                if kept_n < len(row) and kept_n < demote_floor:
+                    demote[i] = True
+                    live_ids.discard(int(base[id_col].iat[i]))
+                    changed = True
         kept = base[~demote].reset_index(drop=True)
         kept_ids = kept[id_col].to_numpy()
         pos = {int(v): i for i, v in enumerate(kept_ids)}

@@ -407,6 +407,13 @@ DEFAULT_MAX_CANDIDATES = 2_000_000
 # df > fraction·N (Σ df = N·avg_len), so the drop list always
 # broadcasts.
 MINHASH_DF_PREFILTER_FRACTION = 0.5
+# Docs left with fewer surviving tokens than this after the DF drop
+# keep their FULL sets — a doc that IS (almost) pure boilerplate can't
+# be signed by its content, and signing only one side of a near-exact
+# pair by content while the other falls back to its full set loses the
+# pair entirely (r11 review). Pairs straddling the floor itself remain
+# the residual boundary of the rung, named in the escalation warning.
+MINHASH_DF_MIN_CONTENT_TOKENS = 4
 
 
 def _wide_minhash_signatures(
@@ -487,8 +494,10 @@ def minhash_neardup_pairs_auto(
          exceeds the cutoff — e.g. flat-DF corpora). Same banding
          probability curve as level 0, so mid-Jaccard recall is KEPT;
          what it spends is boilerplate-only similarity (module constant
-         doc). Docs whose every token is boilerplate keep their full
-         sets (they must still find their exact duplicates).
+         doc). Boilerplate-dominated docs (fewer than
+         MINHASH_DF_MIN_CONTENT_TOKENS surviving tokens) keep their
+         full sets, so near-exact pairs on either side of the
+         all-boilerplate boundary fall back TOGETHER.
       2+ (16, 4) then (32, 4) band-widening over the level-1 token
          sets — the last resort that does trade mid-Jaccard recall
          (0.7-J collision 96% → 49% → 14%).
@@ -555,17 +564,32 @@ def minhash_neardup_pairs_auto(
             sig_toks = toks
             if df_dropped:
                 kept = toks.join(F.broadcast(high_df), "token", "left_anti")
-                # empty-set fallback: a doc made ENTIRELY of boilerplate
-                # must keep its full set — its exact duplicates are
-                # found via identical (full) signatures, and silently
-                # emitting no signature would drop it from dedup
-                covered = kept.select(id_col).distinct()
-                orphans = toks.join(
-                    sigs.select(id_col).join(covered, id_col, "left_anti"),
-                    id_col,
-                    "left_semi",
+                # full-set fallback for BOILERPLATE-DOMINATED docs: any
+                # doc left with fewer than MINHASH_DF_MIN_CONTENT_TOKENS
+                # surviving tokens keeps its FULL set. A bare empty-set
+                # fallback (r11 first cut) was asymmetric at the
+                # boundary — an all-boilerplate doc kept 15 tokens while
+                # its near-exact dup with ONE content token kept just
+                # that token, so the 0.94-Jaccard pair shared no
+                # signature tokens and was silently lost (r11 review).
+                # The floor makes both sides of such pairs fall back
+                # together; pairs straddling the floor itself (k-1 vs k
+                # content tokens) remain the residual boundary, stated
+                # in the escalation warning rather than papered over.
+                content_n = kept.groupBy(id_col).agg(
+                    F.count("*").alias("__n")
                 )
-                filt_toks = kept.unionByName(orphans).persist()
+                fallback_ids = sigs.select(id_col).join(
+                    content_n.filter(
+                        F.col("__n") >= MINHASH_DF_MIN_CONTENT_TOKENS
+                    ),
+                    id_col,
+                    "left_anti",
+                )
+                full_set = toks.join(fallback_ids, id_col, "left_semi")
+                filt_toks = kept.join(
+                    fallback_ids, id_col, "left_anti"
+                ).unionByName(full_set).persist()
                 sig_toks = filt_toks
             high_df.unpersist()
             wide = _wide_minhash_signatures(
@@ -623,8 +647,12 @@ def minhash_neardup_pairs_auto(
             f"minhash_neardup_pairs_auto: escalated to "
             f"{chosen[0]} hashes × {chosen[1]} bands (level {level}): "
             f"volumes per level {volumes} vs budget {max_candidates}. "
-            f"{df_note}{recall_note}. Exact/near-exact duplicates are "
-            "unaffected at every level",
+            f"{df_note}{recall_note}. Exact duplicates are unaffected "
+            "at every level; near-exact pairs survive the DF rung too "
+            "(boilerplate-dominated docs fall back to full sets "
+            "together) except pairs straddling the "
+            f"{MINHASH_DF_MIN_CONTENT_TOKENS}-content-token fallback "
+            "floor itself",
             UserWarning,
             stacklevel=2,
         )
@@ -636,6 +664,11 @@ def minhash_neardup_pairs_auto(
             volumes=list(volumes),
             max_candidates=max_candidates,
             df_dropped_tokens=df_dropped,
+            # populated only when escalation ran (the count is free
+            # there — sigs is cached for the DF analysis); callers use
+            # it to sanity-check escalations against expected corpus
+            # sizes without paying a count on the common level-0 path
+            n_docs=n_docs if level > 0 else None,
         )
     cands = minhash_band_pairs(sigs, id_col, num_hashes=chosen[0], bands=chosen[1])
     return jaccard_verify(cands, docs, text_col, id_col)

@@ -249,10 +249,26 @@ def load_hf_wordlevel(spark: SparkSession, json_path: str):
             f"{json_path}: model.type={model.get('type')!r}; only WordLevel "
             "artifacts map onto the engine's vocab DataFrame"
         )
-    vocab = model["vocab"]
+    vocab = dict(model["vocab"])
+    # added_tokens is a legal SECOND home for special tokens: artifacts
+    # built via tokenizer.add_special_tokens() register them there
+    # without a model.vocab entry (the reference's artifacts carry them
+    # in both). Merge, refusing contradictions — a special mapped to a
+    # different id than the model's copy is a corrupt artifact, not a
+    # tie to break silently (r11 review).
+    for t in art.get("added_tokens") or []:
+        content, tid = t.get("content"), t.get("id")
+        if content is None or tid is None:
+            continue
+        if content in vocab and int(vocab[content]) != int(tid):
+            raise ValueError(
+                f"{json_path}: added_token {content!r} id {tid} contradicts "
+                f"model.vocab id {vocab[content]}"
+            )
+        vocab[content] = int(tid)
     ids = list(vocab.values())
     if len(set(ids)) != len(ids):
-        raise ValueError(f"{json_path}: duplicate token_ids in model.vocab")
+        raise ValueError(f"{json_path}: duplicate token_ids in vocab")
     return spark.createDataFrame(
         [(tok, int(tid)) for tok, tid in vocab.items()],
         "token string, token_id long",

@@ -926,9 +926,11 @@ def q_dedup_minhash_auto(spark, sf_dir):
     the 2M default), so the plan and result are BIT-IDENTICAL to
     q_dedup_minhash and the same FULL oracle applies — the escalation
     canary pattern of q_knn_auto. At sf0.1 the synthetic worst-case
-    corpus escalates (24.5M → 5.7M candidates at the widest level, with
-    the saturation warning); tests/test_ann.py pins planted-near-dup
-    recall through the escalated levels.
+    corpus escalates through the full r11 ladder (24.5M → 21.5M at the
+    DF prefilter rung — 30 dropped tokens can't fix a small-VOCAB
+    saturation — → 5.0M at the widest banding, with the saturation
+    warning); tests pin planted-near-dup recall through the escalated
+    levels and the DF rung's mid-Jaccard recall on boilerplate corpora.
 
     r11 (ADVICE r10): the oracle contract is only valid while the plan
     stays at level 0, so instead of suppressing the escalation warning
@@ -942,18 +944,29 @@ def q_dedup_minhash_auto(spark, sf_dir):
     out = dedup.minhash_neardup_pairs_auto(
         _docs_with_near_dups(spark, sf_dir), stats=stats
     )
-    sf_tail = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    try:
-        oracle_scale = float(sf_tail) <= 0.01
-    except ValueError:
-        oracle_scale = False
-    if oracle_scale and stats.get("level", 0) != 0:
-        raise RuntimeError(
-            "q_dedup_minhash_auto escalated banding at an oracle-scale sf "
-            f"(sf_dir={sf_dir!r}, stats={stats!r}): the DuckDB oracle is "
-            "only valid at level 0 — the candidate budget or the fixture "
-            "changed; re-pin DEFAULT_MAX_CANDIDATES or drop the oracle"
-        )
+    if stats.get("level", 0) != 0:
+        sf_tail = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        try:
+            oracle_scale = float(sf_tail) <= 0.01
+        except ValueError:
+            # un-parseable path (a temp copy, a renamed fixture dir):
+            # don't fail OPEN on the path alone (r11 review) — fall back
+            # to the corpus size the escalation already counted. The
+            # sf0.01 oracle corpus is ~12k docs and sf0.1 (where
+            # escalation is by design) is ~122k, so a 50k bound
+            # separates them with wide margin. This wrapper only ever
+            # reads the driver fixtures, so the bound can't misfire on
+            # some legitimately-escalating small user corpus.
+            n_docs = stats.get("n_docs")
+            oracle_scale = n_docs is not None and n_docs < 50_000
+        if oracle_scale:
+            raise RuntimeError(
+                "q_dedup_minhash_auto escalated banding at an oracle-scale "
+                f"sf (sf_dir={sf_dir!r}, stats={stats!r}): the DuckDB "
+                "oracle is only valid at level 0 — the candidate budget or "
+                "the fixture changed; re-pin DEFAULT_MAX_CANDIDATES or "
+                "drop the oracle"
+            )
     return out
 
 
