@@ -40,13 +40,14 @@ BENCH_QUERIES = [
     # twin below — is 9x faster at sf1.0 (1.4x scaling). Benching the
     # shape no pipeline should run just re-measured a documented cliff.
     # r10: the volume-adaptive twin is the headline dedup row — on this
-    # degenerate fixture it escalates (r11 ladder: 24.5M -> 21.5M at the
+    # degenerate fixture it escalates (r11 ladder: 24.5M -> 21.8M at the
     # DF rung, whose 30 dropped tokens can't fix a small-VOCAB
-    # saturation, -> 5.0M at the widest banding) where the fixed plan
-    # pays the full verify blowup; the extra ~2s vs the r10 ladder is
-    # the rung's probe + filtered-token build, the price of mid-Jaccard
-    # recall on the corpora the rung IS effective on (boilerplate —
-    # STRESS 'MinHash DF prefilter rung': 991/1000 vs 225/1000)
+    # saturation, -> 5.5M at the widest banding) where the fixed plan
+    # pays the full verify blowup; the remaining ~1s vs the pre-rung
+    # ladder (the post-0 probes now share ONE job — _ladder_volumes —
+    # and the wide table is all-xxhash) is the rung's filtered-token
+    # build, the price of mid-Jaccard recall on the corpora the rung IS
+    # effective on (boilerplate — STRESS 'MinHash DF prefilter rung')
     "q_dedup_minhash_auto",
     "q_text_stats",
     # text analysis

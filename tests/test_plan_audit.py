@@ -27,6 +27,8 @@ HEAVY_QUERIES = (
     "q_simhash_pairs_compound",
     "q_knn_twophase",
     "q_incremental_dedup_indexed",
+    # r11: the volume-bounded incremental path (wide-index band join)
+    "q_incremental_dedup_auto",
     "q_semdedup",
     "q_semdedup_kmeans",
     "q_kmeans_clusters",

@@ -210,6 +210,130 @@ def test_incremental_dedup_rejects_overlapping_ids(spark):
         dedup.incremental_dedup(incoming, corpus)
 
 
+def _incremental_sides_small(spark):
+    docs = read_table(spark, SF_SMALL, "documents")
+    corpus = docs.filter(F.col("doc_id") < 300)
+    incoming = (
+        docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 350))
+        .select("doc_id", "text")
+        .unionByName(
+            corpus.filter(F.col("doc_id") < 20).select(
+                (F.col("doc_id") + 7000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+            )
+        )
+    )
+    return corpus, incoming
+
+
+def test_incremental_auto_below_budget_identical_to_fixed(spark):
+    """Below the cross-side candidate budget the auto operator must be
+    bit-identical to incremental_dedup — the q_incremental_dedup_auto
+    oracle contract (level-0 band keys are the same md5 family whether
+    they come from the narrow or the wide index)."""
+    corpus, incoming = _incremental_sides_small(spark)
+    stats: dict = {}
+    got = sorted(
+        map(tuple, dedup.incremental_dedup_auto(
+            incoming, corpus, stats=stats
+        ).collect())
+    )
+    want = sorted(map(tuple, dedup.incremental_dedup(incoming, corpus).collect()))
+    assert stats["level"] == 0 and len(stats["volumes"]) == 1
+    assert got == want
+
+
+def test_incremental_auto_cross_volume_probe_is_exact(spark):
+    """The probe's Σ n_corpus × n_incoming over shared band keys must
+    equal the row count the cross-side band join actually materializes
+    (before distinct) — the number the budget bounds."""
+    corpus, incoming = _incremental_sides_small(spark)
+    corp_sigs = dedup.minhash_index_signatures(corpus).persist()
+    inc_sigs = dedup.minhash_index_signatures(incoming).persist()
+    first = dedup.MINHASH_ESCALATION_LEVELS[0]
+    probed = dedup._cross_volumes(corp_sigs, inc_sigs, "doc_id", [first])[0]
+    actual = (
+        dedup.band_keys(corp_sigs, "doc_id", *first)
+        .withColumnRenamed("bid", "id_a")
+        .join(
+            dedup.band_keys(inc_sigs, "doc_id", *first).withColumnRenamed(
+                "bid", "id_b"
+            ),
+            "band_key",
+        )
+        .count()
+    )
+    corp_sigs.unpersist()
+    inc_sigs.unpersist()
+    assert probed == actual > 0
+
+
+def test_incremental_auto_escalates_and_keeps_near_exact_recall(spark):
+    """Forced over a tiny budget, the auto operator widens banding
+    against the wide index columns (warning says so) and the planted
+    near-exact (J≈0.95) incoming dups survive at the widest level."""
+    import warnings
+
+    corpus, incoming = _incremental_sides_small(spark)
+    idx = dedup.minhash_index_signatures(corpus).persist()
+    stats: dict = {}
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = {
+            r["doc_id"]: r
+            for r in dedup.incremental_dedup_auto(
+                incoming, corpus, corpus_index=idx,
+                max_candidates=10, stats=stats,
+            ).collect()
+        }
+    idx.unpersist()
+    assert stats["level"] > 0 and stats["num_hashes"] > 8
+    assert any("WIDENED" in str(x.message) for x in w)
+    found = sum(1 for i in range(20) if out[7000 + i]["is_dup"])
+    assert found >= 19, f"planted near-exact recall {found}/20 after widening"
+
+
+def test_incremental_auto_narrow_index_cannot_widen(spark):
+    """A legacy 8-hash index over budget must warn that escalation is
+    impossible and still produce the fixed-plan result at (8, 4)."""
+    import warnings
+
+    corpus, incoming = _incremental_sides_small(spark)
+    narrow = dedup.minhash_signatures(corpus).persist()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        stats: dict = {}
+        got = sorted(
+            map(tuple, dedup.incremental_dedup_auto(
+                incoming, corpus, corpus_index=narrow,
+                max_candidates=10, stats=stats,
+            ).collect())
+        )
+    narrow.unpersist()
+    assert stats["level"] == 0 and stats["num_hashes"] == 8
+    assert any("cannot widen" in str(x.message) for x in w)
+    want = sorted(map(tuple, dedup.incremental_dedup(incoming, corpus).collect()))
+    assert got == want
+
+
+def test_q_incremental_dedup_auto_raises_on_escalation(spark, monkeypatch):
+    """The wrapper's oracle guard: ANY escalation on a driver fixture
+    must raise (strict form of the q_dedup_minhash_auto guard)."""
+    import pytest
+
+    from vector_database_spark import queries
+    from vector_database_spark.operators import dedup as dedup_mod
+
+    def fake_auto(incoming, corpus, stats=None, **kw):
+        if stats is not None:
+            stats.update(level=1, num_hashes=16, bands=4)
+        return incoming
+
+    monkeypatch.setattr(dedup_mod, "incremental_dedup_auto", fake_auto)
+    with pytest.raises(RuntimeError, match="escalated banding"):
+        queries.q_incremental_dedup_auto(spark, SF_SMALL)
+
+
 def test_filter_dsl_agrees_with_python_reference(spark):
     """Property check: random Qdrant filter specs evaluated by the Catalyst
     translator must agree row-for-row with a direct Python evaluator
@@ -699,6 +823,7 @@ def test_q_dedup_minhash_auto_raises_on_oracle_scale_escalation(
     # fallback catches an oracle-scale corpus behind a renamed dir...
     with pytest.raises(RuntimeError, match="oracle-scale"):
         queries.q_dedup_minhash_auto(spark, "/root/testdata/sf0.001-copy")
-    # ...while a genuinely large corpus behind an odd path stays allowed
-    fake_n_docs["n"] = 120_000
+    # ...while an sf0.1-sized corpus (~5,100 docs — escalation is by
+    # design there) behind an odd path stays allowed
+    fake_n_docs["n"] = 5_100
     queries.q_dedup_minhash_auto(spark, "/root/testdata/sf0.001-copy")

@@ -49,7 +49,27 @@ def main() -> int:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    # Queries whose oracle contract holds only while their
+    # volume-adaptive plan stays at level 0 — true at the sf<=0.01
+    # oracle scales (their wrappers RAISE if that ever breaks), false
+    # past them, where the degenerate documents corpus makes the ladder
+    # escalate BY DESIGN and the fixed-banding SQL stops being the
+    # semantics under test. Skipped (with a note) above the oracle sf.
+    escalates_past_oracle_sf = {
+        "q_dedup_minhash_auto",
+        "q_incremental_dedup_auto",
+    }
+    try:
+        past_oracle_sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) > 0.01
+    except ValueError:
+        past_oracle_sf = False
+
     names = sorted(ORACLES if only is None else (set(ORACLES) & only))
+    if past_oracle_sf and (skipped := set(names) & escalates_past_oracle_sf):
+        print(
+            "escalates by design at this sf, oracle n/a:", sorted(skipped)
+        )
+        names = [n for n in names if n not in skipped]
     bad = []
     if only is not None and (missing := only - set(ORACLES)):
         # a typo'd or oracle-less name must not produce a vacuous green run

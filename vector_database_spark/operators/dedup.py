@@ -421,22 +421,19 @@ def _wide_minhash_signatures(
     id_col: str,
     num_hashes: int,
 ) -> DataFrame:
-    """The ESCALATION-path signature table over a (id, token) pair table:
-    h0..h{NUM_HASHES-1} stay the portable md5 family (so level-0 bands
-    re-derived from this table are bit-identical to minhash_signatures —
-    not that the escalated path uses them), while the WIDENED hashes
-    h{NUM_HASHES}.. use JVM-native xxhash64(i, token). Escalated bands
-    carry no oracle contract — any deterministic hash family gives the
-    same banding semantics — and xxhash is ~an order of magnitude
-    cheaper than expression-md5, which dominated the escalated run's
-    wall (17.3s -> 8.7s with this + the shared token table, vs 5.2s
-    fixed, on the saturated bench fixture)."""
+    """The ESCALATION-path signature table over a (id, token) pair
+    table, hashed with JVM-native xxhash64(i, token) for EVERY column.
+    Escalated bandings carry no oracle contract — any deterministic
+    hash family gives the same banding probability curve — and xxhash
+    is ~an order of magnitude cheaper than the expression-md5 family
+    the oracle level pins, which dominated the escalated run's wall
+    (17.3s -> 8.7s moving h{NUM_HASHES}.. to xxhash + sharing the token
+    table in r10; r11 moves h0..h{NUM_HASHES-1} too — they had kept md5
+    only so level-0 bands could be re-derived bit-identically from this
+    table, a property nothing used)."""
     aggs = [
-        F.min(seeded_hash(F.col("token"), i)).alias(f"h{i}")
-        for i in range(NUM_HASHES)
-    ] + [
         F.min(F.xxhash64(F.lit(i), F.col("token"))).alias(f"h{i}")
-        for i in range(NUM_HASHES, num_hashes)
+        for i in range(num_hashes)
     ]
     return toks.groupBy(id_col).agg(*aggs)
 
@@ -458,6 +455,37 @@ def minhash_candidate_volume(
         F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("v")
     ).collect()[0]
     return int(row["v"] or 0)
+
+
+def _ladder_volumes(
+    signatures: DataFrame,
+    id_col: str,
+    levels: list[tuple[int, int]],
+) -> list[int]:
+    """Candidate volumes for SEVERAL banding levels in one job: the
+    per-level band-key tables union with a level tag and aggregate
+    together (Σ C(n,2) per level). On escalated corpora the ladder's
+    sequential probes were driver-blocking round trips over a tiny
+    cached signature table — job count, not data volume, was their
+    cost (2.6s of the sf0.1 bench row for probes whose aggregation
+    input is ~20k rows)."""
+    keyed = None
+    for lv, (nh, nb) in enumerate(levels):
+        k = band_keys(signatures, id_col, nh, nb).select(
+            F.lit(lv).alias("__lv"), "band_key"
+        )
+        keyed = k if keyed is None else keyed.unionByName(k)
+    rows = (
+        keyed.groupBy("__lv", "band_key")
+        .agg(F.count("*").alias("n"))
+        .groupBy("__lv")
+        .agg(
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("v")
+        )
+        .collect()
+    )
+    vols = {int(r["__lv"]): int(r["v"] or 0) for r in rows}
+    return [vols.get(i, 0) for i in range(len(levels))]
 
 
 def minhash_neardup_pairs_auto(
@@ -532,6 +560,8 @@ def minhash_neardup_pairs_auto(
     # case (r10 review).
     toks = _doc_tokens(docs, text_col, id_col).persist()
     filt_toks = None
+    high_df = None
+    sigs8 = None
     df_dropped = 0
     try:
         aggs8 = [
@@ -563,7 +593,6 @@ def minhash_neardup_pairs_auto(
             df_dropped = high_df.count()
             sig_toks = toks
             if df_dropped:
-                kept = toks.join(F.broadcast(high_df), "token", "left_anti")
                 # full-set fallback for BOILERPLATE-DOMINATED docs: any
                 # doc left with fewer than MINHASH_DF_MIN_CONTENT_TOKENS
                 # surviving tokens keeps its FULL set. A bare empty-set
@@ -576,9 +605,9 @@ def minhash_neardup_pairs_auto(
                 # together; pairs straddling the floor itself (k-1 vs k
                 # content tokens) remain the residual boundary, stated
                 # in the escalation warning rather than papered over.
-                content_n = kept.groupBy(id_col).agg(
-                    F.count("*").alias("__n")
-                )
+                content_n = toks.join(
+                    F.broadcast(high_df), "token", "left_anti"
+                ).groupBy(id_col).agg(F.count("*").alias("__n"))
                 fallback_ids = sigs.select(id_col).join(
                     content_n.filter(
                         F.col("__n") >= MINHASH_DF_MIN_CONTENT_TOKENS
@@ -586,16 +615,38 @@ def minhash_neardup_pairs_auto(
                     id_col,
                     "left_anti",
                 )
-                full_set = toks.join(fallback_ids, id_col, "left_semi")
-                filt_toks = kept.join(
-                    fallback_ids, id_col, "left_anti"
-                ).unionByName(full_set).persist()
+                # ONE pass over the cached token table (the first cut's
+                # kept/full-set union read it three times): a row
+                # survives when its doc falls back (keeps everything)
+                # or its token is content
+                filt_toks = (
+                    toks.join(
+                        F.broadcast(
+                            high_df.withColumn("__hi", F.lit(True))
+                        ),
+                        "token",
+                        "left",
+                    )
+                    .join(
+                        fallback_ids.withColumn("__fb", F.lit(True)),
+                        id_col,
+                        "left",
+                    )
+                    .filter(
+                        F.col("__fb").isNotNull() | F.col("__hi").isNull()
+                    )
+                    .select(id_col, "token")
+                    .persist()
+                )
                 sig_toks = filt_toks
-            high_df.unpersist()
             wide = _wide_minhash_signatures(
                 sig_toks, id_col, num_hashes=widest
             ).persist()
-            sigs.unpersist()
+            # the 8-hash table stays cached until the finally:
+            # fallback_ids' plan reads it for the doc universe, and it
+            # materializes lazily DURING the wide probe — an eager
+            # unpersist here recomputed the md5 aggregation
+            sigs8 = sigs
             sigs = wide
             _live_sigs = sigs
             # the post-0 ladder: the DF rung keeps level-0 banding (its
@@ -604,9 +655,9 @@ def minhash_neardup_pairs_auto(
             ladder = ([(first_nh, first_nb)] if df_dropped else []) + list(
                 MINHASH_ESCALATION_LEVELS[1:]
             )
+            ladder_vols = _ladder_volumes(sigs, id_col, ladder)
             chosen = ladder[-1]
-            for nh, nb in ladder:
-                vol = minhash_candidate_volume(sigs, id_col, nh, nb)
+            for (nh, nb), vol in zip(ladder, ladder_vols):
                 volumes.append(vol)
                 if vol <= max_candidates:
                     chosen = (nh, nb)
@@ -624,8 +675,14 @@ def minhash_neardup_pairs_auto(
                 )
     finally:
         # the probes above materialized the chosen signature table;
-        # the token caches have no further reader
+        # the token/drop-list caches have no further reader (high_df is
+        # released HERE, not before the wide signature pass — its plan
+        # feeds filt_toks twice and an early unpersist recomputed it)
         toks.unpersist()
+        if high_df is not None:
+            high_df.unpersist()
+        if sigs8 is not None and sigs8 is not sigs:
+            sigs8.unpersist()
         if filt_toks is not None:
             filt_toks.unpersist()
     level = len(volumes) - 1
@@ -713,18 +770,7 @@ def incremental_dedup(
     Deterministic (portable md5 hash family) → FULL DuckDB oracle
     (queries.py::q_incremental_dedup).
     """
-    probe_side = corpus_sigs if corpus_sigs is not None else corpus
-    overlap = (
-        probe_side.select(id_col)
-        .join(F.broadcast(incoming.select(id_col)), id_col, "semi")
-        .limit(1)
-        .count()
-    )
-    if overlap:
-        raise ValueError(
-            "incremental_dedup requires disjoint ids: some incoming "
-            f"{id_col} values already exist in the corpus"
-        )
+    _check_disjoint_ids(incoming, corpus_sigs if corpus_sigs is not None else corpus, id_col)
     global _live_sigs
     _release_sig_caches()
     inc_sigs = minhash_signatures(incoming, text_col, id_col).persist()
@@ -759,6 +805,40 @@ def incremental_dedup(
     # The corpus-wide token pass is cheap (one scan, map-side) next to
     # that; don't re-add the "optimization" without re-measuring
     # tools/stress_incremental.py.
+    return _incremental_verdict(cands, incoming, corpus, text_col, id_col, threshold)
+
+
+def _check_disjoint_ids(incoming: DataFrame, probe_side: DataFrame, id_col: str) -> None:
+    """Ids MUST be disjoint across the two incremental-dedup inputs —
+    the verification stage unions the two doc sets, so an id on both
+    sides would fan its joins out and silently inflate n_matches.
+    EAGER broadcast-semi probe (one Spark job at call time), against the
+    in-memory index when one is supplied (never the signature compute)."""
+    overlap = (
+        probe_side.select(id_col)
+        .join(F.broadcast(incoming.select(id_col)), id_col, "semi")
+        .limit(1)
+        .count()
+    )
+    if overlap:
+        raise ValueError(
+            "incremental_dedup requires disjoint ids: some incoming "
+            f"{id_col} values already exist in the corpus"
+        )
+
+
+def _incremental_verdict(
+    cands: DataFrame,
+    incoming: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Shared tail of the incremental-dedup operators: exact-verify the
+    cross-side candidates against the union of both texts, then fold to
+    the per-incoming verdict contract (id, n_matches, max_jaccard_micro,
+    is_dup)."""
     both = incoming.select(id_col, text_col).unionByName(
         corpus.select(id_col, text_col)
     )
@@ -778,6 +858,209 @@ def incremental_dedup(
         )
         .orderBy(id_col)
     )
+
+
+# Width of the at-rest signature index the ESCALATING incremental path
+# consumes = the ladder's widest level. h0..h{NUM_HASHES-1} stay the
+# portable md5 family — level-0 banding against this index is
+# bit-identical to the fixed incremental plan (and the DuckDB oracle
+# family); h{NUM_HASHES}.. are JVM-native xxhash64, escalation-only
+# columns with no portability contract. 32 longs + id ≈ 0.3 KB/doc:
+# ~30 GB at 100M docs, a rounding error next to the corpus it indexes.
+INDEX_NUM_HASHES = MINHASH_ESCALATION_LEVELS[-1][0]
+
+
+def minhash_index_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The WIDE (h0..h{INDEX_NUM_HASHES-1}) signature table a production
+    pipeline persists at ingest so that :func:`incremental_dedup_auto`
+    can WIDEN banding against a saturated corpus without ever re-reading
+    corpus text — the corpus prerequisite for escalation the full-corpus
+    ladder gets by re-scanning. One tokenize + one groupBy, same shape
+    as minhash_signatures with 4x the min-aggregates."""
+    toks = _doc_tokens(docs, text_col, id_col)
+    aggs = [
+        F.min(seeded_hash(F.col("token"), i)).alias(f"h{i}")
+        for i in range(NUM_HASHES)
+    ] + [
+        F.min(F.xxhash64(F.lit(i), F.col("token"))).alias(f"h{i}")
+        for i in range(NUM_HASHES, INDEX_NUM_HASHES)
+    ]
+    return toks.groupBy(id_col).agg(*aggs)
+
+
+def _cross_volumes(
+    corp_sigs: DataFrame,
+    inc_sigs: DataFrame,
+    id_col: str,
+    levels: list[tuple[int, int]],
+) -> list[int]:
+    """CROSS-side candidate volumes (what the corpus×incoming band join
+    materializes before distinct: Σ over shared band keys of
+    n_corpus × n_incoming) for several banding levels in one job. Both
+    sides reduce to (level, band_key, count) tables first, so the probe
+    is linear in each side and never touches pairs."""
+
+    def keyed(sigs: DataFrame) -> DataFrame:
+        frames = None
+        for lv, (nh, nb) in enumerate(levels):
+            k = band_keys(sigs, id_col, nh, nb).select(
+                F.lit(lv).alias("__lv"), "band_key"
+            )
+            frames = k if frames is None else frames.unionByName(k)
+        return frames.groupBy("__lv", "band_key").agg(F.count("*").alias("n"))
+
+    rows = (
+        keyed(corp_sigs)
+        .join(
+            keyed(inc_sigs).withColumnRenamed("n", "m"),
+            ["__lv", "band_key"],
+        )
+        .groupBy("__lv")
+        .agg(F.sum(F.col("n") * F.col("m")).cast("long").alias("v"))
+        .collect()
+    )
+    vols = {int(r["__lv"]): int(r["v"] or 0) for r in rows}
+    return [vols.get(i, 0) for i in range(len(levels))]
+
+
+def incremental_dedup_auto(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = JACCARD_THRESHOLD,
+    corpus_index: DataFrame | None = None,
+    max_candidates: int = DEFAULT_MAX_CANDIDATES,
+    stats: dict | None = None,
+) -> DataFrame:
+    """:func:`incremental_dedup` with the CANDIDATE-VOLUME BOUND of
+    :func:`minhash_neardup_pairs_auto` — the batch-vs-corpus production
+    form for corpora where fixed (8, 4) cross-side banding explodes
+    (boilerplate-saturated collections: most corpus docs sharing band
+    keys with every arriving batch).
+
+    A cross-side volume probe (Σ over shared band keys of
+    n_corpus × n_incoming — the exact row count the band join would
+    materialize, computed from per-side count tables, linear in each
+    side) checks level 0 first; under ``max_candidates`` the plan and
+    result are BIT-IDENTICAL to incremental_dedup — same md5 band keys,
+    same join, same verify — so the same FULL oracle applies. Over
+    budget, one more probe job walks the band-WIDENING levels
+    ((16, 4) then (32, 4)) against the wide columns of the index.
+
+    There is NO DF-prefilter rung here by design: re-signing without
+    boilerplate tokens needs both sides' token sets, and the whole point
+    of the at-rest index is never re-reading corpus text per batch. A
+    boilerplate-saturated corpus is better re-indexed once (build the
+    index from DF-filtered text at ingest) than re-signed per batch; the
+    escalation warning says so. Widening's mid-Jaccard recall trade is
+    the module-constant doc's (0.7-J collision 96% → 49% → 14%).
+
+    ``corpus_index`` is the persisted :func:`minhash_index_signatures`
+    table (caller-managed persistence — their index). A NARROW legacy
+    index (h0..h{NUM_HASHES-1} only, the minhash_signatures shape) still
+    works but cannot widen: over-budget volume then proceeds at level 0
+    with a warning naming the rebuild. When ``corpus_index`` is omitted
+    the index is built from ``corpus`` text for this call (the contrast
+    shape, like incremental_dedup without ``corpus_sigs``).
+
+    Output contract, id-disjointness requirement, and the eager
+    disjointness probe are incremental_dedup's."""
+    import warnings
+
+    _check_disjoint_ids(
+        incoming, corpus_index if corpus_index is not None else corpus, id_col
+    )
+    global _live_sigs
+    _release_sig_caches()
+    inc_sigs = minhash_index_signatures(incoming, text_col, id_col).persist()
+    if corpus_index is None:
+        corp_sigs = minhash_index_signatures(corpus, text_col, id_col).persist()
+        _live_sigs = [inc_sigs, corp_sigs]
+    else:
+        corp_sigs = corpus_index  # caller-managed persistence (their index)
+        _live_sigs = [inc_sigs]
+    first = MINHASH_ESCALATION_LEVELS[0]
+    # which ladder levels the index is wide enough to band
+    widenable = [
+        (nh, nb)
+        for nh, nb in MINHASH_ESCALATION_LEVELS[1:]
+        if all(f"h{i}" in corp_sigs.columns for i in range(nh))
+    ]
+    # level 0 probed alone: the common under-budget batch pays ONE probe
+    # job over 4 band keys per row, not 3 levels' worth
+    volumes = _cross_volumes(corp_sigs, inc_sigs, id_col, [first])
+    chosen = first
+    if volumes[0] > max_candidates:
+        if widenable:
+            wider = _cross_volumes(corp_sigs, inc_sigs, id_col, widenable)
+            chosen = widenable[-1]
+            for (nh, nb), vol in zip(widenable, wider):
+                volumes.append(vol)
+                if vol <= max_candidates:
+                    chosen = (nh, nb)
+                    break
+            else:
+                warnings.warn(
+                    "incremental_dedup_auto: candidate volume "
+                    f"{volumes[-1]} still exceeds max_candidates="
+                    f"{max_candidates} at the widest banding level "
+                    f"{chosen} — the batch is near-dup-saturated "
+                    "against this corpus; exact/line dedup first, or "
+                    "re-index from boilerplate-filtered text",
+                    UserWarning,
+                    stacklevel=2,
+                )
+            if chosen != first:
+                warnings.warn(
+                    "incremental_dedup_auto: escalated to "
+                    f"{chosen[0]} hashes × {chosen[1]} bands: volumes "
+                    f"per level {volumes} vs budget {max_candidates}. "
+                    "Bands WIDENED — mid-Jaccard recall narrows "
+                    "(module constant doc); exact/near-exact incoming "
+                    "dups are unaffected. No DF rung exists on this "
+                    "path (the at-rest index never re-reads corpus "
+                    "text) — a boilerplate-saturated corpus is better "
+                    "re-indexed from DF-filtered text at ingest",
+                    UserWarning,
+                    stacklevel=2,
+                )
+        else:
+            warnings.warn(
+                "incremental_dedup_auto: candidate volume "
+                f"{volumes[0]} exceeds max_candidates={max_candidates} "
+                "but the supplied corpus_index is NARROW "
+                f"(h0..h{NUM_HASHES - 1} only) — cannot widen banding; "
+                "proceeding at (8, 4). Rebuild the index with "
+                "minhash_index_signatures to enable escalation",
+                UserWarning,
+                stacklevel=2,
+            )
+    n_incoming = incoming.select(id_col).count()
+    inc_bands = band_keys(inc_sigs, id_col, *chosen).withColumnRenamed(
+        "bid", "id_b"
+    )
+    cands = (
+        band_keys(corp_sigs, id_col, *chosen)
+        .withColumnRenamed("bid", "id_a")
+        .join(_maybe_broadcast(inc_bands, n_incoming, 40), "band_key")
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    if stats is not None:
+        stats.update(
+            level=len(volumes) - 1 if chosen != first else 0,
+            num_hashes=chosen[0],
+            bands=chosen[1],
+            volumes=list(volumes),
+            max_candidates=max_candidates,
+            n_incoming=n_incoming,
+        )
+    return _incremental_verdict(cands, incoming, corpus, text_col, id_col, threshold)
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",

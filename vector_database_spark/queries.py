@@ -952,13 +952,14 @@ def q_dedup_minhash_auto(spark, sf_dir):
             # un-parseable path (a temp copy, a renamed fixture dir):
             # don't fail OPEN on the path alone (r11 review) — fall back
             # to the corpus size the escalation already counted. The
-            # sf0.01 oracle corpus is ~12k docs and sf0.1 (where
-            # escalation is by design) is ~122k, so a 50k bound
-            # separates them with wide margin. This wrapper only ever
-            # reads the driver fixtures, so the bound can't misfire on
-            # some legitimately-escalating small user corpus.
+            # sf0.01 oracle corpus is ~510 docs (500 + planted dups)
+            # and sf0.1 (where escalation is by design) is ~5,100, so a
+            # 2k bound separates them with margin on both sides. This
+            # wrapper only ever reads the driver fixtures, so the bound
+            # can't misfire on some legitimately-escalating small user
+            # corpus.
             n_docs = stats.get("n_docs")
-            oracle_scale = n_docs is not None and n_docs < 50_000
+            oracle_scale = n_docs is not None and n_docs < 2_000
         if oracle_scale:
             raise RuntimeError(
                 "q_dedup_minhash_auto escalated banding at an oracle-scale "
@@ -1074,6 +1075,71 @@ def q_incremental_dedup_indexed(spark, sf_dir):
     corpus, incoming = _incremental_dedup_sides(spark, sf_dir)
     corp_sigs = _corpus_sigs_cached(spark, sf_dir, corpus)
     return dedup.incremental_dedup(incoming, corpus, corpus_sigs=corp_sigs)
+
+
+# wide (32-hash) corpus index memo for q_incremental_dedup_auto — same
+# lifecycle rules as _CORP_SIG_MEMO above
+_CORP_INDEX_MEMO: dict[str, DataFrame] = {}
+
+
+def _corpus_index_cached(spark, sf_dir, corpus) -> DataFrame:
+    got = _CORP_INDEX_MEMO.get(sf_dir)
+    if got is not None:
+        try:
+            if got.sparkSession is spark:
+                return got
+        except Exception:
+            pass
+        try:
+            got.unpersist()
+        except Exception:
+            pass
+    idx = dedup.minhash_index_signatures(corpus).persist()
+    idx.count()  # materialize now — the index predates the batch
+    _CORP_INDEX_MEMO[sf_dir] = idx
+    return idx
+
+
+def q_incremental_dedup_auto(spark, sf_dir):
+    """q_incremental_dedup_indexed with the candidate-volume bound of
+    q_dedup_minhash_auto (r11): the corpus side is the WIDE persisted
+    index (dedup.minhash_index_signatures — md5 h0..h7 level-0 prefix +
+    xxhash h8..h31 escalation columns, memoized per process like the
+    narrow index), and a cross-side volume probe walks the band-WIDENING
+    ladder before the join materializes anything. At the ORACLE sfs
+    (<= 0.01, ~100 corpus docs) the cross volume sits far under the 2M
+    budget, so the plan stays level 0 — bit-identical band keys, join,
+    and verify to incremental_dedup — and the same FULL oracle applies;
+    this wrapper raises loudly if that ever changes (the
+    q_dedup_minhash_auto guard pattern). At sf0.1 the degenerate
+    documents corpus saturates cross-side exactly as it does
+    full-corpus, and the ladder widens to (32, 4) by design — the
+    escalation canary working as documented."""
+    corpus, incoming = _incremental_dedup_sides(spark, sf_dir)
+    idx = _corpus_index_cached(spark, sf_dir, corpus)
+    stats: dict = {}
+    out = dedup.incremental_dedup_auto(
+        incoming, corpus, corpus_index=idx, stats=stats
+    )
+    if stats.get("level", 0) != 0:
+        sf_tail = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        try:
+            oracle_scale = float(sf_tail) <= 0.01
+        except ValueError:
+            # un-parseable path: don't fail OPEN on the path alone —
+            # the corpus size separates the scales (~100 docs at the
+            # oracle sfs vs ~4,600 at sf0.1); the count is paid only on
+            # this already-escalated odd-path branch
+            oracle_scale = corpus.count() < 2_000
+        if oracle_scale:
+            raise RuntimeError(
+                "q_incremental_dedup_auto escalated banding at an "
+                f"oracle-scale sf (sf_dir={sf_dir!r}, stats={stats!r}): "
+                "the DuckDB oracle is only valid at level 0 — the "
+                "candidate budget or the fixture changed; re-pin "
+                "DEFAULT_MAX_CANDIDATES or drop the oracle"
+            )
+    return out
 
 
 def _sql_incremental_dedup() -> str:
@@ -7592,6 +7658,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_minhash_auto": q_dedup_minhash_auto,
     "q_incremental_dedup": q_incremental_dedup,
     "q_incremental_dedup_indexed": q_incremental_dedup_indexed,
+    "q_incremental_dedup_auto": q_incremental_dedup_auto,
     "q_simhash": q_simhash,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_neardup_embedding": q_neardup_embedding,
@@ -7948,6 +8015,7 @@ ORACLES: dict[str, str] = {
     "q_incremental_dedup": _SQL_INCREMENTAL_DEDUP,
     # index-path variant: same inputs, same result contract (r6 directive 5)
     "q_incremental_dedup_indexed": _SQL_INCREMENTAL_DEDUP,
+    "q_incremental_dedup_auto": _SQL_INCREMENTAL_DEDUP,
     "q_simhash": _SQL_SIMHASH,
     "q_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "q_neardup_embedding": _SQL_NEARDUP_EMBEDDING,
