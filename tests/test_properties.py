@@ -293,6 +293,33 @@ def test_incremental_auto_escalates_and_keeps_near_exact_recall(spark):
     assert found >= 19, f"planted near-exact recall {found}/20 after widening"
 
 
+def test_incremental_auto_band_counts_companion_is_equivalent(spark):
+    """The persisted band-count companion (minhash_index_band_counts)
+    must change the probe's COST, never its answer: identical per-level
+    volumes, chosen level, and verdict rows vs the index-aggregating
+    probe, through a forced escalation."""
+    import warnings
+
+    corpus, incoming = _incremental_sides_small(spark)
+    idx = dedup.minhash_index_signatures(corpus).persist()
+    counts = dedup.minhash_index_band_counts(idx).persist()
+    outs, statss = [], []
+    for kw in ({}, {"corpus_band_counts": counts}):
+        stats: dict = {}
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", UserWarning)
+            outs.append(sorted(map(tuple, dedup.incremental_dedup_auto(
+                incoming, corpus, corpus_index=idx,
+                max_candidates=10, stats=stats, **kw,
+            ).collect())))
+        statss.append(stats)
+    idx.unpersist()
+    counts.unpersist()
+    assert statss[0]["volumes"] == statss[1]["volumes"]
+    assert statss[0]["level"] == statss[1]["level"] > 0
+    assert outs[0] == outs[1]
+
+
 def test_incremental_auto_narrow_index_cannot_widen(spark):
     """A legacy 8-hash index over budget must warn that escalation is
     impossible and still produce the fixed-plan result at (8, 4)."""

@@ -433,6 +433,100 @@ def test_streaming_dedup_on_ingest_drops_semantic_dups(spark, tmp_path):
     assert cat.collection("dedup_feed").info.version == v_first
 
 
+def test_streaming_text_dedup_maintains_persisted_minhash_index(spark, tmp_path):
+    """Streaming TEXT ingest with MinHash dedup-on-ingest against a
+    PERSISTED wide signature index maintained per micro-batch — the
+    at-rest-index loop the incremental_dedup docstrings point at: each
+    batch is checked with incremental_dedup_auto against the corpus +
+    index, only fresh docs append (text AND their
+    minhash_index_signatures rows, in lockstep). Deterministic feed:
+    doc ids >= 100 with id % 3 == 0 carry a prior-BATCH doc's token set
+    plus one token (J = 15/16 — found via the index, never re-signing
+    the corpus); a full replay (fresh ids, same texts) must admit
+    nothing."""
+    import os
+
+    from vector_database_spark.operators import dedup
+    from vector_database_spark.sources import points_jsonl
+
+    points_jsonl.register(spark)
+    corpus_path = str(tmp_path / "corpus")
+    index_path = str(tmp_path / "index")
+
+    def text_of(fid):
+        # ids ≡ 0 (mod 3) past the first batch copy id-100's tokens
+        # (id-100 ≡ 2 mod 3, so bases are never themselves copies) plus
+        # ' zz'; token SETS make any would-be chain collapse to one zz
+        is_copy = (fid >= 100) & (fid % 3 == 0)
+        base = F.when(is_copy, fid - 100).otherwise(fid)
+        words = F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(15)),
+                lambda j: F.concat(
+                    F.lit("w"), F.pmod(F.xxhash64(base, j), F.lit(5000))
+                ),
+            ),
+        )
+        return F.when(is_copy, F.concat(words, F.lit(" zz"))).otherwise(words)
+
+    def make_sink(id_offset):
+        def sink(batch_df, epoch_id):
+            fid = F.col("id").cast("long")
+            docs = batch_df.select(
+                (fid + F.lit(id_offset)).alias("doc_id"),
+                text_of(fid).alias("text"),
+            )
+            if not docs.take(1):
+                return
+            if os.path.exists(index_path):
+                corpus = spark.read.parquet(corpus_path)
+                idx = spark.read.parquet(index_path)
+                verdict = dedup.incremental_dedup_auto(
+                    docs, corpus, corpus_index=idx
+                )
+                docs = docs.join(
+                    verdict.filter(~F.col("is_dup")).select("doc_id"),
+                    "doc_id",
+                    "semi",
+                )
+            if docs.take(1):
+                docs.write.mode("append").parquet(corpus_path)
+                dedup.minhash_index_signatures(docs).write.mode(
+                    "append"
+                ).parquet(index_path)
+
+        return sink
+
+    def run_feed(id_offset):
+        q = (
+            spark.readStream.format("points_feed")
+            .option("batch_points", "100")
+            .option("max_points", "300")
+            .load()
+            .writeStream.foreachBatch(make_sink(id_offset))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_feed(0)
+    corpus = spark.read.parquet(corpus_path)
+    # 66 planted cross-batch near-copies (ids 102..297 step 3) flagged
+    assert corpus.count() == 300 - 66
+    assert corpus.filter((F.col("doc_id") >= 100) & (F.col("doc_id") % 3 == 0)).count() == 0
+    # the index tracks the corpus in lockstep
+    idx = spark.read.parquet(index_path)
+    assert idx.count() == corpus.count()
+    assert f"h{dedup.INDEX_NUM_HASHES - 1}" in idx.columns
+    # replay with fresh ids: every text is already live — nothing admits
+    run_feed(100_000)
+    assert spark.read.parquet(corpus_path).count() == 300 - 66
+    assert spark.read.parquet(index_path).count() == 300 - 66
+
+
 def test_tws_probe_requires_preexported_shim_env(monkeypatch):
     """r8 ADVICE: with the VENDORED protobuf importable in the driver but
     SPARK_GRAFT_PB_SHIM never exported before the JVM launched, the probe

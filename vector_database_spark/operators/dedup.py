@@ -892,39 +892,84 @@ def minhash_index_signatures(
     return toks.groupBy(id_col).agg(*aggs)
 
 
+def minhash_index_band_counts(
+    index_sigs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(__nh, __nb, band_key, n) counts for every ladder level the index
+    is wide enough to band — the probe-side companion a production
+    pipeline persists WITH the index (both refresh on ingest). Per batch
+    the cross-side volume probe then joins the arriving batch's tiny
+    count table against THIS table instead of re-aggregating the full
+    index — probing costs a scan of a counts table (~the corpus's
+    distinct band keys, narrow rows) instead of two extra index scans,
+    which the saturated-corpus stress measured as the dominant auto
+    overhead. Sort/bucket it by band_key at rest and the scan prunes
+    down to the batch's keys."""
+    levels = [
+        (nh, nb)
+        for nh, nb in MINHASH_ESCALATION_LEVELS
+        if all(f"h{i}" in index_sigs.columns for i in range(nh))
+    ]
+    frames = None
+    for nh, nb in levels:
+        k = band_keys(index_sigs, id_col, nh, nb).select(
+            F.lit(nh).alias("__nh"), F.lit(nb).alias("__nb"), "band_key"
+        )
+        frames = k if frames is None else frames.unionByName(k)
+    return frames.groupBy("__nh", "__nb", "band_key").agg(
+        F.count("*").alias("n")
+    )
+
+
 def _cross_volumes(
     corp_sigs: DataFrame,
     inc_sigs: DataFrame,
     id_col: str,
     levels: list[tuple[int, int]],
+    corp_counts: DataFrame | None = None,
 ) -> list[int]:
     """CROSS-side candidate volumes (what the corpus×incoming band join
     materializes before distinct: Σ over shared band keys of
     n_corpus × n_incoming) for several banding levels in one job. Both
-    sides reduce to (level, band_key, count) tables first, so the probe
-    is linear in each side and never touches pairs."""
+    sides reduce to (num_hashes-tagged band_key, count) tables first, so
+    the probe is linear in each side and never touches pairs; pass
+    ``corp_counts`` (:func:`minhash_index_band_counts`, persisted WITH
+    the index) and the corpus side costs a counts-table scan instead of
+    re-aggregating the full index per batch."""
 
     def keyed(sigs: DataFrame) -> DataFrame:
         frames = None
-        for lv, (nh, nb) in enumerate(levels):
+        for nh, nb in levels:
             k = band_keys(sigs, id_col, nh, nb).select(
-                F.lit(lv).alias("__lv"), "band_key"
+                F.lit(nh).alias("__nh"), F.lit(nb).alias("__nb"), "band_key"
             )
             frames = k if frames is None else frames.unionByName(k)
-        return frames.groupBy("__lv", "band_key").agg(F.count("*").alias("n"))
-
-    rows = (
-        keyed(corp_sigs)
-        .join(
-            keyed(inc_sigs).withColumnRenamed("n", "m"),
-            ["__lv", "band_key"],
+        return frames.groupBy("__nh", "__nb", "band_key").agg(
+            F.count("*").alias("n")
         )
-        .groupBy("__lv")
+
+    if corp_counts is not None:
+        wanted = F.struct(F.col("__nh"), F.col("__nb")).isin(
+            [F.struct(F.lit(nh), F.lit(nb)) for nh, nb in levels]
+        )
+        corp_side = corp_counts.filter(wanted)
+    else:
+        corp_side = keyed(corp_sigs)
+    # no broadcast hint on the incoming side: a normal batch's count
+    # table is tiny (AQE broadcasts it at runtime), but a giant backfill
+    # "batch" must be allowed to shuffle rather than OOM on a forced hint
+    rows = (
+        corp_side.join(
+            keyed(inc_sigs).withColumnRenamed("n", "m"),
+            ["__nh", "__nb", "band_key"],
+        )
+        .groupBy("__nh", "__nb")
         .agg(F.sum(F.col("n") * F.col("m")).cast("long").alias("v"))
         .collect()
     )
-    vols = {int(r["__lv"]): int(r["v"] or 0) for r in rows}
-    return [vols.get(i, 0) for i in range(len(levels))]
+    vols = {(int(r["__nh"]), int(r["__nb"])): int(r["v"] or 0) for r in rows}
+    return [vols.get(lv, 0) for lv in levels]
 
 
 def incremental_dedup_auto(
@@ -934,6 +979,7 @@ def incremental_dedup_auto(
     id_col: str = "doc_id",
     threshold: float = JACCARD_THRESHOLD,
     corpus_index: DataFrame | None = None,
+    corpus_band_counts: DataFrame | None = None,
     max_candidates: int = DEFAULT_MAX_CANDIDATES,
     stats: dict | None = None,
 ) -> DataFrame:
@@ -967,6 +1013,11 @@ def incremental_dedup_auto(
     with a warning naming the rebuild. When ``corpus_index`` is omitted
     the index is built from ``corpus`` text for this call (the contrast
     shape, like incremental_dedup without ``corpus_sigs``).
+    ``corpus_band_counts`` (:func:`minhash_index_band_counts`, persisted
+    alongside the index and refreshed with it) replaces the probes'
+    corpus-side aggregation with a counts-table scan — without it each
+    probe job re-aggregates the full index, which the saturated-corpus
+    stress measured as the dominant auto overhead per batch.
 
     Output contract, id-disjointness requirement, and the eager
     disjointness probe are incremental_dedup's."""
@@ -993,11 +1044,15 @@ def incremental_dedup_auto(
     ]
     # level 0 probed alone: the common under-budget batch pays ONE probe
     # job over 4 band keys per row, not 3 levels' worth
-    volumes = _cross_volumes(corp_sigs, inc_sigs, id_col, [first])
+    volumes = _cross_volumes(
+        corp_sigs, inc_sigs, id_col, [first], corpus_band_counts
+    )
     chosen = first
     if volumes[0] > max_candidates:
         if widenable:
-            wider = _cross_volumes(corp_sigs, inc_sigs, id_col, widenable)
+            wider = _cross_volumes(
+                corp_sigs, inc_sigs, id_col, widenable, corpus_band_counts
+            )
             chosen = widenable[-1]
             for (nh, nb), vol in zip(widenable, wider):
                 volumes.append(vol)

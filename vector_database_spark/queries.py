@@ -1077,27 +1077,32 @@ def q_incremental_dedup_indexed(spark, sf_dir):
     return dedup.incremental_dedup(incoming, corpus, corpus_sigs=corp_sigs)
 
 
-# wide (32-hash) corpus index memo for q_incremental_dedup_auto — same
-# lifecycle rules as _CORP_SIG_MEMO above
-_CORP_INDEX_MEMO: dict[str, DataFrame] = {}
+# wide (32-hash) corpus index memo for q_incremental_dedup_auto — the
+# index AND its probe-side band-count companion, persisted together the
+# way a production pipeline maintains both at ingest; same lifecycle
+# rules as _CORP_SIG_MEMO above
+_CORP_INDEX_MEMO: dict[str, tuple[DataFrame, DataFrame]] = {}
 
 
-def _corpus_index_cached(spark, sf_dir, corpus) -> DataFrame:
+def _corpus_index_cached(spark, sf_dir, corpus) -> tuple[DataFrame, DataFrame]:
     got = _CORP_INDEX_MEMO.get(sf_dir)
     if got is not None:
         try:
-            if got.sparkSession is spark:
+            if got[0].sparkSession is spark:
                 return got
         except Exception:
             pass
-        try:
-            got.unpersist()
-        except Exception:
-            pass
+        for df in got:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
     idx = dedup.minhash_index_signatures(corpus).persist()
     idx.count()  # materialize now — the index predates the batch
-    _CORP_INDEX_MEMO[sf_dir] = idx
-    return idx
+    counts = dedup.minhash_index_band_counts(idx).persist()
+    counts.count()
+    _CORP_INDEX_MEMO[sf_dir] = (idx, counts)
+    return idx, counts
 
 
 def q_incremental_dedup_auto(spark, sf_dir):
@@ -1116,10 +1121,11 @@ def q_incremental_dedup_auto(spark, sf_dir):
     full-corpus, and the ladder widens to (32, 4) by design — the
     escalation canary working as documented."""
     corpus, incoming = _incremental_dedup_sides(spark, sf_dir)
-    idx = _corpus_index_cached(spark, sf_dir, corpus)
+    idx, counts = _corpus_index_cached(spark, sf_dir, corpus)
     stats: dict = {}
     out = dedup.incremental_dedup_auto(
-        incoming, corpus, corpus_index=idx, stats=stats
+        incoming, corpus, corpus_index=idx, corpus_band_counts=counts,
+        stats=stats,
     )
     if stats.get("level", 0) != 0:
         sf_tail = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
