@@ -140,6 +140,12 @@ BENCH_QUERIES = [
     # amortizes — the build-vs-per-batch split is in STRESS.md
     # "Incremental batch-vs-corpus dedup" (tools/stress_incremental.py).
     "q_incremental_dedup_indexed",
+    # r11: the volume-BOUNDED production twin — wide index + band-count
+    # companion (both memoized per process, like the narrow index above;
+    # first run pays both builds) + cross-side probe; at sf0.1 the
+    # degenerate corpus escalates it to (32,4) by design, so this row
+    # also prices the escalated path end-to-end
+    "q_incremental_dedup_auto",
     "q_hard_negatives",
     "q_corpus_report",
     # round 7: the batch index-search family — the 100-TB serving shape

@@ -320,6 +320,41 @@ def test_incremental_auto_band_counts_companion_is_equivalent(spark):
     assert outs[0] == outs[1]
 
 
+def test_incremental_auto_stale_counts_cannot_fake_zero_volumes(spark):
+    """A band-count companion that predates the wide index (carries only
+    level 0) must RESTRICT the ladder — not let the probe read a
+    missing widened level as volume 0 and pick it unbounded; one missing
+    level 0 entirely is a malformed table and raises."""
+    import warnings
+
+    import pytest
+
+    corpus, incoming = _incremental_sides_small(spark)
+    idx = dedup.minhash_index_signatures(corpus).persist()
+    counts = dedup.minhash_index_band_counts(idx).persist()
+    stale = counts.filter(F.col("__nh") == 8)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        stats: dict = {}
+        got = sorted(
+            map(tuple, dedup.incremental_dedup_auto(
+                incoming, corpus, corpus_index=idx,
+                corpus_band_counts=stale, max_candidates=10, stats=stats,
+            ).collect())
+        )
+    assert stats["level"] == 0 and stats["num_hashes"] == 8
+    assert any("no widened banding level" in str(x.message) for x in w)
+    want = sorted(map(tuple, dedup.incremental_dedup(incoming, corpus).collect()))
+    assert got == want
+    malformed = counts.filter(F.col("__nh") != 8)
+    with pytest.raises(ValueError, match="lacks the level-0"):
+        dedup.incremental_dedup_auto(
+            incoming, corpus, corpus_index=idx, corpus_band_counts=malformed
+        )
+    idx.unpersist()
+    counts.unpersist()
+
+
 def test_incremental_auto_narrow_index_cannot_widen(spark):
     """A legacy 8-hash index over budget must warn that escalation is
     impossible and still produce the fixed-plan result at (8, 4)."""
@@ -338,7 +373,7 @@ def test_incremental_auto_narrow_index_cannot_widen(spark):
         )
     narrow.unpersist()
     assert stats["level"] == 0 and stats["num_hashes"] == 8
-    assert any("cannot widen" in str(x.message) for x in w)
+    assert any("no widened banding level" in str(x.message) for x in w)
     want = sorted(map(tuple, dedup.incremental_dedup(incoming, corpus).collect()))
     assert got == want
 

@@ -758,7 +758,10 @@ def incremental_dedup(
     ``corpus_sigs`` (the minhash_signatures output) and each batch costs
     one signature pass over the batch plus a band-key join whose corpus
     side is read pre-bucketed by band_key; nothing is quadratic in
-    corpus size. Ids MUST be disjoint across the two inputs — the
+    corpus size — though the CANDIDATE count is still data-dependent:
+    :func:`incremental_dedup_auto` is this operator with a cross-side
+    volume probe and band-widening against a wide index, for corpora
+    where fixed banding saturates. Ids MUST be disjoint across the two inputs — the
     verification stage unions the two doc sets, so an id on both sides
     would fan its joins out and silently inflate ``n_matches``. Collisions
     fail fast with an EAGER broadcast-semi probe at call time (this
@@ -911,6 +914,12 @@ def minhash_index_band_counts(
         for nh, nb in MINHASH_ESCALATION_LEVELS
         if all(f"h{i}" in index_sigs.columns for i in range(nh))
     ]
+    if not levels:
+        raise ValueError(
+            "minhash_index_band_counts: index carries no h0.."
+            f"h{MINHASH_ESCALATION_LEVELS[0][0] - 1} signature columns "
+            f"(got {index_sigs.columns})"
+        )
     frames = None
     for nh, nb in levels:
         k = band_keys(index_sigs, id_col, nh, nb).select(
@@ -1042,6 +1051,28 @@ def incremental_dedup_auto(
         for nh, nb in MINHASH_ESCALATION_LEVELS[1:]
         if all(f"h{i}" in corp_sigs.columns for i in range(nh))
     ]
+    if corpus_band_counts is not None:
+        # a probe against the counts table cannot tell a level the table
+        # never carried from a true zero-collision volume — a STALE
+        # companion (built from an older, narrower index) would silently
+        # report 0 for every widened level and the band join would then
+        # materialize the real volume unbounded. Validate coverage up
+        # front: level 0 missing is a malformed table (fail), widened
+        # levels bind what the probe may walk. One tiny distinct-collect
+        # over two low-cardinality int columns, map-side-combined.
+        have = {
+            (int(r["__nh"]), int(r["__nb"]))
+            for r in corpus_band_counts.select("__nh", "__nb")
+            .distinct()
+            .collect()
+        }
+        if first not in have:
+            raise ValueError(
+                "incremental_dedup_auto: corpus_band_counts lacks the "
+                f"level-0 banding {first} — not a "
+                "minhash_index_band_counts table for this ladder"
+            )
+        widenable = [lv for lv in widenable if lv in have]
     # level 0 probed alone: the common under-budget batch pays ONE probe
     # job over 4 band keys per row, not 3 levels' worth
     volumes = _cross_volumes(
@@ -1088,10 +1119,12 @@ def incremental_dedup_auto(
             warnings.warn(
                 "incremental_dedup_auto: candidate volume "
                 f"{volumes[0]} exceeds max_candidates={max_candidates} "
-                "but the supplied corpus_index is NARROW "
-                f"(h0..h{NUM_HASHES - 1} only) — cannot widen banding; "
-                "proceeding at (8, 4). Rebuild the index with "
-                "minhash_index_signatures to enable escalation",
+                "but no widened banding level is available — the "
+                "corpus_index is narrow (h0.."
+                f"h{NUM_HASHES - 1} only) or the band-count companion "
+                "predates the wide index; proceeding at (8, 4). "
+                "Rebuild with minhash_index_signatures (+ "
+                "minhash_index_band_counts) to enable escalation",
                 UserWarning,
                 stacklevel=2,
             )
