@@ -945,7 +945,11 @@ def _cross_volumes(
     the probe is linear in each side and never touches pairs; pass
     ``corp_counts`` (:func:`minhash_index_band_counts`, persisted WITH
     the index) and the corpus side costs a counts-table scan instead of
-    re-aggregating the full index per batch."""
+    re-aggregating the full index per batch. On the counts path a level
+    the companion does not carry returns **None** (the LEFT join yields
+    a row for every carried level even with zero shared keys), so
+    callers can tell a stale companion from a true zero volume; the
+    index-aggregation path always returns ints."""
 
     def keyed(sigs: DataFrame) -> DataFrame:
         frames = None
@@ -958,21 +962,37 @@ def _cross_volumes(
             F.count("*").alias("n")
         )
 
-    if corp_counts is not None:
-        wanted = F.struct(F.col("__nh"), F.col("__nb")).isin(
-            [F.struct(F.lit(nh), F.lit(nb)) for nh, nb in levels]
-        )
-        corp_side = corp_counts.filter(wanted)
-    else:
-        corp_side = keyed(corp_sigs)
     # no broadcast hint on the incoming side: a normal batch's count
     # table is tiny (AQE broadcasts it at runtime), but a giant backfill
     # "batch" must be allowed to shuffle rather than OOM on a forced hint
-    rows = (
-        corp_side.join(
-            keyed(inc_sigs).withColumnRenamed("n", "m"),
-            ["__nh", "__nb", "band_key"],
+    inc_keyed = keyed(inc_sigs).withColumnRenamed("n", "m")
+    if corp_counts is not None:
+        # LEFT join so every level the companion CARRIES yields a row
+        # even with zero shared keys — distinguishing a true-zero volume
+        # from a level the table never had (a stale companion built from
+        # an older, narrower index must not read as "0 candidates, pick
+        # me"); absent levels return None and the caller refuses them
+        wanted = F.struct(F.col("__nh"), F.col("__nb")).isin(
+            [F.struct(F.lit(nh), F.lit(nb)) for nh, nb in levels]
         )
+        rows = (
+            corp_counts.filter(wanted)
+            .join(inc_keyed, ["__nh", "__nb", "band_key"], "left")
+            .groupBy("__nh", "__nb")
+            .agg(
+                F.sum(F.col("n") * F.coalesce(F.col("m"), F.lit(0)))
+                .cast("long")
+                .alias("v")
+            )
+            .collect()
+        )
+        vols = {
+            (int(r["__nh"]), int(r["__nb"])): int(r["v"] or 0) for r in rows
+        }
+        return [vols.get(lv) for lv in levels]
+    rows = (
+        keyed(corp_sigs)
+        .join(inc_keyed, ["__nh", "__nb", "band_key"])
         .groupBy("__nh", "__nb")
         .agg(F.sum(F.col("n") * F.col("m")).cast("long").alias("v"))
         .collect()
@@ -1052,37 +1072,38 @@ def incremental_dedup_auto(
         if all(f"h{i}" in corp_sigs.columns for i in range(nh))
     ]
     if corpus_band_counts is not None:
-        # a probe against the counts table cannot tell a level the table
-        # never carried from a true zero-collision volume — a STALE
-        # companion (built from an older, narrower index) would silently
-        # report 0 for every widened level and the band join would then
-        # materialize the real volume unbounded. Validate coverage up
-        # front: level 0 missing is a malformed table (fail), widened
-        # levels bind what the probe may walk. One tiny distinct-collect
-        # over two low-cardinality int columns, map-side-combined.
-        have = {
-            (int(r["__nh"]), int(r["__nb"]))
-            for r in corpus_band_counts.select("__nh", "__nb")
-            .distinct()
-            .collect()
-        }
-        if first not in have:
+        # with the companion, EVERY level is probed in the same single
+        # job (the index-aggregation cost the level-0-first split
+        # avoided is gone — probing is one counts-table scan). The LEFT
+        # join inside _cross_volumes makes coverage validation free: a
+        # level the companion never carried comes back None — a STALE
+        # companion (built from an older, narrower index) must not read
+        # as "0 candidates, pick me" and have the band join materialize
+        # the real volume unbounded. Level 0 absent = malformed table.
+        probe_levels = [first] + widenable
+        probed = _cross_volumes(
+            corp_sigs, inc_sigs, id_col, probe_levels, corpus_band_counts
+        )
+        if probed[0] is None:
             raise ValueError(
                 "incremental_dedup_auto: corpus_band_counts lacks the "
                 f"level-0 banding {first} — not a "
                 "minhash_index_band_counts table for this ladder"
             )
-        widenable = [lv for lv in widenable if lv in have]
-    # level 0 probed alone: the common under-budget batch pays ONE probe
-    # job over 4 band keys per row, not 3 levels' worth
-    volumes = _cross_volumes(
-        corp_sigs, inc_sigs, id_col, [first], corpus_band_counts
-    )
+        lvl_vols = dict(zip(probe_levels, probed))
+        widenable = [lv for lv in widenable if lvl_vols[lv] is not None]
+        volumes = [lvl_vols[first]]
+    else:
+        # no companion: level 0 probed alone so the common under-budget
+        # batch re-aggregates the index for ONE level's keys, not three
+        volumes = _cross_volumes(corp_sigs, inc_sigs, id_col, [first])
     chosen = first
     if volumes[0] > max_candidates:
         if widenable:
-            wider = _cross_volumes(
-                corp_sigs, inc_sigs, id_col, widenable, corpus_band_counts
+            wider = (
+                [lvl_vols[lv] for lv in widenable]
+                if corpus_band_counts is not None
+                else _cross_volumes(corp_sigs, inc_sigs, id_col, widenable)
             )
             chosen = widenable[-1]
             for (nh, nb), vol in zip(widenable, wider):
