@@ -438,8 +438,10 @@ def test_streaming_text_dedup_maintains_persisted_minhash_index(spark, tmp_path)
     PERSISTED wide signature index maintained per micro-batch — the
     at-rest-index loop the incremental_dedup docstrings point at: each
     batch is checked with incremental_dedup_auto against the corpus +
-    index, only fresh docs append (text AND their
-    minhash_index_signatures rows, in lockstep). Deterministic feed:
+    index + APPEND-MAINTAINED band-count companion, and only fresh docs
+    append (text, minhash_index_signatures rows, and their own band
+    counts — additive, so no per-batch re-aggregation — in lockstep).
+    Deterministic feed:
     doc ids >= 100 with id % 3 == 0 carry a prior-BATCH doc's token set
     plus one token (J = 15/16 — found via the index, never re-signing
     the corpus); a full replay (fresh ids, same texts) must admit
@@ -452,6 +454,7 @@ def test_streaming_text_dedup_maintains_persisted_minhash_index(spark, tmp_path)
     points_jsonl.register(spark)
     corpus_path = str(tmp_path / "corpus")
     index_path = str(tmp_path / "index")
+    counts_path = str(tmp_path / "band_counts")
 
     def text_of(fid):
         # ids ≡ 0 (mod 3) past the first batch copy id-100's tokens
@@ -483,7 +486,8 @@ def test_streaming_text_dedup_maintains_persisted_minhash_index(spark, tmp_path)
                 corpus = spark.read.parquet(corpus_path)
                 idx = spark.read.parquet(index_path)
                 verdict = dedup.incremental_dedup_auto(
-                    docs, corpus, corpus_index=idx
+                    docs, corpus, corpus_index=idx,
+                    corpus_band_counts=spark.read.parquet(counts_path),
                 )
                 docs = docs.join(
                     verdict.filter(~F.col("is_dup")).select("doc_id"),
@@ -492,9 +496,14 @@ def test_streaming_text_dedup_maintains_persisted_minhash_index(spark, tmp_path)
                 )
             if docs.take(1):
                 docs.write.mode("append").parquet(corpus_path)
-                dedup.minhash_index_signatures(docs).write.mode(
+                sigs = dedup.minhash_index_signatures(docs)
+                sigs.write.mode("append").parquet(index_path)
+                # the companion is append-maintainable (counts are
+                # additive; the probe sums over duplicate keys) — each
+                # batch appends its OWN band counts, no re-aggregation
+                dedup.minhash_index_band_counts(sigs).write.mode(
                     "append"
-                ).parquet(index_path)
+                ).parquet(counts_path)
 
         return sink
 
@@ -525,6 +534,16 @@ def test_streaming_text_dedup_maintains_persisted_minhash_index(spark, tmp_path)
     run_feed(100_000)
     assert spark.read.parquet(corpus_path).count() == 300 - 66
     assert spark.read.parquet(index_path).count() == 300 - 66
+    # the append-maintained companion, folded over duplicate keys, must
+    # equal a from-scratch rebuild over the final index
+    appended = (
+        spark.read.parquet(counts_path)
+        .groupBy("__nh", "__nb", "band_key")
+        .agg(F.sum("n").alias("n"))
+    )
+    rebuilt = dedup.minhash_index_band_counts(spark.read.parquet(index_path))
+    assert appended.exceptAll(rebuilt).count() == 0
+    assert rebuilt.exceptAll(appended).count() == 0
 
 
 def test_tws_probe_requires_preexported_shim_env(monkeypatch):

@@ -908,7 +908,16 @@ def minhash_index_band_counts(
     distinct band keys, narrow rows) instead of two extra index scans,
     which the saturated-corpus stress measured as the dominant auto
     overhead. Sort/bucket it by band_key at rest and the scan prunes
-    down to the batch's keys."""
+    down to the batch's keys.
+
+    The table is APPEND-MAINTAINABLE: counts are additive and the
+    probe's Σ n×m distributes over duplicate key rows ((Σ nᵢ)×m =
+    Σ nᵢ×m), so an ingest loop appends each admitted batch's OWN band
+    counts (this function over the batch's signature rows) next to the
+    existing files — no re-aggregation per batch, and the
+    level-coverage check still holds (any carried level has rows).
+    Compact the duplicate keys opportunistically if the scan size ever
+    matters (tests/test_streaming.py runs the full loop)."""
     levels = [
         (nh, nb)
         for nh, nb in MINHASH_ESCALATION_LEVELS
