@@ -363,6 +363,44 @@ def test_semdedup_incremental_finds_planted_no_batch_pairs(spark, emb):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
 
+def test_semdedup_incremental_volume_probe_warns_on_clustered_corpus(spark):
+    """r11 opt-in volume probe: a corpus collapsing into one sign bucket
+    must surface the exact cross-side pair volume and warn BEFORE the
+    verify join materializes it; the probed call's rows are identical to
+    the default (probe-free) plan, and an under-budget probe records
+    stats without warning."""
+    import warnings
+
+    from vector_database_spark.operators import dedup
+
+    base = [0.5] * 8
+    corpus = spark.createDataFrame(
+        [(i, base) for i in range(50)], "vec_id long, embedding array<float>"
+    )
+    batch = spark.createDataFrame(
+        [(1000 + i, base) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    stats: dict = {}
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        probed = dedup.semdedup_incremental(
+            batch, corpus, dim=8, max_candidates=100, stats=stats
+        ).collect()
+    assert stats["bucket_pair_volume"] == 500
+    assert any("would materialize 500" in str(x.message) for x in w)
+    plain = dedup.semdedup_incremental(batch, corpus, dim=8).collect()
+    assert sorted(map(tuple, probed)) == sorted(map(tuple, plain))
+    stats2: dict = {}
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        dedup.semdedup_incremental(
+            batch, corpus, dim=8, max_candidates=1_000, stats=stats2
+        ).collect()
+    assert stats2["bucket_pair_volume"] == 500
+    assert not any("materialize" in str(x.message) for x in w2)
+
+
 def test_semdedup_plan_shuffles_on_bucket_not_cartesian(spark, emb):
     from vector_database_spark.operators import dedup
 

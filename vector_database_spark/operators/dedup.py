@@ -1513,6 +1513,8 @@ def semdedup_incremental(
     threshold: float = COSINE_NEARDUP_THRESHOLD,
     dim: int = 64,
     n_bucket_words: int = 1,
+    max_candidates: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Batch-vs-corpus SemDeDup — the INCREMENTAL shape of
     :func:`semdedup_pairs`, completing the family next to
@@ -1524,7 +1526,22 @@ def semdedup_incremental(
     materialize batch² or corpus²; per-batch cost is one bucket pass
     over the batch plus the bucket join against the (re-bucketed)
     corpus. Norm tagging keeps the per-pair score to one fold
-    (_pair_sides rationale). Output: (batch_id, corpus_id, cos)."""
+    (_pair_sides rationale). Output: (batch_id, corpus_id, cos).
+
+    ``max_candidates``/``stats`` (r11, opt-in — the default plan is
+    unchanged and stays single-job) add the cross-side volume probe of
+    :func:`incremental_dedup_auto`: Σ over shared sign buckets of
+    n_batch × n_corpus, one count-table join, BEFORE the verify join
+    materializes anything. Over budget it WARNS rather than re-plans —
+    unlike MinHash banding there is no recall-free widening here (every
+    extra sign bit sheds real pairs: P(bit agrees) ≈ 1 − θ/π per bit),
+    and a 64-bit sign bucket only saturates when the corpus genuinely
+    clusters, so the fix is the ``dim``/``n_bucket_words`` knobs or
+    admitting the output IS that large. The probe costs one extra
+    bucket pass per side — opt-in so the micro-batch hot path
+    (near-duplicates-on-ingest) never pays it silently."""
+    import warnings
+
     words = _sign_bucket_words(F.col(emb_col), dim=dim, n_words=n_bucket_words)
     keys = [f"__sb{k}" for k in range(len(words))]
 
@@ -1540,6 +1557,32 @@ def semdedup_incremental(
 
     a = tag(batch, "batch_id", "eb", "nb")
     b = tag(corpus, "corpus_id", "ec", "nc")
+    if max_candidates is not None or stats is not None:
+        vol = int(
+            a.groupBy(*keys)
+            .agg(F.count("*").alias("n"))
+            .join(
+                b.groupBy(*keys).agg(F.count("*").alias("m")), keys
+            )
+            .agg(F.sum(F.col("n") * F.col("m")).cast("long").alias("v"))
+            .collect()[0]["v"]
+            or 0
+        )
+        if stats is not None:
+            stats["bucket_pair_volume"] = vol
+        if max_candidates is not None and vol > max_candidates:
+            warnings.warn(
+                f"semdedup_incremental: the sign-bucket join would "
+                f"materialize {vol} cross-side pairs (> max_candidates="
+                f"{max_candidates}) — the corpus clusters tightly in "
+                f"sign space at dim={dim}, n_bucket_words="
+                f"{n_bucket_words}. Raise those knobs (each extra sign "
+                "bit sheds real pairs — there is no recall-free "
+                "widening here), pre-shrink the batch, or accept that "
+                "the near-dup output itself is that large",
+                UserWarning,
+                stacklevel=2,
+            )
     cos = F.try_divide(dot(F.col("eb"), F.col("ec")), F.col("nb") * F.col("nc"))
     scored = a.join(b, keys).select(
         "batch_id", "corpus_id", round6(computed_once(cos)).alias("cos")
