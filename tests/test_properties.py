@@ -293,6 +293,36 @@ def test_incremental_auto_escalates_and_keeps_near_exact_recall(spark):
     assert found >= 19, f"planted near-exact recall {found}/20 after widening"
 
 
+def test_ladder_volumes_one_job_probe_matches_per_level_probe(spark):
+    """The r11 one-job ladder probe must return exactly what the
+    per-level minhash_candidate_volume probes return — the number the
+    escalation walk trusts."""
+    corpus, _ = _incremental_sides_small(spark)
+    wide = dedup._wide_minhash_signatures(
+        dedup._doc_tokens(corpus, "text", "doc_id"), "doc_id", 32
+    ).persist()
+    levels = list(dedup.MINHASH_ESCALATION_LEVELS)
+    combined = dedup._ladder_volumes(wide, "doc_id", levels)
+    singles = [
+        dedup.minhash_candidate_volume(wide, "doc_id", nh, nb)
+        for nh, nb in levels
+    ]
+    wide.unpersist()
+    assert combined == singles and combined[0] > 0
+
+
+def test_incremental_auto_empty_sides_are_graceful(spark):
+    """An empty batch yields an empty verdict; a first-batch-vs-empty
+    corpus yields all-fresh verdicts — no probes or joins may throw on
+    the degenerate shapes an ingest loop hits at startup."""
+    corpus, incoming = _incremental_sides_small(spark)
+    empty = incoming.filter(F.lit(False))
+    assert dedup.incremental_dedup_auto(empty, corpus).count() == 0
+    out = dedup.incremental_dedup_auto(incoming, empty).collect()
+    assert len(out) == incoming.count()
+    assert all(not r["is_dup"] and r["n_matches"] == 0 for r in out)
+
+
 def test_incremental_auto_band_counts_companion_is_equivalent(spark):
     """The persisted band-count companion (minhash_index_band_counts)
     must change the probe's COST, never its answer: identical per-level
