@@ -898,6 +898,7 @@ def ivfpq_knn(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     payload_cols: tuple[str, ...] = ("label",),
+    n_codes: int | None = None,
 ) -> DataFrame:
     """IVF+PQ composite index (the FAISS ``IVFxx,PQyy`` production shape,
     Jégou et al. 2011 §V): coarse-quantize to route the query to
@@ -917,10 +918,20 @@ def ivfpq_knn(
     """
     nprobe = _auto_nprobe(nprobe, len(centroids))
     if shortlist is None:
-        # scanned-code estimate: footer row count x probed-cell fraction
-        # (a parquet count() answers from metadata without reading data)
+        # scanned-code estimate: row count × probed-cell fraction. Over
+        # the PERSISTED layout a parquet count() answers from footer
+        # metadata — but over the FUSED build-and-search shape the count
+        # executes the whole KMeans-transform + Python encode pipeline
+        # once just to size the shortlist, and the ADC scan then executes
+        # it again (r11, guide §4.1: the opaque mapInPandas defeats any
+        # metadata shortcut). Callers that know the corpus row count pass
+        # ``n_codes`` (pq_encode emits exactly one code row per input
+        # row, so the raw-table footer count IS the code count) and the
+        # extra Python pass disappears; the derived shortlist is
+        # identical.
+        n = assigned_codes.count() if n_codes is None else n_codes
         shortlist = _auto_shortlist(
-            None, int(assigned_codes.count() * nprobe / max(len(centroids), 1))
+            None, int(n * nprobe / max(len(centroids), 1))
         )
     q = np.asarray(query_vector, dtype=float)
     cnorm = np.linalg.norm(centroids, axis=1) * np.linalg.norm(q)
@@ -958,6 +969,7 @@ def ivfpq_knn_batch(
     emb_col: str = "embedding",
     payload_cols: tuple[str, ...] = (),
     rerank_metric: str = "euclid",
+    n_codes: int | None = None,
 ) -> DataFrame:
     """Batch IVF+PQ: N queries through ONE code scan of the union of
     their probe cells (the :func:`ivf_knn_batch` equi-join pattern), each
@@ -980,8 +992,11 @@ def ivfpq_knn_batch(
         ).limit(0)
     nprobe = _auto_nprobe(nprobe, len(centroids))
     if shortlist is None:
+        # same n_codes shortcut as ivfpq_knn (r11): over the fused shape
+        # the count would execute the Python encode once extra
+        n = assigned_codes.count() if n_codes is None else n_codes
         shortlist = _auto_shortlist(
-            None, int(assigned_codes.count() * nprobe / max(len(centroids), 1))
+            None, int(n * nprobe / max(len(centroids), 1))
         )
     Q = np.asarray([[float(x) for x in q[1]] for q in queries], dtype=float)
     qn = np.linalg.norm(Q, axis=1, keepdims=True)
@@ -1064,6 +1079,7 @@ def pq_knn_rerank(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     payload_cols: tuple[str, ...] = ("label",),
+    n_codes: int | None = None,
 ) -> DataFrame:
     """The production PQ search pipeline: ADC over codes produces a
     ``shortlist`` (scanning 8-byte codes only), then the shortlist joins
@@ -1081,7 +1097,13 @@ def pq_knn_rerank(
     from vector_database_spark.operators import knn as knn_mod
 
     if shortlist is None:
-        shortlist = _auto_shortlist(None, encoded.count())
+        # n_codes (r11): over the fused encode-and-search shape a count()
+        # here executes the whole Python encode once extra just to size
+        # the shortlist — callers that know the corpus row count pass it
+        # (one code row per input row; identical derived shortlist)
+        shortlist = _auto_shortlist(
+            None, encoded.count() if n_codes is None else n_codes
+        )
     cand = pq_knn(
         encoded, codebooks, query_vector, k=shortlist, id_col=id_col, payload_cols=()
     ).select(id_col)

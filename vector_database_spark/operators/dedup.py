@@ -112,8 +112,14 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def _doc_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Distinct (id, token) pairs — the shingle sets for Jaccard/MinHash."""
-    return explode_tokens(docs, (id_col,), text_col).distinct()
+    """Distinct (id, token) pairs — the shingle sets for Jaccard/MinHash.
+
+    r11 (guide §2.4): per-doc ``array_distinct`` BEFORE the explode —
+    since the id rides every row, per-doc-distinct tokens ARE the
+    distinct (id, token) pairs, and the map-side form removes the full
+    shuffle the old global ``.distinct()`` paid on every signature pass
+    (the token table is the widest intermediate of the dedup family)."""
+    return explode_tokens(docs, (id_col,), text_col, distinct=True)
 
 
 def minhash_signatures(
@@ -121,18 +127,35 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = NUM_HASHES,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per document: h_i = min over tokens of seeded hash i.
 
     One explode + one groupBy with ``num_hashes`` min() aggregates —
-    map-side combinable, single shuffle on doc id.
+    map-side combinable, single shuffle on doc id. ``toks`` (r11)
+    optionally supplies the distinct (id, token) pair table when the
+    caller already persists one, skipping the explode+distinct pass.
     Output: (id_col, h0..h{n-1} BIGINT).
     """
-    toks = _doc_tokens(docs, text_col, id_col)
+    if toks is None:
+        toks = _doc_tokens(docs, text_col, id_col)
     aggs = [
         F.min(seeded_hash(F.col("token"), i)).alias(f"h{i}") for i in range(num_hashes)
     ]
     return toks.groupBy(id_col).agg(*aggs)
+
+
+def _band_key_exprs(num_hashes: int, bands: int) -> list:
+    """One concat_ws band-key expression per band (the band index leads
+    the key so keys of different bands never collide)."""
+    rows_per_band = num_hashes // bands
+    keys = []
+    for b in range(bands):
+        cols = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
+        keys.append(
+            F.concat_ws("_", F.lit(str(b)), *[F.col(c).cast("string") for c in cols])
+        )
+    return keys
 
 
 def band_keys(
@@ -143,17 +166,60 @@ def band_keys(
 ) -> DataFrame:
     """(bid, band_key) rows — one per (doc, band); docs sharing a band's
     full sub-signature collide on band_key. Shared by the self-join dedup
-    (minhash_band_pairs) and the incremental batch-vs-corpus dedup."""
-    rows_per_band = num_hashes // bands
-    band_frames = []
-    for b in range(bands):
-        cols = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
-        key = F.concat_ws("_", F.lit(str(b)), *[F.col(c).cast("string") for c in cols])
-        band_frames.append(signatures.select(F.col(id_col).alias("bid"), key.alias("band_key")))
-    all_bands = band_frames[0]
-    for bf in band_frames[1:]:
-        all_bands = all_bands.unionAll(bf)
-    return all_bands
+    (minhash_band_pairs) and the incremental batch-vs-corpus dedup.
+
+    r11 (guide §2.2): one generate pass — the keys project as an array
+    and explode — instead of a ``bands``-way union of selects. The union
+    form ran bands × input-partitions map tasks (tiny tasks over the
+    cached signature table dominated every probe/band-join stage at
+    bench SF); the explode form runs one map task per input partition
+    and emits the identical (bid, band_key) multiset. The array is
+    pinned (computed_once) so InferFiltersFromGenerate cannot clone the
+    key expressions into a scan-level pre-filter (same audit finding as
+    explode_tokens)."""
+    from vector_database_spark.functions.vector import computed_once
+
+    keys = _band_key_exprs(num_hashes, bands)
+    pinned = signatures.select(
+        F.col(id_col).alias("bid"), computed_once(F.array(*keys)).alias("__bks")
+    )
+    return pinned.select("bid", F.explode("__bks").alias("band_key"))
+
+
+def _band_keys_levels(
+    signatures: DataFrame,
+    id_col: str,
+    levels: list[tuple[int, int]],
+) -> DataFrame:
+    """(bid, __nh, __nb, band_key) rows for SEVERAL banding levels in the
+    same single generate pass (r11) — the probe-side shape shared by the
+    escalation-ladder volume probes and the persisted band-count
+    companion. The pre-r11 union-of-selects form ran
+    Σ levels×bands map tasks per cached partition (384 tiny tasks per
+    probe at the bench SF — guide §2.2); this emits the identical tagged
+    multiset from one task per input partition."""
+    from vector_database_spark.functions.vector import computed_once
+
+    entries = []
+    for nh, nb in levels:
+        for key in _band_key_exprs(nh, nb):
+            entries.append(
+                F.struct(
+                    F.lit(nh).cast("int").alias("__nh"),
+                    F.lit(nb).cast("int").alias("__nb"),
+                    key.alias("band_key"),
+                )
+            )
+    pinned = signatures.select(
+        F.col(id_col).alias("bid"), computed_once(F.array(*entries)).alias("__bke")
+    )
+    ex = pinned.select("bid", F.explode("__bke").alias("__e"))
+    return ex.select(
+        "bid",
+        F.col("__e.__nh").alias("__nh"),
+        F.col("__e.__nb").alias("__nb"),
+        F.col("__e.band_key").alias("band_key"),
+    )
 
 
 def minhash_band_pairs(
@@ -207,25 +273,38 @@ def _maybe_broadcast(
     return F.broadcast(df)
 
 
-def _token_bitmasks(docs: DataFrame, text_col: str, id_col: str):
+def _token_bitmasks(
+    docs: DataFrame, text_col: str, id_col: str, toks: DataFrame | None = None
+):
     """(masks_df, n_words) — per-doc token set as packed 64-bit words, or
     None when the corpus vocabulary exceeds MAX_BITMASK_VOCAB.
 
     Intersection of two packed sets is W ANDs + popcounts — orders of
     magnitude cheaper than hashing string arrays when millions of candidate
     pairs need verification. The global vocabulary cardinality decides the
-    representation at plan-build time (one countDistinct scan).
+    representation at plan-build time; since r11 that decision is ONE
+    bounded job — ``limit(MAX_BITMASK_VOCAB + 1).collect()`` — instead of
+    a count() plus a second full collect(): at most cap+1 rows ever reach
+    the driver, a truncated result proves the vocab is over the cap (→
+    array representation), and an untruncated one IS the complete vocab.
+
+    ``toks`` (optional) is the caller's already-persisted distinct
+    (id, token) pair table — the signature passes build exactly this
+    table, so threading it here removes a tokenize+distinct shuffle per
+    verify (guide §2.4); when omitted the table derives from ``docs``.
     """
-    toks = explode_tokens(docs, (id_col,), text_col, distinct=True)
+    if toks is None:
+        toks = explode_tokens(docs, (id_col,), text_col, distinct=True)
     vocab = toks.select("token").distinct()
-    n_vocab = vocab.count()
-    if n_vocab > MAX_BITMASK_VOCAB:
+    probe_rows = vocab.limit(MAX_BITMASK_VOCAB + 1).collect()
+    if len(probe_rows) > MAX_BITMASK_VOCAB:
         return None, 0
+    n_vocab = len(probe_rows)
     n_words = max(1, (n_vocab + 63) // 64)
     # dense token ids: the vocab is <= MAX_BITMASK_VOCAB by the gate above
     # (the whole bitmask representation exists only under that bound), so
     # sorting it on the driver is a bounded collect — no global window
-    tokens = sorted(r["token"] for r in vocab.collect())
+    tokens = sorted(r["token"] for r in probe_rows)
     vocab_ids = docs.sparkSession.createDataFrame(
         [(t, i) for i, t in enumerate(tokens)], "token string, tid int"
     )
@@ -249,6 +328,8 @@ def jaccard_verify(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = JACCARD_THRESHOLD,
+    toks: DataFrame | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Exact token-set Jaccard for candidate pairs; keep >= threshold.
 
@@ -266,9 +347,15 @@ def jaccard_verify(
     back. The set representation is adaptive: packed 64-bit bitmask words
     when the corpus vocabulary is small (intersection = W ANDs +
     popcounts), distinct-token arrays with ``array_intersect`` otherwise.
+
+    r11 (guide §1.2/§2.4): callers that already know the doc count pass
+    ``n_docs`` (it only gates the broadcast hint) and callers holding the
+    persisted distinct (id, token) table pass ``toks`` so the bitmask
+    build reads the cache instead of re-tokenizing ``docs``.
     """
-    n_docs = docs.select(id_col).count()
-    masks, n_words = _token_bitmasks(docs, text_col, id_col)
+    if n_docs is None:
+        n_docs = docs.select(id_col).count()
+    masks, n_words = _token_bitmasks(docs, text_col, id_col, toks=toks)
     if masks is not None:
         cols = [f"w{w}" for w in range(n_words)]
         a = masks.select(
@@ -357,21 +444,30 @@ def minhash_neardup_pairs(
     (md5 hash family) and therefore oracle-checkable end-to-end.
 
     The signature DataFrame is persisted: the band self-join references it
-    8× (4 band projections × 2 join sides) and recomputing the token
-    explode + min-aggregation per reference costs ~10× the whole pipeline.
-    (The cache is the DataFrame analogue of materializing a CTE.) The
-    previous call's cache is released on the next call — one signature
-    cache is live at a time per session.
+    twice (both join sides) and recomputing the token explode +
+    min-aggregation per reference costs ~10× the whole pipeline. (The
+    cache is the DataFrame analogue of materializing a CTE.) Since r11
+    the distinct (id, token) pair table is persisted too: the verify
+    stage's bitmask build reads it instead of re-tokenizing the corpus
+    (one fewer tokenize+distinct shuffle per call — guide §2.4). The
+    previous call's caches are released on the next call — one call's
+    caches are live at a time per session.
     """
     global _live_sigs
     _release_sig_caches()
-    sigs = minhash_signatures(docs, text_col, id_col).persist()
-    _live_sigs = sigs
+    toks = _doc_tokens(docs, text_col, id_col).persist()
+    sigs = toks.groupBy(id_col).agg(
+        *[
+            F.min(seeded_hash(F.col("token"), i)).alias(f"h{i}")
+            for i in range(NUM_HASHES)
+        ]
+    ).persist()
+    _live_sigs = [sigs, toks]
     cands = minhash_band_pairs(sigs, id_col)
     # No presentation orderBy: the result is a pair SET (the driver compare
     # is order-insensitive) and a global sort of a near-quadratic pair list
     # costs more than the whole pipeline (measured 14.4s → 5.9s at sf0.1).
-    return jaccard_verify(cands, docs, text_col, id_col)
+    return jaccard_verify(cands, docs, text_col, id_col, toks=toks)
 
 
 # Banding escalation ladder for minhash_neardup_pairs_auto: same 4-band
@@ -448,13 +544,28 @@ def minhash_candidate_volume(
     Σ over band buckets of C(n,2) — the probe minhash_neardup_pairs_auto
     runs BEFORE committing to a banding level. One combinable groupBy on
     the (doc × bands)-row key table; never touches documents or pairs."""
+    return _volume_and_docs(signatures, id_col, num_hashes, bands)[0]
+
+
+def _volume_and_docs(
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+) -> tuple[int, int]:
+    """(candidate volume, doc count) from ONE probe job (r11): every doc
+    emits exactly ``bands`` band keys (concat_ws never nulls), so the doc
+    count falls out of the same bucket-count aggregation as Σ C(n,2) —
+    Σ n / bands — and the separate sigs.count() round-trip the escalation
+    path paid is gone."""
     counts = band_keys(signatures, id_col, num_hashes, bands).groupBy(
         "band_key"
     ).agg(F.count("*").alias("n"))
     row = counts.agg(
-        F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("v")
+        F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("v"),
+        F.sum("n").cast("long").alias("t"),
     ).collect()[0]
-    return int(row["v"] or 0)
+    return int(row["v"] or 0), int((row["t"] or 0) // bands)
 
 
 def _ladder_volumes(
@@ -462,30 +573,29 @@ def _ladder_volumes(
     id_col: str,
     levels: list[tuple[int, int]],
 ) -> list[int]:
-    """Candidate volumes for SEVERAL banding levels in one job: the
-    per-level band-key tables union with a level tag and aggregate
-    together (Σ C(n,2) per level). On escalated corpora the ladder's
-    sequential probes were driver-blocking round trips over a tiny
-    cached signature table — job count, not data volume, was their
-    cost (2.6s of the sf0.1 bench row for probes whose aggregation
-    input is ~20k rows)."""
-    keyed = None
-    for lv, (nh, nb) in enumerate(levels):
-        k = band_keys(signatures, id_col, nh, nb).select(
-            F.lit(lv).alias("__lv"), "band_key"
-        )
-        keyed = k if keyed is None else keyed.unionByName(k)
+    """Candidate volumes for SEVERAL banding levels in one job: every
+    level's band keys emit from one tagged generate pass
+    (:func:`_band_keys_levels`) and aggregate together (Σ C(n,2) per
+    level). On escalated corpora the ladder's sequential probes were
+    driver-blocking round trips over a tiny cached signature table —
+    job count, not data volume, was their cost (2.6s of the sf0.1 bench
+    row for probes whose aggregation input is ~20k rows); the r11
+    explode form additionally collapses the probe's levels×bands-way
+    union (384 tiny map tasks) into one map pass. Levels must be
+    distinct (nh, nb) pairs — every caller passes a strict widening
+    ladder."""
     rows = (
-        keyed.groupBy("__lv", "band_key")
+        _band_keys_levels(signatures, id_col, list(levels))
+        .groupBy("__nh", "__nb", "band_key")
         .agg(F.count("*").alias("n"))
-        .groupBy("__lv")
+        .groupBy("__nh", "__nb")
         .agg(
             F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("v")
         )
         .collect()
     )
-    vols = {int(r["__lv"]): int(r["v"] or 0) for r in rows}
-    return [vols.get(i, 0) for i in range(len(levels))]
+    vols = {(int(r["__nh"]), int(r["__nb"])): int(r["v"] or 0) for r in rows}
+    return [vols.get((nh, nb), 0) for nh, nb in levels]
 
 
 def minhash_neardup_pairs_auto(
@@ -550,17 +660,13 @@ def minhash_neardup_pairs_auto(
     first_nh, first_nb = MINHASH_ESCALATION_LEVELS[0]
     widest = MINHASH_ESCALATION_LEVELS[-1][0]
     # the (id, token) pair table feeds BOTH signature passes when an
-    # escalation widens — persist it so the explode+distinct shuffle
-    # (the dominant cost of a signature pass) is paid once, not twice.
-    # Its cache lives ONLY through signature materialization (released
-    # in the finally below, not held until the next dedup call): the
-    # band join and verify read the persisted sigs and the raw docs, so
-    # keeping a corpus-scale token cache past this block would spend
-    # executor memory on nothing in exactly the common no-escalation
-    # case (r10 review).
+    # escalation widens AND (since r11) the verify stage's bitmask build,
+    # so it stays persisted until the NEXT dedup call releases it with
+    # the signature cache — the r10 one-call-scoped release predated the
+    # verify reuse (back then verify re-tokenized the raw docs, so the
+    # cache had no reader after signing; now it has two).
     toks = _doc_tokens(docs, text_col, id_col).persist()
     filt_toks = None
-    high_df = None
     sigs8 = None
     df_dropped = 0
     try:
@@ -569,28 +675,31 @@ def minhash_neardup_pairs_auto(
             for i in range(first_nh)
         ]
         sigs = toks.groupBy(id_col).agg(*aggs8).persist()
-        _live_sigs = sigs
-        volumes: list[int] = [
-            minhash_candidate_volume(sigs, id_col, first_nh, first_nb)
-        ]
+        _live_sigs = [sigs, toks]
+        # ONE probe job returns the level-0 volume AND the doc count
+        # (r11 — the count used to be a second round-trip on the cache)
+        vol0, n_docs = _volume_and_docs(sigs, id_col, first_nh, first_nb)
+        volumes: list[int] = [vol0]
         chosen = (first_nh, first_nb)
         if volumes[0] > max_candidates:
             # RUNG 1 — DF prefilter: re-sign with boilerplate tokens
-            # (df > fraction·N) removed. sigs is cached, so the doc
-            # count is free; the df aggregation is one combinable
-            # groupBy on the already-persisted token table.
-            n_docs = sigs.count()
-            high_df = (
-                toks.groupBy("token")
+            # (df > fraction·N) removed. The drop list is bounded by
+            # construction (at most avg_doc_len/fraction tokens — module
+            # constant doc), so it is COLLECTED in one job (r11; was a
+            # persisted DF paying count + two broadcast rebuilds) and
+            # re-enters the plan as a local-relation broadcast side.
+            high_tokens = [
+                r["token"]
+                for r in toks.groupBy("token")
                 .agg(F.count("*").alias("df"))
                 .filter(
                     F.col("df")
                     > int(MINHASH_DF_PREFILTER_FRACTION * n_docs)
                 )
                 .select("token")
-                .persist()
-            )
-            df_dropped = high_df.count()
+                .collect()
+            ]
+            df_dropped = len(high_tokens)
             sig_toks = toks
             if df_dropped:
                 # full-set fallback for BOILERPLATE-DOMINATED docs: any
@@ -605,6 +714,9 @@ def minhash_neardup_pairs_auto(
                 # together; pairs straddling the floor itself (k-1 vs k
                 # content tokens) remain the residual boundary, stated
                 # in the escalation warning rather than papered over.
+                high_df = docs.sparkSession.createDataFrame(
+                    [(t,) for t in high_tokens], "token string"
+                )
                 content_n = toks.join(
                     F.broadcast(high_df), "token", "left_anti"
                 ).groupBy(id_col).agg(F.count("*").alias("__n"))
@@ -648,7 +760,7 @@ def minhash_neardup_pairs_auto(
             # unpersist here recomputed the md5 aggregation
             sigs8 = sigs
             sigs = wide
-            _live_sigs = sigs
+            _live_sigs = [sigs, toks]
             # the post-0 ladder: the DF rung keeps level-0 banding (its
             # probe only differs when the filter dropped something),
             # then band-widening as the last resort
@@ -674,13 +786,10 @@ def minhash_neardup_pairs_auto(
                     stacklevel=2,
                 )
     finally:
-        # the probes above materialized the chosen signature table;
-        # the token/drop-list caches have no further reader (high_df is
-        # released HERE, not before the wide signature pass — its plan
-        # feeds filt_toks twice and an early unpersist recomputed it)
-        toks.unpersist()
-        if high_df is not None:
-            high_df.unpersist()
+        # the probes above materialized the chosen signature table; the
+        # escalation-only caches have no further reader. ``toks`` is NOT
+        # released here (r11): the verify stage's bitmask build reads it,
+        # so it lives with the signature cache until the next call.
         if sigs8 is not None and sigs8 is not sigs:
             sigs8.unpersist()
         if filt_toks is not None:
@@ -721,14 +830,12 @@ def minhash_neardup_pairs_auto(
             volumes=list(volumes),
             max_candidates=max_candidates,
             df_dropped_tokens=df_dropped,
-            # populated only when escalation ran (the count is free
-            # there — sigs is cached for the DF analysis); callers use
-            # it to sanity-check escalations against expected corpus
-            # sizes without paying a count on the common level-0 path
-            n_docs=n_docs if level > 0 else None,
+            # since r11 the doc count falls out of the level-0 probe job
+            # (_volume_and_docs), so it is populated at every level
+            n_docs=n_docs,
         )
     cands = minhash_band_pairs(sigs, id_col, num_hashes=chosen[0], bands=chosen[1])
-    return jaccard_verify(cands, docs, text_col, id_col)
+    return jaccard_verify(cands, docs, text_col, id_col, toks=toks, n_docs=n_docs)
 
 
 def incremental_dedup(
@@ -738,6 +845,8 @@ def incremental_dedup(
     id_col: str = "doc_id",
     threshold: float = JACCARD_THRESHOLD,
     corpus_sigs: DataFrame | None = None,
+    corpus_tokens: DataFrame | None = None,
+    n_corpus: int | None = None,
 ) -> DataFrame:
     """Dedupe an INCOMING batch against an EXISTING corpus — the shape
     every production ingestion pipeline actually runs: new shards arrive
@@ -778,8 +887,20 @@ def incremental_dedup(
     _release_sig_caches()
     inc_sigs = minhash_signatures(incoming, text_col, id_col).persist()
     if corpus_sigs is None:
-        corp_sigs = minhash_signatures(corpus, text_col, id_col).persist()
-        _live_sigs = [inc_sigs, corp_sigs]
+        # self-building (contrast) shape: tokenize the corpus ONCE and
+        # share the pair table between the signature pass and the verify
+        # stage (r11 — verify used to re-tokenize the corpus)
+        if corpus_tokens is None:
+            corpus_tokens = _doc_tokens(corpus, text_col, id_col).persist()
+            corp_sigs = minhash_signatures(
+                corpus, text_col, id_col, toks=corpus_tokens
+            ).persist()
+            _live_sigs = [inc_sigs, corp_sigs, corpus_tokens]
+        else:
+            corp_sigs = minhash_signatures(
+                corpus, text_col, id_col, toks=corpus_tokens
+            ).persist()
+            _live_sigs = [inc_sigs, corp_sigs]
     else:
         corp_sigs = corpus_sigs  # caller-managed persistence (their index)
         _live_sigs = [inc_sigs]
@@ -808,7 +929,11 @@ def incremental_dedup(
     # The corpus-wide token pass is cheap (one scan, map-side) next to
     # that; don't re-add the "optimization" without re-measuring
     # tools/stress_incremental.py.
-    return _incremental_verdict(cands, incoming, corpus, text_col, id_col, threshold)
+    return _incremental_verdict(
+        cands, incoming, corpus, text_col, id_col, threshold,
+        corpus_tokens=corpus_tokens, n_corpus=n_corpus,
+        n_incoming=n_incoming,
+    )
 
 
 def _check_disjoint_ids(incoming: DataFrame, probe_side: DataFrame, id_col: str) -> None:
@@ -837,15 +962,38 @@ def _incremental_verdict(
     text_col: str,
     id_col: str,
     threshold: float,
+    corpus_tokens: DataFrame | None = None,
+    n_corpus: int | None = None,
+    n_incoming: int | None = None,
 ) -> DataFrame:
     """Shared tail of the incremental-dedup operators: exact-verify the
     cross-side candidates against the union of both texts, then fold to
     the per-incoming verdict contract (id, n_matches, max_jaccard_micro,
-    is_dup)."""
+    is_dup).
+
+    r11: ``corpus_tokens`` is the at-rest index's persisted distinct
+    (id, token) table — the docstring of :func:`incremental_dedup_auto`
+    says the whole point of the index is never re-reading corpus text
+    per batch, yet the verify stage used to re-tokenize the corpus for
+    its vocabulary decision and bitmask build on every call. With the
+    table supplied (ids are disjoint by contract, so per-side distinct
+    pair tables union to the union's distinct pair table) only the
+    BATCH is tokenized per call; ``n_corpus``+``n_incoming`` likewise
+    replace the union's count job for the verify broadcast gate."""
     both = incoming.select(id_col, text_col).unionByName(
         corpus.select(id_col, text_col)
     )
-    verified = jaccard_verify(cands, both, text_col, id_col, threshold)
+    both_toks = None
+    n_docs = None
+    if corpus_tokens is not None:
+        both_toks = _doc_tokens(incoming, text_col, id_col).unionByName(
+            corpus_tokens.select(id_col, "token")
+        )
+        if n_corpus is not None and n_incoming is not None:
+            n_docs = n_corpus + n_incoming
+    verified = jaccard_verify(
+        cands, both, text_col, id_col, threshold, toks=both_toks, n_docs=n_docs
+    )
     hits = verified.groupBy("id_b").agg(
         F.count(F.lit(1)).cast("long").alias("n_matches"),
         F.max("jaccard_micro").alias("max_jaccard_micro"),
@@ -877,14 +1025,17 @@ def minhash_index_signatures(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """The WIDE (h0..h{INDEX_NUM_HASHES-1}) signature table a production
     pipeline persists at ingest so that :func:`incremental_dedup_auto`
     can WIDEN banding against a saturated corpus without ever re-reading
     corpus text — the corpus prerequisite for escalation the full-corpus
     ladder gets by re-scanning. One tokenize + one groupBy, same shape
-    as minhash_signatures with 4x the min-aggregates."""
-    toks = _doc_tokens(docs, text_col, id_col)
+    as minhash_signatures with 4x the min-aggregates; ``toks`` (r11)
+    optionally supplies a caller-persisted pair table."""
+    if toks is None:
+        toks = _doc_tokens(docs, text_col, id_col)
     aggs = [
         F.min(seeded_hash(F.col("token"), i)).alias(f"h{i}")
         for i in range(NUM_HASHES)
@@ -929,15 +1080,9 @@ def minhash_index_band_counts(
             f"h{MINHASH_ESCALATION_LEVELS[0][0] - 1} signature columns "
             f"(got {index_sigs.columns})"
         )
-    frames = None
-    for nh, nb in levels:
-        k = band_keys(index_sigs, id_col, nh, nb).select(
-            F.lit(nh).alias("__nh"), F.lit(nb).alias("__nb"), "band_key"
-        )
-        frames = k if frames is None else frames.unionByName(k)
-    return frames.groupBy("__nh", "__nb", "band_key").agg(
-        F.count("*").alias("n")
-    )
+    return _band_keys_levels(index_sigs, id_col, levels).groupBy(
+        "__nh", "__nb", "band_key"
+    ).agg(F.count("*").alias("n"))
 
 
 def _cross_volumes(
@@ -961,15 +1106,9 @@ def _cross_volumes(
     index-aggregation path always returns ints."""
 
     def keyed(sigs: DataFrame) -> DataFrame:
-        frames = None
-        for nh, nb in levels:
-            k = band_keys(sigs, id_col, nh, nb).select(
-                F.lit(nh).alias("__nh"), F.lit(nb).alias("__nb"), "band_key"
-            )
-            frames = k if frames is None else frames.unionByName(k)
-        return frames.groupBy("__nh", "__nb", "band_key").agg(
-            F.count("*").alias("n")
-        )
+        return _band_keys_levels(sigs, id_col, levels).groupBy(
+            "__nh", "__nb", "band_key"
+        ).agg(F.count("*").alias("n"))
 
     # no broadcast hint on the incoming side: a normal batch's count
     # table is tiny (AQE broadcasts it at runtime), but a giant backfill
@@ -1018,6 +1157,8 @@ def incremental_dedup_auto(
     threshold: float = JACCARD_THRESHOLD,
     corpus_index: DataFrame | None = None,
     corpus_band_counts: DataFrame | None = None,
+    corpus_tokens: DataFrame | None = None,
+    n_corpus: int | None = None,
     max_candidates: int = DEFAULT_MAX_CANDIDATES,
     stats: dict | None = None,
 ) -> DataFrame:
@@ -1056,6 +1197,11 @@ def incremental_dedup_auto(
     corpus-side aggregation with a counts-table scan — without it each
     probe job re-aggregates the full index, which the saturated-corpus
     stress measured as the dominant auto overhead per batch.
+    ``corpus_tokens`` (r11) is the index's persisted distinct
+    (id, token) table and ``n_corpus`` its doc count — with them the
+    verify stage stops re-tokenizing and re-counting the corpus per
+    batch (see :func:`_incremental_verdict`), completing the
+    never-re-read-corpus-text property the index exists for.
 
     Output contract, id-disjointness requirement, and the eager
     disjointness probe are incremental_dedup's."""
@@ -1068,8 +1214,19 @@ def incremental_dedup_auto(
     _release_sig_caches()
     inc_sigs = minhash_index_signatures(incoming, text_col, id_col).persist()
     if corpus_index is None:
-        corp_sigs = minhash_index_signatures(corpus, text_col, id_col).persist()
-        _live_sigs = [inc_sigs, corp_sigs]
+        # self-building (contrast) shape: one corpus tokenize shared by
+        # the index pass and the verify stage (r11)
+        if corpus_tokens is None:
+            corpus_tokens = _doc_tokens(corpus, text_col, id_col).persist()
+            corp_sigs = minhash_index_signatures(
+                corpus, text_col, id_col, toks=corpus_tokens
+            ).persist()
+            _live_sigs = [inc_sigs, corp_sigs, corpus_tokens]
+        else:
+            corp_sigs = minhash_index_signatures(
+                corpus, text_col, id_col, toks=corpus_tokens
+            ).persist()
+            _live_sigs = [inc_sigs, corp_sigs]
     else:
         corp_sigs = corpus_index  # caller-managed persistence (their index)
         _live_sigs = [inc_sigs]
@@ -1158,7 +1315,12 @@ def incremental_dedup_auto(
                 UserWarning,
                 stacklevel=2,
             )
-    n_incoming = incoming.select(id_col).count()
+    # batch size for the broadcast gate: count the CACHED signature table
+    # the probe already materialized (r11; was a fresh scan of incoming —
+    # one extra source round-trip per batch). Signature rows exist for
+    # every doc with at least one token, which is what the band side
+    # actually carries.
+    n_incoming = inc_sigs.count()
     inc_bands = band_keys(inc_sigs, id_col, *chosen).withColumnRenamed(
         "bid", "id_b"
     )
@@ -1178,7 +1340,11 @@ def incremental_dedup_auto(
             max_candidates=max_candidates,
             n_incoming=n_incoming,
         )
-    return _incremental_verdict(cands, incoming, corpus, text_col, id_col, threshold)
+    return _incremental_verdict(
+        cands, incoming, corpus, text_col, id_col, threshold,
+        corpus_tokens=corpus_tokens, n_corpus=n_corpus,
+        n_incoming=n_incoming,
+    )
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -1038,26 +1038,33 @@ def q_incremental_dedup(spark, sf_dir):
 # re-pay the corpus pass on every call. Lifecycle is owned here (NOT
 # dedup's one-call-live rotation, which would release it on the next call);
 # a session change invalidates the entry (persisted blocks die with the
-# session). Tiny: NUM_HASHES longs per corpus doc.
-_CORP_SIG_MEMO: dict[str, DataFrame] = {}
+# session). Tiny: NUM_HASHES longs per corpus doc. r11: the memo carries
+# (sigs, toks, n_corpus) — the at-rest index includes the verify-side
+# distinct (id, token) table and the doc count, so the per-batch call
+# re-reads NO corpus text at all (the verify stage used to re-tokenize
+# the corpus for its vocabulary decision + bitmask build every call).
+_CORP_SIG_MEMO: dict[str, tuple[DataFrame, DataFrame, int]] = {}
 
 
-def _corpus_sigs_cached(spark, sf_dir, corpus) -> DataFrame:
+def _corpus_sigs_cached(spark, sf_dir, corpus) -> tuple[DataFrame, DataFrame, int]:
     got = _CORP_SIG_MEMO.get(sf_dir)
     if got is not None:
         try:
-            if got.sparkSession is spark:
+            if got[0].sparkSession is spark:
                 return got
         except Exception:
             pass
-        try:
-            got.unpersist()
-        except Exception:
-            pass
-    sigs = dedup.minhash_signatures(corpus).persist()
+        for df in got[:2]:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+    toks = dedup._doc_tokens(corpus, "text", "doc_id").persist()
+    sigs = dedup.minhash_signatures(corpus, toks=toks).persist()
     sigs.count()  # materialize now — the index predates the batch
-    _CORP_SIG_MEMO[sf_dir] = sigs
-    return sigs
+    n_corpus = corpus.select("doc_id").count()
+    _CORP_SIG_MEMO[sf_dir] = (sigs, toks, n_corpus)
+    return _CORP_SIG_MEMO[sf_dir]
 
 
 def q_incremental_dedup_indexed(spark, sf_dir):
@@ -1066,25 +1073,33 @@ def q_incremental_dedup_indexed(spark, sf_dir):
     persisted — the index a real pipeline maintains at ingest) and the
     arriving batch is checked against it via ``corpus_sigs``, so the
     steady-state call pays one signature pass over the small BATCH plus
-    the cross-side band join; the corpus text is never re-signatured.
-    bench.py's min-of-N therefore reports the warm-index per-batch cost
-    — the number a production shard pays — while the one-time index
-    build cost is recorded in STRESS.md 'Incremental batch-vs-corpus
-    dedup' (tools/stress_incremental.py). Same inputs and result
-    contract as q_incremental_dedup → same FULL oracle."""
+    the cross-side band join; the corpus text is never re-signatured —
+    nor, since r11, re-tokenized by the verify stage (``corpus_tokens``/
+    ``n_corpus`` ride the same memo). bench.py's median-of-N therefore
+    reports the warm-index per-batch cost — the number a production
+    shard pays — while the one-time index build cost is recorded in
+    STRESS.md 'Incremental batch-vs-corpus dedup'
+    (tools/stress_incremental.py). Same inputs and result contract as
+    q_incremental_dedup → same FULL oracle."""
     corpus, incoming = _incremental_dedup_sides(spark, sf_dir)
-    corp_sigs = _corpus_sigs_cached(spark, sf_dir, corpus)
-    return dedup.incremental_dedup(incoming, corpus, corpus_sigs=corp_sigs)
+    corp_sigs, corp_toks, n_corpus = _corpus_sigs_cached(spark, sf_dir, corpus)
+    return dedup.incremental_dedup(
+        incoming, corpus, corpus_sigs=corp_sigs,
+        corpus_tokens=corp_toks, n_corpus=n_corpus,
+    )
 
 
 # wide (32-hash) corpus index memo for q_incremental_dedup_auto — the
-# index AND its probe-side band-count companion, persisted together the
-# way a production pipeline maintains both at ingest; same lifecycle
+# index, its probe-side band-count companion, and (r11) the verify-side
+# distinct (id, token) table + doc count, persisted together the way a
+# production pipeline maintains all of them at ingest; same lifecycle
 # rules as _CORP_SIG_MEMO above
-_CORP_INDEX_MEMO: dict[str, tuple[DataFrame, DataFrame]] = {}
+_CORP_INDEX_MEMO: dict[str, tuple[DataFrame, DataFrame, DataFrame, int]] = {}
 
 
-def _corpus_index_cached(spark, sf_dir, corpus) -> tuple[DataFrame, DataFrame]:
+def _corpus_index_cached(
+    spark, sf_dir, corpus
+) -> tuple[DataFrame, DataFrame, DataFrame, int]:
     got = _CORP_INDEX_MEMO.get(sf_dir)
     if got is not None:
         try:
@@ -1092,17 +1107,19 @@ def _corpus_index_cached(spark, sf_dir, corpus) -> tuple[DataFrame, DataFrame]:
                 return got
         except Exception:
             pass
-        for df in got:
+        for df in got[:3]:
             try:
                 df.unpersist()
             except Exception:
                 pass
-    idx = dedup.minhash_index_signatures(corpus).persist()
+    toks = dedup._doc_tokens(corpus, "text", "doc_id").persist()
+    idx = dedup.minhash_index_signatures(corpus, toks=toks).persist()
     idx.count()  # materialize now — the index predates the batch
     counts = dedup.minhash_index_band_counts(idx).persist()
     counts.count()
-    _CORP_INDEX_MEMO[sf_dir] = (idx, counts)
-    return idx, counts
+    n_corpus = corpus.select("doc_id").count()
+    _CORP_INDEX_MEMO[sf_dir] = (idx, counts, toks, n_corpus)
+    return _CORP_INDEX_MEMO[sf_dir]
 
 
 def q_incremental_dedup_auto(spark, sf_dir):
@@ -1121,10 +1138,11 @@ def q_incremental_dedup_auto(spark, sf_dir):
     full-corpus, and the ladder widens to (32, 4) by design — the
     escalation canary working as documented."""
     corpus, incoming = _incremental_dedup_sides(spark, sf_dir)
-    idx, counts = _corpus_index_cached(spark, sf_dir, corpus)
+    idx, counts, corp_toks, n_corpus = _corpus_index_cached(spark, sf_dir, corpus)
     stats: dict = {}
     out = dedup.incremental_dedup_auto(
         incoming, corpus, corpus_index=idx, corpus_band_counts=counts,
+        corpus_tokens=corp_toks, n_corpus=n_corpus,
         stats=stats,
     )
     if stats.get("level", 0) != 0:
@@ -2712,7 +2730,15 @@ def q_knn_pq_auto(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     books = ann.pq_train(emb)
     codes = ann.pq_encode(emb, books)
-    return ann.pq_knn_rerank(codes, books, emb, RAW_QUERY_VEC, k=5, shortlist=None)
+    # n_codes from the raw-table footer count (r11): sizing the auto
+    # shortlist with codes.count() executed the whole Python encode once
+    # extra — pq_encode emits one code row per embedding row, so the
+    # metadata count is the same number and the derived shortlist (and
+    # therefore the result) is identical
+    return ann.pq_knn_rerank(
+        codes, books, emb, RAW_QUERY_VEC, k=5, shortlist=None,
+        n_codes=emb.count(),
+    )
 
 
 def q_knn_ivfpq_auto(spark, sf_dir):
@@ -2726,9 +2752,12 @@ def q_knn_ivfpq_auto(spark, sf_dir):
         books,
         payload_cols=("centroid_id",),
     )
+    # n_codes from the raw-table footer count (r11) — same number the
+    # fused codes.count() produced, without executing the KMeans
+    # transform + Python encode pipeline once extra to get it
     return ann.ivfpq_knn(
         codes, centroids, books, emb, RAW_QUERY_VEC, k=5,
-        nprobe=None, shortlist=None,
+        nprobe=None, shortlist=None, n_codes=emb.count(),
     )
 
 
