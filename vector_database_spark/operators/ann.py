@@ -298,20 +298,21 @@ def lsh_long_form(
     tagged = with_lsh_signature(
         embeddings, dim=dim, bits=bits, tables=tables, emb_col=emb_col
     )
-    frames = [
-        tagged.select(
-            id_col,
-            emb_col,
-            *payload_cols,
-            F.lit(t).alias("table"),
-            F.col(f"sig_{t}").alias("sig"),
-        )
-        for t in range(tables)
-    ]
-    allt = frames[0]
-    for fr in frames[1:]:
-        allt = allt.unionByName(fr)
-    return allt
+    # r11 (guide §4.1): one posexplode pass instead of a tables-way union
+    # of selects. Union children are independent subplans, so the old
+    # form re-ran the Arrow signature UDF once PER TABLE (8× the Python
+    # matmul and 8× the scan) — the generate form runs it once and emits
+    # the identical (…, table, sig) multiset, including (t, NULL) rows
+    # for degraded signatures (array() of NULL elements explodes into
+    # per-table NULL rows exactly like the per-column selects did).
+    return tagged.select(
+        id_col,
+        emb_col,
+        *payload_cols,
+        F.posexplode(
+            F.array(*[F.col(f"sig_{t}") for t in range(tables)])
+        ).alias("table", "sig"),
+    )
 
 
 def lsh_knn_pruned(

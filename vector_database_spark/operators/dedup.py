@@ -75,15 +75,23 @@ def substring_dedup(
         F.sequence(F.lit(0), F.size("tk") - window_tokens),
         lambda i: F.array_join(F.slice(F.col("tk"), i + 1, window_tokens), " "),
     )
-    # window-array build pinned too: the explode's inferred pre-filter
-    # would clone the whole W-token join per row otherwise
-    wins = base.select(id_col, computed_once(warr).alias("warr")).select(
-        id_col, F.explode("warr").alias("win")
+    # r11 (guide §2.4): the per-doc DISTINCT window-hash set is computed
+    # map-side — hash the window array, array_distinct it, THEN explode —
+    # identical (id, g) pairs to the old explode → .distinct(), minus the
+    # global distinct's full shuffle of the window table. Pinned for the
+    # same inferred-pre-filter reason as the token explode.
+    harr = F.array_distinct(
+        F.transform(warr, lambda w: seeded_hash(w, seed))
     )
-    wh = wins.select(id_col, seeded_hash(F.col("win"), seed).alias("g")).distinct()
-    first_seen = wh.groupBy("g").agg(F.min(id_col).alias("first_doc"))
+    wh = base.select(id_col, computed_once(harr).alias("harr")).select(
+        id_col, F.explode("harr").alias("g")
+    )
+    # r11 (guide §2.4): first-seen attribution as a min() window over g —
+    # the old groupBy(g) + equi-join back on g paid two exchanges of the
+    # window-hash table for a value a single partition-by-g pass computes
+    w_first = Window.partitionBy("g")
     per_doc = (
-        wh.join(first_seen, "g")
+        wh.withColumn("first_doc", F.min(id_col).over(w_first))
         .groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_windows"),
@@ -1775,6 +1783,8 @@ def line_dedup(
     """
     from vector_database_spark.functions.text import tokenize_ws
 
+    from vector_database_spark.functions.vector import computed_once
+
     n_docs_hint = docs.count()
     tk = tokenize_ws(F.col(text_col))
     starts = F.when(
@@ -1789,10 +1799,21 @@ def line_dedup(
             "line"
         ),
     )
+    # r11 (guide §2.3/§2.4): the DF count only needs DISTINCT (doc, line)
+    # pairs, so dedupe per doc MAP-SIDE (array_distinct over the line
+    # array) and count plain rows per line — the old
+    # groupBy(line).agg(countDistinct(id)) expanded into two shuffles of
+    # the full line table for the same number. Pinned against the
+    # inferred-pre-filter clone like every built-array explode.
+    line_arr = F.transform(
+        starts, lambda s: F.concat_ws(" ", F.slice(tk, s + 1, line_w))
+    )
     boiler = (
-        lines.groupBy("line")
-        .agg(F.countDistinct(id_col).alias("df"))
-        .filter(F.col("df") >= df_threshold)
+        docs.select(computed_once(F.array_distinct(line_arr)).alias("__la"))
+        .select(F.explode("__la").alias("line"))
+        .groupBy("line")
+        .count()
+        .filter(F.col("count") >= df_threshold)
         .select("line")
     )
     # boiler (distinct repeated lines) grows with the corpus: hint it
@@ -1813,7 +1834,14 @@ def line_dedup(
             )
         ).alias("clean_hash"),
     )
-    totals = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
+    # r11 (guide §2.4): a doc's line count is size(starts) — arithmetic on
+    # the token array — so the totals side is MAP-ONLY instead of a
+    # groupBy over the exploded line table (one shuffle of docs×8 rows
+    # removed); the size(tk) > 0 guard keeps row parity with the explode
+    # (docs with NULL/absent text produced no line rows and no output row)
+    totals = docs.select(
+        id_col, computed_once(F.size(starts)).cast("long").alias("n_lines")
+    ).filter(F.col("n_lines") > 0)
     return totals.join(agg, id_col, "left").select(
         id_col,
         "n_lines",
