@@ -524,6 +524,8 @@ def _wide_minhash_signatures(
     toks: DataFrame,
     id_col: str,
     num_hashes: int,
+    drop_tokens: list[str] | None = None,
+    min_content: int | None = None,
 ) -> DataFrame:
     """The ESCALATION-path signature table over a (id, token) pair
     table, hashed with JVM-native xxhash64(i, token) for EVERY column.
@@ -534,12 +536,41 @@ def _wide_minhash_signatures(
     (17.3s -> 8.7s moving h{NUM_HASHES}.. to xxhash + sharing the token
     table in r10; r11 moves h0..h{NUM_HASHES-1} too — they had kept md5
     only so level-0 bands could be re-derived bit-identically from this
-    table, a property nothing used)."""
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("token"))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return toks.groupBy(id_col).agg(*aggs)
+    table, a property nothing used).
+
+    ``drop_tokens`` (r12, guide §1.2/§2.4): the DF-prefilter rung's
+    bounded boilerplate drop list, FUSED into this aggregation. The r11
+    rung materialized a filtered (id, token) table first — a content
+    count groupBy, a fallback anti-join, two joins and a persist over
+    the widest dedup intermediate — and then ran the signature pass
+    over it: four traversals of the token table inside the ladder-probe
+    job. Fused, ONE combinable groupBy computes per doc the min-hash
+    over content tokens (``min(when(is_content, h))`` — min ignores the
+    NULLs boilerplate rows produce), the min-hash over the full set,
+    and the content-token count; the select picks the content minima
+    when the count clears ``min_content`` and the full-set minima
+    otherwise. Bit-identical to the filtered-table form: a kept doc's
+    surviving rows are exactly its content rows, a fallback doc
+    (content count < floor) keeps every row."""
+    hashes = [F.xxhash64(F.lit(i), F.col("token")) for i in range(num_hashes)]
+    if not drop_tokens:
+        return toks.groupBy(id_col).agg(
+            *[F.min(h).alias(f"h{i}") for i, h in enumerate(hashes)]
+        )
+    is_content = ~F.col("token").isin(list(drop_tokens))
+    aggs = (
+        [F.min(F.when(is_content, h)).alias(f"__c{i}") for i, h in enumerate(hashes)]
+        + [F.min(h).alias(f"__f{i}") for i, h in enumerate(hashes)]
+        + [F.sum(is_content.cast("int")).alias("__nc")]
+    )
+    keep = F.col("__nc") >= int(min_content or 0)
+    return toks.groupBy(id_col).agg(*aggs).select(
+        id_col,
+        *[
+            F.when(keep, F.col(f"__c{i}")).otherwise(F.col(f"__f{i}")).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
 
 
 def minhash_candidate_volume(
@@ -674,7 +705,6 @@ def minhash_neardup_pairs_auto(
     # verify reuse (back then verify re-tokenized the raw docs, so the
     # cache had no reader after signing; now it has two).
     toks = _doc_tokens(docs, text_col, id_col).persist()
-    filt_toks = None
     sigs8 = None
     df_dropped = 0
     try:
@@ -708,64 +738,37 @@ def minhash_neardup_pairs_auto(
                 .collect()
             ]
             df_dropped = len(high_tokens)
-            sig_toks = toks
-            if df_dropped:
-                # full-set fallback for BOILERPLATE-DOMINATED docs: any
-                # doc left with fewer than MINHASH_DF_MIN_CONTENT_TOKENS
-                # surviving tokens keeps its FULL set. A bare empty-set
-                # fallback (r11 first cut) was asymmetric at the
-                # boundary — an all-boilerplate doc kept 15 tokens while
-                # its near-exact dup with ONE content token kept just
-                # that token, so the 0.94-Jaccard pair shared no
-                # signature tokens and was silently lost (r11 review).
-                # The floor makes both sides of such pairs fall back
-                # together; pairs straddling the floor itself (k-1 vs k
-                # content tokens) remain the residual boundary, stated
-                # in the escalation warning rather than papered over.
-                high_df = docs.sparkSession.createDataFrame(
-                    [(t,) for t in high_tokens], "token string"
-                )
-                content_n = toks.join(
-                    F.broadcast(high_df), "token", "left_anti"
-                ).groupBy(id_col).agg(F.count("*").alias("__n"))
-                fallback_ids = sigs.select(id_col).join(
-                    content_n.filter(
-                        F.col("__n") >= MINHASH_DF_MIN_CONTENT_TOKENS
-                    ),
-                    id_col,
-                    "left_anti",
-                )
-                # ONE pass over the cached token table (the first cut's
-                # kept/full-set union read it three times): a row
-                # survives when its doc falls back (keeps everything)
-                # or its token is content
-                filt_toks = (
-                    toks.join(
-                        F.broadcast(
-                            high_df.withColumn("__hi", F.lit(True))
-                        ),
-                        "token",
-                        "left",
-                    )
-                    .join(
-                        fallback_ids.withColumn("__fb", F.lit(True)),
-                        id_col,
-                        "left",
-                    )
-                    .filter(
-                        F.col("__fb").isNotNull() | F.col("__hi").isNull()
-                    )
-                    .select(id_col, "token")
-                    .persist()
-                )
-                sig_toks = filt_toks
+            # full-set fallback for BOILERPLATE-DOMINATED docs: any doc
+            # left with fewer than MINHASH_DF_MIN_CONTENT_TOKENS
+            # surviving tokens keeps its FULL set. A bare empty-set
+            # fallback (r11 first cut) was asymmetric at the boundary —
+            # an all-boilerplate doc kept 15 tokens while its near-exact
+            # dup with ONE content token kept just that token, so the
+            # 0.94-Jaccard pair shared no signature tokens and was
+            # silently lost (r11 review). The floor makes both sides of
+            # such pairs fall back together; pairs straddling the floor
+            # itself (k-1 vs k content tokens) remain the residual
+            # boundary, stated in the escalation warning rather than
+            # papered over.
+            #
+            # r12 (guide §1.2/§2.4): the drop list + fallback floor are
+            # FUSED into the wide signature aggregation itself
+            # (_wide_minhash_signatures(drop_tokens=..., min_content=...))
+            # — ONE combinable groupBy over the cached token table
+            # replaces the r11 filtered-table build (content-count
+            # groupBy + fallback anti-join + two joins + persist) that
+            # ran inside the ladder-probe job. Values are bit-identical
+            # per the helper's docstring, so every ladder level, the
+            # stats dict and the recall tests are unchanged.
             wide = _wide_minhash_signatures(
-                sig_toks, id_col, num_hashes=widest
+                toks,
+                id_col,
+                num_hashes=widest,
+                drop_tokens=high_tokens if df_dropped else None,
+                min_content=MINHASH_DF_MIN_CONTENT_TOKENS,
             ).persist()
-            # the 8-hash table stays cached until the finally:
-            # fallback_ids' plan reads it for the doc universe, and it
-            # materializes lazily DURING the wide probe — an eager
-            # unpersist here recomputed the md5 aggregation
+            # the 8-hash table has no reader past this point; it is
+            # released in the finally
             sigs8 = sigs
             sigs = wide
             _live_sigs = [sigs, toks]
@@ -800,8 +803,6 @@ def minhash_neardup_pairs_auto(
         # so it lives with the signature cache until the next call.
         if sigs8 is not None and sigs8 is not sigs:
             sigs8.unpersist()
-        if filt_toks is not None:
-            filt_toks.unpersist()
     level = len(volumes) - 1
     if level > 0:
         df_note = (
@@ -1786,18 +1787,25 @@ def line_dedup(
     from vector_database_spark.functions.vector import computed_once
 
     n_docs_hint = docs.count()
+    # r12: pin the token array ONCE per branch (computed_once). Without
+    # the pin CollapseProject inlined the tokenize into every per-line
+    # slice — the exploded branch split each doc once PER LINE ROW, and
+    # the r11 boiler branch split once per transform() ELEMENT inside an
+    # interpreted lambda (the driver-measured r11 regression: O(lines ×
+    # tokens) re-tokenization per doc). Pinned, each branch splits each
+    # doc exactly once, same as substring_dedup.
     tk = tokenize_ws(F.col(text_col))
+    tka = F.col("__tk")
+    base = docs.select(id_col, computed_once(tk).alias("__tk"))
     starts = F.when(
-        F.size(tk) > 0, F.sequence(F.lit(0), F.size(tk) - 1, F.lit(line_w))
+        F.size(tka) > 0, F.sequence(F.lit(0), F.size(tka) - 1, F.lit(line_w))
     ).otherwise(F.array().cast("array<int>"))
-    lines = docs.select(
-        id_col, tk.alias("__tk"), F.posexplode(starts).alias("line_no", "start")
+    lines = base.select(
+        id_col, "__tk", F.posexplode(starts).alias("line_no", "start")
     ).select(
         id_col,
         F.col("line_no").cast("long").alias("line_no"),
-        F.concat_ws(" ", F.slice(F.col("__tk"), F.col("start") + 1, line_w)).alias(
-            "line"
-        ),
+        F.concat_ws(" ", F.slice(tka, F.col("start") + 1, line_w)).alias("line"),
     )
     # r11 (guide §2.3/§2.4): the DF count only needs DISTINCT (doc, line)
     # pairs, so dedupe per doc MAP-SIDE (array_distinct over the line
@@ -1806,10 +1814,10 @@ def line_dedup(
     # the full line table for the same number. Pinned against the
     # inferred-pre-filter clone like every built-array explode.
     line_arr = F.transform(
-        starts, lambda s: F.concat_ws(" ", F.slice(tk, s + 1, line_w))
+        starts, lambda s: F.concat_ws(" ", F.slice(tka, s + 1, line_w))
     )
     boiler = (
-        docs.select(computed_once(F.array_distinct(line_arr)).alias("__la"))
+        base.select(computed_once(F.array_distinct(line_arr)).alias("__la"))
         .select(F.explode("__la").alias("line"))
         .groupBy("line")
         .count()
@@ -1838,9 +1846,19 @@ def line_dedup(
     # the token array — so the totals side is MAP-ONLY instead of a
     # groupBy over the exploded line table (one shuffle of docs×8 rows
     # removed); the size(tk) > 0 guard keeps row parity with the explode
-    # (docs with NULL/absent text produced no line rows and no output row)
-    totals = docs.select(
-        id_col, computed_once(F.size(starts)).cast("long").alias("n_lines")
+    # (docs with NULL/absent text produced no line rows and no output row).
+    # r12: size(sequence(0, n-1, w)) written as the integer arithmetic it
+    # is — floor((n-1)/w) + 1 — so the totals pass allocates no array.
+    totals = base.select(
+        id_col,
+        computed_once(
+            F.when(
+                F.size(tka) > 0,
+                F.floor((F.size(tka) - 1) / line_w) + 1,
+            )
+        )
+        .cast("long")
+        .alias("n_lines"),
     ).filter(F.col("n_lines") > 0)
     return totals.join(agg, id_col, "left").select(
         id_col,
