@@ -57,6 +57,36 @@ ALLOW = {
 }
 
 
+# r12: expensive expressions INSIDE a lambdafunction body are the
+# second double-compute class — HOFs are CodegenFallback with no
+# subexpression elimination, so e.g. a tokenize referenced by the lambda
+# re-runs once PER ELEMENT (O(tokens²) per row). Found q_line_dedup's
+# boiler branch, plus bigrams(raw-tokenize) in q_repetition_ratio /
+# q_dsir_select / q_ngram_jaccard and the pos scan in q_loss_mask.
+# aggregate()/bit_count() folds are NOT flagged here: the fold body IS
+# the per-element work (the r4 "don't unroll folds" result).
+LAMBDA_MARKERS = ("split(lower", "regexp_extract_all")
+
+
+def _lambda_bodies(plan: str):
+    i = 0
+    while True:
+        j = plan.find("lambdafunction(", i)
+        if j < 0:
+            return
+        k = j + len("lambdafunction(")
+        depth, end = 1, k
+        while depth and end < len(plan):
+            c = plan[end]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            end += 1
+        yield plan[k:end]
+        i = k
+
+
 def audit_query_plans(spark, queries, sf: str) -> list[str]:
     """Run the substitution audit over ``queries`` (name → builder).
     Returns human-readable offender strings; empty list == clean."""
@@ -74,6 +104,14 @@ def audit_query_plans(spark, queries, sf: str) -> list[str]:
             for m in MARKERS:
                 if m in node and (name, m) not in ALLOW:
                     bad.append(f"{name}: {m!r} inside {node[:110]}")
+                    break
+        for body in _lambda_bodies(plan):
+            for m in LAMBDA_MARKERS:
+                if m in body:
+                    bad.append(
+                        f"{name}: {m!r} inside lambdafunction body "
+                        f"(per-element re-eval): {body[:90]}"
+                    )
                     break
     return bad
 

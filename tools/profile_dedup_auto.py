@@ -138,10 +138,14 @@ def main() -> None:
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
         corpus, incoming = Q._incremental_dedup_sides(spark, sf_dir)
-        idx, counts, corp_toks, n_corpus = Q._corpus_index_cached(spark, sf_dir, corpus)
-        t(
-            "disjoint check",
-            lambda: dedup._check_disjoint_ids(incoming, idx, "doc_id"),
+        idx, counts, corp_toks, n_corpus, corp_vocab = Q._corpus_index_cached(
+            spark, sf_dir, corpus
+        )
+        n_inc = t(
+            "disjoint check + incoming count (one job, r12)",
+            lambda: dedup._check_disjoint_ids(
+                incoming, idx, "doc_id", count_incoming=True
+            ),
         )
         inc_sigs = dedup.minhash_index_signatures(incoming, "text", "doc_id").persist()
         first = (8, 4)
@@ -151,7 +155,6 @@ def main() -> None:
             lambda: dedup._cross_volumes(idx, inc_sigs, "doc_id", levels, counts),
         )
         print(f"    cross vols={vols}")
-        n_inc = t("incoming count", lambda: incoming.select("doc_id").count())
         chosen = (32, 4)
         inc_bands = dedup.band_keys(inc_sigs, "doc_id", *chosen).withColumnRenamed(
             "bid", "id_b"
@@ -166,7 +169,10 @@ def main() -> None:
         out = t(
             "verdict build (verify eager n_docs+vocab jobs)",
             lambda: dedup._incremental_verdict(
-                cands, incoming, corpus, "text", "doc_id", dedup.JACCARD_THRESHOLD
+                cands, incoming, corpus, "text", "doc_id",
+                dedup.JACCARD_THRESHOLD, corpus_tokens=corp_toks,
+                n_corpus=n_corpus, n_incoming=n_inc,
+                corpus_vocab=corp_vocab,
             ),
         )
         t(

@@ -3446,9 +3446,11 @@ class VectorCollection:
         from vector_database_spark.operators import ann
 
         def build_delta(live: DataFrame, meta: dict, seg: int) -> DataFrame:
-            # lsh_long_form is a `tables`-way union whose every branch
-            # re-executes its input plan — the protocol hands us `live`
-            # already pinned, so the fan-out reads the checkpoint
+            # lsh_long_form has been a single posexplode pass since r11
+            # (no per-table re-execution of the input); the protocol
+            # still hands us `live` pinned, which keeps the one
+            # signature-UDF pass reading a checkpoint instead of the
+            # full upstream plan
             return ann.lsh_long_form(
                 live,
                 dim=self.info.dim,

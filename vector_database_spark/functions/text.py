@@ -62,6 +62,13 @@ def bigrams(tokens: Column) -> Column:
     Built positionally (element_at is 1-based) so the DuckDB twin
     ``list_transform(range(len(l)-1), i -> l[i+1] || ' ' || l[i+2])``
     produces the identical list.
+
+    CALLER CONTRACT (r12): pass a MATERIALIZED array attribute (a
+    pinned projected column), never the raw tokenize expression —
+    ``tokens`` is referenced inside the per-element lambda, and HOFs
+    are CodegenFallback with no subexpression elimination, so an inline
+    ``split()`` argument re-runs once per element: O(tokens²) per row
+    (found in four queries by the r12 lambda-body plan audit).
     """
     return F.when(F.size(tokens) < 2, F.array().cast("array<string>")).otherwise(
         F.transform(

@@ -63,8 +63,15 @@ def substring_dedup(
     than size(tokens) - W + 1.
 
     Scale shape: two linear shuffles (window-hash min-attribution, per-doc
-    verdict), both partial-agg combinable; nothing quadratic. Used by
-    queries.py::q_substring_dedup and the 1M-doc stress probe.
+    verdict); nothing quadratic. The r11 min()-window attribution is NOT
+    partial-agg combinable on the first shuffle: WindowExec buffers each
+    ``g`` group in one task, so a window hash shared by a large fraction
+    of docs becomes one giant (spilling, but not OOMing) group — the
+    hot-key hazard the module header warns about, traded for one fewer
+    exchange of the window-hash table. Corpora with such a hash are
+    boilerplate-dominated and belong in line_dedup first; revert to the
+    combinable groupBy(g)+equi-join form if that trade ever bites. Used
+    by queries.py::q_substring_dedup and the 1M-doc stress probe.
     """
     # pinned: the length guard otherwise pushes down a substituted second
     # tokenize per document (functions/text.py::explode_tokens rationale)
@@ -281,8 +288,18 @@ def _maybe_broadcast(
     return F.broadcast(df)
 
 
+# sentinel: the caller already knows the vocabulary exceeds
+# MAX_BITMASK_VOCAB — _token_bitmasks picks the array representation
+# without running its probe job
+_VOCAB_OVER_CAP = object()
+
+
 def _token_bitmasks(
-    docs: DataFrame, text_col: str, id_col: str, toks: DataFrame | None = None
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    toks: DataFrame | None = None,
+    vocab_tokens=None,
 ):
     """(masks_df, n_words) — per-doc token set as packed 64-bit words, or
     None when the corpus vocabulary exceeds MAX_BITMASK_VOCAB.
@@ -300,19 +317,35 @@ def _token_bitmasks(
     (id, token) pair table — the signature passes build exactly this
     table, so threading it here removes a tokenize+distinct shuffle per
     verify (guide §2.4); when omitted the table derives from ``docs``.
+
+    ``vocab_tokens`` (r12, guide §1.2): the caller's already-known
+    COMPLETE vocabulary of ``docs`` — either the set of token strings
+    (must be the full distinct-token set, ≤ cap or not) or the
+    ``_VOCAB_OVER_CAP`` sentinel. With it the representation decision
+    costs ZERO Spark jobs here; the incremental paths derive it from
+    the at-rest corpus vocabulary plus a batch-only probe instead of
+    re-aggregating the corpus-scale union token table every call.
     """
+    if vocab_tokens is _VOCAB_OVER_CAP:
+        return None, 0
     if toks is None:
         toks = explode_tokens(docs, (id_col,), text_col, distinct=True)
-    vocab = toks.select("token").distinct()
-    probe_rows = vocab.limit(MAX_BITMASK_VOCAB + 1).collect()
-    if len(probe_rows) > MAX_BITMASK_VOCAB:
-        return None, 0
-    n_vocab = len(probe_rows)
+    if vocab_tokens is not None:
+        if len(vocab_tokens) > MAX_BITMASK_VOCAB:
+            return None, 0
+        tokens = sorted(vocab_tokens)
+    else:
+        vocab = toks.select("token").distinct()
+        probe_rows = vocab.limit(MAX_BITMASK_VOCAB + 1).collect()
+        if len(probe_rows) > MAX_BITMASK_VOCAB:
+            return None, 0
+        # dense token ids: the vocab is <= MAX_BITMASK_VOCAB by the gate
+        # above (the whole bitmask representation exists only under that
+        # bound), so sorting it on the driver is a bounded collect — no
+        # global window
+        tokens = sorted(r["token"] for r in probe_rows)
+    n_vocab = len(tokens)
     n_words = max(1, (n_vocab + 63) // 64)
-    # dense token ids: the vocab is <= MAX_BITMASK_VOCAB by the gate above
-    # (the whole bitmask representation exists only under that bound), so
-    # sorting it on the driver is a bounded collect — no global window
-    tokens = sorted(r["token"] for r in probe_rows)
     vocab_ids = docs.sparkSession.createDataFrame(
         [(t, i) for i, t in enumerate(tokens)], "token string, tid int"
     )
@@ -338,6 +371,7 @@ def jaccard_verify(
     threshold: float = JACCARD_THRESHOLD,
     toks: DataFrame | None = None,
     n_docs: int | None = None,
+    vocab_tokens=None,
 ) -> DataFrame:
     """Exact token-set Jaccard for candidate pairs; keep >= threshold.
 
@@ -363,7 +397,9 @@ def jaccard_verify(
     """
     if n_docs is None:
         n_docs = docs.select(id_col).count()
-    masks, n_words = _token_bitmasks(docs, text_col, id_col, toks=toks)
+    masks, n_words = _token_bitmasks(
+        docs, text_col, id_col, toks=toks, vocab_tokens=vocab_tokens
+    )
     if masks is not None:
         cols = [f"w{w}" for w in range(n_words)]
         a = masks.select(
@@ -856,6 +892,7 @@ def incremental_dedup(
     corpus_sigs: DataFrame | None = None,
     corpus_tokens: DataFrame | None = None,
     n_corpus: int | None = None,
+    corpus_vocab: list | None = None,
 ) -> DataFrame:
     """Dedupe an INCOMING batch against an EXISTING corpus — the shape
     every production ingestion pipeline actually runs: new shards arrive
@@ -891,7 +928,12 @@ def incremental_dedup(
     Deterministic (portable md5 hash family) → FULL DuckDB oracle
     (queries.py::q_incremental_dedup).
     """
-    _check_disjoint_ids(incoming, corpus_sigs if corpus_sigs is not None else corpus, id_col)
+    n_incoming = _check_disjoint_ids(
+        incoming,
+        corpus_sigs if corpus_sigs is not None else corpus,
+        id_col,
+        count_incoming=True,
+    )
     global _live_sigs
     _release_sig_caches()
     inc_sigs = minhash_signatures(incoming, text_col, id_col).persist()
@@ -919,8 +961,8 @@ def incremental_dedup(
     # the index, no corpus-side exchange (measured 21.7s → ~7s per batch at
     # a 1M-doc corpus, STRESS.md). Guarded by the same ≤5M-docs cap as the
     # verify stage: a giant backfill "batch" falls back to a shuffle join
-    # rather than OOMing the executors on a forced broadcast.
-    n_incoming = incoming.select(id_col).count()
+    # rather than OOMing the executors on a forced broadcast. n_incoming
+    # rode the disjointness probe's job (r12) — no second scan.
     inc_bands = band_keys(inc_sigs, id_col).withColumnRenamed("bid", "id_b")
     cands = (
         band_keys(corp_sigs, id_col)
@@ -941,27 +983,50 @@ def incremental_dedup(
     return _incremental_verdict(
         cands, incoming, corpus, text_col, id_col, threshold,
         corpus_tokens=corpus_tokens, n_corpus=n_corpus,
-        n_incoming=n_incoming,
+        n_incoming=n_incoming, corpus_vocab=corpus_vocab,
     )
 
 
-def _check_disjoint_ids(incoming: DataFrame, probe_side: DataFrame, id_col: str) -> None:
+def _check_disjoint_ids(
+    incoming: DataFrame,
+    probe_side: DataFrame,
+    id_col: str,
+    count_incoming: bool = False,
+) -> int | None:
     """Ids MUST be disjoint across the two incremental-dedup inputs —
     the verification stage unions the two doc sets, so an id on both
     sides would fan its joins out and silently inflate n_matches.
     EAGER broadcast-semi probe (one Spark job at call time), against the
-    in-memory index when one is supplied (never the signature compute)."""
-    overlap = (
+    in-memory index when one is supplied (never the signature compute).
+
+    ``count_incoming`` (r12, guide §1.2): the callers' very next eager
+    round-trip was ``incoming.count()`` for the band-side broadcast
+    gate — a second driver job over the same scan. Folded here as a
+    sibling aggregate branch of the SAME action (still no signature
+    computation on the error path), so the per-batch call pays one
+    probe job instead of two; returns the count, else None."""
+    overlap_branch = (
         probe_side.select(id_col)
         .join(F.broadcast(incoming.select(id_col)), id_col, "semi")
         .limit(1)
-        .count()
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+        .select(F.lit(0).alias("__b"), "v")
     )
-    if overlap:
+    if count_incoming:
+        probe = overlap_branch.unionByName(
+            incoming.agg(F.count(F.lit(1)).cast("long").alias("v")).select(
+                F.lit(1).alias("__b"), "v"
+            )
+        )
+    else:
+        probe = overlap_branch
+    got = {int(r["__b"]): int(r["v"]) for r in probe.collect()}
+    if got[0]:
         raise ValueError(
             "incremental_dedup requires disjoint ids: some incoming "
             f"{id_col} values already exist in the corpus"
         )
+    return got.get(1)
 
 
 def _incremental_verdict(
@@ -974,6 +1039,7 @@ def _incremental_verdict(
     corpus_tokens: DataFrame | None = None,
     n_corpus: int | None = None,
     n_incoming: int | None = None,
+    corpus_vocab: list | None = None,
 ) -> DataFrame:
     """Shared tail of the incremental-dedup operators: exact-verify the
     cross-side candidates against the union of both texts, then fold to
@@ -988,20 +1054,57 @@ def _incremental_verdict(
     table supplied (ids are disjoint by contract, so per-side distinct
     pair tables union to the union's distinct pair table) only the
     BATCH is tokenized per call; ``n_corpus``+``n_incoming`` likewise
-    replace the union's count job for the verify broadcast gate."""
+    replace the union's count job for the verify broadcast gate.
+
+    r12 (guide §1.2): ``corpus_vocab`` is the at-rest COMPLETE corpus
+    vocabulary, collected once at index build under the same
+    MAX_BITMASK_VOCAB+1 cap the verify probe uses (so it is bounded:
+    at most cap+1 strings). With it the per-batch representation
+    decision probes only the BATCH's distinct tokens — the r11 path
+    still re-aggregated the corpus-scale union token table to one
+    driver row every call. Union vocabulary = corpus vocabulary ∪ batch
+    vocabulary (ids are disjoint, tokens need not be), and a truncated
+    probe on either side proves the union exceeds the cap — the same
+    decision, same dense-id assignment, from a batch-sized job (or no
+    job at all when the corpus alone exceeds the cap)."""
     both = incoming.select(id_col, text_col).unionByName(
         corpus.select(id_col, text_col)
     )
     both_toks = None
     n_docs = None
+    vocab_tokens = None
     if corpus_tokens is not None:
-        both_toks = _doc_tokens(incoming, text_col, id_col).unionByName(
-            corpus_tokens.select(id_col, "token")
-        )
+        inc_toks = _doc_tokens(incoming, text_col, id_col)
+        both_toks = inc_toks.unionByName(corpus_tokens.select(id_col, "token"))
         if n_corpus is not None and n_incoming is not None:
             n_docs = n_corpus + n_incoming
+        if corpus_vocab is not None:
+            if len(corpus_vocab) > MAX_BITMASK_VOCAB:
+                vocab_tokens = _VOCAB_OVER_CAP
+            else:
+                batch_rows = (
+                    inc_toks.select("token")
+                    .distinct()
+                    .limit(MAX_BITMASK_VOCAB + 1)
+                    .collect()
+                )
+                union_vocab = set(corpus_vocab)
+                union_vocab.update(r["token"] for r in batch_rows)
+                vocab_tokens = (
+                    _VOCAB_OVER_CAP
+                    if len(batch_rows) > MAX_BITMASK_VOCAB
+                    or len(union_vocab) > MAX_BITMASK_VOCAB
+                    else union_vocab
+                )
     verified = jaccard_verify(
-        cands, both, text_col, id_col, threshold, toks=both_toks, n_docs=n_docs
+        cands,
+        both,
+        text_col,
+        id_col,
+        threshold,
+        toks=both_toks,
+        n_docs=n_docs,
+        vocab_tokens=vocab_tokens,
     )
     hits = verified.groupBy("id_b").agg(
         F.count(F.lit(1)).cast("long").alias("n_matches"),
@@ -1168,6 +1271,7 @@ def incremental_dedup_auto(
     corpus_band_counts: DataFrame | None = None,
     corpus_tokens: DataFrame | None = None,
     n_corpus: int | None = None,
+    corpus_vocab: list | None = None,
     max_candidates: int = DEFAULT_MAX_CANDIDATES,
     stats: dict | None = None,
 ) -> DataFrame:
@@ -1216,8 +1320,11 @@ def incremental_dedup_auto(
     disjointness probe are incremental_dedup's."""
     import warnings
 
-    _check_disjoint_ids(
-        incoming, corpus_index if corpus_index is not None else corpus, id_col
+    n_incoming = _check_disjoint_ids(
+        incoming,
+        corpus_index if corpus_index is not None else corpus,
+        id_col,
+        count_incoming=True,
     )
     global _live_sigs
     _release_sig_caches()
@@ -1324,12 +1431,12 @@ def incremental_dedup_auto(
                 UserWarning,
                 stacklevel=2,
             )
-    # batch size for the broadcast gate: count the CACHED signature table
-    # the probe already materialized (r11; was a fresh scan of incoming —
-    # one extra source round-trip per batch). Signature rows exist for
-    # every doc with at least one token, which is what the band side
-    # actually carries.
-    n_incoming = inc_sigs.count()
+    # batch size for the broadcast gate: n_incoming rode the
+    # disjointness probe's job (r12) — counting ALL incoming rows, the
+    # same stats meaning as incremental_dedup (the r11 cached-signature
+    # count reported only token-bearing docs, a silent inconsistency
+    # between the two operators; both values only gate broadcasts, and
+    # the row count is the conservative one).
     inc_bands = band_keys(inc_sigs, id_col, *chosen).withColumnRenamed(
         "bid", "id_b"
     )
@@ -1352,7 +1459,7 @@ def incremental_dedup_auto(
     return _incremental_verdict(
         cands, incoming, corpus, text_col, id_col, threshold,
         corpus_tokens=corpus_tokens, n_corpus=n_corpus,
-        n_incoming=n_incoming,
+        n_incoming=n_incoming, corpus_vocab=corpus_vocab,
     )
 
 
@@ -1518,11 +1625,24 @@ def ngram_jaccard_pairs(
     from vector_database_spark.functions.text import bigrams
 
     base = docs if max_id is None else docs.filter(F.col(id_col) < max_id)
-    grams = (
-        base.select(id_col, F.explode(bigrams(tokenize_ws(F.col(text_col)))).alias("g"))
-        .distinct()
+    # r12 (guide §1.2/§2.4): the bigram array is built ONCE over a pinned
+    # token attribute (the raw-expression form re-ran the split() regex
+    # per bigram element inside the transform lambda — O(tokens²) per
+    # doc), per-doc array_distinct replaces the global .distinct() (the
+    # id rides every row, so the (id, g) set is identical — the
+    # _doc_tokens argument), and each doc's distinct-gram COUNT is
+    # size() arithmetic on the same array instead of a groupBy over the
+    # exploded gram table: two full shuffles of the gram table removed.
+    pinned = base.select(
+        id_col, computed_once(tokenize_ws(F.col(text_col))).alias("__tk")
+    ).select(
+        id_col,
+        computed_once(F.array_distinct(bigrams(F.col("__tk")))).alias("__bg"),
     )
-    sizes = grams.groupBy(id_col).agg(F.count("*").alias("sz"))
+    grams = pinned.select(id_col, F.explode("__bg").alias("g"))
+    sizes = pinned.select(
+        id_col, F.size("__bg").cast("long").alias("sz")
+    ).filter(F.col("sz") > 0)
     ga = grams.select(F.col(id_col).alias("id_a"), "g")
     gb = grams.select(F.col(id_col).alias("id_b"), "g")
     inter = (
@@ -1781,6 +1901,12 @@ def line_dedup(
     count, a size-gated broadcast anti-join for the strip (the repeated-
     line set grows with the corpus — past the byte budget the hint is
     withheld and AQE decides), one shuffle to reassemble.
+
+    Input contract: ``id_col`` must be unique and non-NULL per doc. The
+    r11 boiler aggregation counts rows over per-doc-distinct line
+    arrays (not countDistinct(id)), so a NULL-id doc or a duplicated id
+    would shift lines across ``df_threshold`` — out-of-contract inputs
+    the old form silently tolerated.
     """
     from vector_database_spark.functions.text import tokenize_ws
 
@@ -1869,6 +1995,12 @@ def line_dedup(
     )
 
 
+# launder the label table's compounding size estimate through a parquet
+# leaf every N rounds (see the footgun note inside connected_components);
+# 8 keeps the BigInt under ~12k digits — sub-millisecond arithmetic
+_CC_STATS_LAUNDER_EVERY = 8
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -1894,16 +2026,49 @@ def connected_components(
     ``nodes`` optionally supplies the full id universe (single-column
     DataFrame) so isolated docs appear as their own singleton component.
     """
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    # r12 — stats-compounding footgun (measured, guide §1/§7): Spark's
+    # size-only stats visitor estimates a join's sizeInBytes as the
+    # PRODUCT of its children's, and Dataset.localCheckpoint captures
+    # the optimized plan's stats into the new LogicalRDD (originStats).
+    # An iterative join loop therefore SQUARES the BigInt estimate every
+    # round — its digit count doubles (measured on the 200-node test
+    # graph: 45 → 96 → 198 → 401 → 808 → 1621 → 3248 digits over six
+    # rounds), and by round ~17 every planning pass does arithmetic on
+    # multi-megabit integers: checkpoint calls grew 0.25s → 13s/round
+    # while data, plans and RDD lineage stayed provably flat (AQE off,
+    # constraint propagation off, reliable checkpoint, and a pre-ckpt
+    # repartition all reproduced it). Only a LEAF relation resets the
+    # estimate, so every _CC_STATS_LAUNDER_EVERY rounds the (id, comp)
+    # table takes one parquet round-trip through a temp dir — a linear,
+    # narrow-table write whose files are reclaimed at process exit.
+    launder_root: list[str] = []
+
+    def _launder(df: DataFrame, it: int) -> DataFrame:
+        if not launder_root:
+            launder_root.append(tempfile.mkdtemp(prefix="cc_labels_"))
+            atexit.register(shutil.rmtree, launder_root[0], ignore_errors=True)
+        path = os.path.join(launder_root[0], f"round_{it}")
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # r12 (guide §5): the symmetrized edge table is read by EVERY round's
+    # neighbor-min join; un-persisted, each round re-ran the union +
+    # distinct shuffle. One persist before the loop, released after.
     edges = e.unionAll(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    ).distinct().persist()
     labels = edges.select(F.col("src").alias("id")).distinct()
     if nodes is not None:
         ids = nodes.toDF("id")
         labels = labels.unionAll(ids).distinct()
     labels = labels.select("id", F.col("id").alias("comp")).localCheckpoint()
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr = (
             edges.join(
                 labels.select(F.col("id").alias("src"), F.col("comp").alias("c")),
@@ -1914,22 +2079,26 @@ def connected_components(
             .select(F.col("dst").alias("id"), "nbr_comp")
         )
         stepped = labels.join(nbr, "id", "left").select(
-            "id", F.least("comp", F.coalesce("nbr_comp", F.col("comp"))).alias("comp")
+            "id",
+            F.col("comp").alias("__old"),
+            F.least("comp", F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
         )
+        new_comp = F.least("comp", F.coalesce("comp2", F.col("comp")))
         jumped = stepped.join(
             stepped.select(F.col("id").alias("comp"), F.col("comp").alias("comp2")),
             "comp",
             "left",
-        ).select("id", F.least("comp", F.coalesce("comp2", F.col("comp"))).alias("comp"))
+        ).select("id", new_comp.alias("comp"), (new_comp != F.col("__old")).alias("__chg"))
+        # r12 (guide §1.2): convergence is detected from a flag carried
+        # THROUGH the checkpoint (new label != old label, computed inside
+        # the round's own job) — the old probe re-joined the new and old
+        # label tables, paying a second shuffle job per round
         new_labels = jumped.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__chg")).limit(1).count()
+        labels = new_labels.select("id", "comp")
         if changed == 0:
             break
+        if (it + 1) % _CC_STATS_LAUNDER_EVERY == 0:
+            labels = _launder(labels, it)
+    edges.unpersist()
     return labels.select("id", F.col("comp").alias("component"))

@@ -46,9 +46,18 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
     Output: (id_col, pred_lang, best_score).
     """
-    toks = tokenize_ws(F.col(text_col))
+    from vector_database_spark.functions.vector import computed_once
+
+    # r12 (guide §1.2): pin the token array once — the per-language
+    # filter() counts are CodegenFallback HOFs, so each one used to
+    # re-evaluate the split() regex embedded in its argument (one full
+    # tokenize per LANGUAGE per row); over the pinned attribute each
+    # filter scans the materialized array instead
+    toks = F.col("__tk")
     langs = sorted(LANG_MARKERS)
     scored = docs.select(
+        id_col, computed_once(tokenize_ws(F.col(text_col))).alias("__tk")
+    ).select(
         id_col,
         *[_count_in(toks, LANG_MARKERS[lg]).alias(f"s_{lg}") for lg in langs],
     )
@@ -75,7 +84,15 @@ def quality_score(
     Output: (id_col, n_tokens, n_stopwords, stop_ratio_micro,
     avg_token_len_micro, quality_micro).
     """
-    toks = tokenize_ws(F.col(text_col))
+    from vector_database_spark.functions.vector import computed_once
+
+    # r12 (guide §1.2): pin the token array once. The feature set reuses
+    # the stopword filter() and length-sum aggregate() HOFs across the
+    # ratio and composite columns, and HOFs are CodegenFallback — every
+    # textual occurrence used to re-run the embedded split() regex (the
+    # plan carried 11 split() sites per row); over the pinned attribute
+    # each occurrence scans the materialized array
+    toks = F.col("__tk")
     n_tok = F.size(toks).cast("long")
     n_stop = _count_in(toks, STOPWORDS)
     sum_len = F.aggregate(
@@ -91,6 +108,8 @@ def quality_score(
         + F.least(avg_len / F.lit(8.0), F.lit(1.0)) * F.lit(0.25)
     )
     return docs.select(
+        id_col, computed_once(tokenize_ws(F.col(text_col))).alias("__tk")
+    ).select(
         id_col,
         n_tok.alias("n_tokens"),
         n_stop.alias("n_stopwords"),

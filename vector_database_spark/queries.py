@@ -1043,10 +1043,31 @@ def q_incremental_dedup(spark, sf_dir):
 # distinct (id, token) table and the doc count, so the per-batch call
 # re-reads NO corpus text at all (the verify stage used to re-tokenize
 # the corpus for its vocabulary decision + bitmask build every call).
-_CORP_SIG_MEMO: dict[str, tuple[DataFrame, DataFrame, int]] = {}
+# r12: plus the BOUNDED corpus vocabulary (≤ MAX_BITMASK_VOCAB+1 token
+# strings — the verify probe's own cap), so the per-batch verify
+# representation decision probes only the batch's tokens. Size contract
+# of the whole memo is recorded in STRESS.md ("at-rest incremental
+# index: size contract").
+_CORP_SIG_MEMO: dict[str, tuple[DataFrame, DataFrame, int, list]] = {}
 
 
-def _corpus_sigs_cached(spark, sf_dir, corpus) -> tuple[DataFrame, DataFrame, int]:
+def _corpus_vocab_probe(toks) -> list:
+    """The at-rest corpus vocabulary under the verify probe's cap: the
+    complete distinct-token list when it fits MAX_BITMASK_VOCAB, else a
+    cap+1-row truncation that proves the over-cap case — never more
+    than cap+1 strings on the driver."""
+    return [
+        r["token"]
+        for r in toks.select("token")
+        .distinct()
+        .limit(dedup.MAX_BITMASK_VOCAB + 1)
+        .collect()
+    ]
+
+
+def _corpus_sigs_cached(
+    spark, sf_dir, corpus
+) -> tuple[DataFrame, DataFrame, int, list]:
     got = _CORP_SIG_MEMO.get(sf_dir)
     if got is not None:
         try:
@@ -1063,7 +1084,8 @@ def _corpus_sigs_cached(spark, sf_dir, corpus) -> tuple[DataFrame, DataFrame, in
     sigs = dedup.minhash_signatures(corpus, toks=toks).persist()
     sigs.count()  # materialize now — the index predates the batch
     n_corpus = corpus.select("doc_id").count()
-    _CORP_SIG_MEMO[sf_dir] = (sigs, toks, n_corpus)
+    vocab = _corpus_vocab_probe(toks)
+    _CORP_SIG_MEMO[sf_dir] = (sigs, toks, n_corpus, vocab)
     return _CORP_SIG_MEMO[sf_dir]
 
 
@@ -1082,10 +1104,13 @@ def q_incremental_dedup_indexed(spark, sf_dir):
     (tools/stress_incremental.py). Same inputs and result contract as
     q_incremental_dedup → same FULL oracle."""
     corpus, incoming = _incremental_dedup_sides(spark, sf_dir)
-    corp_sigs, corp_toks, n_corpus = _corpus_sigs_cached(spark, sf_dir, corpus)
+    corp_sigs, corp_toks, n_corpus, corp_vocab = _corpus_sigs_cached(
+        spark, sf_dir, corpus
+    )
     return dedup.incremental_dedup(
         incoming, corpus, corpus_sigs=corp_sigs,
         corpus_tokens=corp_toks, n_corpus=n_corpus,
+        corpus_vocab=corp_vocab,
     )
 
 
@@ -1093,13 +1118,16 @@ def q_incremental_dedup_indexed(spark, sf_dir):
 # index, its probe-side band-count companion, and (r11) the verify-side
 # distinct (id, token) table + doc count, persisted together the way a
 # production pipeline maintains all of them at ingest; same lifecycle
-# rules as _CORP_SIG_MEMO above
-_CORP_INDEX_MEMO: dict[str, tuple[DataFrame, DataFrame, DataFrame, int]] = {}
+# rules as _CORP_SIG_MEMO above. r12: plus the bounded corpus
+# vocabulary (see _CORP_SIG_MEMO).
+_CORP_INDEX_MEMO: dict[
+    str, tuple[DataFrame, DataFrame, DataFrame, int, list]
+] = {}
 
 
 def _corpus_index_cached(
     spark, sf_dir, corpus
-) -> tuple[DataFrame, DataFrame, DataFrame, int]:
+) -> tuple[DataFrame, DataFrame, DataFrame, int, list]:
     got = _CORP_INDEX_MEMO.get(sf_dir)
     if got is not None:
         try:
@@ -1118,7 +1146,8 @@ def _corpus_index_cached(
     counts = dedup.minhash_index_band_counts(idx).persist()
     counts.count()
     n_corpus = corpus.select("doc_id").count()
-    _CORP_INDEX_MEMO[sf_dir] = (idx, counts, toks, n_corpus)
+    vocab = _corpus_vocab_probe(toks)
+    _CORP_INDEX_MEMO[sf_dir] = (idx, counts, toks, n_corpus, vocab)
     return _CORP_INDEX_MEMO[sf_dir]
 
 
@@ -1138,12 +1167,14 @@ def q_incremental_dedup_auto(spark, sf_dir):
     full-corpus, and the ladder widens to (32, 4) by design — the
     escalation canary working as documented."""
     corpus, incoming = _incremental_dedup_sides(spark, sf_dir)
-    idx, counts, corp_toks, n_corpus = _corpus_index_cached(spark, sf_dir, corpus)
+    idx, counts, corp_toks, n_corpus, corp_vocab = _corpus_index_cached(
+        spark, sf_dir, corpus
+    )
     stats: dict = {}
     out = dedup.incremental_dedup_auto(
         incoming, corpus, corpus_index=idx, corpus_band_counts=counts,
         corpus_tokens=corp_toks, n_corpus=n_corpus,
-        stats=stats,
+        corpus_vocab=corp_vocab, stats=stats,
     )
     if stats.get("level", 0) != 0:
         sf_tail = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -4073,8 +4104,17 @@ def q_repetition_ratio(spark, sf_dir):
     keep/drop verdict used by corpus filtering. Array expressions only —
     no shuffle, no UDF; the same projection runs per-file at 100 TB."""
     docs = _t(spark, sf_dir, "documents")
-    toks = tokenize_ws(F.col("text"))
-    d = docs.select("doc_id", toks.alias("toks"), bigrams(toks).alias("bg"))
+    # r12 (guide §1.2): pin the token array BEFORE building bigrams —
+    # bigrams() is an element_at transform over its argument, so with the
+    # raw tokenize expression inline the lambda re-ran the split() regex
+    # once PER BIGRAM element (O(tokens²) per doc); over the pinned
+    # attribute each element is an O(1) array index. The bigram array is
+    # pinned too (it feeds two size() reads)
+    d = docs.select(
+        "doc_id", computed_once(tokenize_ws(F.col("text"))).alias("toks")
+    ).select(
+        "doc_id", "toks", computed_once(bigrams(F.col("toks"))).alias("bg")
+    )
     n = F.size("toks").cast("double")
     nd = F.size(F.array_distinct("toks")).cast("double")
     n2 = F.size("bg").cast("double")
@@ -4150,13 +4190,23 @@ def q_dsir_select(spark, sf_dir):
     from vector_database_spark.operators.knn import with_min_parallelism
 
     docs = _t(spark, sf_dir, "documents")
-    toks = tokenize_ws(F.col("text"))
+    # r12 (guide §1.2): the gram array was pinned but built from the RAW
+    # tokenize expression, so the bigrams() lambda inside the pin re-ran
+    # the split() regex once per bigram element (O(tokens²) per doc —
+    # the plan carried 10 split sites). Pin the token array FIRST, then
+    # build unigrams+bigrams from the attribute
     pinned = with_min_parallelism(
         docs.select("doc_id", "source", "text")
     ).select(
         "doc_id",
         (F.col("source") == _DSIR_TARGET_SOURCE).alias("is_target"),
-        computed_once(F.concat(toks, bigrams(toks))).alias("__g"),
+        computed_once(tokenize_ws(F.col("text"))).alias("__tk"),
+    ).select(
+        "doc_id",
+        "is_target",
+        computed_once(
+            F.concat(F.col("__tk"), bigrams(F.col("__tk")))
+        ).alias("__g"),
     )
     grams = pinned.select(
         "doc_id", "is_target", F.explode("__g").alias("gram")
@@ -5516,7 +5566,11 @@ def q_gopher_rules(spark, sf_dir):
     embarrassingly parallel at 100 TB. Ratios in integer micro-units
     (FIXTURES rules 6-7)."""
     docs = _t(spark, sf_dir, "documents")
-    toks = tokenize_ws(F.col("text"))
+    # r12 (guide §1.2): pinned token array — the rule family runs four
+    # CodegenFallback HOFs (aggregate/filter/array_intersect) whose
+    # embedded split() used to re-run per occurrence (8 split sites per
+    # row in the r11 plan); each now scans the one materialized array
+    toks = F.col("__tk")
     n = F.size(toks).cast("long")
     sum_len = F.aggregate(
         toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
@@ -5529,6 +5583,8 @@ def q_gopher_rules(spark, sf_dir):
     alpha_micro = micro6(n_alpha.cast("double") / n.cast("double"))
     symbol_micro = micro6(n_symbol.cast("double") / n.cast("double"))
     feat = docs.select(
+        "doc_id", computed_once(tokenize_ws(F.col("text"))).alias("__tk")
+    ).select(
         "doc_id",
         n.alias("n_tokens"),
         mean_len_micro.alias("mean_len_micro"),
@@ -6438,8 +6494,13 @@ def q_loss_mask(spark, sf_dir):
             F.lit("[INST] "), F.substring("text", 1, 40), F.lit(" [/INST] "), F.col("lang")
         ).alias("inst_text"),
     )
-    toks = tokenize_ws(F.col("inst_text"))
-    pos = F.array_position(toks, "[/inst]")
+    # r12 (guide §1.2): pin the token array and the delimiter position —
+    # the mask lambda compares every element index against pos, and with
+    # the raw expressions inline each element re-ran the split() AND the
+    # array_position scan (O(tokens²) per doc); pinned, the lambda reads
+    # two attributes
+    toks = F.col("__tk")
+    pos = F.col("__pos")
     mask = F.transform(
         F.sequence(F.lit(1), F.size(toks)),
         lambda i: F.when(i <= pos, 0).otherwise(1),
@@ -6448,6 +6509,12 @@ def q_loss_mask(spark, sf_dir):
     # canonicalizer sorts pandas columns, and list-valued cells are
     # unhashable there (same rule as q_quantize_int8).
     return inst.select(
+        "doc_id", computed_once(tokenize_ws(F.col("inst_text"))).alias("__tk")
+    ).select(
+        "doc_id",
+        "__tk",
+        computed_once(F.array_position(toks, "[/inst]")).alias("__pos"),
+    ).select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
         pos.cast("long").alias("n_prompt_tokens"),
@@ -6804,11 +6871,15 @@ def q_topngram_fraction(spark, sf_dir):
     Plan: per-n gram explode → (doc, gram) partial count → per-doc top-1
     via max_by-style window — two doc-keyed shuffles, nothing quadratic."""
     docs = _t(spark, sf_dir, "documents")
-    toks = tokenize_ws(F.col("text"))
+    # r12: tk pinned — InferFiltersFromGenerate otherwise clones the
+    # whole gram-array build (which references tk) into a pre-filter of
+    # each explode, re-building every gram array per row
     base = docs.select(
+        "doc_id", computed_once(tokenize_ws(F.col("text"))).alias("tk")
+    ).select(
         "doc_id",
-        toks.alias("tk"),
-        F.length(F.array_join(toks, " ")).cast("long").alias("total_chars"),
+        "tk",
+        F.length(F.array_join(F.col("tk"), " ")).cast("long").alias("total_chars"),
     )
 
     def top_frac(n: int, out: str):

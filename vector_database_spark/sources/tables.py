@@ -28,10 +28,17 @@ _TABLE_MEMO: dict[tuple[str, str], tuple[SparkSession, DataFrame]] = {}
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (sf_dir, name)
+    import os
+
+    # normpath so "dir" and "dir/" share one entry (r12, ADVICE r11);
+    # dead-session entries are evicted whenever they are seen, not only
+    # on a same-key re-read, bounding the memo across session restarts
+    key = (os.path.normpath(sf_dir), name)
     got = _TABLE_MEMO.get(key)
-    if got is not None and got[0] is spark:
-        return got[1]
+    if got is not None:
+        if got[0] is spark:
+            return got[1]
+        del _TABLE_MEMO[key]
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
