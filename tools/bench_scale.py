@@ -42,7 +42,7 @@ def main() -> None:
     small_base = [r for r in rows if r[3] >= FLAG_RATIO and r[1] < MIN_BASE_SEC]
 
     lines = [
-        "# BENCH_SCALE — registry-wide 10x scaling sweep (r11)",
+        "# BENCH_SCALE — registry-wide 10x scaling sweep (r12)",
         "",
         "10x fixture: tools/make_scale_fixture.py replicates sf0.1 with",
         "key-consistent id shifts (joins keep their fan-out), per-replica",

@@ -25,6 +25,17 @@ R12_QUERIES = [
     "q_incremental_dedup_indexed",
     "q_incremental_dedup_auto",
     "q_encode_lookup",
+    # lambda-body / per-HOF re-tokenize pins (OPTIMIZATION_r12.md
+    # discovery A)
+    "q_quality_score",
+    "q_gopher_rules",
+    "q_lang_id",
+    "q_dsir_select",
+    "q_repetition_ratio",
+    "q_loss_mask",
+    "q_ngram_jaccard",
+    "q_topngram_fraction",
+    "q_pipeline_e2e",
 ]
 
 
