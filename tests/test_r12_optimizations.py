@@ -232,3 +232,28 @@ def test_connected_components_stats_launder_unbounded_rounds(spark):
         for r in dedup.connected_components(pairs).collect()
     }
     assert got == {i: 0 for i in range(n)}
+
+
+def test_verify_mask_cache_rotates_with_sig_caches(spark, docs):
+    """r12: jaccard_verify persists the bitmask table (both join sides
+    read one build) and registers it with the dedup cache rotation — a
+    second dedup call must release the first call's masks, so repeated
+    calls keep cached-RDD count bounded."""
+    sample = docs.filter(F.col("doc_id") < 80)
+
+    def n_cached():
+        sc = spark.sparkContext
+        return len(
+            [i for i in sc._jsc.sc().getRDDStorageInfo() if i.numCachedPartitions() > 0]
+        )
+
+    dedup.minhash_neardup_pairs(sample).write.mode("overwrite").format(
+        "noop"
+    ).save()
+    first = n_cached()
+    for _ in range(3):
+        dedup.minhash_neardup_pairs(sample).write.mode("overwrite").format(
+            "noop"
+        ).save()
+    assert n_cached() <= first, "verify mask cache leaked across calls"
+    dedup._release_sig_caches()
